@@ -1,0 +1,96 @@
+"""Canonical data model (SURVEY.md §1.2).
+
+The reference organizes state as registry → family → series → float
+sample (prometheus.cpp:32-45, :185-199). Our canonical form is one tall
+``samples`` relation:
+
+    series_id  LONG                 -- xxhash64(metric, labels)
+    metric     STRING               -- family name (prometheus.cpp:185-188)
+    labels     MAP<STRING,STRING>   -- generalized from the reference's
+                                       single Label/Value pair
+                                       (prometheus.cpp:105-110)
+    label_user STRING               -- flattened primary label (oracle-
+                                       friendly projection of labels)
+    ts_us      LONG                 -- event time, int64 MICROSECONDS
+    value      DOUBLE               -- only sample type in the reference
+                                       (prometheus.cpp:98-99)
+
+Timestamps: the reference carries no user timestamps (time enters at
+scrape); the driver's events parquet carries TIMESTAMP(NANOS), which
+Spark reads as int64 nanos (legacy.parquet.nanosAsLong) and DuckDB
+truncates to microseconds. We standardize on int64 microseconds
+(`ts div 1000` == DuckDB `epoch_us(ts)`) so both engines see identical
+values — no timezone, no float error, total ordering.
+
+At 100 TB, ``samples`` is a date/metric-partitioned Parquet/Delta table;
+`metric` partition pruning plus `ts_us` min/max row-group stats make
+instant-vector and range queries read only the touched slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shards_prometheus_spark.session import prepare_session
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+MICROS_PER_SECOND = 1_000_000
+MICROS_PER_HOUR = 3_600 * MICROS_PER_SECOND
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver parquet table."""
+    prepare_session(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ts_us(df: DataFrame, col: str = "ts") -> F.Column:
+    """Normalize the events timestamp column to int64 microseconds.
+
+    Primary path: nanosAsLong int64 nanos → integer-divide by 1000.
+    Fallback (session that materialized a real timestamp): unix_micros.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype in ("bigint", "long"):
+        return F.expr(f"{col} div 1000")
+    return F.unix_micros(F.col(col))
+
+
+def samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tall samples view derived from the driver's events table.
+
+    Mapping (FIXTURES.md §B): metric := event_type,
+    labels := map('user', user_id), value := value.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    label_user = F.col("user_id").cast("string")
+    return ev.select(
+        F.col("event_id"),
+        F.xxhash64(F.col("event_type"), label_user).alias("series_id"),
+        F.col("event_type").alias("metric"),
+        F.create_map(F.lit("user"), label_user).alias("labels"),
+        label_user.alias("label_user"),
+        _ts_us(ev).alias("ts_us"),
+        F.col("value"),
+    )
+
+
+#: DuckDB CTE that mirrors `samples()` exactly — prefix for oracle SQL.
+SAMPLES_CTE = (
+    "WITH samples AS (SELECT event_id, event_type AS metric, "
+    "CAST(user_id AS VARCHAR) AS label_user, epoch_us(ts) AS ts_us, value "
+    "FROM events)"
+)

@@ -1,0 +1,71 @@
+"""SparkSession construction and defensive session preparation.
+
+The reference's Exposer (prometheus.cpp:27-93) owns a registry and
+publishes it as a context variable; our analog is a SparkSession with
+the engine's required SQL confs applied. ``prepare_session`` is
+idempotent and safe to call on an externally provided session (the
+driver harness owns the session in `__spark_entry__.py`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable SQL confs every engine query assumes.
+_RUNTIME_CONFS = {
+    # Driver testdata writes TIMESTAMP(NANOS) parquet, which Spark only
+    # reads as raw int64 nanoseconds. All engine time arithmetic is done
+    # on int64 microseconds (ts div 1000) to match DuckDB's epoch_us().
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic time semantics regardless of host timezone.
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: partition coalescing, skew-join splitting —
+    # essential at the 100 TB design point, harmless locally.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-interop path (multimodal UDFs).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Apply required runtime confs to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not settable at runtime on this build — queries that
+            # depend on it will surface a clear error instead.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "shards-prometheus-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a session tuned for the local harness.
+
+    On a real cluster these become spark-submit confs; the partitioning
+    story (see ARCHITECTURE.md) is what carries to 1000 executors, not
+    these local numbers.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return prepare_session(builder.getOrCreate())
