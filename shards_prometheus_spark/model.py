@@ -88,6 +88,27 @@ def samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dround(expr: str, k: int) -> str:
+    """Decimal-semantics ROUND for DuckDB oracle SQL.
+
+    Spark's round() converts the double through its SHORTEST ROUND-TRIP
+    decimal representation (Double.toString → BigDecimal) and applies
+    HALF_UP: 0.14175's nearest double stringifies as "0.14175" and
+    rounds UP to 0.1418, while an accumulated 0.35824999999999996
+    stringifies as-is and rounds DOWN to 0.3582. DuckDB's plain ROUND
+    works on the binary value and disagrees in the first case; a fixed
+    12-digit decimal quantization disagrees in the second. Routing
+    through VARCHAR (DuckDB also prints shortest round-trip form) →
+    DECIMAL → ROUND reproduces Spark bit-for-bit for outputs whose
+    doubles are identical across engines (pure IEEE expression chains,
+    not accumulation-order-dependent sums).
+    """
+    return (
+        f"CAST(ROUND(CAST(CAST(CAST({expr} AS DOUBLE) AS VARCHAR) "
+        f"AS DECIMAL(38,18)), {k}) AS DOUBLE)"
+    )
+
+
 #: DuckDB CTE that mirrors `samples()` exactly — prefix for oracle SQL.
 SAMPLES_CTE = (
     "WITH samples AS (SELECT event_id, event_type AS metric, "

@@ -1,0 +1,267 @@
+"""Deduplication operators (Tier C, north-star — SURVEY.md §2c #18-19).
+
+Four families over the `documents` table:
+
+- exact: content-hash groupBy (the 100 TB form of dropDuplicates: hash
+  once, shuffle the hash, keep min id per group);
+- MinHash + LSH banding: unigram-set minhash signatures → banded
+  bucket join → candidate pairs → exact Jaccard verify;
+- SimHash: sign-aggregated bit signature, pairs within a Hamming ball;
+- n-gram Jaccard: 3-token shingles, pair overlap via shingle join.
+
+All hashing is portable affine arithmetic over rank-based token ids
+(see tierc_common) so the DuckDB oracle checks values bit-for-bit.
+Scale notes: every pairwise stage is preceded by a blocking stage
+(band bucket, Hamming-ball on 16-bit sigs, shared-shingle join) — the
+quadratic explosion never touches the full corpus; skewed buckets are
+AQE-split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shards_prometheus_spark.model import dround, load_table
+from shards_prometheus_spark.operators.tierc_common import (
+    HASH_P,
+    TOKENS_CTE,
+    doc_token_ids,
+    doc_token_sets,
+    pair_jaccard,
+)
+
+# --- MinHash parameters (single source of truth for Spark AND oracle) ---
+NUM_HASHES = 16
+BAND_ROWS = 4  # 4 bands × 4 rows
+BAND_MOD = 40_009
+_BAND_W = [1, BAND_MOD, BAND_MOD**2, BAND_MOD**3]
+MINHASH_PARAMS = [
+    (i, 1_000_003 * i + 12_289, 786_433 * i + 40_961, i // BAND_ROWS, _BAND_W[i % BAND_ROWS])
+    for i in range(NUM_HASHES)
+]
+NEAR_DUP_JACCARD = 0.9
+
+# --- SimHash parameters ---
+SIMHASH_BITS = 16
+SIMHASH_PARAMS = [(j, 7_907 * j + 104_729, 9_973 * j + 224_737, 1 << j) for j in range(SIMHASH_BITS)]
+SIMHASH_MAX_HAMMING = 2
+
+# --- n-gram shingle parameters ---
+NGRAM_N = 3
+NGRAM_JACCARD = 0.05
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content hash → keep min doc_id per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_hash) — banded minhash signature."""
+    params = spark.createDataFrame(
+        MINHASH_PARAMS, "i int, a long, b long, band int, w long"
+    )
+    dset = doc_token_sets(spark, sf_dir)
+    h = (F.col("a") * F.col("token_id") + F.col("b")) % F.lit(HASH_P)
+    minh = (
+        dset.crossJoin(F.broadcast(params))
+        .groupBy("doc_id", "i", "band", "w")
+        .agg(F.min(h).alias("min_h"))
+    )
+    return minh.groupBy("doc_id", "band").agg(
+        F.sum((F.col("min_h") % F.lit(BAND_MOD)) * F.col("w")).alias("band_hash")
+    )
+
+
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified by exact unigram Jaccard ≥ 0.9."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), "band", "band_hash"
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), "band", "band_hash"
+    )
+    candidates = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    dset = doc_token_sets(spark, sf_dir)
+    return (
+        pair_jaccard(candidates, dset)
+        .filter(F.col("jaccard_raw") >= NEAR_DUP_JACCARD)
+        .select(
+            "doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard")
+        )
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-16 pairs within Hamming distance ≤ 2."""
+    params = spark.createDataFrame(
+        SIMHASH_PARAMS, "j int, a long, b long, w long"
+    )
+    dset = doc_token_sets(spark, sf_dir)
+    bit = ((F.col("a") * F.col("token_id") + F.col("b")) % F.lit(HASH_P)) % 2
+    contrib = F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+    sigs = (
+        dset.crossJoin(F.broadcast(params))
+        .groupBy("doc_id", "j", "w")
+        .agg(F.sum(contrib).alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("s") > 0, F.col("w")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("sig")
+        )
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    hamming = F.bit_count(F.expr("sig_a ^ sig_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct — 3-token shingles as id triples."""
+    from pyspark.sql import Window
+
+    ids = doc_token_ids(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t1 = F.lead("token_id", 1).over(w)
+    t2 = F.lead("token_id", 2).over(w)
+    return (
+        ids.withColumn("t1", t1)
+        .withColumn("t2", t2)
+        .filter(F.col("t2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "-",
+                F.col("token_id").cast("string"),
+                F.col("t1").cast("string"),
+                F.col("t2").cast("string"),
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard over pairs sharing ≥1 shingle."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= NGRAM_JACCARD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _params_values(params, cols) -> str:
+    rows = ", ".join("(" + ", ".join(str(v) for v in row) + ")" for row in params)
+    return f"({', '.join(cols)}) AS (VALUES {rows})"
+
+
+_MINHASH_SQL = (
+    f"{TOKENS_CTE}, hp{_params_values(MINHASH_PARAMS, ['i', 'a', 'b', 'band', 'w'])}, "
+    "minh AS (SELECT doc_id, i, band, w, "
+    f"MIN((a * token_id + b) % {HASH_P}) AS min_h "
+    "FROM dset, hp GROUP BY doc_id, i, band, w), "
+    "sigs AS (SELECT doc_id, band, "
+    f"SUM((min_h % {BAND_MOD}) * w) AS band_hash FROM minh GROUP BY doc_id, band), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM sigs a JOIN sigs b ON a.band = b.band AND a.band_hash = b.band_hash "
+    "AND a.doc_id < b.doc_id), "
+    "sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS set_size FROM dset GROUP BY doc_id), "
+    "inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter "
+    "FROM cand c JOIN dset ta ON ta.doc_id = c.doc_a "
+    "JOIN dset tb ON tb.doc_id = c.doc_b AND tb.token_id = ta.token_id "
+    "GROUP BY c.doc_a, c.doc_b)"
+)
+
+_SHINGLE_SQL = (
+    f"{TOKENS_CTE}, sh AS (SELECT DISTINCT doc_id, "
+    "CAST(token_id AS VARCHAR) || '-' || CAST(t1 AS VARCHAR) || '-' || "
+    "CAST(t2 AS VARCHAR) AS shingle FROM ("
+    "SELECT doc_id, token_id, "
+    "LEAD(token_id, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1, "
+    "LEAD(token_id, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2 "
+    "FROM dtok) WHERE t2 IS NOT NULL), "
+    "sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(COUNT(*) AS BIGINT) AS inter FROM sh a JOIN sh b "
+    "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY doc_a, doc_b)"
+)
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_near": dedup_near,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}
+
+ORACLES = {
+    "dedup_exact": (
+        "SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS keep_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY md5(text)"
+    ),
+    "dedup_near": (
+        f"{_MINHASH_SQL} "
+        "SELECT i.doc_a, i.doc_b, "
+        f"{dround('i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter)', 4)} AS jaccard "
+        "FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a "
+        "JOIN sz sb ON sb.doc_id = i.doc_b "
+        f"WHERE i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter) >= {NEAR_DUP_JACCARD}"
+    ),
+    "dedup_simhash": (
+        f"{TOKENS_CTE}, hp{_params_values(SIMHASH_PARAMS, ['j', 'a', 'b', 'w'])}, "
+        "bits AS (SELECT doc_id, j, w, "
+        f"SUM(CASE WHEN ((a * token_id + b) % {HASH_P}) % 2 = 1 THEN 1 ELSE -1 END) AS s "
+        "FROM dset, hp GROUP BY doc_id, j, w), "
+        "sigs AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN w ELSE 0 END) AS BIGINT) AS sig "
+        "FROM bits GROUP BY doc_id) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming "
+        "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}"
+    ),
+    "dedup_ngram_jaccard": (
+        f"{_SHINGLE_SQL} "
+        "SELECT i.doc_a, i.doc_b, "
+        f"{dround('i.inter * 1.0 / (sa.n_shingles + sb.n_shingles - i.inter)', 4)} AS jaccard "
+        "FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a "
+        "JOIN sz sb ON sb.doc_id = i.doc_b "
+        f"WHERE i.inter * 1.0 / (sa.n_shingles + sb.n_shingles - i.inter) >= {NGRAM_JACCARD}"
+    ),
+}

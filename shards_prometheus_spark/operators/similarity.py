@@ -1,0 +1,232 @@
+"""Similarity search over embeddings (Tier C, north-star — SURVEY.md §2c #20).
+
+Two paths over `embeddings(vec_id, embedding ARRAY<FLOAT>, label)`:
+
+- ``similarity_topk``: brute-force cosine top-k — the exactness
+  baseline. The dot product is a JVM-side higher-order expression
+  (zip_with + aggregate), NOT a Python UDF; one broadcast of the query
+  vector, one scan, one small top-k.
+- ``similarity_lsh``: random-hyperplane LSH — the 100 TB path. Sign
+  bits against 8 deterministic hyperplanes form a bucket key; only the
+  query's bucket is scored. Hyperplane coefficients are portable affine
+  arithmetic (same numbers in the oracle), not engine RNG.
+- ``dedup_embedding_cosine``: embedding near-dup pairs above a cosine
+  threshold, dim-exploded join form (oracle-matched); the LSH bucket
+  join is the scale form of the same blocking idea.
+
+Parity: products of float32 values are exact in double, so both engines
+differ only in summation order (~1e-16 relative) — ROUND(…,4) outputs
+and a rounded-then-ranked ordering make results identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from shards_prometheus_spark.model import load_table
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+COSINE_DUP_THRESHOLD = 0.40
+
+NUM_PLANES = 8
+PLANE_MOD = 1_009
+PLANE_SHIFT = PLANE_MOD // 2  # center coefficients on ~0
+LSH_PARAMS = [(j, 7_907 * j + 104_729, 9_973 * j + 224_737, 1 << j) for j in range(NUM_PLANES)]
+
+
+def _dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, d, v) — dim-exploded embeddings, values as double."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "v_f")
+    ).select("vec_id", "d", F.col("v_f").cast("double").alias("v"))
+
+
+def _norms(dims: DataFrame) -> DataFrame:
+    return dims.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+
+
+def _dot_expr(a: str, b: str) -> Column:
+    """JVM-side dot product of two array<float> columns in double."""
+    prods = F.zip_with(
+        F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm_expr(col: str) -> Column:
+    sq = F.aggregate(
+        F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.sqrt(sq)
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the query vector (vec_id=0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cos = (_dot_expr("embedding", "q_emb") / (
+        _norm_expr("embedding") * _norm_expr("q_emb")
+    )).alias("cos_raw")
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos6"))
+    )
+    w = Window.orderBy(F.desc("cos6"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("vec_id", F.round("cos6", 4).alias("cosine"), "rk")
+    )
+
+
+def _buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket) — 8-bit random-hyperplane signature.
+
+    Plane coefficient for (plane j, dim d):
+    ((a_j·(d+1) + b_j) mod 1009) − 504 — portable integer arithmetic.
+    """
+    params = spark.createDataFrame(LSH_PARAMS, "j int, a long, b long, w long")
+    dims = _dims(spark, sf_dir)
+    coef = (
+        (F.col("a") * (F.col("d") + 1) + F.col("b")) % F.lit(PLANE_MOD)
+        - F.lit(PLANE_SHIFT)
+    ).cast("double")
+    return (
+        dims.crossJoin(F.broadcast(params))
+        .groupBy("vec_id", "j", "w")
+        .agg(F.sum(F.col("v") * coef).alias("proj"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.when(F.col("proj") > 0, F.col("w")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("bucket")
+        )
+    )
+
+
+def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k within the query's LSH bucket — the sub-linear scale path."""
+    buckets = _buckets(spark, sf_dir)
+    qb = buckets.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("bucket").alias("q_bucket")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        buckets.crossJoin(F.broadcast(qb))
+        .filter(
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .select("vec_id")
+    )
+    cos = (_dot_expr("embedding", "q_emb") / (
+        _norm_expr("embedding") * _norm_expr("q_emb")
+    )).alias("cos_raw")
+    scored = (
+        emb.join(cand, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos6"))
+    )
+    w = Window.orderBy(F.desc("cos6"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("vec_id", F.round("cos6", 4).alias("cosine"), "rk")
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ 0.40 (embedding near-duplicate check)."""
+    dims = _dims(spark, sf_dir)
+    norms = _norms(dims)
+    a = dims.select(F.col("vec_id").alias("vec_a"), "d", F.col("v").alias("va"))
+    b = dims.select(F.col("vec_id").alias("vec_b"), "d", F.col("v").alias("vb"))
+    dots = (
+        a.join(b, "d")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .filter(cos >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+    )
+
+
+_DIMS_CTE = (
+    "WITH dims AS (SELECT vec_id, gs - 1 AS d, CAST(v AS DOUBLE) AS v FROM ("
+    "SELECT vec_id, unnest(embedding) AS v, "
+    "generate_subscripts(embedding, 1) AS gs FROM embeddings)), "
+    "nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM dims GROUP BY vec_id)"
+)
+
+_COS_TO_QUERY = (
+    f"{_DIMS_CTE}, qd AS (SELECT d, v FROM dims WHERE vec_id = {QUERY_VEC_ID}), "
+    "qn AS (SELECT nrm FROM nrm WHERE vec_id = " f"{QUERY_VEC_ID}), "
+    "dots AS (SELECT dims.vec_id, SUM(dims.v * qd.v) AS dot FROM dims "
+    f"JOIN qd ON qd.d = dims.d WHERE dims.vec_id <> {QUERY_VEC_ID} "
+    "GROUP BY dims.vec_id), "
+    "scored AS (SELECT d.vec_id, ROUND(d.dot / (n.nrm * q.nrm), 6) AS cos6 "
+    "FROM dots d JOIN nrm n ON n.vec_id = d.vec_id, qn q)"
+)
+
+_LSH_VALUES = ", ".join(f"({j}, {a}, {b}, {w})" for j, a, b, w in LSH_PARAMS)
+
+QUERIES = {
+    "similarity_topk": similarity_topk,
+    "similarity_lsh": similarity_lsh,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "similarity_topk": (
+        f"{_COS_TO_QUERY} "
+        "SELECT vec_id, ROUND(cos6, 4) AS cosine, CAST(rk AS BIGINT) AS rk FROM ("
+        "SELECT vec_id, cos6, ROW_NUMBER() OVER "
+        "(ORDER BY cos6 DESC, vec_id ASC) AS rk FROM scored) "
+        f"WHERE rk <= {TOP_K}"
+    ),
+    "similarity_lsh": (
+        f"{_COS_TO_QUERY}, hp(j, a, b, w) AS (VALUES {_LSH_VALUES}), "
+        "proj AS (SELECT dims.vec_id, hp.j, hp.w, "
+        f"SUM(dims.v * (((hp.a * (dims.d + 1) + hp.b) % {PLANE_MOD}) - {PLANE_SHIFT})) AS proj "
+        "FROM dims, hp GROUP BY dims.vec_id, hp.j, hp.w), "
+        "bkt AS (SELECT vec_id, CAST(SUM(CASE WHEN proj > 0 THEN w ELSE 0 END) AS BIGINT) "
+        "AS bucket FROM proj GROUP BY vec_id), "
+        f"qb AS (SELECT bucket FROM bkt WHERE vec_id = {QUERY_VEC_ID}), "
+        "cand AS (SELECT s.vec_id, s.cos6 FROM scored s JOIN bkt ON bkt.vec_id = s.vec_id, qb "
+        "WHERE bkt.bucket = qb.bucket) "
+        "SELECT vec_id, ROUND(cos6, 4) AS cosine, CAST(rk AS BIGINT) AS rk FROM ("
+        "SELECT vec_id, cos6, ROW_NUMBER() OVER (ORDER BY cos6 DESC, vec_id ASC) AS rk "
+        f"FROM cand) WHERE rk <= {TOP_K}"
+    ),
+    "dedup_embedding_cosine": (
+        f"{_DIMS_CTE}, dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "SUM(a.v * b.v) AS dot FROM dims a JOIN dims b ON a.d = b.d "
+        "AND a.vec_id < b.vec_id GROUP BY vec_a, vec_b) "
+        "SELECT d.vec_a, d.vec_b, ROUND(d.dot / (na.nrm * nb.nrm), 4) AS cosine "
+        "FROM dots d JOIN nrm na ON na.vec_id = d.vec_a "
+        "JOIN nrm nb ON nb.vec_id = d.vec_b "
+        f"WHERE d.dot / (na.nrm * nb.nrm) >= {COSINE_DUP_THRESHOLD}"
+    ),
+}

@@ -1,0 +1,169 @@
+"""Text-analysis operators (Tier C, north-star — SURVEY.md §2c #21).
+
+Training-data-pipeline text primitives over `documents`:
+
+- token counting: whitespace tokens AND a BPE-ish regex tokenizer
+  (letters / digits / single non-space symbol) — both JVM-side regex;
+- token frequency: global top-k with deterministic tie-breaks;
+- language-ID: stopword-ratio heuristic (an n-gram/wordlist scoring
+  shape; the corpus is synthetic so the heuristic is the point, not
+  accuracy);
+- quality scoring: length/stopword/word-shape mixture in [0,1];
+- fingerprinting: position-weighted rolling hash over portable token
+  ids (content-defined, engine-independent).
+
+Everything is expression-only (no UDFs): split/explode/regexp —
+whole-stage codegen keeps these at scan speed, which is what matters
+when the corpus is 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from shards_prometheus_spark.model import dround, load_table
+from shards_prometheus_spark.operators.tierc_common import (
+    TOKENS_CTE,
+    doc_token_ids,
+    doc_tokens,
+)
+
+TOP_TOKENS_K = 20
+STOPWORDS = ["the", "a"]
+EN_RATIO_THRESHOLD = 0.05
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+FP_MOD = 1_000_000_007
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequency, top-20 (count desc, token asc)."""
+    counts = (
+        doc_tokens(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_TOKENS_K)
+    )
+
+
+def _doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = doc_tokens(spark, sf_dir)
+    is_stop = F.col("token").isin(STOPWORDS).cast("long")
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(is_stop).cast("long").alias("n_stop"),
+        F.sum(F.length("token")).cast("long").alias("total_len"),
+    )
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic: 'en' vs 'other'."""
+    stats = _doc_stats(spark, sf_dir)
+    ratio = F.col("n_stop") / F.col("n_tokens")
+    return stats.select(
+        "doc_id",
+        F.round(ratio, 4).alias("en_ratio"),
+        F.when(ratio >= EN_RATIO_THRESHOLD, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("pred_lang"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality in [0,1]: stopword ratio + length + word-shape mixture."""
+    stats = _doc_stats(spark, sf_dir)
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    avg_len = F.col("total_len") / F.col("n_tokens")
+    score = (
+        F.lit(0.5) * stop_ratio
+        + F.lit(0.3) * F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.2) * F.least(avg_len / F.lit(10.0), F.lit(1.0))
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling hash: Σ token_id·((pos mod 31)+1) mod P."""
+    ids = doc_token_ids(spark, sf_dir)
+    term = F.col("token_id") * ((F.col("pos") % 31) + 1)
+    return ids.groupBy("doc_id").agg(
+        (F.sum(term) % FP_MOD).cast("long").alias("fingerprint")
+    )
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex token counts per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = F.lower("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(lowered, " "), lambda t: t != "")
+               ).cast("long").alias("n_tokens_ws"),
+        F.size(F.regexp_extract_all(lowered, F.lit(BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_tokens_bpe"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+_DOC_STATS_SQL = (
+    f"{TOKENS_CTE}, stats AS (SELECT doc_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+    f"CAST(SUM(CASE WHEN token IN ({_STOP_IN}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop, "
+    "CAST(SUM(length(token)) AS BIGINT) AS total_len "
+    "FROM tok GROUP BY doc_id)"
+)
+
+QUERIES = {
+    "text_token_counts": text_token_counts,
+    "text_language_id": text_language_id,
+    "text_quality_score": text_quality_score,
+    "text_fingerprint": text_fingerprint,
+    "token_count_bpe": token_count_bpe,
+}
+
+ORACLES = {
+    "text_token_counts": (
+        f"{TOKENS_CTE}, counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM tok GROUP BY token) "
+        "SELECT token, n, CAST(rk AS BIGINT) AS rk FROM ("
+        "SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rk "
+        f"FROM counts) WHERE rk <= {TOP_TOKENS_K}"
+    ),
+    "text_language_id": (
+        f"{_DOC_STATS_SQL} "
+        f"SELECT doc_id, {dround('n_stop * 1.0 / n_tokens', 4)} AS en_ratio, "
+        f"CASE WHEN n_stop * 1.0 / n_tokens >= {EN_RATIO_THRESHOLD} "
+        "THEN 'en' ELSE 'other' END AS pred_lang FROM stats"
+    ),
+    "text_quality_score": (
+        f"{_DOC_STATS_SQL} "
+        "SELECT doc_id, n_tokens, "
+        f"{dround('total_len * 1.0 / n_tokens', 4)} AS avg_token_len, "
+        f"{dround('n_stop * 1.0 / n_tokens', 4)} AS stop_ratio, "
+        f"{dround('0.5 * (n_stop * 1.0 / n_tokens) + 0.3 * LEAST(n_tokens / 100.0, 1.0) + 0.2 * LEAST((total_len * 1.0 / n_tokens) / 10.0, 1.0)', 4)} AS quality "
+        "FROM stats"
+    ),
+    "text_fingerprint": (
+        f"{TOKENS_CTE} "
+        "SELECT doc_id, CAST(SUM(token_id * ((pos % 31) + 1)) "
+        f"% {FP_MOD} AS BIGINT) AS fingerprint FROM dtok GROUP BY doc_id"
+    ),
+    "token_count_bpe": (
+        "SELECT doc_id, "
+        "CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) "
+        "AS BIGINT) AS n_tokens_ws, "
+        f"CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS BIGINT) "
+        "AS n_tokens_bpe FROM documents"
+    ),
+}

@@ -1,0 +1,116 @@
+"""Shared plumbing for Tier C (LLM-data-pipeline) operators.
+
+Portability contract: every hash used by dedup/similarity operators is
+*arithmetic over portable integers* — token ids assigned by rank over
+the sorted vocabulary, then affine hashes mod a prime — never an
+engine-native hash function (Spark xxhash64 and DuckDB hash() disagree
+by construction). This keeps each operator bit-checkable against the
+DuckDB oracle while remaining pure JVM-side column arithmetic in Spark
+(no Python UDFs anywhere).
+
+Scale notes: the vocabulary relation is tiny relative to the corpus
+(Heaps' law) and broadcast-joins onto the exploded token stream; for a
+100 TB corpus you'd persist the vocab dictionary once and reuse it
+across runs. The global ROW_NUMBER used for ids is over the *distinct
+vocabulary*, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from shards_prometheus_spark.model import load_table
+
+#: Modulus for affine token hashes (Mersenne prime 2^31-1).
+HASH_P = 2_147_483_647
+
+
+def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, token): lowercased whitespace tokens, pos 0-based."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+
+
+def vocab(tokens: DataFrame) -> DataFrame:
+    """(token, token_id): rank over the sorted distinct vocabulary.
+
+    The single-partition window is over the distinct vocab only (small
+    by construction); ids are deterministic across engines.
+    """
+    return tokens.select("token").distinct().select(
+        "token",
+        F.row_number()
+        .over(Window.orderBy("token"))
+        .cast("long")
+        .alias("token_id"),
+    )
+
+
+def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, token_id) — token stream joined to the vocab."""
+    toks = doc_tokens(spark, sf_dir)
+    return toks.join(F.broadcast(vocab(toks)), "token").select(
+        "doc_id", "pos", "token_id"
+    )
+
+
+def doc_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token_id) distinct — the unigram set per document."""
+    return doc_token_ids(spark, sf_dir).select("doc_id", "token_id").distinct()
+
+
+#: DuckDB CTE mirror of the above (prefix for Tier C oracle SQL).
+TOKENS_CTE = (
+    "WITH tok AS (SELECT doc_id, gs - 1 AS pos, token FROM ("
+    "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token, "
+    "generate_subscripts(string_split(lower(text), ' '), 1) AS gs "
+    "FROM documents) WHERE token <> ''), "
+    "vocab AS (SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) "
+    "AS token_id FROM (SELECT DISTINCT token FROM tok)), "
+    "dtok AS (SELECT t.doc_id, t.pos, v.token_id FROM tok t "
+    "JOIN vocab v USING (token)), "
+    "dset AS (SELECT DISTINCT doc_id, token_id FROM dtok)"
+)
+
+
+def pair_jaccard(
+    candidates: DataFrame, token_sets: DataFrame
+) -> DataFrame:
+    """Jaccard over unigram sets for candidate (doc_a, doc_b) pairs.
+
+    Only candidate pairs are scored — the LSH/banding stage upstream is
+    what keeps this sub-quadratic at corpus scale.
+    """
+    sizes = token_sets.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("set_size")
+    )
+    ta = token_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("token_id")
+    )
+    tb = token_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("token_id")
+    )
+    inter = (
+        candidates.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token_id"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard_raw"),
+        )
+    )

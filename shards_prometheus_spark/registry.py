@@ -13,16 +13,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 from shards_prometheus_spark.operators import (
     aggregations,
+    binop,
     counters,
+    dedup,
     gauges,
+    histograms,
     selectors,
+    similarity,
+    snapshot,
+    text,
 )
 
 _MODULES = [
     counters,
     gauges,
+    histograms,
     selectors,
     aggregations,
+    binop,
+    snapshot,
+    dedup,
+    similarity,
+    text,
 ]
 
 
