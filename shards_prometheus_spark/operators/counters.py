@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 
 from shards_prometheus_spark.model import MICROS_PER_HOUR, SAMPLES_CTE, samples
 
-_SERIES_W = Window.partitionBy("metric", "label_user").orderBy("ts_us", "event_id")
+def _series_window():
+    # Built lazily: Window specs require an active session.
+    return Window.partitionBy("metric", "label_user").orderBy(
+        "ts_us", "event_id"
+    )
 
 
 def counter_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,7 +53,7 @@ def _deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = samples(spark, sf_dir)
     prev = F.col("prev")
     return (
-        s.withColumn("prev", F.lag("value").over(_SERIES_W))
+        s.withColumn("prev", F.lag("value").over(_series_window()))
         .filter(prev.isNotNull())
         .withColumn(
             "delta",

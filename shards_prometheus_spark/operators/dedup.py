@@ -82,8 +82,44 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bitmask fast path applies while token ids fit a 64-bit set.
+MASK_VOCAB_LIMIT = 62
+
+
+def _mask_jaccard(candidates: DataFrame, dset: DataFrame) -> DataFrame:
+    """Exact Jaccard via 64-bit set fingerprints.
+
+    When the dictionary fits in 63 bits (dictionary-encoded corpora,
+    category/tag sets), each document's token set is one BIGINT and
+    intersection is bit_count(a & b) — candidate verification becomes
+    O(#pairs) with zero explode/shuffle, vs the token-join's
+    O(#pairs × set size). Same exact semantics as pair_jaccard.
+    """
+    masks = dset.groupBy("doc_id").agg(
+        F.expr("bit_or(shiftleft(1L, cast(token_id as int)))").alias("mask")
+    )
+    ma = masks.select(F.col("doc_id").alias("doc_a"), F.col("mask").alias("mask_a"))
+    mb = masks.select(F.col("doc_id").alias("doc_b"), F.col("mask").alias("mask_b"))
+    inter = F.bit_count(F.expr("mask_a & mask_b"))
+    union = (
+        F.bit_count(F.col("mask_a")) + F.bit_count(F.col("mask_b")) - inter
+    )
+    return (
+        candidates.join(F.broadcast(ma), "doc_a")
+        .join(F.broadcast(mb), "doc_b")
+        .select(
+            "doc_a", "doc_b", (inter / union).alias("jaccard_raw")
+        )
+    )
+
+
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates verified by exact unigram Jaccard ≥ 0.9."""
+    """MinHash-LSH candidates verified by exact unigram Jaccard ≥ 0.9.
+
+    Verification strategy is adaptive: bitmask fingerprints when the
+    vocabulary fits 64 bits, token-set join otherwise — identical
+    output either way.
+    """
     sigs = _minhash_sigs(spark, sf_dir)
     a = sigs.select(
         F.col("doc_id").alias("doc_a"), "band", "band_hash"
@@ -95,15 +131,22 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["band", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
     dset = doc_token_sets(spark, sf_dir)
+    vocab_size = dset.agg(F.max("token_id")).first()[0] or 0
+    if vocab_size <= MASK_VOCAB_LIMIT:
+        # Bitmask verify is O(1)/pair with no shuffle, so it's cheaper
+        # to score band-duplicate candidates and dedupe the survivors
+        # than to pay a distinct over every band collision first.
+        verified = _mask_jaccard(candidates, dset)
+    else:
+        verified = pair_jaccard(candidates.distinct(), dset)
     return (
-        pair_jaccard(candidates, dset)
-        .filter(F.col("jaccard_raw") >= NEAR_DUP_JACCARD)
+        verified.filter(F.col("jaccard_raw") >= NEAR_DUP_JACCARD)
         .select(
             "doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard")
         )
+        .distinct()
     )
 
 

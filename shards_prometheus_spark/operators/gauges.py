@@ -28,16 +28,18 @@ from shards_prometheus_spark.model import SAMPLES_CTE, samples
 MICROS_PER_HOUR = 3_600_000_000
 MICROS_PER_DAY = 24 * MICROS_PER_HOUR
 
-_LATEST_W = Window.partitionBy("metric", "label_user").orderBy(
-    F.desc("ts_us"), F.desc("event_id")
-)
+def _latest_window():
+    # Built lazily: Window specs require an active session.
+    return Window.partitionBy("metric", "label_user").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
 
 
 def gauge_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-write-wins value per series (prometheus.cpp:248-251)."""
     return (
         samples(spark, sf_dir)
-        .withColumn("rn", F.row_number().over(_LATEST_W))
+        .withColumn("rn", F.row_number().over(_latest_window()))
         .filter(F.col("rn") == 1)
         .select(
             "metric",
@@ -57,7 +59,7 @@ def _instant(spark: SparkSession, sf_dir: str, offset_us: int) -> DataFrame:
             (F.col("ts_us") <= F.col("t_eval"))
             & (F.col("ts_us") > F.col("t_eval") - F.lit(MICROS_PER_HOUR))
         )
-        .withColumn("rn", F.row_number().over(_LATEST_W))
+        .withColumn("rn", F.row_number().over(_latest_window()))
         .filter(F.col("rn") == 1)
         .select(
             "metric",

@@ -1,0 +1,174 @@
+"""TPC-H-shaped analytics queries over the driver's star schema.
+
+The reference has no joins at all (SURVEY.md §2a "explicit absences");
+these queries exist to exercise — and benchmark — the join/agg
+machinery a complete analytics engine needs at 100 TB:
+
+- q1: pricing summary — the canonical wide scan + hash aggregate
+  (map-side combine; no join);
+- q3: shipping priority — selective dim filter → fact join → top-k
+  (broadcast the filtered customer side);
+- q5: local supplier volume — the 6-table join tree (region→nation→
+  customer/supplier→orders→lineitem); small dims broadcast, the two
+  fact relations join on their natural keys.
+
+Date literals target the driver data's 1995–2001 range. All money
+aggregates ROUND(…,2): inputs have 2-decimal precision, magnitudes
+≤1e10, so float noise (~1e-5 absolute) can't straddle a half-cent
+boundary at the 2-decimal rounding grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from shards_prometheus_spark.model import load_table
+
+Q1_CUTOFF = "1998-09-02"
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-03-15"
+Q5_REGION = "ASIA"
+Q5_FROM, Q5_TO = "1996-01-01", "1997-01-01"
+Q3_TOP_N = 10
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (scan + hash aggregate, no join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority: filtered dim → fact joins → top-10 revenue."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp_ntz")
+    )
+    revenue = F.sum(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= Q3_TOP_N)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+            "rk",
+        )
+    )
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume: the 6-table join tree, dims broadcast."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q5_REGION
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_FROM).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(Q5_TO).cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    nr = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    # TPC-H q5 requires customer and supplier in the SAME nation.
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nr), supp.s_nationkey == nr.n_nationkey)
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return joined.groupBy("n_name").agg(
+        F.round(revenue, 2).alias("revenue")
+    )
+
+
+QUERIES = {
+    "tpch_q1": tpch_q1,
+    "tpch_q3": tpch_q3,
+    "tpch_q5": tpch_q5,
+}
+
+ORACLES = {
+    "tpch_q1": (
+        "SELECT l_returnflag, l_linestatus, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+        "ROUND(AVG(l_quantity), 4) AS avg_qty, "
+        "ROUND(AVG(l_extendedprice), 4) AS avg_price, "
+        "ROUND(AVG(l_discount), 4) AS avg_disc, "
+        "CAST(COUNT(*) AS BIGINT) AS count_order "
+        f"FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "tpch_q3": (
+        "WITH joined AS (SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority, "
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+        "FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        f"WHERE c.c_mktsegment = '{Q3_SEGMENT}' "
+        f"AND o.o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00' "
+        f"AND l.l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00' "
+        "GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority) "
+        "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+        "o_orderpriority, revenue, CAST(rk AS BIGINT) AS rk FROM ("
+        "SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rk "
+        f"FROM joined) WHERE rk <= {Q3_TOP_N}"
+    ),
+    "tpch_q5": (
+        "SELECT n.n_name, "
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+        "FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "AND c.c_nationkey = s.s_nationkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        f"WHERE r.r_name = '{Q5_REGION}' "
+        f"AND o.o_orderdate >= TIMESTAMP '{Q5_FROM} 00:00:00' "
+        f"AND o.o_orderdate < TIMESTAMP '{Q5_TO} 00:00:00' "
+        "GROUP BY n.n_name"
+    ),
+}

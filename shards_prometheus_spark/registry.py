@@ -22,6 +22,7 @@ from shards_prometheus_spark.operators import (
     similarity,
     snapshot,
     text,
+    tpch,
 )
 
 _MODULES = [
@@ -35,6 +36,7 @@ _MODULES = [
     dedup,
     similarity,
     text,
+    tpch,
 ]
 
 

@@ -1,0 +1,25 @@
+"""Structured Streaming ingest — the reference's execution model.
+
+The reference's runtime is an unbounded loop of ticks updating running
+metric state (test.edn:2-8, 0.2 s cadence) with processing-time
+semantics and no late-data concept. Our analog is Structured Streaming
+micro-batches updating the same declarative aggregations in update
+mode, plus watermarked event-time windows — strictly stronger (late
+data handled; the reference cannot).
+"""
+
+from shards_prometheus_spark.streaming.ingest import (
+    counter_totals_stream,
+    run_to_memory,
+    samples_stream,
+    stream_events,
+    windowed_sums_stream,
+)
+
+__all__ = [
+    "stream_events",
+    "samples_stream",
+    "counter_totals_stream",
+    "windowed_sums_stream",
+    "run_to_memory",
+]

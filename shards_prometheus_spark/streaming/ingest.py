@@ -1,0 +1,121 @@
+"""Streaming ingest of the events schema (SURVEY.md §2b #17).
+
+Pipeline: ``readStream`` (parquet file source) → the samples projection
+→ stateful aggregations in update mode → memory/Delta sink as the live
+"registry". The update-mode counter aggregation is the distributed
+version of the reference's per-tick atomic Increment
+(prometheus.cpp:212): per micro-batch, partial sums merge into the
+state store keyed by series — same zero-lookup hot path, resolved at
+plan time (the analog of warmup-time series caching,
+prometheus.cpp:185-199).
+
+Scale notes: state is keyed by (metric, label_user) — bounded by series
+cardinality, not event volume; at production scale back the state store
+with RocksDB (spark.sql.streaming.stateStore.providerClass) and bound
+state with watermarks. `maxFilesPerTrigger` paces micro-batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from shards_prometheus_spark.session import prepare_session
+
+#: events.parquet physical schema (ts is int64 nanos — TESTDATA nanos
+#: timestamps read via nanosAsLong; see model.py).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the driver's events parquet."""
+    prepare_session(spark)
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(sf_dir)
+    )
+
+
+def samples_stream(events: DataFrame) -> DataFrame:
+    """The tall samples projection (same shape as model.samples)."""
+    label_user = F.col("user_id").cast("string")
+    return events.select(
+        F.col("event_id"),
+        F.col("event_type").alias("metric"),
+        label_user.alias("label_user"),
+        F.expr("ts div 1000").alias("ts_us"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        F.col("value"),
+    )
+
+
+def counter_totals_stream(samples: DataFrame) -> DataFrame:
+    """Running counter totals per series, update-mode semantics."""
+    return (
+        samples.filter(F.col("value") >= 0)
+        .groupBy("metric", "label_user")
+        .agg(
+            F.sum("value").alias("total"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+
+
+def windowed_sums_stream(
+    samples: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling event-time aggregation (late data handled —
+    capability the reference's processing-time loop lacks)."""
+    return (
+        samples.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), F.col("metric"))
+        .agg(
+            F.sum("value").alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "metric",
+            "sum_value",
+            "n",
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "update",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run a streaming aggregation into an in-memory "registry" table
+    (the scrape-able snapshot; Delta/Parquet sink in production)."""
+    writer = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
