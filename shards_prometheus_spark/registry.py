@@ -18,6 +18,7 @@ from shards_prometheus_spark.operators import (
     dedup,
     gauges,
     histograms,
+    range_functions,
     selectors,
     similarity,
     snapshot,
@@ -29,6 +30,7 @@ _MODULES = [
     counters,
     gauges,
     histograms,
+    range_functions,
     selectors,
     aggregations,
     binop,
