@@ -116,31 +116,33 @@ def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE arithmetic on both engines, so ROUND(…,4) is deterministic.
     """
     s = samples(spark, sf_dir)
+    # Per-metric sample counts come from a cheap hash aggregate (no
+    # window), so the expensive per-metric sort below runs exactly ONCE
+    # and is consumed in a single pass: the needed ranks (≤ 2·|φ| per
+    # metric) are broadcast and matched against row_number directly.
+    counts = s.groupBy("metric").agg(F.count(F.lit(1)).alias("n"))
+    h = F.col("p") * (F.col("n") - 1)
+    tgt = counts.crossJoin(F.broadcast(_quantile_params(spark))).select(
+        "metric",
+        "p",
+        h.alias("h"),
+        F.floor(h).cast("long").alias("lo"),
+        F.ceil(h).cast("long").alias("hi"),
+    )
+    need = tgt.selectExpr(
+        "metric", "p", "h", "lo", "stack(2, 'lo', lo, 'hi', hi) AS (side, rn)"
+    )
     w = Window.partitionBy("metric").orderBy("value", "event_id")
     ordered = s.select(
-        "metric",
-        "value",
-        (F.row_number().over(w) - 1).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("metric")).alias("n"),
+        "metric", "value", (F.row_number().over(w) - 1).alias("rn")
     )
-    h = F.col("p") * (F.col("n") - 1)
-    tgt = (
-        ordered.select("metric", "n")
-        .distinct()
-        .crossJoin(F.broadcast(_quantile_params(spark)))
-        .select(
-            "metric",
-            "p",
-            h.alias("h"),
-            F.floor(h).cast("long").alias("lo"),
-            F.ceil(h).cast("long").alias("hi"),
-        )
-    )
-    lo_r = ordered.select("metric", F.col("rn").alias("lo"), F.col("value").alias("v_lo"))
-    hi_r = ordered.select("metric", F.col("rn").alias("hi"), F.col("value").alias("v_hi"))
     return (
-        tgt.join(lo_r, ["metric", "lo"])
-        .join(hi_r, ["metric", "hi"])
+        ordered.join(F.broadcast(need), ["metric", "rn"])
+        .groupBy("metric", "p", "h", "lo")
+        .agg(
+            F.max(F.when(F.col("side") == "lo", F.col("value"))).alias("v_lo"),
+            F.max(F.when(F.col("side") == "hi", F.col("value"))).alias("v_hi"),
+        )
         .select(
             "metric",
             "p",

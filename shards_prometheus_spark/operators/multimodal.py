@@ -24,8 +24,10 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from shards_prometheus_spark.model import load_table
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -142,6 +144,44 @@ def decode_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, DECODE_STATS_SCHEMA)
 
 
+_KINDS = ["image", "audio", "video"]
+_FMTS = ["png", "wav", "mp4"]
+
+
+def _pick(options: list[str], mod_col: Column) -> Column:
+    return F.element_at(
+        F.array(*[F.lit(o) for o in options]), mod_col.cast("int") + 1
+    )
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIA_SCHEMA view derived deterministically from `documents`.
+
+    Payload := the UTF-8 text bytes; kind/fmt/dims := doc_id arithmetic.
+    This stands in for a real binary media table so the decode path has
+    a DuckDB-checkable ground truth (md5 + arithmetic are portable).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        _pick(_KINDS, F.col("doc_id") % 3).alias("kind"),
+        F.col("text").cast("binary").alias("data"),
+        (F.lit(64) + F.lit(16) * (F.col("doc_id") % 7)).cast("int").alias("width"),
+        (F.lit(48) + F.lit(16) * (F.col("doc_id") % 5)).cast("int").alias("height"),
+        _pick(_FMTS, F.col("doc_id") % 3).alias("fmt"),
+    )
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode/feature-extract over the documents-derived media table."""
+    return decode_stats(media_from_documents(spark, sf_dir))
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frame sampling over the video rows of the media table."""
+    return frame_sample(media_from_documents(spark, sf_dir))
+
+
 def frame_sample(df: DataFrame, every_n: int = 4, max_frames: int = 3) -> DataFrame:
     """Frame sampling for video payloads (deterministic fake frames:
     slices of the payload; a real build decodes with a codec here)."""
@@ -169,3 +209,43 @@ def frame_sample(df: DataFrame, every_n: int = 4, max_frames: int = 3) -> DataFr
             )
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+# --- oracle SQL (documents-derived media; md5/arithmetic are portable;
+#     substring-by-char == slice-by-byte because the corpus is ASCII,
+#     which the n_bytes column itself cross-checks) ---
+
+_KIND_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END"
+)
+_W_SQL = "(64 + 16 * (doc_id % 7))"
+_H_SQL = "(48 + 16 * (doc_id % 5))"
+_SCALE_SQL = f"greatest({_W_SQL}, {_H_SQL}, 1)"
+
+QUERIES = {
+    "multimodal_decode": multimodal_decode,
+    "multimodal_frames": multimodal_frames,
+}
+
+ORACLES = {
+    "multimodal_decode": (
+        "SELECT doc_id AS media_id, "
+        f"{_KIND_SQL} AS kind, "
+        "CAST(strlen(text) AS BIGINT) AS n_bytes, "
+        "md5(text) AS checksum, "
+        f"CAST(greatest(1, {_W_SQL} * {THUMB_MAX} // {_SCALE_SQL}) AS INTEGER) "
+        "AS thumb_w, "
+        f"CAST(greatest(1, {_H_SQL} * {THUMB_MAX} // {_SCALE_SQL}) AS INTEGER) "
+        "AS thumb_h "
+        "FROM documents"
+    ),
+    "multimodal_frames": (
+        "WITH v AS (SELECT doc_id AS media_id, text, "
+        "least(3, greatest(1, strlen(text) // 64)) AS n_frames "
+        "FROM documents WHERE doc_id % 3 = 2 AND strlen(text) > 0) "
+        "SELECT media_id, CAST(f AS INTEGER) AS frame_idx, "
+        "md5(substring(text, f * 64 + 1, 64)) AS frame_checksum "
+        "FROM v, generate_series(0, 2) AS g(f) WHERE f < n_frames"
+    ),
+}

@@ -35,6 +35,12 @@ PLANE_MOD = 1_009
 PLANE_SHIFT = PLANE_MOD // 2  # center coefficients on ~0
 LSH_PARAMS = [(j, 7_907 * j + 104_729, 9_973 * j + 224_737, 1 << j) for j in range(NUM_PLANES)]
 
+#: IVF coarse quantizer: a real build k-means-trains these; here the
+#: centroid set is a deterministic sample of the corpus (fixed vec_ids)
+#: so the DuckDB oracle sees the identical quantizer.
+IVF_CENTROID_IDS = [1, 2, 3, 4]
+IVF_NPROBE = 2
+
 
 def _dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, d, v) — dim-exploded embeddings, values as double."""
@@ -150,6 +156,71 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cent_id, rk) — cosine rank of each centroid per vector.
+
+    The centroid table is tiny and broadcast; assignment is one scan of
+    the corpus with a JVM-side dot product per (vector, centroid) — the
+    inverted-file build step. At 100 TB the cell id becomes the
+    partition/bucket key the file is physically clustered by.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    cos = _dot_expr("embedding", "cent_emb") / (
+        _norm_expr("embedding") * _norm_expr("cent_emb")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cent_id", F.round(cos, 6).alias("c6")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c6"), F.asc("cent_id"))
+    return scored.withColumn("rk", F.row_number().over(w))
+
+
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: search only the nprobe=2 cells nearest the query.
+
+    Inverted-file flavor of `similarity_lsh`: vectors are bucketed by
+    nearest coarse centroid; the query probes its IVF_NPROBE nearest
+    cells and brute-force-scores just those candidates.
+    """
+    assign = _ivf_assign(spark, sf_dir)
+    cells = assign.filter(F.col("rk") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell")
+    )
+    qcells = (
+        assign.filter(
+            (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rk") <= IVF_NPROBE)
+        )
+        .select(F.col("cent_id").alias("cell"))
+    )
+    cand = (
+        cells.join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cos = (_dot_expr("embedding", "q_emb") / (
+        _norm_expr("embedding") * _norm_expr("q_emb")
+    )).alias("cos_raw")
+    scored = (
+        emb.join(cand, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos6"))
+    )
+    w = Window.orderBy(F.desc("cos6"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("vec_id", F.round("cos6", 4).alias("cosine"), "rk")
+    )
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine ≥ 0.40 (embedding near-duplicate check)."""
     dims = _dims(spark, sf_dir)
@@ -192,13 +263,41 @@ _COS_TO_QUERY = (
 
 _LSH_VALUES = ", ".join(f"({j}, {a}, {b}, {w})" for j, a, b, w in LSH_PARAMS)
 
+_IVF_IDS = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+
+#: IVF oracle: same CTE spine as LSH — assign each vector to its
+#: nearest (by 6dp-rounded cosine) sampled centroid, probe the query's
+#: IVF_NPROBE nearest cells, brute-force only those members.
+_IVF_SQL = (
+    f"{_COS_TO_QUERY}, "
+    "cd AS (SELECT d.vec_id, c.vec_id AS cent_id, SUM(d.v * c.v) AS dot "
+    f"FROM dims d JOIN dims c ON c.d = d.d AND c.vec_id IN ({_IVF_IDS}) "
+    "GROUP BY d.vec_id, c.vec_id), "
+    "cc AS (SELECT cd.vec_id, cd.cent_id, "
+    "ROUND(cd.dot / (n1.nrm * n2.nrm), 6) AS c6 FROM cd "
+    "JOIN nrm n1 ON n1.vec_id = cd.vec_id "
+    "JOIN nrm n2 ON n2.vec_id = cd.cent_id), "
+    "arank AS (SELECT vec_id, cent_id, ROW_NUMBER() OVER "
+    "(PARTITION BY vec_id ORDER BY c6 DESC, cent_id ASC) AS ark FROM cc), "
+    "cells AS (SELECT vec_id, cent_id AS cell FROM arank WHERE ark = 1), "
+    f"qc AS (SELECT cent_id AS cell FROM arank WHERE vec_id = {QUERY_VEC_ID} "
+    f"AND ark <= {IVF_NPROBE}), "
+    "cand AS (SELECT s.vec_id, s.cos6 FROM scored s "
+    "JOIN cells ON cells.vec_id = s.vec_id JOIN qc ON qc.cell = cells.cell) "
+    "SELECT vec_id, ROUND(cos6, 4) AS cosine, CAST(rk AS BIGINT) AS rk FROM ("
+    "SELECT vec_id, cos6, ROW_NUMBER() OVER (ORDER BY cos6 DESC, vec_id ASC) "
+    f"AS rk FROM cand) WHERE rk <= {TOP_K}"
+)
+
 QUERIES = {
     "similarity_topk": similarity_topk,
     "similarity_lsh": similarity_lsh,
+    "similarity_ivf": similarity_ivf,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLES = {
+    "similarity_ivf": _IVF_SQL,
     "similarity_topk": (
         f"{_COS_TO_QUERY} "
         "SELECT vec_id, ROUND(cos6, 4) AS cosine, CAST(rk AS BIGINT) AS rk FROM ("

@@ -25,6 +25,22 @@ from shards_prometheus_spark.model import load_table
 #: Modulus for affine token hashes (Mersenne prime 2^31-1).
 HASH_P = 2_147_483_647
 
+#: Memoized persisted token relations, keyed by (appId, sf_dir, kind).
+#: The tokenize → vocab-rank → join lineage feeds every dedup stage
+#: (signatures, strategy probe, both sides of the verify join); without
+#: persistence Spark recomputes it once per consumer. At cluster scale
+#: this is the "persist the vocab dictionary once" note below made real.
+_TOKEN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memo_persist(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    df = _TOKEN_CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        _TOKEN_CACHE[key] = df
+    return df
+
 
 def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, token): lowercased whitespace tokens, pos 0-based."""
@@ -51,16 +67,32 @@ def vocab(tokens: DataFrame) -> DataFrame:
 
 
 def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, pos, token_id) — token stream joined to the vocab."""
-    toks = doc_tokens(spark, sf_dir)
-    return toks.join(F.broadcast(vocab(toks)), "token").select(
-        "doc_id", "pos", "token_id"
-    )
+    """(doc_id, pos, token_id) — token stream joined to the vocab.
+
+    Persisted per (session, sf_dir): consumed by shingling, fingerprints
+    and set-building, each of which would otherwise replay the tokenize
+    + vocab-window + join lineage.
+    """
+
+    def build() -> DataFrame:
+        toks = doc_tokens(spark, sf_dir)
+        return toks.join(F.broadcast(vocab(toks)), "token").select(
+            "doc_id", "pos", "token_id"
+        )
+
+    return _memo_persist(spark, sf_dir, "ids", build)
 
 
 def doc_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, token_id) distinct — the unigram set per document."""
-    return doc_token_ids(spark, sf_dir).select("doc_id", "token_id").distinct()
+    return _memo_persist(
+        spark,
+        sf_dir,
+        "sets",
+        lambda: doc_token_ids(spark, sf_dir)
+        .select("doc_id", "token_id")
+        .distinct(),
+    )
 
 
 #: DuckDB CTE mirror of the above (prefix for Tier C oracle SQL).

@@ -18,6 +18,7 @@ from shards_prometheus_spark.operators import (
     dedup,
     gauges,
     histograms,
+    multimodal,
     range_functions,
     selectors,
     similarity,
@@ -38,6 +39,7 @@ _MODULES = [
     dedup,
     similarity,
     text,
+    multimodal,
     tpch,
 ]
 
