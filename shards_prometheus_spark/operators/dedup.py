@@ -26,6 +26,7 @@ from shards_prometheus_spark.model import dround, load_table
 from shards_prometheus_spark.operators.tierc_common import (
     HASH_P,
     TOKENS_CTE,
+    _memo_persist,
     doc_token_ids,
     doc_token_sets,
     pair_jaccard,
@@ -66,20 +67,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, band_hash) — banded minhash signature."""
-    params = spark.createDataFrame(
-        MINHASH_PARAMS, "i int, a long, b long, band int, w long"
-    )
-    dset = doc_token_sets(spark, sf_dir)
-    h = (F.col("a") * F.col("token_id") + F.col("b")) % F.lit(HASH_P)
-    minh = (
-        dset.crossJoin(F.broadcast(params))
-        .groupBy("doc_id", "i", "band", "w")
-        .agg(F.min(h).alias("min_h"))
-    )
-    return minh.groupBy("doc_id", "band").agg(
-        F.sum((F.col("min_h") % F.lit(BAND_MOD)) * F.col("w")).alias("band_hash")
-    )
+    """(doc_id, band, band_hash) — banded minhash signature (persisted:
+    both sides of the band join and any downstream probe reuse it)."""
+
+    def build() -> DataFrame:
+        params = spark.createDataFrame(
+            MINHASH_PARAMS, "i int, a long, b long, band int, w long"
+        )
+        dset = doc_token_sets(spark, sf_dir)
+        h = (F.col("a") * F.col("token_id") + F.col("b")) % F.lit(HASH_P)
+        minh = (
+            dset.crossJoin(F.broadcast(params))
+            .groupBy("doc_id", "i", "band", "w")
+            .agg(F.min(h).alias("min_h"))
+        )
+        return minh.groupBy("doc_id", "band").agg(
+            F.sum((F.col("min_h") % F.lit(BAND_MOD)) * F.col("w")).alias(
+                "band_hash"
+            )
+        )
+
+    return _memo_persist(spark, sf_dir, "minhash_sigs", build)
 
 
 #: Bitmask fast path applies while token ids fit a 64-bit set.
@@ -150,35 +158,109 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig) — 16-bit sign-aggregated signature per document
+    (persisted: classes, both expansion sides and the within-class
+    self-join all re-reference it)."""
+
+    def build() -> DataFrame:
+        params = spark.createDataFrame(
+            SIMHASH_PARAMS, "j int, a long, b long, w long"
+        )
+        dset = doc_token_sets(spark, sf_dir)
+        bit = (
+            (F.col("a") * F.col("token_id") + F.col("b")) % F.lit(HASH_P)
+        ) % 2
+        contrib = F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+        return (
+            dset.crossJoin(F.broadcast(params))
+            .groupBy("doc_id", "j", "w")
+            .agg(F.sum(contrib).alias("s"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.when(F.col("s") > 0, F.col("w")).otherwise(F.lit(0)))
+                .cast("long")
+                .alias("sig")
+            )
+        )
+
+    return _memo_persist(spark, sf_dir, "simhash_sigs", build)
+
+
+#: Pigeonhole chunking of the 16-bit signature: a pair within Hamming
+#: distance ≤ 2 differs in ≤ 2 of the 3 chunks, so it matches exactly
+#: on ≥ 1 chunk — each chunk-equality join is a complete candidate
+#: generator and their union has full recall (classic SimHash blocking).
+_SIMHASH_CHUNKS = [(0, 6), (6, 5), (11, 5)]
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-16 pairs within Hamming distance ≤ 2."""
-    params = spark.createDataFrame(
-        SIMHASH_PARAMS, "j int, a long, b long, w long"
+    """SimHash-16 pairs within Hamming distance ≤ 2.
+
+    Scale shape: docs collapse to distinct-signature classes (≤ 2^16
+    values however large the corpus), candidate class pairs come from
+    pigeonhole chunk joins — never an all-pairs product over docs — and
+    qualifying class pairs expand back to doc pairs (the output itself).
+    """
+    sigs = _simhash_sigs(spark, sf_dir)
+    classes = sigs.groupBy("sig").agg(F.count(F.lit(1)).alias("cnt"))
+    chunk_cols = [
+        (F.shiftright(F.col("sig"), off) % F.lit(1 << width)).alias(f"c{i}")
+        for i, (off, width) in enumerate(_SIMHASH_CHUNKS)
+    ]
+    chunked = classes.select("sig", *chunk_cols)
+    pairs = None
+    for i in range(len(_SIMHASH_CHUNKS)):
+        a = chunked.select(F.col("sig").alias("sig_a"), F.col(f"c{i}").alias("ck"))
+        b = chunked.select(F.col("sig").alias("sig_b"), F.col(f"c{i}").alias("ck"))
+        p = a.join(b, "ck").filter(F.col("sig_a") < F.col("sig_b")).select(
+            "sig_a", "sig_b"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    assert pairs is not None
+    hamming = F.bit_count(F.expr("sig_a ^ sig_b")).cast("long")
+    close = (
+        pairs.distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
-    dset = doc_token_sets(spark, sf_dir)
-    bit = ((F.col("a") * F.col("token_id") + F.col("b")) % F.lit(HASH_P)) % 2
-    contrib = F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
-    sigs = (
-        dset.crossJoin(F.broadcast(params))
-        .groupBy("doc_id", "j", "w")
-        .agg(F.sum(contrib).alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("s") > 0, F.col("w")).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("sig")
+    # Expand qualifying class pairs to doc pairs. Classes are disjoint,
+    # so each unordered doc pair appears exactly once; least/greatest
+    # restores the doc_a < doc_b contract.
+    # Expansion joins are hash joins on `sig`, whose value space is tiny
+    # (here: 2 live values) — shuffling on it would put every output row
+    # on a handful of tasks. Broadcasting the small side keeps the big
+    # side's even partitioning, so the pair explosion parallelizes; at
+    # cluster scale the broadcast side is the ≤2^16-row class relation
+    # (close pairs) and a salted repartition replaces the mb broadcast.
+    # The streamed side is tiny (one row per doc) but each row fans out
+    # to thousands of pairs; without an explicit spread AQE coalesces it
+    # to ~1 partition and the explosion runs serially. Round-robin it
+    # across the executors so output parallelism matches the cluster.
+    fan = max(2, spark.sparkContext.defaultParallelism)
+    spread = sigs.repartition(fan)
+    ma = spread.select(F.col("sig").alias("sig_a"), F.col("doc_id").alias("da"))
+    mb = sigs.select(F.col("sig").alias("sig_b"), F.col("doc_id").alias("db"))
+    cross = (
+        ma.join(F.broadcast(close), "sig_a")
+        .join(F.broadcast(mb), "sig_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
         )
     )
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    hamming = F.bit_count(F.expr("sig_a ^ sig_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", hamming.cast("long"))
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
+    within = (
+        spread.alias("x")
+        .join(F.broadcast(sigs.alias("y")), "sig")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
     )
+    return cross.unionByName(within)
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
