@@ -1,0 +1,129 @@
+"""PromQL function family: label manipulation + scalar math.
+
+- ``label_replace`` — regex-capture a new label from an existing one
+  (PromQL ``label_replace(v, dst, "$1", src, regex)``).
+- ``label_join``   — join labels into a new label with a separator.
+- ``clamp_values`` — ``clamp`` / ``clamp_min`` / ``clamp_max``.
+- ``math_scalar_funcs`` — ``abs``/``ceil``/``floor``/``sqrt``/``round``
+  (the IEEE-correctly-rounded subset, so Spark and DuckDB agree
+  bit-for-bit; transcendental libm functions are deliberately excluded
+  from the oracle-checked surface).
+
+Label functions run on the distinct-series relation (small by
+construction, like the reference's registry, prometheus.cpp:34-45);
+scalar math runs on a metric-filtered slice, which Catalyst pushes into
+the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shards_prometheus_spark.model import SAMPLES_CTE, samples
+
+#: Dialect-safe capture: first digit of the user label ([0-9], no \\d).
+_REPLACE_PATTERN = "^([0-9])"
+_JOIN_SEP = "/"
+CLAMP_LO = 10.0
+CLAMP_HI = 100.0
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return samples(spark, sf_dir).select("metric", "label_user").distinct()
+
+
+def label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_group := first digit of the user label (regex capture)."""
+    return _series(spark, sf_dir).select(
+        "metric",
+        "label_user",
+        F.regexp_extract("label_user", _REPLACE_PATTERN, 1).alias(
+            "user_group"
+        ),
+    )
+
+
+def label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series_key := metric '/' user — PromQL label_join."""
+    return _series(spark, sf_dir).select(
+        "metric",
+        "label_user",
+        F.concat_ws(_JOIN_SEP, "metric", "label_user").alias("series_key"),
+    )
+
+
+def clamp_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clamp / clamp_min / clamp_max over the purchase series."""
+    v = F.col("value")
+    return (
+        samples(spark, sf_dir)
+        .filter(F.col("metric") == "purchase")
+        .select(
+            "event_id",
+            "label_user",
+            F.round(F.least(F.greatest(v, F.lit(CLAMP_LO)), F.lit(CLAMP_HI)), 4)
+            .alias("clamped"),
+            F.round(F.greatest(v, F.lit(CLAMP_LO)), 4).alias("clamp_min"),
+            F.round(F.least(v, F.lit(CLAMP_HI)), 4).alias("clamp_max"),
+        )
+    )
+
+
+def math_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/ceil/floor/sqrt/round over the purchase series."""
+    v = F.col("value")
+    return (
+        samples(spark, sf_dir)
+        .filter(F.col("metric") == "purchase")
+        .select(
+            "event_id",
+            F.round(F.abs(v), 4).alias("abs_v"),
+            F.ceil(v).cast("double").alias("ceil_v"),
+            F.floor(v).cast("double").alias("floor_v"),
+            F.round(F.sqrt(F.abs(v)), 4).alias("sqrt_abs_v"),
+            F.round(v, 2).alias("round_v"),
+        )
+    )
+
+
+QUERIES = {
+    "label_replace": label_replace,
+    "label_join": label_join,
+    "clamp_values": clamp_values,
+    "math_scalar_funcs": math_scalar_funcs,
+}
+
+_SERIES_SQL = (
+    f"{SAMPLES_CTE} SELECT DISTINCT metric, label_user FROM samples"
+)
+
+ORACLES = {
+    "label_replace": (
+        f"{SAMPLES_CTE}, ser AS (SELECT DISTINCT metric, label_user "
+        "FROM samples) SELECT metric, label_user, "
+        f"COALESCE(regexp_extract(label_user, '{_REPLACE_PATTERN}', 1), '') "
+        "AS user_group FROM ser"
+    ),
+    "label_join": (
+        f"{SAMPLES_CTE}, ser AS (SELECT DISTINCT metric, label_user "
+        "FROM samples) SELECT metric, label_user, "
+        f"metric || '{_JOIN_SEP}' || label_user AS series_key FROM ser"
+    ),
+    "clamp_values": (
+        f"{SAMPLES_CTE} SELECT event_id, label_user, "
+        f"ROUND(LEAST(GREATEST(value, {CLAMP_LO}), {CLAMP_HI}), 4) AS clamped, "
+        f"ROUND(GREATEST(value, {CLAMP_LO}), 4) AS clamp_min, "
+        f"ROUND(LEAST(value, {CLAMP_HI}), 4) AS clamp_max "
+        "FROM samples WHERE metric = 'purchase'"
+    ),
+    "math_scalar_funcs": (
+        f"{SAMPLES_CTE} SELECT event_id, "
+        "ROUND(ABS(value), 4) AS abs_v, "
+        "CAST(CEIL(value) AS DOUBLE) AS ceil_v, "
+        "CAST(FLOOR(value) AS DOUBLE) AS floor_v, "
+        "ROUND(SQRT(ABS(value)), 4) AS sqrt_abs_v, "
+        "ROUND(value, 2) AS round_v "
+        "FROM samples WHERE metric = 'purchase'"
+    ),
+}

@@ -1,0 +1,17 @@
+"""Physical-plan inspection (the 100 TB discipline, mechanized).
+
+The reference needs no optimizer (SURVEY.md §4); our engine leans on
+Catalyst, and these helpers assert that the *right* physical plans come
+out: filters reach the parquet scan, projections prune columns,
+dimension joins broadcast, partitioned layouts prune partitions. Used
+by tests/test_plans.py so plan regressions fail CI, not production.
+"""
+
+from shards_prometheus_spark.plans.checks import (  # noqa: F401
+    assert_broadcast_join,
+    assert_no_cartesian_product,
+    assert_partition_filters,
+    assert_pushed_filters,
+    assert_read_schema_pruned,
+    formatted_plan,
+)

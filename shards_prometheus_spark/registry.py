@@ -11,6 +11,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from shards_prometheus_spark.functions import promql as promql_functions
+from shards_prometheus_spark.sources import exposition
 from shards_prometheus_spark.operators import (
     aggregations,
     binop,
@@ -35,7 +37,9 @@ _MODULES = [
     selectors,
     aggregations,
     binop,
+    promql_functions,
     snapshot,
+    exposition,
     dedup,
     similarity,
     text,

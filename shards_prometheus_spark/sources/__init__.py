@@ -1,0 +1,19 @@
+"""Sources & sinks.
+
+The reference's only I/O is the HTTP pull endpoint serving the text
+exposition format (prometheus.cpp:47,73,80). Here:
+
+- ``exposition``  — renders the registry snapshot in that text format
+  (the scrape payload as a DataFrame of lines).
+- ``storage``     — the 100 TB physical layout: (date, metric)-
+  partitioned parquet writers/readers that make partition pruning and
+  row-group skipping real.
+"""
+
+from shards_prometheus_spark.sources.exposition import (  # noqa: F401
+    exposition_lines,
+)
+from shards_prometheus_spark.sources.storage import (  # noqa: F401
+    read_samples_partitioned,
+    write_samples_partitioned,
+)

@@ -1,0 +1,129 @@
+"""Prometheus text exposition format as a sink (SURVEY.md §2b #16).
+
+The reference's scrape path serializes registry → family → series →
+value into the text exposition format (Registry::Collect() behind the
+exposer registered at prometheus.cpp:80; endpoint prometheus.cpp:47,73
+— public prometheus-cpp behavior). This module renders the identical
+payload from the engine's relations, one exposition line per row:
+
+    # TYPE <metric> <kind>
+    <metric>_total{user="<label>"} <value>      (counters)
+    <metric>{user="<label>"} <value>            (gauges)
+    <metric>_bucket{le="<bound>"} <cum_count>   (histograms)
+    <metric>_sum <value> / <metric>_count <n>
+
+Numeric rendering goes through DECIMAL(28,4) so Spark and DuckDB print
+byte-identical strings (double→string shortest-round-trip forms differ
+in scientific-notation cutoffs between engines; fixed-scale decimal
+canonicalizes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shards_prometheus_spark.operators.histograms import (
+    _BUCKET_COUNTS_SQL,
+    _le_label_sql,
+    histogram_buckets,
+)
+from shards_prometheus_spark.operators.snapshot import scrape_snapshot
+
+
+def _dec(col: str) -> Column:
+    return F.col(col).cast("decimal(28,4)").cast("string")
+
+
+def exposition_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full scrape payload, one line per row."""
+    snap = scrape_snapshot(spark, sf_dir)
+    headers = snap.select("kind", "metric").distinct().select(
+        F.concat(F.lit("# TYPE "), F.col("metric"), F.lit(" "), F.col("kind"))
+        .alias("line")
+    )
+    counters = snap.filter(F.col("kind") == "counter").select(
+        F.concat(
+            F.col("metric"),
+            F.lit('_total{user="'),
+            F.col("label_user"),
+            F.lit('"} '),
+            _dec("value"),
+        ).alias("line")
+    )
+    gauges = snap.filter(F.col("kind") == "gauge").select(
+        F.concat(
+            F.col("metric"),
+            F.lit('{user="'),
+            F.col("label_user"),
+            F.lit('"} '),
+            _dec("value"),
+        ).alias("line")
+    )
+    hist_scalar = snap.filter(F.col("kind") == "histogram").select(
+        F.concat(
+            F.col("metric"), F.lit("_"), F.col("stat"), F.lit(" "), _dec("value")
+        ).alias("line")
+    )
+    buckets = histogram_buckets(spark, sf_dir).select(
+        F.concat(
+            F.col("metric"),
+            F.lit('_bucket{le="'),
+            F.col("le"),
+            F.lit('"} '),
+            F.col("cum_count").cast("string"),
+        ).alias("line")
+    )
+    return (
+        headers.unionByName(counters)
+        .unionByName(gauges)
+        .unionByName(hist_scalar)
+        .unionByName(buckets)
+    )
+
+
+_SNAP_SQL = (
+    "SELECT 'counter' AS kind, metric, label_user, 'total' AS stat, "
+    "ROUND(SUM(value), 4) AS value FROM samples WHERE value >= 0 "
+    "GROUP BY metric, label_user "
+    "UNION ALL "
+    "SELECT 'gauge', metric, label_user, 'last', ROUND(value, 4) FROM ("
+    "SELECT s.*, ROW_NUMBER() OVER (PARTITION BY metric, label_user "
+    "ORDER BY ts_us DESC, event_id DESC) AS rn FROM samples s) WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT 'histogram', metric, '', 'sum', ROUND(SUM(value), 4) "
+    "FROM samples GROUP BY metric "
+    "UNION ALL "
+    "SELECT 'histogram', metric, '', 'count', CAST(COUNT(*) AS DOUBLE) "
+    "FROM samples GROUP BY metric"
+)
+
+_DEC = "CAST(CAST({v} AS DECIMAL(28,4)) AS VARCHAR)"
+
+QUERIES = {"exposition_lines": exposition_lines}
+
+ORACLES = {
+    "exposition_lines": (
+        f"{_BUCKET_COUNTS_SQL}, snap AS ({_SNAP_SQL}) "
+        "SELECT '# TYPE ' || metric || ' ' || kind AS line "
+        "FROM (SELECT DISTINCT kind, metric FROM snap) "
+        "UNION ALL "
+        "SELECT metric || '_total{user=\"' || label_user || '\"} ' || "
+        + _DEC.format(v="value")
+        + " FROM snap WHERE kind = 'counter' "
+        "UNION ALL "
+        "SELECT metric || '{user=\"' || label_user || '\"} ' || "
+        + _DEC.format(v="value")
+        + " FROM snap WHERE kind = 'gauge' "
+        "UNION ALL "
+        "SELECT metric || '_' || stat || ' ' || "
+        + _DEC.format(v="value")
+        + " FROM snap WHERE kind = 'histogram' "
+        "UNION ALL "
+        "SELECT metric || '_bucket{le=\"' || ("
+        + _le_label_sql()
+        + ") || '\"} ' || CAST(CAST(SUM(bucket_count) OVER "
+        "(PARTITION BY metric ORDER BY bucket_idx) AS BIGINT) AS VARCHAR) "
+        "FROM g"
+    ),
+}

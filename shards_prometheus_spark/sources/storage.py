@@ -1,0 +1,49 @@
+"""Physical layout for the 100 TB samples table.
+
+The reference's state is resident atomics (prometheus.cpp:34-45); at
+Spark scale the registry is a partitioned parquet/Delta table. Layout
+choice (SURVEY.md §1.2): partition by (event date, metric) —
+
+- `metric` equality matchers prune whole partitions (the common case:
+  every PromQL selector names a metric);
+- date partitions bound scans for range selectors and make retention a
+  partition drop (no rewrite);
+- within files, rows sorted by (label_user, ts_us) so parquet row-group
+  min/max stats skip on both series and time predicates.
+
+Partition count math, 100 TB: ~365 dates × ~100 metrics = 36 500
+partitions of ~2.7 GB — comfortably under the small-files regime with
+~128 MB row groups (~20 files each).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shards_prometheus_spark.model import samples
+from shards_prometheus_spark.session import prepare_session
+
+
+def write_samples_partitioned(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> None:
+    """Materialize the samples view as a (date, metric)-partitioned
+    parquet table with in-file ordering for row-group skipping."""
+    df = samples(spark, sf_dir).withColumn(
+        "event_date",
+        F.to_date(F.timestamp_micros(F.col("ts_us"))),
+    )
+    (
+        df.repartition("event_date", "metric")
+        .sortWithinPartitions("label_user", "ts_us")
+        .write.mode("overwrite")
+        .partitionBy("event_date", "metric")
+        .parquet(out_path)
+    )
+
+
+def read_samples_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read the partitioned layout back (partition columns restored)."""
+    prepare_session(spark)
+    return spark.read.parquet(path)

@@ -15,6 +15,9 @@ from shards_prometheus_spark.streaming.ingest import (
     stream_events,
     windowed_sums_stream,
 )
+from shards_prometheus_spark.streaming.stateful import (
+    stateful_increase_stream,
+)
 
 __all__ = [
     "stream_events",
@@ -22,4 +25,5 @@ __all__ = [
     "counter_totals_stream",
     "windowed_sums_stream",
     "run_to_memory",
+    "stateful_increase_stream",
 ]

@@ -1,0 +1,105 @@
+"""Custom stateful streaming operator: counter increase with resets.
+
+The reference's runtime is an unbounded loop mutating per-series
+accumulators in place (prometheus.cpp:178,212 — one atomic add per
+sample). Its PromQL pairing derives `increase` from those counters with
+reset clamping: a decrease means the process restarted, so the
+post-reset value itself is the increase. The batch twin is a lag()
+window (operators/counters.py); under *streaming* the lag must live in
+a state store, because samples for one series arrive across
+micro-batches.
+
+This is the one operator whose semantics Spark's built-in streaming
+aggregations can't express (sum/count are order-insensitive; increase
+is order-DEPENDENT across batches), so it uses
+``applyInPandasWithState``: per-series state = (last value, running
+increase, sample count), updated per Arrow batch in event order.
+
+Scale notes: state is one 3-field row per series — bounded by series
+cardinality, like the reference's registry (prometheus.cpp:34-45). The
+group key (metric, label_user) is the same shuffle key every other
+series operator uses. Back with RocksDB state store + watermark-driven
+state eviction for unbounded cardinality.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+INCREASE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("metric", StringType()),
+        StructField("label_user", StringType()),
+        StructField("total_increase", DoubleType()),
+        StructField("n_samples", LongType()),
+    ]
+)
+
+#: (last value seen, running increase, samples seen) per series.
+INCREASE_STATE_SCHEMA = StructType(
+    [
+        StructField("last_value", DoubleType()),
+        StructField("total_increase", DoubleType()),
+        StructField("n_samples", LongType()),
+    ]
+)
+
+
+def _update_increase(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold one micro-batch of one series into the running increase.
+
+    Rows are processed in (ts_us, event_id) order; the first-ever sample
+    is the baseline (contributes no increase), matching the batch lag()
+    form which drops the first row of each series.
+    """
+    if state.exists:
+        last, total, n = state.get
+    else:
+        last, total, n = 0.0, 0.0, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for v in pdf["value"]:
+            v = float(v)
+            if n > 0:
+                total += v if v < last else v - last
+            last = v
+            n += 1
+    state.update((last, total, n))
+    yield pd.DataFrame(
+        {
+            "metric": [key[0]],
+            "label_user": [key[1]],
+            "total_increase": [total],
+            "n_samples": [n],
+        }
+    )
+
+
+def stateful_increase_stream(samples: DataFrame) -> DataFrame:
+    """Per-series running `increase` over an unbounded sample stream."""
+    return (
+        samples.select("metric", "label_user", "ts_us", "event_id", "value")
+        .groupBy("metric", "label_user")
+        .applyInPandasWithState(
+            _update_increase,
+            INCREASE_OUTPUT_SCHEMA,
+            INCREASE_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

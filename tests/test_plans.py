@@ -1,0 +1,87 @@
+"""Physical-plan regression tests — the 100 TB properties, pinned.
+
+Correct results are necessary but not sufficient: these tests fail if
+a filter stops reaching the parquet scan, a projection stops pruning,
+a dimension join stops broadcasting, or the partitioned layout stops
+pruning partitions — regressions that stay invisible at sf0.01 and
+dominate at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shards_prometheus_spark.functions.promql import clamp_values
+from shards_prometheus_spark.operators.selectors import label_filter_eq
+from shards_prometheus_spark.operators.similarity import similarity_topk
+from shards_prometheus_spark.operators.tpch import tpch_q3
+from shards_prometheus_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian_product,
+    assert_partition_filters,
+    assert_pushed_filters,
+    assert_read_schema_pruned,
+)
+from shards_prometheus_spark.sources.storage import (
+    read_samples_partitioned,
+    write_samples_partitioned,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_metric_filter_pushed_to_scan(spark):
+    # the metric equality behind every PromQL selector must reach parquet
+    assert_pushed_filters(
+        label_filter_eq(spark, SF_SMOKE), "EqualTo(event_type,purchase)"
+    )
+
+
+def test_scalar_funcs_scan_prunes_columns(spark):
+    # clamp reads (event_id, user_id, event_type, value, ts?) — props
+    # (the widest column) must never be scanned
+    assert_read_schema_pruned(
+        clamp_values(spark, SF_SMOKE),
+        required={"event_type", "value"},
+        banned={"props"},
+    )
+
+
+def test_tpch_q3_joins_broadcast_dimensions(spark):
+    # customer (dim) joins orders/lineitem (facts): broadcast, and AQE
+    # or static planning must choose it without hints
+    df = tpch_q3(spark, SF_SMOKE)
+    assert_broadcast_join(df, min_count=1)
+
+
+def test_similarity_no_cartesian(spark):
+    # the query-vector "crossJoin" is a 1-row broadcast, never a
+    # CartesianProduct over the corpus
+    assert_no_cartesian_product(similarity_topk(spark, SF_SMOKE))
+
+
+@pytest.fixture(scope="module")
+def partitioned_samples(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("layout") / "samples_part")
+    write_samples_partitioned(spark, SF_SMOKE, out)
+    return out
+
+
+def test_partition_pruning_on_metric(spark, partitioned_samples):
+    df = read_samples_partitioned(spark, partitioned_samples).filter(
+        F.col("metric") == "purchase"
+    )
+    assert_partition_filters(df, "metric")
+    # and the pruned read returns exactly the purchase slice
+    from shards_prometheus_spark.model import samples
+
+    want = samples(spark, SF_SMOKE).filter(F.col("metric") == "purchase").count()
+    assert df.count() == want
+
+
+def test_partition_pruning_on_date(spark, partitioned_samples):
+    df = read_samples_partitioned(spark, partitioned_samples)
+    first_date = df.select(F.min("event_date").alias("d")).first()["d"]
+    pruned = df.filter(F.col("event_date") == F.lit(first_date))
+    assert_partition_filters(pruned, "event_date")
+    assert pruned.count() > 0

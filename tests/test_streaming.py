@@ -44,6 +44,78 @@ def test_stream_counter_totals_match_batch(spark):
     assert got == want
 
 
+def test_stateful_increase_matches_batch_lag(spark, tmp_path):
+    """applyInPandasWithState across REAL micro-batches: events split
+    into 4 time-ordered files (maxFilesPerTrigger=1 → 4 batches), so
+    per-series lag state must survive batch boundaries. The final
+    running increase must equal the batch lag()-window form."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.model import samples
+    from shards_prometheus_spark.operators.counters import _deltas
+    from shards_prometheus_spark.streaming import (
+        run_to_memory,
+        stateful_increase_stream,
+    )
+    from shards_prometheus_spark.streaming.ingest import (
+        EVENTS_SCHEMA,
+        samples_stream,
+    )
+
+    # Split events into 4 contiguous time ranges, one file each, with
+    # ascending mtimes so the file source replays them in time order.
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").orderBy("ts")
+    n = ev.count()
+    src = str(tmp_path / "events_split")
+    rows = ev.collect()
+    os.makedirs(src, exist_ok=True)
+    chunk = (n + 3) // 4
+    for i in range(4):
+        pdf = spark.createDataFrame(rows[i * chunk : (i + 1) * chunk], ev.schema)
+        d = f"{src}/batch_{i}.parquet.dir"
+        pdf.coalesce(1).write.mode("overwrite").parquet(d)
+        # oldest-mtime-first is the file source's replay order
+        for root, _, files in os.walk(d):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (1_000_000 + i, 1_000_000 + i))
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet.dir")
+    )
+    q = run_to_memory(
+        stateful_increase_stream(samples_stream(stream)), "increase_t"
+    )
+    _await(q)
+    got: dict = {}
+    for r in spark.table("increase_t").collect():
+        k = (r["metric"], r["label_user"])
+        v = (round(r["total_increase"], 4), r["n_samples"])
+        if k not in got or v[1] > got[k][1]:
+            got[k] = v
+    want_df = (
+        _deltas(spark, SF_SMOKE)
+        .groupBy("metric", "label_user")
+        .agg(
+            F.round(F.sum("delta"), 4).alias("ti"),
+            (F.count(F.lit(1)) + 1).alias("n"),
+        )
+    )
+    want = {
+        (r["metric"], r["label_user"]): (r["ti"], r["n"])
+        for r in want_df.collect()
+    }
+    # series with a single sample produce no delta row in the batch
+    # form but do appear (increase 0) in the stream — align on shared
+    singles = {k for k in got if k not in want}
+    for k in singles:
+        assert got[k][0] == 0.0
+        del got[k]
+    assert got == want
+
+
 def test_stream_windowed_sums_match_batch(spark):
     stream = samples_stream(stream_events(spark, SF_SMOKE))
     q = run_to_memory(windowed_sums_stream(stream), "hourly_t")
