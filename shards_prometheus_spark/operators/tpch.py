@@ -88,6 +88,34 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q6_FROM, Q6_TO = "1996-01-01", "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_QTY = 24
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting revenue change: the pure pushdown query — every
+    predicate reaches the parquet scan (range on shipdate, band on
+    discount, bound on quantity), one map-side-combined aggregate,
+    zero shuffled rows beyond partial sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q6_FROM).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(Q6_TO).cast("timestamp_ntz"))
+            & (F.col("l_discount") >= Q6_DISC_LO)
+            & (F.col("l_discount") <= Q6_DISC_HI)
+            & (F.col("l_quantity") < Q6_QTY)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local supplier volume: the 6-table join tree, dims broadcast."""
     region = load_table(spark, sf_dir, "region").filter(
@@ -125,9 +153,18 @@ QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
     "tpch_q5": tpch_q5,
+    "tpch_q6": tpch_q6,
 }
 
 ORACLES = {
+    "tpch_q6": (
+        "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue, "
+        "CAST(COUNT(*) AS BIGINT) AS n_items FROM lineitem "
+        f"WHERE l_shipdate >= TIMESTAMP '{Q6_FROM} 00:00:00' "
+        f"AND l_shipdate < TIMESTAMP '{Q6_TO} 00:00:00' "
+        f"AND l_discount >= {Q6_DISC_LO} AND l_discount <= {Q6_DISC_HI} "
+        f"AND l_quantity < {Q6_QTY}"
+    ),
     "tpch_q1": (
         "SELECT l_returnflag, l_linestatus, "
         "ROUND(SUM(l_quantity), 2) AS sum_qty, "
