@@ -87,11 +87,35 @@ def math_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def props_label_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promote a JSON event property to a label and aggregate by it —
+    the structured-metadata analog of label_replace (`props` carries
+    `{"k": N}`; k mod 10 becomes the label to keep cardinality sane)."""
+    from shards_prometheus_spark.model import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(
+            F.col("event_type").alias("metric"),
+            (k % 10).cast("string").alias("label_k"),
+            "value",
+        )
+        .filter(F.col("label_k").isNotNull())
+        .groupBy("metric", "label_k")
+        .agg(
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
 QUERIES = {
     "label_replace": label_replace,
     "label_join": label_join,
     "clamp_values": clamp_values,
     "math_scalar_funcs": math_scalar_funcs,
+    "props_label_agg": props_label_agg,
 }
 
 _SERIES_SQL = (
@@ -125,5 +149,14 @@ ORACLES = {
         "ROUND(SQRT(ABS(value)), 4) AS sqrt_abs_v, "
         "ROUND(value, 2) AS round_v "
         "FROM samples WHERE metric = 'purchase'"
+    ),
+    "props_label_agg": (
+        "SELECT event_type AS metric, "
+        "CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 "
+        "AS VARCHAR) AS label_k, "
+        "ROUND(SUM(value), 4) AS sum_value, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL "
+        "GROUP BY metric, label_k"
     ),
 }

@@ -88,10 +88,143 @@ def over_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _last_two(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last two samples per (series, hour): the irate/idelta base."""
+    s = _with_hour(spark, sf_dir)
+    keys = ["metric", "label_user", "hour_ts"]
+    desc = Window.partitionBy(*keys).orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    two = s.withColumn("rn", F.row_number().over(desc)).filter(
+        F.col("rn") <= 2
+    )
+    g = two.groupBy(*keys).agg(
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("v1"),
+        F.max(F.when(F.col("rn") == 2, F.col("value"))).alias("v0"),
+        F.max(F.when(F.col("rn") == 1, F.col("ts_us"))).alias("t1"),
+        F.max(F.when(F.col("rn") == 2, F.col("ts_us"))).alias("t0"),
+    )
+    return g.filter(F.col("v0").isNotNull() & (F.col("t1") > F.col("t0")))
+
+
+def counter_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """irate(): instantaneous rate from the last two samples of each
+    (series, 1h window), counter-reset clamped (public PromQL)."""
+    lt = _last_two(spark, sf_dir)
+    inc = F.when(
+        F.col("v1") < F.col("v0"), F.col("v1")
+    ).otherwise(F.col("v1") - F.col("v0"))
+    dt_s = (F.col("t1") - F.col("t0")) / F.lit(1_000_000.0)
+    return lt.select(
+        "metric",
+        "label_user",
+        "hour_ts",
+        F.round(inc / dt_s, 6).alias("irate"),
+    )
+
+
+def gauge_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """idelta(): difference of the last two samples per (series, 1h)."""
+    lt = _last_two(spark, sf_dir)
+    return lt.select(
+        "metric",
+        "label_user",
+        "hour_ts",
+        F.round(F.col("v1") - F.col("v0"), 4).alias("idelta"),
+    )
+
+
+def value_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """changes(): number of value changes per (series, 1h window);
+    the lag is scoped to the window, matching PromQL's per-range
+    evaluation."""
+    s = _with_hour(spark, sf_dir)
+    w = Window.partitionBy("metric", "label_user", "hour_ts").orderBy(
+        "ts_us", "event_id"
+    )
+    return (
+        s.withColumn("prev", F.lag("value").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("metric", "label_user", "hour_ts")
+        .agg(
+            F.sum(F.when(F.col("value") != F.col("prev"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_changes")
+        )
+    )
+
+
+#: predict_linear horizon: 15 min past the window end (seconds).
+PREDICT_AT_S = 3600.0 + 900.0
+
+
+def _regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(metric, hour) least-squares sums over (x = seconds into the
+    window, y = value). x is window-relative so the products stay small
+    and the Spark/DuckDB accumulation-order noise (~1e-10 absolute)
+    sits far below the output rounding grid."""
+    s = _with_hour(spark, sf_dir)
+    x = (F.col("ts_us") - F.col("hour_ts") * F.lit(1_000_000)) / F.lit(
+        1_000_000.0
+    )
+    y = F.col("value")
+    g = (
+        s.select("metric", "hour_ts", x.alias("x"), y.alias("y"))
+        .groupBy("metric", "hour_ts")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    return g.filter((F.col("n") >= 2) & (denom != 0)).withColumn(
+        "slope", slope
+    )
+
+
+def gauge_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deriv(): least-squares slope per (metric, 1h), reported per
+    HOUR — per-second slopes are ~1e-4, the same magnitude as the
+    4-decimal rounding grid, so engine float noise would straddle
+    rounding boundaries; the hour scale puts values 3-4 orders above
+    the grid. `+ 0.0` collapses IEEE −0.0 to 0.0 on both engines."""
+    return _regression(spark, sf_dir).select(
+        "metric",
+        "hour_ts",
+        (F.round(F.col("slope") * 3600.0, 4) + F.lit(0.0)).alias(
+            "deriv_per_hour"
+        ),
+    )
+
+
+def predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """predict_linear(): extrapolate the regression 15 min past the
+    window end (public PromQL)."""
+    r = _regression(spark, sf_dir)
+    intercept = (F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n")
+    return r.select(
+        "metric",
+        "hour_ts",
+        (
+            F.round(intercept + F.col("slope") * F.lit(PREDICT_AT_S), 4)
+            + F.lit(0.0)
+        ).alias("predicted"),
+    )
+
+
 QUERIES = {
     "gauge_delta": gauge_delta,
     "counter_resets": counter_resets,
     "over_time_stats": over_time_stats,
+    "counter_irate": counter_irate,
+    "gauge_idelta": gauge_idelta,
+    "value_changes": value_changes,
+    "gauge_deriv": gauge_deriv,
+    "predict_linear": predict_linear,
 }
 
 ORACLES = {
@@ -124,3 +257,65 @@ ORACLES = {
         "FROM samples GROUP BY metric, label_user, hour_ts"
     ),
 }
+
+_LAST_TWO_SQL = (
+    f"{SAMPLES_CTE}, d AS (SELECT metric, label_user, {_HOUR} AS hour_ts, "
+    "ts_us, value, ROW_NUMBER() OVER (PARTITION BY metric, label_user, "
+    f"({_HOUR}) ORDER BY ts_us DESC, event_id DESC) AS rn FROM samples), "
+    "lt AS (SELECT metric, label_user, hour_ts, "
+    "MAX(CASE WHEN rn = 1 THEN value END) AS v1, "
+    "MAX(CASE WHEN rn = 2 THEN value END) AS v0, "
+    "MAX(CASE WHEN rn = 1 THEN ts_us END) AS t1, "
+    "MAX(CASE WHEN rn = 2 THEN ts_us END) AS t0 "
+    "FROM d WHERE rn <= 2 GROUP BY metric, label_user, hour_ts) "
+)
+
+_REGR_SQL = (
+    f"{SAMPLES_CTE}, p AS (SELECT metric, {_HOUR} AS hour_ts, "
+    f"(ts_us - ({_HOUR}) * 1000000) / 1000000.0 AS x, value AS y "
+    "FROM samples), "
+    "g AS (SELECT metric, hour_ts, CAST(COUNT(*) AS DOUBLE) AS n, "
+    "SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx "
+    "FROM p GROUP BY metric, hour_ts), "
+    "r AS (SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope "
+    "FROM g WHERE n >= 2 AND n * sxx - sx * sx <> 0) "
+)
+
+ORACLES.update(
+    {
+        "counter_irate": (
+            _LAST_TWO_SQL
+            + "SELECT metric, label_user, hour_ts, "
+            "ROUND((CASE WHEN v1 < v0 THEN v1 ELSE v1 - v0 END) "
+            "/ ((t1 - t0) / 1000000.0), 6) AS irate "
+            "FROM lt WHERE v0 IS NOT NULL AND t1 > t0"
+        ),
+        "gauge_idelta": (
+            _LAST_TWO_SQL
+            + "SELECT metric, label_user, hour_ts, "
+            "ROUND(v1 - v0, 4) AS idelta "
+            "FROM lt WHERE v0 IS NOT NULL AND t1 > t0"
+        ),
+        "value_changes": (
+            f"{SAMPLES_CTE}, d AS (SELECT metric, label_user, "
+            f"{_HOUR} AS hour_ts, ts_us, value, "
+            "LAG(value) OVER (PARTITION BY metric, label_user, "
+            f"({_HOUR}) ORDER BY ts_us, event_id) AS prev FROM samples) "
+            "SELECT metric, label_user, hour_ts, "
+            "CAST(SUM(CASE WHEN value <> prev THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_changes FROM d WHERE prev IS NOT NULL "
+            "GROUP BY metric, label_user, hour_ts"
+        ),
+        "gauge_deriv": (
+            _REGR_SQL
+            + "SELECT metric, hour_ts, "
+            "ROUND(slope * 3600.0, 4) + 0.0 AS deriv_per_hour FROM r"
+        ),
+        "predict_linear": (
+            _REGR_SQL
+            + "SELECT metric, hour_ts, "
+            "ROUND((sy - slope * sx) / n + slope * "
+            f"{PREDICT_AT_S}, 4) + 0.0 AS predicted FROM r"
+        ),
+    }
+)
