@@ -122,6 +122,63 @@ def range_agg_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: φ for the `quantile by (label)` aggregation operator.
+AGG_QUANTILE_PHI = 0.9
+
+
+def agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``stddev by``/``stdvar by``: population deviation and
+    variance folded to the metric dimension. Inputs carry 2-decimal
+    precision with magnitudes ≤1e3, so cross-engine accumulation noise
+    (~1e-12 relative) sits far below the 4-decimal grid."""
+    return (
+        samples(spark, sf_dir)
+        .groupBy("metric")
+        .agg(
+            F.round(F.stddev_pop("value"), 4).alias("stddev_value"),
+            F.round(F.var_pop("value"), 4).alias("stdvar_value"),
+        )
+    )
+
+
+def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``quantile(φ, …) by (label)``: exact interpolated order
+    statistic per metric — same rank arithmetic as histogram_quantile,
+    φ fixed at 0.9, computed in ONE pass over the sorted relation."""
+    s = samples(spark, sf_dir)
+    counts = s.groupBy("metric").agg(F.count(F.lit(1)).alias("n"))
+    h = F.lit(AGG_QUANTILE_PHI) * (F.col("n") - 1)
+    tgt = counts.select(
+        "metric",
+        h.alias("h"),
+        F.floor(h).cast("long").alias("lo"),
+        F.ceil(h).cast("long").alias("hi"),
+    )
+    need = tgt.selectExpr(
+        "metric", "h", "lo", "stack(2, 'lo', lo, 'hi', hi) AS (side, rn)"
+    )
+    w = Window.partitionBy("metric").orderBy("value", "event_id")
+    ordered = s.select(
+        "metric", "value", (F.row_number().over(w) - 1).alias("rn")
+    )
+    return (
+        ordered.join(F.broadcast(need), ["metric", "rn"])
+        .groupBy("metric", "h", "lo")
+        .agg(
+            F.max(F.when(F.col("side") == "lo", F.col("value"))).alias("v_lo"),
+            F.max(F.when(F.col("side") == "hi", F.col("value"))).alias("v_hi"),
+        )
+        .select(
+            "metric",
+            F.round(
+                F.col("v_lo")
+                + (F.col("h") - F.col("lo")) * (F.col("v_hi") - F.col("v_lo")),
+                4,
+            ).alias("q"),
+        )
+    )
+
+
 def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-metric label cardinality (oracle-checkable)."""
     return (
@@ -163,6 +220,8 @@ QUERIES = {
     "count_values": count_values,
     "range_agg_tumbling": range_agg_tumbling,
     "range_agg_sliding": range_agg_sliding,
+    "agg_stddev": agg_stddev,
+    "agg_quantile": agg_quantile,
     "distinct_users": distinct_users,
     "approx_distinct_users": approx_distinct_users,  # rows-only check
 }
@@ -195,6 +254,27 @@ ORACLES = {
         f"{SAMPLES_CTE} "
         "SELECT metric, value, CAST(COUNT(*) AS BIGINT) AS n "
         "FROM samples GROUP BY metric, value"
+    ),
+    "agg_stddev": (
+        f"{SAMPLES_CTE} "
+        "SELECT metric, ROUND(STDDEV_POP(value), 4) AS stddev_value, "
+        "ROUND(VAR_POP(value), 4) AS stdvar_value "
+        "FROM samples GROUP BY metric"
+    ),
+    "agg_quantile": (
+        f"{SAMPLES_CTE}, ordered AS (SELECT metric, value, "
+        "ROW_NUMBER() OVER (PARTITION BY metric ORDER BY value, event_id) - 1 "
+        "AS rn, COUNT(*) OVER (PARTITION BY metric) AS n FROM samples), "
+        "tgt AS (SELECT metric, "
+        f"{AGG_QUANTILE_PHI} * (n - 1) AS h, "
+        f"CAST(FLOOR({AGG_QUANTILE_PHI} * (n - 1)) AS BIGINT) AS lo, "
+        f"CAST(CEIL({AGG_QUANTILE_PHI} * (n - 1)) AS BIGINT) AS hi "
+        "FROM (SELECT DISTINCT metric, n FROM ordered)) "
+        "SELECT t.metric, "
+        "ROUND(l.value + (t.h - t.lo) * (h2.value - l.value), 4) AS q "
+        "FROM tgt t "
+        "JOIN ordered l ON l.metric = t.metric AND l.rn = t.lo "
+        "JOIN ordered h2 ON h2.metric = t.metric AND h2.rn = t.hi"
     ),
     "range_agg_tumbling": (
         f"{_HOURLY_SQL} SELECT metric, hour_ts, sum_value, n FROM hourly"

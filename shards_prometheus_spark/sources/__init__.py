@@ -11,6 +11,7 @@ exposition format (prometheus.cpp:47,73,80). Here:
 """
 
 from shards_prometheus_spark.sources.exposition import (  # noqa: F401
+    MetricsExposer,
     exposition_lines,
 )
 from shards_prometheus_spark.sources.storage import (  # noqa: F401

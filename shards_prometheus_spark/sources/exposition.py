@@ -82,6 +82,63 @@ def exposition_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class MetricsExposer:
+    """HTTP pull endpoint serving the exposition payload — the literal
+    analog of the reference's Exposer (HTTP server started at
+    prometheus.cpp:73, registry collected on scrape via the collectable
+    registered at prometheus.cpp:80; default endpoint 127.0.0.1:9090,
+    prometheus.cpp:47).
+
+    Collect-on-scrape: each GET /metrics re-runs the snapshot query, so
+    the payload reflects the current relation exactly as the reference
+    re-collects its registry per scrape. For a streaming registry,
+    point it at the memory-sink table instead.
+    """
+
+    def __init__(self, spark, sf_dir: str, host: str = "127.0.0.1", port: int = 0):
+        import http.server
+        import threading
+
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 - stdlib contract
+                if self.path.rstrip("/") not in ("", "/metrics"):
+                    self.send_error(404)
+                    return
+                body = outer.collect_text().encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):  # quiet
+                pass
+
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._server = http.server.ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._server.server_address[:2]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+
+    def collect_text(self) -> str:
+        lines = exposition_lines(self._spark, self._sf_dir).collect()
+        return "\n".join(sorted(r["line"] for r in lines)) + "\n"
+
+    def start(self) -> "MetricsExposer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+
 _SNAP_SQL = (
     "SELECT 'counter' AS kind, metric, label_user, 'total' AS stat, "
     "ROUND(SUM(value), 4) AS value FROM samples WHERE value >= 0 "
