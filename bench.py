@@ -31,12 +31,16 @@ HEADLINE = [
     "range_agg_sliding",
     "histogram_buckets",
     "histogram_quantile",
+    "agg_quantile",
+    "rollup_hourly",
+    "daily_from_rollup",
     "scrape_snapshot",
     "exposition_lines",
     "vector_binop",
     "dedup_exact",
     "dedup_near",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "similarity_topk",
     "similarity_lsh",
     "similarity_ivf",

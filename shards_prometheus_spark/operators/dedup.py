@@ -264,28 +264,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct — 3-token shingles as id triples."""
-    from pyspark.sql import Window
+    """(doc_id, shingle) distinct — 3-token shingles as id triples
+    (persisted: set sizes and both sides of the overlap join reuse it)."""
 
-    ids = doc_token_ids(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    t1 = F.lead("token_id", 1).over(w)
-    t2 = F.lead("token_id", 2).over(w)
-    return (
-        ids.withColumn("t1", t1)
-        .withColumn("t2", t2)
-        .filter(F.col("t2").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(
-                "-",
-                F.col("token_id").cast("string"),
-                F.col("t1").cast("string"),
-                F.col("t2").cast("string"),
-            ).alias("shingle"),
+    def build() -> DataFrame:
+        from pyspark.sql import Window
+
+        ids = doc_token_ids(spark, sf_dir)
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        t1 = F.lead("token_id", 1).over(w)
+        t2 = F.lead("token_id", 2).over(w)
+        return (
+            ids.withColumn("t1", t1)
+            .withColumn("t2", t2)
+            .filter(F.col("t2").isNotNull())
+            .select(
+                "doc_id",
+                F.concat_ws(
+                    "-",
+                    F.col("token_id").cast("string"),
+                    F.col("t1").cast("string"),
+                    F.col("t2").cast("string"),
+                ).alias("shingle"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+
+    return _memo_persist(spark, sf_dir, "shingles", build)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,6 +22,7 @@ from shards_prometheus_spark.operators import (
     histograms,
     multimodal,
     range_functions,
+    rollup,
     selectors,
     similarity,
     snapshot,
@@ -34,6 +35,7 @@ _MODULES = [
     gauges,
     histograms,
     range_functions,
+    rollup,
     selectors,
     aggregations,
     binop,

@@ -12,6 +12,7 @@ from shards_prometheus_spark.streaming.ingest import (
     counter_totals_stream,
     run_to_memory,
     samples_stream,
+    session_windows_stream,
     stream_events,
     windowed_sums_stream,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "samples_stream",
     "counter_totals_stream",
     "windowed_sums_stream",
+    "session_windows_stream",
     "run_to_memory",
     "stateful_increase_stream",
 ]

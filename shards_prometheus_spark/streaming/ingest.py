@@ -103,6 +103,32 @@ def windowed_sums_stream(
     )
 
 
+def session_windows_stream(
+    samples: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window aggregation per series label: a session closes
+    after `gap` of inactivity (capability class the reference's
+    fixed-cadence tick loop, test.edn:8, has no analog for)."""
+    return (
+        samples.withWatermark("event_time", watermark)
+        .groupBy(
+            F.session_window("event_time", gap).alias("sw"),
+            F.col("label_user"),
+        )
+        .agg(
+            F.sum("value").alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "label_user",
+            "sum_value",
+            "n_events",
+        )
+    )
+
+
 def run_to_memory(
     df: DataFrame,
     name: str,

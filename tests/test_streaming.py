@@ -44,6 +44,62 @@ def test_stream_counter_totals_match_batch(spark):
     assert got == want
 
 
+def test_stream_session_windows_match_batch(spark):
+    """Session windows (30 min gap) over the stream equal the batch
+    sessionization computed with a lag-gap cumulative-sum window."""
+    from shards_prometheus_spark.model import samples
+    from shards_prometheus_spark.streaming import session_windows_stream
+
+    stream = samples_stream(stream_events(spark, SF_SMOKE))
+    q = run_to_memory(
+        session_windows_stream(stream), "sessions_t", output_mode="complete"
+    )
+    _await(q)
+    got = {
+        (r["label_user"], r["session_start"].isoformat()): (
+            round(r["sum_value"], 4),
+            r["n_events"],
+        )
+        for r in spark.table("sessions_t").collect()
+    }
+    # batch twin: gap > 30 min starts a new session per user
+    from pyspark.sql import Window
+
+    s = samples(spark, SF_SMOKE)
+    w = Window.partitionBy("label_user").orderBy("ts_us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    sess = (
+        s.withColumn("prev_ts", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | (F.col("ts_us") - F.col("prev_ts") > gap_us)
+            ).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("label_user", "sess_id")
+        .agg(
+            F.min("ts_us").alias("start_us"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    want = {
+        (
+            r["label_user"],
+            __import__("datetime")
+            .datetime.fromtimestamp(
+                r["start_us"] / 1e6, tz=__import__("datetime").timezone.utc
+            )
+            .replace(tzinfo=None)
+            .isoformat(),
+        ): (r["sum_value"], r["n_events"])
+        for r in sess.collect()
+    }
+    assert got == want
+
+
 def test_stateful_increase_matches_batch_lag(spark, tmp_path):
     """applyInPandasWithState across REAL micro-batches: events split
     into 4 time-ordered files (maxFilesPerTrigger=1 → 4 batches), so
