@@ -45,7 +45,29 @@ def vector_binop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"vector_binop": vector_binop}
+def vector_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL comparison between vectors: `lhs > rhs` filter semantics
+    (keep lhs series where the comparison holds, value = lhs) plus the
+    `bool` modifier column (1/0 for every matched series)."""
+    s = samples(spark, sf_dir)
+    lhs = _side(s, LHS_METRIC, "lhs_sum")
+    rhs = _side(s, RHS_METRIC, "rhs_sum")
+    matched = lhs.join(F.broadcast(rhs), "label_user")
+    return matched.select(
+        "label_user",
+        "lhs_sum",
+        (F.col("lhs_sum") > F.col("rhs_sum")).cast("long").alias("gt_bool"),
+    ).filter(F.col("gt_bool") == 1).unionByName(
+        # bool-modifier rows (all matches, 0/1 value), tagged apart
+        matched.select(
+            F.concat(F.lit("bool:"), F.col("label_user")).alias("label_user"),
+            F.col("lhs_sum"),
+            (F.col("lhs_sum") > F.col("rhs_sum")).cast("long").alias("gt_bool"),
+        )
+    )
+
+
+QUERIES = {"vector_binop": vector_binop, "vector_compare": vector_compare}
 
 ORACLES = {
     "vector_binop": (
@@ -56,5 +78,20 @@ ORACLES = {
         "SELECT lhs.label_user, lhs_sum, rhs_sum, "
         f"{dround('lhs_sum / rhs_sum', 6)} AS ratio "
         "FROM lhs JOIN rhs ON lhs.label_user = rhs.label_user"
+    ),
+    "vector_compare": (
+        f"{SAMPLES_CTE}, lhs AS (SELECT label_user, ROUND(SUM(value), 4) AS lhs_sum "
+        f"FROM samples WHERE metric = '{LHS_METRIC}' GROUP BY label_user), "
+        "rhs AS (SELECT label_user, ROUND(SUM(value), 4) AS rhs_sum "
+        f"FROM samples WHERE metric = '{RHS_METRIC}' GROUP BY label_user), "
+        "m AS (SELECT lhs.label_user, lhs_sum, rhs_sum "
+        "FROM lhs JOIN rhs ON lhs.label_user = rhs.label_user) "
+        "SELECT label_user, lhs_sum, "
+        "CAST(CASE WHEN lhs_sum > rhs_sum THEN 1 ELSE 0 END AS BIGINT) AS gt_bool "
+        "FROM m WHERE lhs_sum > rhs_sum "
+        "UNION ALL "
+        "SELECT 'bool:' || label_user, lhs_sum, "
+        "CAST(CASE WHEN lhs_sum > rhs_sum THEN 1 ELSE 0 END AS BIGINT) "
+        "FROM m"
     ),
 }

@@ -10,6 +10,8 @@ data handled; the reference cannot).
 
 from shards_prometheus_spark.streaming.ingest import (
     counter_totals_stream,
+    gauge_last_stream,
+    histogram_buckets_stream,
     run_to_memory,
     samples_stream,
     session_windows_stream,
@@ -24,6 +26,8 @@ __all__ = [
     "stream_events",
     "samples_stream",
     "counter_totals_stream",
+    "gauge_last_stream",
+    "histogram_buckets_stream",
     "windowed_sums_stream",
     "session_windows_stream",
     "run_to_memory",

@@ -82,6 +82,40 @@ def counter_totals_stream(samples: DataFrame) -> DataFrame:
     )
 
 
+def gauge_last_stream(samples: DataFrame) -> DataFrame:
+    """Gauge state over the stream: last write per series.
+
+    `max_by((value, tiebreak), (ts, id))` is order-insensitive, so the
+    last-write-wins semantics (prometheus.cpp:248-251) stream safely in
+    update mode without custom state."""
+    return samples.groupBy("metric", "label_user").agg(
+        F.max_by(
+            "value", F.struct(F.col("ts_us"), F.col("event_id"))
+        ).alias("last_value")
+    )
+
+
+def histogram_buckets_stream(
+    samples: DataFrame, bounds: list[float]
+) -> DataFrame:
+    """Histogram state over the stream: per-(metric, bucket) counts +
+    running sum (explicit static bounds, prometheus.cpp:264-293).
+    Cumulative `le` exposure derives at read time from these counts."""
+    idx = None
+    for i, b in enumerate(bounds):
+        cond = F.col("value") <= F.lit(float(b))
+        idx = F.when(cond, i) if idx is None else idx.when(cond, i)
+    assert idx is not None
+    return (
+        samples.withColumn("bucket_idx", idx.otherwise(len(bounds)))
+        .groupBy("metric", "bucket_idx")
+        .agg(
+            F.count(F.lit(1)).alias("bucket_count"),
+            F.sum("value").alias("bucket_sum"),
+        )
+    )
+
+
 def windowed_sums_stream(
     samples: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

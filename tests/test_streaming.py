@@ -44,6 +44,46 @@ def test_stream_counter_totals_match_batch(spark):
     assert got == want
 
 
+def test_stream_gauge_and_histogram_match_batch(spark):
+    """All three reference metric kinds stream: gauge last-write and
+    histogram bucket counts in update mode equal their batch twins."""
+    from shards_prometheus_spark.operators.gauges import gauge_last
+    from shards_prometheus_spark.operators.histograms import (
+        BOUNDS,
+        histogram_buckets,
+    )
+    from shards_prometheus_spark.streaming import (
+        gauge_last_stream,
+        histogram_buckets_stream,
+    )
+
+    stream = samples_stream(stream_events(spark, SF_SMOKE))
+    q1 = run_to_memory(gauge_last_stream(stream), "gauge_t")
+    _await(q1)
+    got_g = {
+        (r["metric"], r["label_user"]): round(r["last_value"], 4)
+        for r in spark.table("gauge_t").collect()
+    }
+    want_g = {
+        (r["metric"], r["label_user"]): r["last_value"]
+        for r in gauge_last(spark, SF_SMOKE).collect()
+    }
+    assert got_g == want_g
+
+    stream2 = samples_stream(stream_events(spark, SF_SMOKE))
+    q2 = run_to_memory(histogram_buckets_stream(stream2, BOUNDS), "hist_t")
+    _await(q2)
+    got_h = {
+        (r["metric"], r["bucket_idx"]): r["bucket_count"]
+        for r in spark.table("hist_t").collect()
+    }
+    want_h = {
+        (r["metric"], r["le_idx"]): r["bucket_count"]
+        for r in histogram_buckets(spark, SF_SMOKE).collect()
+    }
+    assert got_h == want_h
+
+
 def test_stream_session_windows_match_batch(spark):
     """Session windows (30 min gap) over the stream equal the batch
     sessionization computed with a lag-gap cumulative-sum window."""
