@@ -89,7 +89,17 @@ class MetricsRegistry:
     # -- histogram -------------------------------------------------------
     def histogram(self, bounds: list[float]) -> DataFrame:
         """Histogram state: cumulative le counts + _sum/_count per
-        series, with explicit static bounds (prometheus.cpp:264-293)."""
+        series, with explicit static bounds (prometheus.cpp:264-293).
+
+        Bounds are validated at build time like the reference's
+        per-element float assertion (prometheus.cpp:266-267), plus
+        strictly-increasing order (prometheus-cpp requires sorted
+        BucketBoundaries, public)."""
+        if not bounds:
+            raise ValueError("histogram requires at least one bound")
+        vals = [float(b) for b in bounds]
+        if any(b >= a for b, a in zip(vals, vals[1:])):
+            raise ValueError(f"bounds must be strictly increasing: {vals}")
         idx = None
         for i, b in enumerate(bounds):
             cond = F.col("value") <= F.lit(float(b))

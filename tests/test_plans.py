@@ -47,6 +47,21 @@ def test_scalar_funcs_scan_prunes_columns(spark):
     )
 
 
+def test_tpch_q6_all_predicates_pushed(spark):
+    # q6 is the pure pushdown query: shipdate range, discount band and
+    # quantity bound must ALL reach the parquet scan
+    from shards_prometheus_spark.operators.tpch import tpch_q6
+
+    assert_pushed_filters(
+        tpch_q6(spark, SF_SMOKE),
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24",
+    )
+
+
 def test_tpch_q3_joins_broadcast_dimensions(spark):
     # customer (dim) joins orders/lineitem (facts): broadcast, and AQE
     # or static planning must choose it without hints

@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the Tier A metric semantics.
+
+The reference's semantics are simple invariants (counter = sum of
+non-negative increments, gauge = last write, histogram buckets
+partition the samples); hypothesis drives them with arbitrary sample
+batches instead of fixtures, checking the DataFrame implementations
+against direct Python folds.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from shards_prometheus_spark.registry_api import MetricsRegistry
+
+BOUNDS = [1.0, 5.0, 25.0]
+
+sample_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["m1", "m2"]),          # metric
+        st.sampled_from(["a", "b", "c"]),       # label
+        st.floats(
+            min_value=-100, max_value=1000,
+            allow_nan=False, allow_infinity=False,
+        ),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _registry(spark, rows):
+    data = [
+        (i, m, lab, 1_000 * i, float(v))
+        for i, (m, lab, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, metric string, label_user string, "
+        "ts_us long, value double",
+    )
+    return MetricsRegistry(df), data
+
+
+@given(rows=sample_rows)
+@_slow
+def test_counter_total_is_sum_of_nonnegative(spark, rows):
+    reg, data = _registry(spark, rows)
+    got = {
+        (r["metric"], r["label_user"]): r["total"]
+        for r in reg.counter_total().collect()
+    }
+    want: dict = {}
+    for _, m, lab, _, v in data:
+        if v >= 0:
+            want[(m, lab)] = want.get((m, lab), 0.0) + v
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
+
+
+@given(rows=sample_rows)
+@_slow
+def test_gauge_last_is_final_write(spark, rows):
+    reg, data = _registry(spark, rows)
+    got = {
+        (r["metric"], r["label_user"]): r["last"]
+        for r in reg.gauge_last().collect()
+    }
+    want: dict = {}
+    for _, m, lab, _, v in data:  # data is ts/event ordered
+        want[(m, lab)] = v
+    assert got == want
+
+
+@given(rows=sample_rows)
+@_slow
+def test_histogram_partitions_and_cumulates(spark, rows):
+    reg, data = _registry(spark, rows)
+    out = reg.histogram(BOUNDS).collect()
+    # bucket counts partition the samples per series
+    per_series: dict = {}
+    for _, m, lab, _, v in data:
+        per_series[(m, lab)] = per_series.get((m, lab), 0) + 1
+    totals: dict = {}
+    for r in out:
+        k = (r["metric"], r["label_user"])
+        totals[k] = totals.get(k, 0) + r["bucket_count"]
+        assert r["hist_count"] == per_series[k]
+    assert totals == per_series
+    # cumulative counts are monotone per series, ending at the total
+    by_series: dict = {}
+    for r in out:
+        by_series.setdefault((r["metric"], r["label_user"]), []).append(
+            (r["bucket_idx"], r["cum_count"])
+        )
+    for k, pairs in by_series.items():
+        pairs.sort()
+        cums = [c for _, c in pairs]
+        assert cums == sorted(cums)
+        assert cums[-1] == per_series[k]
