@@ -37,6 +37,8 @@ HEADLINE = [
     "scrape_snapshot",
     "exposition_lines",
     "vector_binop",
+    "asof_join_demo",
+    "range_join_demo",
     "dedup_exact",
     "dedup_near",
     "dedup_simhash",

@@ -15,6 +15,7 @@ from shards_prometheus_spark.functions import promql as promql_functions
 from shards_prometheus_spark.sources import exposition
 from shards_prometheus_spark.operators import (
     aggregations,
+    asof,
     binop,
     counters,
     dedup,
@@ -38,6 +39,7 @@ _MODULES = [
     rollup,
     selectors,
     aggregations,
+    asof,
     binop,
     promql_functions,
     snapshot,
