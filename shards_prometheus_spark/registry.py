@@ -22,6 +22,7 @@ from shards_prometheus_spark.operators import (
     gauges,
     histograms,
     multimodal,
+    olap,
     range_functions,
     rollup,
     selectors,
@@ -41,6 +42,7 @@ _MODULES = [
     aggregations,
     asof,
     binop,
+    olap,
     promql_functions,
     snapshot,
     exposition,
