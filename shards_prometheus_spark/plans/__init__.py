@@ -15,3 +15,4 @@ from shards_prometheus_spark.plans.checks import (  # noqa: F401
     assert_read_schema_pruned,
     formatted_plan,
 )
+from shards_prometheus_spark.plans.skew import salted_join  # noqa: F401

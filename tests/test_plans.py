@@ -75,6 +75,42 @@ def test_similarity_no_cartesian(spark):
     assert_no_cartesian_product(similarity_topk(spark, SF_SMOKE))
 
 
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be invisible in the result: a 90%-hot-key join
+    salted 8 ways returns exactly the plain join's rows."""
+    from shards_prometheus_spark.plans import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}", float(i)) for i in range(1000)],
+        "id long, k string, v double",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0), ("k10", 2.0), ("k20", 3.0), ("absent", 9.0)],
+        "k string, w double",
+    )
+    got = sorted(
+        (r["id"], r["k"], r["w"])
+        for r in salted_join(big, small, ["k"], n_salt=8).collect()
+    )
+    want = sorted(
+        (r["id"], r["k"], r["w"]) for r in big.join(small, ["k"]).collect()
+    )
+    assert got == want and len(got) > 800
+
+
+def test_salted_join_spreads_key_across_salts(spark):
+    from shards_prometheus_spark.plans import salted_join
+    from shards_prometheus_spark.plans.checks import formatted_plan
+
+    big = spark.createDataFrame(
+        [(i, "hot", float(i)) for i in range(100)], "id long, k string, v double"
+    )
+    small = spark.createDataFrame([("hot", 1.0)], "k string, w double")
+    df = salted_join(big, small, ["k"], n_salt=4)
+    # the physical join key must include the salt column
+    assert "_salt" in formatted_plan(df)
+
+
 @pytest.fixture(scope="module")
 def partitioned_samples(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("layout") / "samples_part")
