@@ -172,14 +172,23 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen partitioning before the Python stage: the single-file
+    parquet scan yields 1-2 partitions, which would serialize the
+    mapInPandas workers; payload-bearing rows re-spread by media_id
+    (at real scale `media_repartition` sizes this by bytes)."""
+    fan = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    return df.repartition(fan, "media_id")
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode/feature-extract over the documents-derived media table."""
-    return decode_stats(media_from_documents(spark, sf_dir))
+    return decode_stats(_spread(media_from_documents(spark, sf_dir)))
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """frame sampling over the video rows of the media table."""
-    return frame_sample(media_from_documents(spark, sf_dir))
+    return frame_sample(_spread(media_from_documents(spark, sf_dir)))
 
 
 def frame_sample(df: DataFrame, every_n: int = 4, max_frames: int = 3) -> DataFrame:

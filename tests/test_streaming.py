@@ -44,6 +44,46 @@ def test_stream_counter_totals_match_batch(spark):
     assert got == want
 
 
+def test_rate_source_feeds_counter_aggs(spark):
+    """Non-file source: the built-in rate source (the driver-less analog
+    of the reference's 5 Hz tick loop, test.edn:8) drives the same
+    update-mode counter aggregation."""
+    from shards_prometheus_spark.streaming import counter_totals_stream
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .load()
+        .selectExpr(
+            "value AS event_id",
+            "CASE CAST(value % 3 AS INT) WHEN 0 THEN 'tick_a' "
+            "WHEN 1 THEN 'tick_b' ELSE 'tick_c' END AS metric",
+            "CAST(value % 5 AS STRING) AS label_user",
+            "unix_micros(timestamp) AS ts_us",
+            "CAST(1.0 AS DOUBLE) AS value",
+        )
+    )
+    q = (
+        counter_totals_stream(rate)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rate_totals_t")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = spark.table("rate_totals_t").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    metrics = {r["metric"] for r in rows}
+    assert metrics & {"tick_a", "tick_b", "tick_c"}
+    assert all(r["total"] == r["n_samples"] for r in rows)  # unit ticks
+
+
 def test_stream_gauge_and_histogram_match_batch(spark):
     """All three reference metric kinds stream: gauge last-write and
     histogram bucket counts in update mode equal their batch twins."""
