@@ -318,6 +318,95 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Cap for the min-label propagation loop (graph diameter bound; dup
+#: graphs are near-cliques so convergence is 2-3 rounds in practice).
+MAX_CC_ITERS = 15
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the near-dup
+    pair graph, keep-one selection per cluster.
+
+    The step after LSH in a real dedup pipeline: pairs → components →
+    one canonical doc per component. Iterative min-label propagation
+    (each round: label := min(label, neighbors' labels)), a driver loop
+    of distributed joins that converges in diameter rounds — the
+    engine's one deliberately iterative algorithm. The DuckDB oracle
+    states the same fixpoint as a recursive transitive closure.
+
+    Each round ends in ``localCheckpoint`` — without it the logical
+    plan nests the whole previous round per iteration and grows
+    exponentially (plan-string generation alone OOMs the driver by
+    round ~10). On a multi-node cluster prefer ``spark.sparkContext
+    .setCheckpointDir`` + ``.checkpoint()`` so a lost executor can't
+    invalidate truncated lineage; the algorithm is otherwise unchanged.
+
+    Output: (doc_id, cluster_id, is_keeper) for every doc that has at
+    least one near-duplicate; cluster_id = min doc_id in component.
+    """
+    edges = (
+        dedup_near(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    # undirected adjacency
+    adj = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = (
+        adj.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(MAX_CC_ITERS):
+        neigh_min = (
+            adj.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("label").alias("nbr_label"),
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nbr_label").alias("min_nbr"))
+        )
+        # carry old_label through the checkpoint so convergence is read
+        # off the materialized step instead of a second join
+        step = (
+            labels.join(
+                neigh_min.select(
+                    F.col("doc_a").alias("doc_id"), "min_nbr"
+                ),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.col("label").alias("old_label"),
+                F.least(
+                    "label", F.coalesce("min_nbr", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            step.filter(F.col("label") != F.col("old_label"))
+            .limit(1)
+            .count()
+        )
+        labels = step.select("doc_id", "label")
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).cast("long").alias("is_keeper"),
+    )
+
+
 def _params_values(params, cols) -> str:
     rows = ", ".join("(" + ", ".join(str(v) for v in row) + ")" for row in params)
     return f"({', '.join(cols)}) AS (VALUES {rows})"
@@ -359,7 +448,20 @@ QUERIES = {
     "dedup_near": dedup_near,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
 }
+
+#: dedup_near's pair relation as an oracle CTE suffix (jaccard ≥ 0.9).
+_ND_PAIRS_SQL = (
+    ", nd AS (SELECT i.doc_a, i.doc_b FROM inter i "
+    "JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b "
+    "WHERE i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter) >= "
+    f"{NEAR_DUP_JACCARD}), "
+    "und AS (SELECT doc_a AS a, doc_b AS b FROM nd "
+    "UNION ALL SELECT doc_b, doc_a FROM nd), "
+    "reach AS (SELECT a, b FROM und "
+    "UNION SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b) "
+)
 
 ORACLES = {
     "dedup_exact": (
@@ -385,6 +487,16 @@ ORACLES = {
         "CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming "
         "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id "
         f"WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}"
+    ),
+    # recursive transitive closure states the same fixpoint the Spark
+    # min-label propagation loop converges to
+    "dedup_clusters": (
+        _MINHASH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _ND_PAIRS_SQL
+        + "SELECT a AS doc_id, "
+        "CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id, "
+        "CAST(CASE WHEN LEAST(a, MIN(b)) = a THEN 1 ELSE 0 END AS BIGINT) "
+        "AS is_keeper FROM reach GROUP BY a"
     ),
     "dedup_ngram_jaccard": (
         f"{_SHINGLE_SQL} "

@@ -106,3 +106,26 @@ def test_histogram_partitions_and_cumulates(spark, rows):
         cums = [c for _, c in pairs]
         assert cums == sorted(cums)
         assert cums[-1] == per_series[k]
+
+
+def test_dedup_clusters_invariants(spark):
+    """Structural invariants of connected-components clustering: every
+    near-dup edge stays inside one cluster, cluster_id is the component
+    minimum, and each cluster has exactly one keeper (its minimum)."""
+    from shards_prometheus_spark.operators.dedup import dedup_clusters, dedup_near
+    from tests.conftest import SF_SMOKE
+
+    clusters = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+                for r in dedup_clusters(spark, SF_SMOKE).collect()}
+    edges = dedup_near(spark, SF_SMOKE).select("doc_a", "doc_b").collect()
+    assert edges, "smoke corpus must contain near-dup pairs"
+    members: dict = {}
+    for doc, (cid, keeper) in clusters.items():
+        assert cid <= doc
+        assert keeper == (1 if cid == doc else 0)
+        members.setdefault(cid, []).append(doc)
+    for e in edges:
+        assert clusters[e["doc_a"]][0] == clusters[e["doc_b"]][0]
+    for cid, docs in members.items():
+        assert min(docs) == cid
+        assert sum(clusters[d][1] for d in docs) == 1
