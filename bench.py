@@ -48,6 +48,8 @@ HEADLINE = [
     "similarity_ivf",
     "text_token_counts",
     "text_quality_score",
+    "pack_chunks",
+    "contamination_ngram",
     "multimodal_decode",
     "tpch_q1",
     "tpch_q3",

@@ -1,0 +1,278 @@
+"""Training-data pipeline operators (Tier C, north-star).
+
+The ops a pretraining data pipeline runs AFTER cleaning/dedup, over
+`documents`:
+
+- `pack_chunks`: concat-and-chunk sequence packing — concatenate the
+  corpus token stream in doc_id order and cut fixed-size context
+  windows; per-chunk doc/token occupancy. The global prefix sum is
+  computed the scalable way: range-sharded intra-shard window + a
+  broadcast-size shard-offset relation, never a single-partition window
+  over the corpus.
+- `split_assign`: deterministic train/val/test assignment by a portable
+  affine hash of doc_id (pure int64 arithmetic — identical in any
+  engine, stable across runs/cluster sizes).
+- `contamination_ngram`: benchmark-contamination check — fraction of a
+  document's 3-gram shingles that appear in a held-out benchmark set
+  (here: `doc_id % 97 == 0`), the standard eval-leakage screen.
+- `repetition_stats`: within-document repetition (Gopher-style
+  quality signals): duplicate-shingle ratio and top-token fraction.
+
+Everything is expression-only over the shared token/shingle relations
+of `tierc_common` / `dedup` (whole-stage codegen; no Python UDFs).
+The reference repo has no analog surface (its four shards are metric
+taps, prometheus.cpp:309-314); these extend the engine per the
+north-star (BASELINE.json: LLM-data-pipeline operators at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from shards_prometheus_spark.model import dround
+from shards_prometheus_spark.operators.dedup import _SHINGLE_SQL, _shingles
+from shards_prometheus_spark.operators.tierc_common import (
+    TOKENS_CTE,
+    doc_token_ids,
+)
+
+#: Context window for concat-and-chunk packing.
+CHUNK_TOKENS = 512
+#: doc_id range per packing shard. floor(doc_id / SPAN) is monotone in
+#: doc_id, so shard boundaries respect the global concat order; at
+#: cluster scale pick SPAN from range statistics so each shard holds
+#: O(10^5) docs and the shard-offset relation stays broadcast-size.
+PACK_SHARD_SPAN = 64
+#: Affine split hash (LCG multiplier/increment), mod 1000 buckets.
+SPLIT_A = 1_103_515_245
+SPLIT_B = 12_345
+SPLIT_MOD = 1_000
+TRAIN_LT = 900  # buckets [0,900) → train
+VAL_LT = 950  # [900,950) → val; [950,1000) → test
+#: Benchmark membership: doc_id % BENCH_MOD == 0 plays the eval set.
+BENCH_MOD = 97
+#: Contamination flag threshold on the shared-shingle fraction.
+CONTAM_THRESHOLD = 0.2
+
+
+def _doc_ntokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        doc_token_ids(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    )
+
+
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing: per context-window chunk, how many
+    documents contribute and how many tokens it holds (last chunk may
+    be partial; docs straddle boundaries — the standard pretraining
+    packing, not next-fit binning).
+
+    Scale shape: the exclusive prefix sum over the corpus is sharded —
+    an intra-shard window partitioned by `floor(doc_id / SPAN)` plus an
+    exclusive cumsum over the tiny per-shard totals relation, which is
+    broadcast back. No single-partition window ever sees the corpus.
+    """
+    per_doc = _doc_ntokens(spark, sf_dir).withColumn(
+        "shard", F.floor(F.col("doc_id") / PACK_SHARD_SPAN)
+    )
+    intra_w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_totals = per_doc.groupBy("shard").agg(
+        F.sum("n_tokens").alias("shard_n")
+    )
+    offset_w = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    shard_offsets = shard_totals.select(
+        "shard",
+        F.coalesce(F.sum("shard_n").over(offset_w), F.lit(0)).alias(
+            "shard_off"
+        ),
+    )
+    placed = (
+        per_doc.withColumn(
+            "intra", F.coalesce(F.sum("n_tokens").over(intra_w), F.lit(0))
+        )
+        .join(F.broadcast(shard_offsets), "shard")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("shard_off") + F.col("intra")).alias("start"),
+        )
+    )
+    first = F.floor(F.col("start") / CHUNK_TOKENS)
+    last = F.floor((F.col("start") + F.col("n_tokens") - 1) / CHUNK_TOKENS)
+    spans = placed.select(
+        "start",
+        "n_tokens",
+        F.explode(F.sequence(first, last)).alias("chunk_id"),
+    )
+    lo = F.greatest(F.col("start"), F.col("chunk_id") * CHUNK_TOKENS)
+    hi = F.least(
+        F.col("start") + F.col("n_tokens"),
+        (F.col("chunk_id") + 1) * CHUNK_TOKENS,
+    )
+    return spans.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(hi - lo).cast("long").alias("n_tokens"),
+    )
+
+
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: bucket = affine hash of
+    doc_id mod 1000; 90/5/5. Pure int64 arithmetic — reproducible on
+    any engine and invariant to partitioning, unlike rand(seed)."""
+    from shards_prometheus_spark.model import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * SPLIT_A + SPLIT_B) % SPLIT_MOD
+    return docs.select(
+        "doc_id",
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket < TRAIN_LT, F.lit("train"))
+        .when(bucket < VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage screen: per corpus doc, the fraction of its 3-gram
+    shingles that occur in the benchmark set (`doc_id % 97 == 0`).
+
+    The benchmark shingle relation is small by construction (the eval
+    set is a sliver of the corpus) → left-semi join against it stays a
+    broadcast at scale; the corpus side never shuffles on shingle."""
+    sh = _shingles(spark, sf_dir)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench_shingles = sh.filter(is_bench).select("shingle").distinct()
+    corpus = sh.filter(~is_bench)
+    shared = (
+        corpus.join(F.broadcast(bench_shingles), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sizes = corpus.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    ratio = F.col("n_shared") / F.col("n_shingles")
+    return (
+        sizes.join(shared, "doc_id", "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(ratio, 4).alias("contam_ratio"),
+            (ratio >= CONTAM_THRESHOLD).cast("long").alias("contaminated"),
+        )
+    )
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition signals (Gopher-style quality rules):
+    duplicate 3-gram ratio (1 − distinct/total shingles) and the
+    fraction of tokens taken by the single most frequent token. Docs
+    shorter than 3 tokens are out of scope (no shingles)."""
+    ids = doc_token_ids(spark, sf_dir)
+    tok_counts = ids.groupBy("doc_id", "token_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.max("c").cast("long").alias("top_c"),
+    )
+    distinct_sh = (
+        _shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct_sh"))
+    )
+    total_sh = F.col("n_tokens") - 2
+    return (
+        per_doc.filter(F.col("n_tokens") >= 3)
+        .join(distinct_sh, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct_sh") / total_sh, 4
+            ).alias("dup_shingle_ratio"),
+            F.round(F.col("top_c") / F.col("n_tokens"), 4).alias(
+                "top_token_ratio"
+            ),
+        )
+    )
+
+
+QUERIES = {
+    "pack_chunks": pack_chunks,
+    "split_assign": split_assign,
+    "contamination_ngram": contamination_ngram,
+    "repetition_stats": repetition_stats,
+}
+
+ORACLES = {
+    # the oracle states the same prefix sum unsharded — equality proves
+    # the sharded decomposition lossless
+    "pack_chunks": (
+        f"{TOKENS_CTE}, nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) "
+        "AS n FROM dtok GROUP BY doc_id), "
+        "off AS (SELECT doc_id, n, CAST(COALESCE(SUM(n) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+        "), 0) AS BIGINT) AS start FROM nd), "
+        "spans AS (SELECT start, n, unnest(generate_series("
+        f"start // {CHUNK_TOKENS}, (start + n - 1) // {CHUNK_TOKENS})) "
+        "AS chunk_id FROM off) "
+        "SELECT CAST(chunk_id AS BIGINT) AS chunk_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"CAST(SUM(LEAST(start + n, (chunk_id + 1) * {CHUNK_TOKENS}) - "
+        f"GREATEST(start, chunk_id * {CHUNK_TOKENS})) AS BIGINT) AS n_tokens "
+        "FROM spans GROUP BY chunk_id"
+    ),
+    "split_assign": (
+        "SELECT doc_id, "
+        f"CAST((doc_id * {SPLIT_A} + {SPLIT_B}) % {SPLIT_MOD} AS BIGINT) "
+        "AS bucket, "
+        f"CASE WHEN (doc_id * {SPLIT_A} + {SPLIT_B}) % {SPLIT_MOD} < "
+        f"{TRAIN_LT} THEN 'train' "
+        f"WHEN (doc_id * {SPLIT_A} + {SPLIT_B}) % {SPLIT_MOD} < {VAL_LT} "
+        "THEN 'val' ELSE 'test' END AS split FROM documents"
+    ),
+    "contamination_ngram": (
+        f"{_SHINGLE_SQL}, "
+        f"bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0), "
+        f"corpus AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0), "
+        "shared AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared "
+        "FROM corpus WHERE shingle IN (SELECT shingle FROM bsh) "
+        "GROUP BY doc_id), "
+        "csz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles "
+        "FROM corpus GROUP BY doc_id) "
+        "SELECT c.doc_id, c.n_shingles, "
+        "COALESCE(s.n_shared, 0) AS n_shared, "
+        f"{dround('COALESCE(s.n_shared, 0) * 1.0 / c.n_shingles', 4)} "
+        "AS contam_ratio, "
+        "CAST(COALESCE(s.n_shared, 0) * 1.0 / c.n_shingles >= "
+        f"{CONTAM_THRESHOLD} AS BIGINT) AS contaminated "
+        "FROM csz c LEFT JOIN shared s USING (doc_id)"
+    ),
+    "repetition_stats": (
+        f"{_SHINGLE_SQL}, "
+        "pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+        "CAST(MAX(c) AS BIGINT) AS top_c FROM ("
+        "SELECT doc_id, token_id, COUNT(*) AS c FROM dtok "
+        "GROUP BY doc_id, token_id) GROUP BY doc_id), "
+        "dsh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_sh "
+        "FROM sh GROUP BY doc_id) "
+        "SELECT p.doc_id, p.n_tokens, "
+        f"{dround('1.0 - d.n_distinct_sh * 1.0 / (p.n_tokens - 2)', 4)} "
+        "AS dup_shingle_ratio, "
+        f"{dround('p.top_c * 1.0 / p.n_tokens', 4)} AS top_token_ratio "
+        "FROM pd p JOIN dsh d USING (doc_id) WHERE p.n_tokens >= 3"
+    ),
+}

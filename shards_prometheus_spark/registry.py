@@ -23,6 +23,7 @@ from shards_prometheus_spark.operators import (
     histograms,
     multimodal,
     olap,
+    pipeline,
     range_functions,
     rollup,
     selectors,
@@ -43,6 +44,7 @@ _MODULES = [
     asof,
     binop,
     olap,
+    pipeline,
     promql_functions,
     snapshot,
     exposition,

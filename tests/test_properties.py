@@ -129,3 +129,36 @@ def test_dedup_clusters_invariants(spark):
     for cid, docs in members.items():
         assert min(docs) == cid
         assert sum(clusters[d][1] for d in docs) == 1
+
+
+def test_pack_chunks_conservation(spark):
+    """Packing is lossless: every chunk except the last is exactly full,
+    chunk ids are contiguous from 0, and token totals are conserved."""
+    from shards_prometheus_spark.operators.pipeline import CHUNK_TOKENS, pack_chunks
+    from shards_prometheus_spark.operators.tierc_common import doc_token_ids
+    from tests.conftest import SF_SMOKE
+
+    chunks = sorted(
+        (r["chunk_id"], r["n_tokens"])
+        for r in pack_chunks(spark, SF_SMOKE).collect()
+    )
+    total = doc_token_ids(spark, SF_SMOKE).count()
+    assert [c for c, _ in chunks] == list(range(len(chunks)))
+    assert all(n == CHUNK_TOKENS for _, n in chunks[:-1])
+    assert 0 < chunks[-1][1] <= CHUNK_TOKENS
+    assert sum(n for _, n in chunks) == total
+
+
+def test_split_assign_partitions_corpus(spark):
+    """Every doc lands in exactly one split; proportions are near 90/5/5."""
+    from shards_prometheus_spark.operators.pipeline import split_assign
+    from tests.conftest import SF_SMOKE
+
+    rows = split_assign(spark, SF_SMOKE).collect()
+    n = len(rows)
+    by = {}
+    for r in rows:
+        by[r["split"]] = by.get(r["split"], 0) + 1
+    assert set(by) <= {"train", "val", "test"}
+    assert sum(by.values()) == n
+    assert by["train"] / n > 0.8
