@@ -82,6 +82,71 @@ def exposition_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Prometheus metric-name regex (public exposition-format grammar).
+_NAME_RE = "^([A-Za-z_:][A-Za-z0-9_:]*)"
+
+
+def exposition_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrape *source*: parse the text exposition payload back into a
+    typed relation — the inverse of `exposition_lines`, i.e. what a
+    scraper does with the reference's endpoint output (the text format
+    emitted behind prometheus.cpp:80's collectable).
+
+    Pure regexp expressions (JVM-side, codegen). Kind is recovered from
+    the line shape (`_total` → counter, `_bucket`/`_sum`/`_count` →
+    histogram, bare name → gauge) and validated against the `# TYPE`
+    headers by an inner join on (metric, kind) — a header-less or
+    mistyped series would drop out rather than pass through silently.
+    Output: (metric, kind, stat, label_user, le, value).
+    """
+    lines = exposition_lines(spark, sf_dir)
+    hdr_re = r"^# TYPE (\S+) (\S+)$"
+    headers = (
+        lines.filter(F.col("line").startswith("# TYPE "))
+        .select(
+            F.regexp_extract("line", hdr_re, 1).alias("metric"),
+            F.regexp_extract("line", hdr_re, 2).alias("kind"),
+        )
+        .distinct()
+    )
+    raw = F.regexp_extract("line", _NAME_RE, 1)
+    parsed = lines.filter(~F.col("line").startswith("#")).select(
+        raw.alias("raw"),
+        F.regexp_extract("line", r'\{(\w+)="', 1).alias("lkey"),
+        F.regexp_extract("line", r'="([^"]*)"', 1).alias("lval"),
+        F.regexp_extract("line", r" ([^ ]+)$", 1).cast("double").alias("value"),
+    )
+
+    def strip(n: int) -> Column:
+        return F.expr(f"substring(raw, 1, length(raw) - {n})")
+
+    classified = parsed.select(
+        F.when(F.col("raw").endswith("_bucket"), strip(7))
+        .when(F.col("raw").endswith("_total"), strip(6))
+        .when(F.col("raw").endswith("_sum"), strip(4))
+        .when(F.col("raw").endswith("_count"), strip(6))
+        .otherwise(F.col("raw"))
+        .alias("metric"),
+        F.when(F.col("raw").endswith("_bucket"), F.lit("bucket"))
+        .when(F.col("raw").endswith("_total"), F.lit("total"))
+        .when(F.col("raw").endswith("_sum"), F.lit("sum"))
+        .when(F.col("raw").endswith("_count"), F.lit("count"))
+        .otherwise(F.lit("value"))
+        .alias("stat"),
+        F.when(F.col("lkey") == "user", F.col("lval")).alias("label_user"),
+        F.when(F.col("lkey") == "le", F.col("lval")).alias("le"),
+        "value",
+    ).withColumn(
+        "kind",
+        F.when(F.col("stat") == "total", F.lit("counter"))
+        .when(F.col("stat") == "value", F.lit("gauge"))
+        .otherwise(F.lit("histogram")),
+    )
+    return classified.join(
+        F.broadcast(headers), ["metric", "kind"]
+    ).select("metric", "kind", "stat", "label_user", "le", "value")
+
+
 class MetricsExposer:
     """HTTP pull endpoint serving the exposition payload — the literal
     analog of the reference's Exposer (HTTP server started at
@@ -157,11 +222,13 @@ _SNAP_SQL = (
 
 _DEC = "CAST(CAST({v} AS DECIMAL(28,4)) AS VARCHAR)"
 
-QUERIES = {"exposition_lines": exposition_lines}
+QUERIES = {
+    "exposition_lines": exposition_lines,
+    "exposition_parse": exposition_parse,
+}
 
-ORACLES = {
-    "exposition_lines": (
-        f"{_BUCKET_COUNTS_SQL}, snap AS ({_SNAP_SQL}) "
+_LINES_SQL = (
+    f"{_BUCKET_COUNTS_SQL}, snap AS ({_SNAP_SQL}) "
         "SELECT '# TYPE ' || metric || ' ' || kind AS line "
         "FROM (SELECT DISTINCT kind, metric FROM snap) "
         "UNION ALL "
@@ -182,5 +249,42 @@ ORACLES = {
         + ") || '\"} ' || CAST(CAST(SUM(bucket_count) OVER "
         "(PARTITION BY metric ORDER BY bucket_idx) AS BIGINT) AS VARCHAR) "
         "FROM g"
-    ),
+)
+
+# the oracle re-parses the text built by the exposition oracle — both
+# engines run their full serialize → parse round trip independently
+_PARSE_SQL = (
+    f"WITH lines AS (SELECT line FROM ({_LINES_SQL}) t), "
+    "hdr AS (SELECT DISTINCT "
+    "regexp_extract(line, '^# TYPE (\\S+) (\\S+)$', 1) AS metric, "
+    "regexp_extract(line, '^# TYPE (\\S+) (\\S+)$', 2) AS kind "
+    "FROM lines WHERE starts_with(line, '# TYPE ')), "
+    "par AS (SELECT "
+    f"regexp_extract(line, '{_NAME_RE}', 1) AS raw, "
+    "regexp_extract(line, '\\{(\\w+)=\"', 1) AS lkey, "
+    "regexp_extract(line, '=\"([^\"]*)\"', 1) AS lval, "
+    "CAST(regexp_extract(line, ' ([^ ]+)$', 1) AS DOUBLE) AS value "
+    "FROM lines WHERE NOT starts_with(line, '#')), "
+    "cls AS (SELECT "
+    "CASE WHEN ends_with(raw, '_bucket') THEN substring(raw, 1, length(raw) - 7) "
+    "WHEN ends_with(raw, '_total') THEN substring(raw, 1, length(raw) - 6) "
+    "WHEN ends_with(raw, '_sum') THEN substring(raw, 1, length(raw) - 4) "
+    "WHEN ends_with(raw, '_count') THEN substring(raw, 1, length(raw) - 6) "
+    "ELSE raw END AS metric, "
+    "CASE WHEN ends_with(raw, '_bucket') THEN 'bucket' "
+    "WHEN ends_with(raw, '_total') THEN 'total' "
+    "WHEN ends_with(raw, '_sum') THEN 'sum' "
+    "WHEN ends_with(raw, '_count') THEN 'count' "
+    "ELSE 'value' END AS stat, "
+    "CASE WHEN lkey = 'user' THEN lval END AS label_user, "
+    "CASE WHEN lkey = 'le' THEN lval END AS le, value FROM par) "
+    "SELECT c.metric, h.kind, c.stat, c.label_user, c.le, c.value "
+    "FROM (SELECT *, CASE WHEN stat = 'total' THEN 'counter' "
+    "WHEN stat = 'value' THEN 'gauge' ELSE 'histogram' END AS kind "
+    "FROM cls) c JOIN hdr h USING (metric, kind)"
+)
+
+ORACLES = {
+    "exposition_lines": _LINES_SQL,
+    "exposition_parse": _PARSE_SQL,
 }

@@ -45,3 +45,25 @@ def test_404_on_other_paths(spark):
         assert raised
     finally:
         exposer.stop()
+
+
+def test_exposition_round_trip_recovers_snapshot(spark):
+    """serialize → parse recovers the counter snapshot exactly (values
+    survive the DECIMAL(28,4) text rendering bit-for-bit)."""
+    from shards_prometheus_spark.operators.snapshot import scrape_snapshot
+    from shards_prometheus_spark.sources.exposition import exposition_parse
+    from tests.conftest import SF_SMOKE
+
+    parsed = {
+        (r["metric"], r["label_user"]): r["value"]
+        for r in exposition_parse(spark, SF_SMOKE)
+        .filter("stat = 'total'")
+        .collect()
+    }
+    snap = {
+        (r["metric"], r["label_user"]): r["value"]
+        for r in scrape_snapshot(spark, SF_SMOKE)
+        .filter("kind = 'counter'")
+        .collect()
+    }
+    assert parsed == snap
