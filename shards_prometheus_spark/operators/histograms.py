@@ -105,6 +105,25 @@ def histogram_sum_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def histogram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_fraction`` analog: per metric, the fraction
+    of observations with value ≤ each bucket bound (cumulative bucket
+    count over the series total). Exact integer arithmetic up to one
+    final rounded division — the `le` convention mirrors the explicit
+    bounds the reference fixes per series (prometheus.cpp:264-269,
+    exposed cumulatively by prometheus-cpp)."""
+    hb = histogram_buckets(spark, sf_dir)
+    total = Window.partitionBy("metric")
+    return hb.select(
+        "metric",
+        "le_idx",
+        "le",
+        F.round(
+            F.col("cum_count") / F.sum("bucket_count").over(total), 4
+        ).alias("frac"),
+    )
+
+
 def _quantile_params(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([(p,) for p in QUANTILES], "p double")
 
@@ -210,6 +229,7 @@ _BUCKET_COUNTS_SQL = (
 
 QUERIES = {
     "histogram_buckets": histogram_buckets,
+    "histogram_fraction": histogram_fraction,
     "histogram_sum_count": histogram_sum_count,
     "histogram_quantile": histogram_quantile,
     "histogram_quantile_bucketed": histogram_quantile_bucketed,
@@ -222,6 +242,15 @@ ORACLES = {
         f"{_le_label_sql()} AS le, bucket_count, "
         "CAST(SUM(bucket_count) OVER (PARTITION BY metric ORDER BY bucket_idx) "
         "AS BIGINT) AS cum_count FROM g"
+    ),
+    "histogram_fraction": (
+        f"{_BUCKET_COUNTS_SQL}, c AS (SELECT metric, bucket_idx, "
+        "SUM(bucket_count) OVER (PARTITION BY metric ORDER BY bucket_idx) "
+        "AS cum, SUM(bucket_count) OVER (PARTITION BY metric) AS tot FROM g) "
+        f"SELECT metric, CAST(bucket_idx AS BIGINT) AS le_idx, "
+        f"{_le_label_sql()} AS le, "
+        + dround("cum * 1.0 / tot", 4)
+        + " AS frac FROM c"
     ),
     "histogram_sum_count": (
         f"{SAMPLES_CTE} "

@@ -216,7 +216,53 @@ def predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: φ for quantile_over_time (median).
+QOT_PHI = 0.5
+
+
+def quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``quantile_over_time(0.5, …[1h])``: exact interpolated
+    median per series per hour window — the same rank arithmetic as
+    agg_quantile at (series, hour) granularity, never an engine-native
+    percentile (whose interpolation/rounding differs across engines).
+
+    Scale: the rank-target relation is 2 rows per series-hour (≪
+    samples) and the lookup is a plain equi-join on (series, hour, rn)
+    — no broadcast assumption, so the shape holds however many
+    series-hours exist."""
+    s = _with_hour(spark, sf_dir)
+    keys = ["metric", "label_user", "hour_ts"]
+    counts = s.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    h = F.lit(QOT_PHI) * (F.col("n") - 1)
+    need = counts.select(
+        *keys,
+        h.alias("h"),
+        F.floor(h).cast("long").alias("lo"),
+        F.ceil(h).cast("long").alias("hi"),
+    ).selectExpr(*keys, "h", "stack(2, 'lo', lo, 'hi', hi) AS (side, rn)")
+    w = Window.partitionBy(*keys).orderBy("value", "event_id")
+    ordered = s.select(
+        *keys, "value", (F.row_number().over(w) - 1).alias("rn")
+    )
+    frac = F.col("h") - F.floor("h")
+    return (
+        ordered.join(need, [*keys, "rn"])
+        .groupBy(*keys, "h")
+        .agg(
+            F.max(F.when(F.col("side") == "lo", F.col("value"))).alias("v_lo"),
+            F.max(F.when(F.col("side") == "hi", F.col("value"))).alias("v_hi"),
+        )
+        .select(
+            *keys,
+            F.round(
+                F.col("v_lo") + frac * (F.col("v_hi") - F.col("v_lo")), 4
+            ).alias("q_value"),
+        )
+    )
+
+
 QUERIES = {
+    "quantile_over_time": quantile_over_time,
     "gauge_delta": gauge_delta,
     "counter_resets": counter_resets,
     "over_time_stats": over_time_stats,
@@ -228,6 +274,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quantile_over_time": (
+        f"{SAMPLES_CTE}, k AS (SELECT metric, label_user, {_HOUR} AS hour_ts, "
+        "value, event_id FROM samples), "
+        "ordered AS (SELECT metric, label_user, hour_ts, value, "
+        "ROW_NUMBER() OVER (PARTITION BY metric, label_user, hour_ts "
+        "ORDER BY value, event_id) - 1 AS rn, "
+        "COUNT(*) OVER (PARTITION BY metric, label_user, hour_ts) AS n "
+        "FROM k), "
+        f"tgt AS (SELECT metric, label_user, hour_ts, {QOT_PHI} * (n - 1) AS h, "
+        f"CAST(FLOOR({QOT_PHI} * (n - 1)) AS BIGINT) AS lo, "
+        f"CAST(CEIL({QOT_PHI} * (n - 1)) AS BIGINT) AS hi "
+        "FROM (SELECT DISTINCT metric, label_user, hour_ts, n FROM ordered)) "
+        "SELECT o.metric, o.label_user, o.hour_ts, "
+        "ROUND(MAX(CASE WHEN o.rn = t.lo THEN o.value END) "
+        "+ (t.h - FLOOR(t.h)) * (MAX(CASE WHEN o.rn = t.hi THEN o.value END) "
+        "- MAX(CASE WHEN o.rn = t.lo THEN o.value END)), 4) AS q_value "
+        "FROM ordered o JOIN tgt t ON o.metric = t.metric "
+        "AND o.label_user = t.label_user AND o.hour_ts = t.hour_ts "
+        "AND o.rn IN (t.lo, t.hi) "
+        "GROUP BY o.metric, o.label_user, o.hour_ts, t.h"
+    ),
     "gauge_delta": (
         f"{SAMPLES_CTE}, d AS (SELECT metric, label_user, {_HOUR} AS hour_ts, "
         "value, "
