@@ -47,3 +47,54 @@ def read_samples_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read the partitioned layout back (partition columns restored)."""
     prepare_session(spark)
     return spark.read.parquet(path)
+
+
+def write_samples_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    path: str,
+    n_buckets: int = 8,
+) -> None:
+    """Materialize samples as a parquet table bucketed + sorted by the
+    series identity (metric, label_user).
+
+    Bucketing is the at-rest answer to the engine's one recurring
+    exchange: every per-series aggregation and every series-aligned
+    join (vector binops, scrape snapshot unions) hash-distributes on
+    the series key, and a bucketed scan already satisfies that
+    distribution — aggregations and co-located joins run with ZERO
+    shuffles (pinned by tests/test_plans.py). At 100 TB this is the
+    difference between re-shuffling the corpus per query and never
+    shuffling it at all; the reference's analog is that its registry
+    is permanently "clustered" by series object identity
+    (prometheus.cpp:34-45)."""
+    df = samples(spark, sf_dir)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, "metric", "label_user")
+        .sortBy("metric", "label_user")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_series_stats_join(
+    spark: SparkSession, table_a: str, table_b: str
+) -> DataFrame:
+    """Per-series sum from one bucketed table joined to per-series
+    count from another — agg + agg + join with no Exchange anywhere
+    when both tables are bucketed by the series key."""
+    keys = ["metric", "label_user"]
+    a = (
+        spark.table(table_a)
+        .groupBy(*keys)
+        .agg(F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    b = (
+        spark.table(table_b)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return a.join(b, keys)

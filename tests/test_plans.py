@@ -136,3 +136,42 @@ def test_partition_pruning_on_date(spark, partitioned_samples):
     pruned = df.filter(F.col("event_date") == F.lit(first_date))
     assert_partition_filters(pruned, "event_date")
     assert pruned.count() > 0
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    from shards_prometheus_spark.sources.storage import write_samples_bucketed
+
+    root = tmp_path_factory.mktemp("bucketed")
+    names = ("samples_bkt_a", "samples_bkt_b")
+    for t in names:
+        write_samples_bucketed(spark, SF_SMOKE, t, str(root / t))
+    yield names
+    for t in names:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_agg_join_has_zero_shuffles(spark, bucketed_tables):
+    """Bucketing by the series key makes per-series agg + join run with
+    no Exchange at all — the at-rest layout that kills the engine's one
+    recurring shuffle at 100 TB."""
+    from shards_prometheus_spark.plans import formatted_plan
+    from shards_prometheus_spark.sources.storage import bucketed_series_stats_join
+
+    a, b = bucketed_tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_series_stats_join(spark, a, b)
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+        # and the shuffle-free result matches the plain computation
+        from shards_prometheus_spark.model import samples
+
+        want = samples(spark, SF_SMOKE).groupBy("metric", "label_user").count()
+        got = df.count()
+        assert got == want.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
