@@ -18,6 +18,11 @@ from shards_prometheus_spark.streaming.ingest import (
     stream_events,
     windowed_sums_stream,
 )
+from shards_prometheus_spark.streaming.rollup import (
+    continuous_rollup,
+    dedup_events_stream,
+    read_rollup,
+)
 from shards_prometheus_spark.streaming.stateful import (
     stateful_increase_stream,
 )
@@ -32,4 +37,7 @@ __all__ = [
     "session_windows_stream",
     "run_to_memory",
     "stateful_increase_stream",
+    "continuous_rollup",
+    "read_rollup",
+    "dedup_events_stream",
 ]

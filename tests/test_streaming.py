@@ -275,3 +275,89 @@ def test_stream_windowed_sums_match_batch(spark):
         (r["metric"], r["ws"].isoformat()): r["s"] for r in batch.collect()
     }
     assert got == want
+
+
+def _split_events_dir(spark, tmp_path, n_parts=4, copies=1):
+    """Events split into n_parts time-ordered files (ascending mtimes →
+    file-source replay order); copies>1 re-delivers each part."""
+    import os
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").orderBy("ts")
+    rows = ev.collect()
+    src = str(tmp_path / "events_split")
+    os.makedirs(src, exist_ok=True)
+    chunk = (len(rows) + n_parts - 1) // n_parts
+    seq = 0
+    for i in range(n_parts):
+        pdf = spark.createDataFrame(rows[i * chunk : (i + 1) * chunk], ev.schema)
+        for c in range(copies):
+            d = f"{src}/batch_{i}_{c}.parquet.dir"
+            pdf.coalesce(1).write.mode("overwrite").parquet(d)
+            seq += 1
+            for root, _, files in os.walk(d):
+                for fn in files:
+                    os.utime(
+                        os.path.join(root, fn),
+                        (1_000_000 + seq, 1_000_000 + seq),
+                    )
+    return f"{src}/*.parquet.dir", len(rows)
+
+
+def test_continuous_rollup_matches_batch(spark, tmp_path):
+    """foreachBatch partial-aggregate rollup across 4 real micro-batches
+    merges (on read) to exactly the batch hourly aggregation."""
+    from shards_prometheus_spark.model import MICROS_PER_HOUR, samples
+    from shards_prometheus_spark.streaming import continuous_rollup, read_rollup
+    from shards_prometheus_spark.streaming.ingest import EVENTS_SCHEMA, samples_stream
+
+    glob, _ = _split_events_dir(spark, tmp_path, n_parts=4)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob)
+    )
+    out = str(tmp_path / "rollup_out")
+    q = continuous_rollup(
+        samples_stream(stream), out, str(tmp_path / "ckpt")
+    )
+    _await(q)
+    got = {tuple(r) for r in read_rollup(spark, out).collect()}
+    want = {
+        tuple(r)
+        for r in samples(spark, SF_SMOKE)
+        .withColumn(
+            "hour_ts", F.expr(f"ts_us div {MICROS_PER_HOUR}") * 3600
+        )
+        .groupBy("metric", "label_user", "hour_ts")
+        .agg(
+            F.round(F.sum("value"), 4).alias("sum_v"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("value"), 4).alias("min_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
+    """Each micro-batch re-delivered twice; dropDuplicatesWithinWatermark
+    keeps exactly one copy of every event."""
+    from shards_prometheus_spark.streaming import dedup_events_stream, run_to_memory
+    from shards_prometheus_spark.streaming.ingest import EVENTS_SCHEMA, samples_stream
+
+    glob, n = _split_events_dir(spark, tmp_path, n_parts=2, copies=2)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob)
+    )
+    q = run_to_memory(
+        dedup_events_stream(samples_stream(stream)),
+        "dedup_stream_t",
+        output_mode="append",
+    )
+    _await(q)
+    out = spark.table("dedup_stream_t")
+    assert out.count() == n
+    assert out.select("event_id").distinct().count() == n
