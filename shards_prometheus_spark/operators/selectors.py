@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from shards_prometheus_spark.model import SAMPLES_CTE, samples
+from shards_prometheus_spark.model import MICROS_PER_HOUR, SAMPLES_CTE, samples
 
 _ROW_COLS = ["event_id", "metric", "label_user", "ts_us"]
 
@@ -71,12 +71,62 @@ def absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def absent_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``absent_over_time(…[1h])`` on the hour grid: 1 for each
+    (metric ∪ probes) × hour combination with no samples.
+
+    Both grid dimensions are tiny (the series universe and the hour
+    range — never the corpus), so the cross join broadcasts; the
+    anti-join runs against the DISTINCT (metric, hour) pairs, which is
+    rollup-sized, not raw-sized."""
+    hour_ts = F.expr(f"ts_us div {MICROS_PER_HOUR}") * 3600
+    observed = (
+        samples(spark, sf_dir)
+        .select("metric", hour_ts.alias("hour_ts"))
+        .distinct()
+    )
+    metrics = (
+        observed.select("metric")
+        .unionByName(
+            spark.createDataFrame(
+                [(p,) for p in ABSENT_PROBES], "metric string"
+            )
+        )
+        .distinct()
+    )
+    hours = observed.select("hour_ts").distinct()
+    return (
+        metrics.crossJoin(hours)
+        .join(observed, ["metric", "hour_ts"], "left_anti")
+        .select("metric", "hour_ts", F.lit(1).cast("long").alias("absent"))
+    )
+
+
+def series_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Prometheus metadata surface (`/api/v1/series`,
+    `label_values` — what a scraper's UI asks the registry) as one
+    relation: per metric, live series count, sample count, and the
+    first/last sample time. One aggregation pass."""
+    return (
+        samples(spark, sf_dir)
+        .groupBy("metric")
+        .agg(
+            F.countDistinct("label_user").cast("long").alias("n_series"),
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.min("ts_us").alias("first_ts_us"),
+            F.max("ts_us").alias("last_ts_us"),
+        )
+    )
+
+
 _probe_values = ", ".join(f"('{p}')" for p in ABSENT_PROBES)
 
 QUERIES = {
     "label_filter_eq": label_filter_eq,
     "label_filter_regex": label_filter_regex,
     "absent": absent,
+    "absent_over_time": absent_over_time,
+    "series_catalog": series_catalog,
 }
 
 ORACLES = {
@@ -95,5 +145,24 @@ ORACLES = {
         f"{SAMPLES_CTE}, probes(probe_metric) AS (VALUES {_probe_values}) "
         "SELECT probe_metric AS metric, CAST(1 AS BIGINT) AS absent "
         "FROM probes WHERE probe_metric NOT IN (SELECT DISTINCT metric FROM samples)"
+    ),
+    "absent_over_time": (
+        f"{SAMPLES_CTE}, obs AS (SELECT DISTINCT metric, "
+        f"(ts_us // {MICROS_PER_HOUR}) * 3600 AS hour_ts FROM samples), "
+        "mets AS (SELECT DISTINCT metric FROM obs "
+        f"UNION SELECT probe_metric FROM (VALUES {_probe_values}) "
+        "p(probe_metric)), "
+        "hrs AS (SELECT DISTINCT hour_ts FROM obs) "
+        "SELECT m.metric, h.hour_ts, CAST(1 AS BIGINT) AS absent "
+        "FROM mets m CROSS JOIN hrs h "
+        "LEFT JOIN obs o ON o.metric = m.metric AND o.hour_ts = h.hour_ts "
+        "WHERE o.metric IS NULL"
+    ),
+    "series_catalog": (
+        f"{SAMPLES_CTE} "
+        "SELECT metric, CAST(COUNT(DISTINCT label_user) AS BIGINT) AS n_series, "
+        "CAST(COUNT(*) AS BIGINT) AS n_samples, "
+        "MIN(ts_us) AS first_ts_us, MAX(ts_us) AS last_ts_us "
+        "FROM samples GROUP BY metric"
     ),
 }
