@@ -14,7 +14,7 @@ revenue per click per user, inner-matched like PromQL vector matching
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shards_prometheus_spark.model import SAMPLES_CTE, dround, samples
@@ -67,7 +67,35 @@ def vector_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"vector_binop": vector_binop, "vector_compare": vector_compare}
+def vector_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL many-to-one matching (`group_left`): each series divided
+    by a one-per-metric aggregate — here every series' share of its
+    metric total, `sum by(metric,user)(x) / on(metric) group_left
+    sum by(metric)(x)`.
+
+    Expressed as a window over the per-series aggregate (one pass, no
+    second scan or join: the "one" side is the window partition total).
+    The oracle states the same join PromQL describes — equality proves
+    the window form equivalent."""
+    per_series = (
+        samples(spark, sf_dir)
+        .groupBy("metric", "label_user")
+        .agg(F.round(F.sum("value"), 4).alias("series_sum"))
+    )
+    total = F.sum("series_sum").over(Window.partitionBy("metric"))
+    return per_series.select(
+        "metric",
+        "label_user",
+        "series_sum",
+        F.round(F.col("series_sum") / total, 6).alias("share"),
+    )
+
+
+QUERIES = {
+    "vector_binop": vector_binop,
+    "vector_compare": vector_compare,
+    "vector_share": vector_share,
+}
 
 ORACLES = {
     "vector_binop": (
@@ -93,5 +121,14 @@ ORACLES = {
         "SELECT 'bool:' || label_user, lhs_sum, "
         "CAST(CASE WHEN lhs_sum > rhs_sum THEN 1 ELSE 0 END AS BIGINT) "
         "FROM m"
+    ),
+    "vector_share": (
+        f"{SAMPLES_CTE}, ps AS (SELECT metric, label_user, "
+        "ROUND(SUM(value), 4) AS series_sum FROM samples "
+        "GROUP BY metric, label_user), "
+        "tot AS (SELECT metric, SUM(series_sum) AS t FROM ps GROUP BY metric) "
+        "SELECT ps.metric, ps.label_user, ps.series_sum, "
+        f"{dround('ps.series_sum / tot.t', 6)} AS share "
+        "FROM ps JOIN tot ON ps.metric = tot.metric"
     ),
 }
