@@ -244,12 +244,109 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Lloyd iterations for the IVF quantizer training (fixed + unrolled in
+#: the oracle).
+KMEANS_ITERS = 3
+
+
+def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF coarse quantizer: k-means (Lloyd) over the corpus,
+    k = 4, init = the deterministic seed vectors the untrained IVF uses
+    (IVF_CENTROID_IDS), 3 iterations — the "real build" step the
+    `similarity_ivf` docstring defers to.
+
+    Distributed shape per iteration: assignment is a broadcast join of
+    the (k·dim)-row centroid model against the dim-exploded corpus +
+    one aggregation; the update aggregates members per (centroid, dim).
+    The model is collected to the driver between iterations (k·dim rows
+    — model-sized, not corpus-sized: the MLlib idiom). Every
+    accumulation-order-dependent float (dist², means) is pinned to 6 dp
+    in BOTH engines so assignment decisions are identical; ties break
+    on cent_id. Output: per final centroid, member count and norm.
+    """
+    dims = _dims(spark, sf_dir).persist()
+    cents = (
+        dims.filter(F.col("vec_id").isin(IVF_CENTROID_IDS))
+        .select(
+            F.col("vec_id").alias("cent_id"), "d", F.round("v", 6).alias("c")
+        )
+    )
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        diff = F.col("v") - F.col("c")
+        dist = (
+            dims.join(F.broadcast(cents), "d")
+            .groupBy("vec_id", "cent_id")
+            .agg(F.round(F.sum(diff * diff), 6).alias("dist2"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist2", "cent_id")
+        assign = (
+            dist.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cent_id")
+        )
+        model = (
+            assign.join(dims, "vec_id")
+            .groupBy("cent_id", "d")
+            .agg(F.round(F.avg("v"), 6).alias("c"))
+        )
+        cents = spark.createDataFrame(
+            model.collect(), "cent_id long, d int, c double"
+        )
+    counts = assign.groupBy("cent_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    norms = cents.groupBy("cent_id").agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 4).alias(
+            "centroid_norm"
+        )
+    )
+    return counts.join(norms, "cent_id")
+
+
 _DIMS_CTE = (
     "WITH dims AS (SELECT vec_id, gs - 1 AS d, CAST(v AS DOUBLE) AS v FROM ("
     "SELECT vec_id, unnest(embedding) AS v, "
     "generate_subscripts(embedding, 1) AS gs FROM embeddings)), "
     "nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM dims GROUP BY vec_id)"
 )
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unrolled Lloyd iterations as chained CTEs, same 6-dp pinning."""
+    from shards_prometheus_spark.model import dround
+
+    ids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    parts = [
+        "WITH e AS (SELECT vec_id, gs - 1 AS d, CAST(v AS DOUBLE) AS v "
+        "FROM (SELECT vec_id, unnest(embedding) AS v, "
+        "generate_subscripts(embedding, 1) AS gs FROM embeddings)), "
+        f"c0 AS (SELECT vec_id AS cent_id, d, {dround('v', 6)} AS c "
+        f"FROM e WHERE vec_id IN ({ids}))"
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        d2 = dround("SUM((e.v - c.c) * (e.v - c.c))", 6)
+        parts.append(
+            f", d{i} AS (SELECT e.vec_id, c.cent_id, {d2} AS dist2 "
+            f"FROM e JOIN c{i - 1} c ON e.d = c.d "
+            "GROUP BY e.vec_id, c.cent_id), "
+            f"a{i} AS (SELECT vec_id, cent_id FROM ("
+            "SELECT vec_id, cent_id, ROW_NUMBER() OVER ("
+            "PARTITION BY vec_id ORDER BY dist2, cent_id) AS rk "
+            f"FROM d{i}) WHERE rk = 1), "
+            f"c{i} AS (SELECT a.cent_id, e.d, {dround('AVG(e.v)', 6)} AS c "
+            f"FROM a{i} a JOIN e ON e.vec_id = a.vec_id "
+            "GROUP BY a.cent_id, e.d)"
+        )
+    last = KMEANS_ITERS
+    parts.append(
+        " SELECT n.cent_id, n.n_members, m.centroid_norm FROM "
+        f"(SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_members FROM a{last} "
+        "GROUP BY cent_id) n JOIN "
+        f"(SELECT cent_id, {dround('SQRT(SUM(c * c))', 4)} AS centroid_norm "
+        f"FROM c{last} GROUP BY cent_id) m ON n.cent_id = m.cent_id"
+    )
+    return "".join(parts)
 
 _COS_TO_QUERY = (
     f"{_DIMS_CTE}, qd AS (SELECT d, v FROM dims WHERE vec_id = {QUERY_VEC_ID}), "
@@ -293,11 +390,13 @@ QUERIES = {
     "similarity_topk": similarity_topk,
     "similarity_lsh": similarity_lsh,
     "similarity_ivf": similarity_ivf,
+    "similarity_kmeans": similarity_kmeans,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLES = {
     "similarity_ivf": _IVF_SQL,
+    "similarity_kmeans": _kmeans_oracle_sql(),
     "similarity_topk": (
         f"{_COS_TO_QUERY} "
         "SELECT vec_id, ROUND(cos6, 4) AS cosine, CAST(rk AS BIGINT) AS rk FROM ("

@@ -162,3 +162,17 @@ def test_split_assign_partitions_corpus(spark):
     assert set(by) <= {"train", "val", "test"}
     assert sum(by.values()) == n
     assert by["train"] / n > 0.8
+
+
+def test_kmeans_partitions_corpus(spark):
+    """Every vector lands in exactly one final cluster; centroid norms
+    are positive and k ≤ 4 clusters survive."""
+    from shards_prometheus_spark.model import load_table
+    from shards_prometheus_spark.operators.similarity import similarity_kmeans
+    from tests.conftest import SF_SMOKE
+
+    rows = similarity_kmeans(spark, SF_SMOKE).collect()
+    n_vecs = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert 1 <= len(rows) <= 4
+    assert sum(r["n_members"] for r in rows) == n_vecs
+    assert all(r["centroid_norm"] > 0 for r in rows)
