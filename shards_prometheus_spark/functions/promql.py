@@ -110,7 +110,28 @@ def props_label_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL time functions (``minute``/``hour``/``day_of_week``/
+    ``day_of_month``/``month``/``year``) over sample timestamps, UTC.
+
+    minute/hour/day_of_week are pure int64 arithmetic on ts_us —
+    engine-portable by construction (PromQL defines day_of_week as
+    0=Sunday; epoch day 0 is a Thursday, hence the +4). Calendar parts
+    use engine date functions pinned to the UTC session timezone."""
+    ts = F.timestamp_micros(F.col("ts_us"))
+    return samples(spark, sf_dir).select(
+        "event_id",
+        F.expr("(ts_us div 60000000) % 60").alias("minute"),
+        F.expr("(ts_us div 3600000000) % 24").alias("hour"),
+        F.expr("((ts_us div 86400000000) + 4) % 7").alias("day_of_week"),
+        F.dayofmonth(ts).cast("long").alias("day_of_month"),
+        F.month(ts).cast("long").alias("month"),
+        F.year(ts).cast("long").alias("year"),
+    )
+
+
 QUERIES = {
+    "time_components": time_components,
     "label_replace": label_replace,
     "label_join": label_join,
     "clamp_values": clamp_values,
@@ -123,6 +144,16 @@ _SERIES_SQL = (
 )
 
 ORACLES = {
+    "time_components": (
+        f"{SAMPLES_CTE} "
+        "SELECT event_id, (ts_us // 60000000) % 60 AS minute, "
+        "(ts_us // 3600000000) % 24 AS hour, "
+        "((ts_us // 86400000000) + 4) % 7 AS day_of_week, "
+        "CAST(day(make_timestamp(ts_us)) AS BIGINT) AS day_of_month, "
+        "CAST(month(make_timestamp(ts_us)) AS BIGINT) AS month, "
+        "CAST(year(make_timestamp(ts_us)) AS BIGINT) AS year "
+        "FROM samples"
+    ),
     "label_replace": (
         f"{SAMPLES_CTE}, ser AS (SELECT DISTINCT metric, label_user "
         "FROM samples) SELECT metric, label_user, "
