@@ -82,7 +82,14 @@ def main() -> None:
     if os.path.isdir(WARMUP_SF_DIR) and os.path.abspath(
         WARMUP_SF_DIR
     ) != os.path.abspath(sf_dir):
-        for wname in ("counter_sum", "histogram_quantile", "tpch_q3"):
+        # multimodal_decode warms the Python/Arrow worker pool — the
+        # only cold-start cost the JVM-side shapes don't cover
+        for wname in (
+            "counter_sum",
+            "histogram_quantile",
+            "tpch_q3",
+            "multimodal_decode",
+        ):
             wfn = queries.get(wname)
             if wfn is not None:
                 wfn(spark, WARMUP_SF_DIR).count()
