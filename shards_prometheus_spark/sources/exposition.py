@@ -160,7 +160,18 @@ class MetricsExposer:
     point it at the memory-sink table instead.
     """
 
-    def __init__(self, spark, sf_dir: str, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        spark,
+        sf_dir: str = "",
+        host: str = "127.0.0.1",
+        port: int = 0,
+        lines_fn=None,
+    ):
+        """`lines_fn` (optional): zero-arg callable returning the line
+        DataFrame — lets the exposer serve a LIVE source (a streaming
+        memory-sink registry) instead of the batch sf_dir relations;
+        collect-on-scrape semantics are identical either way."""
         import http.server
         import threading
 
@@ -185,6 +196,7 @@ class MetricsExposer:
 
         self._spark = spark
         self._sf_dir = sf_dir
+        self._lines_fn = lines_fn
         self._server = http.server.ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._server.server_address[:2]
         self._thread = threading.Thread(
@@ -192,7 +204,10 @@ class MetricsExposer:
         )
 
     def collect_text(self) -> str:
-        lines = exposition_lines(self._spark, self._sf_dir).collect()
+        if self._lines_fn is not None:
+            lines = self._lines_fn().collect()
+        else:
+            lines = exposition_lines(self._spark, self._sf_dir).collect()
         return "\n".join(sorted(r["line"] for r in lines)) + "\n"
 
     def start(self) -> "MetricsExposer":

@@ -19,6 +19,7 @@ from shards_prometheus_spark.streaming.ingest import (
     windowed_sums_stream,
 )
 from shards_prometheus_spark.streaming.rollup import (
+    compact_rollup,
     continuous_rollup,
     dedup_events_stream,
     read_rollup,
@@ -38,6 +39,7 @@ __all__ = [
     "run_to_memory",
     "stateful_increase_stream",
     "continuous_rollup",
+    "compact_rollup",
     "read_rollup",
     "dedup_events_stream",
 ]

@@ -80,6 +80,34 @@ def read_rollup(spark: SparkSession, out_path: str) -> DataFrame:
     )
 
 
+def compact_rollup(spark: SparkSession, out_path: str) -> None:
+    """Collapse accumulated partials to one row per (series, hour) —
+    the periodic maintenance job of the merge-on-read design. Readers
+    (`read_rollup`) see identical results before and after (partials
+    are mergeable); compaction just bounds read amplification as
+    micro-batches accumulate. Writes to a staging dir then swaps, so a
+    crash mid-compaction never loses the table."""
+    import os
+    import shutil
+
+    compacted = (
+        spark.read.parquet(out_path)
+        .groupBy(*ROLLUP_KEYS)
+        .agg(
+            F.sum("sum_v").alias("sum_v"),
+            F.sum("n").cast("long").alias("n"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+    staging = out_path.rstrip("/") + ".compact.tmp"
+    compacted.write.mode("overwrite").parquet(staging)
+    old = out_path.rstrip("/") + ".old"
+    os.rename(out_path, old)
+    os.rename(staging, out_path)
+    shutil.rmtree(old)
+
+
 def dedup_events_stream(
     samples: DataFrame, horizon: str = "365 days"
 ) -> DataFrame:

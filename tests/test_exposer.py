@@ -67,3 +67,74 @@ def test_exposition_round_trip_recovers_snapshot(spark):
         .collect()
     }
     assert parsed == snap
+
+
+def test_live_scrape_of_streaming_registry(spark):
+    """End-to-end live registry: streaming counter totals land in a
+    memory sink; the HTTP exposer renders THAT table per scrape
+    (collect-on-scrape, like the reference's Registry::Collect behind
+    prometheus.cpp:80); the scraped payload equals the batch counter
+    snapshot rendered the same way."""
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.operators.counters import counter_sum
+    from shards_prometheus_spark.streaming import (
+        counter_totals_stream,
+        run_to_memory,
+        samples_stream,
+        stream_events,
+    )
+
+    q = run_to_memory(
+        counter_totals_stream(samples_stream(stream_events(spark, SF_SMOKE))),
+        "live_registry_t",
+    )
+    q.awaitTermination(120)
+
+    def live_lines():
+        return spark.table("live_registry_t").select(
+            F.concat(
+                F.col("metric"),
+                F.lit('_total{user="'),
+                F.col("label_user"),
+                F.lit('"} '),
+                F.round("total", 4).cast("decimal(28,4)").cast("string"),
+            ).alias("line")
+        )
+
+    exposer = MetricsExposer(spark, lines_fn=live_lines).start()
+    try:
+        import urllib.request
+
+        url = f"http://{exposer.host}:{exposer.port}/metrics"
+        with urllib.request.urlopen(url, timeout=60) as resp:
+            body = resp.read().decode()
+    finally:
+        exposer.stop()
+    want = sorted(
+        f'{r["metric"]}_total{{user="{r["label_user"]}"}} {r["sum_value"]:.4f}'
+        for r in counter_sum(spark, SF_SMOKE).collect()
+    )
+    assert body.splitlines() == want
+
+
+def test_compact_rollup_preserves_reads(spark, tmp_path):
+    """Compaction collapses partials without changing what readers see."""
+    import os
+
+    from shards_prometheus_spark.streaming import continuous_rollup, read_rollup
+    from shards_prometheus_spark.streaming.ingest import samples_stream, stream_events
+    from shards_prometheus_spark.streaming.rollup import compact_rollup
+
+    out = str(tmp_path / "rollup_out")
+    q = continuous_rollup(
+        samples_stream(stream_events(spark, SF_SMOKE)),
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    before = {tuple(r) for r in read_rollup(spark, out).collect()}
+    compact_rollup(spark, out)
+    after = {tuple(r) for r in read_rollup(spark, out).collect()}
+    assert after == before
+    assert not os.path.exists(out + ".compact.tmp")
