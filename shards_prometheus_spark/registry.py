@@ -24,6 +24,7 @@ from shards_prometheus_spark.operators import (
     multimodal,
     olap,
     pipeline,
+    quality,
     range_functions,
     rollup,
     selectors,
@@ -45,6 +46,7 @@ _MODULES = [
     binop,
     olap,
     pipeline,
+    quality,
     promql_functions,
     snapshot,
     exposition,
