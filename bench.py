@@ -50,6 +50,9 @@ HEADLINE = [
     "text_quality_score",
     "pack_chunks",
     "contamination_ngram",
+    "user_sessions",
+    "retention_cohorts",
+    "similarity_kmeans",
     "multimodal_decode",
     "tpch_q1",
     "tpch_q3",
