@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from shards_prometheus_spark.model import (
     MICROS_PER_HOUR,
     SAMPLES_CTE,
+    dround,
     samples,
 )
 
@@ -261,8 +262,60 @@ def quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Probe metric for time-series similarity search.
+SIM_PROBE_METRIC = "purchase"
+
+
+def series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the 'find metrics that move like
+    this one' query; cf. "Time Series Similarity Search for Streaming
+    Data in Distributed Systems", EDBT 2019 — PAPERS.md): Pearson
+    correlation of each metric's hourly-sum profile against the probe
+    metric's, over their aligned hours.
+
+    Scale shape: correlation runs over the HOURLY ROLLUP (series-hours,
+    not raw samples) and the probe profile broadcasts; the correlation
+    is explicit sum arithmetic (nΣxy − ΣxΣy …), not an engine-native
+    corr(), so both engines compute the identical expression."""
+    hour_ts = F.expr(f"ts_us div {MICROS_PER_HOUR}") * 3600
+    hourly = (
+        samples(spark, sf_dir)
+        .groupBy("metric", hour_ts.alias("hour_ts"))
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    probe = hourly.filter(F.col("metric") == SIM_PROBE_METRIC).select(
+        "hour_ts", F.col("v").alias("pv")
+    )
+    joined = (
+        hourly.filter(F.col("metric") != SIM_PROBE_METRIC)
+        .join(F.broadcast(probe), "hour_ts")
+    )
+    g = joined.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum("pv").alias("sy"),
+        F.sum(F.col("v") * F.col("pv")).alias("sxy"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+        F.sum(F.col("pv") * F.col("pv")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        g.filter(den != 0)
+        .select(
+            "metric",
+            F.col("n").cast("long").alias("n_hours"),
+            F.round(num / den, 4).alias("pearson_corr"),
+        )
+    )
+
+
 QUERIES = {
     "quantile_over_time": quantile_over_time,
+    "series_similarity": series_similarity,
     "gauge_delta": gauge_delta,
     "counter_resets": counter_resets,
     "over_time_stats": over_time_stats,
@@ -274,6 +327,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "series_similarity": (
+        f"{SAMPLES_CTE}, hourly AS (SELECT metric, {_HOUR} AS hour_ts, "
+        "ROUND(SUM(value), 4) AS v FROM samples GROUP BY metric, hour_ts), "
+        "probe AS (SELECT hour_ts, v AS pv FROM hourly "
+        f"WHERE metric = '{SIM_PROBE_METRIC}'), "
+        "g AS (SELECT h.metric, CAST(COUNT(*) AS DOUBLE) AS n, "
+        "SUM(h.v) AS sx, SUM(p.pv) AS sy, SUM(h.v * p.pv) AS sxy, "
+        "SUM(h.v * h.v) AS sxx, SUM(p.pv * p.pv) AS syy "
+        f"FROM hourly h JOIN probe p USING (hour_ts) "
+        f"WHERE h.metric <> '{SIM_PROBE_METRIC}' GROUP BY h.metric) "
+        "SELECT metric, CAST(n AS BIGINT) AS n_hours, "
+        + dround(
+            "(n * sxy - sx * sy) / "
+            "SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))",
+            4,
+        )
+        + " AS pearson_corr FROM g "
+        "WHERE (n * sxx - sx * sx) * (n * syy - sy * sy) <> 0"
+    ),
     "quantile_over_time": (
         f"{SAMPLES_CTE}, k AS (SELECT metric, label_user, {_HOUR} AS hour_ts, "
         "value, event_id FROM samples), "

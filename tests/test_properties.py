@@ -176,3 +176,29 @@ def test_kmeans_partitions_corpus(spark):
     assert 1 <= len(rows) <= 4
     assert sum(r["n_members"] for r in rows) == n_vecs
     assert all(r["centroid_norm"] > 0 for r in rows)
+
+
+def test_funnel_is_monotone(spark):
+    """Funnel counts can only shrink stage to stage; conversion from
+    the first stage is 1.0 by construction."""
+    from shards_prometheus_spark.operators.olap import funnel_stages
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["stage"]: r for r in funnel_stages(spark, SF_SMOKE).collect()}
+    assert rows["signup"]["conv_rate"] == 1.0
+    assert rows["signup"]["n_users"] >= rows["view"]["n_users"]
+    assert rows["view"]["n_users"] >= rows["purchase"]["n_users"]
+
+
+def test_retention_triangle_shape(spark):
+    """Week-0 retention is 1.0 for every cohort (everyone is active in
+    their own first week) and no cell exceeds its cohort size."""
+    from shards_prometheus_spark.operators.olap import retention_cohorts
+    from tests.conftest import SF_SMOKE
+
+    rows = retention_cohorts(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_active"] <= r["cohort_size"]
+        if r["week_offset"] == 0:
+            assert r["retention"] == 1.0
