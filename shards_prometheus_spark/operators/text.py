@@ -73,6 +73,57 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Character-trigram profile for English (top corpus-independent
+#: trigrams; a real build learns per-language profiles from labeled
+#: text — the relation shape is identical).
+EN_TRIGRAMS = ["the", "ing", "and", "ent", "ion", "her", "for", "tha"]
+NGRAM_LANG_THRESHOLD = 0.01
+
+
+def text_language_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by character-n-gram profile: the fraction of a
+    document's char trigrams that hit the language profile (the
+    n-gram-profile method of Cavnar-Trenkle-style classifiers, profile
+    broadcast). Complements the stopword-ratio heuristic
+    (`text_language_id`) with the brief's literal n-gram form."""
+    docs = load_table(spark, sf_dir, "documents")
+    # length >= 3 guard: sequence(1, 0) would DESCEND in Spark
+    tri = docs.filter(F.length("text") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(lower(text)) - 2), "
+                "i -> substring(lower(text), i, 3))"
+            )
+        ).alias("tri"),
+    )
+    profile = spark.createDataFrame(
+        [(t,) for t in EN_TRIGRAMS], "tri string"
+    )
+    hits = (
+        tri.join(F.broadcast(profile), "tri", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    totals = tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams")
+    )
+    ratio = F.col("n_hits") / F.col("n_trigrams")
+    return (
+        totals.join(hits, "doc_id", "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_hits",
+            F.round(ratio, 4).alias("hit_ratio"),
+            F.when(ratio >= NGRAM_LANG_THRESHOLD, F.lit("en"))
+            .otherwise(F.lit("other"))
+            .alias("pred_lang"),
+        )
+    )
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality in [0,1]: stopword ratio + length + word-shape mixture."""
     stats = _doc_stats(spark, sf_dir)
@@ -127,6 +178,7 @@ _DOC_STATS_SQL = (
 QUERIES = {
     "text_token_counts": text_token_counts,
     "text_language_id": text_language_id,
+    "text_language_ngram": text_language_ngram,
     "text_quality_score": text_quality_score,
     "text_fingerprint": text_fingerprint,
     "token_count_bpe": token_count_bpe,
@@ -139,6 +191,24 @@ ORACLES = {
         "SELECT token, n, CAST(rk AS BIGINT) AS rk FROM ("
         "SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rk "
         f"FROM counts) WHERE rk <= {TOP_TOKENS_K}"
+    ),
+    "text_language_ngram": (
+        "WITH tri AS (SELECT doc_id, substring(lower(text), i, 3) AS tri "
+        "FROM documents CROSS JOIN LATERAL ("
+        "SELECT unnest(generate_series(1, length(text) - 2)) AS i) "
+        "WHERE length(text) >= 3), "
+        "tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams "
+        "FROM tri GROUP BY doc_id), "
+        "hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits "
+        "FROM tri WHERE tri IN ("
+        + ", ".join(f"'{t}'" for t in EN_TRIGRAMS)
+        + ") GROUP BY doc_id) "
+        "SELECT t.doc_id, t.n_trigrams, COALESCE(h.n_hits, 0) AS n_hits, "
+        + dround("COALESCE(h.n_hits, 0) * 1.0 / t.n_trigrams", 4)
+        + " AS hit_ratio, "
+        "CASE WHEN COALESCE(h.n_hits, 0) * 1.0 / t.n_trigrams >= "
+        f"{NGRAM_LANG_THRESHOLD} THEN 'en' ELSE 'other' END AS pred_lang "
+        "FROM tot t LEFT JOIN hits h USING (doc_id)"
     ),
     "text_language_id": (
         f"{_DOC_STATS_SQL} "
