@@ -27,9 +27,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from shards_prometheus_spark.model import load_table
+from shards_prometheus_spark.model import dround, load_table
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -232,9 +233,72 @@ _W_SQL = "(64 + 16 * (doc_id % 7))"
 _H_SQL = "(48 + 16 * (doc_id % 5))"
 _SCALE_SQL = f"greatest({_W_SQL}, {_H_SQL}, 1)"
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("rms_byte", DoubleType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Feature extraction for audio payloads: waveform-style stats
+    (mean and RMS of the raw sample bytes) via a vectorized numpy
+    kernel per Arrow batch — the feature-extract stage of the decode
+    pipeline (a real build computes spectral features here; the
+    Spark-side contract is identical)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nbytes, means, rmss = [], [], [], []
+            for mid, kind, data in zip(
+                pdf["media_id"], pdf["kind"], pdf["data"]
+            ):
+                if kind != "audio" or not data:
+                    continue
+                # integer byte sums are exact in double, so the raw
+                # stats are bit-identical to the oracle's; rounding
+                # happens OUTSIDE the kernel with F.round (HALF_UP, the
+                # dround twin) — Python's round() is half-even and
+                # would diverge on exact ties
+                arr = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                ids.append(mid)
+                nbytes.append(len(data))
+                means.append(float(arr.mean()))
+                rmss.append(float(np.sqrt((arr * arr).mean())))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "n_bytes": pd.array(nbytes, dtype="int64"),
+                    "mean_byte": pd.array(means, dtype="float64"),
+                    "rms_byte": pd.array(rmss, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """feature-extract over the audio rows of the media table. The
+    DuckDB oracle recomputes the same stats declaratively from char
+    codes (the corpus is ASCII, which n_bytes itself cross-checks) —
+    the Python kernel is verified against a relational spec."""
+    raw = audio_features(_spread(media_from_documents(spark, sf_dir)))
+    return raw.select(
+        "media_id",
+        "n_bytes",
+        F.round("mean_byte", 4).alias("mean_byte"),
+        F.round("rms_byte", 4).alias("rms_byte"),
+    )
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frames": multimodal_frames,
+    "multimodal_audio_features": multimodal_audio_features,
 }
 
 ORACLES = {
@@ -256,5 +320,17 @@ ORACLES = {
         "SELECT media_id, CAST(f AS INTEGER) AS frame_idx, "
         "md5(substring(text, f * 64 + 1, 64)) AS frame_checksum "
         "FROM v, generate_series(0, 2) AS g(f) WHERE f < n_frames"
+    ),
+    "multimodal_audio_features": (
+        "WITH a AS (SELECT doc_id AS media_id, text FROM documents "
+        "WHERE doc_id % 3 = 1 AND strlen(text) > 0), "
+        "b AS (SELECT media_id, ascii(substring(text, i, 1)) AS bv "
+        "FROM a CROSS JOIN LATERAL ("
+        "SELECT unnest(generate_series(1, strlen(text))) AS i)) "
+        "SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_bytes, "
+        + dround("AVG(bv)", 4)
+        + " AS mean_byte, "
+        + dround("SQRT(AVG(bv * bv))", 4)
+        + " AS rms_byte FROM b GROUP BY media_id"
     ),
 }
