@@ -164,9 +164,30 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed pivot column set — explicit values keep the pivot a single
+#: pass (no values-discovery job) and give the output a stable schema,
+#: which is also what a 100 TB pivot needs (never auto-discover
+#: unbounded pivot values).
+PIVOT_METRICS = ["click", "error", "purchase", "signup", "view"]
+
+
+def metric_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user metric matrix: `groupBy(user).pivot(metric)` with
+    an explicit value list — Spark plans it as ONE aggregation pass
+    with conditional sums (exactly what the oracle states), not a job
+    per column. Missing combinations stay NULL."""
+    return (
+        samples(spark, sf_dir)
+        .groupBy("label_user")
+        .pivot("metric", PIVOT_METRICS)
+        .agg(F.round(F.sum("value"), 4))
+    )
+
+
 QUERIES = {
     "grouping_sets_agg": grouping_sets_agg,
     "set_ops_users": set_ops_users,
+    "metric_pivot": metric_pivot,
     "user_sessions": user_sessions,
     "funnel_stages": funnel_stages,
     "retention_cohorts": retention_cohorts,
@@ -195,6 +216,14 @@ ORACLES = {
         "UNION ALL "
         "SELECT 'only_b', label_user FROM "
         "(SELECT label_user FROM b EXCEPT SELECT label_user FROM a)"
+    ),
+    "metric_pivot": (
+        f"{SAMPLES_CTE} SELECT label_user, "
+        + ", ".join(
+            f"ROUND(SUM(CASE WHEN metric = '{m}' THEN value END), 4) AS {m}"
+            for m in PIVOT_METRICS
+        )
+        + " FROM samples GROUP BY label_user"
     ),
     "user_sessions": (
         f"{SAMPLES_CTE}, f AS (SELECT label_user, ts_us, event_id, "
