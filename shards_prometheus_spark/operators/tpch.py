@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from shards_prometheus_spark.model import load_table
+from shards_prometheus_spark.model import dround, load_table
 
 Q1_CUTOFF = "1998-09-02"
 Q3_SEGMENT = "BUILDING"
@@ -149,11 +149,79 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q10_FROM, Q10_TO = "1996-01-01", "1996-04-01"
+Q10_TOP_N = 20
+Q18_MIN_QTY = 180
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (q10 shape): revenue lost to returns per
+    customer over a quarter — fact⋈fact on the order key with the
+    customer/nation dims broadcast, top-20 by revenue."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_FROM).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(Q10_TO).cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    # exact integer-cents arithmetic: price and discount are 2-decimal,
+    # so the per-item revenue is an exact integer in 10^-4 dollars and
+    # the SUM is order-independent — this group count is large enough
+    # that float accumulation would otherwise straddle half-cent
+    # rounding boundaries between engines
+    pe = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pd = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    revenue = F.sum(pe * pd) / 10_000.0
+    grouped = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        grouped.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= Q10_TOP_N)
+    )
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (q18 shape): orders whose total quantity
+    exceeds the threshold — the aggregate-then-semi-join pattern (the
+    HAVING relation is small and broadcasts back against the facts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
 QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
     "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6,
+    "tpch_q10": tpch_q10,
+    "tpch_q18": tpch_q18,
 }
 
 ORACLES = {
@@ -207,5 +275,36 @@ ORACLES = {
         f"AND o.o_orderdate >= TIMESTAMP '{Q5_FROM} 00:00:00' "
         f"AND o.o_orderdate < TIMESTAMP '{Q5_TO} 00:00:00' "
         "GROUP BY n.n_name"
+    ),
+    "tpch_q10": (
+        "WITH g AS (SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name, "
+        + dround(
+            "SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * "
+            "CAST(ROUND((1 - l.l_discount) * 100) AS BIGINT)) / 10000.0",
+            2,
+        )
+        + " AS revenue "
+        "FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE l.l_returnflag = 'R' "
+        f"AND o.o_orderdate >= TIMESTAMP '{Q10_FROM} 00:00:00' "
+        f"AND o.o_orderdate < TIMESTAMP '{Q10_TO} 00:00:00' "
+        "GROUP BY 1, 2, 3, 4) "
+        "SELECT c_custkey, c_name, c_acctbal, n_name, revenue, "
+        "CAST(rk AS BIGINT) AS rk FROM ("
+        "SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey ASC) "
+        f"AS rk FROM g) WHERE rk <= {Q10_TOP_N}"
+    ),
+    "tpch_q18": (
+        "WITH big AS (SELECT l_orderkey, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty FROM lineitem "
+        f"GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 2) > {Q18_MIN_QTY}) "
+        "SELECT c.c_name, c.c_custkey, o.o_orderkey, "
+        "strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+        "ROUND(o.o_totalprice, 2) AS o_totalprice, big.sum_qty "
+        "FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey"
     ),
 }
