@@ -58,6 +58,8 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
 ]
 
 #: JIT warmup scale: tiny data, same query shapes (codegen + shuffle
