@@ -175,3 +175,46 @@ def test_bucketed_agg_join_has_zero_shuffles(spark, bucketed_tables):
         assert got == want.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_contamination_benchmark_join_broadcasts(spark):
+    """The benchmark shingle set must reach the corpus as a broadcast
+    left-semi join — a shuffle on `shingle` here would re-shuffle the
+    corpus at 100 TB."""
+    from shards_prometheus_spark.operators.pipeline import contamination_ngram
+    from shards_prometheus_spark.plans import formatted_plan
+
+    plan = formatted_plan(contamination_ngram(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pack_chunks_prefix_sum_is_sharded(spark):
+    """The corpus prefix-sum window must be partitioned by the range
+    shard — a corpus-wide single-partition window would serialize
+    packing at scale. (The only single-partition pieces are the tiny
+    vocab-rank and shard-offset relations.)"""
+    from shards_prometheus_spark.operators.pipeline import pack_chunks
+    from shards_prometheus_spark.plans import formatted_plan
+
+    plan = formatted_plan(pack_chunks(spark, SF_SMOKE))
+    assert "hashpartitioning(shard" in plan
+
+
+def test_vector_share_is_one_pass(spark):
+    """group_left matching rewritten as a window: the plan must contain
+    NO join — the 'one' side is the window partition total."""
+    from shards_prometheus_spark.operators.binop import vector_share
+    from shards_prometheus_spark.plans import formatted_plan
+
+    plan = formatted_plan(vector_share(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_tpch_q10_dimensions_broadcast(spark):
+    from shards_prometheus_spark.operators.tpch import tpch_q10
+    from shards_prometheus_spark.plans import formatted_plan
+
+    plan = formatted_plan(tpch_q10(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
