@@ -70,6 +70,19 @@ def samples_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def enriched_stream(samples: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static dimension enrichment: the unbounded samples
+    stream left-joined to a bounded dimension table (broadcast hash
+    join — the static side is re-resolved per micro-batch, so a
+    slowly-changing dimension is picked up as it changes; at scale,
+    this is the standard enrich-on-ingest shape)."""
+    dim = customer.select(
+        F.col("c_custkey").cast("string").alias("label_user"),
+        "c_mktsegment",
+    )
+    return samples.join(F.broadcast(dim), "label_user", "left")
+
+
 def counter_totals_stream(samples: DataFrame) -> DataFrame:
     """Running counter totals per series, update-mode semantics."""
     return (

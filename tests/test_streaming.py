@@ -361,3 +361,47 @@ def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
     out = spark.table("dedup_stream_t")
     assert out.count() == n
     assert out.select("event_id").distinct().count() == n
+
+
+def test_stream_static_enrichment(spark):
+    """Stream-static broadcast join: every streamed sample is enriched
+    with its customer dimension row (user ids ⊂ customer keys)."""
+    from shards_prometheus_spark.model import load_table
+    from shards_prometheus_spark.streaming import run_to_memory, samples_stream, stream_events
+    from shards_prometheus_spark.streaming.ingest import enriched_stream
+
+    q = run_to_memory(
+        enriched_stream(
+            samples_stream(stream_events(spark, SF_SMOKE)),
+            load_table(spark, SF_SMOKE, "customer"),
+        ),
+        "enriched_t",
+        output_mode="append",
+    )
+    _await(q)
+    out = spark.table("enriched_t")
+    n = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert out.count() == n
+    assert out.filter("c_mktsegment IS NULL").count() == 0
+
+
+def test_continuous_rollup_checkpoint_is_idempotent(spark, tmp_path):
+    """Restarting the rollup stream against the same checkpoint must
+    append NOTHING — the checkpointed source offsets make re-delivery
+    impossible, which is what makes foreachBatch-append exactly-once."""
+    from shards_prometheus_spark.streaming import continuous_rollup
+    from shards_prometheus_spark.streaming.ingest import samples_stream, stream_events
+
+    out = str(tmp_path / "rollup_out")
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):
+        q = continuous_rollup(
+            samples_stream(stream_events(spark, SF_SMOKE)), out, ckpt
+        )
+        q.awaitTermination(120)
+    n_partials = spark.read.parquet(out).count()
+    q = continuous_rollup(
+        samples_stream(stream_events(spark, SF_SMOKE)), out, ckpt
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_partials
