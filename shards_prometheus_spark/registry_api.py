@@ -125,6 +125,65 @@ class MetricsRegistry:
             .join(sums, SERIES_KEY)
         )
 
+    # -- PromQL-core reads (parameterized; the fixed-window queries()
+    #    entries exist for oracle determinism, these are the general
+    #    user API) ------------------------------------------------------
+    def increase(self, window_s: int = 3600) -> DataFrame:
+        """PromQL ``increase(…[window])``: per-metric counter growth per
+        aligned window, with reset clamping (a decrease contributes the
+        post-reset value — the decrease the reference's guard forbids,
+        prometheus.cpp:209-212)."""
+        w = Window.partitionBy(*SERIES_KEY).orderBy("ts_us", "event_id")
+        bucket = (
+            F.expr(f"ts_us div {int(window_s) * 1_000_000}")
+            * int(window_s)
+        ).alias("window_ts")
+        prev = F.lag("value").over(w)
+        return (
+            self._samples.withColumn("prev", prev)
+            .filter(F.col("prev").isNotNull())
+            .withColumn(
+                "delta",
+                F.when(F.col("value") < F.col("prev"), F.col("value"))
+                .otherwise(F.col("value") - F.col("prev")),
+            )
+            .groupBy("metric", bucket)
+            .agg(F.sum("delta").alias("increase"))
+        )
+
+    def rate(self, window_s: int = 3600) -> DataFrame:
+        """PromQL ``rate``: increase / window seconds."""
+        return self.increase(window_s).select(
+            "metric",
+            "window_ts",
+            (F.col("increase") / F.lit(float(window_s))).alias("rate"),
+        )
+
+    def instant(self, at_ts_us: int, lookback_us: int = 300_000_000) -> DataFrame:
+        """Instant-vector selector: latest sample per series at
+        evaluation time, within the staleness lookback."""
+        w = Window.partitionBy(*SERIES_KEY).orderBy(
+            F.desc("ts_us"), F.desc("event_id")
+        )
+        return (
+            self._samples.filter(
+                (F.col("ts_us") <= at_ts_us)
+                & (F.col("ts_us") > at_ts_us - lookback_us)
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(*SERIES_KEY, "ts_us", "value")
+        )
+
+    def top_k(self, k: int) -> DataFrame:
+        """PromQL ``topk(k, sum by (series)(…))``."""
+        totals = self.counter_total()
+        w = Window.orderBy(F.desc("total"), *SERIES_KEY)
+        return (
+            totals.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= int(k))
+        )
+
     # -- exposer read path ----------------------------------------------
     def snapshot(self, bounds: list[float]) -> DataFrame:
         """Registry::Collect() analog (prometheus.cpp:80): one tall

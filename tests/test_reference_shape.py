@@ -122,3 +122,39 @@ def test_snapshot_kinds(reference_samples):
     snap = MetricsRegistry(reference_samples).snapshot([1.0, 10.0])
     kinds = {r["kind"] for r in snap.collect()}
     assert kinds == {"counter", "gauge", "histogram"}
+
+
+def test_parameterized_api_matches_fixed_queries(spark):
+    """The parameterized PromQL API (registry.increase/rate/top_k with
+    arbitrary windows) agrees with the oracle-checked fixed-window
+    queries at window=3600."""
+    from shards_prometheus_spark.model import samples
+    from shards_prometheus_spark.operators.counters import counter_increase, counter_rate
+    from tests.conftest import SF_SMOKE
+
+    reg = MetricsRegistry(samples(spark, SF_SMOKE))
+    got_inc = {
+        (r["metric"], r["window_ts"]): round(r["increase"], 4)
+        for r in reg.increase(3600).collect()
+    }
+    want_inc = {
+        (r["metric"], r["hour_ts"]): r["increase"]
+        for r in counter_increase(spark, SF_SMOKE).collect()
+    }
+    assert got_inc == want_inc
+    got_rate = {
+        (r["metric"], r["window_ts"]): round(r["rate"], 6)
+        for r in reg.rate(3600).collect()
+    }
+    want_rate = {
+        (r["metric"], r["hour_ts"]): r["rate"]
+        for r in counter_rate(spark, SF_SMOKE).collect()
+    }
+    assert got_rate == want_rate
+    # a different window is a strictly coarser partition of the deltas
+    day = reg.increase(86400)
+    assert abs(
+        sum(r["increase"] for r in day.collect())
+        - sum(want_inc.values())
+    ) < 1e-6
+    assert reg.top_k(3).count() == 3
