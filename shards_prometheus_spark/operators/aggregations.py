@@ -141,6 +141,30 @@ def agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_QUARTILES = 4
+
+
+def user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: users ranked into value quartiles per metric —
+    the cohort-bucketing window shape (deterministic tie-break on the
+    user label so both engines produce identical tiles)."""
+    totals = (
+        samples(spark, sf_dir)
+        .groupBy("metric", "label_user")
+        .agg(F.round(F.sum("value"), 4).alias("total"))
+    )
+    w = Window.partitionBy("metric").orderBy(
+        F.desc("total"), F.asc("label_user")
+    )
+    tiled = totals.withColumn(
+        "quartile", F.ntile(N_QUARTILES).over(w).cast("long")
+    )
+    return tiled.groupBy("metric", "quartile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.sum("total"), 4).alias("quartile_value"),
+    )
+
+
 def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL ``quantile(φ, …) by (label)``: exact interpolated order
     statistic per metric — same rank arithmetic as histogram_quantile,
@@ -221,6 +245,7 @@ QUERIES = {
     "range_agg_tumbling": range_agg_tumbling,
     "range_agg_sliding": range_agg_sliding,
     "agg_stddev": agg_stddev,
+    "user_value_quartiles": user_value_quartiles,
     "agg_quantile": agg_quantile,
     "distinct_users": distinct_users,
     "approx_distinct_users": approx_distinct_users,  # rows-only check
@@ -254,6 +279,17 @@ ORACLES = {
         f"{SAMPLES_CTE} "
         "SELECT metric, value, CAST(COUNT(*) AS BIGINT) AS n "
         "FROM samples GROUP BY metric, value"
+    ),
+    "user_value_quartiles": (
+        f"{SAMPLES_CTE}, totals AS (SELECT metric, label_user, "
+        "ROUND(SUM(value), 4) AS total FROM samples "
+        "GROUP BY metric, label_user), "
+        f"tiled AS (SELECT metric, total, CAST(NTILE({N_QUARTILES}) OVER ("
+        "PARTITION BY metric ORDER BY total DESC, label_user ASC) "
+        "AS BIGINT) AS quartile FROM totals) "
+        "SELECT metric, quartile, CAST(COUNT(*) AS BIGINT) AS n_users, "
+        "ROUND(SUM(total), 4) AS quartile_value "
+        "FROM tiled GROUP BY metric, quartile"
     ),
     "agg_stddev": (
         f"{SAMPLES_CTE} "
