@@ -49,6 +49,50 @@ def read_samples_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+#: Text-format schema for CSV/JSON interchange (the map column is
+#: excluded — text formats have no portable map type; label_user is the
+#: materialized hot label, SURVEY.md §1.2).
+TEXT_SCHEMA = (
+    "event_id LONG, metric STRING, label_user STRING, "
+    "ts_us LONG, value DOUBLE"
+)
+
+
+def write_samples_text(
+    spark: SparkSession, sf_dir: str, out_path: str, fmt: str = "csv"
+) -> None:
+    """Interchange export: the samples relation as CSV or JSON lines.
+
+    Spark prints doubles in shortest round-trip form, so a text export
+    re-imports bit-identically (pinned in tests). For 100 TB these
+    formats are interchange-only — no pushdown, no column pruning, no
+    row-group stats; parquet stays the at-rest layout."""
+    df = samples(spark, sf_dir).select(
+        "event_id", "metric", "label_user", "ts_us", "value"
+    )
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", True).csv(out_path)
+    elif fmt == "json":
+        writer.json(out_path)
+    else:
+        raise ValueError(f"unsupported text format: {fmt}")
+
+
+def read_samples_text(
+    spark: SparkSession, path: str, fmt: str = "csv"
+) -> DataFrame:
+    """Read a text export back with the explicit schema (never infer —
+    schema inference is a full extra pass and nondeterministic on
+    partial data)."""
+    prepare_session(spark)
+    if fmt == "csv":
+        return spark.read.schema(TEXT_SCHEMA).option("header", True).csv(path)
+    if fmt == "json":
+        return spark.read.schema(TEXT_SCHEMA).json(path)
+    raise ValueError(f"unsupported text format: {fmt}")
+
+
 def write_samples_bucketed(
     spark: SparkSession,
     sf_dir: str,

@@ -218,3 +218,28 @@ def test_tpch_q10_dimensions_broadcast(spark):
 
     plan = formatted_plan(tpch_q10(spark, SF_SMOKE))
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json"])
+def test_text_format_round_trip(spark, tmp_path, fmt):
+    """CSV/JSON interchange re-imports bit-identically (shortest
+    round-trip double printing)."""
+    from shards_prometheus_spark.model import samples
+    from shards_prometheus_spark.sources.storage import (
+        read_samples_text,
+        write_samples_text,
+    )
+
+    out = str(tmp_path / f"samples_{fmt}")
+    write_samples_text(spark, SF_SMOKE, out, fmt)
+    back = {
+        tuple(r)
+        for r in read_samples_text(spark, out, fmt).collect()
+    }
+    want = {
+        tuple(r)
+        for r in samples(spark, SF_SMOKE)
+        .select("event_id", "metric", "label_user", "ts_us", "value")
+        .collect()
+    }
+    assert back == want
