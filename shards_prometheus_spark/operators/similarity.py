@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from shards_prometheus_spark.model import load_table
+from shards_prometheus_spark.model import dround, load_table
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -244,6 +244,51 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding analytics: mean-pooled centroid norm and
+    cohesion (mean cosine of members to their centroid) — the
+    class-separation report an embedding-quality pipeline runs after
+    labeling. Two aggregations over the dim-exploded relation plus a
+    broadcast of the (n_labels·dim) centroid table; centroids pinned
+    to 6 dp so both engines score against identical vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = _dims(spark, sf_dir).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cents = (
+        dims.groupBy("label", "d")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+    cnorm = cents.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnrm")
+    )
+    vnorm = dims.groupBy("vec_id", "label").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("vnrm")
+    )
+    dots = (
+        dims.join(F.broadcast(cents), ["label", "d"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("v") * F.col("c")).alias("dot"))
+    )
+    cos = (
+        dots.join(vnorm, ["vec_id", "label"])
+        .join(F.broadcast(cnorm), "label")
+        .select(
+            "label",
+            F.round(F.col("dot") / (F.col("vnrm") * F.col("cnrm")), 6)
+            .alias("cos6"),
+        )
+    )
+    agg = cos.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.avg("cos6"), 4).alias("cohesion"),
+    )
+    return agg.join(
+        cnorm.select("label", F.round("cnrm", 4).alias("centroid_norm")),
+        "label",
+    )
+
+
 #: Lloyd iterations for the IVF quantizer training (fixed + unrolled in
 #: the oracle).
 KMEANS_ITERS = 3
@@ -391,12 +436,39 @@ QUERIES = {
     "similarity_lsh": similarity_lsh,
     "similarity_ivf": similarity_ivf,
     "similarity_kmeans": similarity_kmeans,
+    "embedding_label_centroids": embedding_label_centroids,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLES = {
     "similarity_ivf": _IVF_SQL,
     "similarity_kmeans": _kmeans_oracle_sql(),
+    "embedding_label_centroids": (
+        f"{_DIMS_CTE}, ld AS (SELECT d.vec_id, e.label, d.d, d.v "
+        "FROM dims d JOIN embeddings e ON e.vec_id = d.vec_id), "
+        "cents AS (SELECT label, d, "
+        + dround("AVG(v)", 6)
+        + " AS c FROM ld GROUP BY label, d), "
+        "cn AS (SELECT label, SQRT(SUM(c * c)) AS cnrm FROM cents "
+        "GROUP BY label), "
+        "vn AS (SELECT vec_id, label, SQRT(SUM(v * v)) AS vnrm FROM ld "
+        "GROUP BY vec_id, label), "
+        "dots AS (SELECT l.vec_id, l.label, SUM(l.v * c.c) AS dot "
+        "FROM ld l JOIN cents c ON c.label = l.label AND c.d = l.d "
+        "GROUP BY l.vec_id, l.label), "
+        "cos AS (SELECT d.label, "
+        + dround("d.dot / (v.vnrm * c.cnrm)", 6)
+        + " AS cos6 FROM dots d "
+        "JOIN vn v ON v.vec_id = d.vec_id AND v.label = d.label "
+        "JOIN cn c ON c.label = d.label) "
+        "SELECT a.label, a.n_vecs, a.cohesion, "
+        + dround("cn.cnrm", 4)
+        + " AS centroid_norm FROM ("
+        "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, "
+        + dround("AVG(cos6)", 4)
+        + " AS cohesion FROM cos GROUP BY label) a "
+        "JOIN cn ON cn.label = a.label"
+    ),
     "similarity_topk": (
         f"{_COS_TO_QUERY} "
         "SELECT vec_id, ROUND(cos6, 4) AS cosine, CAST(rk AS BIGINT) AS rk FROM ("
