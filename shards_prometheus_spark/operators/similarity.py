@@ -244,6 +244,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN-graph build (k=1): each vector's nearest neighbor
+    among its LSH-bucket mates — the all-vectors ANN-graph step a
+    dedup/cluster pipeline runs, as a bucketed SELF-join (vs. the
+    query-vs-corpus shape of `similarity_lsh`). Pair count is bounded
+    by bucket occupancy (corpus/2^planes per bucket in expectation),
+    never all-pairs; vectors alone in their bucket have no edge (at
+    scale you'd multi-probe neighboring buckets to close that gap).
+    Output: (vec_id, nn_id, cosine)."""
+    buckets = _buckets(spark, sf_dir)
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), "bucket")
+        .filter(F.col("x.vec_id") != F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("va"), F.col("y.vec_id").alias("vb")
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("e_b"))
+    cos = (_dot_expr("e_a", "e_b") / (
+        _norm_expr("e_a") * _norm_expr("e_b")
+    ))
+    scored = (
+        cand.join(ea, "va")
+        .join(eb, "vb")
+        .select("va", "vb", F.round(cos, 6).alias("cos6"))
+    )
+    w = Window.partitionBy("va").orderBy(F.desc("cos6"), F.asc("vb"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("va").alias("vec_id"),
+            F.col("vb").alias("nn_id"),
+            F.round("cos6", 4).alias("cosine"),
+        )
+    )
+
+
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding analytics: mean-pooled centroid norm and
     cohesion (mean cosine of members to their centroid) — the
@@ -436,6 +477,7 @@ QUERIES = {
     "similarity_lsh": similarity_lsh,
     "similarity_ivf": similarity_ivf,
     "similarity_kmeans": similarity_kmeans,
+    "similarity_knn_graph": similarity_knn_graph,
     "embedding_label_centroids": embedding_label_centroids,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
@@ -443,6 +485,28 @@ QUERIES = {
 ORACLES = {
     "similarity_ivf": _IVF_SQL,
     "similarity_kmeans": _kmeans_oracle_sql(),
+    "similarity_knn_graph": (
+        f"{_DIMS_CTE}, hp(j, a, b, w) AS (VALUES {_LSH_VALUES}), "
+        "proj AS (SELECT dims.vec_id, hp.j, hp.w, "
+        f"SUM(dims.v * (((hp.a * (dims.d + 1) + hp.b) % {PLANE_MOD}) "
+        f"- {PLANE_SHIFT})) AS proj "
+        "FROM dims, hp GROUP BY dims.vec_id, hp.j, hp.w), "
+        "bkt AS (SELECT vec_id, CAST(SUM(CASE WHEN proj > 0 THEN w "
+        "ELSE 0 END) AS BIGINT) AS bucket FROM proj GROUP BY vec_id), "
+        "cand AS (SELECT x.vec_id AS va, y.vec_id AS vb FROM bkt x "
+        "JOIN bkt y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id), "
+        "dots AS (SELECT c.va, c.vb, SUM(da.v * db.v) AS dot "
+        "FROM cand c JOIN dims da ON da.vec_id = c.va "
+        "JOIN dims db ON db.vec_id = c.vb AND db.d = da.d "
+        "GROUP BY c.va, c.vb), "
+        "cos AS (SELECT d.va, d.vb, ROUND(d.dot / (na.nrm * nb.nrm), 6) "
+        "AS cos6 FROM dots d JOIN nrm na ON na.vec_id = d.va "
+        "JOIN nrm nb ON nb.vec_id = d.vb) "
+        "SELECT va AS vec_id, vb AS nn_id, ROUND(cos6, 4) AS cosine "
+        "FROM (SELECT va, vb, cos6, ROW_NUMBER() OVER ("
+        "PARTITION BY va ORDER BY cos6 DESC, vb ASC) AS rk FROM cos) "
+        "WHERE rk = 1"
+    ),
     "embedding_label_centroids": (
         f"{_DIMS_CTE}, ld AS (SELECT d.vec_id, e.label, d.d, d.v "
         "FROM dims d JOIN embeddings e ON e.vec_id = d.vec_id), "
