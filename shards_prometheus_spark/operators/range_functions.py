@@ -313,9 +313,38 @@ def series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: EWMA smoothing factor (PromQL holt_winters' level component).
+EWMA_ALPHA = 0.3
+
+
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per series per hour — the
+    level component of PromQL's ``holt_winters`` in CLOSED form:
+    normalized weights (1−α)^(n−i) over the time-ordered window,
+    ewma = Σwᵢxᵢ / Σwᵢ. The closed form replaces the sequential
+    recursion with one windowed aggregation (order-free, shuffle-
+    parallel — a recursive smoother would serialize per series)."""
+    s = _with_hour(spark, sf_dir)
+    keys = ["metric", "label_user", "hour_ts"]
+    w = Window.partitionBy(*keys).orderBy("ts_us", "event_id")
+    ranked = s.select(
+        *keys,
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("n"),
+    )
+    wt = F.pow(F.lit(1.0 - EWMA_ALPHA), F.col("n") - F.col("rn"))
+    return ranked.groupBy(*keys).agg(
+        F.round(
+            F.sum(wt * F.col("value")) / F.sum(wt), 4
+        ).alias("ewma")
+    )
+
+
 QUERIES = {
     "quantile_over_time": quantile_over_time,
     "series_similarity": series_similarity,
+    "ewma_smooth": ewma_smooth,
     "gauge_delta": gauge_delta,
     "counter_resets": counter_resets,
     "over_time_stats": over_time_stats,
@@ -327,6 +356,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ewma_smooth": (
+        f"{SAMPLES_CTE}, k AS (SELECT metric, label_user, "
+        f"{_HOUR} AS hour_ts, value, "
+        "ROW_NUMBER() OVER (PARTITION BY metric, label_user, "
+        f"({_HOUR}) ORDER BY ts_us, event_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY metric, label_user, "
+        f"({_HOUR})) AS n FROM samples) "
+        "SELECT metric, label_user, hour_ts, "
+        + dround(
+            f"SUM(POWER({1.0 - EWMA_ALPHA}, n - rn) * value) / "
+            f"SUM(POWER({1.0 - EWMA_ALPHA}, n - rn))",
+            4,
+        )
+        + " AS ewma FROM k GROUP BY metric, label_user, hour_ts"
+    ),
     "series_similarity": (
         f"{SAMPLES_CTE}, hourly AS (SELECT metric, {_HOUR} AS hour_ts, "
         "ROUND(SUM(value), 4) AS v FROM samples GROUP BY metric, hour_ts), "
