@@ -102,6 +102,19 @@ def absent_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def present_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``present_over_time(…[1h])``: 1 for each (series, hour)
+    with at least one sample — the positive complement of
+    `absent_over_time` (same rollup-sized distinct relation)."""
+    hour_ts = F.expr(f"ts_us div {MICROS_PER_HOUR}") * 3600
+    return (
+        samples(spark, sf_dir)
+        .select("metric", "label_user", hour_ts.alias("hour_ts"))
+        .distinct()
+        .withColumn("present", F.lit(1).cast("long"))
+    )
+
+
 def series_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Prometheus metadata surface (`/api/v1/series`,
     `label_values` — what a scraper's UI asks the registry) as one
@@ -126,6 +139,7 @@ QUERIES = {
     "label_filter_regex": label_filter_regex,
     "absent": absent,
     "absent_over_time": absent_over_time,
+    "present_over_time": present_over_time,
     "series_catalog": series_catalog,
 }
 
@@ -157,6 +171,12 @@ ORACLES = {
         "FROM mets m CROSS JOIN hrs h "
         "LEFT JOIN obs o ON o.metric = m.metric AND o.hour_ts = h.hour_ts "
         "WHERE o.metric IS NULL"
+    ),
+    "present_over_time": (
+        f"{SAMPLES_CTE} "
+        "SELECT DISTINCT metric, label_user, "
+        f"(ts_us // {MICROS_PER_HOUR}) * 3600 AS hour_ts, "
+        "CAST(1 AS BIGINT) AS present FROM samples"
     ),
     "series_catalog": (
         f"{SAMPLES_CTE} "
