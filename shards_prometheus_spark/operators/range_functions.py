@@ -60,13 +60,19 @@ def gauge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def counter_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """resets(): count of per-series decreases per metric per 1h window."""
-    s = samples(spark, sf_dir)
-    w = Window.partitionBy("metric", "label_user").orderBy("ts_us", "event_id")
+    """resets(): count of per-series decreases per metric per 1h window.
+
+    The lag is scoped to (series, hour) — PromQL evaluates resets()
+    within each range window independently, so a decrease between the
+    last sample of hour H-1 and the first of hour H is NOT a reset in
+    H (same per-range scoping as value_changes below)."""
+    s = _with_hour(spark, sf_dir)
+    w = Window.partitionBy("metric", "label_user", "hour_ts").orderBy(
+        "ts_us", "event_id"
+    )
     return (
         s.withColumn("prev", F.lag("value").over(w))
         .filter(F.col("prev").isNotNull())
-        .withColumn("hour_ts", F.expr(f"ts_us div {MICROS_PER_HOUR}") * 3600)
         .groupBy("metric", "hour_ts")
         .agg(
             F.sum(
@@ -318,12 +324,16 @@ EWMA_ALPHA = 0.3
 
 
 def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponentially-weighted moving average per series per hour — the
-    level component of PromQL's ``holt_winters`` in CLOSED form:
-    normalized weights (1−α)^(n−i) over the time-ordered window,
-    ewma = Σwᵢxᵢ / Σwᵢ. The closed form replaces the sequential
-    recursion with one windowed aggregation (order-free, shuffle-
-    parallel — a recursive smoother would serialize per series)."""
+    """Exponentially-weighted moving average per series per hour, in the
+    ADJUSTED (normalized) form: weights (1−α)^(n−i) over the
+    time-ordered window, ewma = Σwᵢxᵢ / Σwᵢ (pandas ``ewm(adjust=True)``
+    semantics). NOTE this is deliberately NOT the recursive
+    ``holt_winters`` level component — the recursion gives the oldest
+    sample full weight (1−α)^(n−1) rather than the normalized
+    (1−α)^(n−1)/Σw, and the two differ for small windows; the adjusted
+    form is chosen because it is a single windowed aggregation
+    (order-free, shuffle-parallel — a recursive smoother would
+    serialize per series)."""
     s = _with_hour(spark, sf_dir)
     keys = ["metric", "label_user", "hour_ts"]
     w = Window.partitionBy(*keys).orderBy("ts_us", "event_id")
@@ -425,10 +435,11 @@ ORACLES = {
         "FROM d GROUP BY metric, label_user, hour_ts"
     ),
     "counter_resets": (
-        f"{SAMPLES_CTE}, d AS (SELECT metric, label_user, ts_us, value, "
-        "LAG(value) OVER (PARTITION BY metric, label_user "
-        "ORDER BY ts_us, event_id) AS prev FROM samples) "
-        f"SELECT metric, {_HOUR} AS hour_ts, "
+        f"{SAMPLES_CTE}, d AS (SELECT metric, label_user, "
+        f"{_HOUR} AS hour_ts, ts_us, value, "
+        "LAG(value) OVER (PARTITION BY metric, label_user, "
+        f"({_HOUR}) ORDER BY ts_us, event_id) AS prev FROM samples) "
+        "SELECT metric, hour_ts, "
         "CAST(SUM(CASE WHEN value < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets "
         "FROM d WHERE prev IS NOT NULL GROUP BY metric, hour_ts"
     ),

@@ -49,13 +49,19 @@ def _partials(batch: DataFrame) -> DataFrame:
 def continuous_rollup(
     samples: DataFrame, out_path: str, checkpoint: str
 ) -> StreamingQuery:
-    """Maintain the hourly rollup incrementally from a samples stream:
-    each micro-batch appends its partial aggregates (exactly-once via
-    the checkpointed batch id; parquet append per batch is atomic
-    enough under the streaming commit protocol)."""
+    """Maintain the hourly rollup incrementally from a samples stream.
+
+    foreachBatch is at-least-once: a crash between the parquet write and
+    the checkpoint commit replays the batch. Each batch therefore writes
+    its partials to a batch_id-derived partition directory with
+    mode("overwrite") — a replay rewrites the same directory instead of
+    appending a duplicate, making the sink idempotent (the parquet
+    analog of a Delta MERGE keyed on batch_id)."""
 
     def emit(batch: DataFrame, batch_id: int) -> None:
-        _partials(batch).write.mode("append").parquet(out_path)
+        _partials(batch).write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
 
     return (
         samples.writeStream.foreachBatch(emit)
@@ -101,7 +107,9 @@ def compact_rollup(spark: SparkSession, out_path: str) -> None:
         )
     )
     staging = out_path.rstrip("/") + ".compact.tmp"
-    compacted.write.mode("overwrite").parquet(staging)
+    # Keep the batch_id=... layout so post-compaction batches (which keep
+    # counting up) land beside the compacted slice without schema drift.
+    compacted.write.mode("overwrite").parquet(staging + "/batch_id=-1")
     old = out_path.rstrip("/") + ".old"
     os.rename(out_path, old)
     os.rename(staging, out_path)

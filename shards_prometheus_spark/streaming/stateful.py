@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -71,14 +72,20 @@ def _update_increase(
         last, total, n = state.get
     else:
         last, total, n = 0.0, 0.0, 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
-        for v in pdf["value"]:
-            v = float(v)
-            if n > 0:
-                total += v if v < last else v - last
-            last = v
-            n += 1
+    # One series can span multiple Arrow chunks (>maxRecordsPerBatch rows):
+    # concatenate BEFORE sorting so ordering holds across chunk boundaries,
+    # then fold vectorized — a reset (v < prev) contributes the post-reset
+    # value itself, otherwise the delta.
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch):
+        batch = batch.sort_values(["ts_us", "event_id"])
+        vals = batch["value"].to_numpy(dtype="float64")
+        seq = np.concatenate(([last], vals)) if n > 0 else vals
+        if len(seq) > 1:
+            diffs = np.diff(seq)
+            total += float(np.where(diffs >= 0, diffs, seq[1:]).sum())
+        last = float(vals[-1])
+        n += len(vals)
     state.update((last, total, n))
     yield pd.DataFrame(
         {
