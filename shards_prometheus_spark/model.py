@@ -115,3 +115,45 @@ SAMPLES_CTE = (
     "CAST(user_id AS VARCHAR) AS label_user, epoch_us(ts) AS ts_us, value "
     "FROM events)"
 )
+
+
+def samples_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTI-label samples view: the full SURVEY §1.2 label model
+    with ≥2 keys per series (generalizing the reference's single
+    Label/Value pair, prometheus.cpp:105-110).
+
+    labels = map('user' → user_id, 'shard' → k % 10) where k comes from
+    the structured `props` metadata — the second label a real scraper
+    would attach (instance/shard). Operators over this view MUST read
+    labels via element_at(labels, key), never a flattened column, so
+    they exercise the general map path.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    label_user = F.col("user_id").cast("string")
+    k = F.get_json_object("props", "$.k").cast("long")
+    shard = (k % 10).cast("string")
+    return ev.filter(k.isNotNull()).select(
+        F.col("event_id"),
+        F.xxhash64(F.col("event_type"), label_user, shard).alias(
+            "series_id"
+        ),
+        F.col("event_type").alias("metric"),
+        F.create_map(
+            F.lit("user"), label_user, F.lit("shard"), shard
+        ).alias("labels"),
+        _ts_us(ev).alias("ts_us"),
+        F.col("value"),
+    )
+
+
+#: DuckDB CTE mirroring `samples_multi()` — labels exposed as columns
+#: (SQL has no map type worth the portability risk; the Spark side must
+#: still go through element_at to produce these same values).
+SAMPLES_MULTI_CTE = (
+    "WITH samples_multi AS (SELECT event_id, event_type AS metric, "
+    "CAST(user_id AS VARCHAR) AS l_user, "
+    "CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 "
+    "AS VARCHAR) AS l_shard, epoch_us(ts) AS ts_us, value "
+    "FROM events "
+    "WHERE json_extract_string(props, '$.k') IS NOT NULL)"
+)

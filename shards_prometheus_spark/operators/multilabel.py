@@ -1,0 +1,162 @@
+"""Multi-label query model (Tier B, public PromQL).
+
+The reference attaches exactly one Label/Value pair per series
+(prometheus.cpp:105-110); SURVEY §1.2 generalizes that to
+``labels MAP<STRING,STRING>``. These operators exercise the general
+map path end-to-end — every label read is an
+``element_at(labels, key)`` over the two-key view (user, shard from
+props metadata), never a pre-flattened column:
+
+- ``label_matchers_multi`` — matchers on ≥2 keys at once, mixing
+  equality and regex: `{metric="purchase", user=~"1[0-9]", shard="3"}`.
+- ``agg_by_labels`` — `sum/count by (user, shard)`: grouping on two
+  map-extracted label dimensions.
+- ``vector_binop_labels`` — vector matching on the FULL label set
+  `on (user, shard)` plus the `ignoring(shard) group_left` form
+  (per-(user,shard) series divided by the per-user total of the rhs).
+
+Scale notes: element_at over a MAP column is a Catalyst expression
+(whole-stage codegen — no UDF); after extraction the label values are
+plain shuffle keys, so grouping/joining on (user, shard) behaves like
+any two-column agg/join. Equality matchers on `metric` still push into
+the parquet scan; map-key matchers evaluate post-scan, which is why a
+100 TB layout materializes hot label keys as partition or cluster
+columns (exactly what the flattened `label_user` view models).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shards_prometheus_spark.model import (
+    SAMPLES_MULTI_CTE,
+    dround,
+    samples_multi,
+)
+
+def _label(key: str) -> F.Column:
+    """Read one label from the MAP column (lazy: needs a live session)."""
+    return F.element_at("labels", F.lit(key))
+
+LHS_METRIC = "purchase"
+RHS_METRIC = "view"
+
+
+def label_matchers_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{metric="purchase", user=~"1[0-9]", shard="3"}` — simultaneous
+    matchers on two label keys (equality + regex) via element_at."""
+    return (
+        samples_multi(spark, sf_dir)
+        .filter(
+            (F.col("metric") == LHS_METRIC)
+            & _label("user").rlike("^1[0-9]$")
+            & (_label("shard") == "3")
+        )
+        .select(
+            "event_id",
+            "metric",
+            _label("user").alias("l_user"),
+            _label("shard").alias("l_shard"),
+            "ts_us",
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
+def agg_by_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum by (user, shard) (purchase)` — aggregation grouped on two
+    map-extracted label dimensions."""
+    return (
+        samples_multi(spark, sf_dir)
+        .filter(F.col("metric") == LHS_METRIC)
+        .groupBy(_label("user").alias("l_user"), _label("shard").alias("l_shard"))
+        .agg(
+            F.round(F.sum("value"), 4).alias("sum_v"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+def vector_binop_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-label vector matching, both PromQL forms in one result:
+
+    - `on (user, shard)`: sum by(user,shard)(purchase) /
+      sum by(user,shard)(view) — full-label-set inner match;
+    - `ignoring (shard) group_left`: the same lhs series divided by
+      sum by(user)(view) — the rhs collapsed over the ignored label,
+      one-to-many joined back per user.
+
+    Both sides collapse to label-cardinality relations (≤ users×shards
+    rows ≪ samples), so Spark broadcasts the rhs aggregates; at any
+    scale the expensive part stays the two partial-aggregated scans.
+    """
+    s = samples_multi(spark, sf_dir)
+
+    def _side(metric: str, out: str) -> DataFrame:
+        return (
+            s.filter(F.col("metric") == metric)
+            .groupBy(_label("user").alias("l_user"), _label("shard").alias("l_shard"))
+            .agg(F.round(F.sum("value"), 4).alias(out))
+        )
+
+    lhs = _side(LHS_METRIC, "lhs_sum")
+    rhs = _side(RHS_METRIC, "rhs_sum")
+    rhs_user = rhs.groupBy("l_user").agg(
+        F.round(F.sum("rhs_sum"), 4).alias("rhs_user_sum")
+    )
+    return (
+        lhs.join(F.broadcast(rhs), ["l_user", "l_shard"])
+        .join(F.broadcast(rhs_user), "l_user")
+        .select(
+            "l_user",
+            "l_shard",
+            "lhs_sum",
+            F.round(F.col("lhs_sum") / F.col("rhs_sum"), 6).alias(
+                "on_ratio"
+            ),
+            F.round(F.col("lhs_sum") / F.col("rhs_user_sum"), 6).alias(
+                "ignoring_ratio"
+            ),
+        )
+    )
+
+
+QUERIES = {
+    "label_matchers_multi": label_matchers_multi,
+    "agg_by_labels": agg_by_labels,
+    "vector_binop_labels": vector_binop_labels,
+}
+
+ORACLES = {
+    "label_matchers_multi": (
+        f"{SAMPLES_MULTI_CTE} "
+        "SELECT event_id, metric, l_user, l_shard, ts_us, "
+        "ROUND(value, 4) AS value FROM samples_multi "
+        f"WHERE metric = '{LHS_METRIC}' "
+        "AND regexp_matches(l_user, '^1[0-9]$') AND l_shard = '3'"
+    ),
+    "agg_by_labels": (
+        f"{SAMPLES_MULTI_CTE} "
+        "SELECT l_user, l_shard, ROUND(SUM(value), 4) AS sum_v, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM samples_multi "
+        f"WHERE metric = '{LHS_METRIC}' GROUP BY l_user, l_shard"
+    ),
+    "vector_binop_labels": (
+        f"{SAMPLES_MULTI_CTE}, "
+        "lhs AS (SELECT l_user, l_shard, ROUND(SUM(value), 4) AS lhs_sum "
+        f"FROM samples_multi WHERE metric = '{LHS_METRIC}' "
+        "GROUP BY l_user, l_shard), "
+        "rhs AS (SELECT l_user, l_shard, ROUND(SUM(value), 4) AS rhs_sum "
+        f"FROM samples_multi WHERE metric = '{RHS_METRIC}' "
+        "GROUP BY l_user, l_shard), "
+        "rhs_user AS (SELECT l_user, ROUND(SUM(rhs_sum), 4) AS rhs_user_sum "
+        "FROM rhs GROUP BY l_user) "
+        "SELECT lhs.l_user, lhs.l_shard, lhs_sum, "
+        f"{dround('lhs_sum / rhs_sum', 6)} AS on_ratio, "
+        f"{dround('lhs_sum / rhs_user_sum', 6)} AS ignoring_ratio "
+        "FROM lhs "
+        "JOIN rhs ON lhs.l_user = rhs.l_user AND lhs.l_shard = rhs.l_shard "
+        "JOIN rhs_user ON lhs.l_user = rhs_user.l_user"
+    ),
+}

@@ -21,6 +21,7 @@ from shards_prometheus_spark.operators import (
     dedup,
     gauges,
     histograms,
+    multilabel,
     multimodal,
     olap,
     pipeline,
@@ -39,6 +40,7 @@ _MODULES = [
     gauges,
     histograms,
     range_functions,
+    multilabel,
     rollup,
     selectors,
     aggregations,
@@ -75,11 +77,13 @@ _PRIORITY = [
     "instant_vector",
     "label_filter_eq",
     "label_filter_regex",
+    "label_matchers_multi",
+    "agg_by_labels",
+    "vector_binop_labels",
     "counter_increase",
     "counter_rate",
     "counter_resets",
     "agg_by_label",
-    "agg_quantile",
     "topk",
     "count_values",
     "histogram_quantile_bucketed",
@@ -119,10 +123,8 @@ _PRIORITY = [
     "repetition_stats",
     # sketches + OLAP + TPC-H representatives
     "approx_distinct_users",
-    "distinct_users",
     "user_sessions",
     "tpch_q10",
-    "histogram_quantile",
 ]
 
 
