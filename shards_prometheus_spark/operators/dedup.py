@@ -51,6 +51,15 @@ SIMHASH_MAX_HAMMING = 2
 # --- n-gram shingle parameters ---
 NGRAM_N = 3
 NGRAM_JACCARD = 0.05
+#: Document-frequency cap: shingles appearing in more than this many
+#: docs (boilerplate headers, templates) are excluded from CANDIDATE
+#: GENERATION — one hot shingle would otherwise produce a quadratic
+#: candidate blowup at corpus scale, while carrying no dedup signal.
+#: Verification still intersects the FULL shingle sets, so reported
+#: jaccard values are exact; only pairs whose every shared shingle is
+#: ubiquitous are (deliberately) not candidates. The oracle applies
+#: the identical cap.
+NGRAM_DF_CAP = 100
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,8 +109,14 @@ def _mask_jaccard(candidates: DataFrame, dset: DataFrame) -> DataFrame:
     When the dictionary fits in 63 bits (dictionary-encoded corpora,
     category/tag sets), each document's token set is one BIGINT and
     intersection is bit_count(a & b) — candidate verification becomes
-    O(#pairs) with zero explode/shuffle, vs the token-join's
-    O(#pairs × set size). Same exact semantics as pair_jaccard.
+    O(#pairs) with no explode, vs the token-join's O(#pairs × set size).
+    Same exact semantics as pair_jaccard.
+
+    The mask relation is one row PER DOCUMENT, so it is never hinted
+    broadcast: the joins key on doc ids (high-cardinality, skew-free),
+    and AQE picks broadcast at runtime only when the relation actually
+    fits — at corpus scale these degrade gracefully to shuffled hash
+    joins on evenly-distributed keys.
     """
     masks = dset.groupBy("doc_id").agg(
         F.expr("bit_or(shiftleft(1L, cast(token_id as int)))").alias("mask")
@@ -113,8 +128,8 @@ def _mask_jaccard(candidates: DataFrame, dset: DataFrame) -> DataFrame:
         F.bit_count(F.col("mask_a")) + F.bit_count(F.col("mask_b")) - inter
     )
     return (
-        candidates.join(F.broadcast(ma), "doc_a")
-        .join(F.broadcast(mb), "doc_b")
+        candidates.join(ma, "doc_a")
+        .join(mb, "doc_b")
         .select(
             "doc_a", "doc_b", (inter / union).alias("jaccard_raw")
         )
@@ -227,36 +242,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Expand qualifying class pairs to doc pairs. Classes are disjoint,
     # so each unordered doc pair appears exactly once; least/greatest
     # restores the doc_a < doc_b contract.
-    # Expansion joins are hash joins on `sig`, whose value space is tiny
-    # (here: 2 live values) — shuffling on it would put every output row
-    # on a handful of tasks. Broadcasting the small side keeps the big
-    # side's even partitioning, so the pair explosion parallelizes; at
-    # cluster scale the broadcast side is the ≤2^16-row class relation
-    # (close pairs) and a salted repartition replaces the mb broadcast.
-    # The streamed side is tiny (one row per doc) but each row fans out
-    # to thousands of pairs; without an explicit spread AQE coalesces it
-    # to ~1 partition and the explosion runs serially. Round-robin it
-    # across the executors so output parallelism matches the cluster.
-    fan = max(2, spark.sparkContext.defaultParallelism)
-    spread = sigs.repartition(fan)
-    ma = spread.select(F.col("sig").alias("sig_a"), F.col("doc_id").alias("da"))
-    mb = sigs.select(F.col("sig").alias("sig_b"), F.col("doc_id").alias("db"))
-    cross = (
-        ma.join(F.broadcast(close), "sig_a")
-        .join(F.broadcast(mb), "sig_b")
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            "hamming",
-        )
+    #
+    # Only the CLASS relation (≤2^16 rows at any corpus size) is ever
+    # broadcast — never a per-document relation. The doc sides join on
+    # `sig`, whose live value space can be tiny (extreme skew if used
+    # as a raw shuffle key), so the doc×doc joins are SALTED: one side
+    # carries salt = doc_id % S, the other replicates each row S times,
+    # turning every hot sig key into S evenly-sized (sig, salt) keys.
+    # The expansion shuffles only doc-sized relations and parallelizes
+    # across salt partitions — no corpus-sized broadcast anywhere.
+    salt_n = max(2, min(spark.sparkContext.defaultParallelism, 16))
+    salts = F.array(*[F.lit(i) for i in range(salt_n)])
+    # cross-class pairs: (da from class sig_a) × (db from class sig_b)
+    left = (
+        sigs.select(F.col("sig").alias("sig_a"), F.col("doc_id").alias("da"))
+        .join(F.broadcast(close), "sig_a")
+        .withColumn("salt", F.explode(salts))
+    )
+    right = sigs.select(
+        F.col("sig").alias("sig_b"),
+        F.col("doc_id").alias("db"),
+        F.pmod("doc_id", F.lit(salt_n)).alias("salt"),
+    )
+    cross = left.join(right, ["sig_b", "salt"]).select(
+        F.least("da", "db").alias("doc_a"),
+        F.greatest("da", "db").alias("doc_b"),
+        "hamming",
+    )
+    # within-class pairs (hamming 0): salted self-join on sig
+    rep = sigs.select(
+        "sig", F.col("doc_id").alias("da")
+    ).withColumn("salt", F.explode(salts))
+    sal = sigs.select(
+        "sig",
+        F.col("doc_id").alias("db"),
+        F.pmod("doc_id", F.lit(salt_n)).alias("salt"),
     )
     within = (
-        spread.alias("x")
-        .join(F.broadcast(sigs.alias("y")), "sig")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        rep.join(sal, ["sig", "salt"])
+        .filter(F.col("da") < F.col("db"))
         .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
             F.lit(0).cast("long").alias("hamming"),
         )
     )
@@ -294,18 +321,59 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram shingle Jaccard over pairs sharing ≥1 shingle."""
+    """3-gram shingle Jaccard over pairs sharing ≥1 RARE shingle.
+
+    Two stages: candidates come from the equi-join restricted to
+    shingles with document frequency ≤ NGRAM_DF_CAP (the hot-shingle
+    exclusion that keeps the join sub-quadratic on boilerplate-heavy
+    corpora); the exact intersection is then computed over the FULL
+    shingle sets of candidate pairs only. The hot-shingle list is
+    DF-capped — a tiny relation by construction — so its anti-join
+    broadcast is scale-safe.
+    """
     sh = _shingles(spark, sf_dir)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+        .select("shingle")
+    )
+    rare = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    ra = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    rb = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Exact intersection without a second full-corpus join: split by
+    # shingle class. Rare-shingle overlap falls straight out of the
+    # candidate join (one groupBy, no distinct pass); hot-shingle
+    # overlap re-joins candidates only against the per-doc HOT-shingle
+    # relation, which the DF cap bounds to (#hot × DF) rows total.
+    rare_inter = (
+        ra.join(rb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("rare_i"))
+    )
+    hot_sh = sh.join(F.broadcast(hot), "shingle")
+    ha = hot_sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    hb = hot_sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    hot_inter = (
+        rare_inter.select("doc_a", "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("hot_i"))
+    )
     sizes = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles")
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        rare_inter.join(hot_inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("rare_i") + F.coalesce(F.col("hot_i"), F.lit(0)))
+            .cast("long")
+            .alias("inter"),
+        )
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
@@ -438,9 +506,16 @@ _SHINGLE_SQL = (
     "LEAD(token_id, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2 "
     "FROM dtok) WHERE t2 IS NOT NULL), "
     "sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM sh GROUP BY doc_id), "
-    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-    "CAST(COUNT(*) AS BIGINT) AS inter FROM sh a JOIN sh b "
-    "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY doc_a, doc_b)"
+    "rare AS (SELECT * FROM sh WHERE shingle NOT IN ("
+    "SELECT shingle FROM sh GROUP BY shingle "
+    f"HAVING COUNT(*) > {NGRAM_DF_CAP})), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM rare a JOIN rare b "
+    "ON a.shingle = b.shingle AND a.doc_id < b.doc_id), "
+    "inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter "
+    "FROM cand c JOIN sh a ON a.doc_id = c.doc_a "
+    "JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle "
+    "GROUP BY c.doc_a, c.doc_b)"
 )
 
 QUERIES = {

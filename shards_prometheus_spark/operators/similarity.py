@@ -11,8 +11,9 @@ Two paths over `embeddings(vec_id, embedding ARRAY<FLOAT>, label)`:
   query's bucket is scored. Hyperplane coefficients are portable affine
   arithmetic (same numbers in the oracle), not engine RNG.
 - ``dedup_embedding_cosine``: embedding near-dup pairs above a cosine
-  threshold, dim-exploded join form (oracle-matched); the LSH bucket
-  join is the scale form of the same blocking idea.
+  threshold among LSH-bucket mates — the bucket self-join is the
+  blocking stage (oracle applies the identical blocking), so no
+  quadratic all-pairs stage exists at any scale.
 
 Parity: products of float32 values are exact in double, so both engines
 differ only in summation order (~1e-16 relative) — ROUND(…,4) outputs
@@ -222,25 +223,37 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with cosine ≥ 0.40 (embedding near-duplicate check)."""
-    dims = _dims(spark, sf_dir)
-    norms = _norms(dims)
-    a = dims.select(F.col("vec_id").alias("vec_a"), "d", F.col("v").alias("va"))
-    b = dims.select(F.col("vec_id").alias("vec_b"), "d", F.col("v").alias("vb"))
-    dots = (
-        a.join(b, "d")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .groupBy("vec_a", "vec_b")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    """Embedding near-dup pairs: cosine ≥ 0.40 among LSH-bucket mates.
+
+    LSH-BLOCKED, never all-pairs: candidate pairs come from the
+    random-hyperplane bucket self-join (the same `_buckets` blocking
+    `similarity_knn_graph` uses — pair count bounded by bucket
+    occupancy, corpus/2^planes per bucket in expectation), then each
+    candidate is scored with the JVM-side array dot product. No
+    dim-keyed pair shuffle (a `d`-keyed join has ≤ embedding-dim
+    distinct keys — extreme skew by construction) and no quadratic
+    stage; the oracle applies the identical bucket blocking, so
+    reported pairs match exactly.
+    """
+    buckets = _buckets(spark, sf_dir)
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), "bucket")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
     )
-    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
-    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    cos = _dot_expr("e_a", "e_b") / (_norm_expr("e_a") * _norm_expr("e_b"))
     return (
-        dots.join(na, "vec_a")
-        .join(nb, "vec_b")
-        .filter(cos >= COSINE_DUP_THRESHOLD)
-        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos6"))
+        .filter(F.col("cos6") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos6", 4).alias("cosine"))
     )
 
 
@@ -555,12 +568,24 @@ ORACLES = {
         f"FROM cand) WHERE rk <= {TOP_K}"
     ),
     "dedup_embedding_cosine": (
-        f"{_DIMS_CTE}, dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
-        "SUM(a.v * b.v) AS dot FROM dims a JOIN dims b ON a.d = b.d "
-        "AND a.vec_id < b.vec_id GROUP BY vec_a, vec_b) "
-        "SELECT d.vec_a, d.vec_b, ROUND(d.dot / (na.nrm * nb.nrm), 4) AS cosine "
+        f"{_DIMS_CTE}, hp(j, a, b, w) AS (VALUES {_LSH_VALUES}), "
+        "proj AS (SELECT dims.vec_id, hp.j, hp.w, "
+        f"SUM(dims.v * (((hp.a * (dims.d + 1) + hp.b) % {PLANE_MOD}) "
+        f"- {PLANE_SHIFT})) AS proj "
+        "FROM dims, hp GROUP BY dims.vec_id, hp.j, hp.w), "
+        "bkt AS (SELECT vec_id, CAST(SUM(CASE WHEN proj > 0 THEN w "
+        "ELSE 0 END) AS BIGINT) AS bucket FROM proj GROUP BY vec_id), "
+        "cand AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b FROM bkt x "
+        "JOIN bkt y ON x.bucket = y.bucket AND x.vec_id < y.vec_id), "
+        "dots AS (SELECT c.vec_a, c.vec_b, SUM(da.v * db.v) AS dot "
+        "FROM cand c JOIN dims da ON da.vec_id = c.vec_a "
+        "JOIN dims db ON db.vec_id = c.vec_b AND db.d = da.d "
+        "GROUP BY c.vec_a, c.vec_b), "
+        "cos AS (SELECT d.vec_a, d.vec_b, "
+        "ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos6 "
         "FROM dots d JOIN nrm na ON na.vec_id = d.vec_a "
-        "JOIN nrm nb ON nb.vec_id = d.vec_b "
-        f"WHERE d.dot / (na.nrm * nb.nrm) >= {COSINE_DUP_THRESHOLD}"
+        "JOIN nrm nb ON nb.vec_id = d.vec_b) "
+        "SELECT vec_a, vec_b, ROUND(cos6, 4) AS cosine FROM cos "
+        f"WHERE cos6 >= {COSINE_DUP_THRESHOLD}"
     ),
 }

@@ -54,15 +54,42 @@ def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vocab(tokens: DataFrame) -> DataFrame:
     """(token, token_id): rank over the sorted distinct vocabulary.
 
-    The single-partition window is over the distinct vocab only (small
-    by construction); ids are deterministic across engines.
+    The global dense rank is SHARDED (same sharded-prefix-sum shape as
+    pipeline.pack_chunks): tokens range-shard by their 2-char prefix —
+    order-preserving, so every token in shard p sorts before every
+    token in shard q > p — each shard ranks internally in parallel, and
+    the exclusive prefix sum over the tiny per-shard counts relation
+    (≤ charset² rows, whatever the corpus size) broadcasts back. Ids
+    are identical to a single global ROW_NUMBER (the oracle's form) but
+    no window ever sees the whole vocabulary in one partition — at
+    10⁸-10⁹ distinct tokens (100 TB web corpus) the per-shard windows
+    stay ~10⁵-10⁶ rows.
     """
-    return tokens.select("token").distinct().select(
-        "token",
-        F.row_number()
-        .over(Window.orderBy("token"))
-        .cast("long")
-        .alias("token_id"),
+    distinct = tokens.select("token").distinct().withColumn(
+        "shard", F.substring("token", 1, 2)
+    )
+    intra_w = Window.partitionBy("shard").orderBy("token")
+    shard_counts = distinct.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("shard_n")
+    )
+    offset_w = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    shard_offsets = shard_counts.select(
+        "shard",
+        F.coalesce(F.sum("shard_n").over(offset_w), F.lit(0)).alias(
+            "shard_off"
+        ),
+    )
+    return (
+        distinct.withColumn("intra", F.row_number().over(intra_w))
+        .join(F.broadcast(shard_offsets), "shard")
+        .select(
+            "token",
+            (F.col("shard_off") + F.col("intra")).cast("long").alias(
+                "token_id"
+            ),
+        )
     )
 
 

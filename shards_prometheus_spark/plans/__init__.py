@@ -13,6 +13,7 @@ from shards_prometheus_spark.plans.checks import (  # noqa: F401
     assert_partition_filters,
     assert_pushed_filters,
     assert_read_schema_pruned,
+    count_single_partition_exchanges,
     formatted_plan,
 )
 from shards_prometheus_spark.plans.skew import salted_join  # noqa: F401

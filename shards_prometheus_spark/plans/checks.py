@@ -22,6 +22,20 @@ def formatted_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def count_single_partition_exchanges(df: DataFrame) -> int:
+    """Number of Exchange SinglePartition nodes in the physical plan.
+
+    In ``explain("formatted")`` output an exchange's distribution is
+    printed on its own ``Arguments:`` line, never inline as
+    "Exchange SinglePartition" — counting the inline form silently
+    reports 0 for every plan (the round-1 audit bug). A global
+    (unpartitioned) window that survives optimization shows up here;
+    row_number ≤ k forms don't, because Catalyst rewrites them to
+    TakeOrderedAndProject.
+    """
+    return formatted_plan(df).count("Arguments: SinglePartition")
+
+
 def assert_pushed_filters(df: DataFrame, *fragments: str) -> str:
     """The scan node must carry PushedFilters including `fragments`."""
     plan = formatted_plan(df)

@@ -201,6 +201,43 @@ def test_pack_chunks_prefix_sum_is_sharded(spark):
     assert "hashpartitioning(shard" in plan
 
 
+def test_single_partition_counter_sees_global_windows(spark):
+    """Pin the plan-audit SinglePartition metric itself: a global
+    (unpartitioned) ranking window must report ≥1 single-partition
+    exchange, a partitioned one must report 0 — the round-1 audit
+    counted an inline literal that formatted plans never print, so it
+    structurally reported 0 for everything."""
+    from pyspark.sql import Window
+
+    from shards_prometheus_spark.plans import (
+        count_single_partition_exchanges,
+    )
+
+    df = spark.range(100).withColumn("g", F.col("id") % 5)
+    glob = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    part = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert count_single_partition_exchanges(glob) >= 1
+    assert count_single_partition_exchanges(part) == 0
+
+
+def test_vocab_rank_is_sharded(spark):
+    """The vocabulary dense rank must window per range-shard (prefix),
+    never one partition over the whole vocabulary; the only global
+    pieces left are over the tiny per-shard-counts relation."""
+    from shards_prometheus_spark.operators.tierc_common import (
+        doc_tokens,
+        vocab,
+    )
+    from shards_prometheus_spark.plans import formatted_plan
+
+    plan = formatted_plan(vocab(doc_tokens(spark, SF_SMOKE)))
+    assert "hashpartitioning(shard" in plan
+
+
 def test_vector_share_is_one_pass(spark):
     """group_left matching rewritten as a window: the plan must contain
     NO join — the 'one' side is the window partition total."""
