@@ -124,6 +124,61 @@ def histogram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-series bucket boundaries — the SURVEY §1.2 `series` dimension
+#: materialized. The reference fixes BucketBoundaries PER SERIES at
+#: warmup (prometheus.cpp:277-293); each metric here registers its own
+#: bounds (different counts and scales), with the global BOUNDS above
+#: kept as the legacy single-config special case.
+SERIES_BOUNDS = {
+    "click": [1.0, 10.0, 50.0, 200.0],
+    "error": [2.0, 20.0, 80.0, 320.0],
+    "purchase": [10.0, 100.0, 1000.0],
+    "signup": [50.0, 150.0, 450.0],
+    "view": [5.0, 50.0, 500.0],
+}
+
+
+def histogram_bounds_per_series(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bucket + cumulative counts with PER-SERIES bounds.
+
+    The bounds dimension (metric → buckets ARRAY<DOUBLE>) broadcasts
+    onto the samples scan; bucket assignment is
+    ``size(filter(bounds, b -> value > b))`` — a JVM-side higher-order
+    expression over the array, so per-series bounds cost no explosion
+    and no UDF. Empty buckets are omitted (same convention as
+    `histogram_buckets`); the +Inf bucket reports le = NULL (IEEE
+    Infinity breaks tolerance-based comparisons — inf−inf is NaN — so
+    the unbounded bucket is identified by le_idx = size(bounds)).
+    """
+    dim = spark.createDataFrame(
+        sorted(SERIES_BOUNDS.items()), "metric string, bounds array<double>"
+    )
+    s = samples(spark, sf_dir).join(F.broadcast(dim), "metric")
+    idx = F.size(F.filter("bounds", lambda b: F.col("value") > b))
+    g = (
+        s.select("metric", idx.cast("long").alias("le_idx"))
+        .groupBy("metric", "le_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("bucket_count"))
+    )
+    w = Window.partitionBy("metric").orderBy("le_idx")
+    le = F.when(
+        F.col("le_idx") < F.size("bounds"),
+        F.element_at("bounds", (F.col("le_idx") + 1).cast("int")),
+    )
+    return (
+        g.join(F.broadcast(dim), "metric")
+        .select(
+            "metric",
+            "le_idx",
+            le.alias("le"),
+            "bucket_count",
+            F.sum("bucket_count").over(w).cast("long").alias("cum_count"),
+        )
+    )
+
+
 def _quantile_params(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([(p,) for p in QUANTILES], "p double")
 
@@ -227,8 +282,15 @@ _BUCKET_COUNTS_SQL = (
     "CAST(COUNT(*) AS BIGINT) AS bucket_count FROM b GROUP BY metric, bucket_idx)"
 )
 
+_BOUNDS_VALUES = ", ".join(
+    f"('{m}', {i}, {b!r})"
+    for m, bs in sorted(SERIES_BOUNDS.items())
+    for i, b in enumerate(bs)
+)
+
 QUERIES = {
     "histogram_buckets": histogram_buckets,
+    "histogram_bounds_per_series": histogram_bounds_per_series,
     "histogram_fraction": histogram_fraction,
     "histogram_sum_count": histogram_sum_count,
     "histogram_quantile": histogram_quantile,
@@ -236,6 +298,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "histogram_bounds_per_series": (
+        f"{SAMPLES_CTE}, bv(metric, i, bound) AS (VALUES {_BOUNDS_VALUES}), "
+        "bi AS (SELECT s.event_id, s.metric, "
+        "COUNT(CASE WHEN s.value > bv.bound THEN 1 END) AS bucket_idx "
+        "FROM samples s JOIN bv ON bv.metric = s.metric "
+        "GROUP BY s.event_id, s.metric), "
+        "g AS (SELECT metric, bucket_idx, "
+        "CAST(COUNT(*) AS BIGINT) AS bucket_count "
+        "FROM bi GROUP BY metric, bucket_idx) "
+        "SELECT g.metric, CAST(g.bucket_idx AS BIGINT) AS le_idx, "
+        "b2.bound AS le, "
+        "g.bucket_count, "
+        "CAST(SUM(g.bucket_count) OVER (PARTITION BY g.metric "
+        "ORDER BY g.bucket_idx) AS BIGINT) AS cum_count "
+        "FROM g LEFT JOIN bv b2 "
+        "ON b2.metric = g.metric AND b2.i = g.bucket_idx"
+    ),
     "histogram_buckets": (
         f"{_BUCKET_COUNTS_SQL} "
         f"SELECT metric, CAST(bucket_idx AS BIGINT) AS le_idx, "

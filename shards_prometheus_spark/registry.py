@@ -72,7 +72,7 @@ _PRIORITY = [
     "counter_sum",
     "gauge_last",
     "histogram_buckets",
-    "histogram_sum_count",
+    "histogram_bounds_per_series",
     # Tier B — metric query model
     "instant_vector",
     "label_filter_eq",
