@@ -26,6 +26,7 @@ from shards_prometheus_spark.streaming.rollup import (
 )
 from shards_prometheus_spark.streaming.stateful import (
     stateful_increase_stream,
+    use_rocksdb_state_store,
 )
 
 __all__ = [
@@ -38,6 +39,7 @@ __all__ = [
     "session_windows_stream",
     "run_to_memory",
     "stateful_increase_stream",
+    "use_rocksdb_state_store",
     "continuous_rollup",
     "compact_rollup",
     "read_rollup",

@@ -18,8 +18,13 @@ increase, sample count), updated per Arrow batch in event order.
 Scale notes: state is one 3-field row per series — bounded by series
 cardinality, like the reference's registry (prometheus.cpp:34-45). The
 group key (metric, label_user) is the same shuffle key every other
-series operator uses. Back with RocksDB state store + watermark-driven
-state eviction for unbounded cardinality.
+series operator uses. For unbounded series cardinality both scale
+levers are WIRED, not aspirational: ``use_rocksdb_state_store``
+switches the session to the RocksDB provider (state off the JVM heap,
+incremental checkpoints), and ``state_ttl`` arms event-time timeouts —
+a series idle past the watermark horizon has its state evicted, so
+churned-away series (redeployed pods, expired users) can't grow state
+forever.
 """
 
 from __future__ import annotations
@@ -57,56 +62,125 @@ INCREASE_STATE_SCHEMA = StructType(
 )
 
 
-def _update_increase(
-    key: Tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Fold one micro-batch of one series into the running increase.
+def _make_update_increase(ttl_ms: int | None):
+    """Build the per-series fold, optionally arming event-time TTL."""
 
-    Rows are processed in (ts_us, event_id) order; the first-ever sample
-    is the baseline (contributes no increase), matching the batch lag()
-    form which drops the first row of each series.
-    """
-    if state.exists:
-        last, total, n = state.get
-    else:
-        last, total, n = 0.0, 0.0, 0
-    # One series can span multiple Arrow chunks (>maxRecordsPerBatch rows):
-    # concatenate BEFORE sorting so ordering holds across chunk boundaries,
-    # then fold vectorized — a reset (v < prev) contributes the post-reset
-    # value itself, otherwise the delta.
-    batch = pd.concat(list(pdfs), ignore_index=True)
-    if len(batch):
-        batch = batch.sort_values(["ts_us", "event_id"])
-        vals = batch["value"].to_numpy(dtype="float64")
-        seq = np.concatenate(([last], vals)) if n > 0 else vals
-        if len(seq) > 1:
-            diffs = np.diff(seq)
-            total += float(np.where(diffs >= 0, diffs, seq[1:]).sum())
-        last = float(vals[-1])
-        n += len(vals)
-    state.update((last, total, n))
-    yield pd.DataFrame(
-        {
-            "metric": [key[0]],
-            "label_user": [key[1]],
-            "total_increase": [total],
-            "n_samples": [n],
-        }
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Fold one micro-batch of one series into the running increase.
+
+        Rows are processed in (ts_us, event_id) order; the first-ever
+        sample is the baseline (contributes no increase), matching the
+        batch lag() form which drops the first row of each series.
+        """
+        if state.hasTimedOut:
+            # watermark passed the series' TTL horizon with no new
+            # samples: evict its state, emit nothing
+            state.remove()
+            return
+        if state.exists:
+            last, total, n = state.get
+        else:
+            last, total, n = 0.0, 0.0, 0
+        # One series can span multiple Arrow chunks (>maxRecordsPerBatch
+        # rows): concatenate BEFORE sorting so ordering holds across
+        # chunk boundaries, then fold vectorized — a reset (v < prev)
+        # contributes the post-reset value itself, otherwise the delta.
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["ts_us", "event_id"])
+            vals = batch["value"].to_numpy(dtype="float64")
+            seq = np.concatenate(([last], vals)) if n > 0 else vals
+            if len(seq) > 1:
+                diffs = np.diff(seq)
+                total += float(np.where(diffs >= 0, diffs, seq[1:]).sum())
+            last = float(vals[-1])
+            n += len(vals)
+        state.update((last, total, n))
+        if ttl_ms is not None:
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + ttl_ms
+            )
+        yield pd.DataFrame(
+            {
+                "metric": [key[0]],
+                "label_user": [key[1]],
+                "total_increase": [total],
+                "n_samples": [n],
+            }
+        )
+
+    return update
+
+
+#: RocksDB state store provider (ships with the Spark distribution).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark) -> None:
+    """Back streaming state with RocksDB (read at query START, so set
+    before `.start()`): state lives off-heap with incremental
+    checkpointing — the provider an unbounded-cardinality deployment
+    runs, vs the default HDFS-backed in-memory map."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
     )
 
 
-def stateful_increase_stream(samples: DataFrame) -> DataFrame:
-    """Per-series running `increase` over an unbounded sample stream."""
+def _parse_duration_ms(duration: str) -> int:
+    n, unit = duration.split()
+    scale = {
+        "second": 1_000, "seconds": 1_000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[unit]
+    return int(n) * scale
+
+
+def stateful_increase_stream(
+    samples: DataFrame, state_ttl: str | None = None
+) -> DataFrame:
+    """Per-series running `increase` over an unbounded sample stream.
+
+    With ``state_ttl`` (e.g. "30 days"), a watermark is applied on
+    event_time and per-series state is evicted once the watermark
+    passes last-activity + TTL — the retention policy that bounds
+    state under series churn. Without it, state lives forever
+    (reference registry semantics, prometheus.cpp:34-45).
+    """
+    if state_ttl is None:
+        return (
+            samples.select(
+                "metric", "label_user", "ts_us", "event_id", "value"
+            )
+            .groupBy("metric", "label_user")
+            .applyInPandasWithState(
+                _make_update_increase(None),
+                INCREASE_OUTPUT_SCHEMA,
+                INCREASE_STATE_SCHEMA,
+                "update",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
     return (
-        samples.select("metric", "label_user", "ts_us", "event_id", "value")
+        samples.withWatermark("event_time", state_ttl)
+        .select(
+            "metric", "label_user", "ts_us", "event_id", "value",
+            "event_time",
+        )
         .groupBy("metric", "label_user")
         .applyInPandasWithState(
-            _update_increase,
+            _make_update_increase(_parse_duration_ms(state_ttl)),
             INCREASE_OUTPUT_SCHEMA,
             INCREASE_STATE_SCHEMA,
             "update",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -405,3 +405,71 @@ def test_continuous_rollup_checkpoint_is_idempotent(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == n_partials
+
+
+def test_stateful_increase_rocksdb_ttl_late_data(spark, tmp_path):
+    """The at-scale state configuration, exercised for real: RocksDB
+    state store provider + event-time TTL eviction, across 3 true
+    micro-batches containing counter resets AND late data (rows shuffled
+    within each batch file, so the fold must re-order by event time
+    inside the batch). The final running increase must equal the
+    reset-clamped fold over the event-time-ordered samples."""
+    import os
+
+    from shards_prometheus_spark.streaming import (
+        run_to_memory,
+        samples_stream,
+        stateful_increase_stream,
+        use_rocksdb_state_store,
+    )
+    from shards_prometheus_spark.streaming.ingest import EVENTS_SCHEMA
+
+    # one counter series, 3 micro-batches; values reset twice; rows
+    # inside each batch are written OUT of time order (late data)
+    base_us = 1_700_000_000_000_000
+    batches = [
+        [(2, 5.0), (1, 1.0), (3, 9.0)],          # shuffled: 1,5,9
+        [(5, 6.0), (4, 2.0), (6, 10.0)],         # reset to 2, then 6,10
+        [(8, 7.0), (9, 11.0), (7, 3.0)],         # reset to 3, then 7,11
+    ]
+    # expected fold over 1,5,9,2,6,10,3,7,11 → 4+4+2+4+4+3+4+4 = 29
+    expected_total, expected_n = 29.0, 9
+    src = str(tmp_path / "rocks_events")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        pdf = spark.createDataFrame(
+            [
+                (k, (base_us + k * 60_000_000) * 1000, 7, "cnt", v, "{}")
+                for k, v in rows
+            ],
+            EVENTS_SCHEMA,
+        )
+        d = f"{src}/batch_{i}.parquet.dir"
+        pdf.coalesce(1).write.mode("overwrite").parquet(d)
+        for root, _, files in os.walk(d):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (1_000_000 + i,) * 2)
+    use_rocksdb_state_store(spark)
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*.parquet.dir")
+        )
+        q = run_to_memory(
+            stateful_increase_stream(
+                samples_stream(stream), state_ttl="365 days"
+            ),
+            "rocks_increase_t",
+        )
+        _await(q)
+        progress = q.lastProgress
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    rows = spark.table("rocks_increase_t").collect()
+    final = max(rows, key=lambda r: r["n_samples"])
+    assert final["metric"] == "cnt"
+    assert final["n_samples"] == expected_n
+    assert round(final["total_increase"], 4) == expected_total
+    # the query really ran on RocksDB: provider-specific state metrics
+    assert "rocksdb" in str(progress["stateOperators"]).lower()
