@@ -30,9 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from shards_prometheus_spark.model import dround
+from shards_prometheus_spark.model import dround, load_table
 from shards_prometheus_spark.operators.dedup import _SHINGLE_SQL, _shingles
 from shards_prometheus_spark.operators.tierc_common import (
+    HASH_P,
     TOKENS_CTE,
     doc_token_ids,
 )
@@ -210,11 +211,119 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: corpus_filter_chain thresholds (stage predicates).
+FILTER_MIN_CHARS = 100
+FILTER_LANG = "en"
+FILTER_QUALITY_MIN = 0.25
+#: Dedup key for the funnel's final stage: first-k-token prefix (a
+#: boilerplate-prefix collapse; exact-text dedup is `dedup_exact`).
+FILTER_PREFIX_TOKENS = 3
+
+
+def corpus_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data filter funnel: the survival count after each stage
+    of the standard pretraining cleanup chain —
+
+      00_all → 10_length (n_chars ≥ 100) → 20_lang (lang = 'en')
+      → 30_quality (quality ≥ 0.25) → 40_dedup (min doc_id per
+      3-token-prefix group among quality survivors)
+
+    computed in ONE pass: every document gets cumulative stage flags as
+    column expressions, the dedup survivor flag comes from a single
+    keep-min join on the prefix key, and the funnel is one global
+    aggregate unpivoted with `stack`. No per-stage re-scan of the
+    corpus — at 100 TB this is one scan + one prefix-keyed shuffle,
+    versus the naive five materialized intermediate corpora.
+    """
+    from shards_prometheus_spark.operators.text import text_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    prefix = F.array_join(
+        F.slice(toks, 1, FILTER_PREFIX_TOKENS), " "
+    ).alias("pfx")
+    f_len = F.col("n_chars") >= FILTER_MIN_CHARS
+    f_lang = f_len & (F.col("lang") == FILTER_LANG)
+    f_q = f_lang & (F.col("quality") >= FILTER_QUALITY_MIN)
+    flagged = docs.join(q, "doc_id").select(
+        "doc_id",
+        prefix,
+        f_len.alias("f_len"),
+        f_lang.alias("f_lang"),
+        f_q.alias("f_q"),
+    )
+    keep = (
+        flagged.filter("f_q")
+        .groupBy("pfx")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    surv = flagged.join(keep, "pfx", "left").withColumn(
+        "f_dedup", F.col("f_q") & (F.col("doc_id") == F.col("keep_id"))
+    )
+    agg = surv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(F.col("f_len").cast("long")).cast("long").alias("n_len"),
+        F.sum(F.col("f_lang").cast("long")).cast("long").alias("n_lang"),
+        F.sum(F.col("f_q").cast("long")).cast("long").alias("n_q"),
+        F.sum(F.col("f_dedup").cast("long")).cast("long").alias("n_dedup"),
+    )
+    return agg.selectExpr(
+        "stack(5, '00_all', n_all, '10_length', n_len, "
+        "'20_lang', n_lang, '30_quality', n_q, '40_dedup', n_dedup) "
+        "AS (stage, n_docs)"
+    )
+
+
+#: quota_sample: per-(lang, source) deterministic cap.
+QUOTA_K = 3
+QS_A = 48_271  # MINSTD multiplier — portable affine sampling hash
+QS_B = 11
+#: Salt fan-out for the two-phase top-k (phase 1 ranks within
+#: (stratum, doc_id % SALT) shards so no window ever sorts a whole
+#: stratum; phase 2 ranks the ≤ SALT·K survivors).
+QUOTA_SALT = 16
+
+
+def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified quota sampling: keep the QUOTA_K
+    documents with the smallest affine sampling hash per (lang, source)
+    stratum — the per-domain/per-language cap every corpus-balancing
+    recipe needs, reproducible across runs and engines (no rand()).
+
+    Scale shape: a stratum can hold billions of docs, so the top-k is
+    two-phase — rank inside (stratum, salt) shards (bounded windows),
+    keep ≤ K per shard, then rank the ≤ SALT·K survivors per stratum.
+    Identical output to a single global window (exact top-k), but no
+    stratum-sized sort partition ever exists.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") * QS_A + QS_B) % HASH_P).alias("h")
+    salted = docs.select(
+        "doc_id", "lang", "source", h,
+        (F.col("doc_id") % QUOTA_SALT).alias("salt"),
+    )
+    w1 = Window.partitionBy("lang", "source", "salt").orderBy(
+        "h", "doc_id"
+    )
+    phase1 = salted.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= QUOTA_K
+    )
+    w2 = Window.partitionBy("lang", "source").orderBy("h", "doc_id")
+    return (
+        phase1.withColumn("sample_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("sample_rank") <= QUOTA_K)
+        .select("doc_id", "lang", "source", "sample_rank")
+    )
+
+
 QUERIES = {
     "pack_chunks": pack_chunks,
     "split_assign": split_assign,
     "contamination_ngram": contamination_ngram,
     "repetition_stats": repetition_stats,
+    "corpus_filter_chain": corpus_filter_chain,
+    "quota_sample": quota_sample,
 }
 
 ORACLES = {
@@ -275,4 +384,48 @@ ORACLES = {
         f"{dround('p.top_c * 1.0 / p.n_tokens', 4)} AS top_token_ratio "
         "FROM pd p JOIN dsh d USING (doc_id) WHERE p.n_tokens >= 3"
     ),
+    "corpus_filter_chain": None,  # built below (needs text's stats CTE)
+    "quota_sample": (
+        "SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS sample_rank "
+        "FROM (SELECT doc_id, lang, source, ROW_NUMBER() OVER ("
+        "PARTITION BY lang, source "
+        f"ORDER BY (doc_id * {QS_A} + {QS_B}) % {HASH_P}, doc_id) AS rk "
+        f"FROM documents) WHERE rk <= {QUOTA_K}"
+    ),
 }
+
+
+def _filter_chain_oracle() -> str:
+    from shards_prometheus_spark.operators.text import (
+        _DOC_STATS_SQL,
+        QUALITY_EXPR_SQL,
+    )
+
+    return (
+        f"{_DOC_STATS_SQL}, "
+        f"q AS (SELECT doc_id, {dround(QUALITY_EXPR_SQL, 4)} AS quality "
+        "FROM stats), "
+        "f AS (SELECT d.doc_id, "
+        "array_to_string(list_filter(string_split(lower(d.text), ' '), "
+        f"t -> t <> '')[1:{FILTER_PREFIX_TOKENS}], ' ') AS pfx, "
+        f"(d.n_chars >= {FILTER_MIN_CHARS}) AS f_len, "
+        f"(d.n_chars >= {FILTER_MIN_CHARS} AND d.lang = '{FILTER_LANG}') "
+        "AS f_lang, "
+        f"(d.n_chars >= {FILTER_MIN_CHARS} AND d.lang = '{FILTER_LANG}' "
+        f"AND q.quality >= {FILTER_QUALITY_MIN}) AS f_q "
+        "FROM documents d JOIN q USING (doc_id)), "
+        "k AS (SELECT pfx, MIN(doc_id) AS keep_id FROM f WHERE f_q "
+        "GROUP BY pfx) "
+        "SELECT '00_all' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM f "
+        "UNION ALL SELECT '10_length', CAST(COALESCE(SUM(CASE WHEN f_len "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f "
+        "UNION ALL SELECT '20_lang', CAST(COALESCE(SUM(CASE WHEN f_lang "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f "
+        "UNION ALL SELECT '30_quality', CAST(COALESCE(SUM(CASE WHEN f_q "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f "
+        "UNION ALL SELECT '40_dedup', CAST(COUNT(*) AS BIGINT) FROM f "
+        "JOIN k USING (pfx) WHERE f.f_q AND f.doc_id = k.keep_id"
+    )
+
+
+ORACLES["corpus_filter_chain"] = _filter_chain_oracle()

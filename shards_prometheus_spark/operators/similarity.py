@@ -343,6 +343,86 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Cosine threshold for semantic (embedding-space) duplicates.
+SEMDEDUP_THRESHOLD = 0.40
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: cluster the corpus with the IVF
+    coarse quantizer, then WITHIN each cell drop every vector that has
+    a higher-priority (smaller vec_id) cell-mate above the cosine
+    threshold — the cluster-then-screen recipe of semantic dedup at
+    scale (pairwise work bounded by cell occupancy, never corpus²).
+
+    Output per vector: its cell, how many smaller-id in-cell semantic
+    dups it has, and the keep flag (kept iff none). Deterministic
+    min-id survivorship, so the oracle can mirror it exactly.
+    """
+    cells = (
+        _ivf_assign(spark, sf_dir)
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    cand = (
+        cells.alias("x")
+        .join(cells.alias("y"), "cell")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("va"), F.col("y.vec_id").alias("vb")
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("e_b"))
+    cos = _dot_expr("e_a", "e_b") / (_norm_expr("e_a") * _norm_expr("e_b"))
+    drops = (
+        cand.join(ea, "va")
+        .join(eb, "vb")
+        .select("vb", F.round(cos, 6).alias("cos6"))
+        .filter(F.col("cos6") >= SEMDEDUP_THRESHOLD)
+        .groupBy("vb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dups"))
+    )
+    return (
+        cells.join(drops, cells.vec_id == drops.vb, "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+            (F.coalesce("n_dups", F.lit(0)) == 0).cast("long").alias("keep"),
+        )
+    )
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@k of each ANN path (LSH
+    buckets, IVF probe) against the brute-force exact top-k — the
+    measurement loop that tunes nprobe/planes before anyone trusts an
+    approximate index on the full corpus. One row per method.
+
+    All three retrievals are tiny (k rows); the eval is semi-join
+    counts, so the expensive part is exactly the underlying searches.
+    """
+    exact = similarity_topk(spark, sf_dir).select("vec_id")
+    parts = []
+    for method, fn in (("lsh", similarity_lsh), ("ivf", similarity_ivf)):
+        approx = fn(spark, sf_dir).select("vec_id")
+        hits = approx.join(exact, "vec_id", "left_semi")
+        stats = (
+            approx.agg(F.count(F.lit(1)).cast("long").alias("n_retrieved"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+        )
+        parts.append(
+            stats.select(
+                F.lit(method).alias("method"),
+                "n_retrieved",
+                "n_hits",
+                F.round(F.col("n_hits") / F.lit(TOP_K), 4).alias("recall_at_k"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
 #: Lloyd iterations for the IVF quantizer training (fixed + unrolled in
 #: the oracle).
 KMEANS_ITERS = 3
@@ -493,6 +573,8 @@ QUERIES = {
     "similarity_knn_graph": similarity_knn_graph,
     "embedding_label_centroids": embedding_label_centroids,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_semantic": dedup_semantic,
+    "ann_recall_eval": ann_recall_eval,
 }
 
 ORACLES = {
@@ -588,4 +670,56 @@ ORACLES = {
         "SELECT vec_a, vec_b, ROUND(cos6, 4) AS cosine FROM cos "
         f"WHERE cos6 >= {COSINE_DUP_THRESHOLD}"
     ),
+    # dedup_semantic: the IVF cell-assignment spine of _IVF_SQL, then
+    # within-cell smaller-id duplicate counting.
+    "dedup_semantic": (
+        f"{_DIMS_CTE}, "
+        "cd AS (SELECT d.vec_id, c.vec_id AS cent_id, SUM(d.v * c.v) AS dot "
+        f"FROM dims d JOIN dims c ON c.d = d.d AND c.vec_id IN ({_IVF_IDS}) "
+        "GROUP BY d.vec_id, c.vec_id), "
+        "cc AS (SELECT cd.vec_id, cd.cent_id, "
+        "ROUND(cd.dot / (n1.nrm * n2.nrm), 6) AS c6 FROM cd "
+        "JOIN nrm n1 ON n1.vec_id = cd.vec_id "
+        "JOIN nrm n2 ON n2.vec_id = cd.cent_id), "
+        "cells AS (SELECT vec_id, cent_id AS cell FROM ("
+        "SELECT vec_id, cent_id, ROW_NUMBER() OVER "
+        "(PARTITION BY vec_id ORDER BY c6 DESC, cent_id ASC) AS ark FROM cc) "
+        "WHERE ark = 1), "
+        "cand AS (SELECT x.vec_id AS va, y.vec_id AS vb FROM cells x "
+        "JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id), "
+        "dots AS (SELECT c.va, c.vb, SUM(da.v * db.v) AS dot "
+        "FROM cand c JOIN dims da ON da.vec_id = c.va "
+        "JOIN dims db ON db.vec_id = c.vb AND db.d = da.d "
+        "GROUP BY c.va, c.vb), "
+        "drops AS (SELECT vb, CAST(COUNT(*) AS BIGINT) AS n_dups FROM ("
+        "SELECT d.vb, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos6 "
+        "FROM dots d JOIN nrm na ON na.vec_id = d.va "
+        "JOIN nrm nb ON nb.vec_id = d.vb) "
+        f"WHERE cos6 >= {SEMDEDUP_THRESHOLD} GROUP BY vb) "
+        "SELECT c.vec_id, c.cell, COALESCE(dr.n_dups, 0) AS n_dups, "
+        "CAST(COALESCE(dr.n_dups, 0) = 0 AS BIGINT) AS keep "
+        "FROM cells c LEFT JOIN drops dr ON dr.vb = c.vec_id"
+    ),
 }
+
+
+def _recall_block(method: str, approx_sql: str) -> str:
+    topk_sql = ORACLES["similarity_topk"]
+    hits = (
+        f"(SELECT COUNT(*) FROM ({approx_sql}) a WHERE a.vec_id IN "
+        f"(SELECT vec_id FROM ({topk_sql})))"
+    )
+    return (
+        f"SELECT '{method}' AS method, "
+        f"CAST((SELECT COUNT(*) FROM ({approx_sql})) AS BIGINT) "
+        "AS n_retrieved, "
+        f"CAST({hits} AS BIGINT) AS n_hits, "
+        f"{dround(f'{hits} * 1.0 / {TOP_K}', 4)} AS recall_at_k"
+    )
+
+
+ORACLES["ann_recall_eval"] = (
+    _recall_block("lsh", ORACLES["similarity_lsh"])
+    + " UNION ALL "
+    + _recall_block("ivf", ORACLES["similarity_ivf"])
+)

@@ -152,6 +152,44 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring, unigram-LM form: per document the
+    mean token log-probability under the corpus unigram distribution
+    (ln(count(t)/N)) and the implied perplexity — the cheapest member
+    of the perplexity-filter family every pretraining pipeline runs
+    (a real build swaps in an n-gram or small-LM scorer; the relational
+    shape — corpus stats relation joined back onto the token stream —
+    is identical).
+
+    Scale shape: the unigram-count relation is vocab-sized and
+    broadcast-joins onto the exploded token stream; the corpus total is
+    a one-row broadcast cross join. One scan + one map-side join; no
+    corpus-keyed shuffle beyond the per-doc aggregate.
+
+    Perplexity derives from the ALREADY-ROUNDED mean (identical double
+    in both engines) so exp() amplification cannot split the hash.
+    """
+    ids = doc_token_ids(spark, sf_dir)
+    counts = ids.groupBy("token_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tc")
+    )
+    total = counts.agg(F.sum("tc").cast("long").alias("n_total"))
+    lp = (
+        ids.join(F.broadcast(counts), "token_id")
+        .join(F.broadcast(total))
+        .select("doc_id", F.log(F.col("tc") / F.col("n_total")).alias("l"))
+    )
+    avg = F.round(F.avg("l"), 4)
+    return (
+        lp.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            avg.alias("avg_logprob"),
+        )
+        .withColumn("ppl", F.round(F.exp(-F.col("avg_logprob")), 2))
+    )
+
+
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish regex token counts per document."""
     docs = load_table(spark, sf_dir, "documents")
@@ -175,6 +213,13 @@ _DOC_STATS_SQL = (
     "FROM tok GROUP BY doc_id)"
 )
 
+#: The quality mixture as raw SQL over a `stats` row — shared with the
+#: corpus_filter_chain oracle so both engines threshold the same value.
+QUALITY_EXPR_SQL = (
+    "0.5 * (n_stop * 1.0 / n_tokens) + 0.3 * LEAST(n_tokens / 100.0, 1.0) "
+    "+ 0.2 * LEAST((total_len * 1.0 / n_tokens) / 10.0, 1.0)"
+)
+
 QUERIES = {
     "text_token_counts": text_token_counts,
     "text_language_id": text_language_id,
@@ -182,6 +227,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_fingerprint": text_fingerprint,
     "token_count_bpe": token_count_bpe,
+    "unigram_logprob": unigram_logprob,
 }
 
 ORACLES = {
@@ -221,7 +267,7 @@ ORACLES = {
         "SELECT doc_id, n_tokens, "
         f"{dround('total_len * 1.0 / n_tokens', 4)} AS avg_token_len, "
         f"{dround('n_stop * 1.0 / n_tokens', 4)} AS stop_ratio, "
-        f"{dround('0.5 * (n_stop * 1.0 / n_tokens) + 0.3 * LEAST(n_tokens / 100.0, 1.0) + 0.2 * LEAST((total_len * 1.0 / n_tokens) / 10.0, 1.0)', 4)} AS quality "
+        f"{dround(QUALITY_EXPR_SQL, 4)} AS quality "
         "FROM stats"
     ),
     "text_fingerprint": (
@@ -235,5 +281,16 @@ ORACLES = {
         "AS BIGINT) AS n_tokens_ws, "
         f"CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS BIGINT) "
         "AS n_tokens_bpe FROM documents"
+    ),
+    "unigram_logprob": (
+        f"{TOKENS_CTE}, tc AS (SELECT token_id, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM dtok GROUP BY token_id), "
+        "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM tc), "
+        "lp AS (SELECT d.doc_id, ln(t.c * 1.0 / (SELECT n_total FROM tot)) "
+        "AS l FROM dtok d JOIN tc t USING (token_id)), "
+        "per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        f"{dround('AVG(l)', 4)} AS avg_logprob FROM lp GROUP BY doc_id) "
+        "SELECT doc_id, n_tokens, avg_logprob, "
+        f"{dround('exp(-avg_logprob)', 2)} AS ppl FROM per_doc"
     ),
 }
