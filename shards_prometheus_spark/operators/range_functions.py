@@ -351,6 +351,78 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ses_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE recursive exponential smoothing (the ``holt_winters`` level
+    recursion, sₙ = α·xₙ + (1−α)·sₙ₋₁ with s₁ = x₁) per series per
+    hour — the un-normalized companion of ``ewma_smooth``'s adjusted
+    form; the two differ materially for small windows.
+
+    The recursion is LINEAR in the inputs, so the final level has the
+    closed form sₙ = (1−α)ⁿ⁻¹·x₁ + Σᵢ₌₂ⁿ α(1−α)ⁿ⁻ⁱ·xᵢ — a plain
+    windowed weighted sum, order-free and shuffle-parallel (no
+    per-series serial fold, unlike a naive recursive evaluation; the
+    trend component's matrix-power weights stay out of scope). Output:
+    the final smoothed level per (series, hour).
+    """
+    s = _with_hour(spark, sf_dir)
+    keys = ["metric", "label_user", "hour_ts"]
+    w = Window.partitionBy(*keys).orderBy("ts_us", "event_id")
+    ranked = s.select(
+        *keys,
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("n"),
+    )
+    decay = F.pow(F.lit(1.0 - EWMA_ALPHA), F.col("n") - F.col("rn"))
+    wt = F.when(F.col("rn") == 1, decay).otherwise(F.lit(EWMA_ALPHA) * decay)
+    return ranked.groupBy(*keys).agg(
+        F.round(F.sum(wt * F.col("value")), 4).alias("level")
+    )
+
+
+#: Subquery step: the inner expression re-evaluates every 10 minutes.
+SUBQ_STEP_S = 600
+SUBQ_STEP_US = SUBQ_STEP_S * 1_000_000
+
+
+def subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL subquery semantics — ``max_over_time(rate(m[10m])[1h:10m])``:
+    the inner ``rate`` evaluates per series on a 10-minute grid, the
+    outer ``max_over_time`` folds the six inner points of each hour.
+    Two stacked groupings over ONE scan: the 10-min bucket is a pure
+    integer function of ts_us and the hour key a pure function of the
+    bucket, so Spark keeps partial aggregation map-side for both levels
+    — no second shuffle beyond the coarser key.
+
+    The inner lag is scoped to the 10-min range (per-range evaluation,
+    same scoping as counter_resets / value_changes).
+    """
+    s = samples(spark, sf_dir).withColumn(
+        "step_ts", F.expr(f"ts_us div {SUBQ_STEP_US}") * SUBQ_STEP_S
+    )
+    w = Window.partitionBy("metric", "label_user", "step_ts").orderBy(
+        "ts_us", "event_id"
+    )
+    deltas = (
+        s.withColumn("prev", F.lag("value").over(w))
+        .filter(F.col("prev").isNotNull())
+        .withColumn(
+            "delta",
+            F.when(F.col("value") < F.col("prev"), F.col("value")).otherwise(
+                F.col("value") - F.col("prev")
+            ),
+        )
+    )
+    inner = deltas.groupBy("metric", "label_user", "step_ts").agg(
+        F.round(F.sum("delta") / F.lit(float(SUBQ_STEP_S)), 6).alias("rate")
+    )
+    hour_ts = (F.expr(f"step_ts div 3600") * 3600).alias("hour_ts")
+    return inner.groupBy("metric", "label_user", hour_ts).agg(
+        F.round(F.max("rate"), 6).alias("max_rate"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+    )
+
+
 QUERIES = {
     "quantile_over_time": quantile_over_time,
     "series_similarity": series_similarity,
@@ -363,9 +435,47 @@ QUERIES = {
     "value_changes": value_changes,
     "gauge_deriv": gauge_deriv,
     "predict_linear": predict_linear,
+    "ses_smooth": ses_smooth,
+    "subquery_max_rate": subquery_max_rate,
 }
 
+_SUBQ_STEP = f"(ts_us // {SUBQ_STEP_US}) * {SUBQ_STEP_S}"
+
 ORACLES = {
+    "ses_smooth": (
+        f"{SAMPLES_CTE}, k AS (SELECT metric, label_user, "
+        f"{_HOUR} AS hour_ts, value, "
+        "ROW_NUMBER() OVER (PARTITION BY metric, label_user, "
+        f"({_HOUR}) ORDER BY ts_us, event_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY metric, label_user, "
+        f"({_HOUR})) AS n FROM samples) "
+        "SELECT metric, label_user, hour_ts, "
+        + dround(
+            f"SUM((CASE WHEN rn = 1 THEN POWER({1.0 - EWMA_ALPHA}, n - rn) "
+            f"ELSE {EWMA_ALPHA} * POWER({1.0 - EWMA_ALPHA}, n - rn) END) "
+            "* value)",
+            4,
+        )
+        + " AS level FROM k GROUP BY metric, label_user, hour_ts"
+    ),
+    "subquery_max_rate": (
+        f"{SAMPLES_CTE}, d AS (SELECT metric, label_user, "
+        f"{_SUBQ_STEP} AS step_ts, value, "
+        "LAG(value) OVER (PARTITION BY metric, label_user, "
+        f"({_SUBQ_STEP}) ORDER BY ts_us, event_id) AS prev FROM samples), "
+        "inner_rate AS (SELECT metric, label_user, step_ts, "
+        + dround(
+            "SUM(CASE WHEN value < prev THEN value ELSE value - prev END) "
+            f"/ {float(SUBQ_STEP_S)}",
+            6,
+        )
+        + " AS rate FROM d WHERE prev IS NOT NULL "
+        "GROUP BY metric, label_user, step_ts) "
+        "SELECT metric, label_user, (step_ts // 3600) * 3600 AS hour_ts, "
+        + dround("MAX(rate)", 6)
+        + " AS max_rate, CAST(COUNT(*) AS BIGINT) AS n_points "
+        "FROM inner_rate GROUP BY metric, label_user, hour_ts"
+    ),
     "ewma_smooth": (
         f"{SAMPLES_CTE}, k AS (SELECT metric, label_user, "
         f"{_HOUR} AS hour_ts, value, "
