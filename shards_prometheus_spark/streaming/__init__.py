@@ -12,6 +12,7 @@ from shards_prometheus_spark.streaming.ingest import (
     counter_totals_stream,
     gauge_last_stream,
     histogram_buckets_stream,
+    interval_join_stream,
     run_to_memory,
     samples_stream,
     session_windows_stream,
@@ -37,6 +38,7 @@ __all__ = [
     "histogram_buckets_stream",
     "windowed_sums_stream",
     "session_windows_stream",
+    "interval_join_stream",
     "run_to_memory",
     "stateful_increase_stream",
     "use_rocksdb_state_store",

@@ -176,6 +176,47 @@ def session_windows_stream(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each `right` sample to
+    every `left` sample of the same label within (l_time, l_time +
+    max_lag] — the click→purchase conversion-attribution shape, as a
+    watermarked streaming join.
+
+    Both sides carry watermarks and the join condition carries the time
+    range, so Spark bounds each side's state: left rows are evicted
+    once the right watermark passes l_time + max_lag, right rows once
+    the left watermark passes them. Inner-join results emit as soon as
+    they match (no watermark hold), so the stream converges to exactly
+    the batch join. State is keyed by label — series-cardinality
+    bounded per watermark horizon, not stream-length bounded.
+    """
+    l = left.withWatermark("event_time", watermark).select(
+        F.col("label_user").alias("l_user"),
+        F.col("event_time").alias("l_time"),
+        F.col("event_id").alias("l_id"),
+        F.col("value").alias("l_value"),
+    )
+    r = right.withWatermark("event_time", watermark).select(
+        F.col("label_user").alias("r_user"),
+        F.col("event_time").alias("r_time"),
+        F.col("event_id").alias("r_id"),
+        F.col("value").alias("r_value"),
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"l_user = r_user AND r_time > l_time "
+            f"AND r_time <= l_time + INTERVAL {max_lag}"
+        ),
+        "inner",
+    ).select("l_user", "l_id", "r_id", "l_time", "r_time", "l_value", "r_value")
+
+
 def run_to_memory(
     df: DataFrame,
     name: str,

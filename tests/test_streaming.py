@@ -473,3 +473,54 @@ def test_stateful_increase_rocksdb_ttl_late_data(spark, tmp_path):
     assert round(final["total_increase"], 4) == expected_total
     # the query really ran on RocksDB: provider-specific state metrics
     assert "rocksdb" in str(progress["stateOperators"]).lower()
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Watermarked stream-stream interval join (click→purchase within
+    1h per user) produces exactly the batch join's pairs."""
+    from shards_prometheus_spark.model import samples
+    from shards_prometheus_spark.streaming import (
+        interval_join_stream,
+        run_to_memory,
+        samples_stream,
+        stream_events,
+    )
+
+    clicks = samples_stream(stream_events(spark, SF_SMOKE)).filter(
+        F.col("metric") == "click"
+    )
+    buys = samples_stream(stream_events(spark, SF_SMOKE)).filter(
+        F.col("metric") == "purchase"
+    )
+    q = run_to_memory(
+        interval_join_stream(clicks, buys),
+        "ssjoin_t",
+        output_mode="append",
+    )
+    _await(q)
+    got = {
+        (r["l_id"], r["r_id"]) for r in spark.table("ssjoin_t").collect()
+    }
+
+    s = samples(spark, SF_SMOKE)
+    l = s.filter(F.col("metric") == "click").select(
+        F.col("label_user").alias("u"),
+        F.col("ts_us").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    )
+    r = s.filter(F.col("metric") == "purchase").select(
+        F.col("label_user").alias("u"),
+        F.col("ts_us").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    want = {
+        (row["l_id"], row["r_id"])
+        for row in l.join(r, "u")
+        .filter(
+            (F.col("r_ts") > F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + 3600 * 1_000_000)
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
