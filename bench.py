@@ -48,8 +48,12 @@ HEADLINE = [
     "similarity_ivf",
     "text_token_counts",
     "text_quality_score",
+    "unigram_logprob",
     "pack_chunks",
     "contamination_ngram",
+    "corpus_filter_chain",
+    "dedup_semantic",
+    "subquery_max_rate",
     "user_sessions",
     "retention_cohorts",
     "similarity_kmeans",

@@ -357,6 +357,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output per vector: its cell, how many smaller-id in-cell semantic
     dups it has, and the keep flag (kept iff none). Deterministic
     min-id survivorship, so the oracle can mirror it exactly.
+
+    Scale note: parallelism of the pair stage is bounded by cell count
+    — here the demo quantizer's 4 cells; a production run trains
+    k ≈ √N cells (similarity_kmeans is the trainer), which keeps cell
+    occupancy ~√N and the within-cell pair work ~N total.
     """
     cells = (
         _ivf_assign(spark, sf_dir)
