@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from shards_prometheus_spark.model import MICROS_PER_HOUR, SAMPLES_CTE, samples
+from shards_prometheus_spark.model import (
+    MICROS_PER_HOUR,
+    SAMPLES_CTE,
+    dround,
+    samples,
+)
 
 def _series_window():
     # Built lazily: Window specs require an active session.
@@ -88,6 +93,67 @@ def counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def counter_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL's ACTUAL ``rate()``: the extrapolatedRate estimator
+    (public Prometheus semantics, promql/functions.go) — the clamped
+    per-range increase is extrapolated to the window boundaries, capped
+    at half the average sample spacing when the first/last sample sits
+    far inside the window, and limited by the zero-crossing point so a
+    counter is never extrapolated below 0.
+
+    The simple sum-of-deltas form stays available as ``counter_rate``;
+    this one reproduces what a Prometheus server actually returns.
+    Per-range evaluation: the lag is scoped to (series, hour), and all
+    boundary arithmetic is int64-µs exact until the final divisions.
+    The summed increase is pinned to 6 dp BEFORE feeding the
+    extrapolation branches so cross-engine accumulation-order noise
+    cannot flip a comparison.
+    """
+    s = samples(spark, sf_dir).withColumn(
+        "hour_ts", F.expr(f"ts_us div {MICROS_PER_HOUR}") * 3600
+    )
+    keys = ["metric", "label_user", "hour_ts"]
+    w = Window.partitionBy(*keys).orderBy("ts_us", "event_id")
+    d = s.withColumn("prev", F.lag("value").over(w)).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    delta = F.when(F.col("value") < F.col("prev"), F.col("value")).otherwise(
+        F.col("value") - F.col("prev")
+    )
+    agg = (
+        d.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts_us").alias("first_ts"),
+            F.max("ts_us").alias("last_ts"),
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("first_v"),
+            F.round(
+                F.sum(F.when(F.col("prev").isNotNull(), delta)), 6
+            ).alias("sum_d"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("last_ts") > F.col("first_ts")))
+    )
+    ws = F.col("hour_ts") * F.lit(1_000_000)
+    we = ws + F.lit(MICROS_PER_HOUR)
+    si = (F.col("last_ts") - F.col("first_ts")).cast("double")
+    dts = (F.col("first_ts") - ws).cast("double")
+    dte = (we - F.col("last_ts")).cast("double")
+    avg_dur = si / (F.col("n") - 1)
+    dz = si * (F.col("first_v") / F.col("sum_d"))
+    dts1 = F.when(
+        (F.col("sum_d") > 0) & (F.col("first_v") >= 0) & (dz < dts), dz
+    ).otherwise(dts)
+    thr = avg_dur * F.lit(1.1)
+    dts2 = F.when(dts1 >= thr, avg_dur / 2).otherwise(dts1)
+    dte2 = F.when(dte >= thr, avg_dur / 2).otherwise(dte)
+    rate = F.col("sum_d") * ((si + dts2 + dte2) / si) / F.lit(3600.0)
+    return agg.select(
+        *keys,
+        F.col("n").cast("long").alias("n_samples"),
+        F.round(rate, 6).alias("rate"),
+    )
+
+
 _DELTAS_SQL = (
     f"{SAMPLES_CTE}, d AS ("
     " SELECT metric, label_user, ts_us, value,"
@@ -103,7 +169,43 @@ QUERIES = {
     "counter_sum": counter_sum,
     "counter_increase": counter_increase,
     "counter_rate": counter_rate,
+    "counter_rate_extrapolated": counter_rate_extrapolated,
 }
+
+_HR = MICROS_PER_HOUR
+_EXTRAP_SQL = (
+    f"{SAMPLES_CTE}, d AS (SELECT metric, label_user, "
+    f"(ts_us // {_HR}) * 3600 AS hour_ts, ts_us, value, "
+    "LAG(value) OVER (PARTITION BY metric, label_user, "
+    f"(ts_us // {_HR}) ORDER BY ts_us, event_id) AS prev, "
+    "ROW_NUMBER() OVER (PARTITION BY metric, label_user, "
+    f"(ts_us // {_HR}) ORDER BY ts_us, event_id) AS rn FROM samples), "
+    "a AS (SELECT metric, label_user, hour_ts, "
+    "CAST(COUNT(*) AS BIGINT) AS n, MIN(ts_us) AS first_ts, "
+    "MAX(ts_us) AS last_ts, MAX(CASE WHEN rn = 1 THEN value END) "
+    "AS first_v, "
+    + dround(
+        "SUM(CASE WHEN prev IS NOT NULL THEN "
+        "CASE WHEN value < prev THEN value ELSE value - prev END END)",
+        6,
+    )
+    + " AS sum_d FROM d GROUP BY metric, label_user, hour_ts), "
+    "f AS (SELECT *, CAST(last_ts - first_ts AS DOUBLE) AS si, "
+    "CAST(first_ts - hour_ts * 1000000 AS DOUBLE) AS dts, "
+    f"CAST(hour_ts * 1000000 + {_HR} - last_ts AS DOUBLE) AS dte "
+    "FROM a WHERE n >= 2 AND last_ts > first_ts), "
+    "g AS (SELECT *, si / (n - 1) AS avg_dur, "
+    "si * (first_v / sum_d) AS dz FROM f), "
+    "h AS (SELECT *, CASE WHEN sum_d > 0 AND first_v >= 0 AND dz < dts "
+    "THEN dz ELSE dts END AS dts1 FROM g), "
+    "i AS (SELECT *, CASE WHEN dts1 >= avg_dur * 1.1 THEN avg_dur / 2 "
+    "ELSE dts1 END AS dts2, "
+    "CASE WHEN dte >= avg_dur * 1.1 THEN avg_dur / 2 ELSE dte END "
+    "AS dte2 FROM h) "
+    "SELECT metric, label_user, hour_ts, n AS n_samples, "
+    + dround("sum_d * ((si + dts2 + dte2) / si) / 3600.0", 6)
+    + " AS rate FROM i"
+)
 
 ORACLES = {
     "counter_sum": (
@@ -122,4 +224,5 @@ ORACLES = {
         "SELECT metric, hour_ts, ROUND(SUM(delta) / 3600.0, 6) AS rate "
         "FROM deltas GROUP BY metric, hour_ts"
     ),
+    "counter_rate_extrapolated": _EXTRAP_SQL,
 }

@@ -268,6 +268,63 @@ def histogram_quantile_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_hit.select("metric", "p", F.round(q, 4).alias("q"))
 
 
+def histogram_quantile_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard query: ``histogram_quantile(φ, rate(m_bucket[1h]))``
+    per metric per hour window. Observations are raw here, so the
+    hourly bucket *increase* is simply the hour's per-bucket count —
+    the same one hash aggregate as `histogram_buckets` keyed by
+    (metric, hour) — and the PromQL interpolation then runs per
+    (metric, hour, φ) over O(#metrics × #hours × #buckets) rows.
+    Only the first aggregate touches the raw scan; everything after is
+    rollup-sized.
+    """
+    from shards_prometheus_spark.model import MICROS_PER_HOUR
+
+    hour = (F.expr(f"ts_us div {MICROS_PER_HOUR}") * 3600).alias("hour_ts")
+    counts = (
+        samples(spark, sf_dir)
+        .select("metric", hour, _bucket_idx_col())
+        .groupBy("metric", "hour_ts", "bucket_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("bucket_count"))
+    )
+    w = Window.partitionBy("metric", "hour_ts").orderBy("bucket_idx")
+    cum = counts.select(
+        "metric",
+        "hour_ts",
+        "bucket_idx",
+        "bucket_count",
+        F.sum("bucket_count").over(w).cast("long").alias("cum"),
+        F.sum("bucket_count")
+        .over(Window.partitionBy("metric", "hour_ts"))
+        .cast("long")
+        .alias("total"),
+    )
+    joined = cum.crossJoin(F.broadcast(_quantile_params(spark)))
+    target = F.col("p") * F.col("total")
+    hit = joined.filter(F.col("cum") >= target)
+    pick_w = Window.partitionBy("metric", "hour_ts", "p").orderBy("bucket_idx")
+    first_hit = (
+        hit.withColumn("pick", F.row_number().over(pick_w))
+        .filter(F.col("pick") == 1)
+    )
+    lb = F.element_at(
+        F.array(*([F.lit(0.0)] + [F.lit(b) for b in BOUNDS])),
+        F.col("bucket_idx") + 1,
+    )
+    ub = F.element_at(
+        F.array(*[F.lit(b) for b in BOUNDS] + [F.lit(BOUNDS[-1])]),
+        F.col("bucket_idx") + 1,
+    )
+    cum_prev = F.col("cum") - F.col("bucket_count")
+    interp = lb + (ub - lb) * (target - cum_prev) / F.col("bucket_count")
+    q = F.when(
+        F.col("bucket_idx") == len(BOUNDS), F.lit(BOUNDS[-1])
+    ).otherwise(interp)
+    return first_hit.select(
+        "metric", "hour_ts", "p", F.round(q, 4).alias("q")
+    )
+
+
 _PS_VALUES = ", ".join(f"(CAST({p!r} AS DOUBLE))" for p in QUANTILES)
 _LB_SQL = "CASE bucket_idx " + " ".join(
     f"WHEN {i} THEN {lb!r}" for i, lb in enumerate([0.0] + BOUNDS[:-1])
@@ -295,6 +352,7 @@ QUERIES = {
     "histogram_sum_count": histogram_sum_count,
     "histogram_quantile": histogram_quantile,
     "histogram_quantile_bucketed": histogram_quantile_bucketed,
+    "histogram_quantile_windowed": histogram_quantile_windowed,
 }
 
 ORACLES = {
@@ -361,6 +419,32 @@ ORACLES = {
         "ROW_NUMBER() OVER (PARTITION BY c.metric, ps.p ORDER BY c.bucket_idx) AS pick "
         "FROM c, ps WHERE c.cum >= ps.p * c.total) "
         "SELECT metric, p, "
+        + dround(
+            f"CASE WHEN bucket_idx = {len(BOUNDS)} THEN {BOUNDS[-1]!r} "
+            f"ELSE ({_LB_SQL}) + (({_UB_SQL}) - ({_LB_SQL})) "
+            "* (target - (cum - bucket_count)) / bucket_count END",
+            4,
+        )
+        + " AS q FROM hit WHERE pick = 1"
+    ),
+    "histogram_quantile_windowed": (
+        f"{SAMPLES_CTE}, b AS (SELECT metric, "
+        "(ts_us // 3600000000) * 3600 AS hour_ts, "
+        f"{_bucket_idx_sql()} AS bucket_idx FROM samples), "
+        "g AS (SELECT metric, hour_ts, bucket_idx, "
+        "CAST(COUNT(*) AS BIGINT) AS bucket_count "
+        "FROM b GROUP BY metric, hour_ts, bucket_idx), "
+        "c AS (SELECT metric, hour_ts, bucket_idx, bucket_count, "
+        "CAST(SUM(bucket_count) OVER (PARTITION BY metric, hour_ts "
+        "ORDER BY bucket_idx) AS BIGINT) AS cum, "
+        "CAST(SUM(bucket_count) OVER (PARTITION BY metric, hour_ts) "
+        "AS BIGINT) AS total FROM g), "
+        f"ps(p) AS (VALUES {_PS_VALUES}), "
+        "hit AS (SELECT c.*, ps.p, ps.p * c.total AS target, "
+        "ROW_NUMBER() OVER (PARTITION BY c.metric, c.hour_ts, ps.p "
+        "ORDER BY c.bucket_idx) AS pick "
+        "FROM c, ps WHERE c.cum >= ps.p * c.total) "
+        "SELECT metric, hour_ts, p, "
         + dround(
             f"CASE WHEN bucket_idx = {len(BOUNDS)} THEN {BOUNDS[-1]!r} "
             f"ELSE ({_LB_SQL}) + (({_UB_SQL}) - ({_LB_SQL})) "
