@@ -280,3 +280,59 @@ def test_text_format_round_trip(spark, tmp_path, fmt):
         .collect()
     }
     assert back == want
+
+
+def test_quota_sample_windows_are_sharded(spark):
+    """Both top-k phases must window over partitioned keys — the salted
+    (stratum, salt) shards and then the stratum — never one global
+    partition; no stratum-sized sort partition may exist."""
+    from shards_prometheus_spark.operators.pipeline import quota_sample
+    from shards_prometheus_spark.plans import (
+        count_single_partition_exchanges,
+        formatted_plan,
+    )
+
+    df = quota_sample(spark, SF_SMOKE)
+    assert count_single_partition_exchanges(df) == 0
+    assert "salt" in formatted_plan(df)
+
+
+def test_corpus_filter_chain_no_cartesian_single_agg(spark):
+    """The funnel is one aggregate pass: no cartesian products, and the
+    only single-partition exchange is the final 1-row funnel aggregate."""
+    from shards_prometheus_spark.operators.pipeline import corpus_filter_chain
+    from shards_prometheus_spark.plans import (
+        assert_no_cartesian_product,
+        count_single_partition_exchanges,
+    )
+
+    df = corpus_filter_chain(spark, SF_SMOKE)
+    assert_no_cartesian_product(df)
+    assert count_single_partition_exchanges(df) <= 1
+
+
+def test_unigram_logprob_stats_broadcast(spark):
+    """The unigram-count relation and the corpus total must reach the
+    token stream as broadcasts — shuffling the corpus on token_id to
+    meet its own statistics would re-shuffle 100 TB."""
+    from shards_prometheus_spark.operators.text import unigram_logprob
+    from shards_prometheus_spark.plans import formatted_plan
+
+    plan = formatted_plan(unigram_logprob(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_subquery_max_rate_single_shuffle_tail(spark):
+    """The outer max_over_time grouping must NOT add a second full
+    shuffle: the hour key is a function of the inner step key, so the
+    re-aggregation stays on the same partitioning (one series-keyed
+    window exchange + one agg exchange at most)."""
+    from shards_prometheus_spark.operators.range_functions import (
+        subquery_max_rate,
+    )
+    from shards_prometheus_spark.plans import formatted_plan
+
+    plan = formatted_plan(subquery_max_rate(spark, SF_SMOKE))
+    assert plan.count("Exchange") <= 4
+    assert "CartesianProduct" not in plan
