@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from shards_prometheus_spark.functions import promql as promql_functions
+from shards_prometheus_spark.functions import promql_parser
 from shards_prometheus_spark.sources import exposition
 from shards_prometheus_spark.operators import (
     aggregations,
@@ -50,6 +51,7 @@ _MODULES = [
     pipeline,
     quality,
     promql_functions,
+    promql_parser,
     snapshot,
     exposition,
     dedup,

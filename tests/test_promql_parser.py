@@ -1,0 +1,98 @@
+"""PromQL evaluator tests: grammar errors, and compiled plans checked
+against hand-built DataFrame twins (the registered demo expressions are
+oracle-checked in the parity sweep)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shards_prometheus_spark.functions.promql_parser import (
+    PromQLSyntaxError,
+    parse,
+    promql_eval,
+)
+from shards_prometheus_spark.model import samples_multi
+from tests.conftest import SF_SMOKE
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "sum by (user (rate(click[1h]))",   # unbalanced
+        "rate(click)",                       # range fn without [d]
+        "click{user=unquoted}",              # unquoted matcher
+        "topk(5, click) extra",              # trailing tokens
+        "1 + 2",                             # scalar-scalar
+        "rate(click[1h]) > view",            # comparison needs scalar
+    ],
+)
+def test_syntax_errors(spark, bad):
+    with pytest.raises(PromQLSyntaxError):
+        promql_eval(spark, SF_SMOKE, bad)
+
+
+def test_parse_shapes():
+    ast = parse('sum by (user) (rate(click{shard!="9"}[30m] offset 1h))')
+    assert ast.op == "sum" and ast.by == ["user"]
+    sel = ast.expr.sel
+    assert sel.range_us == 1_800_000_000 and sel.offset_us == 3_600_000_000
+    assert sel.matchers == [("shard", "!=", "9")]
+
+
+def test_count_over_time_matches_hand_twin(spark):
+    got = {
+        (r["labels"], r["value"])
+        for r in promql_eval(
+            spark, SF_SMOKE, "count_over_time(click[720h])"
+        ).collect()
+    }
+    s = samples_multi(spark, SF_SMOKE)
+    tmax = s.agg(F.max("ts_us").alias("t")).first()["t"]
+    want = {
+        (
+            f"shard={r['shard']},user={r['user']}",
+            float(r["n"]),
+        )
+        for r in s.filter(
+            (F.col("metric") == "click")
+            & (F.col("ts_us") > tmax - 720 * 3_600_000_000)
+            & (F.col("ts_us") <= tmax)
+        )
+        .select(
+            F.element_at("labels", F.lit("user")).alias("user"),
+            F.element_at("labels", F.lit("shard")).alias("shard"),
+        )
+        .groupBy("user", "shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_vector_scalar_arithmetic(spark):
+    base = {
+        r["labels"]: r["value"]
+        for r in promql_eval(
+            spark, SF_SMOKE, "sum by (user) (increase(click[720h]))"
+        ).collect()
+    }
+    doubled = {
+        r["labels"]: r["value"]
+        for r in promql_eval(
+            spark, SF_SMOKE, "sum by (user) (increase(click[720h])) * 2"
+        ).collect()
+    }
+    assert set(base) == set(doubled) and len(base) > 0
+    for k, v in base.items():
+        assert doubled[k] == pytest.approx(2 * v, abs=2e-4)
+
+
+def test_offset_shifts_the_window(spark):
+    plain = promql_eval(spark, SF_SMOKE, "sum_over_time(view[240h])")
+    offs = promql_eval(
+        spark, SF_SMOKE, "sum_over_time(view[240h] offset 240h)"
+    )
+    a = {(r["labels"], r["value"]) for r in plain.collect()}
+    b = {(r["labels"], r["value"]) for r in offs.collect()}
+    assert a and b and a != b
