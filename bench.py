@@ -54,6 +54,7 @@ HEADLINE = [
     "corpus_filter_chain",
     "dedup_semantic",
     "subquery_max_rate",
+    "promql_rate_by_user",
     "user_sessions",
     "retention_cohorts",
     "similarity_kmeans",

@@ -294,11 +294,15 @@ class PromQLEvaluator:
     broadcast column, never collected.
     """
 
-    def __init__(self, spark: SparkSession, sf_dir: str):
-        self.spark = spark
-        base = samples_multi(spark, sf_dir)
-        tmax = base.agg(F.max("ts_us").alias("t_max"))
-        self.samples = base.join(F.broadcast(tmax))
+    def __init__(self, samples: DataFrame):
+        """`samples` is any relation with (event_id, series_id, metric,
+        labels MAP<STRING,STRING>, ts_us, value) — the §1.2 model."""
+        tmax = samples.agg(F.max("ts_us").alias("t_max"))
+        self.samples = samples.join(F.broadcast(tmax))
+
+    @classmethod
+    def from_dir(cls, spark: SparkSession, sf_dir: str) -> "PromQLEvaluator":
+        return cls(samples_multi(spark, sf_dir))
 
     # -- selectors -------------------------------------------------------
     def _matched(self, sel: Selector) -> DataFrame:
@@ -516,7 +520,7 @@ class PromQLEvaluator:
 
 def promql_eval(spark: SparkSession, sf_dir: str, expr: str) -> DataFrame:
     """One-shot: evaluate a PromQL expression over a dataset."""
-    return PromQLEvaluator(spark, sf_dir).eval(expr)
+    return PromQLEvaluator.from_dir(spark, sf_dir).eval(expr)
 
 
 # --------------------------------------------------------------------------
