@@ -221,7 +221,13 @@ class _Parser:
     def _topk(self):
         op = self.next()
         self.expect("(")
-        k = int(float(self.next()))
+        ktok = self.next()
+        try:
+            k = int(float(ktok))
+        except ValueError:
+            raise PromQLSyntaxError(
+                f"{op}() needs a numeric k, got {ktok!r}"
+            ) from None
         self.expect(",")
         e = self.cmp_expr()
         self.expect(")")
@@ -309,14 +315,17 @@ class PromQLEvaluator:
         df = self.samples.filter(F.col("metric") == sel.metric)
         for label, op, val in sel.matchers:
             col = F.element_at("labels", F.lit(label))
+            # PromQL regex matchers are FULLY ANCHORED (^pattern$) —
+            # rlike alone is substring search and would over-match.
+            anchored = f"^(?:{val})$"
             if op == "=":
                 df = df.filter(col == val)
             elif op == "!=":
                 df = df.filter(col != val)
             elif op == "=~":
-                df = df.filter(col.rlike(val))
+                df = df.filter(col.rlike(anchored))
             else:
-                df = df.filter(~col.rlike(val))
+                df = df.filter(~col.rlike(anchored))
         return df
 
     def _instant(self, sel: Selector) -> DataFrame:
@@ -425,9 +434,10 @@ class PromQLEvaluator:
     def _agg(self, node: Agg) -> DataFrame:
         child = self._vector(node.expr)
         if node.k is not None:  # topk / bottomk over the full vector
-            order = (
-                F.desc("value") if node.op == "topk" else F.asc("value")
-            )
+            # rank on the 6dp-pinned value (cross-engine accumulation
+            # noise must not reorder ranks), ties broken on label text
+            pinned = F.round(F.col("value"), 6)
+            order = F.desc(pinned) if node.op == "topk" else F.asc(pinned)
             w = Window.orderBy(order, F.asc(_label_str(F.col("labels"))))
             return (
                 child.withColumn("rk", F.row_number().over(w))
@@ -469,10 +479,13 @@ class PromQLEvaluator:
             if rsc:
                 vec = self._vector(node.lhs)
                 thr = F.lit(node.rhs.value)
+                # threshold the 6dp-pinned value: a discrete decision on
+                # a raw accumulated double can flip across engines
+                v6 = F.round(F.col("value"), 6)
                 cond = {
-                    ">": F.col("value") > thr, ">=": F.col("value") >= thr,
-                    "<": F.col("value") < thr, "<=": F.col("value") <= thr,
-                    "==": F.col("value") == thr, "!=": F.col("value") != thr,
+                    ">": v6 > thr, ">=": v6 >= thr,
+                    "<": v6 < thr, "<=": v6 <= thr,
+                    "==": v6 == thr, "!=": v6 != thr,
                 }[node.op]
                 return vec.filter(cond)
             raise PromQLSyntaxError("comparisons need a scalar rhs")
@@ -607,13 +620,16 @@ ORACLES = {
     "promql_filter_regex": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
         "w AS (SELECT s.* FROM samples_multi s, t "
-        "WHERE s.metric = 'view' AND regexp_matches(s.l_shard, '[0-3]') "
+        "WHERE s.metric = 'view' "
+        "AND regexp_matches(s.l_shard, '^(?:[0-3])$') "
         f"AND s.ts_us <= t.t_max AND s.ts_us > t.t_max - {_H240_US}), "
         "a AS (SELECT l_user, l_shard, AVG(value) AS v FROM w "
         "GROUP BY l_user, l_shard) "
         "SELECT 'shard=' || l_shard || ',user=' || l_user AS labels, "
         + dround("v", 4)
-        + " AS value FROM a WHERE v > 40"
+        + " AS value FROM a WHERE "
+        + dround("v", 6)
+        + " > 40"
     ),
     "promql_ratio": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

@@ -139,13 +139,16 @@ def counter_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     dts = (F.col("first_ts") - ws).cast("double")
     dte = (we - F.col("last_ts")).cast("double")
     avg_dur = si / (F.col("n") - 1)
-    dz = si * (F.col("first_v") / F.col("sum_d"))
-    dts1 = F.when(
-        (F.col("sum_d") > 0) & (F.col("first_v") >= 0) & (dz < dts), dz
-    ).otherwise(dts)
     thr = avg_dur * F.lit(1.1)
-    dts2 = F.when(dts1 >= thr, avg_dur / 2).otherwise(dts1)
+    # current Prometheus ordering: cap both edges at the extrapolation
+    # threshold FIRST, then apply the counter zero-crossing clamp to
+    # the (possibly capped) start-side duration
+    dts1 = F.when(dts >= thr, avg_dur / 2).otherwise(dts)
     dte2 = F.when(dte >= thr, avg_dur / 2).otherwise(dte)
+    dz = si * (F.col("first_v") / F.col("sum_d"))
+    dts2 = F.when(
+        (F.col("sum_d") > 0) & (F.col("first_v") >= 0) & (dz < dts1), dz
+    ).otherwise(dts1)
     rate = F.col("sum_d") * ((si + dts2 + dte2) / si) / F.lit(3600.0)
     return agg.select(
         *keys,
@@ -196,12 +199,12 @@ _EXTRAP_SQL = (
     "FROM a WHERE n >= 2 AND last_ts > first_ts), "
     "g AS (SELECT *, si / (n - 1) AS avg_dur, "
     "si * (first_v / sum_d) AS dz FROM f), "
-    "h AS (SELECT *, CASE WHEN sum_d > 0 AND first_v >= 0 AND dz < dts "
-    "THEN dz ELSE dts END AS dts1 FROM g), "
-    "i AS (SELECT *, CASE WHEN dts1 >= avg_dur * 1.1 THEN avg_dur / 2 "
-    "ELSE dts1 END AS dts2, "
+    "h AS (SELECT *, CASE WHEN dts >= avg_dur * 1.1 THEN avg_dur / 2 "
+    "ELSE dts END AS dts1, "
     "CASE WHEN dte >= avg_dur * 1.1 THEN avg_dur / 2 ELSE dte END "
-    "AS dte2 FROM h) "
+    "AS dte2 FROM g), "
+    "i AS (SELECT *, CASE WHEN sum_d > 0 AND first_v >= 0 AND dz < dts1 "
+    "THEN dz ELSE dts1 END AS dts2 FROM h) "
     "SELECT metric, label_user, hour_ts, n AS n_samples, "
     + dround("sum_d * ((si + dts2 + dte2) / si) / 3600.0", 6)
     + " AS rate FROM i"

@@ -71,11 +71,45 @@ def continuous_rollup(
     )
 
 
+#: Compaction manifest (underscore-prefixed → invisible to Spark's
+#: partition discovery). Records which batch ids have been folded.
+_MANIFEST = "_compacted.json"
+
+
+def _read_manifest(out_path: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(out_path, _MANIFEST)
+    if os.path.exists(p):
+        with open(p) as fh:
+            return json.load(fh)
+    return None
+
+
+def _live_partials(spark: SparkSession, out_path: str) -> DataFrame:
+    """All partial rows a reader must count exactly once: the active
+    compacted slice (batch_id = -gen) plus every batch dir NEWER than
+    the compaction horizon. A batch dir with id ≤ max_id that
+    reappears AFTER compaction (an at-least-once replay of a batch
+    whose write landed but whose checkpoint commit did not) is
+    EXCLUDED — its rows are already inside the compacted slice, which
+    is what makes replay idempotent across compaction."""
+    df = spark.read.parquet(out_path)
+    man = _read_manifest(out_path)
+    if man is not None:
+        df = df.filter(
+            (F.col("batch_id") == -int(man["gen"]))
+            | (F.col("batch_id") > int(man["max_id"]))
+        )
+    return df
+
+
 def read_rollup(spark: SparkSession, out_path: str) -> DataFrame:
     """Merge-on-read: collapse the partial aggregates to the final
     hourly rollup (partials are mergeable, so this is exact)."""
     return (
-        spark.read.parquet(out_path)
+        _live_partials(spark, out_path)
         .groupBy(*ROLLUP_KEYS)
         .agg(
             F.round(F.sum("sum_v"), 4).alias("sum_v"),
@@ -89,15 +123,41 @@ def read_rollup(spark: SparkSession, out_path: str) -> DataFrame:
 def compact_rollup(spark: SparkSession, out_path: str) -> None:
     """Collapse accumulated partials to one row per (series, hour) —
     the periodic maintenance job of the merge-on-read design. Readers
-    (`read_rollup`) see identical results before and after (partials
-    are mergeable); compaction just bounds read amplification as
-    micro-batches accumulate. Writes to a staging dir then swaps, so a
-    crash mid-compaction never loses the table."""
+    see identical results before, during and after, and a replayed
+    micro-batch stays idempotent even when its dir was already folded:
+
+    1. aggregate the live partials (old compacted slice + batch dirs)
+       into a staging dir OUTSIDE the table, then rename it in as
+       ``batch_id=-(gen+1)`` — a same-filesystem atomic move, so no
+       reader ever lists partial files; the new slice stays invisible
+       (generation not yet active) until step 2;
+    2. atomically replace the manifest (`os.replace`) activating the
+       new generation and recording ``max_id`` = the highest batch id
+       folded — readers now use the new slice and ignore every folded
+       batch dir, INCLUDING one re-created later by an at-least-once
+       replay (the double-count hole of naive dir compaction);
+    3. best-effort delete of the folded dirs — a crash here only
+       leaves garbage that readers already ignore.
+
+    Run it between trigger firings (or quiesced): the fold horizon is
+    the batch dirs present at step 1; later batches stay live.
+    """
+    import json
     import os
     import shutil
 
+    man = _read_manifest(out_path) or {"gen": 0, "max_id": -1}
+    batch_ids = [
+        int(name.split("=", 1)[1])
+        for name in os.listdir(out_path)
+        if name.startswith("batch_id=")
+    ]
+    max_id_new = max(
+        [i for i in batch_ids if i >= 0], default=int(man["max_id"])
+    )
+    gen_new = int(man["gen"]) + 1
     compacted = (
-        spark.read.parquet(out_path)
+        _live_partials(spark, out_path)
         .groupBy(*ROLLUP_KEYS)
         .agg(
             F.sum("sum_v").alias("sum_v"),
@@ -107,13 +167,17 @@ def compact_rollup(spark: SparkSession, out_path: str) -> None:
         )
     )
     staging = out_path.rstrip("/") + ".compact.tmp"
-    # Keep the batch_id=... layout so post-compaction batches (which keep
-    # counting up) land beside the compacted slice without schema drift.
-    compacted.write.mode("overwrite").parquet(staging + "/batch_id=-1")
-    old = out_path.rstrip("/") + ".old"
-    os.rename(out_path, old)
-    os.rename(staging, out_path)
-    shutil.rmtree(old)
+    compacted.write.mode("overwrite").parquet(staging)
+    os.rename(staging, os.path.join(out_path, f"batch_id=-{gen_new}"))
+    tmp_manifest = os.path.join(out_path, _MANIFEST + ".tmp")
+    with open(tmp_manifest, "w") as fh:
+        json.dump({"gen": gen_new, "max_id": max_id_new}, fh)
+    os.replace(tmp_manifest, os.path.join(out_path, _MANIFEST))
+    for i in batch_ids:
+        if 0 <= i <= max_id_new or (i < 0 and i != -gen_new):
+            shutil.rmtree(
+                os.path.join(out_path, f"batch_id={i}"), ignore_errors=True
+            )
 
 
 def dedup_events_stream(

@@ -138,3 +138,47 @@ def test_compact_rollup_preserves_reads(spark, tmp_path):
     after = {tuple(r) for r in read_rollup(spark, out).collect()}
     assert after == before
     assert not os.path.exists(out + ".compact.tmp")
+
+
+def test_replayed_batch_after_compaction_not_double_counted(spark, tmp_path):
+    """The double-count hole of naive dir compaction, pinned: a batch
+    dir re-created AFTER its content was folded (an at-least-once
+    replay whose original write landed but whose checkpoint commit did
+    not) must be invisible to readers."""
+    from shards_prometheus_spark.streaming import continuous_rollup, read_rollup
+    from shards_prometheus_spark.streaming.ingest import (
+        samples_stream,
+        stream_events,
+    )
+    from shards_prometheus_spark.streaming.rollup import (
+        _partials,
+        compact_rollup,
+    )
+
+    out = str(tmp_path / "rollup_out")
+    q = continuous_rollup(
+        samples_stream(stream_events(spark, SF_SMOKE)),
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    before = {tuple(r) for r in read_rollup(spark, out).collect()}
+    compact_rollup(spark, out)
+
+    # simulate the replay: the folded batch 0 reappears with real rows
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.model import samples
+
+    _partials(
+        samples(spark, SF_SMOKE).withColumn(
+            "event_time", F.timestamp_micros(F.col("ts_us"))
+        )
+    ).write.mode("overwrite").parquet(out + "/batch_id=0")
+
+    after = {tuple(r) for r in read_rollup(spark, out).collect()}
+    assert after == before
+
+    # and a second compaction folds cleanly on top
+    compact_rollup(spark, out)
+    assert {tuple(r) for r in read_rollup(spark, out).collect()} == before
