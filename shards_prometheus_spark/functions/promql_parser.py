@@ -16,8 +16,9 @@ Supported core (instant query at evaluation time T):
 - aggregation: ``sum/avg/min/max/count [by (l1, l2)] (expr)`` and
   ``topk/bottomk(k, expr)``
 - binary ops: vector⋄scalar and vector⋄vector arithmetic
-  (``+ - * / %``) with implicit matching on the full label set, and
-  comparison filters (``> >= < <= == !=``)
+  (``+ - * / %``) with label matching — implicit full-set,
+  ``on (l1, …)`` / ``ignoring (l1, …)``, and many-to-one
+  ``group_left`` — and comparison filters (``> >= < <= == !=``)
 
 Evaluation model: T = the max sample timestamp, carried as a COLUMN
 (broadcast 1-row relation, never collected) so the whole expression
@@ -106,6 +107,10 @@ class BinOp:
     op: str
     lhs: object
     rhs: object
+    #: vector-matching modifier: ("on"|"ignoring", [labels]) or None
+    match: tuple[str, list[str]] | None = None
+    #: many-to-one: left side keeps its full label set
+    group_left: bool = False
 
 
 @dataclass
@@ -162,25 +167,47 @@ class _Parser:
             raise PromQLSyntaxError(f"trailing tokens: {self.toks[self.i:]}")
         return e
 
+    def _matching(self) -> tuple[tuple[str, list[str]] | None, bool]:
+        """Optional `on(…)/ignoring(…)` + `group_left` after a binop."""
+        match = None
+        group_left = False
+        if self.peek() in {"on", "ignoring"}:
+            kind = self.next()
+            self.expect("(")
+            labels: list[str] = []
+            while self.peek() != ")":
+                labels.append(self.next())
+                if self.peek() == ",":
+                    self.next()
+            self.expect(")")
+            match = (kind, labels)
+        if self.peek() == "group_left":
+            self.next()
+            group_left = True
+        return match, group_left
+
     def cmp_expr(self):
         e = self.add_expr()
         while self.peek() in _CMP_OPS:
             op = self.next()
-            e = BinOp(op, e, self.add_expr())
+            match, gl = self._matching()
+            e = BinOp(op, e, self.add_expr(), match=match, group_left=gl)
         return e
 
     def add_expr(self):
         e = self.mul_expr()
         while self.peek() in {"+", "-"}:
             op = self.next()
-            e = BinOp(op, e, self.mul_expr())
+            match, gl = self._matching()
+            e = BinOp(op, e, self.mul_expr(), match=match, group_left=gl)
         return e
 
     def mul_expr(self):
         e = self.primary()
         while self.peek() in {"*", "/", "%"}:
             op = self.next()
-            e = BinOp(op, e, self.primary())
+            match, gl = self._matching()
+            e = BinOp(op, e, self.primary(), match=match, group_left=gl)
         return e
 
     def primary(self):
@@ -494,13 +521,38 @@ class PromQLEvaluator:
             sc = F.lit((node.rhs if rsc else node.lhs).value)
             val = apply(F.col("value"), sc) if rsc else apply(sc, F.col("value"))
             return vec.withColumn("value", val)
+        # vector-vector: equi-join on the canonical string of the match
+        # label set — full set by default, on()'s subset, or the map
+        # minus ignoring()'s labels. group_left keeps the left side's
+        # full label set (many-to-one); otherwise the output carries
+        # exactly the match labels, per PromQL.
+        def match_labels(labels_col: Column) -> Column:
+            if node.match is None:
+                return labels_col
+            kind, ls = node.match
+            if kind == "on":
+                return F.map_from_arrays(
+                    F.array(*[F.lit(l) for l in ls]),
+                    F.array(
+                        *[F.element_at(labels_col, F.lit(l)) for l in ls]
+                    ),
+                )
+            return F.map_filter(
+                labels_col, lambda k, _v: ~k.isin(*ls)
+            )
+
+        out_labels = (
+            F.col("labels")
+            if node.match is None or node.group_left
+            else match_labels(F.col("labels"))
+        )
         left = self._vector(node.lhs).select(
-            _label_str(F.col("labels")).alias("_k"),
-            "labels",
+            _label_str(match_labels(F.col("labels"))).alias("_k"),
+            out_labels.alias("labels"),
             F.col("value").alias("_l"),
         )
         right = self._vector(node.rhs).select(
-            _label_str(F.col("labels")).alias("_k"),
+            _label_str(match_labels(F.col("labels"))).alias("_k"),
             F.col("value").alias("_r"),
         )
         return left.join(right, "_k").select(
@@ -549,6 +601,10 @@ PROMQL_RATIO = (
     "sum by (user) (increase(click[720h])) / "
     "sum by (user) (increase(view[720h]))"
 )
+PROMQL_SHARE = (
+    "sum by (user, shard) (increase(click[720h])) / on (user) group_left "
+    "sum by (user) (increase(click[720h]))"
+)
 
 
 def promql_rate_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,6 +622,12 @@ def promql_filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def promql_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return promql_eval(spark, sf_dir, PROMQL_RATIO)
+
+
+def promql_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """on(user) group_left: each (user, shard) series' share of its
+    user's total — the canonical many-to-one PromQL join."""
+    return promql_eval(spark, sf_dir, PROMQL_SHARE)
 
 
 _T_CTE = "t AS (SELECT MAX(ts_us) AS t_max FROM samples_multi)"
@@ -593,6 +655,7 @@ QUERIES = {
     "promql_topk_users": promql_topk_users,
     "promql_filter_regex": promql_filter_regex,
     "promql_ratio": promql_ratio,
+    "promql_share": promql_share,
 }
 
 ORACLES = {
@@ -641,5 +704,15 @@ ORACLES = {
         "SELECT 'user=' || cu.l_user AS labels, "
         + dround("cu.v / vu.v", 4)
         + " AS value FROM cu JOIN vu ON vu.l_user = cu.l_user"
+    ),
+    "promql_share": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "inc")
+        + ", per AS (SELECT l_user, l_shard, SUM(inc) AS v FROM inc "
+        "GROUP BY l_user, l_shard), "
+        "tot AS (SELECT l_user, SUM(inc) AS v FROM inc GROUP BY l_user) "
+        "SELECT 'shard=' || p.l_shard || ',user=' || p.l_user AS labels, "
+        + dround("p.v / t.v", 4)
+        + " AS value FROM per p JOIN tot t ON t.l_user = p.l_user"
     ),
 }

@@ -96,3 +96,46 @@ def test_offset_shifts_the_window(spark):
     a = {(r["labels"], r["value"]) for r in plain.collect()}
     b = {(r["labels"], r["value"]) for r in offs.collect()}
     assert a and b and a != b
+
+
+def test_group_left_share_sums_to_one(spark):
+    """on(user) group_left: shares within each user must sum to ~1."""
+    rows = promql_eval(
+        spark,
+        SF_SMOKE,
+        "sum by (user, shard) (increase(click[720h])) / on (user) "
+        "group_left sum by (user) (increase(click[720h]))",
+    ).collect()
+    assert rows
+    per_user: dict[str, float] = {}
+    for r in rows:
+        user = dict(
+            kv.split("=", 1) for kv in r["labels"].split(",")
+        )["user"]
+        per_user[user] = per_user.get(user, 0.0) + r["value"]
+    for total in per_user.values():
+        assert total == pytest.approx(1.0, abs=1e-2)
+
+
+def test_ignoring_matches_complement_labels(spark):
+    """ignoring(shard) must equal on(user) here (labels = {user, shard});
+    both sides keep only the match labels."""
+    a = {
+        (r["labels"], r["value"])
+        for r in promql_eval(
+            spark,
+            SF_SMOKE,
+            "sum_over_time(click[720h]) + ignoring (shard) "
+            "sum by (user) (sum_over_time(click[720h]))",
+        ).collect()
+    }
+    b = {
+        (r["labels"], r["value"])
+        for r in promql_eval(
+            spark,
+            SF_SMOKE,
+            "sum_over_time(click[720h]) + on (user) "
+            "sum by (user) (sum_over_time(click[720h]))",
+        ).collect()
+    }
+    assert a == b and len(a) > 0
