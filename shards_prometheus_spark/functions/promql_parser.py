@@ -13,8 +13,8 @@ Supported core (instant query at evaluation time T):
   avg_over_time, min_over_time, max_over_time, sum_over_time,
   count_over_time, last_over_time`` over ``m[<dur>]``
 - ``offset <dur>`` modifier
-- aggregation: ``sum/avg/min/max/count [by (l1, l2)] (expr)`` and
-  ``topk/bottomk(k, expr)``
+- aggregation: ``sum/avg/min/max/count [by (l1, l2) | without (l1)]
+  (expr)`` and ``topk/bottomk(k, expr)``
 - binary ops: vector⋄scalar and vector⋄vector arithmetic
   (``+ - * / %``) with label matching — implicit full-set,
   ``on (l1, …)`` / ``ignoring (l1, …)``, and many-to-one
@@ -100,6 +100,8 @@ class Agg:
     expr: object
     by: list[str] = field(default_factory=list)
     k: int | None = None
+    #: grouping mode: "by" keeps exactly `by`; "without" drops them
+    mode: str = "by"
 
 
 @dataclass
@@ -232,8 +234,9 @@ class _Parser:
     def _agg(self):
         op = self.next()
         by: list[str] = []
-        if self.peek() == "by":
-            self.next()
+        mode = "by"
+        if self.peek() in {"by", "without"}:
+            mode = self.next()
             self.expect("(")
             while self.peek() != ")":
                 by.append(self.next())
@@ -243,7 +246,7 @@ class _Parser:
         self.expect("(")
         e = self.cmp_expr()
         self.expect(")")
-        return Agg(op, e, by)
+        return Agg(op, e, by, mode=mode)
 
     def _topk(self):
         op = self.next()
@@ -471,10 +474,17 @@ class PromQLEvaluator:
                 .filter(F.col("rk") <= node.k)
                 .drop("rk")
             )
-        new_labels = F.map_from_arrays(
-            F.array(*[F.lit(b) for b in node.by]),
-            F.array(*[F.element_at("labels", F.lit(b)) for b in node.by]),
-        ) if node.by else F.map_from_arrays(F.array(), F.array())
+        if node.mode == "without":
+            new_labels = F.map_filter(
+                F.col("labels"), lambda k, _v: ~k.isin(*node.by)
+            ) if node.by else F.col("labels")
+        else:
+            new_labels = F.map_from_arrays(
+                F.array(*[F.lit(b) for b in node.by]),
+                F.array(
+                    *[F.element_at("labels", F.lit(b)) for b in node.by]
+                ),
+            ) if node.by else F.map_from_arrays(F.array(), F.array())
         agg = {
             "sum": F.sum("value"),
             "avg": F.avg("value"),

@@ -139,3 +139,20 @@ def test_ignoring_matches_complement_labels(spark):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_without_equals_complement_by(spark):
+    """without (shard) ≡ by (user) when labels = {user, shard}."""
+    a = {
+        (r["labels"], r["value"])
+        for r in promql_eval(
+            spark, SF_SMOKE, "sum without (shard) (sum_over_time(click[720h]))"
+        ).collect()
+    }
+    b = {
+        (r["labels"], r["value"])
+        for r in promql_eval(
+            spark, SF_SMOKE, "sum by (user) (sum_over_time(click[720h]))"
+        ).collect()
+    }
+    assert a == b and len(a) > 0
