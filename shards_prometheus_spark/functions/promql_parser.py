@@ -12,7 +12,7 @@ Supported core (instant query at evaluation time T):
 - range selectors + functions: ``rate, irate, increase, delta, resets,
   avg_over_time, min_over_time, max_over_time, sum_over_time,
   count_over_time, last_over_time`` over ``m[<dur>]``
-- ``offset <dur>`` modifier
+- ``offset <dur>`` modifier; ``absent(selector)``
 - aggregation: ``sum/avg/min/max/count [by (l1, l2) | without (l1)]
   (expr)`` and ``topk/bottomk(k, expr)``
 - binary ops: vector⋄scalar and vector⋄vector arithmetic
@@ -118,6 +118,11 @@ class BinOp:
 @dataclass
 class Scalar:
     value: float
+
+
+@dataclass
+class Absent:
+    sel: Selector
 
 
 def _tokenize(s: str) -> list[str]:
@@ -229,6 +234,14 @@ class _Parser:
             return self._topk()
         if tok in _RANGE_FNS:
             return self._range_fn()
+        if tok == "absent":
+            self.next()
+            self.expect("(")
+            sel = self._selector()
+            self.expect(")")
+            if sel.range_us is not None:
+                raise PromQLSyntaxError("absent() takes an instant selector")
+            return Absent(sel)
         return self._selector()
 
     def _agg(self):
@@ -569,7 +582,28 @@ class PromQLEvaluator:
             "labels", apply(F.col("_l"), F.col("_r")).alias("value")
         )
 
+    def _absent(self, node: Absent) -> DataFrame:
+        """1 iff no series matches the selector at T, labeled with the
+        selector's equality matchers (PromQL convention). The emptiness
+        probe is a 1-row count aggregate — tiny, but necessarily a
+        global fold (absence is a global fact)."""
+        eq = [(l, v) for l, op, v in node.sel.matchers if op == "="]
+        labels = (
+            F.map_from_arrays(
+                F.array(*[F.lit(l) for l, _ in eq]),
+                F.array(*[F.lit(v) for _, v in eq]),
+            )
+            if eq
+            else F.map_from_arrays(F.array(), F.array())
+        )
+        n = self._instant(node.sel).agg(F.count(F.lit(1)).alias("n"))
+        return n.filter(F.col("n") == 0).select(
+            labels.alias("labels"), F.lit(1.0).alias("value")
+        )
+
     def _vector(self, node) -> DataFrame:
+        if isinstance(node, Absent):
+            return self._absent(node)
         if isinstance(node, Selector):
             if node.range_us is not None:
                 raise PromQLSyntaxError(

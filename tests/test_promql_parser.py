@@ -156,3 +156,19 @@ def test_without_equals_complement_by(spark):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_absent_semantics(spark):
+    """absent() of a missing metric yields one row valued 1 carrying
+    the equality matchers; of a present metric, no rows."""
+    missing = promql_eval(
+        spark, SF_SMOKE, 'absent(nonexistent_metric{user="7"})'
+    ).collect()
+    assert [(r["labels"], r["value"]) for r in missing] == [("user=7", 1.0)]
+    # the metric owning the max-ts sample is inside the lookback at T
+    # by construction (sparse smoke data may have no 'click' there)
+    s = samples_multi(spark, SF_SMOKE)
+    present = (
+        s.orderBy(F.desc("ts_us")).select("metric").first()["metric"]
+    )
+    assert promql_eval(spark, SF_SMOKE, f"absent({present})").count() == 0
