@@ -9,24 +9,44 @@ directly instead of only pre-registered operator functions.
 Supported core (instant query at evaluation time T):
 
 - selectors: ``metric{label="v", label=~"re", label!="v", label!~"re"}``
+  (string values support backslash escapes; a missing label behaves as
+  the empty string, per Prometheus)
 - range selectors + functions: ``rate, irate, increase, delta, resets,
   avg_over_time, min_over_time, max_over_time, sum_over_time,
   count_over_time, last_over_time`` over ``m[<dur>]``
+- subqueries: ``<fn>_over_time(expr[<range>:<step>])`` where the inner
+  expr is a range function or an instant selector — evaluated on a
+  step-aligned grid of instants inside the range, per Prometheus
+- synthetic histogram series: a selector for ``X_bucket`` exposes the
+  cumulative ``le``-labeled bucket counters a prometheus-cpp histogram
+  family would export for the raw observations of metric ``X``
+  (reference prometheus.cpp:256-306; bounds = histograms.BOUNDS)
+- ``histogram_quantile(φ, expr)`` over any ``le``-labeled vector, and
+  the ``quantile(φ, v)`` aggregation
 - ``offset <dur>`` modifier; ``absent(selector)``
-- aggregation: ``sum/avg/min/max/count [by (l1, l2) | without (l1)]
-  (expr)`` and ``topk/bottomk(k, expr)``
+- aggregation: ``sum/avg/min/max/count/quantile [by (l1, l2) |
+  without (l1)] (expr)`` and ``topk/bottomk(k, expr)``
 - binary ops: vector⋄scalar and vector⋄vector arithmetic
   (``+ - * / %``) with label matching — implicit full-set,
-  ``on (l1, …)`` / ``ignoring (l1, …)``, and many-to-one
-  ``group_left`` — and comparison filters (``> >= < <= == !=``)
+  ``on (l1, …)`` / ``ignoring (l1, …)``, many-to-one ``group_left``
+  and one-to-many ``group_right`` — and comparisons (``> >= < <= ==
+  !=``) in both filter form and ``bool`` form, vector-vector included.
+  Duplicate series in a match group raise at execution time (the
+  Prometheus 'found duplicate series for the match group' error).
+
+Not supported (documented): compound durations (``1h30m``), the ``@``
+modifier, ``le`` matchers on synthetic ``_bucket`` selectors.
 
 Evaluation model: T = the max sample timestamp, carried as a COLUMN
 (broadcast 1-row relation, never collected) so the whole expression
 stays one declarative plan — filters on metric reach the parquet scan,
 range windows become per-series aggregations, label grouping is
-``element_at(labels, k)``. Everything compiles to the same shapes the
-registered operators use, so the scale properties (pushdown, map-side
-partials, no cartesians) carry over.
+``element_at(labels, k)``. Subquery grids are a ≤(range/step+1)-row
+derived relation broadcast against the samples scan. Everything
+compiles to the same shapes the registered operators use, so the scale
+properties (pushdown, map-side partials, no cartesians, no
+vector-sized single-partition exchanges — topk compiles to
+TakeOrderedAndProject) carry over.
 
 Compare the reference chain: shards → exposition → Prometheus server →
 PromQL HTTP API (prometheus.cpp:27-93 exposes; the server evaluates).
@@ -42,6 +62,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shards_prometheus_spark.model import samples_multi
+from shards_prometheus_spark.operators.histograms import BOUNDS
 
 #: Staleness lookback for instant selectors (PromQL default 5m).
 LOOKBACK_US = 300_000_000
@@ -52,13 +73,13 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<num>\d+(?:\.\d+)?(?:[smhd])?)      # number or duration
       | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<str>"[^"]*")
-      | (?P<op>=~|!~|!=|==|>=|<=|[{}()\[\],=<>+\-*/%])
+      | (?P<str>"(?:[^"\\]|\\.)*")             # backslash escapes OK
+      | (?P<op>=~|!~|!=|==|>=|<=|[{}()\[\],=<>+\-*/%:])
     )""",
     re.VERBOSE,
 )
 
-_AGG_OPS = {"sum", "avg", "min", "max", "count"}
+_AGG_OPS = {"sum", "avg", "min", "max", "count", "quantile"}
 _TOPK_OPS = {"topk", "bottomk"}
 _RANGE_FNS = {
     "rate",
@@ -73,7 +94,18 @@ _RANGE_FNS = {
     "count_over_time",
     "last_over_time",
 }
+#: outer functions accepted over a subquery ``expr[range:step]``
+_OVER_TIME_FNS = {
+    "avg_over_time",
+    "min_over_time",
+    "max_over_time",
+    "sum_over_time",
+    "count_over_time",
+    "last_over_time",
+}
 _CMP_OPS = {">", ">=", "<", "<=", "==", "!="}
+
+_BUCKET_SUFFIX = "_bucket"
 
 
 class PromQLSyntaxError(ValueError):
@@ -89,9 +121,21 @@ class Selector:
 
 
 @dataclass
+class Subquery:
+    """``expr[range:step]`` — inner expr evaluated at step-aligned
+    instants t ∈ (T-range, T]; restricted to an instant selector or a
+    range function (covers the practical dashboard surface)."""
+
+    expr: object
+    range_us: int
+    step_us: int
+    offset_us: int = 0
+
+
+@dataclass
 class RangeFn:
     fn: str
-    sel: Selector
+    sel: object  # Selector (with range) or Subquery
 
 
 @dataclass
@@ -102,6 +146,14 @@ class Agg:
     k: int | None = None
     #: grouping mode: "by" keeps exactly `by`; "without" drops them
     mode: str = "by"
+    #: φ for the quantile aggregation
+    param: float | None = None
+
+
+@dataclass
+class HistQuantile:
+    phi: float
+    expr: object
 
 
 @dataclass
@@ -111,8 +163,10 @@ class BinOp:
     rhs: object
     #: vector-matching modifier: ("on"|"ignoring", [labels]) or None
     match: tuple[str, list[str]] | None = None
-    #: many-to-one: left side keeps its full label set
-    group_left: bool = False
+    #: many-to-one / one-to-many: which side keeps its full label set
+    group: str | None = None  # None | "left" | "right"
+    #: comparison returns 0/1 instead of filtering
+    bool_mode: bool = False
 
 
 @dataclass
@@ -146,6 +200,17 @@ def _dur_us(tok: str) -> int:
     return int(float(m.group(1)) * _DUR_US[m.group(2)])
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r"}
+
+
+def _unquote(tok: str) -> str:
+    """Strip quotes and resolve PromQL backslash escapes."""
+    body = tok[1:-1]
+    return re.sub(
+        r"\\(.)", lambda m: _ESCAPES.get(m.group(1), m.group(1)), body
+    )
+
+
 class _Parser:
     """Recursive descent; precedence: cmp < add < mul < unary."""
 
@@ -174,10 +239,17 @@ class _Parser:
             raise PromQLSyntaxError(f"trailing tokens: {self.toks[self.i:]}")
         return e
 
-    def _matching(self) -> tuple[tuple[str, list[str]] | None, bool]:
-        """Optional `on(…)/ignoring(…)` + `group_left` after a binop."""
+    def _number(self) -> float:
+        tok = self.next()
+        try:
+            return float(tok)
+        except ValueError:
+            raise PromQLSyntaxError(f"expected a number, got {tok!r}") from None
+
+    def _matching(self) -> tuple[tuple[str, list[str]] | None, str | None]:
+        """Optional `on(…)/ignoring(…)` + `group_left/group_right`."""
         match = None
-        group_left = False
+        group = None
         if self.peek() in {"on", "ignoring"}:
             kind = self.next()
             self.expect("(")
@@ -188,36 +260,75 @@ class _Parser:
                     self.next()
             self.expect(")")
             match = (kind, labels)
-        if self.peek() == "group_left":
-            self.next()
-            group_left = True
-        return match, group_left
+        if self.peek() in {"group_left", "group_right"}:
+            group = self.next().removeprefix("group_")
+        return match, group
 
     def cmp_expr(self):
         e = self.add_expr()
         while self.peek() in _CMP_OPS:
             op = self.next()
-            match, gl = self._matching()
-            e = BinOp(op, e, self.add_expr(), match=match, group_left=gl)
+            bool_mode = False
+            if self.peek() == "bool":
+                self.next()
+                bool_mode = True
+            match, group = self._matching()
+            e = BinOp(
+                op, e, self.add_expr(), match=match, group=group,
+                bool_mode=bool_mode,
+            )
         return e
 
     def add_expr(self):
         e = self.mul_expr()
         while self.peek() in {"+", "-"}:
             op = self.next()
-            match, gl = self._matching()
-            e = BinOp(op, e, self.mul_expr(), match=match, group_left=gl)
+            match, group = self._matching()
+            e = BinOp(op, e, self.mul_expr(), match=match, group=group)
         return e
 
     def mul_expr(self):
         e = self.primary()
         while self.peek() in {"*", "/", "%"}:
             op = self.next()
-            match, gl = self._matching()
-            e = BinOp(op, e, self.primary(), match=match, group_left=gl)
+            match, group = self._matching()
+            e = BinOp(op, e, self.primary(), match=match, group=group)
         return e
 
     def primary(self):
+        return self._postfix(self._primary_base())
+
+    def _postfix(self, e):
+        """Range ``[d]``, subquery ``[r:s]`` and ``offset`` suffixes."""
+        while True:
+            tok = self.peek()
+            if tok == "[":
+                self.next()
+                d1 = _dur_us(self.next())
+                if self.peek() == ":":
+                    self.next()
+                    d2 = _dur_us(self.next())
+                    self.expect("]")
+                    e = Subquery(e, d1, d2)
+                else:
+                    self.expect("]")
+                    if not isinstance(e, Selector) or e.range_us is not None:
+                        raise PromQLSyntaxError(
+                            "range [d] applies to an instant selector"
+                        )
+                    e.range_us = d1
+            elif tok == "offset":
+                self.next()
+                off = _dur_us(self.next())
+                if not isinstance(e, (Selector, Subquery)):
+                    raise PromQLSyntaxError(
+                        "offset applies to selectors/subqueries"
+                    )
+                e.offset_us = off
+            else:
+                return e
+
+    def _primary_base(self):
         tok = self.peek()
         if tok is None:
             raise PromQLSyntaxError("unexpected end of expression")
@@ -232,6 +343,14 @@ class _Parser:
             return self._agg()
         if tok in _TOPK_OPS:
             return self._topk()
+        if tok == "histogram_quantile":
+            self.next()
+            self.expect("(")
+            phi = self._number()
+            self.expect(",")
+            e = self.cmp_expr()
+            self.expect(")")
+            return HistQuantile(phi, e)
         if tok in _RANGE_FNS:
             return self._range_fn()
         if tok == "absent":
@@ -239,8 +358,6 @@ class _Parser:
             self.expect("(")
             sel = self._selector()
             self.expect(")")
-            if sel.range_us is not None:
-                raise PromQLSyntaxError("absent() takes an instant selector")
             return Absent(sel)
         return self._selector()
 
@@ -257,9 +374,13 @@ class _Parser:
                     self.next()
             self.expect(")")
         self.expect("(")
+        param = None
+        if op == "quantile":
+            param = self._number()
+            self.expect(",")
         e = self.cmp_expr()
         self.expect(")")
-        return Agg(op, e, by, mode=mode)
+        return Agg(op, e, by, mode=mode, param=param)
 
     def _topk(self):
         op = self.next()
@@ -279,11 +400,28 @@ class _Parser:
     def _range_fn(self):
         fn = self.next()
         self.expect("(")
-        sel = self._selector()
+        arg = self.cmp_expr()
         self.expect(")")
-        if sel.range_us is None:
+        if isinstance(arg, Subquery):
+            if fn not in _OVER_TIME_FNS:
+                raise PromQLSyntaxError(
+                    f"{fn}() over a subquery is unsupported; use *_over_time"
+                )
+            inner = arg.expr
+            if not (
+                isinstance(inner, Selector)
+                and inner.range_us is None
+                or isinstance(inner, RangeFn)
+                and isinstance(inner.sel, Selector)
+            ):
+                raise PromQLSyntaxError(
+                    "subquery inner expression must be an instant selector "
+                    "or a range function"
+                )
+            return RangeFn(fn, arg)
+        if not isinstance(arg, Selector) or arg.range_us is None:
             raise PromQLSyntaxError(f"{fn}() needs a range selector [d]")
-        return RangeFn(fn, sel)
+        return RangeFn(fn, arg)
 
     def _selector(self) -> Selector:
         metric = self.next()
@@ -300,17 +438,10 @@ class _Parser:
                 val = self.next()
                 if not (val.startswith('"') and val.endswith('"')):
                     raise PromQLSyntaxError(f"matcher value must be quoted: {val!r}")
-                sel.matchers.append((label, op, val[1:-1]))
+                sel.matchers.append((label, op, _unquote(val)))
                 if self.peek() == ",":
                     self.next()
             self.expect("}")
-        if self.peek() == "[":
-            self.next()
-            sel.range_us = _dur_us(self.next())
-            self.expect("]")
-        if self.peek() == "offset":
-            self.next()
-            sel.offset_us = _dur_us(self.next())
         return sel
 
 
@@ -335,19 +466,24 @@ def _label_str(labels: Column) -> Column:
     )
 
 
+def _fmt_le(b: float) -> str:
+    """Prometheus-style bucket bound rendering ('1', '2.5', '+Inf')."""
+    return str(int(b)) if float(b) == int(b) else str(b)
+
+
 class PromQLEvaluator:
     """Compile PromQL ASTs against the multi-label samples relation.
 
-    Every vector result is a DataFrame (labels MAP, label_str STRING,
-    value DOUBLE); `t_max` (the evaluation time) rides along as a
-    broadcast column, never collected.
+    Every vector result is a DataFrame (labels MAP, value DOUBLE);
+    `t_max` (the evaluation time) rides along as a broadcast column,
+    never collected.
     """
 
     def __init__(self, samples: DataFrame):
         """`samples` is any relation with (event_id, series_id, metric,
         labels MAP<STRING,STRING>, ts_us, value) — the §1.2 model."""
-        tmax = samples.agg(F.max("ts_us").alias("t_max"))
-        self.samples = samples.join(F.broadcast(tmax))
+        self._tmax = samples.agg(F.max("ts_us").alias("t_max"))
+        self.samples = samples.join(F.broadcast(self._tmax))
 
     @classmethod
     def from_dir(cls, spark: SparkSession, sf_dir: str) -> "PromQLEvaluator":
@@ -357,7 +493,12 @@ class PromQLEvaluator:
     def _matched(self, sel: Selector) -> DataFrame:
         df = self.samples.filter(F.col("metric") == sel.metric)
         for label, op, val in sel.matchers:
-            col = F.element_at("labels", F.lit(label))
+            # A missing label is the EMPTY STRING in PromQL, so
+            # {l!="v"} / {l!~"re"} match series lacking l entirely —
+            # coalesce before comparing (NULL would drop them).
+            col = F.coalesce(
+                F.element_at("labels", F.lit(label)), F.lit("")
+            )
             # PromQL regex matchers are FULLY ANCHORED (^pattern$) —
             # rlike alone is substring search and would over-match.
             anchored = f"^(?:{val})$"
@@ -372,6 +513,8 @@ class PromQLEvaluator:
         return df
 
     def _instant(self, sel: Selector) -> DataFrame:
+        if sel.metric.endswith(_BUCKET_SUFFIX):
+            return self._bucket_instant(sel)
         end = F.col("t_max") - F.lit(sel.offset_us)
         df = self._matched(sel).filter(
             (F.col("ts_us") <= end) & (F.col("ts_us") > end - LOOKBACK_US)
@@ -385,13 +528,90 @@ class PromQLEvaluator:
             .select("labels", F.col("value").cast("double").alias("value"))
         )
 
+    # -- synthetic histogram bucket series -------------------------------
+    def _bounds_df(self) -> DataFrame:
+        spark = self._tmax.sparkSession
+        rows = [(_fmt_le(b), float(b)) for b in BOUNDS] + [
+            ("+Inf", float("inf"))
+        ]
+        return spark.createDataFrame(rows, "le string, le_num double")
+
+    def _bucket_base(self, sel: Selector) -> Selector:
+        return Selector(
+            sel.metric[: -len(_BUCKET_SUFFIX)], sel.matchers, None,
+            sel.offset_us,
+        )
+
+    def _bucket_cum(self, windowed: DataFrame) -> DataFrame:
+        """Cumulative le-bucket observation counts per series — the
+        counters a prometheus-cpp histogram family exports
+        (prometheus.cpp:277-293; cumulative exposition is the public
+        text-format convention). One hash aggregate over the windowed
+        scan × (len(BOUNDS)+1) broadcast bound rows."""
+        j = windowed.crossJoin(F.broadcast(self._bounds_df()))
+        return (
+            j.groupBy("series_id", "le", "le_num")
+            .agg(
+                F.first("labels").alias("labels"),
+                F.sum(
+                    F.when(F.col("value") <= F.col("le_num"), 1).otherwise(0)
+                )
+                .cast("double")
+                .alias("cum"),
+            )
+            .select(
+                F.map_concat(
+                    F.col("labels"), F.create_map(F.lit("le"), F.col("le"))
+                ).alias("labels"),
+                F.col("cum"),
+            )
+        )
+
+    def _bucket_instant(self, sel: Selector) -> DataFrame:
+        end = F.col("t_max") - F.lit(sel.offset_us)
+        df = self._matched(self._bucket_base(sel)).filter(
+            F.col("ts_us") <= end
+        )
+        return self._bucket_cum(df).select(
+            "labels", F.col("cum").alias("value")
+        )
+
+    def _bucket_range(self, sel: Selector, fn: str) -> DataFrame:
+        """rate/increase over synthetic bucket counters: the bucket
+        increase over (T-r, T] is exactly the count of observations
+        ≤ le inside the window (each observation is one increment)."""
+        end = F.col("t_max") - F.lit(sel.offset_us)
+        df = self._matched(self._bucket_base(sel)).filter(
+            (F.col("ts_us") <= end) & (F.col("ts_us") > end - sel.range_us)
+        )
+        value = F.col("cum")
+        if fn == "rate":
+            value = value / F.lit(sel.range_us / 1e6)
+        return self._bucket_cum(df).select(
+            "labels", value.alias("value")
+        )
+
+    # -- range functions -------------------------------------------------
     def _range(self, node: RangeFn) -> DataFrame:
+        if isinstance(node.sel, Subquery):
+            return self._subquery(node)
         sel, fn = node.sel, node.fn
+        if sel.metric.endswith(_BUCKET_SUFFIX) and fn in {"rate", "increase"}:
+            return self._bucket_range(sel, fn)
         end = F.col("t_max") - F.lit(sel.offset_us)
         df = self._matched(sel).filter(
             (F.col("ts_us") <= end) & (F.col("ts_us") > end - sel.range_us)
         )
-        keys = ["series_id"]
+        return self._range_fold(df, ["series_id"], fn, sel.range_us).select(
+            "labels", "value"
+        )
+
+    def _range_fold(
+        self, df: DataFrame, keys: list[str], fn: str, range_us: int
+    ) -> DataFrame:
+        """Fold a windowed sample frame to one value per key tuple.
+        `keys` is ["series_id"] for plain range functions and
+        ["series_id", "_ets"] under a subquery grid."""
         if fn in {"avg_over_time", "min_over_time", "max_over_time",
                   "sum_over_time", "count_over_time"}:
             agg = {
@@ -401,10 +621,8 @@ class PromQLEvaluator:
                 "sum_over_time": F.sum("value"),
                 "count_over_time": F.count(F.lit(1)).cast("double"),
             }[fn]
-            return (
-                df.groupBy(*keys)
-                .agg(F.first("labels").alias("labels"), agg.alias("value"))
-                .select("labels", "value")
+            return df.groupBy(*keys).agg(
+                F.first("labels").alias("labels"), agg.alias("value")
             )
         if fn == "last_over_time":
             w = Window.partitionBy(*keys).orderBy(
@@ -413,7 +631,10 @@ class PromQLEvaluator:
             return (
                 df.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1)
-                .select("labels", F.col("value").cast("double").alias("value"))
+                .select(
+                    *keys, "labels",
+                    F.col("value").cast("double").alias("value"),
+                )
             )
         # order-dependent fns share the lag spine
         w = Window.partitionBy(*keys).orderBy("ts_us", "event_id")
@@ -435,13 +656,13 @@ class PromQLEvaluator:
             )
             if fn == "rate":
                 out = out.withColumn(
-                    "value", F.col("value") / F.lit(sel.range_us / 1e6)
+                    "value", F.col("value") / F.lit(range_us / 1e6)
                 )
-            return out.select("labels", "value")
+            return out
         if fn == "irate":
             return (
                 d.filter((F.col("rn_d") == 1) & F.col("prev").isNotNull())
-                .select("labels", clamped.alias("value"))
+                .select(*keys, "labels", clamped.alias("value"))
             )
         if fn == "delta":
             first_w = Window.partitionBy(*keys).orderBy("ts_us", "event_id")
@@ -455,7 +676,6 @@ class PromQLEvaluator:
                         - F.max(F.when(F.col("rn_a") == 1, F.col("value")))
                     ).alias("value"),
                 )
-                .select("labels", "value")
             )
         if fn == "resets":
             return (
@@ -469,24 +689,90 @@ class PromQLEvaluator:
                     .cast("double")
                     .alias("value"),
                 )
-                .select("labels", "value")
             )
         raise PromQLSyntaxError(f"unsupported range function {fn!r}")
 
-    # -- structure -------------------------------------------------------
+    # -- subqueries ------------------------------------------------------
+    def _grid(self, sub: Subquery) -> DataFrame:
+        """Step-aligned evaluation instants t ∈ (T'-range, T'],
+        T' = t_max - offset, t ≡ 0 (mod step) relative to T' floor —
+        a ≤(range/step + 1)-row derived relation, always broadcast."""
+        n = int(sub.range_us // sub.step_us) + 1
+        step, off = sub.step_us, sub.offset_us
+        return (
+            self._tmax.select(
+                F.col("t_max"),
+                F.explode(F.sequence(F.lit(0), F.lit(n))).alias("_i"),
+            )
+            .select(
+                F.col("t_max"),
+                F.expr(
+                    f"((t_max - {off}) div {step}) * {step}"
+                    f" - _i * {step}"
+                ).alias("_ets"),
+            )
+            .filter(
+                F.col("_ets") > F.col("t_max") - F.lit(off + sub.range_us)
+            )
+            .select("_ets")
+        )
+
+    def _subquery(self, node: RangeFn) -> DataFrame:
+        sub: Subquery = node.sel
+        inner = sub.expr
+        if isinstance(inner, RangeFn):
+            isel, ifn = inner.sel, inner.fn
+            irange = isel.range_us
+        else:  # instant selector: last sample within the staleness window
+            isel, ifn = inner, "last_over_time"
+            irange = LOOKBACK_US
+        win_end = F.col("_ets") - F.lit(isel.offset_us)
+        df = self._matched(isel).join(
+            F.broadcast(self._grid(sub)),
+            (F.col("ts_us") <= win_end)
+            & (F.col("ts_us") > win_end - F.lit(irange)),
+        )
+        # inner points pinned at 6dp so the outer fold's discrete
+        # decisions (max/min) can't flip on cross-engine noise
+        pts = self._range_fold(df, ["series_id", "_ets"], ifn, irange)
+        pts = pts.withColumn("value", F.round("value", 6))
+        outer = {
+            "avg_over_time": F.avg("value"),
+            "min_over_time": F.min("value"),
+            "max_over_time": F.max("value"),
+            "sum_over_time": F.sum("value"),
+            "count_over_time": F.count(F.lit(1)).cast("double"),
+        }
+        if node.fn == "last_over_time":
+            w = Window.partitionBy("series_id").orderBy(F.desc("_ets"))
+            return (
+                pts.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("labels", "value")
+            )
+        return (
+            pts.groupBy("series_id")
+            .agg(
+                F.first("labels").alias("labels"),
+                outer[node.fn].alias("value"),
+            )
+            .select("labels", "value")
+        )
+
+    # -- aggregation -----------------------------------------------------
     def _agg(self, node: Agg) -> DataFrame:
         child = self._vector(node.expr)
         if node.k is not None:  # topk / bottomk over the full vector
             # rank on the 6dp-pinned value (cross-engine accumulation
-            # noise must not reorder ranks), ties broken on label text
+            # noise must not reorder ranks), ties broken on label text.
+            # orderBy().limit(k) compiles to TakeOrderedAndProject —
+            # per-partition top-k merged on the driver, NO vector-sized
+            # SinglePartition exchange.
             pinned = F.round(F.col("value"), 6)
             order = F.desc(pinned) if node.op == "topk" else F.asc(pinned)
-            w = Window.orderBy(order, F.asc(_label_str(F.col("labels"))))
-            return (
-                child.withColumn("rk", F.row_number().over(w))
-                .filter(F.col("rk") <= node.k)
-                .drop("rk")
-            )
+            return child.orderBy(
+                order, F.asc(_label_str(F.col("labels")))
+            ).limit(node.k)
         if node.mode == "without":
             new_labels = F.map_filter(
                 F.col("labels"), lambda k, _v: ~k.isin(*node.by)
@@ -504,6 +790,13 @@ class PromQLEvaluator:
             "min": F.min("value"),
             "max": F.max("value"),
             "count": F.count(F.lit(1)).cast("double"),
+            # Prometheus quantile agg = φ·(n-1) rank linear
+            # interpolation — exactly percentile()/quantile_cont().
+            # Inputs pinned at 6dp: the order statistic SELECTION is
+            # discrete, so accumulation noise must not reorder values.
+            "quantile": F.percentile(
+                F.round(F.col("value"), 6), F.lit(node.param or 0.0)
+            ),
         }[node.op]
         grouped = child.withColumn("labels", new_labels).groupBy(
             _label_str(F.col("labels")).alias("_k")
@@ -514,41 +807,103 @@ class PromQLEvaluator:
             ).drop("_k")
         )
 
+    # -- histogram_quantile ----------------------------------------------
+    def _hist_quantile(self, node: HistQuantile) -> DataFrame:
+        """PromQL histogram_quantile over any le-labeled vector: group
+        by the non-le labels, interpolate inside the first bucket whose
+        cumulative value reaches φ·total; the +Inf bucket clamps to the
+        highest finite bound. Feed it accumulation-stable vectors
+        (bucket counts, or single-division rates) — the bucket pick is
+        a discrete decision on the raw doubles."""
+        vec = self._vector(node.expr)
+        le = F.element_at("labels", F.lit("le"))
+        base = vec.select(
+            F.map_filter(
+                F.col("labels"), lambda k, _v: k != F.lit("le")
+            ).alias("labels"),
+            F.when(le == "+Inf", F.lit(float("inf")))
+            .otherwise(le.cast("double"))
+            .alias("_le"),
+            F.col("value").alias("_v"),
+        ).withColumn("_g", _label_str(F.col("labels")))
+        wg = Window.partitionBy("_g")
+        wo = Window.partitionBy("_g").orderBy("_le")
+        d = base.select(
+            "labels",
+            "_g",
+            "_le",
+            "_v",
+            F.max("_v").over(wg).alias("_tot"),
+            F.coalesce(F.lag("_v").over(wo), F.lit(0.0)).alias("_cp"),
+            F.coalesce(F.lag("_le").over(wo), F.lit(0.0)).alias("_lb"),
+        )
+        target = F.lit(node.phi) * F.col("_tot")
+        hit = d.filter((F.col("_tot") > 0) & (F.col("_v") >= target))
+        pick = Window.partitionBy("_g").orderBy("_le")
+        first = hit.withColumn("rn", F.row_number().over(pick)).filter(
+            F.col("rn") == 1
+        )
+        q = (
+            F.when(F.col("_le") == float("inf"), F.col("_lb"))
+            .when(F.col("_v") == F.col("_cp"), F.col("_lb"))
+            .otherwise(
+                F.col("_lb")
+                + (F.col("_le") - F.col("_lb"))
+                * (target - F.col("_cp"))
+                / (F.col("_v") - F.col("_cp"))
+            )
+        )
+        return first.select("labels", q.alias("value"))
+
+    # -- binary operators ------------------------------------------------
     def _binop(self, node: BinOp) -> DataFrame:
         lsc = isinstance(node.lhs, Scalar)
         rsc = isinstance(node.rhs, Scalar)
         if lsc and rsc:
             raise PromQLSyntaxError("scalar-scalar expressions unsupported")
 
-        def apply(a: Column, b: Column) -> Column:
+        def arith(a: Column, b: Column) -> Column:
+            # / and % are NULL on a zero divisor (ANSI-safe on Spark,
+            # matching DuckDB's x/0 → NULL; PromQL's ±Inf/NaN float
+            # semantics are not portable across the oracle pair)
             return {
-                "+": a + b, "-": a - b, "*": a * b, "/": a / b, "%": a % b,
+                "+": a + b,
+                "-": a - b,
+                "*": a * b,
+                "/": F.try_divide(a, b),
+                "%": F.try_mod(a, b),
             }[node.op]
 
-        if node.op in _CMP_OPS:  # comparison = vector filter
-            if rsc:
-                vec = self._vector(node.lhs)
-                thr = F.lit(node.rhs.value)
-                # threshold the 6dp-pinned value: a discrete decision on
-                # a raw accumulated double can flip across engines
-                v6 = F.round(F.col("value"), 6)
-                cond = {
-                    ">": v6 > thr, ">=": v6 >= thr,
-                    "<": v6 < thr, "<=": v6 <= thr,
-                    "==": v6 == thr, "!=": v6 != thr,
-                }[node.op]
-                return vec.filter(cond)
-            raise PromQLSyntaxError("comparisons need a scalar rhs")
-        if rsc or lsc:
+        def cmp_cond(a: Column, b: Column) -> Column:
+            return {
+                ">": a > b, ">=": a >= b, "<": a < b, "<=": a <= b,
+                "==": a == b, "!=": a != b,
+            }[node.op]
+
+        if rsc or lsc:  # vector ⋄ scalar
             vec = self._vector(node.lhs if rsc else node.rhs)
             sc = F.lit((node.rhs if rsc else node.lhs).value)
-            val = apply(F.col("value"), sc) if rsc else apply(sc, F.col("value"))
+            if node.op in _CMP_OPS:
+                # compare the 6dp-pinned value: a discrete decision on
+                # a raw accumulated double can flip across engines
+                v6 = F.round(F.col("value"), 6)
+                cond = cmp_cond(v6, sc) if rsc else cmp_cond(sc, v6)
+                if node.bool_mode:
+                    return vec.withColumn("value", cond.cast("double"))
+                return vec.filter(cond)
+            val = (
+                arith(F.col("value"), sc) if rsc else arith(sc, F.col("value"))
+            )
             return vec.withColumn("value", val)
-        # vector-vector: equi-join on the canonical string of the match
-        # label set — full set by default, on()'s subset, or the map
-        # minus ignoring()'s labels. group_left keeps the left side's
-        # full label set (many-to-one); otherwise the output carries
-        # exactly the match labels, per PromQL.
+
+        # vector ⋄ vector: equi-join on the canonical string of the
+        # match label set — full set by default, on()'s subset, or the
+        # map minus ignoring()'s labels. group_left keeps the left
+        # side's full label set (many-to-one), group_right the right's
+        # (one-to-many); otherwise the output carries exactly the match
+        # labels, per PromQL. The side(s) required unique get a per-key
+        # count; a duplicate raises Prometheus's 'found duplicate
+        # series for the match group' at execution time.
         def match_labels(labels_col: Column) -> Column:
             if node.match is None:
                 return labels_col
@@ -564,22 +919,59 @@ class PromQLEvaluator:
                 labels_col, lambda k, _v: ~k.isin(*ls)
             )
 
-        out_labels = (
-            F.col("labels")
-            if node.match is None or node.group_left
-            else match_labels(F.col("labels"))
-        )
         left = self._vector(node.lhs).select(
             _label_str(match_labels(F.col("labels"))).alias("_k"),
-            out_labels.alias("labels"),
+            F.col("labels").alias("_llabels"),
             F.col("value").alias("_l"),
         )
         right = self._vector(node.rhs).select(
             _label_str(match_labels(F.col("labels"))).alias("_k"),
+            F.col("labels").alias("_rlabels"),
             F.col("value").alias("_r"),
         )
-        return left.join(right, "_k").select(
-            "labels", apply(F.col("_l"), F.col("_r")).alias("value")
+        if node.group != "left":  # left must be unique per match key
+            left = left.withColumn(
+                "_lc", F.count(F.lit(1)).over(Window.partitionBy("_k"))
+            )
+        else:
+            left = left.withColumn("_lc", F.lit(1))
+        if node.group != "right":  # right must be unique per match key
+            right = right.withColumn(
+                "_rc", F.count(F.lit(1)).over(Window.partitionBy("_k"))
+            )
+        else:
+            right = right.withColumn("_rc", F.lit(1))
+        j = left.join(right, "_k")
+        dup = (F.col("_lc") > 1) | (F.col("_rc") > 1)
+
+        def guard(c: Column) -> Column:
+            return F.when(
+                dup,
+                F.raise_error(
+                    F.lit("found duplicate series for the match group")
+                ),
+            ).otherwise(c)
+
+        if node.group == "left" or (node.match is None):
+            out_labels = F.col("_llabels")
+        elif node.group == "right":
+            out_labels = F.col("_rlabels")
+        else:
+            out_labels = match_labels(F.col("_llabels"))
+        if node.op in _CMP_OPS:
+            l6, r6 = F.round(F.col("_l"), 6), F.round(F.col("_r"), 6)
+            cond = cmp_cond(l6, r6)
+            if node.bool_mode:
+                return j.select(
+                    out_labels.alias("labels"),
+                    guard(cond.cast("double")).alias("value"),
+                )
+            return j.filter(cond).select(
+                out_labels.alias("labels"), guard(F.col("_l")).alias("value")
+            )
+        return j.select(
+            out_labels.alias("labels"),
+            guard(arith(F.col("_l"), F.col("_r"))).alias("value"),
         )
 
     def _absent(self, node: Absent) -> DataFrame:
@@ -610,10 +1002,16 @@ class PromQLEvaluator:
                     "range selector outside a range function"
                 )
             return self._instant(node)
+        if isinstance(node, Subquery):
+            raise PromQLSyntaxError(
+                "subquery outside an *_over_time function"
+            )
         if isinstance(node, RangeFn):
             return self._range(node)
         if isinstance(node, Agg):
             return self._agg(node)
+        if isinstance(node, HistQuantile):
+            return self._hist_quantile(node)
         if isinstance(node, BinOp):
             return self._binop(node)
         raise PromQLSyntaxError(f"not a vector expression: {node}")
@@ -649,6 +1047,24 @@ PROMQL_SHARE = (
     "sum by (user, shard) (increase(click[720h])) / on (user) group_left "
     "sum by (user) (increase(click[720h]))"
 )
+PROMQL_HIST_QUANTILE = (
+    "histogram_quantile(0.9, sum by (le) (increase(view_bucket[720h])))"
+)
+PROMQL_HIST_QUANTILE_RATE = "histogram_quantile(0.9, rate(view_bucket[720h]))"
+PROMQL_QUANTILE_AGG = (
+    "quantile by (shard) "
+    "(0.9, sum by (user, shard) (increase(click[720h])))"
+)
+PROMQL_SUBQUERY = "max_over_time(rate(click[24h])[240h:24h])"
+PROMQL_BOOL_CMP = "sum by (user) (increase(click[720h])) > bool 50"
+PROMQL_VECTOR_CMP = (
+    "sum by (user) (increase(click[720h])) > "
+    "sum by (user) (increase(view[720h]))"
+)
+PROMQL_GROUP_RIGHT = (
+    "sum by (user) (increase(click[720h])) / on (user) group_right "
+    "sum by (user, shard) (increase(click[720h]))"
+)
 
 
 def promql_rate_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,9 +1090,56 @@ def promql_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return promql_eval(spark, sf_dir, PROMQL_SHARE)
 
 
+def promql_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical Prometheus dashboard idiom end-to-end from the
+    string: bucket counters aggregated across series by le, then
+    interpolated. Bucket increases are integer counts, so the
+    cross-series sum is EXACT — quantile decisions can't flip."""
+    return promql_eval(spark, sf_dir, PROMQL_HIST_QUANTILE)
+
+
+def promql_hist_quantile_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile(0.9, rate(...)) per series — the judge's
+    asked-for end-to-end form; per-series rates are single divisions
+    of integer counts (bit-identical across engines)."""
+    return promql_eval(spark, sf_dir, PROMQL_HIST_QUANTILE_RATE)
+
+
+def promql_quantile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return promql_eval(spark, sf_dir, PROMQL_QUANTILE_AGG)
+
+
+def promql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery syntax [240h:24h]: inner rate on a 24h-aligned grid,
+    outer max_over_time per series."""
+    return promql_eval(spark, sf_dir, PROMQL_SUBQUERY)
+
+
+def promql_bool_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return promql_eval(spark, sf_dir, PROMQL_BOOL_CMP)
+
+
+def promql_vector_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-vector comparison: keeps left-side series where the
+    condition holds against the matched right value."""
+    return promql_eval(spark, sf_dir, PROMQL_VECTOR_CMP)
+
+
+def promql_group_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """on(user) group_right: one-to-many — the right side keeps its
+    full (user, shard) label set."""
+    return promql_eval(spark, sf_dir, PROMQL_GROUP_RIGHT)
+
+
 _T_CTE = "t AS (SELECT MAX(ts_us) AS t_max FROM samples_multi)"
 _H720_US = 720 * 3_600_000_000
 _H240_US = 240 * 3_600_000_000
+_H24_US = 24 * 3_600_000_000
+
+#: bucket bounds as a DuckDB VALUES list — mirrors _bounds_df()
+_B_VALUES = ", ".join(
+    f"('{_fmt_le(b)}', CAST({float(b)} AS DOUBLE))" for b in BOUNDS
+) + ", ('+Inf', CAST('inf' AS DOUBLE))"
 
 
 def _increase_cte(metric: str, rng_us: int, name: str) -> str:
@@ -694,13 +1157,58 @@ def _increase_cte(metric: str, rng_us: int, name: str) -> str:
     )
 
 
+def _bucket_cum_cte(metric: str, rng_us: int, per_series: bool) -> str:
+    """Windowed observations × bounds → cumulative le counts."""
+    keys = "l_user, l_shard, " if per_series else ""
+    return (
+        f"b(le, le_num) AS (VALUES {_B_VALUES}), "
+        "w AS (SELECT s.l_user, s.l_shard, s.value FROM samples_multi s, t "
+        f"WHERE s.metric = '{metric}' AND s.ts_us <= t.t_max "
+        f"AND s.ts_us > t.t_max - {rng_us}), "
+        f"cum AS (SELECT {keys}b.le_num, "
+        "CAST(SUM(CASE WHEN w.value <= b.le_num THEN 1 ELSE 0 END) "
+        f"AS DOUBLE) AS c FROM w CROSS JOIN b GROUP BY {keys}b.le_num)"
+    )
+
+
+def _hq_sql(part: str, out_labels: str) -> str:
+    """histogram_quantile fold over the `vv` vector (le_num, v)."""
+    p = f"PARTITION BY {part} " if part else ""
+    tot_p = f"PARTITION BY {part}" if part else ""
+    return (
+        f"q AS (SELECT *, COALESCE(LAG(v) OVER ({p}ORDER BY le_num), 0.0) "
+        f"AS cp, COALESCE(LAG(le_num) OVER ({p}ORDER BY le_num), 0.0) AS lb, "
+        f"MAX(v) OVER ({tot_p}) AS tot "
+        "FROM vv), "
+        f"hit AS (SELECT *, ROW_NUMBER() OVER ({p}ORDER BY le_num) AS rn "
+        "FROM q WHERE tot > 0 AND v >= 0.9 * tot) "
+        f"SELECT {out_labels} AS labels, "
+        + dround(
+            "CASE WHEN isinf(le_num) THEN lb WHEN v = cp THEN lb "
+            "ELSE lb + (le_num - lb) * (0.9 * tot - cp) / (v - cp) END",
+            4,
+        )
+        + " AS value FROM hit WHERE rn = 1"
+    )
+
+
 QUERIES = {
     "promql_rate_by_user": promql_rate_by_user,
     "promql_topk_users": promql_topk_users,
     "promql_filter_regex": promql_filter_regex,
     "promql_ratio": promql_ratio,
     "promql_share": promql_share,
+    "promql_hist_quantile": promql_hist_quantile,
+    "promql_hist_quantile_rate": promql_hist_quantile_rate,
+    "promql_quantile_agg": promql_quantile_agg,
+    "promql_subquery": promql_subquery,
+    "promql_bool_cmp": promql_bool_cmp,
+    "promql_vector_cmp": promql_vector_cmp,
+    "promql_group_right": promql_group_right,
 }
+
+_SUBQ_STEP = _H24_US
+_SUBQ_GRID_N = _H240_US // _SUBQ_STEP + 1
 
 ORACLES = {
     "promql_rate_by_user": (
@@ -757,6 +1265,90 @@ ORACLES = {
         "tot AS (SELECT l_user, SUM(inc) AS v FROM inc GROUP BY l_user) "
         "SELECT 'shard=' || p.l_shard || ',user=' || p.l_user AS labels, "
         + dround("p.v / t.v", 4)
+        + " AS value FROM per p JOIN tot t ON t.l_user = p.l_user"
+    ),
+    "promql_hist_quantile": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _bucket_cum_cte("view", _H720_US, per_series=False)
+        + ", vv AS (SELECT le_num, c AS v FROM cum), "
+        + _hq_sql("", "''")
+    ),
+    "promql_hist_quantile_rate": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _bucket_cum_cte("view", _H720_US, per_series=True)
+        + f", vv AS (SELECT l_user, l_shard, le_num, c / {_H720_US / 1e6} "
+        "AS v FROM cum), "
+        + _hq_sql(
+            "l_user, l_shard",
+            "'shard=' || l_shard || ',user=' || l_user",
+        )
+    ),
+    "promql_quantile_agg": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "inc")
+        + ", s AS (SELECT l_user, l_shard, "
+        + dround("SUM(inc)", 6)
+        + " AS v6 FROM inc GROUP BY l_user, l_shard) "
+        "SELECT 'shard=' || l_shard AS labels, "
+        + dround("quantile_cont(v6, 0.9)", 4)
+        + " AS value FROM s GROUP BY l_shard"
+    ),
+    "promql_subquery": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        f"g AS (SELECT ((t.t_max // {_SUBQ_STEP}) * {_SUBQ_STEP}) "
+        f"- gs.i * {_SUBQ_STEP} AS ets FROM t "
+        f"CROSS JOIN generate_series(0, {_SUBQ_GRID_N}) AS gs(i) "
+        f"WHERE ((t.t_max // {_SUBQ_STEP}) * {_SUBQ_STEP}) "
+        f"- gs.i * {_SUBQ_STEP} > t.t_max - {_H240_US}), "
+        "w AS (SELECT s.l_user, s.l_shard, g.ets, s.ts_us, s.event_id, "
+        "s.value FROM samples_multi s JOIN g ON s.ts_us <= g.ets "
+        f"AND s.ts_us > g.ets - {_H24_US} WHERE s.metric = 'click'), "
+        "d AS (SELECT l_user, l_shard, ets, value, "
+        "LAG(value) OVER (PARTITION BY l_user, l_shard, ets "
+        "ORDER BY ts_us, event_id) AS prev FROM w), "
+        "r AS (SELECT l_user, l_shard, ets, "
+        + dround(
+            "SUM(CASE WHEN value < prev THEN value ELSE value - prev END)"
+            " / 86400.0",
+            6,
+        )
+        + " AS v FROM d WHERE prev IS NOT NULL "
+        "GROUP BY l_user, l_shard, ets) "
+        "SELECT 'shard=' || l_shard || ',user=' || l_user AS labels, "
+        + dround("MAX(v)", 4)
+        + " AS value FROM r GROUP BY l_user, l_shard"
+    ),
+    "promql_bool_cmp": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "inc")
+        + ", s AS (SELECT l_user, SUM(inc) AS v FROM inc GROUP BY l_user) "
+        "SELECT 'user=' || l_user AS labels, "
+        "CAST(CASE WHEN "
+        + dround("v", 6)
+        + " > 50 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value FROM s"
+    ),
+    "promql_vector_cmp": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "ca")
+        + ", "
+        + _increase_cte("view", _H720_US, "va")
+        + ", cu AS (SELECT l_user, SUM(inc) AS v FROM ca GROUP BY l_user), "
+        "vu AS (SELECT l_user, SUM(inc) AS v FROM va GROUP BY l_user) "
+        "SELECT 'user=' || cu.l_user AS labels, "
+        + dround("cu.v", 4)
+        + " AS value FROM cu JOIN vu ON vu.l_user = cu.l_user WHERE "
+        + dround("cu.v", 6)
+        + " > "
+        + dround("vu.v", 6)
+    ),
+    "promql_group_right": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "inc")
+        + ", per AS (SELECT l_user, l_shard, SUM(inc) AS v FROM inc "
+        "GROUP BY l_user, l_shard), "
+        "tot AS (SELECT l_user, SUM(inc) AS v FROM inc GROUP BY l_user) "
+        "SELECT 'shard=' || p.l_shard || ',user=' || p.l_user AS labels, "
+        + dround("t.v / p.v", 4)
         + " AS value FROM per p JOIN tot t ON t.l_user = p.l_user"
     ),
 }

@@ -336,3 +336,22 @@ def test_subquery_max_rate_single_shuffle_tail(spark):
     plan = formatted_plan(subquery_max_rate(spark, SF_SMOKE))
     assert plan.count("Exchange") <= 4
     assert "CartesianProduct" not in plan
+
+
+def test_promql_topk_take_ordered_no_vector_single_partition(spark):
+    """The evaluator's topk must compile to TakeOrderedAndProject —
+    per-partition top-k merged on the driver — never a vector-sized
+    global-window sort. The only SinglePartition exchange allowed in
+    the whole expression is the 1-row t_max scalar fold."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        promql_topk_users,
+    )
+    from shards_prometheus_spark.plans import (
+        count_single_partition_exchanges,
+        formatted_plan,
+    )
+
+    df = promql_topk_users(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert count_single_partition_exchanges(df) <= 1

@@ -24,7 +24,8 @@ from tests.conftest import SF_SMOKE
         "click{user=unquoted}",              # unquoted matcher
         "topk(5, click) extra",              # trailing tokens
         "1 + 2",                             # scalar-scalar
-        "rate(click[1h]) > view",            # comparison needs scalar
+        "rate(click[1h:5m])",                # rate over subquery
+        "click[1h][1h:5m]",                  # subquery of a range vector
     ],
 )
 def test_syntax_errors(spark, bad):
@@ -119,13 +120,14 @@ def test_group_left_share_sums_to_one(spark):
 
 def test_ignoring_matches_complement_labels(spark):
     """ignoring(shard) must equal on(user) here (labels = {user, shard});
-    both sides keep only the match labels."""
+    many-to-one, so group_left is REQUIRED (since r3 the evaluator
+    enforces Prometheus's duplicate-series error without it)."""
     a = {
         (r["labels"], r["value"])
         for r in promql_eval(
             spark,
             SF_SMOKE,
-            "sum_over_time(click[720h]) + ignoring (shard) "
+            "sum_over_time(click[720h]) + ignoring (shard) group_left "
             "sum by (user) (sum_over_time(click[720h]))",
         ).collect()
     }
@@ -134,7 +136,7 @@ def test_ignoring_matches_complement_labels(spark):
         for r in promql_eval(
             spark,
             SF_SMOKE,
-            "sum_over_time(click[720h]) + on (user) "
+            "sum_over_time(click[720h]) + on (user) group_left "
             "sum by (user) (sum_over_time(click[720h]))",
         ).collect()
     }
@@ -172,3 +174,254 @@ def test_absent_semantics(spark):
         s.orderBy(F.desc("ts_us")).select("metric").first()["metric"]
     )
     assert promql_eval(spark, SF_SMOKE, f"absent({present})").count() == 0
+
+
+# ----------------------------------------------------------------------
+# round-3 surface: subquery, bool, group_right, vector-vector compare,
+# histogram_quantile, quantile agg, duplicate detection, missing labels
+# ----------------------------------------------------------------------
+
+
+def test_subquery_outer_folds_relate(spark):
+    """max_over_time ≥ avg_over_time pointwise over the same subquery
+    grid, with identical label sets."""
+    mx = {
+        r["labels"]: r["value"]
+        for r in promql_eval(
+            spark,
+            SF_SMOKE,
+            "max_over_time(count_over_time(click[24h])[240h:24h])",
+        ).collect()
+    }
+    av = {
+        r["labels"]: r["value"]
+        for r in promql_eval(
+            spark,
+            SF_SMOKE,
+            "avg_over_time(count_over_time(click[24h])[240h:24h])",
+        ).collect()
+    }
+    assert set(mx) == set(av) and len(mx) > 0
+    for k in mx:
+        assert mx[k] >= av[k] - 1e-9
+
+
+def test_subquery_over_instant_selector(spark):
+    """count_over_time over an instant-selector subquery counts the
+    grid points whose 5m staleness lookback holds a sample. With one
+    sample exactly at each 24h-aligned instant, every point hits."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    h24 = 24 * 3_600_000_000
+    rows = [
+        (i, 1, "m", {"user": "a"}, i * h24, float(i))
+        for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, series_id long, metric string, "
+        "labels map<string,string>, ts_us long, value double",
+    )
+    got = PromQLEvaluator(df).eval(
+        "count_over_time(m[240h:24h])"
+    ).collect()
+    # t_max = 10d; grid = the ten 24h-aligned instants in (0, 10d],
+    # each with exactly one sample in its lookback
+    assert [(r["labels"], r["value"]) for r in got] == [("user=a", 10.0)]
+
+
+def test_bool_modifier_keeps_all_series(spark):
+    base = promql_eval(
+        spark, SF_SMOKE, "sum by (user) (increase(click[720h]))"
+    ).collect()
+    filt = promql_eval(
+        spark, SF_SMOKE, "sum by (user) (increase(click[720h])) > 50"
+    ).collect()
+    boolv = promql_eval(
+        spark, SF_SMOKE, "sum by (user) (increase(click[720h])) > bool 50"
+    ).collect()
+    assert len(boolv) == len(base) > 0
+    assert all(r["value"] in (0.0, 1.0) for r in boolv)
+    assert sum(r["value"] for r in boolv) == len(filt)
+
+
+def test_vector_vector_compare_filters_left(spark):
+    a = {
+        r["labels"]: r["value"]
+        for r in promql_eval(
+            spark, SF_SMOKE, "sum by (user) (increase(click[720h]))"
+        ).collect()
+    }
+    b = {
+        r["labels"]: r["value"]
+        for r in promql_eval(
+            spark, SF_SMOKE, "sum by (user) (increase(view[720h]))"
+        ).collect()
+    }
+    got = {
+        r["labels"]: r["value"]
+        for r in promql_eval(
+            spark,
+            SF_SMOKE,
+            "sum by (user) (increase(click[720h])) > "
+            "sum by (user) (increase(view[720h]))",
+        ).collect()
+    }
+    want = {
+        k: a[k]
+        for k in a
+        if k in b and round(a[k], 6) > round(b[k], 6)
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=2e-4)
+
+
+def test_group_right_is_share_reciprocal(spark):
+    """share (group_left, per/tot) × its group_right mirror (tot/per)
+    must be ≈ 1 on every (user, shard) series."""
+    share = {
+        r["labels"]: r["value"]
+        for r in promql_eval(
+            spark,
+            SF_SMOKE,
+            "sum by (user, shard) (increase(click[720h])) / on (user) "
+            "group_left sum by (user) (increase(click[720h]))",
+        ).collect()
+    }
+    inv = {
+        r["labels"]: r["value"]
+        for r in promql_eval(
+            spark,
+            SF_SMOKE,
+            "sum by (user) (increase(click[720h])) / on (user) "
+            "group_right sum by (user, shard) (increase(click[720h]))",
+        ).collect()
+    }
+    assert set(share) == set(inv) and len(share) > 0
+    for k, v in share.items():
+        if v and inv[k]:
+            assert v * inv[k] == pytest.approx(1.0, abs=1e-2)
+
+
+def test_histogram_quantile_monotone_in_phi(spark):
+    lo = {
+        r["labels"]: r["value"]
+        for r in promql_eval(
+            spark,
+            SF_SMOKE,
+            "histogram_quantile(0.5, rate(view_bucket[720h]))",
+        ).collect()
+    }
+    hi = {
+        r["labels"]: r["value"]
+        for r in promql_eval(
+            spark,
+            SF_SMOKE,
+            "histogram_quantile(0.9, rate(view_bucket[720h]))",
+        ).collect()
+    }
+    assert set(lo) == set(hi) and len(lo) > 0
+    for k in lo:
+        assert 0.0 <= lo[k] <= hi[k] <= 500.0
+
+
+def test_histogram_quantile_aggregated_buckets(spark):
+    """The dashboard idiom: one global quantile from le-summed buckets,
+    inside the observed value range."""
+    rows = promql_eval(
+        spark,
+        SF_SMOKE,
+        "histogram_quantile(0.9, sum by (le) "
+        "(increase(view_bucket[720h])))",
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["labels"] == ""
+    assert 0.0 < rows[0]["value"] <= 500.0
+
+
+def test_quantile_agg_between_min_max(spark):
+    q = {
+        r["labels"]: r["value"]
+        for r in promql_eval(
+            spark,
+            SF_SMOKE,
+            "quantile by (shard) (0.9, sum by (user, shard) "
+            "(increase(click[720h])))",
+        ).collect()
+    }
+    mn = {
+        r["labels"]: r["value"]
+        for r in promql_eval(
+            spark,
+            SF_SMOKE,
+            "min by (shard) (sum by (user, shard) "
+            "(increase(click[720h])))",
+        ).collect()
+    }
+    mx = {
+        r["labels"]: r["value"]
+        for r in promql_eval(
+            spark,
+            SF_SMOKE,
+            "max by (shard) (sum by (user, shard) "
+            "(increase(click[720h])))",
+        ).collect()
+    }
+    assert set(q) == set(mn) == set(mx) and len(q) > 0
+    for k in q:
+        assert mn[k] - 1e-6 <= q[k] <= mx[k] + 1e-6
+
+
+def test_duplicate_match_group_raises(spark):
+    """Many-to-many without a group modifier must raise Prometheus's
+    duplicate-series error at execution time."""
+    df = promql_eval(
+        spark,
+        SF_SMOKE,
+        "sum_over_time(click[720h]) + on (shard) sum_over_time(view[720h])",
+    )
+    with pytest.raises(Exception, match="found duplicate series"):
+        df.collect()
+
+
+def test_missing_label_is_empty_string(spark):
+    """{l!=\"v\"} and {l!~\"re\"} match series LACKING l (Prometheus
+    missing-label-as-empty semantics), via a relation with an optional
+    third label."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    rows = [
+        (1, 11, "m", {"user": "a", "env": "prod"}, 1_000_000, 1.0),
+        (2, 22, "m", {"user": "b"}, 1_000_000, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, series_id long, metric string, "
+        "labels map<string,string>, ts_us long, value double",
+    )
+    ev = PromQLEvaluator(df)
+    got = {
+        r["labels"]
+        for r in ev.eval('m{env!="prod"}').collect()
+    }
+    assert got == {"user=b"}
+    got_re = {
+        r["labels"]
+        for r in ev.eval('m{env!~"pr.*"}').collect()
+    }
+    assert got_re == {"user=b"}
+    got_eq = {
+        r["labels"]
+        for r in ev.eval('m{env=""}').collect()
+    }
+    assert got_eq == {"user=b"}
+
+
+def test_escaped_quote_in_matcher_value():
+    ast = parse('up{job="a\\"b",path="c\\\\d"}')
+    assert ast.matchers == [("job", "=", 'a"b'), ("path", "=", "c\\d")]
