@@ -126,7 +126,9 @@ def compact_rollup(spark: SparkSession, out_path: str) -> None:
     see identical results before, during and after, and a replayed
     micro-batch stays idempotent even when its dir was already folded:
 
-    1. aggregate the live partials (old compacted slice + batch dirs)
+    1. aggregate the live partials (old compacted slice + the
+       *job-committed* batch dirs — a dir without _SUCCESS is a torn
+       foreachBatch write and stays live for its replay to overwrite)
        into a staging dir OUTSIDE the table, then rename it in as
        ``batch_id=-(gen+1)`` — a same-filesystem atomic move, so no
        reader ever lists partial files; the new slice stays invisible
@@ -152,12 +154,31 @@ def compact_rollup(spark: SparkSession, out_path: str) -> None:
         for name in os.listdir(out_path)
         if name.startswith("batch_id=")
     ]
+    # Fold ONLY job-committed batch dirs (_SUCCESS marker). A dir left
+    # by a foreachBatch write that crashed mid job-commit has no
+    # _SUCCESS; folding its partial rows and sealing its id under
+    # max_id would lose the missing rows forever (the replay's rewrite
+    # lands in a dir readers then ignore). Uncommitted dirs stay OUT of
+    # the fold input AND the horizon, so the replay overwrites them and
+    # they remain live — at-least-once stays exactly-once.
+    uncommitted = [
+        i
+        for i in batch_ids
+        if i >= 0
+        and not os.path.exists(
+            os.path.join(out_path, f"batch_id={i}", "_SUCCESS")
+        )
+    ]
     max_id_new = max(
-        [i for i in batch_ids if i >= 0], default=int(man["max_id"])
+        [i for i in batch_ids if i >= 0 and i not in uncommitted],
+        default=int(man["max_id"]),
     )
     gen_new = int(man["gen"]) + 1
+    fold_in = _live_partials(spark, out_path)
+    if uncommitted:
+        fold_in = fold_in.filter(~F.col("batch_id").isin(uncommitted))
     compacted = (
-        _live_partials(spark, out_path)
+        fold_in
         .groupBy(*ROLLUP_KEYS)
         .agg(
             F.sum("sum_v").alias("sum_v"),
@@ -168,12 +189,21 @@ def compact_rollup(spark: SparkSession, out_path: str) -> None:
     )
     staging = out_path.rstrip("/") + ".compact.tmp"
     compacted.write.mode("overwrite").parquet(staging)
-    os.rename(staging, os.path.join(out_path, f"batch_id=-{gen_new}"))
+    # The target can only exist as an orphan of a prior run that
+    # crashed between this rename and the manifest replace (the
+    # manifest never activated it — readers ignore it); remove it or
+    # the rename fails with ENOTEMPTY forever after.
+    target = os.path.join(out_path, f"batch_id=-{gen_new}")
+    if os.path.exists(target):
+        shutil.rmtree(target)
+    os.rename(staging, target)
     tmp_manifest = os.path.join(out_path, _MANIFEST + ".tmp")
     with open(tmp_manifest, "w") as fh:
         json.dump({"gen": gen_new, "max_id": max_id_new}, fh)
     os.replace(tmp_manifest, os.path.join(out_path, _MANIFEST))
     for i in batch_ids:
+        if i in uncommitted:
+            continue  # left live for the replay to overwrite
         if 0 <= i <= max_id_new or (i < 0 and i != -gen_new):
             shutil.rmtree(
                 os.path.join(out_path, f"batch_id={i}"), ignore_errors=True

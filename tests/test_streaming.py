@@ -524,3 +524,88 @@ def test_stream_stream_interval_join_matches_batch(spark):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_compaction_survives_crash_orphan_slice(spark, tmp_path):
+    """A crash between the slice rename and the manifest replace leaves
+    an orphan batch_id=-(gen+1) dir. The next compaction must remove
+    the orphan and succeed (not ENOTEMPTY forever), and readers must
+    see identical results throughout."""
+    import os
+
+    from shards_prometheus_spark.model import samples
+    from shards_prometheus_spark.streaming import rollup as R
+
+    out = str(tmp_path / "rollup_out")
+    s = samples(spark, SF_SMOKE)
+    for i in range(2):
+        R._partials(s.filter(F.col("event_id") % 2 == i)).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/batch_id={i}")
+    want = {tuple(r) for r in R.read_rollup(spark, out).collect()}
+    R.compact_rollup(spark, out)  # gen 1
+    # simulate the crashed run: a fully-written but never-activated
+    # next-generation slice (manifest still points at gen 1)
+    orphan = f"{out}/batch_id=-2"
+    R._live_partials(spark, out).limit(3).write.mode("overwrite").parquet(
+        orphan
+    )
+    assert os.path.exists(orphan)
+    man_before = R._read_manifest(out)
+    assert man_before["gen"] == 1
+    assert {tuple(r) for r in R.read_rollup(spark, out).collect()} == want
+    R.compact_rollup(spark, out)  # must replace the orphan, gen 2
+    man = R._read_manifest(out)
+    assert man["gen"] == 2
+    assert {tuple(r) for r in R.read_rollup(spark, out).collect()} == want
+
+
+def test_compaction_skips_uncommitted_batch_dir(spark, tmp_path):
+    """A batch dir without _SUCCESS (torn foreachBatch write) must not
+    be folded or sealed: it stays live, the replay overwrites it, and
+    no rows are lost across the compaction."""
+    import os
+
+    from shards_prometheus_spark.model import samples
+    from shards_prometheus_spark.streaming import rollup as R
+
+    out = str(tmp_path / "rollup_out")
+    s = samples(spark, SF_SMOKE)
+    chunk = [s.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    for i in range(2):
+        R._partials(chunk[i]).write.mode("overwrite").parquet(
+            f"{out}/batch_id={i}"
+        )
+    # torn write of batch 2: only half its rows, no _SUCCESS marker
+    R._partials(chunk[2].filter(F.col("event_id") % 2 == 0)).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/batch_id=2")
+    os.remove(f"{out}/batch_id=2/_SUCCESS")
+
+    R.compact_rollup(spark, out)
+    man = R._read_manifest(out)
+    assert man["max_id"] == 1  # the torn dir was NOT sealed
+    assert os.path.exists(f"{out}/batch_id=2")  # ...and not deleted
+
+    # the replay (at-least-once) rewrites batch 2 completely
+    R._partials(chunk[2]).write.mode("overwrite").parquet(
+        f"{out}/batch_id=2"
+    )
+    got = {tuple(r) for r in R.read_rollup(spark, out).collect()}
+    from shards_prometheus_spark.model import MICROS_PER_HOUR
+
+    truth = {
+        tuple(r)
+        for r in s.withColumn(
+            "hour_ts", F.expr(f"ts_us div {MICROS_PER_HOUR}") * 3600
+        )
+        .groupBy("metric", "label_user", "hour_ts")
+        .agg(
+            F.round(F.sum("value"), 4).alias("sum_v"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("value"), 4).alias("min_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+        )
+        .collect()
+    }
+    assert got == truth
