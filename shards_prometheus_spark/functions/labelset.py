@@ -1,0 +1,74 @@
+"""Shared label-set primitives over the MAP<STRING,STRING> model.
+
+SURVEY §1.2 generalizes the reference's single Label/Value pair
+(prometheus.cpp:105-110) to a full Prometheus label map. Everything
+that touches labels — the PromQL evaluator, the MetricsRegistry
+Tier A surface, and the named operators — goes through these three
+primitives so the semantics are defined exactly once:
+
+- ``label_col(key)``: read one label; a MISSING label is the EMPTY
+  STRING (PromQL semantics — `{l!="v"}` matches series lacking `l`).
+- ``label_str(labels)``: canonical sorted `k=v,...` rendering of a
+  label set — deterministic across engines (map iteration order is
+  not), used as a grouping/join key for arbitrary label sets.
+- ``apply_matchers(df, matchers)``: PromQL matcher filters
+  (`=`, `!=`, `=~`, `!~`; regexes fully anchored) over the map.
+
+All three are pure Catalyst expressions (element_at / transform /
+rlike) — whole-stage codegen, no UDFs — so a matcher or grouping on
+labels costs the same as one on a flat column after the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def label_col(key: str) -> Column:
+    """One label value from the `labels` map; missing ⇒ empty string."""
+    return F.coalesce(F.element_at("labels", F.lit(key)), F.lit(""))
+
+
+def label_cols(keys: Iterable[str]) -> list[Column]:
+    """Grouping spine for a label-key subset: `label_<key>` columns
+    (PromQL `by (keys)` — series collapse over the omitted labels)."""
+    return [label_col(k).alias(f"label_{k}") for k in keys]
+
+
+def label_str(labels: Column) -> Column:
+    """Canonical label-set rendering: sorted `k=v` pairs, comma-joined."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(labels)),
+            lambda e: F.concat(e.key, F.lit("="), e.value),
+        ),
+        ",",
+    )
+
+
+def apply_matchers(
+    df: DataFrame, matchers: Iterable[tuple[str, str, str]]
+) -> DataFrame:
+    """PromQL label matchers over the `labels` map column.
+
+    ``matchers`` is (label, op, value) triples with op in
+    {=, !=, =~, !~}. Missing labels compare as "" and regexes are
+    fully anchored (`^(?:re)$`) — both Prometheus semantics.
+    """
+    for label, op, val in matchers:
+        col = label_col(label)
+        anchored = f"^(?:{val})$"
+        if op == "=":
+            df = df.filter(col == val)
+        elif op == "!=":
+            df = df.filter(col != val)
+        elif op == "=~":
+            df = df.filter(col.rlike(anchored))
+        elif op == "!~":
+            df = df.filter(~col.rlike(anchored))
+        else:  # pragma: no cover - parser only emits the four ops
+            raise ValueError(f"unknown matcher op: {op}")
+    return df

@@ -61,6 +61,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from shards_prometheus_spark.functions.labelset import (
+    apply_matchers,
+    label_str as _labelset_str,
+)
 from shards_prometheus_spark.model import samples_multi
 from shards_prometheus_spark.operators.histograms import BOUNDS
 
@@ -455,15 +459,9 @@ def parse(expr: str):
 # --------------------------------------------------------------------------
 
 #: Canonical label-set rendering: sorted `k=v` pairs joined by commas —
-#: deterministic across engines (map iteration order is not).
-def _label_str(labels: Column) -> Column:
-    return F.array_join(
-        F.transform(
-            F.array_sort(F.map_entries(labels)),
-            lambda e: F.concat(e.key, F.lit("="), e.value),
-        ),
-        ",",
-    )
+#: deterministic across engines (map iteration order is not). Shared
+#: with the named operators via functions.labelset.
+_label_str = _labelset_str
 
 
 def _fmt_le(b: float) -> str:
@@ -491,26 +489,12 @@ class PromQLEvaluator:
 
     # -- selectors -------------------------------------------------------
     def _matched(self, sel: Selector) -> DataFrame:
-        df = self.samples.filter(F.col("metric") == sel.metric)
-        for label, op, val in sel.matchers:
-            # A missing label is the EMPTY STRING in PromQL, so
-            # {l!="v"} / {l!~"re"} match series lacking l entirely —
-            # coalesce before comparing (NULL would drop them).
-            col = F.coalesce(
-                F.element_at("labels", F.lit(label)), F.lit("")
-            )
-            # PromQL regex matchers are FULLY ANCHORED (^pattern$) —
-            # rlike alone is substring search and would over-match.
-            anchored = f"^(?:{val})$"
-            if op == "=":
-                df = df.filter(col == val)
-            elif op == "!=":
-                df = df.filter(col != val)
-            elif op == "=~":
-                df = df.filter(col.rlike(anchored))
-            else:
-                df = df.filter(~col.rlike(anchored))
-        return df
+        # Matcher semantics (missing label == "", anchored regexes)
+        # live in functions.labelset, shared with MetricsRegistry.
+        return apply_matchers(
+            self.samples.filter(F.col("metric") == sel.metric),
+            sel.matchers,
+        )
 
     def _instant(self, sel: Selector) -> DataFrame:
         if sel.metric.endswith(_BUCKET_SUFFIX):

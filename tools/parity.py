@@ -101,9 +101,11 @@ def main() -> int:
     qs, oracles = queries(), oracle_sql()
 
     failed = []
+    attempted = 0
     for qname, fn in qs.items():
         if only and qname not in only:
             continue
+        attempted += 1
         if qname not in oracles:
             df = fn(spark, sf_dir)
             n = df.count()
@@ -119,7 +121,10 @@ def main() -> int:
                 print("  FAIL", p)
         else:
             print(f"  ok   {qname}")
-    print(f"{len(qs) - len(failed)}/{len(qs)} queries match at {sf_dir}")
+    print(
+        f"{attempted - len(failed)}/{attempted} attempted queries match at {sf_dir}"
+        + ("" if attempted == len(qs) else f" ({len(qs) - attempted} not run)")
+    )
     return 1 if failed else 0
 
 
