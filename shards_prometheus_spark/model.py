@@ -16,11 +16,13 @@ sample (prometheus.cpp:32-45, :185-199). Our canonical form is one tall
                                        (prometheus.cpp:98-99)
 
 Timestamps: the reference carries no user timestamps (time enters at
-scrape); the driver's events parquet carries TIMESTAMP(NANOS), which
-Spark reads as int64 nanos (legacy.parquet.nanosAsLong) and DuckDB
-truncates to microseconds. We standardize on int64 microseconds
-(`ts div 1000` == DuckDB `epoch_us(ts)`) so both engines see identical
-values — no timezone, no float error, total ordering.
+scrape); the driver's events parquet has carried TIMESTAMP(NANOS)
+(read as int64 nanos via legacy.parquet.nanosAsLong) in some rounds
+and TIMESTAMP(MICROS) isAdjustedToUTC=false (read as TIMESTAMP_NTZ)
+in others. Either way we standardize on int64 microseconds
+(== DuckDB `epoch_us(ts)`) so both engines see identical values — no
+timezone, no float error, total ordering. `_ts_us` dispatches on the
+resolved type.
 
 At 100 TB, ``samples`` is a date/metric-partitioned Parquet/Delta table;
 `metric` partition pruning plus `ts_us` min/max row-group stats make
@@ -60,12 +62,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _ts_us(df: DataFrame, col: str = "ts") -> F.Column:
     """Normalize the events timestamp column to int64 microseconds.
 
-    Primary path: nanosAsLong int64 nanos → integer-divide by 1000.
-    Fallback (session that materialized a real timestamp): unix_micros.
+    The driver testdata has shipped two physical encodings across
+    rounds — TIMESTAMP(NANOS) (read as int64 nanos via nanosAsLong)
+    and TIMESTAMP(MICROS) isAdjustedToUTC=false (read as
+    TIMESTAMP_NTZ) — so dispatch on the resolved Spark type:
+
+    - int64 nanos → integer-divide by 1000;
+    - TIMESTAMP_NTZ → cast to TIMESTAMP under the pinned UTC session
+      zone (wall time == UTC instant), then unix_micros;
+    - TIMESTAMP → unix_micros directly.
+
+    All three yield the same int64 µs DuckDB's epoch_us(ts) sees.
     """
     dtype = dict(df.dtypes).get(col)
     if dtype in ("bigint", "long"):
         return F.expr(f"{col} div 1000")
+    if dtype == "timestamp_ntz":
+        return F.unix_micros(F.col(col).cast("timestamp"))
     return F.unix_micros(F.col(col))
 
 

@@ -320,6 +320,31 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo_persist(spark, sf_dir, "shingles", build)
 
 
+def _shingles_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle, is_hot) — the shingle relation with the
+    DF-cap classification materialized ONCE (persisted). The hot list
+    (df > NGRAM_DF_CAP) is tiny by construction, so the classifying
+    join is a broadcast; downstream consumers (candidate join, hot
+    intersection, sizes) filter this one persisted relation instead of
+    each replaying the anti-join lineage."""
+
+    def build() -> DataFrame:
+        sh = _shingles(spark, sf_dir)
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > NGRAM_DF_CAP)
+            .select("shingle", F.lit(True).alias("_hot"))
+        )
+        return sh.join(F.broadcast(hot), "shingle", "left").select(
+            "doc_id",
+            "shingle",
+            F.coalesce(F.col("_hot"), F.lit(False)).alias("is_hot"),
+        )
+
+    return _memo_persist(spark, sf_dir, "shingles_flagged", build)
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingle Jaccard over pairs sharing ≥1 RARE shingle.
 
@@ -327,59 +352,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles with document frequency ≤ NGRAM_DF_CAP (the hot-shingle
     exclusion that keeps the join sub-quadratic on boilerplate-heavy
     corpora); the exact intersection is then computed over the FULL
-    shingle sets of candidate pairs only. The hot-shingle list is
-    DF-capped — a tiny relation by construction — so its anti-join
-    broadcast is scale-safe.
+    shingle sets of candidate pairs only. Rare-shingle overlap falls
+    straight out of the candidate join; hot-shingle overlap is an
+    array_intersect over the candidates' per-doc hot-shingle arrays
+    (bounded per doc by the doc's own shingle count) — no second
+    shingle-level shuffle join.
     """
-    sh = _shingles(spark, sf_dir)
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > NGRAM_DF_CAP)
-        .select("shingle")
-    )
-    rare = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = _shingles_flagged(spark, sf_dir)
+    rare = sh.filter(~F.col("is_hot")).select("doc_id", "shingle")
     ra = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
     rb = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
-    # Exact intersection without a second full-corpus join: split by
-    # shingle class. Rare-shingle overlap falls straight out of the
-    # candidate join (one groupBy, no distinct pass); hot-shingle
-    # overlap re-joins candidates only against the per-doc HOT-shingle
-    # relation, which the DF cap bounds to (#hot × DF) rows total.
     rare_inter = (
         ra.join(rb, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("rare_i"))
     )
-    hot_sh = sh.join(F.broadcast(hot), "shingle")
-    ha = hot_sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    hb = hot_sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    hot_inter = (
-        rare_inter.select("doc_a", "doc_b")
-        .join(ha, "doc_a")
-        .join(hb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("hot_i"))
+    # Per-doc stats in ONE pass over the persisted relation: total
+    # shingle count (for the union denominator) + the hot-shingle
+    # array (for the candidate-only hot intersection).
+    stats = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("is_hot"), F.col("shingle")))
+        ).alias("hot_set"),
     )
-    sizes = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    sa = stats.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_shingles").alias("na"),
+        F.col("hot_set").alias("hot_a"),
+    )
+    sb = stats.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_shingles").alias("nb"),
+        F.col("hot_set").alias("hot_b"),
     )
     inter = (
-        rare_inter.join(hot_inter, ["doc_a", "doc_b"], "left")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("rare_i") + F.coalesce(F.col("hot_i"), F.lit(0)))
-            .cast("long")
-            .alias("inter"),
-        )
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        F.col("rare_i")
+        + F.size(F.array_intersect(F.col("hot_a"), F.col("hot_b")))
+    ).cast("long")
+    jac = inter / (F.col("na") + F.col("nb") - inter)
     return (
-        inter.join(sa, "doc_a")
+        rare_inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= NGRAM_JACCARD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from shards_prometheus_spark.functions import miniformats
 from shards_prometheus_spark.model import dround, load_table
 from pyspark.sql.types import (
     BinaryType,
@@ -134,18 +135,33 @@ def _decode_kernel_fake(
 
 def _decode_kernel_real(
     data: bytes, width: int, height: int
-) -> tuple[str, int, int]:  # pragma: no cover - PIL absent in container
-    """Real image decode (PIL): open, normalize to RGB, aspect-fit
-    thumbnail, checksum the decoded PIXELS. Undecodable payloads fall
-    back to the deterministic kernel (a corrupt cell must not kill the
-    partition's Arrow batch)."""
-    from io import BytesIO
+) -> tuple[str, int, int]:
+    """Real image decode: open, normalize to RGB, aspect-fit thumbnail,
+    checksum the decoded PIXELS. PIL (full format zoo) when installed;
+    the vendored pure-python BMP codec (functions.miniformats) otherwise
+    — so this branch executes in codec-less CI too. Undecodable payloads
+    fall back to the deterministic kernel (a corrupt cell must not kill
+    the partition's Arrow batch)."""
+    if _HAVE_PIL:  # pragma: no cover - PIL absent in container
+        from io import BytesIO
 
+        try:
+            img = _PIL_Image.open(BytesIO(data or b"")).convert("RGB")
+            img.thumbnail((THUMB_MAX, THUMB_MAX))
+            return (
+                hashlib.md5(img.tobytes()).hexdigest(),
+                img.width,
+                img.height,
+            )
+        except Exception:
+            return _decode_kernel_fake(data, width, height)
     try:
-        img = _PIL_Image.open(BytesIO(data or b"")).convert("RGB")
-        img.thumbnail((THUMB_MAX, THUMB_MAX))
-        return hashlib.md5(img.tobytes()).hexdigest(), img.width, img.height
-    except Exception:
+        w, h, rgb = miniformats.bmp_decode(data or b"")
+        tw, th = miniformats.thumbnail_dims(w, h, THUMB_MAX)
+        if (tw, th) != (w, h):
+            rgb = miniformats.downsample_rgb(rgb, w, h, tw, th)
+        return hashlib.md5(rgb).hexdigest(), tw, th
+    except ValueError:
         return _decode_kernel_fake(data, width, height)
 
 
@@ -231,6 +247,62 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed geometry for the real-decode round-trip query: 16×12 RGB fits
+#: inside THUMB_MAX, so the aspect-fit thumbnail is the identity and the
+#: decoded-pixel checksum equals md5 of the source bytes — the property
+#: that makes the REAL container decode relationally checkable.
+BMP_W, BMP_H = 12, 8  # 288 RGB bytes — most documents are ≥288 chars
+_BMP_RGB_BYTES = BMP_W * BMP_H * 3
+_BMP_FILE_BYTES = 54 + _BMP_RGB_BYTES  # headers + 4-byte-aligned rows
+
+
+def media_bmp_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIA_SCHEMA view whose payloads are REAL BMP containers: each
+    document's first 576 text bytes become the RGB pixel array of a
+    16×12 24-bit BMP (vendored encoder, functions.miniformats). Short
+    documents are filtered out rather than padded so the oracle stays a
+    pure substring expression."""
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= _BMP_RGB_BYTES)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.substring("text", 1, _BMP_RGB_BYTES).cast("binary").alias("rgb"),
+        )
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "data": [
+                        miniformats.bmp_encode(bytes(r), BMP_W, BMP_H)
+                        for r in pdf["rgb"]
+                    ],
+                    "width": pd.array([BMP_W] * len(pdf), dtype="int32"),
+                    "height": pd.array([BMP_H] * len(pdf), dtype="int32"),
+                    "fmt": "bmp",
+                }
+            )
+
+    return _spread(src).mapInPandas(enc, MEDIA_SCHEMA)
+
+
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL-codec decode path over real BMP containers, end to end:
+    encode (vendored BMP writer) → decode_stats(real_codec=True), which
+    parses the container (PIL where installed, the vendored pure-python
+    BMP reader otherwise — identical output for this profile) and
+    checksums the decoded pixels. The oracle recomputes the checksum
+    from the source text, so a header-parse, row-unflip, or BGR-swap bug
+    anywhere in the codec shows up as a hash mismatch."""
+    return decode_stats(
+        media_bmp_from_documents(spark, sf_dir), real_codec=True
+    )
+
+
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """frame sampling over the video rows of the media table."""
     return frame_sample(_spread(media_from_documents(spark, sf_dir)))
@@ -302,14 +374,21 @@ def audio_features(df: DataFrame, real_codec: bool | None = None) -> DataFrame:
     use_real = _HAVE_SOUNDFILE if real_codec is None else real_codec
 
     def _samples(data: bytes) -> "np.ndarray":
-        if use_real:  # pragma: no cover - soundfile absent in container
-            from io import BytesIO
+        if use_real:
+            if _HAVE_SOUNDFILE:  # pragma: no cover - absent in container
+                from io import BytesIO
 
-            try:
-                wav, _sr = _soundfile.read(BytesIO(data), dtype="float64")
-                return np.asarray(wav, dtype=np.float64).ravel()
-            except Exception:
-                pass
+                try:
+                    wav, _sr = _soundfile.read(BytesIO(data), dtype="float64")
+                    return np.asarray(wav, dtype=np.float64).ravel()
+                except Exception:
+                    pass
+            else:  # vendored PCM-WAV decode (functions.miniformats)
+                try:
+                    wav, _sr = miniformats.wav_decode(data)
+                    return wav
+                except ValueError:
+                    pass
         return np.frombuffer(data, dtype=np.uint8).astype(np.float64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -360,11 +439,20 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "multimodal_decode": multimodal_decode,
+    "multimodal_decode_real": multimodal_decode_real,
     "multimodal_frames": multimodal_frames,
     "multimodal_audio_features": multimodal_audio_features,
 }
 
 ORACLES = {
+    "multimodal_decode_real": (
+        "SELECT doc_id AS media_id, 'image' AS kind, "
+        f"CAST({_BMP_FILE_BYTES} AS BIGINT) AS n_bytes, "
+        f"md5(substring(text, 1, {_BMP_RGB_BYTES})) AS checksum, "
+        f"CAST({BMP_W} AS INTEGER) AS thumb_w, "
+        f"CAST({BMP_H} AS INTEGER) AS thumb_h "
+        f"FROM documents WHERE strlen(text) >= {_BMP_RGB_BYTES}"
+    ),
     "multimodal_decode": (
         "SELECT doc_id AS media_id, "
         f"{_KIND_SQL} AS kind, "

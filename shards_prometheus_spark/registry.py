@@ -67,7 +67,10 @@ _MODULES = [
 # inventory row (Tier A exposer/counter/gauge/histogram, Tier B selectors /
 # range functions / aggs / binops / rollups / exposition, the whole Tier C
 # LLM-pipeline table) inside that window; everything else follows in module
-# order as judge-verified extras.
+# order as judge-verified extras. counter_sum_multi (a COUNTER keyed on
+# the full two-label map through the MetricsRegistry spine) holds the
+# B#6 slot alongside the pure-matcher queries; label_filter_regex
+# remains registered as a judge-verified extra.
 _PRIORITY = [
     # Tier A — the four reference registrations (prometheus.cpp:309-314)
     "scrape_snapshot",
@@ -78,7 +81,7 @@ _PRIORITY = [
     # Tier B — metric query model
     "instant_vector",
     "label_filter_eq",
-    "label_filter_regex",
+    "counter_sum_multi",
     "label_matchers_multi",
     "agg_by_labels",
     "vector_binop_labels",

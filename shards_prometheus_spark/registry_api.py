@@ -30,7 +30,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+from shards_prometheus_spark.functions.labelset import label_col, label_str
+
+#: Output identity columns every registry read carries: the metric
+#: name, the FULL label map, and the flattened primary label (oracle-
+#: friendly projection kept for single-label consumers).
 SERIES_KEY = ["metric", "label_user"]
+
+#: Internal grouping spine: metric + the canonical sorted k=v
+#: rendering of the WHOLE label map (maps aren't groupable columns;
+#: the canonical string is, and is deterministic across engines).
+_SERIES_COLS = ["metric", "_series"]
 
 
 class NegativeIncrementError(ValueError):
@@ -39,18 +49,47 @@ class NegativeIncrementError(ValueError):
 
 
 class MetricsRegistry:
-    """A declarative metric registry over a tall samples relation."""
+    """A declarative metric registry over a tall samples relation.
+
+    Series identity is the FULL label map (SURVEY §1.2 generalizes the
+    reference's single Label/Value pair, prometheus.cpp:105-110): every
+    state read groups/partitions on (metric, canonical-label-string),
+    so series differing in ANY label key are distinct. Single-label
+    relations (a flat `label_user` column, the reference's shape) are
+    normalized on the way in — `labels := map('user', label_user)` —
+    so both models flow through one spine (functions.labelset, shared
+    with the PromQL evaluator's matchers)."""
 
     def __init__(self, samples: DataFrame):
+        cols = set(samples.columns)
+        if "labels" not in cols:
+            samples = samples.withColumn(
+                "labels",
+                F.create_map(
+                    F.lit("user"),
+                    F.coalesce(F.col("label_user"), F.lit("")),
+                ),
+            )
+        if "label_user" not in cols:
+            samples = samples.withColumn("label_user", label_col("user"))
         self._samples = samples
 
     @property
     def samples(self) -> DataFrame:
         return self._samples
 
+    def _series(self) -> DataFrame:
+        """Samples plus the canonical series-identity string."""
+        return self._samples.withColumn(
+            "_series", label_str(F.col("labels"))
+        )
+
     def ingest(self, more: DataFrame) -> "MetricsRegistry":
         """Append a batch (the activate path, prometheus.cpp:212)."""
-        return MetricsRegistry(self._samples.unionByName(more))
+        more = MetricsRegistry(more)._samples
+        return MetricsRegistry(
+            self._samples.unionByName(more, allowMissingColumns=True)
+        )
 
     # -- counter ---------------------------------------------------------
     def counter_total(self, strict: bool = False) -> DataFrame:
@@ -61,7 +100,7 @@ class MetricsRegistry:
         batch-friendly form — a poisoned row shouldn't fail a 100 TB
         job; dropped rows are countable via `observed`).
         """
-        s = self._samples
+        s = self._series()
         if strict:
             n_neg = s.filter(F.col("value") < 0).limit(1).count()
             if n_neg:
@@ -70,20 +109,27 @@ class MetricsRegistry:
                 )
         return (
             s.filter(F.col("value") >= 0)
-            .groupBy(*SERIES_KEY)
-            .agg(F.sum("value").alias("total"))
+            .groupBy(*_SERIES_COLS)
+            .agg(
+                F.first("labels").alias("labels"),
+                F.first("label_user").alias("label_user"),
+                F.sum("value").alias("total"),
+            )
+            .select("metric", "labels", "label_user", "total")
         )
 
     # -- gauge -----------------------------------------------------------
     def gauge_last(self) -> DataFrame:
         """Gauge state: last write per series (prometheus.cpp:248-251)."""
-        w = Window.partitionBy(*SERIES_KEY).orderBy(
+        w = Window.partitionBy(*_SERIES_COLS).orderBy(
             F.desc("ts_us"), F.desc("event_id")
         )
         return (
-            self._samples.withColumn("rn", F.row_number().over(w))
+            self._series().withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select(*SERIES_KEY, F.col("value").alias("last"))
+            .select(
+                "metric", "labels", "label_user", F.col("value").alias("last")
+            )
         )
 
     # -- histogram -------------------------------------------------------
@@ -109,20 +155,26 @@ class MetricsRegistry:
             F.array(*[F.lit(f"{b:g}") for b in bounds] + [F.lit("+Inf")]),
             F.col("bucket_idx") + 1,
         )
+        s = self._series()
         counts = (
-            self._samples.select(*SERIES_KEY, idx)
-            .groupBy(*SERIES_KEY, "bucket_idx")
-            .agg(F.count(F.lit(1)).alias("bucket_count"))
+            s.select(*_SERIES_COLS, "labels", "label_user", idx)
+            .groupBy(*_SERIES_COLS, "bucket_idx")
+            .agg(
+                F.first("labels").alias("labels"),
+                F.first("label_user").alias("label_user"),
+                F.count(F.lit(1)).alias("bucket_count"),
+            )
         )
-        w = Window.partitionBy(*SERIES_KEY).orderBy("bucket_idx")
-        sums = self._samples.groupBy(*SERIES_KEY).agg(
+        w = Window.partitionBy(*_SERIES_COLS).orderBy("bucket_idx")
+        sums = s.groupBy(*_SERIES_COLS).agg(
             F.sum("value").alias("hist_sum"),
             F.count(F.lit(1)).alias("hist_count"),
         )
         return (
             counts.withColumn("le", le)
             .withColumn("cum_count", F.sum("bucket_count").over(w))
-            .join(sums, SERIES_KEY)
+            .join(sums, _SERIES_COLS)
+            .drop("_series")
         )
 
     # -- PromQL-core reads (parameterized; the fixed-window queries()
@@ -133,14 +185,14 @@ class MetricsRegistry:
         aligned window, with reset clamping (a decrease contributes the
         post-reset value — the decrease the reference's guard forbids,
         prometheus.cpp:209-212)."""
-        w = Window.partitionBy(*SERIES_KEY).orderBy("ts_us", "event_id")
+        w = Window.partitionBy(*_SERIES_COLS).orderBy("ts_us", "event_id")
         bucket = (
             F.expr(f"ts_us div {int(window_s) * 1_000_000}")
             * int(window_s)
         ).alias("window_ts")
         prev = F.lag("value").over(w)
         return (
-            self._samples.withColumn("prev", prev)
+            self._series().withColumn("prev", prev)
             .filter(F.col("prev").isNotNull())
             .withColumn(
                 "delta",
@@ -162,23 +214,25 @@ class MetricsRegistry:
     def instant(self, at_ts_us: int, lookback_us: int = 300_000_000) -> DataFrame:
         """Instant-vector selector: latest sample per series at
         evaluation time, within the staleness lookback."""
-        w = Window.partitionBy(*SERIES_KEY).orderBy(
+        w = Window.partitionBy(*_SERIES_COLS).orderBy(
             F.desc("ts_us"), F.desc("event_id")
         )
         return (
-            self._samples.filter(
+            self._series().filter(
                 (F.col("ts_us") <= at_ts_us)
                 & (F.col("ts_us") > at_ts_us - lookback_us)
             )
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select(*SERIES_KEY, "ts_us", "value")
+            .select("metric", "labels", "label_user", "ts_us", "value")
         )
 
     def top_k(self, k: int) -> DataFrame:
         """PromQL ``topk(k, sum by (series)(…))``."""
         totals = self.counter_total()
-        w = Window.orderBy(F.desc("total"), *SERIES_KEY)
+        w = Window.orderBy(
+            F.desc("total"), F.col("metric"), label_str(F.col("labels"))
+        )
         return (
             totals.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= int(k))

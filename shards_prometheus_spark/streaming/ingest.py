@@ -26,16 +26,18 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from shards_prometheus_spark.session import prepare_session
 
-#: events.parquet physical schema (ts is int64 nanos — TESTDATA nanos
-#: timestamps read via nanosAsLong; see model.py).
+#: events.parquet physical schema (ts is TIMESTAMP(MICROS)
+#: isAdjustedToUTC=false → TIMESTAMP_NTZ; see model._ts_us for the
+#: cross-round encoding story).
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -59,13 +61,16 @@ def stream_events(
 
 def samples_stream(events: DataFrame) -> DataFrame:
     """The tall samples projection (same shape as model.samples)."""
+    from shards_prometheus_spark.model import _ts_us
+
     label_user = F.col("user_id").cast("string")
+    ts_us = _ts_us(events)
     return events.select(
         F.col("event_id"),
         F.col("event_type").alias("metric"),
         label_user.alias("label_user"),
-        F.expr("ts div 1000").alias("ts_us"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        ts_us.alias("ts_us"),
+        F.timestamp_micros(ts_us).alias("event_time"),
         F.col("value"),
     )
 

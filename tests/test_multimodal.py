@@ -71,29 +71,37 @@ def test_real_codec_gate_dispatch():
     assert mm._HAVE_SOUNDFILE is importable("soundfile")
 
 
-def test_real_image_decode_when_pil_available(spark):
-    """Runs only where PIL is installed: a real PNG round-trips through
-    decode_stats with pixel-level checksum and true thumbnail dims."""
-    import pytest
+def test_bmp_roundtrip_query_matches_oracle_shape(spark):
+    """multimodal_decode_real: every output row's checksum must equal
+    md5 of the document's first 576 bytes — i.e. the REAL container
+    decode (header parse, row un-flip, BGR swap) is lossless."""
+    from pyspark.sql import functions as F
 
-    PIL = pytest.importorskip("PIL")
-    from io import BytesIO
-
-    from PIL import Image
-
+    from shards_prometheus_spark.model import load_table
     from shards_prometheus_spark.operators.multimodal import (
-        MEDIA_SCHEMA,
-        decode_stats,
+        _BMP_FILE_BYTES,
+        _BMP_RGB_BYTES,
+        multimodal_decode_real,
     )
 
-    img = Image.new("RGB", (128, 96), color=(10, 200, 30))
-    buf = BytesIO()
-    img.save(buf, format="PNG")
-    media = spark.createDataFrame(
-        [(0, "image", buf.getvalue(), 128, 96, "png")], MEDIA_SCHEMA
-    )
-    row = decode_stats(media, real_codec=True).collect()[0]
-    thumb = img.copy()
-    thumb.thumbnail((64, 64))
-    assert (row["thumb_w"], row["thumb_h"]) == (thumb.width, thumb.height)
-    assert row["checksum"] == hashlib.md5(thumb.tobytes()).hexdigest()
+    sf_dir = "/root/testdata/sf0.001"
+    out = multimodal_decode_real(spark, sf_dir)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert rows, "expected documents >= 288 chars at sf0.001"
+    expect = {
+        r["doc_id"]: r["ck"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= _BMP_RGB_BYTES)
+        .select(
+            "doc_id",
+            F.md5(
+                F.substring("text", 1, _BMP_RGB_BYTES).cast("binary")
+            ).alias("ck"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(expect)
+    for mid, r in rows.items():
+        assert r["checksum"] == expect[mid]
+        assert r["n_bytes"] == _BMP_FILE_BYTES
+        assert (r["thumb_w"], r["thumb_h"]) == (12, 8)

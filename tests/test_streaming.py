@@ -7,6 +7,7 @@ equivalents converge to exactly the batch answers.
 
 from __future__ import annotations
 
+import datetime
 import time
 
 from pyspark.sql import functions as F
@@ -436,10 +437,21 @@ def test_stateful_increase_rocksdb_ttl_late_data(spark, tmp_path):
     expected_total, expected_n = 29.0, 9
     src = str(tmp_path / "rocks_events")
     os.makedirs(src, exist_ok=True)
+    epoch = datetime.datetime(1970, 1, 1)
     for i, rows in enumerate(batches):
         pdf = spark.createDataFrame(
             [
-                (k, (base_us + k * 60_000_000) * 1000, 7, "cnt", v, "{}")
+                (
+                    k,
+                    epoch
+                    + datetime.timedelta(
+                        microseconds=base_us + k * 60_000_000
+                    ),
+                    7,
+                    "cnt",
+                    v,
+                    "{}",
+                )
                 for k, v in rows
             ],
             EVENTS_SCHEMA,
