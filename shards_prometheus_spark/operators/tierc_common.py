@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from shards_prometheus_spark.model import load_table
 
@@ -30,16 +31,53 @@ HASH_P = 2_147_483_647
 #: (signatures, strategy probe, both sides of the verify join); without
 #: persistence Spark recomputes it once per consumer. At cluster scale
 #: this is the "persist the vocab dictionary once" note below made real.
+#:
+#: Bounded: insertion-ordered LRU capped at _CACHE_MAX entries; evicted
+#: relations are unpersisted immediately. Storage is MEMORY_AND_DISK so
+#: a relation larger than executor memory spills instead of evicting
+#: other blocks (at 100 TB these are corpus-sized — disk spill is the
+#: correct failure mode, silent recompute is not).
 _TOKEN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+#: Six distinct relation kinds exist per sf_dir (ids, sets, minhash /
+#: simhash signatures, shingles, shingles_flagged); 8 leaves headroom
+#: for one sf_dir plus stragglers from a previous one.
+_CACHE_MAX = 8
 
 
 def _memo_persist(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     df = _TOKEN_CACHE.get(key)
-    if df is None:
-        df = build().persist()
-        _TOKEN_CACHE[key] = df
+    if df is not None:
+        _TOKEN_CACHE[key] = _TOKEN_CACHE.pop(key)  # refresh LRU position
+        return df
+    df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    _TOKEN_CACHE[key] = df
+    while len(_TOKEN_CACHE) > _CACHE_MAX:
+        evicted = _TOKEN_CACHE.pop(next(iter(_TOKEN_CACHE)))
+        try:
+            evicted.unpersist()
+        except Exception:
+            pass
     return df
+
+
+def clear_caches(spark: SparkSession | None = None) -> int:
+    """Unpersist and drop every memoized Tier C relation.
+
+    Call between query families (bench.py does) or at session teardown
+    so a long-lived driver doesn't accumulate corpus-sized persisted
+    relations indefinitely. Returns the number of relations released.
+    """
+    n = 0
+    for df in _TOKEN_CACHE.values():
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    _TOKEN_CACHE.clear()
+    return n
 
 
 def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
