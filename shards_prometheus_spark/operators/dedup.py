@@ -290,46 +290,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(within)
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct — 3-token shingles as id triples
-    (persisted: set sizes and both sides of the overlap join reuse it)."""
+def _shingle_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct — 3-token shingles as id triples.
 
-    def build() -> DataFrame:
-        from pyspark.sql import Window
+    Unpersisted lineage: the single persisted shingle relation is
+    `_shingles_flagged` (this lineage replays at most twice while
+    building it, over the already-persisted token-id relation)."""
+    from pyspark.sql import Window
 
-        ids = doc_token_ids(spark, sf_dir)
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        t1 = F.lead("token_id", 1).over(w)
-        t2 = F.lead("token_id", 2).over(w)
-        return (
-            ids.withColumn("t1", t1)
-            .withColumn("t2", t2)
-            .filter(F.col("t2").isNotNull())
-            .select(
-                "doc_id",
-                F.concat_ws(
-                    "-",
-                    F.col("token_id").cast("string"),
-                    F.col("t1").cast("string"),
-                    F.col("t2").cast("string"),
-                ).alias("shingle"),
-            )
-            .distinct()
+    ids = doc_token_ids(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t1 = F.lead("token_id", 1).over(w)
+    t2 = F.lead("token_id", 2).over(w)
+    return (
+        ids.withColumn("t1", t1)
+        .withColumn("t2", t2)
+        .filter(F.col("t2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "-",
+                F.col("token_id").cast("string"),
+                F.col("t1").cast("string"),
+                F.col("t2").cast("string"),
+            ).alias("shingle"),
         )
-
-    return _memo_persist(spark, sf_dir, "shingles", build)
+        .distinct()
+    )
 
 
 def _shingles_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle, is_hot) — the shingle relation with the
     DF-cap classification materialized ONCE (persisted). The hot list
     (df > NGRAM_DF_CAP) is tiny by construction, so the classifying
-    join is a broadcast; downstream consumers (candidate join, hot
-    intersection, sizes) filter this one persisted relation instead of
-    each replaying the anti-join lineage."""
+    join is a broadcast; downstream consumers (candidate grouping, hot
+    intersection, sizes, contamination, repetition stats) filter this
+    ONE persisted relation — there is no separately-persisted unflagged
+    shingle relation (it was corpus-sized memory spent twice)."""
 
     def build() -> DataFrame:
-        sh = _shingles(spark, sf_dir)
+        sh = _shingle_lineage(spark, sf_dir)
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -343,6 +343,11 @@ def _shingles_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _memo_persist(spark, sf_dir, "shingles_flagged", build)
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) view over the one persisted flagged relation."""
+    return _shingles_flagged(spark, sf_dir).select("doc_id", "shingle")
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,12 +364,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-level shuffle join.
     """
     sh = _shingles_flagged(spark, sf_dir)
-    rare = sh.filter(~F.col("is_hot")).select("doc_id", "shingle")
-    ra = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
-    rb = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Rare-shingle co-occurrence WITHOUT a self-join: group each rare
+    # shingle's (sorted, ≤ NGRAM_DF_CAP) doc list in one shuffle, then
+    # expand ordered pairs JVM-side with nested `transform` — at most
+    # CAP·(CAP-1)/2 pairs per shingle, no skew possible by the DF cap.
+    # (The old ra⋈rb equi-join shuffled the rare relation twice and
+    # materialized the same pairs through a join instead.)
+    pair_expand = F.expr(
+        "flatten(transform(docs, (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     rare_inter = (
-        ra.join(rb, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        sh.filter(~F.col("is_hot"))
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .select(F.explode(pair_expand).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("rare_i"))
     )
