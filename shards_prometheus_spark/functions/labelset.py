@@ -38,12 +38,23 @@ def label_cols(keys: Iterable[str]) -> list[Column]:
     return [label_col(k).alias(f"label_{k}") for k in keys]
 
 
+def _esc(s: Column) -> Column:
+    """Escape the rendering's structural characters (`\\`, `,`, `=`)
+    so the canonical string stays INJECTIVE: without this,
+    {a="b,c=d"} and {a="b", c="d"} would render identically and
+    distinct series would merge in every _series grouping."""
+    out = F.replace(s, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit(","), F.lit("\\,"))
+    return F.replace(out, F.lit("="), F.lit("\\="))
+
+
 def label_str(labels: Column) -> Column:
-    """Canonical label-set rendering: sorted `k=v` pairs, comma-joined."""
+    """Canonical label-set rendering: sorted, escaped `k=v` pairs,
+    comma-joined (separator chars inside keys/values are escaped)."""
     return F.array_join(
         F.transform(
             F.array_sort(F.map_entries(labels)),
-            lambda e: F.concat(e.key, F.lit("="), e.value),
+            lambda e: F.concat(_esc(e.key), F.lit("="), _esc(e.value)),
         ),
         ",",
     )

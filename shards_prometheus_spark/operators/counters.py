@@ -32,6 +32,7 @@ from shards_prometheus_spark.model import (
     dround,
     samples,
 )
+from shards_prometheus_spark.registry_api import MetricsRegistry
 
 def _series_window():
     # Built lazily: Window specs require an active session.
@@ -41,15 +42,17 @@ def _series_window():
 
 
 def counter_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Total per series — the scrape-time value of a reference counter."""
-    return (
-        samples(spark, sf_dir)
-        .filter(F.col("value") >= 0)  # prometheus.cpp:209-212 guard
-        .groupBy("metric", "label_user")
-        .agg(
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.count(F.lit(1)).cast("long").alias("n_samples"),
-        )
+    """Total per series — the scrape-time value of a reference counter.
+
+    Routed through the MetricsRegistry full-label-map spine (series
+    identity = canonical label string; the negative-increment guard
+    prometheus.cpp:209-212 lives there); this named query is the
+    single-label projection at the output edge."""
+    return MetricsRegistry(samples(spark, sf_dir)).counter_total().select(
+        "metric",
+        "label_user",
+        F.round("total", 4).alias("sum_value"),
+        "n_samples",
     )
 
 
@@ -76,20 +79,32 @@ def _hour_ts() -> F.Column:
 
 
 def counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly per-metric increase (PromQL ``increase`` over 1h buckets)."""
+    """Hourly per-metric increase (PromQL ``increase`` over 1h buckets).
+
+    Routed through MetricsRegistry.increase (full-label-map series
+    identity for the reset-clamped lag); hour alias + 4dp pin applied
+    at the output edge."""
     return (
-        _deltas(spark, sf_dir)
-        .groupBy("metric", _hour_ts())
-        .agg(F.round(F.sum("delta"), 4).alias("increase"))
+        MetricsRegistry(samples(spark, sf_dir))
+        .increase(3600)
+        .select(
+            "metric",
+            F.col("window_ts").alias("hour_ts"),
+            F.round("increase", 4).alias("increase"),
+        )
     )
 
 
 def counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly per-metric per-second rate (PromQL ``rate``)."""
     return (
-        _deltas(spark, sf_dir)
-        .groupBy("metric", _hour_ts())
-        .agg(F.round(F.sum("delta") / F.lit(3600.0), 6).alias("rate"))
+        MetricsRegistry(samples(spark, sf_dir))
+        .rate(3600)
+        .select(
+            "metric",
+            F.col("window_ts").alias("hour_ts"),
+            F.round("rate", 6).alias("rate"),
+        )
     )
 
 

@@ -24,49 +24,35 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shards_prometheus_spark.model import SAMPLES_CTE, samples
+from shards_prometheus_spark.registry_api import MetricsRegistry
 
 MICROS_PER_HOUR = 3_600_000_000
 MICROS_PER_DAY = 24 * MICROS_PER_HOUR
 
-def _latest_window():
-    # Built lazily: Window specs require an active session.
-    return Window.partitionBy("metric", "label_user").orderBy(
-        F.desc("ts_us"), F.desc("event_id")
-    )
-
 
 def gauge_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Last-write-wins value per series (prometheus.cpp:248-251)."""
-    return (
-        samples(spark, sf_dir)
-        .withColumn("rn", F.row_number().over(_latest_window()))
-        .filter(F.col("rn") == 1)
-        .select(
-            "metric",
-            "label_user",
-            F.round("value", 4).alias("last_value"),
-            F.expr("ts_us div 1000000").alias("last_ts_s"),
-        )
+    """Last-write-wins value per series (prometheus.cpp:248-251).
+
+    Routed through the MetricsRegistry full-label-map spine (the
+    row_number window partitions on the canonical label string); this
+    named query projects the flat single-label shape at the edge."""
+    return MetricsRegistry(samples(spark, sf_dir)).gauge_last().select(
+        "metric",
+        "label_user",
+        F.round("last", 4).alias("last_value"),
+        F.expr("ts_us div 1000000").alias("last_ts_s"),
     )
 
 
 def _instant(spark: SparkSession, sf_dir: str, offset_us: int) -> DataFrame:
-    s = samples(spark, sf_dir)
-    at = s.agg((F.max("ts_us") - F.lit(offset_us)).alias("t_eval"))
-    return (
-        s.join(F.broadcast(at))  # 1-row scalar, broadcast cross join
-        .filter(
-            (F.col("ts_us") <= F.col("t_eval"))
-            & (F.col("ts_us") > F.col("t_eval") - F.lit(MICROS_PER_HOUR))
-        )
-        .withColumn("rn", F.row_number().over(_latest_window()))
-        .filter(F.col("rn") == 1)
-        .select(
-            "metric",
-            "label_user",
-            F.round("value", 4).alias("value"),
-            F.expr("ts_us div 1000000").alias("ts_s"),
-        )
+    reg = MetricsRegistry(samples(spark, sf_dir))
+    return reg.instant(
+        at_ts_us=None, lookback_us=MICROS_PER_HOUR, offset_us=offset_us
+    ).select(
+        "metric",
+        "label_user",
+        F.round("value", 4).alias("value"),
+        F.expr("ts_us div 1000000").alias("ts_s"),
     )
 
 

@@ -114,8 +114,9 @@ class MetricsRegistry:
                 F.first("labels").alias("labels"),
                 F.first("label_user").alias("label_user"),
                 F.sum("value").alias("total"),
+                F.count(F.lit(1)).cast("long").alias("n_samples"),
             )
-            .select("metric", "labels", "label_user", "total")
+            .select("metric", "labels", "label_user", "total", "n_samples")
         )
 
     # -- gauge -----------------------------------------------------------
@@ -128,7 +129,11 @@ class MetricsRegistry:
             self._series().withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(
-                "metric", "labels", "label_user", F.col("value").alias("last")
+                "metric",
+                "labels",
+                "label_user",
+                F.col("value").alias("last"),
+                "ts_us",
             )
         )
 
@@ -211,16 +216,36 @@ class MetricsRegistry:
             (F.col("increase") / F.lit(float(window_s))).alias("rate"),
         )
 
-    def instant(self, at_ts_us: int, lookback_us: int = 300_000_000) -> DataFrame:
+    def instant(
+        self,
+        at_ts_us: int | None = None,
+        lookback_us: int = 300_000_000,
+        offset_us: int = 0,
+    ) -> DataFrame:
         """Instant-vector selector: latest sample per series at
-        evaluation time, within the staleness lookback."""
+        evaluation time, within the staleness lookback.
+
+        at_ts_us=None derives T = max(ts) from the data via a 1-row
+        broadcast cross join (never a driver collect), so the same
+        query text is meaningful at every scale factor; ``offset_us``
+        shifts T back (PromQL ``offset``)."""
         w = Window.partitionBy(*_SERIES_COLS).orderBy(
             F.desc("ts_us"), F.desc("event_id")
         )
+        s = self._series()
+        if at_ts_us is None:
+            t_eval = s.agg(
+                (F.max("ts_us") - F.lit(offset_us)).alias("t_eval")
+            )
+            s = s.join(F.broadcast(t_eval))
+        else:
+            s = s.withColumn(
+                "t_eval", F.lit(int(at_ts_us) - int(offset_us))
+            )
         return (
-            self._series().filter(
-                (F.col("ts_us") <= at_ts_us)
-                & (F.col("ts_us") > at_ts_us - lookback_us)
+            s.filter(
+                (F.col("ts_us") <= F.col("t_eval"))
+                & (F.col("ts_us") > F.col("t_eval") - F.lit(lookback_us))
             )
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
