@@ -14,6 +14,7 @@ from shards_prometheus_spark.streaming.ingest import (
     histogram_buckets_stream,
     interval_join_stream,
     run_to_memory,
+    samples_multi_stream,
     samples_stream,
     session_windows_stream,
     stream_events,
@@ -33,6 +34,7 @@ from shards_prometheus_spark.streaming.stateful import (
 __all__ = [
     "stream_events",
     "samples_stream",
+    "samples_multi_stream",
     "counter_totals_stream",
     "gauge_last_stream",
     "histogram_buckets_stream",

@@ -75,6 +75,36 @@ def samples_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def samples_multi_stream(events: DataFrame) -> DataFrame:
+    """The MULTI-label samples projection of the event stream — same
+    shape as model.samples_multi (event_id, series_id, metric, labels
+    MAP, ts_us, value), so the accumulated stream is directly
+    evaluatable by the PromQL evaluator (functions.promql_parser
+    .PromQLEvaluator takes any such relation): ingest with
+    ``run_to_memory(..., output_mode='append')`` (Delta/parquet sink in
+    production) and point the evaluator at the sink table. Streaming
+    ingest + batch PromQL reads over one relation is exactly the
+    Prometheus server split (scrape loop writes, query engine reads)."""
+    from shards_prometheus_spark.model import _ts_us
+
+    label_user = F.col("user_id").cast("string")
+    k = F.get_json_object("props", "$.k").cast("long")
+    shard = (k % 10).cast("string")
+    ts_us = _ts_us(events)
+    return events.filter(k.isNotNull()).select(
+        F.col("event_id"),
+        F.xxhash64(F.col("event_type"), label_user, shard).alias(
+            "series_id"
+        ),
+        F.col("event_type").alias("metric"),
+        F.create_map(
+            F.lit("user"), label_user, F.lit("shard"), shard
+        ).alias("labels"),
+        ts_us.alias("ts_us"),
+        F.col("value"),
+    )
+
+
 def enriched_stream(samples: DataFrame, customer: DataFrame) -> DataFrame:
     """Stream-static dimension enrichment: the unbounded samples
     stream left-joined to a bounded dimension table (broadcast hash

@@ -621,3 +621,50 @@ def test_compaction_skips_uncommitted_batch_dir(spark, tmp_path):
         .collect()
     }
     assert got == truth
+
+
+def test_streaming_promql_rate_matches_batch(spark, tmp_path):
+    """The parsed PromQL evaluator over the STREAMED samples relation:
+    events arrive across ≥2 real micro-batches (4 time-split files,
+    maxFilesPerTrigger=1) into an append-mode sink; evaluating
+    'sum by (user) (rate(click[720h]))' against the sink table must
+    equal the batch evaluator over the original events — the
+    scrape-loop-writes / query-engine-reads split of a Prometheus
+    server (prometheus.cpp:27-93's exposer, distributed)."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PROMQL_RATE_BY_USER,
+        PromQLEvaluator,
+    )
+    from shards_prometheus_spark.streaming import samples_multi_stream
+    from shards_prometheus_spark.streaming.ingest import EVENTS_SCHEMA
+
+    glob, _ = _split_events_dir(spark, tmp_path, n_parts=4)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob)
+    )
+    q = run_to_memory(
+        samples_multi_stream(stream),
+        "promql_stream_samples",
+        output_mode="append",
+    )
+    _await(q)
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 2, "expected >=2 non-empty micro-batches"
+
+    streamed = spark.table("promql_stream_samples")
+    got = {
+        (r["labels"], r["value"])
+        for r in PromQLEvaluator(streamed)
+        .eval(PROMQL_RATE_BY_USER)
+        .collect()
+    }
+    want = {
+        (r["labels"], r["value"])
+        for r in PromQLEvaluator.from_dir(spark, SF_SMOKE)
+        .eval(PROMQL_RATE_BY_USER)
+        .collect()
+    }
+    assert len(want) > 0
+    assert got == want
