@@ -78,13 +78,14 @@ _TOKEN_RE = re.compile(
         (?P<num>\d+(?:\.\d+)?(?:[smhd])?)      # number or duration
       | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
       | (?P<str>"(?:[^"\\]|\\.)*")             # backslash escapes OK
-      | (?P<op>=~|!~|!=|==|>=|<=|[{}()\[\],=<>+\-*/%:])
+      | (?P<op>=~|!~|!=|==|>=|<=|[{}()\[\],=<>+\-*/%:@])
     )""",
     re.VERBOSE,
 )
 
-_AGG_OPS = {"sum", "avg", "min", "max", "count", "quantile"}
+_AGG_OPS = {"sum", "avg", "min", "max", "count", "quantile", "group"}
 _TOPK_OPS = {"topk", "bottomk"}
+_SORT_FNS = {"sort", "sort_desc"}
 _RANGE_FNS = {
     "rate",
     "irate",
@@ -122,6 +123,8 @@ class Selector:
     matchers: list[tuple[str, str, str]] = field(default_factory=list)
     range_us: int | None = None
     offset_us: int = 0
+    #: `@ <unix_ts>` modifier: fixed evaluation time (µs), else t_max
+    at_us: int | None = None
 
 
 @dataclass
@@ -134,6 +137,7 @@ class Subquery:
     range_us: int
     step_us: int
     offset_us: int = 0
+    at_us: int | None = None
 
 
 @dataclass
@@ -152,6 +156,8 @@ class Agg:
     mode: str = "by"
     #: φ for the quantile aggregation
     param: float | None = None
+    #: output label name for count_values
+    value_label: str | None = None
 
 
 @dataclass
@@ -171,6 +177,9 @@ class BinOp:
     group: str | None = None  # None | "left" | "right"
     #: comparison returns 0/1 instead of filtering
     bool_mode: bool = False
+    #: group_left(l1, ...) / group_right(l1, ...): labels to COPY from
+    #: the "one" side onto the result
+    extra: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -250,23 +259,33 @@ class _Parser:
         except ValueError:
             raise PromQLSyntaxError(f"expected a number, got {tok!r}") from None
 
-    def _matching(self) -> tuple[tuple[str, list[str]] | None, str | None]:
-        """Optional `on(…)/ignoring(…)` + `group_left/group_right`."""
+    def _label_list(self) -> list[str]:
+        self.expect("(")
+        labels: list[str] = []
+        while self.peek() != ")":
+            labels.append(self.next())
+            if self.peek() == ",":
+                self.next()
+        self.expect(")")
+        return labels
+
+    def _matching(
+        self,
+    ) -> tuple[tuple[str, list[str]] | None, str | None, list[str]]:
+        """Optional `on(…)/ignoring(…)` + `group_left/group_right`,
+        each group_* optionally carrying labels to copy from the
+        "one" side (`group_left(extra, …)`)."""
         match = None
         group = None
+        extra: list[str] = []
         if self.peek() in {"on", "ignoring"}:
             kind = self.next()
-            self.expect("(")
-            labels: list[str] = []
-            while self.peek() != ")":
-                labels.append(self.next())
-                if self.peek() == ",":
-                    self.next()
-            self.expect(")")
-            match = (kind, labels)
+            match = (kind, self._label_list())
         if self.peek() in {"group_left", "group_right"}:
             group = self.next().removeprefix("group_")
-        return match, group
+            if self.peek() == "(":
+                extra = self._label_list()
+        return match, group, extra
 
     def cmp_expr(self):
         e = self.add_expr()
@@ -276,10 +295,10 @@ class _Parser:
             if self.peek() == "bool":
                 self.next()
                 bool_mode = True
-            match, group = self._matching()
+            match, group, extra = self._matching()
             e = BinOp(
                 op, e, self.add_expr(), match=match, group=group,
-                bool_mode=bool_mode,
+                bool_mode=bool_mode, extra=extra,
             )
         return e
 
@@ -287,16 +306,22 @@ class _Parser:
         e = self.mul_expr()
         while self.peek() in {"+", "-"}:
             op = self.next()
-            match, group = self._matching()
-            e = BinOp(op, e, self.mul_expr(), match=match, group=group)
+            match, group, extra = self._matching()
+            e = BinOp(
+                op, e, self.mul_expr(), match=match, group=group,
+                extra=extra,
+            )
         return e
 
     def mul_expr(self):
         e = self.primary()
         while self.peek() in {"*", "/", "%"}:
             op = self.next()
-            match, group = self._matching()
-            e = BinOp(op, e, self.primary(), match=match, group=group)
+            match, group, extra = self._matching()
+            e = BinOp(
+                op, e, self.primary(), match=match, group=group,
+                extra=extra,
+            )
         return e
 
     def primary(self):
@@ -329,6 +354,20 @@ class _Parser:
                         "offset applies to selectors/subqueries"
                     )
                 e.offset_us = off
+            elif tok == "@":
+                self.next()
+                ts_tok = self.next()
+                try:
+                    at_us = int(float(ts_tok) * 1e6)
+                except ValueError:
+                    raise PromQLSyntaxError(
+                        f"@ needs a unix timestamp, got {ts_tok!r}"
+                    ) from None
+                if not isinstance(e, (Selector, Subquery)):
+                    raise PromQLSyntaxError(
+                        "@ applies to selectors/subqueries"
+                    )
+                e.at_us = at_us
             else:
                 return e
 
@@ -343,10 +382,16 @@ class _Parser:
             return e
         if re.fullmatch(r"\d+(?:\.\d+)?", tok):
             return Scalar(float(self.next()))
-        if tok in _AGG_OPS:
+        if tok in _AGG_OPS or tok == "count_values":
             return self._agg()
         if tok in _TOPK_OPS:
             return self._topk()
+        if tok in _SORT_FNS:
+            fn = self.next()
+            self.expect("(")
+            e = self.cmp_expr()
+            self.expect(")")
+            return Agg(fn, e)
         if tok == "histogram_quantile":
             self.next()
             self.expect("(")
@@ -379,12 +424,21 @@ class _Parser:
             self.expect(")")
         self.expect("(")
         param = None
+        value_label = None
         if op == "quantile":
             param = self._number()
             self.expect(",")
+        elif op == "count_values":
+            lbl = self.next()
+            if not (lbl.startswith('"') and lbl.endswith('"')):
+                raise PromQLSyntaxError(
+                    f"count_values needs a quoted label name, got {lbl!r}"
+                )
+            value_label = _unquote(lbl)
+            self.expect(",")
         e = self.cmp_expr()
         self.expect(")")
-        return Agg(op, e, by, mode=mode, param=param)
+        return Agg(op, e, by, mode=mode, param=param, value_label=value_label)
 
     def _topk(self):
         op = self.next()
@@ -496,10 +550,19 @@ class PromQLEvaluator:
             sel.matchers,
         )
 
+    @staticmethod
+    def _end(sel) -> Column:
+        """Selector evaluation time: `@ ts` pins it to a literal,
+        otherwise the broadcast t_max; `offset` shifts either back."""
+        base = (
+            F.lit(sel.at_us) if sel.at_us is not None else F.col("t_max")
+        )
+        return base - F.lit(sel.offset_us)
+
     def _instant(self, sel: Selector) -> DataFrame:
         if sel.metric.endswith(_BUCKET_SUFFIX):
             return self._bucket_instant(sel)
-        end = F.col("t_max") - F.lit(sel.offset_us)
+        end = self._end(sel)
         df = self._matched(sel).filter(
             (F.col("ts_us") <= end) & (F.col("ts_us") > end - LOOKBACK_US)
         )
@@ -523,7 +586,7 @@ class PromQLEvaluator:
     def _bucket_base(self, sel: Selector) -> Selector:
         return Selector(
             sel.metric[: -len(_BUCKET_SUFFIX)], sel.matchers, None,
-            sel.offset_us,
+            sel.offset_us, sel.at_us,
         )
 
     def _bucket_cum(self, windowed: DataFrame) -> DataFrame:
@@ -552,7 +615,7 @@ class PromQLEvaluator:
         )
 
     def _bucket_instant(self, sel: Selector) -> DataFrame:
-        end = F.col("t_max") - F.lit(sel.offset_us)
+        end = self._end(sel)
         df = self._matched(self._bucket_base(sel)).filter(
             F.col("ts_us") <= end
         )
@@ -564,7 +627,7 @@ class PromQLEvaluator:
         """rate/increase over synthetic bucket counters: the bucket
         increase over (T-r, T] is exactly the count of observations
         ≤ le inside the window (each observation is one increment)."""
-        end = F.col("t_max") - F.lit(sel.offset_us)
+        end = self._end(sel)
         df = self._matched(self._bucket_base(sel)).filter(
             (F.col("ts_us") <= end) & (F.col("ts_us") > end - sel.range_us)
         )
@@ -582,7 +645,7 @@ class PromQLEvaluator:
         sel, fn = node.sel, node.fn
         if sel.metric.endswith(_BUCKET_SUFFIX) and fn in {"rate", "increase"}:
             return self._bucket_range(sel, fn)
-        end = F.col("t_max") - F.lit(sel.offset_us)
+        end = self._end(sel)
         df = self._matched(sel).filter(
             (F.col("ts_us") <= end) & (F.col("ts_us") > end - sel.range_us)
         )
@@ -683,6 +746,7 @@ class PromQLEvaluator:
         a ≤(range/step + 1)-row derived relation, always broadcast."""
         n = int(sub.range_us // sub.step_us) + 1
         step, off = sub.step_us, sub.offset_us
+        t_ref = "t_max" if sub.at_us is None else str(sub.at_us)
         return (
             self._tmax.select(
                 F.col("t_max"),
@@ -691,12 +755,13 @@ class PromQLEvaluator:
             .select(
                 F.col("t_max"),
                 F.expr(
-                    f"((t_max - {off}) div {step}) * {step}"
+                    f"(({t_ref} - {off}) div {step}) * {step}"
                     f" - _i * {step}"
                 ).alias("_ets"),
             )
             .filter(
-                F.col("_ets") > F.col("t_max") - F.lit(off + sub.range_us)
+                F.col("_ets")
+                > F.expr(t_ref) - F.lit(off + sub.range_us)
             )
             .select("_ets")
         )
@@ -746,6 +811,13 @@ class PromQLEvaluator:
     # -- aggregation -----------------------------------------------------
     def _agg(self, node: Agg) -> DataFrame:
         child = self._vector(node.expr)
+        if node.op in _SORT_FNS:
+            # value-ordered presentation of the unchanged vector; rank
+            # on the 6dp pin like topk (discrete order decisions must
+            # not flip on cross-engine accumulation noise)
+            pinned = F.round(F.col("value"), 6)
+            order = F.desc(pinned) if node.op == "sort_desc" else F.asc(pinned)
+            return child.orderBy(order, F.asc(_label_str(F.col("labels"))))
         if node.k is not None:  # topk / bottomk over the full vector
             # rank on the 6dp-pinned value (cross-engine accumulation
             # noise must not reorder ranks), ties broken on label text.
@@ -768,12 +840,31 @@ class PromQLEvaluator:
                     *[F.element_at("labels", F.lit(b)) for b in node.by]
                 ),
             ) if node.by else F.map_from_arrays(F.array(), F.array())
+        if node.op == "count_values":
+            # the 6dp-pinned value RENDERED AS A LABEL joins the
+            # grouping key; count of contributing series is the value.
+            rendered = F.round(F.col("value"), 6).cast("string")
+            labeled = F.map_concat(
+                new_labels,
+                F.create_map(F.lit(node.value_label), rendered),
+            )
+            return (
+                child.withColumn("labels", labeled)
+                .groupBy(_label_str(F.col("labels")).alias("_k"))
+                .agg(
+                    F.first("labels").alias("labels"),
+                    F.count(F.lit(1)).cast("double").alias("value"),
+                )
+                .drop("_k")
+            )
         agg = {
             "sum": F.sum("value"),
             "avg": F.avg("value"),
             "min": F.min("value"),
             "max": F.max("value"),
             "count": F.count(F.lit(1)).cast("double"),
+            # `group`: presence marker — constant 1 per output group
+            "group": F.max(F.lit(1.0)),
             # Prometheus quantile agg = φ·(n-1) rank linear
             # interpolation — exactly percentile()/quantile_cont().
             # Inputs pinned at 6dp: the order statistic SELECTION is
@@ -936,10 +1027,28 @@ class PromQLEvaluator:
                 ),
             ).otherwise(c)
 
-        if node.group == "left" or (node.match is None):
-            out_labels = F.col("_llabels")
+        def copy_extra(base: Column, one_side: Column) -> Column:
+            """group_left(l, …): copy the listed labels from the "one"
+            side onto the many side's label set (missing ⇒ "", the
+            labelset convention)."""
+            if not node.extra:
+                return base
+            entries: list[Column] = []
+            for l in node.extra:
+                entries.append(F.lit(l))
+                entries.append(
+                    F.coalesce(
+                        F.element_at(one_side, F.lit(l)), F.lit("")
+                    )
+                )
+            return F.map_concat(base, F.create_map(*entries))
+
+        if node.group == "left":
+            out_labels = copy_extra(F.col("_llabels"), F.col("_rlabels"))
         elif node.group == "right":
-            out_labels = F.col("_rlabels")
+            out_labels = copy_extra(F.col("_rlabels"), F.col("_llabels"))
+        elif node.match is None:
+            out_labels = F.col("_llabels")
         else:
             out_labels = match_labels(F.col("_llabels"))
         if node.op in _CMP_OPS:
@@ -1049,6 +1158,17 @@ PROMQL_GROUP_RIGHT = (
     "sum by (user) (increase(click[720h])) / on (user) group_right "
     "sum by (user, shard) (increase(click[720h]))"
 )
+#: 2024-01-15T00:00:00Z — inside the fixture's Jan-2024 span at every SF
+_AT_S = 1_705_276_800
+PROMQL_AT = f"sum by (user) (increase(click[240h] @ {_AT_S}))"
+PROMQL_COUNT_VALUES = 'count_values("resets", resets(click[720h]))'
+PROMQL_GROUP_AGG = "group by (shard) (increase(click[720h]))"
+PROMQL_SORT = "sort_desc(sum by (user) (increase(click[720h])))"
+PROMQL_GROUP_LEFT_COPY = (
+    "sum by (user, shard) (increase(click[720h])) * on (user) "
+    'group_left(band) count_values by (user) '
+    '("band", sum by (user) (increase(view[720h])))'
+)
 
 
 def promql_rate_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1115,6 +1235,36 @@ def promql_group_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     return promql_eval(spark, sf_dir, PROMQL_GROUP_RIGHT)
 
 
+def promql_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`@` modifier: the selector's evaluation time pinned to a literal
+    unix timestamp instead of t_max (public PromQL since 2.25)."""
+    return promql_eval(spark, sf_dir, PROMQL_AT)
+
+
+def promql_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_values: series counted per distinct (6dp-pinned) value,
+    the value rendered into a fresh label."""
+    return promql_eval(spark, sf_dir, PROMQL_COUNT_VALUES)
+
+
+def promql_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`group by (…)`: presence marker — constant 1 per output group."""
+    return promql_eval(spark, sf_dir, PROMQL_GROUP_AGG)
+
+
+def promql_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort_desc: value-ordered presentation of the unchanged vector."""
+    return promql_eval(spark, sf_dir, PROMQL_SORT)
+
+
+def promql_group_left_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_left(label, …) label COPY: the canonical info-metric join —
+    each (user, shard) series annotated with a label computed on the
+    "one" side (count_values renders the user's view-increase into
+    `band`; the multiply-by-1 carries it across)."""
+    return promql_eval(spark, sf_dir, PROMQL_GROUP_LEFT_COPY)
+
+
 _T_CTE = "t AS (SELECT MAX(ts_us) AS t_max FROM samples_multi)"
 _H720_US = 720 * 3_600_000_000
 _H240_US = 240 * 3_600_000_000
@@ -1126,12 +1276,15 @@ _B_VALUES = ", ".join(
 ) + ", ('+Inf', CAST('inf' AS DOUBLE))"
 
 
-def _increase_cte(metric: str, rng_us: int, name: str) -> str:
-    """Per-series clamped increase over (t_max - rng, t_max]."""
+def _increase_cte(
+    metric: str, rng_us: int, name: str, end: str = "t.t_max"
+) -> str:
+    """Per-series clamped increase over (end - rng, end]; `end` is
+    t_max by default or a literal µs timestamp (PromQL ``@``)."""
     return (
         f"{name}_w AS (SELECT s.* FROM samples_multi s, t "
-        f"WHERE s.metric = '{metric}' AND s.ts_us <= t.t_max "
-        f"AND s.ts_us > t.t_max - {rng_us}), "
+        f"WHERE s.metric = '{metric}' AND s.ts_us <= {end} "
+        f"AND s.ts_us > {end} - {rng_us}), "
         f"{name}_d AS (SELECT l_user, l_shard, value, "
         "LAG(value) OVER (PARTITION BY l_user, l_shard "
         f"ORDER BY ts_us, event_id) AS prev FROM {name}_w), "
@@ -1189,6 +1342,11 @@ QUERIES = {
     "promql_bool_cmp": promql_bool_cmp,
     "promql_vector_cmp": promql_vector_cmp,
     "promql_group_right": promql_group_right,
+    "promql_at": promql_at,
+    "promql_count_values": promql_count_values,
+    "promql_group_agg": promql_group_agg,
+    "promql_sort": promql_sort,
+    "promql_group_left_copy": promql_group_left_copy,
 }
 
 _SUBQ_STEP = _H24_US
@@ -1334,5 +1492,55 @@ ORACLES = {
         "SELECT 'shard=' || p.l_shard || ',user=' || p.l_user AS labels, "
         + dround("t.v / p.v", 4)
         + " AS value FROM per p JOIN tot t ON t.l_user = p.l_user"
+    ),
+    "promql_at": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte(
+            "click", _H240_US, "inc", end=str(_AT_S * 1_000_000)
+        )
+        + " SELECT 'user=' || l_user AS labels, "
+        + dround("SUM(inc)", 4)
+        + " AS value FROM inc GROUP BY l_user"
+    ),
+    "promql_count_values": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        "rw AS (SELECT s.* FROM samples_multi s, t "
+        "WHERE s.metric = 'click' AND s.ts_us <= t.t_max "
+        f"AND s.ts_us > t.t_max - {_H720_US}), "
+        "rd AS (SELECT l_user, l_shard, value, "
+        "LAG(value) OVER (PARTITION BY l_user, l_shard "
+        "ORDER BY ts_us, event_id) AS prev FROM rw), "
+        "rs AS (SELECT l_user, l_shard, "
+        "CAST(SUM(CASE WHEN value < prev THEN 1 ELSE 0 END) AS DOUBLE) "
+        "AS v FROM rd WHERE prev IS NOT NULL GROUP BY l_user, l_shard) "
+        "SELECT 'resets=' || CAST(ROUND(v, 6) AS VARCHAR) AS labels, "
+        "CAST(COUNT(*) AS DOUBLE) AS value FROM rs GROUP BY 1"
+    ),
+    "promql_group_agg": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "inc")
+        + " SELECT 'shard=' || l_shard AS labels, "
+        "CAST(1.0 AS DOUBLE) AS value FROM inc GROUP BY l_shard"
+    ),
+    "promql_sort": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "inc")
+        + " SELECT 'user=' || l_user AS labels, "
+        + dround("SUM(inc)", 4)
+        + " AS value FROM inc GROUP BY l_user"
+    ),
+    "promql_group_left_copy": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "ca")
+        + ", "
+        + _increase_cte("view", _H720_US, "va")
+        + ", per AS (SELECT l_user, l_shard, SUM(inc) AS v FROM ca "
+        "GROUP BY l_user, l_shard), "
+        "vu AS (SELECT l_user, CAST(ROUND(SUM(inc), 6) AS VARCHAR) "
+        "AS band FROM va GROUP BY l_user) "
+        "SELECT 'band=' || vu.band || ',shard=' || p.l_shard "
+        "|| ',user=' || p.l_user AS labels, "
+        + dround("p.v * 1.0", 4)
+        + " AS value FROM per p JOIN vu ON vu.l_user = p.l_user"
     ),
 }

@@ -425,3 +425,92 @@ def test_missing_label_is_empty_string(spark):
 def test_escaped_quote_in_matcher_value():
     ast = parse('up{job="a\\"b",path="c\\\\d"}')
     assert ast.matchers == [("job", "=", 'a"b'), ("path", "=", "c\\d")]
+
+
+def test_at_modifier_pins_eval_time(spark):
+    """`sel @ ts` must equal evaluating with t_max artificially moved
+    to ts: compare against the same window stated as an offset from a
+    known fixture timestamp."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    h = 3_600_000_000
+    rows = [
+        (i, 1, "m", {"user": "a"}, i * h, float(i)) for i in range(1, 25)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, series_id long, metric string, "
+        "labels map<string,string>, ts_us long, value double",
+    )
+    ev = PromQLEvaluator(df)
+    # @12h: in-window samples are (6h,12h] = v7..v12 → increase 5
+    got = ev.eval(f"increase(m[6h] @ {12 * 3600})").collect()
+    assert [(r["labels"], r["value"]) for r in got] == [("user=a", 5.0)]
+    # @ + offset compose: T = 12h - 2h = 10h → v5..v10 → increase 5
+    got2 = ev.eval(f"increase(m[6h] @ {12 * 3600} offset 2h)").collect()
+    assert [(r["labels"], r["value"]) for r in got2] == [("user=a", 5.0)]
+
+
+def test_count_values_groups_by_rendered_value(spark):
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    rows = [
+        (1, 1, "m", {"user": "a"}, 1_000_000, 5.0),
+        (2, 2, "m", {"user": "b"}, 1_000_000, 5.0),
+        (3, 3, "m", {"user": "c"}, 1_000_000, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, series_id long, metric string, "
+        "labels map<string,string>, ts_us long, value double",
+    )
+    got = {
+        (r["labels"], r["value"])
+        for r in PromQLEvaluator(df).eval('count_values("v", m)').collect()
+    }
+    assert got == {("v=5.0", 2.0), ("v=7.0", 1.0)}
+
+
+def test_group_agg_emits_ones(spark):
+    got = promql_eval(
+        spark, SF_SMOKE, "group by (shard) (increase(click[720h]))"
+    ).collect()
+    assert len(got) > 0
+    assert all(r["value"] == 1.0 for r in got)
+
+
+def test_sort_desc_orders_by_value(spark):
+    got = promql_eval(
+        spark, SF_SMOKE, "sort_desc(sum by (user) (increase(click[720h])))"
+    ).collect()
+    vals = [r["value"] for r in got]
+    assert len(vals) > 1 and vals == sorted(vals, reverse=True)
+
+
+def test_group_left_label_copy(spark):
+    """group_left(band): the copied label appears on every output
+    series and matches the one-side's rendered value per user."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PROMQL_GROUP_LEFT_COPY,
+    )
+
+    got = promql_eval(spark, SF_SMOKE, PROMQL_GROUP_LEFT_COPY).collect()
+    assert len(got) > 0
+    assert all(r["labels"].startswith("band=") for r in got)
+    # the lhs values must be unchanged by the *1 info-join
+    lhs = {
+        r["labels"]: r["value"]
+        for r in promql_eval(
+            spark,
+            SF_SMOKE,
+            "sum by (user, shard) (increase(click[720h]))",
+        ).collect()
+    }
+    def strip_band(lab):
+        return ",".join(p for p in lab.split(",") if not p.startswith("band="))
+    stripped = {strip_band(r["labels"]): r["value"] for r in got}
+    assert stripped == lhs
