@@ -247,21 +247,21 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Fixed geometry for the real-decode round-trip query: 16×12 RGB fits
-#: inside THUMB_MAX, so the aspect-fit thumbnail is the identity and the
-#: decoded-pixel checksum equals md5 of the source bytes — the property
-#: that makes the REAL container decode relationally checkable.
-BMP_W, BMP_H = 12, 8  # 288 RGB bytes — most documents are ≥288 chars
-_BMP_RGB_BYTES = BMP_W * BMP_H * 3
+#: Fixed geometry for the real-decode round-trip query: BMP_W×BMP_H RGB
+#: fits inside THUMB_MAX, so the aspect-fit thumbnail is the identity
+#: and the decoded-pixel checksum equals md5 of the source bytes — the
+#: property that makes the REAL container decode relationally checkable.
+BMP_W, BMP_H = 12, 8
+_BMP_RGB_BYTES = BMP_W * BMP_H * 3  # 288 — most documents are ≥288 chars
 _BMP_FILE_BYTES = 54 + _BMP_RGB_BYTES  # headers + 4-byte-aligned rows
 
 
 def media_bmp_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MEDIA_SCHEMA view whose payloads are REAL BMP containers: each
-    document's first 576 text bytes become the RGB pixel array of a
-    16×12 24-bit BMP (vendored encoder, functions.miniformats). Short
-    documents are filtered out rather than padded so the oracle stays a
-    pure substring expression."""
+    document's first _BMP_RGB_BYTES (288) text bytes become the RGB
+    pixel array of a BMP_W×BMP_H (12×8) 24-bit BMP (vendored encoder,
+    functions.miniformats). Short documents are filtered out rather
+    than padded so the oracle stays a pure substring expression."""
     src = (
         load_table(spark, sf_dir, "documents")
         .filter(F.length("text") >= _BMP_RGB_BYTES)
@@ -277,8 +277,14 @@ def media_bmp_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "kind": "image",
+                    # substring() upstream counts CHARS; slice to the
+                    # exact byte budget so a multi-byte UTF-8 char
+                    # can't overflow the fixed pixel-array size and
+                    # kill the job (corpus is ASCII today → no-op)
                     "data": [
-                        miniformats.bmp_encode(bytes(r), BMP_W, BMP_H)
+                        miniformats.bmp_encode(
+                            bytes(r)[:_BMP_RGB_BYTES], BMP_W, BMP_H
+                        )
                         for r in pdf["rgb"]
                     ],
                     "width": pd.array([BMP_W] * len(pdf), dtype="int32"),

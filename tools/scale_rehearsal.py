@@ -1,0 +1,221 @@
+"""Scale rehearsal: synthesize a 10× dataset and measure sf0.1 → sf1.0
+runtime scaling for every headline query that reads only the scaled
+tables (events / documents / embeddings).
+
+Usage:
+    python3 tools/scale_rehearsal.py            # generate (if absent) + run
+    python3 tools/scale_rehearsal.py --gen-only
+
+Synthesis (10 copies of sf0.1, each copy made DISTINCT, not duplicated
+— identical copies would add artificial near-duplicate structure and
+conflate data-driven pair blowup with plan behavior):
+
+- events: fresh id/user ranges per copy (series cardinality grows 10×,
+  the realistic axis for metric workloads); timestamps unchanged.
+- documents: per-copy token suffix (vocabulary grows with the corpus,
+  Heaps-ish; no cross-copy shingle overlap, so the duplicate rate per
+  copy matches sf0.1 and output-pair volume scales ~linearly).
+- embeddings: per-copy cyclic rotation of the vector (norm-preserving,
+  fresh cosine neighborhoods).
+
+Output: BENCH_sf1.json at the repo root — per-query sf0.1/sf1.0
+seconds and the ratio; queries whose ratio exceeds FLAG_RATIO are
+listed in "flagged".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tmp",
+    "sf1.0",
+)
+FACTOR = 10
+#: sub-linear per-query work is expected to stay well under this at 10×
+FLAG_RATIO = 15.0
+
+#: headline queries whose inputs are limited to the scaled tables
+QUERIES = [
+    # metrics over events
+    "counter_sum",
+    "counter_rate",
+    "gauge_last",
+    "instant_vector",
+    "agg_by_label",
+    "topk",
+    "range_agg_sliding",
+    "histogram_buckets",
+    "histogram_quantile",
+    "agg_quantile",
+    "rollup_hourly",
+    "daily_from_rollup",
+    "scrape_snapshot",
+    "exposition_lines",
+    "vector_binop",
+    "asof_join_demo",
+    "range_join_demo",
+    "subquery_max_rate",
+    "promql_rate_by_user",
+    "user_sessions",
+    "retention_cohorts",
+    # documents
+    "dedup_exact",
+    "dedup_near",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_token_counts",
+    "text_quality_score",
+    "unigram_logprob",
+    "pack_chunks",
+    "contamination_ngram",
+    "corpus_filter_chain",
+    "multimodal_decode",
+    # embeddings
+    "similarity_topk",
+    "similarity_lsh",
+    "similarity_ivf",
+    "similarity_kmeans",
+    "dedup_semantic",
+]
+
+#: family boundaries for cache release (mirrors bench.py)
+FAMILY_OF = {}
+for _fam, _names in [
+    ("metrics", QUERIES[:21]),
+    ("docs", QUERIES[21:32]),
+    ("emb", QUERIES[32:]),
+]:
+    for _n in _names:
+        FAMILY_OF[_n] = _fam
+
+
+def generate(spark: SparkSession) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    parts = []
+    for c in range(FACTOR):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(c * 10**9)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(c * 10**6)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{OUT}/events.parquet")
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    parts = []
+    for c in range(FACTOR):
+        if c == 0:
+            text = F.col("text")
+        else:
+            text = F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda t: F.concat(t, F.lit(f"x{c}")),
+                ),
+                " ",
+            )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(c * 10**9)).alias("doc_id"),
+                text.alias("text"),
+                "lang",
+                "source",
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    parts = []
+    for c in range(FACTOR):
+        e = F.col("embedding")
+        if c > 0:
+            e = F.concat(
+                F.slice(e, c + 1, F.size(e) - c), F.slice(e, 1, c)
+            )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(c * 10**9)).alias("vec_id"),
+                e.alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
+
+
+def main() -> None:
+    from shards_prometheus_spark.session import get_spark
+    from shards_prometheus_spark.registry import all_queries
+    from shards_prometheus_spark.operators.tierc_common import clear_caches
+
+    spark = get_spark("scale-rehearsal")
+    if not os.path.exists(f"{OUT}/embeddings.parquet"):
+        print("generating", OUT, flush=True)
+        generate(spark)
+    if "--gen-only" in sys.argv:
+        return
+
+    queries = all_queries()
+    results: dict[str, dict] = {}
+    for sf_dir, key in [(SRC, "sf0.1"), (OUT, "sf1.0")]:
+        fam_prev = None
+        for name in QUERIES:
+            fam = FAMILY_OF[name]
+            if fam != fam_prev:
+                clear_caches(spark)
+                fam_prev = fam
+            t0 = time.perf_counter()
+            n = queries[name](spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 3)
+            results.setdefault(name, {})[key] = dt
+            results[name][f"rows_{key}"] = n
+            print(f"{key:7s} {name:28s} {dt:8.3f}s rows={n}", flush=True)
+        clear_caches(spark)
+
+    for name, r in results.items():
+        r["ratio"] = round(r["sf1.0"] / max(r["sf0.1"], 1e-9), 2)
+    flagged = sorted(
+        [n for n, r in results.items() if r["ratio"] > FLAG_RATIO],
+        key=lambda n: -results[n]["ratio"],
+    )
+    artifact = {
+        "factor": FACTOR,
+        "flag_ratio": FLAG_RATIO,
+        "flagged": flagged,
+        "queries": results,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_sf1.json",
+    )
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(json.dumps({"flagged": flagged, "written": path}))
+
+
+if __name__ == "__main__":
+    main()
