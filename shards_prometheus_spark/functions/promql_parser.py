@@ -92,6 +92,9 @@ _RANGE_FNS = {
     "increase",
     "delta",
     "resets",
+    "changes",
+    "deriv",
+    "predict_linear",
     "avg_over_time",
     "min_over_time",
     "max_over_time",
@@ -99,6 +102,13 @@ _RANGE_FNS = {
     "count_over_time",
     "last_over_time",
 }
+#: instant-vector math functions; all evaluate on the 6dp-pinned
+#: operand (the pin is the cross-engine determinism spec — discrete
+#: outputs like ceil/floor/round must not flip on accumulation noise)
+_MATH1_FNS = {
+    "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn",
+}
+_CLAMP_FNS = {"clamp", "clamp_min", "clamp_max"}
 #: outer functions accepted over a subquery ``expr[range:step]``
 _OVER_TIME_FNS = {
     "avg_over_time",
@@ -144,6 +154,29 @@ class Subquery:
 class RangeFn:
     fn: str
     sel: object  # Selector (with range) or Subquery
+    #: scalar second argument (predict_linear's horizon, seconds)
+    param: float | None = None
+
+
+@dataclass
+class MathFn:
+    """Instant-vector math: abs/ceil/floor/exp/ln/log2/log10/sqrt/sgn,
+    round(v[, to]), clamp/clamp_min/clamp_max(v, bounds…)."""
+
+    fn: str
+    expr: object
+    args: list[float] = field(default_factory=list)
+
+
+@dataclass
+class LabelFn:
+    """label_replace(v, dst, repl, src, regex) / label_join(v, dst,
+    sep, src…) — label-map rewrites; values untouched."""
+
+    kind: str  # "replace" | "join"
+    expr: object
+    dst: str
+    args: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -402,6 +435,10 @@ class _Parser:
             return HistQuantile(phi, e)
         if tok in _RANGE_FNS:
             return self._range_fn()
+        if tok in _MATH1_FNS or tok == "round" or tok in _CLAMP_FNS:
+            return self._math_fn()
+        if tok in {"label_replace", "label_join"}:
+            return self._label_fn()
         if tok == "absent":
             self.next()
             self.expect("(")
@@ -455,10 +492,61 @@ class _Parser:
         self.expect(")")
         return Agg(op, e, [], k=k)
 
+    def _math_fn(self):
+        fn = self.next()
+        self.expect("(")
+        e = self.cmp_expr()
+        args: list[float] = []
+        if fn == "round":
+            if self.peek() == ",":
+                self.next()
+                args.append(self._number())
+        elif fn == "clamp":
+            self.expect(",")
+            args.append(self._number())
+            self.expect(",")
+            args.append(self._number())
+        elif fn in _CLAMP_FNS:
+            self.expect(",")
+            args.append(self._number())
+        self.expect(")")
+        return MathFn(fn, e, args)
+
+    def _label_fn(self):
+        fn = self.next()
+        self.expect("(")
+        e = self.cmp_expr()
+
+        def _str_arg() -> str:
+            self.expect(",")
+            tok = self.next()
+            if not (tok.startswith('"') and tok.endswith('"')):
+                raise PromQLSyntaxError(
+                    f"{fn}() needs quoted string args, got {tok!r}"
+                )
+            return _unquote(tok)
+
+        dst = _str_arg()
+        args: list[str] = []
+        if fn == "label_replace":
+            args = [_str_arg(), _str_arg(), _str_arg()]  # repl, src, regex
+        else:  # label_join: sep, then 1+ source labels
+            args.append(_str_arg())
+            while self.peek() == ",":
+                args.append(_str_arg())
+        self.expect(")")
+        return LabelFn(
+            "replace" if fn == "label_replace" else "join", e, dst, args
+        )
+
     def _range_fn(self):
         fn = self.next()
         self.expect("(")
         arg = self.cmp_expr()
+        param = None
+        if fn == "predict_linear":
+            self.expect(",")
+            param = self._number()
         self.expect(")")
         if isinstance(arg, Subquery):
             if fn not in _OVER_TIME_FNS:
@@ -479,7 +567,7 @@ class _Parser:
             return RangeFn(fn, arg)
         if not isinstance(arg, Selector) or arg.range_us is None:
             raise PromQLSyntaxError(f"{fn}() needs a range selector [d]")
-        return RangeFn(fn, arg)
+        return RangeFn(fn, arg, param=param)
 
     def _selector(self) -> Selector:
         metric = self.next()
@@ -649,12 +737,22 @@ class PromQLEvaluator:
         df = self._matched(sel).filter(
             (F.col("ts_us") <= end) & (F.col("ts_us") > end - sel.range_us)
         )
-        return self._range_fold(df, ["series_id"], fn, sel.range_us).select(
-            "labels", "value"
-        )
+        if fn in {"deriv", "predict_linear"}:
+            # regression x-axis: seconds relative to the evaluation
+            # time — centering near 0 keeps the least-squares moments
+            # well-conditioned (ts_us magnitudes are ~1.7e15)
+            df = df.withColumn("_xref", end)
+        return self._range_fold(
+            df, ["series_id"], fn, sel.range_us, param=node.param
+        ).select("labels", "value")
 
     def _range_fold(
-        self, df: DataFrame, keys: list[str], fn: str, range_us: int
+        self,
+        df: DataFrame,
+        keys: list[str],
+        fn: str,
+        range_us: int,
+        param: float | None = None,
     ) -> DataFrame:
         """Fold a windowed sample frame to one value per key tuple.
         `keys` is ["series_id"] for plain range functions and
@@ -670,6 +768,26 @@ class PromQLEvaluator:
             }[fn]
             return df.groupBy(*keys).agg(
                 F.first("labels").alias("labels"), agg.alias("value")
+            )
+        if fn in {"deriv", "predict_linear"}:
+            # least-squares over (x = seconds before eval time, y =
+            # value); regr_slope/intercept are NULL below 2 distinct
+            # points — those series drop out, per PromQL. The 6dp pin
+            # on the result is the cross-engine determinism spec.
+            x = (F.col("ts_us") - F.col("_xref")).cast("double") / F.lit(1e6)
+            slope = F.regr_slope(F.col("value"), x)
+            if fn == "deriv":
+                val = F.round(slope, 6)
+            else:  # predicted value `param` seconds after eval time
+                val = F.round(
+                    F.regr_intercept(F.col("value"), x)
+                    + slope * F.lit(float(param or 0.0)),
+                    6,
+                )
+            return (
+                df.groupBy(*keys)
+                .agg(F.first("labels").alias("labels"), val.alias("value"))
+                .filter(F.col("value").isNotNull())
             )
         if fn == "last_over_time":
             w = Window.partitionBy(*keys).orderBy(
@@ -724,15 +842,21 @@ class PromQLEvaluator:
                     ).alias("value"),
                 )
             )
-        if fn == "resets":
+        if fn in {"resets", "changes"}:
+            # both count discrete events on the lag spine; the compare
+            # is on raw parquet doubles (no accumulation), so equality
+            # is engine-stable
+            flag = (
+                (F.col("value") < F.col("prev"))
+                if fn == "resets"
+                else (F.col("value") != F.col("prev"))
+            )
             return (
                 d.filter(F.col("prev").isNotNull())
                 .groupBy(*keys)
                 .agg(
                     F.first("labels").alias("labels"),
-                    F.sum(
-                        F.when(F.col("value") < F.col("prev"), 1).otherwise(0)
-                    )
+                    F.sum(F.when(flag, 1).otherwise(0))
                     .cast("double")
                     .alias("value"),
                 )
@@ -1067,6 +1191,75 @@ class PromQLEvaluator:
             guard(arith(F.col("_l"), F.col("_r"))).alias("value"),
         )
 
+    # -- math / label functions ------------------------------------------
+    def _math(self, node: MathFn) -> DataFrame:
+        """Per-sample math on the 6dp-pinned operand (discrete outputs
+        — ceil/floor/round — must not flip on cross-engine noise)."""
+        vec = self._vector(node.expr)
+        v = F.round(F.col("value"), 6)
+        fn, a = node.fn, node.args
+        if fn == "abs":
+            e = F.abs(v)
+        elif fn == "ceil":
+            e = F.ceil(v).cast("double")
+        elif fn == "floor":
+            e = F.floor(v).cast("double")
+        elif fn == "exp":
+            e = F.exp(v)
+        elif fn == "ln":
+            e = F.log(v)
+        elif fn == "log2":
+            e = F.log2(v)
+        elif fn == "log10":
+            e = F.log10(v)
+        elif fn == "sqrt":
+            e = F.sqrt(v)
+        elif fn == "sgn":
+            e = F.signum(v)
+        elif fn == "round":
+            # PromQL: nearest multiple of `to` (default 1), ties UP
+            to = a[0] if a else 1.0
+            e = F.floor(v / F.lit(to) + F.lit(0.5)) * F.lit(to)
+        elif fn == "clamp":
+            e = F.least(F.greatest(v, F.lit(a[0])), F.lit(a[1]))
+        elif fn == "clamp_min":
+            e = F.greatest(v, F.lit(a[0]))
+        elif fn == "clamp_max":
+            e = F.least(v, F.lit(a[0]))
+        else:
+            raise PromQLSyntaxError(f"unsupported math function {fn!r}")
+        return vec.withColumn("value", e)
+
+    def _label(self, node: LabelFn) -> DataFrame:
+        """label_replace / label_join: pure label-map rewrites. An
+        empty produced value DROPS the dst label; a non-matching
+        label_replace regex leaves the series untouched (both are the
+        public PromQL semantics)."""
+        vec = self._vector(node.expr)
+        labels = F.col("labels")
+        base = F.map_filter(labels, lambda k, _v: k != F.lit(node.dst))
+        if node.kind == "replace":
+            repl, src, regex = node.args
+            anch = f"^(?:{regex})$"  # PromQL fully anchors the match
+            srcv = F.coalesce(
+                F.element_at(labels, F.lit(src)), F.lit("")
+            )
+            newv = F.regexp_replace(srcv, anch, repl)
+            set_or_drop = F.when(newv == "", base).otherwise(
+                F.map_concat(base, F.create_map(F.lit(node.dst), newv))
+            )
+            out = F.when(srcv.rlike(anch), set_or_drop).otherwise(labels)
+        else:
+            vals = [
+                F.coalesce(F.element_at(labels, F.lit(s)), F.lit(""))
+                for s in node.args[1:]
+            ]
+            joined = F.concat_ws(node.args[0], *vals)
+            out = F.when(joined == "", base).otherwise(
+                F.map_concat(base, F.create_map(F.lit(node.dst), joined))
+            )
+        return vec.withColumn("labels", out)
+
     def _absent(self, node: Absent) -> DataFrame:
         """1 iff no series matches the selector at T, labeled with the
         selector's equality matchers (PromQL convention). The emptiness
@@ -1103,6 +1296,10 @@ class PromQLEvaluator:
             return self._range(node)
         if isinstance(node, Agg):
             return self._agg(node)
+        if isinstance(node, MathFn):
+            return self._math(node)
+        if isinstance(node, LabelFn):
+            return self._label(node)
         if isinstance(node, HistQuantile):
             return self._hist_quantile(node)
         if isinstance(node, BinOp):
@@ -1168,6 +1365,21 @@ PROMQL_GROUP_LEFT_COPY = (
     "sum by (user, shard) (increase(click[720h])) * on (user) "
     'group_left(band) count_values by (user) '
     '("band", sum by (user) (increase(view[720h])))'
+)
+PROMQL_CLAMP = "clamp(sqrt(sum by (user) (increase(click[720h]))), 5, 9)"
+PROMQL_ROUND = (
+    "round(log2(sum by (user) (increase(view[720h])) + 1), 0.5)"
+)
+PROMQL_CHANGES = "sum by (shard) (changes(click[720h]))"
+PROMQL_DERIV = "deriv(view[240h]) * 3600"
+PROMQL_PREDICT = "predict_linear(view[240h], 3600)"
+PROMQL_LABEL_REPLACE = (
+    "label_replace(sum by (user) (increase(click[720h])), "
+    '"cohort", "c$1", "user", "([0-9])[0-9]*")'
+)
+PROMQL_LABEL_JOIN = (
+    "label_join(sum by (user, shard) (increase(click[720h])), "
+    '"uid", "-", "user", "shard")'
 )
 
 
@@ -1265,6 +1477,47 @@ def promql_group_left_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return promql_eval(spark, sf_dir, PROMQL_GROUP_LEFT_COPY)
 
 
+def promql_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clamp(sqrt(…), lo, hi) — nested math functions; each evaluates
+    on its 6dp-pinned operand (the determinism spec)."""
+    return promql_eval(spark, sf_dir, PROMQL_CLAMP)
+
+
+def promql_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round(log2(…), 0.5): nearest multiple of `to`, ties round up
+    (floor(v/to + 0.5)·to — the PromQL rule, not banker's)."""
+    return promql_eval(spark, sf_dir, PROMQL_ROUND)
+
+
+def promql_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """changes() on the lag spine: value != prev on raw parquet
+    doubles (no accumulation → engine-stable equality)."""
+    return promql_eval(spark, sf_dir, PROMQL_CHANGES)
+
+
+def promql_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deriv(): per-series least-squares slope (regr_slope) on a
+    seconds-relative x-axis, scaled to per-hour by the scalar binop."""
+    return promql_eval(spark, sf_dir, PROMQL_DERIV)
+
+
+def promql_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """predict_linear(v[d], t): regression value t seconds after the
+    evaluation time (regr_intercept + slope·t)."""
+    return promql_eval(spark, sf_dir, PROMQL_PREDICT)
+
+
+def promql_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_replace: anchored regex over a source label; capture
+    groups land in the dst label; non-matching series pass through."""
+    return promql_eval(spark, sf_dir, PROMQL_LABEL_REPLACE)
+
+
+def promql_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_join: dst = sep-joined source label values."""
+    return promql_eval(spark, sf_dir, PROMQL_LABEL_JOIN)
+
+
 _T_CTE = "t AS (SELECT MAX(ts_us) AS t_max FROM samples_multi)"
 _H720_US = 720 * 3_600_000_000
 _H240_US = 240 * 3_600_000_000
@@ -1347,7 +1600,29 @@ QUERIES = {
     "promql_group_agg": promql_group_agg,
     "promql_sort": promql_sort,
     "promql_group_left_copy": promql_group_left_copy,
+    "promql_clamp": promql_clamp,
+    "promql_round": promql_round,
+    "promql_changes": promql_changes,
+    "promql_deriv": promql_deriv,
+    "promql_predict": promql_predict,
+    "promql_label_replace": promql_label_replace,
+    "promql_label_join": promql_label_join,
 }
+
+#: shared regression window for the deriv/predict oracles: x is
+#: seconds relative to t_max (mirrors the evaluator's _xref axis)
+_REGR_CTE = (
+    "w AS (SELECT s.l_user, s.l_shard, "
+    "(s.ts_us - t.t_max) / 1e6 AS x, s.value AS y "
+    "FROM samples_multi s, t WHERE s.metric = 'view' "
+    "AND s.ts_us <= t.t_max AND s.ts_us > t.t_max - "
+    + str(240 * 3_600_000_000)
+    + "), "
+    "r AS (SELECT l_user, l_shard, "
+    "ROUND(regr_slope(y, x), 6) AS slope, "
+    "ROUND(regr_intercept(y, x) + regr_slope(y, x) * 3600, 6) AS pred "
+    "FROM w GROUP BY l_user, l_shard)"
+)
 
 _SUBQ_STEP = _H24_US
 _SUBQ_GRID_N = _H240_US // _SUBQ_STEP + 1
@@ -1542,5 +1817,71 @@ ORACLES = {
         "|| ',user=' || p.l_user AS labels, "
         + dround("p.v * 1.0", 4)
         + " AS value FROM per p JOIN vu ON vu.l_user = p.l_user"
+    ),
+    "promql_clamp": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "inc")
+        + ", s AS (SELECT l_user, ROUND(SUM(inc), 6) AS v6 FROM inc "
+        "GROUP BY l_user), "
+        "m AS (SELECT l_user, ROUND(SQRT(v6), 6) AS sq FROM s) "
+        "SELECT 'user=' || l_user AS labels, "
+        + dround("LEAST(GREATEST(sq, 5), 9)", 4)
+        + " AS value FROM m"
+    ),
+    "promql_round": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("view", _H720_US, "inc")
+        + ", s AS (SELECT l_user, ROUND(SUM(inc) + 1, 6) AS v6 FROM inc "
+        "GROUP BY l_user), "
+        "m AS (SELECT l_user, ROUND(LOG2(v6), 6) AS l2 FROM s) "
+        "SELECT 'user=' || l_user AS labels, "
+        + dround("FLOOR(l2 / 0.5 + 0.5) * 0.5", 4)
+        + " AS value FROM m"
+    ),
+    "promql_changes": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        "cw AS (SELECT s.* FROM samples_multi s, t "
+        "WHERE s.metric = 'click' AND s.ts_us <= t.t_max "
+        f"AND s.ts_us > t.t_max - {_H720_US}), "
+        "cd AS (SELECT l_user, l_shard, value, "
+        "LAG(value) OVER (PARTITION BY l_user, l_shard "
+        "ORDER BY ts_us, event_id) AS prev FROM cw), "
+        "cs AS (SELECT l_user, l_shard, "
+        "CAST(SUM(CASE WHEN value != prev THEN 1 ELSE 0 END) AS DOUBLE) "
+        "AS v FROM cd WHERE prev IS NOT NULL GROUP BY l_user, l_shard) "
+        "SELECT 'shard=' || l_shard AS labels, "
+        + dround("SUM(v)", 4)
+        + " AS value FROM cs GROUP BY l_shard"
+    ),
+    "promql_deriv": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, {_REGR_CTE} "
+        "SELECT 'shard=' || l_shard || ',user=' || l_user AS labels, "
+        + dround("slope * 3600", 4)
+        + " AS value FROM r WHERE slope IS NOT NULL"
+    ),
+    "promql_predict": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, {_REGR_CTE} "
+        "SELECT 'shard=' || l_shard || ',user=' || l_user AS labels, "
+        + dround("pred", 4)
+        + " AS value FROM r WHERE pred IS NOT NULL"
+    ),
+    "promql_label_replace": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "inc")
+        + ", s AS (SELECT l_user, SUM(inc) AS v FROM inc GROUP BY l_user) "
+        "SELECT 'cohort=c' || substr(l_user, 1, 1) || ',user=' || l_user "
+        "AS labels, "
+        + dround("v", 4)
+        + " AS value FROM s"
+    ),
+    "promql_label_join": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "inc")
+        + ", s AS (SELECT l_user, l_shard, SUM(inc) AS v FROM inc "
+        "GROUP BY l_user, l_shard) "
+        "SELECT 'shard=' || l_shard || ',uid=' || l_user || '-' || l_shard "
+        "|| ',user=' || l_user AS labels, "
+        + dround("v", 4)
+        + " AS value FROM s"
     ),
 }

@@ -514,3 +514,128 @@ def test_group_left_label_copy(spark):
         return ",".join(p for p in lab.split(",") if not p.startswith("band="))
     stripped = {strip_band(r["labels"]): r["value"] for r in got}
     assert stripped == lhs
+
+
+def _tiny_eval(spark, rows):
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, series_id long, metric string, "
+        "labels map<string,string>, ts_us long, value double",
+    )
+    return PromQLEvaluator(df)
+
+
+def test_math_functions(spark):
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "m", {"user": "a"}, 1_000_000, 2.25),
+            (2, 22, "m", {"user": "b"}, 1_000_000, -4.0),
+        ],
+    )
+
+    def vals(expr):
+        return {
+            r["labels"]: r["value"] for r in ev.eval(expr).collect()
+        }
+
+    assert vals("abs(m)") == {"user=a": 2.25, "user=b": 4.0}
+    assert vals("ceil(m)") == {"user=a": 3.0, "user=b": -4.0}
+    assert vals("floor(m)") == {"user=a": 2.0, "user=b": -4.0}
+    assert vals("sgn(m)") == {"user=a": 1.0, "user=b": -1.0}
+    assert vals("clamp(m, 0, 2)") == {"user=a": 2.0, "user=b": 0.0}
+    assert vals("clamp_min(m, 3)") == {"user=a": 3.0, "user=b": 3.0}
+    assert vals("clamp_max(m, 0)") == {"user=a": 0.0, "user=b": -4.0}
+    # nearest multiple of 0.5, tie rounds UP (2.25 -> 2.5)
+    assert vals("round(m, 0.5)") == {"user=a": 2.5, "user=b": -4.0}
+    assert vals("sqrt(abs(m))")["user=b"] == 2.0
+
+
+def test_changes_counts_value_flips(spark):
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "m", {"user": "a"}, 1_000_000, 1.0),
+            (2, 11, "m", {"user": "a"}, 2_000_000, 1.0),  # no change
+            (3, 11, "m", {"user": "a"}, 3_000_000, 2.0),  # change
+            (4, 11, "m", {"user": "a"}, 4_000_000, 1.0),  # change (down)
+        ],
+    )
+    got = ev.eval("changes(m[1h])").collect()
+    assert {(r["labels"], r["value"]) for r in got} == {("user=a", 2.0)}
+
+
+def test_deriv_and_predict_linear_exact_line(spark):
+    """Points on y = 9 + 2x (x = seconds relative to t_max): slope is
+    exactly 2/s, predicted value 10s ahead is exactly 29."""
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "m", {"user": "a"}, 0, 5.0),
+            (2, 11, "m", {"user": "a"}, 1_000_000, 7.0),
+            (3, 11, "m", {"user": "a"}, 2_000_000, 9.0),
+        ],
+    )
+    d = ev.eval("deriv(m[1h])").collect()
+    assert {(r["labels"], r["value"]) for r in d} == {("user=a", 2.0)}
+    p = ev.eval("predict_linear(m[1h], 10)").collect()
+    assert {(r["labels"], r["value"]) for r in p} == {("user=a", 29.0)}
+
+
+def test_deriv_drops_single_point_series(spark):
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "m", {"user": "a"}, 1_000_000, 5.0),
+            (2, 22, "m", {"user": "b"}, 1_000_000, 1.0),
+            (3, 22, "m", {"user": "b"}, 2_000_000, 2.0),
+        ],
+    )
+    got = {r["labels"] for r in ev.eval("deriv(m[1h])").collect()}
+    assert got == {"user=b"}
+
+
+def test_label_replace_semantics(spark):
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "m", {"user": "abc"}, 1_000_000, 1.0),
+            (2, 22, "m", {"user": "zz"}, 1_000_000, 2.0),
+        ],
+    )
+    # capture group lands in dst; non-matching series untouched
+    got = {
+        r["labels"]
+        for r in ev.eval(
+            'label_replace(m, "head", "h$1", "user", "a(b)c")'
+        ).collect()
+    }
+    assert got == {"head=hb,user=abc", "user=zz"}
+    # empty replacement drops the dst label (here: overwrites nothing)
+    got2 = {
+        r["labels"]
+        for r in ev.eval(
+            'label_replace(m, "user", "", "user", "zz")'
+        ).collect()
+    }
+    assert got2 == {"user=abc", ""}
+
+
+def test_label_join_semantics(spark):
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "m", {"user": "a", "shard": "3"}, 1_000_000, 1.0),
+        ],
+    )
+    got = {
+        r["labels"]
+        for r in ev.eval(
+            'label_join(m, "uid", "-", "user", "shard")'
+        ).collect()
+    }
+    assert got == {"shard=3,uid=a-3,user=a"}
