@@ -119,6 +119,8 @@ _OVER_TIME_FNS = {
     "last_over_time",
 }
 _CMP_OPS = {">", ">=", "<", "<=", "==", "!="}
+#: vector set operators (lowest precedence: or < and/unless < cmp)
+_SET_OPS = {"and", "or", "unless"}
 
 _BUCKET_SUFFIX = "_bucket"
 
@@ -280,9 +282,33 @@ class _Parser:
             raise PromQLSyntaxError(f"expected {tok!r}, got {got!r}")
 
     def parse(self):
-        e = self.cmp_expr()
+        e = self.or_expr()
         if self.peek() is not None:
             raise PromQLSyntaxError(f"trailing tokens: {self.toks[self.i:]}")
+        return e
+
+    def _set_matching(self) -> tuple[str, list[str]] | None:
+        match, group, extra = self._matching()
+        if group or extra:
+            raise PromQLSyntaxError(
+                "group_left/group_right are invalid for set operators"
+            )
+        return match
+
+    def or_expr(self):
+        e = self.and_expr()
+        while self.peek() == "or":
+            self.next()
+            match = self._set_matching()
+            e = BinOp("or", e, self.and_expr(), match=match)
+        return e
+
+    def and_expr(self):
+        e = self.cmp_expr()
+        while self.peek() in {"and", "unless"}:
+            op = self.next()
+            match = self._set_matching()
+            e = BinOp(op, e, self.cmp_expr(), match=match)
         return e
 
     def _number(self) -> float:
@@ -410,7 +436,7 @@ class _Parser:
             raise PromQLSyntaxError("unexpected end of expression")
         if tok == "(":
             self.next()
-            e = self.cmp_expr()
+            e = self.or_expr()
             self.expect(")")
             return e
         if re.fullmatch(r"\d+(?:\.\d+)?", tok):
@@ -422,7 +448,7 @@ class _Parser:
         if tok in _SORT_FNS:
             fn = self.next()
             self.expect("(")
-            e = self.cmp_expr()
+            e = self.or_expr()
             self.expect(")")
             return Agg(fn, e)
         if tok == "histogram_quantile":
@@ -430,7 +456,7 @@ class _Parser:
             self.expect("(")
             phi = self._number()
             self.expect(",")
-            e = self.cmp_expr()
+            e = self.or_expr()
             self.expect(")")
             return HistQuantile(phi, e)
         if tok in _RANGE_FNS:
@@ -473,7 +499,7 @@ class _Parser:
                 )
             value_label = _unquote(lbl)
             self.expect(",")
-        e = self.cmp_expr()
+        e = self.or_expr()
         self.expect(")")
         return Agg(op, e, by, mode=mode, param=param, value_label=value_label)
 
@@ -488,14 +514,14 @@ class _Parser:
                 f"{op}() needs a numeric k, got {ktok!r}"
             ) from None
         self.expect(",")
-        e = self.cmp_expr()
+        e = self.or_expr()
         self.expect(")")
         return Agg(op, e, [], k=k)
 
     def _math_fn(self):
         fn = self.next()
         self.expect("(")
-        e = self.cmp_expr()
+        e = self.or_expr()
         args: list[float] = []
         if fn == "round":
             if self.peek() == ",":
@@ -515,7 +541,7 @@ class _Parser:
     def _label_fn(self):
         fn = self.next()
         self.expect("(")
-        e = self.cmp_expr()
+        e = self.or_expr()
 
         def _str_arg() -> str:
             self.expect(",")
@@ -542,7 +568,7 @@ class _Parser:
     def _range_fn(self):
         fn = self.next()
         self.expect("(")
-        arg = self.cmp_expr()
+        arg = self.or_expr()
         param = None
         if fn == "predict_linear":
             self.expect(",")
@@ -1055,7 +1081,51 @@ class PromQLEvaluator:
         return first.select("labels", q.alias("value"))
 
     # -- binary operators ------------------------------------------------
+    @staticmethod
+    def _match_labels(
+        match: tuple[str, list[str]] | None, labels_col: Column
+    ) -> Column:
+        """The vector-matching key label set: full set by default,
+        on()'s subset, or the map minus ignoring()'s labels."""
+        if match is None:
+            return labels_col
+        kind, ls = match
+        if kind == "on":
+            return F.map_from_arrays(
+                F.array(*[F.lit(l) for l in ls]),
+                F.array(
+                    *[F.element_at(labels_col, F.lit(l)) for l in ls]
+                ),
+            )
+        return F.map_filter(labels_col, lambda k, _v: ~k.isin(*ls))
+
+    def _setop(self, node: BinOp) -> DataFrame:
+        """and/or/unless: label-set membership algebra. `and` keeps
+        left series whose match key exists on the right (semi join),
+        `unless` those absent (anti join), `or` adds right series with
+        no left match. Values and label sets pass through unchanged —
+        broadcast-friendly key-only probes at scale."""
+        if isinstance(node.lhs, Scalar) or isinstance(node.rhs, Scalar):
+            raise PromQLSyntaxError(
+                f"{node.op!r} needs vector operands on both sides"
+            )
+        key = _label_str(self._match_labels(node.match, F.col("labels")))
+        lk = self._vector(node.lhs).withColumn("_k", key)
+        rk = self._vector(node.rhs).withColumn("_k", key)
+        if node.op == "and":
+            out = lk.join(rk.select("_k").distinct(), "_k", "semi")
+        elif node.op == "unless":
+            out = lk.join(rk.select("_k").distinct(), "_k", "anti")
+        else:  # or: left wins per match key; unmatched right appended
+            out = lk.unionByName(
+                rk.join(lk.select("_k").distinct(), "_k", "anti")
+                .select(*lk.columns)
+            )
+        return out.select("labels", "value")
+
     def _binop(self, node: BinOp) -> DataFrame:
+        if node.op in _SET_OPS:
+            return self._setop(node)
         lsc = isinstance(node.lhs, Scalar)
         rsc = isinstance(node.rhs, Scalar)
         if lsc and rsc:
@@ -1104,19 +1174,7 @@ class PromQLEvaluator:
         # count; a duplicate raises Prometheus's 'found duplicate
         # series for the match group' at execution time.
         def match_labels(labels_col: Column) -> Column:
-            if node.match is None:
-                return labels_col
-            kind, ls = node.match
-            if kind == "on":
-                return F.map_from_arrays(
-                    F.array(*[F.lit(l) for l in ls]),
-                    F.array(
-                        *[F.element_at(labels_col, F.lit(l)) for l in ls]
-                    ),
-                )
-            return F.map_filter(
-                labels_col, lambda k, _v: ~k.isin(*ls)
-            )
+            return self._match_labels(node.match, labels_col)
 
         left = self._vector(node.lhs).select(
             _label_str(match_labels(F.col("labels"))).alias("_k"),
@@ -1381,6 +1439,18 @@ PROMQL_LABEL_JOIN = (
     "label_join(sum by (user, shard) (increase(click[720h])), "
     '"uid", "-", "user", "shard")'
 )
+PROMQL_AND = (
+    "sum by (user) (increase(click[720h])) and "
+    "(sum by (user) (increase(purchase[720h])) > 30)"
+)
+PROMQL_UNLESS = (
+    "sum by (user) (increase(click[720h])) unless "
+    "(sum by (user) (increase(purchase[720h])) > 30)"
+)
+PROMQL_OR = (
+    "(sum by (user) (increase(purchase[720h])) > 30) or "
+    "sum by (user) (increase(click[720h]))"
+)
 
 
 def promql_rate_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1518,6 +1588,24 @@ def promql_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return promql_eval(spark, sf_dir, PROMQL_LABEL_JOIN)
 
 
+def promql_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`and`: left series kept iff the match key exists on the right
+    (the right side pre-filtered by a comparison)."""
+    return promql_eval(spark, sf_dir, PROMQL_AND)
+
+
+def promql_unless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`unless`: left series kept iff the match key is ABSENT on the
+    right — the complement of promql_and."""
+    return promql_eval(spark, sf_dir, PROMQL_UNLESS)
+
+
+def promql_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`or`: left series win per match key; unmatched right series are
+    appended with their own labels and values."""
+    return promql_eval(spark, sf_dir, PROMQL_OR)
+
+
 _T_CTE = "t AS (SELECT MAX(ts_us) AS t_max FROM samples_multi)"
 _H720_US = 720 * 3_600_000_000
 _H240_US = 240 * 3_600_000_000
@@ -1607,6 +1695,9 @@ QUERIES = {
     "promql_predict": promql_predict,
     "promql_label_replace": promql_label_replace,
     "promql_label_join": promql_label_join,
+    "promql_and": promql_and,
+    "promql_unless": promql_unless,
+    "promql_or": promql_or,
 }
 
 #: shared regression window for the deriv/predict oracles: x is
@@ -1873,6 +1964,46 @@ ORACLES = {
         "AS labels, "
         + dround("v", 4)
         + " AS value FROM s"
+    ),
+    "promql_and": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "ca")
+        + ", "
+        + _increase_cte("purchase", _H720_US, "pa")
+        + ", cu AS (SELECT l_user, SUM(inc) AS v FROM ca GROUP BY l_user), "
+        "pu AS (SELECT l_user FROM pa GROUP BY l_user "
+        "HAVING ROUND(SUM(inc), 6) > 30) "
+        "SELECT 'user=' || l_user AS labels, "
+        + dround("v", 4)
+        + " AS value FROM cu WHERE l_user IN (SELECT l_user FROM pu)"
+    ),
+    "promql_unless": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "ca")
+        + ", "
+        + _increase_cte("purchase", _H720_US, "pa")
+        + ", cu AS (SELECT l_user, SUM(inc) AS v FROM ca GROUP BY l_user), "
+        "pu AS (SELECT l_user FROM pa GROUP BY l_user "
+        "HAVING ROUND(SUM(inc), 6) > 30) "
+        "SELECT 'user=' || l_user AS labels, "
+        + dround("v", 4)
+        + " AS value FROM cu WHERE l_user NOT IN (SELECT l_user FROM pu)"
+    ),
+    "promql_or": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "ca")
+        + ", "
+        + _increase_cte("purchase", _H720_US, "pa")
+        + ", cu AS (SELECT l_user, SUM(inc) AS v FROM ca GROUP BY l_user), "
+        "pu AS (SELECT l_user, SUM(inc) AS v FROM pa GROUP BY l_user "
+        "HAVING ROUND(SUM(inc), 6) > 30) "
+        "SELECT 'user=' || l_user AS labels, "
+        + dround("v", 4)
+        + " AS value FROM pu "
+        "UNION ALL SELECT 'user=' || l_user AS labels, "
+        + dround("v", 4)
+        + " AS value FROM cu "
+        "WHERE l_user NOT IN (SELECT l_user FROM pu)"
     ),
     "promql_label_join": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

@@ -639,3 +639,49 @@ def test_label_join_semantics(spark):
         ).collect()
     }
     assert got == {"shard=3,uid=a-3,user=a"}
+
+
+def test_set_operators(spark):
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "a", {"user": "x"}, 1_000_000, 1.0),
+            (2, 22, "a", {"user": "y"}, 1_000_000, 2.0),
+            (3, 33, "b", {"user": "y"}, 1_000_000, 9.0),
+            (4, 44, "b", {"user": "z"}, 1_000_000, 8.0),
+        ],
+    )
+
+    def pairs(expr):
+        return {
+            (r["labels"], r["value"]) for r in ev.eval(expr).collect()
+        }
+
+    assert pairs("a and b") == {("user=y", 2.0)}
+    assert pairs("a unless b") == {("user=x", 1.0)}
+    # left wins on the overlap; unmatched right appended with its value
+    assert pairs("a or b") == {
+        ("user=x", 1.0),
+        ("user=y", 2.0),
+        ("user=z", 8.0),
+    }
+    # precedence: `and` binds tighter than `or`
+    assert pairs("a or a and b") == pairs("a or (a and b)")
+
+
+def test_set_operator_on_matching(spark):
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "a", {"user": "x", "shard": "1"}, 1_000_000, 1.0),
+            (2, 22, "a", {"user": "y", "shard": "2"}, 1_000_000, 2.0),
+            (3, 33, "b", {"user": "y", "env": "p"}, 1_000_000, 9.0),
+        ],
+    )
+    got = {
+        (r["labels"], r["value"])
+        for r in ev.eval("a and on (user) b").collect()
+    }
+    assert got == {("shard=2,user=y", 2.0)}
+    with pytest.raises(PromQLSyntaxError):
+        ev.eval("a and on (user) group_left b")
