@@ -83,7 +83,10 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
-_AGG_OPS = {"sum", "avg", "min", "max", "count", "quantile", "group"}
+_AGG_OPS = {
+    "sum", "avg", "min", "max", "count", "quantile", "group",
+    "stddev", "stdvar",
+}
 _TOPK_OPS = {"topk", "bottomk"}
 _SORT_FNS = {"sort", "sort_desc"}
 _RANGE_FNS = {
@@ -1022,6 +1025,10 @@ class PromQLEvaluator:
             "quantile": F.percentile(
                 F.round(F.col("value"), 6), F.lit(node.param or 0.0)
             ),
+            # population moments (the PromQL definition), over the
+            # 6dp-pinned inputs so both engines fold identical values
+            "stddev": F.stddev_pop(F.round(F.col("value"), 6)),
+            "stdvar": F.var_pop(F.round(F.col("value"), 6)),
         }[node.op]
         grouped = child.withColumn("labels", new_labels).groupBy(
             _label_str(F.col("labels")).alias("_k")
@@ -1439,6 +1446,9 @@ PROMQL_LABEL_JOIN = (
     "label_join(sum by (user, shard) (increase(click[720h])), "
     '"uid", "-", "user", "shard")'
 )
+PROMQL_STDDEV = (
+    "stddev by (shard) (sum by (user, shard) (increase(click[720h])))"
+)
 PROMQL_AND = (
     "sum by (user) (increase(click[720h])) and "
     "(sum by (user) (increase(purchase[720h])) > 30)"
@@ -1588,6 +1598,12 @@ def promql_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return promql_eval(spark, sf_dir, PROMQL_LABEL_JOIN)
 
 
+def promql_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev aggregation: population standard deviation across the
+    per-(user, shard) increases, grouped by shard."""
+    return promql_eval(spark, sf_dir, PROMQL_STDDEV)
+
+
 def promql_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`and`: left series kept iff the match key exists on the right
     (the right side pre-filtered by a comparison)."""
@@ -1695,6 +1711,7 @@ QUERIES = {
     "promql_predict": promql_predict,
     "promql_label_replace": promql_label_replace,
     "promql_label_join": promql_label_join,
+    "promql_stddev": promql_stddev,
     "promql_and": promql_and,
     "promql_unless": promql_unless,
     "promql_or": promql_or,
@@ -1964,6 +1981,15 @@ ORACLES = {
         "AS labels, "
         + dround("v", 4)
         + " AS value FROM s"
+    ),
+    "promql_stddev": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "inc")
+        + ", s AS (SELECT l_user, l_shard, ROUND(SUM(inc), 6) AS v6 "
+        "FROM inc GROUP BY l_user, l_shard) "
+        "SELECT 'shard=' || l_shard AS labels, "
+        + dround("stddev_pop(v6)", 4)
+        + " AS value FROM s GROUP BY l_shard"
     ),
     "promql_and": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

@@ -181,33 +181,41 @@ def pair_jaccard(
 
     Only candidate pairs are scored — the LSH/banding stage upstream is
     what keeps this sub-quadratic at corpus scale.
+
+    Shape: each side's token set rides as ONE sorted array column per
+    document and the intersection is a codegen `array_intersect` per
+    pair — two hash joins over #pairs rows. The earlier exploded form
+    (join on (doc, token_id), then a pair-keyed count aggregate)
+    shuffled #pairs × set_size narrow rows TWICE; the sf1.0 rehearsal
+    measured it 31× at 10× data (9.15 M pairs × ~10² tokens ≈ 2×10⁹
+    aggregate rows through 32 partitions). Arrays keep the shuffled
+    row count at #pairs + #docs, which is what scales to a 100 TB
+    corpus where the candidate volume, not the token stream, should
+    bound verify cost.
     """
-    sizes = token_sets.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("set_size")
+    arrs = token_sets.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("token_id")).alias("toks"),
+        F.count(F.lit(1)).cast("long").alias("n"),
     )
-    ta = token_sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("token_id")
+    aa = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("ta"),
+        F.col("n").alias("na"),
     )
-    tb = token_sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("token_id")
+    bb = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("tb"),
+        F.col("n").alias("nb"),
     )
-    inter = (
-        candidates.join(ta, "doc_a")
-        .join(tb, ["doc_b", "token_id"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("nb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("long")
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        candidates.join(aa, "doc_a")
+        .join(bb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.col("inter")
-                / (F.col("na") + F.col("nb") - F.col("inter"))
-            ).alias("jaccard_raw"),
+            (inter / (F.col("na") + F.col("nb") - inter)).alias(
+                "jaccard_raw"
+            ),
         )
     )

@@ -26,6 +26,13 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Start shuffles wide and let AQE coalesce down: a fixed
+    # spark.sql.shuffle.partitions caps parallelism as data grows
+    # (the sf1.0 rehearsal hit 60 M+ rows/partition at 32), while a
+    # high initial count costs nothing once AQE merges small outputs.
+    # On a 1000-executor cluster this is the difference between a knob
+    # retuned per dataset and a plan that right-sizes itself.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
     # Arrow for any pandas-interop path (multimodal UDFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }

@@ -685,3 +685,18 @@ def test_set_operator_on_matching(spark):
     assert got == {("shard=2,user=y", 2.0)}
     with pytest.raises(PromQLSyntaxError):
         ev.eval("a and on (user) group_left b")
+
+
+def test_stddev_stdvar_population_moments(spark):
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "m", {"user": "a", "g": "1"}, 1_000_000, 1.0),
+            (2, 22, "m", {"user": "b", "g": "1"}, 1_000_000, 2.0),
+            (3, 33, "m", {"user": "c", "g": "1"}, 1_000_000, 3.0),
+        ],
+    )
+    sv = ev.eval("stdvar by (g) (m)").collect()
+    assert [(r["labels"], r["value"]) for r in sv] == [("g=1", 0.6667)]
+    sd = ev.eval("stddev by (g) (m)").collect()
+    assert [(r["labels"], r["value"]) for r in sd] == [("g=1", 0.8165)]
