@@ -228,6 +228,9 @@ class Scalar:
 @dataclass
 class Absent:
     sel: Selector
+    #: absent_over_time: probe the [d] window instead of the
+    #: staleness lookback
+    over_time: bool = False
 
 
 def _tokenize(s: str) -> list[str]:
@@ -474,6 +477,28 @@ class _Parser:
             sel = self._selector()
             self.expect(")")
             return Absent(sel)
+        if tok in {"absent_over_time", "present_over_time"}:
+            fn = self.next()
+            self.expect("(")
+            arg = self.or_expr()
+            self.expect(")")
+            if not isinstance(arg, Selector) or arg.range_us is None:
+                raise PromQLSyntaxError(f"{fn}() needs a range selector [d]")
+            if fn == "absent_over_time":
+                return Absent(arg, over_time=True)
+            return RangeFn("present_over_time", arg)
+        if tok == "quantile_over_time":
+            self.next()
+            self.expect("(")
+            phi = self._number()
+            self.expect(",")
+            arg = self.or_expr()
+            self.expect(")")
+            if not isinstance(arg, Selector) or arg.range_us is None:
+                raise PromQLSyntaxError(
+                    "quantile_over_time() needs a range selector [d]"
+                )
+            return RangeFn("quantile_over_time", arg, param=phi)
         return self._selector()
 
     def _agg(self):
@@ -817,6 +842,21 @@ class PromQLEvaluator:
                 df.groupBy(*keys)
                 .agg(F.first("labels").alias("labels"), val.alias("value"))
                 .filter(F.col("value").isNotNull())
+            )
+        if fn == "quantile_over_time":
+            # φ·(n-1) rank linear interpolation over the RAW windowed
+            # samples (bit-identical parquet doubles on both engines —
+            # no accumulation to pin)
+            return df.groupBy(*keys).agg(
+                F.first("labels").alias("labels"),
+                F.percentile(
+                    F.col("value"), F.lit(float(param or 0.0))
+                ).alias("value"),
+            )
+        if fn == "present_over_time":
+            return df.groupBy(*keys).agg(
+                F.first("labels").alias("labels"),
+                F.max(F.lit(1.0)).alias("value"),
             )
         if fn == "last_over_time":
             w = Window.partitionBy(*keys).orderBy(
@@ -1339,7 +1379,17 @@ class PromQLEvaluator:
             if eq
             else F.map_from_arrays(F.array(), F.array())
         )
-        n = self._instant(node.sel).agg(F.count(F.lit(1)).alias("n"))
+        if node.over_time:
+            # absent_over_time: emptiness over the [d] window, not the
+            # staleness lookback
+            end = self._end(node.sel)
+            probe = self._matched(node.sel).filter(
+                (F.col("ts_us") <= end)
+                & (F.col("ts_us") > end - node.sel.range_us)
+            )
+            n = probe.agg(F.count(F.lit(1)).alias("n"))
+        else:
+            n = self._instant(node.sel).agg(F.count(F.lit(1)).alias("n"))
         return n.filter(F.col("n") == 0).select(
             labels.alias("labels"), F.lit(1.0).alias("value")
         )
@@ -1449,6 +1499,9 @@ PROMQL_LABEL_JOIN = (
 PROMQL_STDDEV = (
     "stddev by (shard) (sum by (user, shard) (increase(click[720h])))"
 )
+PROMQL_QOT = "quantile_over_time(0.9, click[720h])"
+PROMQL_PRESENT = "present_over_time(purchase[240h])"
+PROMQL_ABSENT_OT = 'absent_over_time(nosuch{job="api"}[720h])'
 PROMQL_AND = (
     "sum by (user) (increase(click[720h])) and "
     "(sum by (user) (increase(purchase[720h])) > 30)"
@@ -1598,6 +1651,21 @@ def promql_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return promql_eval(spark, sf_dir, PROMQL_LABEL_JOIN)
 
 
+def promql_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series 0.9-quantile of the raw windowed samples."""
+    return promql_eval(spark, sf_dir, PROMQL_QOT)
+
+
+def promql_present_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 per series with ≥1 sample in the window."""
+    return promql_eval(spark, sf_dir, PROMQL_PRESENT)
+
+
+def promql_absent_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 with the selector's equality labels iff the window is empty."""
+    return promql_eval(spark, sf_dir, PROMQL_ABSENT_OT)
+
+
 def promql_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stddev aggregation: population standard deviation across the
     per-(user, shard) increases, grouped by shard."""
@@ -1712,6 +1780,9 @@ QUERIES = {
     "promql_label_replace": promql_label_replace,
     "promql_label_join": promql_label_join,
     "promql_stddev": promql_stddev,
+    "promql_quantile_over_time": promql_quantile_over_time,
+    "promql_present_over_time": promql_present_over_time,
+    "promql_absent_over_time": promql_absent_over_time,
     "promql_and": promql_and,
     "promql_unless": promql_unless,
     "promql_or": promql_or,
@@ -1990,6 +2061,30 @@ ORACLES = {
         "SELECT 'shard=' || l_shard AS labels, "
         + dround("stddev_pop(v6)", 4)
         + " AS value FROM s GROUP BY l_shard"
+    ),
+    "promql_quantile_over_time": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        "w AS (SELECT s.l_user, s.l_shard, s.value FROM samples_multi s, t "
+        "WHERE s.metric = 'click' AND s.ts_us <= t.t_max "
+        f"AND s.ts_us > t.t_max - {_H720_US}) "
+        "SELECT 'shard=' || l_shard || ',user=' || l_user AS labels, "
+        + dround("quantile_cont(value, 0.9)", 4)
+        + " AS value FROM w GROUP BY l_user, l_shard"
+    ),
+    "promql_present_over_time": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        "w AS (SELECT s.l_user, s.l_shard FROM samples_multi s, t "
+        "WHERE s.metric = 'purchase' AND s.ts_us <= t.t_max "
+        f"AND s.ts_us > t.t_max - {_H240_US}) "
+        "SELECT DISTINCT 'shard=' || l_shard || ',user=' || l_user "
+        "AS labels, CAST(1.0 AS DOUBLE) AS value FROM w"
+    ),
+    "promql_absent_over_time": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE} "
+        "SELECT 'job=api' AS labels, CAST(1.0 AS DOUBLE) AS value FROM t "
+        "WHERE (SELECT COUNT(*) FROM samples_multi s, t t2 "
+        "WHERE s.metric = 'nosuch' AND s.ts_us <= t2.t_max "
+        f"AND s.ts_us > t2.t_max - {_H720_US}) = 0"
     ),
     "promql_and": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

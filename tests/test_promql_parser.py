@@ -700,3 +700,25 @@ def test_stddev_stdvar_population_moments(spark):
     assert [(r["labels"], r["value"]) for r in sv] == [("g=1", 0.6667)]
     sd = ev.eval("stddev by (g) (m)").collect()
     assert [(r["labels"], r["value"]) for r in sd] == [("g=1", 0.8165)]
+
+
+def test_quantile_present_absent_over_time(spark):
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "m", {"user": "a"}, 1_000_000, 1.0),
+            (2, 11, "m", {"user": "a"}, 2_000_000, 2.0),
+            (3, 11, "m", {"user": "a"}, 3_000_000, 3.0),
+        ],
+    )
+    q = ev.eval("quantile_over_time(0.5, m[1h])").collect()
+    assert [(r["labels"], r["value"]) for r in q] == [("user=a", 2.0)]
+    p = ev.eval("present_over_time(m[1h])").collect()
+    assert [(r["labels"], r["value"]) for r in p] == [("user=a", 1.0)]
+    # present metric -> absent_over_time yields nothing
+    assert ev.eval("absent_over_time(m[1h])").count() == 0
+    # missing metric -> one row labeled with the equality matchers
+    a = ev.eval('absent_over_time(gone{job="x"}[1h])').collect()
+    assert [(r["labels"], r["value"]) for r in a] == [("job=x", 1.0)]
+    with pytest.raises(PromQLSyntaxError):
+        ev.eval("quantile_over_time(0.5, m)")
