@@ -112,6 +112,11 @@ _MATH1_FNS = {
     "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn",
 }
 _CLAMP_FNS = {"clamp", "clamp_min", "clamp_max"}
+#: calendar functions: the operand is epoch SECONDS, interpreted UTC
+_DATE_FNS = {
+    "minute", "hour", "day_of_week", "day_of_month", "days_in_month",
+    "month", "year",
+}
 #: outer functions accepted over a subquery ``expr[range:step]``
 _OVER_TIME_FNS = {
     "avg_over_time",
@@ -223,6 +228,26 @@ class BinOp:
 @dataclass
 class Scalar:
     value: float
+
+
+@dataclass
+class VectorFn:
+    """vector(s): one empty-labeled sample carrying the scalar."""
+
+    value: float
+
+
+@dataclass
+class TsFn:
+    """timestamp(v): the selected sample's timestamp in seconds."""
+
+    sel: Selector
+
+
+@dataclass
+class TimeFn:
+    """time(): the evaluation timestamp (t_max) in seconds — valid in
+    scalar positions of binary expressions."""
 
 
 @dataclass
@@ -467,8 +492,30 @@ class _Parser:
             return HistQuantile(phi, e)
         if tok in _RANGE_FNS:
             return self._range_fn()
-        if tok in _MATH1_FNS or tok == "round" or tok in _CLAMP_FNS:
+        if (
+            tok in _MATH1_FNS
+            or tok == "round"
+            or tok in _CLAMP_FNS
+            or tok in _DATE_FNS
+        ):
             return self._math_fn()
+        if tok == "vector":
+            self.next()
+            self.expect("(")
+            v = self._number()
+            self.expect(")")
+            return VectorFn(v)
+        if tok == "timestamp":
+            self.next()
+            self.expect("(")
+            sel = self._selector()
+            self.expect(")")
+            return TsFn(sel)
+        if tok == "time":
+            self.next()
+            self.expect("(")
+            self.expect(")")
+            return TimeFn()
         if tok in {"label_replace", "label_join"}:
             return self._label_fn()
         if tok == "absent":
@@ -1173,8 +1220,8 @@ class PromQLEvaluator:
     def _binop(self, node: BinOp) -> DataFrame:
         if node.op in _SET_OPS:
             return self._setop(node)
-        lsc = isinstance(node.lhs, Scalar)
-        rsc = isinstance(node.rhs, Scalar)
+        lsc = isinstance(node.lhs, (Scalar, TimeFn))
+        rsc = isinstance(node.rhs, (Scalar, TimeFn))
         if lsc and rsc:
             raise PromQLSyntaxError("scalar-scalar expressions unsupported")
 
@@ -1197,20 +1244,28 @@ class PromQLEvaluator:
             }[node.op]
 
         if rsc or lsc:  # vector ⋄ scalar
+            other = node.rhs if rsc else node.lhs
             vec = self._vector(node.lhs if rsc else node.rhs)
-            sc = F.lit((node.rhs if rsc else node.lhs).value)
+            if isinstance(other, TimeFn):
+                # time(): the broadcast t_max, in seconds
+                vec = vec.join(F.broadcast(self._tmax))
+                sc = F.col("t_max").cast("double") / F.lit(1e6)
+            else:
+                sc = F.lit(other.value)
             if node.op in _CMP_OPS:
                 # compare the 6dp-pinned value: a discrete decision on
                 # a raw accumulated double can flip across engines
                 v6 = F.round(F.col("value"), 6)
                 cond = cmp_cond(v6, sc) if rsc else cmp_cond(sc, v6)
                 if node.bool_mode:
-                    return vec.withColumn("value", cond.cast("double"))
-                return vec.filter(cond)
+                    return vec.withColumn("value", cond.cast("double")).select(
+                        "labels", "value"
+                    )
+                return vec.filter(cond).select("labels", "value")
             val = (
                 arith(F.col("value"), sc) if rsc else arith(sc, F.col("value"))
             )
-            return vec.withColumn("value", val)
+            return vec.withColumn("value", val).select("labels", "value")
 
         # vector ⋄ vector: equi-join on the canonical string of the
         # match label set — full set by default, on()'s subset, or the
@@ -1331,9 +1386,53 @@ class PromQLEvaluator:
             e = F.greatest(v, F.lit(a[0]))
         elif fn == "clamp_max":
             e = F.least(v, F.lit(a[0]))
+        elif fn in _DATE_FNS:
+            # operand = epoch seconds, calendar read in UTC (the
+            # session timezone is pinned to UTC)
+            ts = F.timestamp_seconds(v)
+            e = {
+                "minute": F.minute(ts),
+                "hour": F.hour(ts),
+                # Spark dayofweek: 1=Sunday; PromQL: 0=Sunday
+                "day_of_week": F.dayofweek(ts) - F.lit(1),
+                "day_of_month": F.dayofmonth(ts),
+                "days_in_month": F.dayofmonth(F.last_day(ts)),
+                "month": F.month(ts),
+                "year": F.year(ts),
+            }[fn].cast("double")
         else:
             raise PromQLSyntaxError(f"unsupported math function {fn!r}")
         return vec.withColumn("value", e)
+
+    def _vector_fn(self, node: VectorFn) -> DataFrame:
+        """vector(s): one empty-labeled row (derived from the 1-row
+        t_max relation — no driver-side createDataFrame)."""
+        return self._tmax.select(
+            F.map_from_arrays(F.array(), F.array()).alias("labels"),
+            F.lit(float(node.value)).alias("value"),
+        )
+
+    def _timestamp(self, node: TsFn) -> DataFrame:
+        """timestamp(v): per series, the selected (= most recent in
+        the staleness window) sample's ts in seconds."""
+        sel = node.sel
+        if sel.range_us is not None:
+            raise PromQLSyntaxError("timestamp() needs an instant vector")
+        end = self._end(sel)
+        df = self._matched(sel).filter(
+            (F.col("ts_us") <= end) & (F.col("ts_us") > end - LOOKBACK_US)
+        )
+        w = Window.partitionBy("series_id").orderBy(
+            F.desc("ts_us"), F.desc("event_id")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "labels",
+                (F.col("ts_us").cast("double") / F.lit(1e6)).alias("value"),
+            )
+        )
 
     def _label(self, node: LabelFn) -> DataFrame:
         """label_replace / label_join: pure label-map rewrites. An
@@ -1415,6 +1514,15 @@ class PromQLEvaluator:
             return self._math(node)
         if isinstance(node, LabelFn):
             return self._label(node)
+        if isinstance(node, VectorFn):
+            return self._vector_fn(node)
+        if isinstance(node, TsFn):
+            return self._timestamp(node)
+        if isinstance(node, TimeFn):
+            raise PromQLSyntaxError(
+                "time() is only valid in scalar positions; use "
+                "vector(<ts>) for a vector literal"
+            )
         if isinstance(node, HistQuantile):
             return self._hist_quantile(node)
         if isinstance(node, BinOp):
@@ -1500,6 +1608,9 @@ PROMQL_STDDEV = (
     "stddev by (shard) (sum by (user, shard) (increase(click[720h])))"
 )
 PROMQL_QOT = "quantile_over_time(0.9, click[720h])"
+PROMQL_TS_AGE = "time() - timestamp(click)"
+PROMQL_MONTH = "month(vector(1705276800))"
+PROMQL_HOUR = "hour(timestamp(purchase))"
 PROMQL_PRESENT = "present_over_time(purchase[240h])"
 PROMQL_ABSENT_OT = 'absent_over_time(nosuch{job="api"}[720h])'
 PROMQL_AND = (
@@ -1651,6 +1762,23 @@ def promql_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return promql_eval(spark, sf_dir, PROMQL_LABEL_JOIN)
 
 
+def promql_ts_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time() - timestamp(v): per-series staleness age in seconds —
+    the canonical freshness-alert idiom."""
+    return promql_eval(spark, sf_dir, PROMQL_TS_AGE)
+
+
+def promql_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """month(vector(ts)): calendar read of an epoch-seconds vector
+    literal (UTC)."""
+    return promql_eval(spark, sf_dir, PROMQL_MONTH)
+
+
+def promql_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hour(timestamp(v)): UTC hour of each series' last sample."""
+    return promql_eval(spark, sf_dir, PROMQL_HOUR)
+
+
 def promql_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series 0.9-quantile of the raw windowed samples."""
     return promql_eval(spark, sf_dir, PROMQL_QOT)
@@ -1780,6 +1908,9 @@ QUERIES = {
     "promql_label_replace": promql_label_replace,
     "promql_label_join": promql_label_join,
     "promql_stddev": promql_stddev,
+    "promql_ts_age": promql_ts_age,
+    "promql_month": promql_month,
+    "promql_hour": promql_hour,
     "promql_quantile_over_time": promql_quantile_over_time,
     "promql_present_over_time": promql_present_over_time,
     "promql_absent_over_time": promql_absent_over_time,
@@ -2061,6 +2192,35 @@ ORACLES = {
         "SELECT 'shard=' || l_shard AS labels, "
         + dround("stddev_pop(v6)", 4)
         + " AS value FROM s GROUP BY l_shard"
+    ),
+    "promql_ts_age": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        "w AS (SELECT s.l_user, s.l_shard, s.ts_us, t.t_max, "
+        "ROW_NUMBER() OVER (PARTITION BY s.l_user, s.l_shard "
+        "ORDER BY s.ts_us DESC, s.event_id DESC) AS rn "
+        "FROM samples_multi s, t WHERE s.metric = 'click' "
+        "AND s.ts_us <= t.t_max AND s.ts_us > t.t_max - 300000000) "
+        "SELECT 'shard=' || l_shard || ',user=' || l_user AS labels, "
+        + dround("t_max / 1e6 - ts_us / 1e6", 4)
+        + " AS value FROM w WHERE rn = 1"
+    ),
+    "promql_month": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE} "
+        "SELECT '' AS labels, CAST(EXTRACT(month FROM make_timestamp("
+        "CAST(ROUND(1705276800.0, 6) * 1e6 AS BIGINT))) AS DOUBLE) "
+        "AS value FROM t"
+    ),
+    "promql_hour": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        "w AS (SELECT s.l_user, s.l_shard, s.ts_us, "
+        "ROW_NUMBER() OVER (PARTITION BY s.l_user, s.l_shard "
+        "ORDER BY s.ts_us DESC, s.event_id DESC) AS rn "
+        "FROM samples_multi s, t WHERE s.metric = 'purchase' "
+        "AND s.ts_us <= t.t_max AND s.ts_us > t.t_max - 300000000) "
+        "SELECT 'shard=' || l_shard || ',user=' || l_user AS labels, "
+        "CAST(EXTRACT(hour FROM make_timestamp(CAST("
+        "ROUND(ts_us / 1e6, 6) * 1e6 AS BIGINT))) AS DOUBLE) AS value "
+        "FROM w WHERE rn = 1"
     ),
     "promql_quantile_over_time": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

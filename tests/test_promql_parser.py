@@ -722,3 +722,32 @@ def test_quantile_present_absent_over_time(spark):
     assert [(r["labels"], r["value"]) for r in a] == [("job=x", 1.0)]
     with pytest.raises(PromQLSyntaxError):
         ev.eval("quantile_over_time(0.5, m)")
+
+
+def test_time_timestamp_vector_date_fns(spark):
+    # 1705276800 = 2024-01-15T00:00:00Z, a Monday
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "m", {"user": "a"}, 1_705_276_800_000_000, 5.0),
+            (2, 11, "m", {"user": "a"}, 1_705_280_400_000_000, 6.0),
+        ],
+    )
+
+    def one(expr):
+        rows = ev.eval(expr).collect()
+        assert len(rows) == 1
+        return rows[0]["labels"], rows[0]["value"]
+
+    # timestamp() picks the LAST sample's ts (t_max here)
+    assert one("timestamp(m)") == ("user=a", 1_705_280_400.0)
+    assert one("time() - timestamp(m)") == ("user=a", 0.0)
+    assert one("timestamp(m) - 3600") == ("user=a", 1_705_276_800.0)
+    assert one("vector(42)") == ("", 42.0)
+    assert one("month(vector(1705276800))") == ("", 1.0)
+    assert one("day_of_week(vector(1705276800))") == ("", 1.0)  # Monday
+    assert one("days_in_month(vector(1705276800))") == ("", 31.0)
+    assert one("year(vector(1705276800))") == ("", 2024.0)
+    assert one("hour(timestamp(m))") == ("user=a", 1.0)
+    with pytest.raises(PromQLSyntaxError):
+        ev.eval("time()")
