@@ -98,6 +98,7 @@ _RANGE_FNS = {
     "changes",
     "deriv",
     "predict_linear",
+    "holt_winters",
     "avg_over_time",
     "min_over_time",
     "max_over_time",
@@ -164,8 +165,11 @@ class Subquery:
 class RangeFn:
     fn: str
     sel: object  # Selector (with range) or Subquery
-    #: scalar second argument (predict_linear's horizon, seconds)
+    #: scalar second argument (predict_linear's horizon seconds;
+    #: holt_winters' smoothing factor sf)
     param: float | None = None
+    #: scalar third argument (holt_winters' trend factor tf)
+    param2: float | None = None
 
 
 @dataclass
@@ -645,9 +649,15 @@ class _Parser:
         self.expect("(")
         arg = self.or_expr()
         param = None
+        param2 = None
         if fn == "predict_linear":
             self.expect(",")
             param = self._number()
+        elif fn == "holt_winters":
+            self.expect(",")
+            param = self._number()
+            self.expect(",")
+            param2 = self._number()
         self.expect(")")
         if isinstance(arg, Subquery):
             if fn not in _OVER_TIME_FNS:
@@ -668,7 +678,7 @@ class _Parser:
             return RangeFn(fn, arg)
         if not isinstance(arg, Selector) or arg.range_us is None:
             raise PromQLSyntaxError(f"{fn}() needs a range selector [d]")
-        return RangeFn(fn, arg, param=param)
+        return RangeFn(fn, arg, param=param, param2=param2)
 
     def _selector(self) -> Selector:
         metric = self.next()
@@ -844,7 +854,8 @@ class PromQLEvaluator:
             # well-conditioned (ts_us magnitudes are ~1.7e15)
             df = df.withColumn("_xref", end)
         return self._range_fold(
-            df, ["series_id"], fn, sel.range_us, param=node.param
+            df, ["series_id"], fn, sel.range_us, param=node.param,
+            param2=node.param2
         ).select("labels", "value")
 
     def _range_fold(
@@ -854,6 +865,7 @@ class PromQLEvaluator:
         fn: str,
         range_us: int,
         param: float | None = None,
+        param2: float | None = None,
     ) -> DataFrame:
         """Fold a windowed sample frame to one value per key tuple.
         `keys` is ["series_id"] for plain range functions and
@@ -889,6 +901,41 @@ class PromQLEvaluator:
                 df.groupBy(*keys)
                 .agg(F.first("labels").alias("labels"), val.alias("value"))
                 .filter(F.col("value").isNotNull())
+            )
+        if fn == "holt_winters":
+            # Double exponential smoothing, the public Prometheus
+            # recursion: s₁=x₁, b₁=x₂−x₁; sᵢ=sf·xᵢ+(1−sf)(sᵢ₋₁+bᵢ₋₁),
+            # bᵢ=tf(sᵢ−sᵢ₋₁)+(1−tf)bᵢ₋₁; result sₙ. The per-series
+            # fold runs JVM-side via `aggregate` over the time-sorted
+            # value array — sequential only WITHIN a series (exactly
+            # the data dependency), series themselves stay parallel.
+            # Series with <2 points drop out, per PromQL.
+            sf_, tf_ = float(param or 0.0), float(param2 or 0.0)
+            news = (
+                f"({sf_} * e.value + (1.0 - {sf_}) * (acc.s + acc.b))"
+            )
+            fold = (
+                "aggregate(slice(vals, 2, size(vals) - 1), "
+                "named_struct("
+                "'s', element_at(vals, 1).value, "
+                "'b', element_at(vals, 2).value"
+                " - element_at(vals, 1).value), "
+                f"(acc, e) -> named_struct('s', {news}, "
+                f"'b', {tf_} * ({news} - acc.s) + (1.0 - {tf_}) * acc.b), "
+                "acc -> acc.s)"
+            )
+            return (
+                df.groupBy(*keys)
+                .agg(
+                    F.first("labels").alias("labels"),
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts_us", "event_id", "value")
+                        )
+                    ).alias("vals"),
+                )
+                .filter(F.size("vals") >= 2)
+                .select(*keys, "labels", F.expr(fold).alias("value"))
             )
         if fn == "quantile_over_time":
             # φ·(n-1) rank linear interpolation over the RAW windowed
@@ -1608,6 +1655,9 @@ PROMQL_STDDEV = (
     "stddev by (shard) (sum by (user, shard) (increase(click[720h])))"
 )
 PROMQL_QOT = "quantile_over_time(0.9, click[720h])"
+#: sf = tf = 0.5: every fold constant (0.5 and 1−0.5) is binary-exact,
+#: so both engines run bit-identical recursions
+PROMQL_HW = "holt_winters(view[240h], 0.5, 0.5)"
 PROMQL_TS_AGE = "time() - timestamp(click)"
 PROMQL_MONTH = "month(vector(1705276800))"
 PROMQL_HOUR = "hour(timestamp(purchase))"
@@ -1762,6 +1812,11 @@ def promql_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return promql_eval(spark, sf_dir, PROMQL_LABEL_JOIN)
 
 
+def promql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double exponential smoothing per series (level result)."""
+    return promql_eval(spark, sf_dir, PROMQL_HW)
+
+
 def promql_ts_age(spark: SparkSession, sf_dir: str) -> DataFrame:
     """time() - timestamp(v): per-series staleness age in seconds —
     the canonical freshness-alert idiom."""
@@ -1908,6 +1963,7 @@ QUERIES = {
     "promql_label_replace": promql_label_replace,
     "promql_label_join": promql_label_join,
     "promql_stddev": promql_stddev,
+    "promql_holt_winters": promql_holt_winters,
     "promql_ts_age": promql_ts_age,
     "promql_month": promql_month,
     "promql_hour": promql_hour,
@@ -2192,6 +2248,40 @@ ORACLES = {
         "SELECT 'shard=' || l_shard AS labels, "
         + dround("stddev_pop(v6)", 4)
         + " AS value FROM s GROUP BY l_shard"
+    ),
+    # NOTE deliberately NOT a DuckDB list_reduce lambda: 1.0.0
+    # evaluates struct-accumulator lambda fields inconsistently across
+    # fold iterations (verified with a minimal repro — {6,7} where a
+    # left fold gives {6,4}). A recursive CTE runs the identical
+    # recursion in plain SQL, one step per rn.
+    "promql_holt_winters": (
+        SAMPLES_MULTI_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f", {_T_CTE}, "
+        "w AS (SELECT s.l_user, s.l_shard, s.ts_us, s.event_id, "
+        "CAST(s.value AS DOUBLE) AS x FROM samples_multi s, t "
+        "WHERE s.metric = 'view' AND s.ts_us <= t.t_max "
+        f"AND s.ts_us > t.t_max - {_H240_US}), "
+        "p AS (SELECT l_user, l_shard, x, "
+        "ROW_NUMBER() OVER (PARTITION BY l_user, l_shard "
+        "ORDER BY ts_us, event_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY l_user, l_shard) AS n FROM w), "
+        "hw AS ("
+        "SELECT a.l_user, a.l_shard, 1 AS i, a.n, a.x AS s, "
+        "b2.x - a.x AS b "
+        "FROM p a JOIN p b2 ON b2.l_user = a.l_user "
+        "AND b2.l_shard = a.l_shard AND b2.rn = 2 "
+        "WHERE a.rn = 1 AND a.n >= 2 "
+        "UNION ALL "
+        "SELECT hw.l_user, hw.l_shard, hw.i + 1, hw.n, "
+        "(0.5 * p.x + (1.0 - 0.5) * (hw.s + hw.b)) AS s, "
+        "0.5 * ((0.5 * p.x + (1.0 - 0.5) * (hw.s + hw.b)) - hw.s) "
+        "+ (1.0 - 0.5) * hw.b AS b "
+        "FROM hw JOIN p ON p.l_user = hw.l_user "
+        "AND p.l_shard = hw.l_shard AND p.rn = hw.i + 1 "
+        "WHERE hw.i < hw.n) "
+        "SELECT 'shard=' || l_shard || ',user=' || l_user AS labels, "
+        + dround("s", 4)
+        + " AS value FROM hw WHERE i = n"
     ),
     "promql_ts_age": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

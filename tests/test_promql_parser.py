@@ -751,3 +751,23 @@ def test_time_timestamp_vector_date_fns(spark):
     assert one("hour(timestamp(m))") == ("user=a", 1.0)
     with pytest.raises(PromQLSyntaxError):
         ev.eval("time()")
+
+
+def test_holt_winters_recursion(spark):
+    """x=[5.3, 35.29, 6.86, 7.91], sf=tf=0.5 — hand-computed
+    Prometheus recursion: s=35.29,b=29.99 -> s=36.07,b=15.385 ->
+    s=29.6825."""
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "m", {"user": "a"}, 1_000_000, 5.3),
+            (2, 11, "m", {"user": "a"}, 2_000_000, 35.29),
+            (3, 11, "m", {"user": "a"}, 3_000_000, 6.86),
+            (4, 11, "m", {"user": "a"}, 4_000_000, 7.91),
+            (5, 22, "m", {"user": "solo"}, 1_000_000, 1.0),  # <2 pts
+        ],
+    )
+    got = ev.eval("holt_winters(m[1h], 0.5, 0.5)").collect()
+    assert {(r["labels"], r["value"]) for r in got} == {
+        ("user=a", 29.6825)
+    }
