@@ -94,6 +94,7 @@ _RANGE_FNS = {
     "irate",
     "increase",
     "delta",
+    "idelta",
     "resets",
     "changes",
     "deriv",
@@ -111,6 +112,9 @@ _RANGE_FNS = {
 #: outputs like ceil/floor/round must not flip on accumulation noise)
 _MATH1_FNS = {
     "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn",
+    "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+    "deg", "rad",
 }
 _CLAMP_FNS = {"clamp", "clamp_min", "clamp_max"}
 #: calendar functions: the operand is epoch SECONDS, interpreted UTC
@@ -252,6 +256,14 @@ class TsFn:
 class TimeFn:
     """time(): the evaluation timestamp (t_max) in seconds — valid in
     scalar positions of binary expressions."""
+
+
+@dataclass
+class ScalarFn:
+    """scalar(v): the single series' value if the vector has exactly
+    one element, else NaN — valid in scalar positions."""
+
+    expr: object
 
 
 @dataclass
@@ -520,6 +532,12 @@ class _Parser:
             self.expect("(")
             self.expect(")")
             return TimeFn()
+        if tok == "scalar":
+            self.next()
+            self.expect("(")
+            e = self.or_expr()
+            self.expect(")")
+            return ScalarFn(e)
         if tok in {"label_replace", "label_join"}:
             return self._label_fn()
         if tok == "absent":
@@ -992,6 +1010,17 @@ class PromQLEvaluator:
                 d.filter((F.col("rn_d") == 1) & F.col("prev").isNotNull())
                 .select(*keys, "labels", clamped.alias("value"))
             )
+        if fn == "idelta":
+            # raw last-pair difference (gauge semantics — no counter
+            # reset clamp)
+            return (
+                d.filter((F.col("rn_d") == 1) & F.col("prev").isNotNull())
+                .select(
+                    *keys,
+                    "labels",
+                    (F.col("value") - F.col("prev")).alias("value"),
+                )
+            )
         if fn == "delta":
             first_w = Window.partitionBy(*keys).orderBy("ts_us", "event_id")
             return (
@@ -1267,8 +1296,8 @@ class PromQLEvaluator:
     def _binop(self, node: BinOp) -> DataFrame:
         if node.op in _SET_OPS:
             return self._setop(node)
-        lsc = isinstance(node.lhs, (Scalar, TimeFn))
-        rsc = isinstance(node.rhs, (Scalar, TimeFn))
+        lsc = isinstance(node.lhs, (Scalar, TimeFn, ScalarFn))
+        rsc = isinstance(node.rhs, (Scalar, TimeFn, ScalarFn))
         if lsc and rsc:
             raise PromQLSyntaxError("scalar-scalar expressions unsupported")
 
@@ -1297,6 +1326,17 @@ class PromQLEvaluator:
                 # time(): the broadcast t_max, in seconds
                 vec = vec.join(F.broadcast(self._tmax))
                 sc = F.col("t_max").cast("double") / F.lit(1e6)
+            elif isinstance(other, ScalarFn):
+                # scalar(v): 1-row aggregate of the inner vector,
+                # broadcast onto every row; NaN unless exactly 1 series
+                one = self._vector(other.expr).agg(
+                    F.count(F.lit(1)).alias("_sc_n"),
+                    F.max("value").alias("_sc_v"),
+                )
+                vec = vec.join(F.broadcast(one))
+                sc = F.when(
+                    F.col("_sc_n") == 1, F.col("_sc_v")
+                ).otherwise(F.lit(float("nan")))
             else:
                 sc = F.lit(other.value)
             if node.op in _CMP_OPS:
@@ -1423,6 +1463,15 @@ class PromQLEvaluator:
             e = F.sqrt(v)
         elif fn == "sgn":
             e = F.signum(v)
+        elif fn in {
+            "sin", "cos", "tan", "asin", "acos", "atan",
+            "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+        }:
+            e = getattr(F, fn)(v)
+        elif fn == "deg":
+            e = F.degrees(v)
+        elif fn == "rad":
+            e = F.radians(v)
         elif fn == "round":
             # PromQL: nearest multiple of `to` (default 1), ties UP
             to = a[0] if a else 1.0
@@ -1565,10 +1614,10 @@ class PromQLEvaluator:
             return self._vector_fn(node)
         if isinstance(node, TsFn):
             return self._timestamp(node)
-        if isinstance(node, TimeFn):
+        if isinstance(node, (TimeFn, ScalarFn)):
             raise PromQLSyntaxError(
-                "time() is only valid in scalar positions; use "
-                "vector(<ts>) for a vector literal"
+                "time()/scalar() are only valid in scalar positions; "
+                "use vector(<x>) for a vector literal"
             )
         if isinstance(node, HistQuantile):
             return self._hist_quantile(node)
@@ -1658,6 +1707,12 @@ PROMQL_QOT = "quantile_over_time(0.9, click[720h])"
 #: sf = tf = 0.5: every fold constant (0.5 and 1−0.5) is binary-exact,
 #: so both engines run bit-identical recursions
 PROMQL_HW = "holt_winters(view[240h], 0.5, 0.5)"
+PROMQL_IDELTA = "idelta(view[720h])"
+PROMQL_SCALAR_SHARE = (
+    "sum by (user) (increase(click[720h])) / "
+    "scalar(sum(increase(click[720h]))) * 1000"
+)
+PROMQL_DEG = "deg(vector(3.141592653589793))"
 PROMQL_TS_AGE = "time() - timestamp(click)"
 PROMQL_MONTH = "month(vector(1705276800))"
 PROMQL_HOUR = "hour(timestamp(purchase))"
@@ -1817,6 +1872,22 @@ def promql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return promql_eval(spark, sf_dir, PROMQL_HW)
 
 
+def promql_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """idelta: raw difference of each series' last two samples."""
+    return promql_eval(spark, sf_dir, PROMQL_IDELTA)
+
+
+def promql_scalar_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scalar(v): the global total broadcast as a scalar divisor —
+    per-user permille share of all click increase."""
+    return promql_eval(spark, sf_dir, PROMQL_SCALAR_SHARE)
+
+
+def promql_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deg(): radians→degrees over a vector literal."""
+    return promql_eval(spark, sf_dir, PROMQL_DEG)
+
+
 def promql_ts_age(spark: SparkSession, sf_dir: str) -> DataFrame:
     """time() - timestamp(v): per-series staleness age in seconds —
     the canonical freshness-alert idiom."""
@@ -1964,6 +2035,9 @@ QUERIES = {
     "promql_label_join": promql_label_join,
     "promql_stddev": promql_stddev,
     "promql_holt_winters": promql_holt_winters,
+    "promql_idelta": promql_idelta,
+    "promql_scalar_share": promql_scalar_share,
+    "promql_deg": promql_deg,
     "promql_ts_age": promql_ts_age,
     "promql_month": promql_month,
     "promql_hour": promql_hour,
@@ -2248,6 +2322,36 @@ ORACLES = {
         "SELECT 'shard=' || l_shard AS labels, "
         + dround("stddev_pop(v6)", 4)
         + " AS value FROM s GROUP BY l_shard"
+    ),
+    "promql_idelta": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        "rw AS (SELECT s.* FROM samples_multi s, t "
+        "WHERE s.metric = 'view' AND s.ts_us <= t.t_max "
+        f"AND s.ts_us > t.t_max - {_H720_US}), "
+        "rd AS (SELECT l_user, l_shard, value, "
+        "LAG(value) OVER (PARTITION BY l_user, l_shard "
+        "ORDER BY ts_us, event_id) AS prev, "
+        "ROW_NUMBER() OVER (PARTITION BY l_user, l_shard "
+        "ORDER BY ts_us DESC, event_id DESC) AS rn FROM rw) "
+        "SELECT 'shard=' || l_shard || ',user=' || l_user AS labels, "
+        + dround("value - prev", 4)
+        + " AS value FROM rd WHERE rn = 1 AND prev IS NOT NULL"
+    ),
+    "promql_scalar_share": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "inc")
+        + ", cu AS (SELECT l_user, SUM(inc) AS v FROM inc "
+        "GROUP BY l_user), "
+        "tot AS (SELECT SUM(v) AS tv FROM cu) "
+        "SELECT 'user=' || cu.l_user AS labels, "
+        + dround("cu.v / tot.tv * 1000", 4)
+        + " AS value FROM cu, tot"
+    ),
+    "promql_deg": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE} "
+        "SELECT '' AS labels, "
+        + dround("degrees(ROUND(3.141592653589793, 6))", 4)
+        + " AS value FROM t"
     ),
     # NOTE deliberately NOT a DuckDB list_reduce lambda: 1.0.0
     # evaluates struct-accumulator lambda fields inconsistently across

@@ -771,3 +771,32 @@ def test_holt_winters_recursion(spark):
     assert {(r["labels"], r["value"]) for r in got} == {
         ("user=a", 29.6825)
     }
+
+
+def test_idelta_scalar_trig(spark):
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "m", {"user": "a"}, 1_000_000, 10.0),
+            (2, 11, "m", {"user": "a"}, 2_000_000, 4.0),
+            (3, 22, "m", {"user": "b"}, 2_000_000, 6.0),
+        ],
+    )
+    # idelta: raw (negative allowed) last-pair diff; 1-pt series drops
+    got = {
+        (r["labels"], r["value"])
+        for r in ev.eval("idelta(m[1h])").collect()
+    }
+    assert got == {("user=a", -6.0)}
+    # scalar over a 1-series vector
+    s = {
+        (r["labels"], r["value"])
+        for r in ev.eval("m / scalar(sum(m))").collect()
+    }
+    assert s == {("user=a", 0.4), ("user=b", 0.6)}
+    # scalar over a >1-series vector -> NaN -> comparisons drop all
+    assert ev.eval("m > scalar(m)").count() == 0
+    # trig family
+    one = ev.eval("cos(vector(0))").collect()
+    assert [(r["labels"], r["value"]) for r in one] == [("", 1.0)]
+    assert ev.eval("deg(rad(vector(90)))").collect()[0]["value"] == 90.0
