@@ -215,6 +215,99 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q4_QTY = 45.0
+Q12_FROM, Q12_TO = "1996-01-01", "1997-01-01"
+Q14_FROM, Q14_TO = "1996-01-01", "1997-01-01"
+#: (brand, qty_lo, qty_hi) disjuncts for the q19 shape
+Q19_BANDS = [
+    ("Brand#11", 1.0, 11.0),
+    ("Brand#12", 10.0, 20.0),
+    ("Brand#13", 20.0, 30.0),
+]
+
+
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q4 SHAPE — EXISTS → left-semi join → priority counts. (The
+    driver schema has no commit/receipt dates, so the EXISTS predicate
+    is a quantity threshold; the plan shape — dedup-free semi join,
+    then a tiny hash aggregate — is what q4 exercises.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    big = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= Q4_QTY
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q12 SHAPE — fact-fact join + dual conditional counts per group
+    (no l_shipmode in the driver schema; the urgent/non-urgent split
+    keys on o_orderpriority instead)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q12_FROM).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(Q12_TO).cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q14 — promo revenue share: broadcast part dim, one global
+    conditional aggregate."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q14_FROM).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(Q14_TO).cast("timestamp_ntz"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo) / F.sum(disc), 4
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q19 — disjunctive brand/quantity-band predicates across the
+    part join; one revenue row. The OR of ANDs stays a single join
+    predicate (no union of scans)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = None
+    for brand, lo, hi in Q19_BANDS:
+        c = (
+            (F.col("p_brand") == brand)
+            & (F.col("l_quantity") >= lo)
+            & (F.col("l_quantity") <= hi)
+        )
+        cond = c if cond is None else (cond | c)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(disc), 2).alias("revenue"))
+    )
+
+
 QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
@@ -222,9 +315,53 @@ QUERIES = {
     "tpch_q6": tpch_q6,
     "tpch_q10": tpch_q10,
     "tpch_q18": tpch_q18,
+    "tpch_q4": tpch_q4,
+    "tpch_q12": tpch_q12,
+    "tpch_q14": tpch_q14,
+    "tpch_q19": tpch_q19,
 }
 
+_Q19_SQL_COND = " OR ".join(
+    f"(p_brand = '{b}' AND l_quantity >= {lo} AND l_quantity <= {hi})"
+    for b, lo, hi in Q19_BANDS
+)
+
 ORACLES = {
+    "tpch_q4": (
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count "
+        "FROM orders WHERE EXISTS (SELECT 1 FROM lineitem "
+        f"WHERE l_orderkey = o_orderkey AND l_quantity >= {Q4_QTY}) "
+        "GROUP BY o_orderpriority"
+    ),
+    "tpch_q12": (
+        "SELECT l_returnflag, "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        f"WHERE l_shipdate >= TIMESTAMP '{Q12_FROM} 00:00:00' "
+        f"AND l_shipdate < TIMESTAMP '{Q12_TO} 00:00:00' "
+        "GROUP BY l_returnflag"
+    ),
+    "tpch_q14": (
+        "SELECT "
+        + dround(
+            "100.0 * SUM(CASE WHEN p_type = 'PROMO' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) "
+            "/ SUM(l_extendedprice * (1 - l_discount))",
+            4,
+        )
+        + " AS promo_revenue_pct "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        f"WHERE l_shipdate >= TIMESTAMP '{Q14_FROM} 00:00:00' "
+        f"AND l_shipdate < TIMESTAMP '{Q14_TO} 00:00:00'"
+    ),
+    "tpch_q19": (
+        "SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) "
+        "AS revenue FROM lineitem JOIN part ON l_partkey = p_partkey "
+        f"WHERE {_Q19_SQL_COND}"
+    ),
     "tpch_q6": (
         "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue, "
         "CAST(COUNT(*) AS BIGINT) AS n_items FROM lineitem "
