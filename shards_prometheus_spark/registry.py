@@ -31,6 +31,7 @@ from shards_prometheus_spark.operators import (
     rollup,
     selectors,
     similarity,
+    sketches,
     snapshot,
     text,
     tpch,
@@ -58,6 +59,7 @@ _MODULES = [
     similarity,
     text,
     multimodal,
+    sketches,
     tpch,
 ]
 

@@ -1,0 +1,66 @@
+"""Deterministic-sketch semantics: DDSketch relative-accuracy bound
+and count-min's overestimate-only guarantee, against exact twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shards_prometheus_spark.model import samples
+from shards_prometheus_spark.operators.sketches import (
+    CM_TOP,
+    DD_GAMMA,
+    countmin_heavy_hitters,
+    ddsketch_quantile,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_ddsketch_relative_accuracy(spark):
+    est = {
+        (r["metric"], r["phi"]): r["est"]
+        for r in ddsketch_quantile(spark, SF_SMOKE).collect()
+    }
+    # exact twin uses the sketch's own rank definition (the k-th order
+    # statistic, k = floor(phi*(n-1)) + 1) — interpolated percentiles
+    # can land far from ANY sample across heavy-tail gaps, which is a
+    # property of interpolation, not sketch error
+    from pyspark.sql import Window
+
+    s = samples(spark, SF_SMOKE)
+    w = Window.partitionBy("metric").orderBy("value")
+    ranked = s.select(
+        "metric",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("metric")).alias("n"),
+    )
+    exact = {}
+    for phi in (0.5, 0.95, 0.99):
+        k = F.floor(F.lit(phi) * (F.col("n") - 1)) + 1
+        for r in ranked.filter(F.col("rk") == k).collect():
+            exact[(r["metric"], phi)] = r["value"]
+    assert set(est) == set(exact)
+    for key, e in est.items():
+        x = exact[key]
+        if x > 1e-9:
+            # γ-bucket midpoint: relative error ≤ (γ-1)/(γ+1) by the
+            # DDSketch guarantee; 2(γ-1) leaves slack for the 9dp pin
+            assert abs(e - x) / x < 2 * (DD_GAMMA - 1), (key, e, x)
+
+
+def test_countmin_overestimates_and_ranks(spark):
+    hh = countmin_heavy_hitters(spark, SF_SMOKE).collect()
+    assert len(hh) == CM_TOP
+    s = samples(spark, SF_SMOKE)
+    exact = {
+        int(r["label_user"]): r["n"]
+        for r in s.groupBy("label_user")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in hh:
+        # count-min never underestimates
+        assert r["est"] >= exact[r["uid"]], (r, exact[r["uid"]])
+    # the estimated top-1 is the true top-1 (1024 cells, light load)
+    true_top = max(exact.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+    assert hh[0]["uid"] == true_top
