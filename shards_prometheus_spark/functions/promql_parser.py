@@ -1633,6 +1633,88 @@ class PromQLEvaluator:
             F.round("value", 4).alias("value"),
         )
 
+    # -- range (grid) evaluation — the query_range API shape ------------
+    def eval_range(
+        self, expr: str, span_us: int, step_us: int
+    ) -> DataFrame:
+        """Evaluate on a step-aligned grid over (t_max-span, t_max] —
+        the Prometheus ``query_range`` shape: one vector per grid
+        instant, returned tall as (ts_us, labels, value).
+
+        Supported forms (the dashboard core): an instant selector, a
+        range function over a selector, or a by()-aggregation over
+        either. One scan joins the broadcast grid; every downstream
+        fold/agg keys on (series-or-labels, _ets), so the whole grid
+        evaluates in ONE pass — grid points are never looped.
+        """
+        node = parse(expr)
+        agg: Agg | None = None
+        if isinstance(node, Agg):
+            if node.op not in {"sum", "avg", "min", "max", "count"} or (
+                node.k is not None or node.mode != "by"
+            ):
+                raise PromQLSyntaxError(
+                    "eval_range aggregation supports sum/avg/min/max/"
+                    "count by (…)"
+                )
+            agg, node = node, node.expr
+        if isinstance(node, Selector) and node.range_us is None:
+            inner, ifn, irange = node, "last_over_time", LOOKBACK_US
+        elif isinstance(node, RangeFn) and isinstance(node.sel, Selector):
+            inner, ifn, irange = node.sel, node.fn, node.sel.range_us
+        else:
+            raise PromQLSyntaxError(
+                "eval_range supports an instant selector, a range "
+                "function over a selector, or a by()-agg over either"
+            )
+        grid = self._grid(Subquery(inner, span_us, step_us))
+        win_end = F.col("_ets") - F.lit(inner.offset_us)
+        df = self._matched(inner).join(
+            F.broadcast(grid),
+            (F.col("ts_us") <= win_end)
+            & (F.col("ts_us") > win_end - F.lit(irange)),
+        )
+        if ifn in {"deriv", "predict_linear"}:
+            df = df.withColumn("_xref", F.col("_ets"))
+        pts = self._range_fold(
+            df, ["series_id", "_ets"], ifn, irange,
+            param=getattr(node, "param", None),
+            param2=getattr(node, "param2", None),
+        ).select("_ets", "labels", "value")
+        if agg is None:
+            out = pts
+        else:
+            new_labels = (
+                F.map_from_arrays(
+                    F.array(*[F.lit(b) for b in agg.by]),
+                    F.array(
+                        *[F.element_at("labels", F.lit(b)) for b in agg.by]
+                    ),
+                )
+                if agg.by
+                else F.map_from_arrays(F.array(), F.array())
+            )
+            fold = {
+                "sum": F.sum("value"),
+                "avg": F.avg("value"),
+                "min": F.min("value"),
+                "max": F.max("value"),
+                "count": F.count(F.lit(1)).cast("double"),
+            }[agg.op]
+            out = (
+                pts.withColumn("labels", new_labels)
+                .groupBy(
+                    "_ets", _label_str(F.col("labels")).alias("_k")
+                )
+                .agg(F.first("labels").alias("labels"), fold.alias("value"))
+                .drop("_k")
+            )
+        return out.select(
+            F.col("_ets").alias("ts_us"),
+            _label_str(F.col("labels")).alias("labels"),
+            F.round("value", 4).alias("value"),
+        )
+
 
 def promql_eval(spark: SparkSession, sf_dir: str, expr: str) -> DataFrame:
     """One-shot: evaluate a PromQL expression over a dataset."""
@@ -1713,6 +1795,9 @@ PROMQL_SCALAR_SHARE = (
     "scalar(sum(increase(click[720h]))) * 1000"
 )
 PROMQL_DEG = "deg(vector(3.141592653589793))"
+#: query_range demos: 240h span on a 24h grid
+PROMQL_RANGE_EXPR = "sum by (user) (rate(click[24h]))"
+PROMQL_RANGE_INSTANT_EXPR = "view"
 PROMQL_TS_AGE = "time() - timestamp(click)"
 PROMQL_MONTH = "month(vector(1705276800))"
 PROMQL_HOUR = "hour(timestamp(purchase))"
@@ -1888,6 +1973,25 @@ def promql_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return promql_eval(spark, sf_dir, PROMQL_DEG)
 
 
+def promql_range_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_range shape: sum by (user) (rate(click[24h])) on a
+    24h-step grid over the trailing 240h — one scan, grid joined
+    broadcast, all points folded in a single pass."""
+    return PromQLEvaluator.from_dir(spark, sf_dir).eval_range(
+        PROMQL_RANGE_EXPR, 240 * 3_600_000_000, 24 * 3_600_000_000
+    )
+
+
+def promql_range_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_range of a bare instant selector: last sample within the
+    5m staleness window of each grid instant (sparse by design)."""
+    return PromQLEvaluator.from_dir(spark, sf_dir).eval_range(
+        PROMQL_RANGE_INSTANT_EXPR,
+        240 * 3_600_000_000,
+        24 * 3_600_000_000,
+    )
+
+
 def promql_ts_age(spark: SparkSession, sf_dir: str) -> DataFrame:
     """time() - timestamp(v): per-series staleness age in seconds —
     the canonical freshness-alert idiom."""
@@ -2038,6 +2142,8 @@ QUERIES = {
     "promql_idelta": promql_idelta,
     "promql_scalar_share": promql_scalar_share,
     "promql_deg": promql_deg,
+    "promql_range_rate": promql_range_rate,
+    "promql_range_instant": promql_range_instant,
     "promql_ts_age": promql_ts_age,
     "promql_month": promql_month,
     "promql_hour": promql_hour,
@@ -2322,6 +2428,44 @@ ORACLES = {
         "SELECT 'shard=' || l_shard AS labels, "
         + dround("stddev_pop(v6)", 4)
         + " AS value FROM s GROUP BY l_shard"
+    ),
+    "promql_range_rate": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        f"g AS (SELECT ((t.t_max // {_H24_US}) * {_H24_US}) "
+        f"- gs.i * {_H24_US} AS ets FROM t "
+        f"CROSS JOIN generate_series(0, {_H240_US // _H24_US + 1}) "
+        f"AS gs(i) WHERE ((t.t_max // {_H24_US}) * {_H24_US}) "
+        f"- gs.i * {_H24_US} > t.t_max - {_H240_US}), "
+        "w AS (SELECT s.l_user, s.l_shard, g.ets, s.ts_us, s.event_id, "
+        "s.value FROM samples_multi s JOIN g ON s.ts_us <= g.ets "
+        f"AND s.ts_us > g.ets - {_H24_US} WHERE s.metric = 'click'), "
+        "d AS (SELECT l_user, l_shard, ets, value, "
+        "LAG(value) OVER (PARTITION BY l_user, l_shard, ets "
+        "ORDER BY ts_us, event_id) AS prev FROM w), "
+        "r AS (SELECT l_user, l_shard, ets, "
+        "SUM(CASE WHEN value < prev THEN value ELSE value - prev END) "
+        "/ 86400.0 AS v FROM d WHERE prev IS NOT NULL "
+        "GROUP BY l_user, l_shard, ets) "
+        "SELECT ets AS ts_us, 'user=' || l_user AS labels, "
+        + dround("SUM(v)", 4)
+        + " AS value FROM r GROUP BY ets, l_user"
+    ),
+    "promql_range_instant": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        f"g AS (SELECT ((t.t_max // {_H24_US}) * {_H24_US}) "
+        f"- gs.i * {_H24_US} AS ets FROM t "
+        f"CROSS JOIN generate_series(0, {_H240_US // _H24_US + 1}) "
+        f"AS gs(i) WHERE ((t.t_max // {_H24_US}) * {_H24_US}) "
+        f"- gs.i * {_H24_US} > t.t_max - {_H240_US}), "
+        "w AS (SELECT s.l_user, s.l_shard, g.ets, s.ts_us, s.event_id, "
+        "s.value FROM samples_multi s JOIN g ON s.ts_us <= g.ets "
+        "AND s.ts_us > g.ets - 300000000 WHERE s.metric = 'view'), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_user, "
+        "l_shard, ets ORDER BY ts_us DESC, event_id DESC) AS rn FROM w) "
+        "SELECT ets AS ts_us, "
+        "'shard=' || l_shard || ',user=' || l_user AS labels, "
+        + dround("value", 4)
+        + " AS value FROM r WHERE rn = 1"
     ),
     "promql_idelta": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

@@ -800,3 +800,49 @@ def test_idelta_scalar_trig(spark):
     one = ev.eval("cos(vector(0))").collect()
     assert [(r["labels"], r["value"]) for r in one] == [("", 1.0)]
     assert ev.eval("deg(rad(vector(90)))").collect()[0]["value"] == 90.0
+
+
+def test_eval_range_grid(spark):
+    """Grid evaluation: two series, samples placed so each grid point
+    sees a known window; rate over [10s] on a 10s grid over 30s."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    rows = [
+        # series a: monotone counter, one sample per 5s
+        (i, 11, "m", {"user": "a"}, i * 5_000_000, float(i))
+        for i in range(1, 9)
+    ]
+    ev = PromQLEvaluator(
+        spark.createDataFrame(
+            rows,
+            "event_id long, series_id long, metric string, "
+            "labels map<string,string>, ts_us long, value double",
+        )
+    )
+    got = {
+        (r["ts_us"], r["labels"]): r["value"]
+        for r in ev.eval_range(
+            "sum by (user) (increase(m[10s]))", 30_000_000, 10_000_000
+        ).collect()
+    }
+    # t_max = 40s; grid points 40, 30, 20 (exclusive lower bound)
+    # window (30,40]: samples at 35,40 -> increase 1; same for others
+    assert got == {
+        (40_000_000, "user=a"): 1.0,
+        (30_000_000, "user=a"): 1.0,
+        (20_000_000, "user=a"): 1.0,
+    }
+    # instant selector on the grid: last sample within 5m staleness
+    inst = {
+        (r["ts_us"], r["labels"]): r["value"]
+        for r in ev.eval_range("m", 30_000_000, 10_000_000).collect()
+    }
+    assert inst == {
+        (40_000_000, "user=a"): 8.0,
+        (30_000_000, "user=a"): 6.0,
+        (20_000_000, "user=a"): 4.0,
+    }
+    with pytest.raises(PromQLSyntaxError):
+        ev.eval_range("topk(3, m)", 30_000_000, 10_000_000)
