@@ -9,6 +9,7 @@ data handled; the reference cannot).
 """
 
 from shards_prometheus_spark.streaming.ingest import (
+    countmin_cells_stream,
     counter_totals_stream,
     gauge_last_stream,
     histogram_buckets_stream,
@@ -36,6 +37,7 @@ __all__ = [
     "samples_stream",
     "samples_multi_stream",
     "counter_totals_stream",
+    "countmin_cells_stream",
     "gauge_last_stream",
     "histogram_buckets_stream",
     "windowed_sums_stream",

@@ -130,6 +130,44 @@ def counter_totals_stream(samples: DataFrame) -> DataFrame:
     )
 
 
+def countmin_cells_stream(samples: DataFrame) -> DataFrame:
+    """Streaming count-min sketch state: running (depth, cell) counts.
+
+    The sketch update is a plain streaming aggregation — each sample
+    explodes to its depth-many cells (a literal array, no stream-static
+    join) and the cell counts accumulate in update mode. The sketch
+    STATE is the aggregate, so estimates read from the registry table
+    exactly like the batch twin (operators/sketches.py); merging across
+    micro-batches is count addition, the mergeability that matters at
+    100 TB.
+    """
+    from shards_prometheus_spark.operators.sketches import (
+        CM_P,
+        CM_PARAMS,
+        CM_W,
+    )
+
+    params = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), F.lit(a).alias("a"), F.lit(b).alias("b")
+            )
+            for j, a, b in CM_PARAMS
+        ]
+    )
+    uid = F.col("label_user").cast("long")
+    e = samples.select(uid.alias("uid"), F.explode(params).alias("p"))
+    cell = (
+        (F.col("p.a") * F.col("uid") + F.col("p.b"))
+        % F.lit(CM_P)
+        % F.lit(CM_W)
+    )
+    return (
+        e.groupBy(F.col("p.j").alias("j"), cell.alias("cell"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def gauge_last_stream(samples: DataFrame) -> DataFrame:
     """Gauge state over the stream: last write per series.
 

@@ -64,3 +64,44 @@ def test_countmin_overestimates_and_ranks(spark):
     # the estimated top-1 is the true top-1 (1024 cells, light load)
     true_top = max(exact.items(), key=lambda kv: (kv[1], -kv[0]))[0]
     assert hh[0]["uid"] == true_top
+
+
+def test_sketches_merge_across_partitions(spark):
+    """The 100 TB property: sketch states built per day then MERGED
+    equal the sketch built globally — counts merge by addition
+    (DDSketch buckets), count-min cells likewise."""
+    from shards_prometheus_spark.operators.sketches import (
+        DD_GAMMA,
+        DD_ZERO_EPS,
+        DD_ZERO_IDX,
+    )
+
+    s = samples(spark, SF_SMOKE).withColumn(
+        "day", F.floor(F.col("ts_us") / F.lit(86_400_000_000))
+    )
+    idx = (
+        F.when(F.col("value") <= F.lit(DD_ZERO_EPS), F.lit(DD_ZERO_IDX))
+        .otherwise(
+            F.ceil(F.round(F.log("value") / F.log(F.lit(DD_GAMMA)), 9))
+        )
+        .cast("long")
+    )
+    per_day = (
+        s.select("metric", "day", idx.alias("idx"))
+        .groupBy("metric", "day", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = {
+        (r["metric"], r["idx"]): r["c"]
+        for r in per_day.groupBy("metric", "idx")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    global_ = {
+        (r["metric"], r["idx"]): r["c"]
+        for r in s.select("metric", idx.alias("idx"))
+        .groupBy("metric", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert merged == global_

@@ -668,3 +668,49 @@ def test_streaming_promql_rate_matches_batch(spark, tmp_path):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_countmin_matches_batch(spark, tmp_path):
+    """Count-min sketch state accumulated over 4 real micro-batches
+    equals the batch sketch cell table (mergeability end to end)."""
+    from shards_prometheus_spark.streaming import countmin_cells_stream
+    from shards_prometheus_spark.streaming.ingest import (
+        EVENTS_SCHEMA,
+        samples_stream,
+    )
+    from shards_prometheus_spark.model import samples
+    from shards_prometheus_spark.operators.sketches import (
+        CM_P,
+        CM_PARAMS,
+        CM_W,
+    )
+
+    glob, _ = _split_events_dir(spark, tmp_path, n_parts=4)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob)
+    )
+    q = run_to_memory(
+        countmin_cells_stream(samples_stream(stream)),
+        "cm_cells",
+        output_mode="complete",
+    )
+    _await(q)
+    got = {
+        (r["j"], r["cell"]): r["c"]
+        for r in spark.sql("SELECT * FROM cm_cells").collect()
+    }
+    s = samples(spark, SF_SMOKE)
+    uid = F.col("label_user").cast("long")
+    want = {}
+    for j, a, b in CM_PARAMS:
+        cell = (F.lit(a) * uid + F.lit(b)) % F.lit(CM_P) % F.lit(CM_W)
+        for r in (
+            s.select(cell.alias("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ):
+            want[(j, r["cell"])] = r["c"]
+    assert got == want
