@@ -35,6 +35,26 @@ def _dec(col: str) -> Column:
     return F.col(col).cast("decimal(28,4)").cast("string")
 
 
+def esc_label(c: Column) -> Column:
+    """Prometheus text-format label-value escaping: backslash first,
+    then quote and newline (the public format's three escapes). A
+    no-op on the driver corpus (numeric user ids) but required for
+    arbitrary label values."""
+    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    return F.replace(c, F.lit("\n"), F.lit("\\n"))
+
+
+def unesc_label(c: Column) -> Column:
+    """Inverse of esc_label. Escaped backslashes go through a NUL
+    sentinel so `\\\\n` round-trips to backslash+n, not newline (NUL
+    cannot appear in a label value)."""
+    c = F.replace(c, F.lit("\\\\"), F.lit("\x00"))
+    c = F.replace(c, F.lit('\\"'), F.lit('"'))
+    c = F.replace(c, F.lit("\\n"), F.lit("\n"))
+    return F.replace(c, F.lit("\x00"), F.lit("\\"))
+
+
 def exposition_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full scrape payload, one line per row."""
     snap = scrape_snapshot(spark, sf_dir)
@@ -46,7 +66,7 @@ def exposition_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.col("metric"),
             F.lit('_total{user="'),
-            F.col("label_user"),
+            esc_label(F.col("label_user")),
             F.lit('"} '),
             _dec("value"),
         ).alias("line")
@@ -55,7 +75,7 @@ def exposition_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.col("metric"),
             F.lit('{user="'),
-            F.col("label_user"),
+            esc_label(F.col("label_user")),
             F.lit('"} '),
             _dec("value"),
         ).alias("line")
@@ -113,7 +133,9 @@ def exposition_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = lines.filter(~F.col("line").startswith("#")).select(
         raw.alias("raw"),
         F.regexp_extract("line", r'\{(\w+)="', 1).alias("lkey"),
-        F.regexp_extract("line", r'="([^"]*)"', 1).alias("lval"),
+        unesc_label(
+            F.regexp_extract("line", r'="((?:[^"\\]|\\.)*)"', 1)
+        ).alias("lval"),
         F.regexp_extract("line", r" ([^ ]+)$", 1).cast("double").alias("value"),
     )
 

@@ -182,3 +182,32 @@ def test_replayed_batch_after_compaction_not_double_counted(spark, tmp_path):
     # and a second compaction folds cleanly on top
     compact_rollup(spark, out)
     assert {tuple(r) for r in read_rollup(spark, out).collect()} == before
+
+
+def test_label_value_escaping_round_trip(spark):
+    """Prometheus text-format escaping: backslash/quote/newline escape
+    on write, exact inverse on parse — incl. the adversarial literal
+    backslash-n, which must NOT round-trip to a newline."""
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.sources.exposition import (
+        esc_label,
+        unesc_label,
+    )
+
+    vals = ['plain', 'a"b', 'a\\b', 'a\nb', 'a\\nb', '\\"', '\\\\n']
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    out = df.select(
+        "v",
+        esc_label(F.col("v")).alias("esc"),
+        unesc_label(esc_label(F.col("v"))).alias("rt"),
+    ).collect()
+    for r in out:
+        assert r["rt"] == r["v"], (r["v"], r["esc"], r["rt"])
+        # escaped form never contains a raw quote or newline
+        assert '\n' not in r["esc"]
+    esc_map = {r["v"]: r["esc"] for r in out}
+    assert esc_map['a"b'] == 'a\\"b'
+    assert esc_map['a\\b'] == 'a\\\\b'
+    assert esc_map['a\nb'] == 'a\\nb'
+    assert esc_map['a\\nb'] == 'a\\\\nb'
