@@ -102,6 +102,43 @@ def exposition_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exposition_lines_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter exposition over the FULL label map — the generalized
+    series model (SURVEY §1.2; the reference's single Label/Value pair,
+    prometheus.cpp:105-110, is the one-entry special case). Labels
+    render sorted by key with text-format escaping, the public
+    exposition convention for multi-label series."""
+    from shards_prometheus_spark.model import samples_multi
+
+    s = samples_multi(spark, sf_dir)
+    totals = (
+        s.filter(F.col("value") >= 0)
+        .groupBy("metric", "series_id")
+        .agg(
+            F.first("labels").alias("labels"),
+            F.sum("value").alias("value"),
+        )
+    )
+    pairs = F.transform(
+        F.array_sort(F.map_keys("labels")),
+        lambda k: F.concat(
+            k,
+            F.lit('="'),
+            esc_label(F.element_at(F.col("labels"), k)),
+            F.lit('"'),
+        ),
+    )
+    return totals.select(
+        F.concat(
+            F.col("metric"),
+            F.lit("_total{"),
+            F.array_join(pairs, ","),
+            F.lit("} "),
+            _dec("value"),
+        ).alias("line")
+    )
+
+
 #: Prometheus metric-name regex (public exposition-format grammar).
 _NAME_RE = "^([A-Za-z_:][A-Za-z0-9_:]*)"
 
@@ -262,6 +299,7 @@ _DEC = "CAST(CAST({v} AS DECIMAL(28,4)) AS VARCHAR)"
 QUERIES = {
     "exposition_lines": exposition_lines,
     "exposition_parse": exposition_parse,
+    "exposition_lines_multi": exposition_lines_multi,
 }
 
 _LINES_SQL = (
@@ -321,7 +359,19 @@ _PARSE_SQL = (
     "FROM cls) c JOIN hdr h USING (metric, kind)"
 )
 
+from shards_prometheus_spark.model import SAMPLES_MULTI_CTE  # noqa: E402
+
+_LINES_MULTI_SQL = (
+    f"{SAMPLES_MULTI_CTE} "
+    "SELECT metric || '_total{shard=\"' || l_shard "
+    "|| '\",user=\"' || l_user || '\"} ' || "
+    + _DEC.format(v="SUM(value)")
+    + " AS line FROM samples_multi WHERE value >= 0 "
+    "GROUP BY metric, l_user, l_shard"
+)
+
 ORACLES = {
     "exposition_lines": _LINES_SQL,
     "exposition_parse": _PARSE_SQL,
+    "exposition_lines_multi": _LINES_MULTI_SQL,
 }
