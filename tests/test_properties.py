@@ -202,3 +202,56 @@ def test_retention_triangle_shape(spark):
         assert 0 < r["n_active"] <= r["cohort_size"]
         if r["week_offset"] == 0:
             assert r["retention"] == 1.0
+
+
+_label_values = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="ascii", exclude_characters='\x00'
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(vals=_label_values)
+@_slow
+def test_promql_matcher_semantics_match_python_re(spark, vals):
+    """PromQL matchers vs a Python ground truth over arbitrary ASCII
+    label values: `=~` is fully anchored, `!~` its complement, and
+    `!=`/`=""` treat a missing label as empty — the public matcher
+    semantics, via the evaluator end to end."""
+    import re
+
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    rows = [
+        (i, i, "m", {"user": v} if v != "" else {}, 1_000_000, float(i))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, series_id long, metric string, "
+        "labels map<string,string>, ts_us long, value double",
+    )
+    ev = PromQLEvaluator(df)
+    pattern = "a.*|[0-4]"
+
+    def got(expr):
+        return sorted(r["value"] for r in ev.eval(expr).collect())
+
+    anchored = re.compile(f"^(?:{pattern})$")
+    assert got(f'm{{user=~"{pattern}"}}') == sorted(
+        float(i) for i, v in enumerate(vals) if anchored.match(v)
+    )
+    assert got(f'm{{user!~"{pattern}"}}') == sorted(
+        float(i) for i, v in enumerate(vals) if not anchored.match(v)
+    )
+    assert got('m{user=""}') == sorted(
+        float(i) for i, v in enumerate(vals) if v == ""
+    )
