@@ -1667,6 +1667,12 @@ class PromQLEvaluator:
                 "eval_range supports an instant selector, a range "
                 "function over a selector, or a by()-agg over either"
             )
+        if inner.metric.endswith(_BUCKET_SUFFIX):
+            raise PromQLSyntaxError(
+                "synthetic _bucket selectors are not supported in "
+                "eval_range (evaluate histogram_quantile per instant "
+                "with eval() instead)"
+            )
         grid = self._grid(Subquery(inner, span_us, step_us))
         win_end = F.col("_ets") - F.lit(inner.offset_us)
         df = self._matched(inner).join(

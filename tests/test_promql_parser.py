@@ -846,3 +846,16 @@ def test_eval_range_grid(spark):
     }
     with pytest.raises(PromQLSyntaxError):
         ev.eval_range("topk(3, m)", 30_000_000, 10_000_000)
+
+
+def test_eval_range_rejects_bucket_selector(spark):
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    ev = _tiny_eval(
+        spark, [(1, 11, "m", {"user": "a"}, 1_000_000, 1.0)]
+    )
+    assert isinstance(ev, PromQLEvaluator)
+    with pytest.raises(PromQLSyntaxError):
+        ev.eval_range("rate(m_bucket[10s])", 30_000_000, 10_000_000)
