@@ -355,3 +355,30 @@ def test_promql_topk_take_ordered_no_vector_single_partition(spark):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert count_single_partition_exchanges(df) <= 1
+
+
+def test_countmin_top10_is_take_ordered(spark):
+    """The count-min heavy-hitter top-10 must compile to
+    TakeOrderedAndProject, not a global sort exchange."""
+    from shards_prometheus_spark.operators.sketches import (
+        countmin_heavy_hitters,
+    )
+    from shards_prometheus_spark.plans import formatted_plan
+
+    plan = formatted_plan(countmin_heavy_hitters(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ddsketch_no_corpus_single_partition(spark):
+    """The DDSketch quantile walk runs on the tiny (metric, bucket)
+    sketch relation — no single-partition exchange over corpus-sized
+    data (windows partition by metric)."""
+    from shards_prometheus_spark.operators.sketches import (
+        ddsketch_quantile,
+    )
+    from shards_prometheus_spark.plans import (
+        count_single_partition_exchanges,
+    )
+
+    df = ddsketch_quantile(spark, SF_SMOKE)
+    assert count_single_partition_exchanges(df) == 0
