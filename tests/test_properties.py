@@ -255,3 +255,86 @@ def test_promql_matcher_semantics_match_python_re(spark, vals):
     assert got('m{user=""}') == sorted(
         float(i) for i, v in enumerate(vals) if v == ""
     )
+
+
+def _render(node):
+    """Canonical PromQL rendering of the small AST subset the strategy
+    below generates."""
+    from shards_prometheus_spark.functions import promql_parser as P
+
+    if isinstance(node, P.Selector):
+        s = node.metric
+        if node.matchers:
+            s += "{" + ",".join(
+                f'{l}{op}"{v}"' for l, op, v in node.matchers
+            ) + "}"
+        if node.range_us is not None:
+            s += f"[{node.range_us // 1_000_000}s]"
+        if node.offset_us:
+            s += f" offset {node.offset_us // 1_000_000}s"
+        return s
+    if isinstance(node, P.RangeFn):
+        return f"{node.fn}({_render(node.sel)})"
+    if isinstance(node, P.Agg):
+        by = f" by ({', '.join(node.by)})" if node.by else ""
+        return f"{node.op}{by} ({_render(node.expr)})"
+    if isinstance(node, P.MathFn):
+        return f"{node.fn}({_render(node.expr)})"
+    raise AssertionError(node)
+
+
+_name = st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True).filter(
+    lambda s: s
+    not in {
+        "sum", "avg", "min", "max", "count", "quantile", "group",
+        "stddev", "stdvar", "topk", "bottomk", "sort", "abs", "ceil",
+        "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn", "sin",
+        "cos", "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh",
+        "asinh", "acosh", "atanh", "deg", "rad", "rate", "irate",
+        "increase", "delta", "idelta", "resets", "changes", "deriv",
+        "absent", "vector", "time", "scalar", "round", "clamp", "by",
+        "on", "ignoring", "and", "or", "unless", "offset", "bool",
+        "without", "timestamp", "minute", "hour", "month", "year",
+    }
+)
+
+
+@st.composite
+def _ast(draw):
+    from shards_prometheus_spark.functions import promql_parser as P
+
+    metric = draw(_name)
+    matchers = draw(
+        st.lists(
+            st.tuples(
+                _name,
+                st.sampled_from(["=", "!=", "=~", "!~"]),
+                st.from_regex(r"[a-z0-9.*+]{0,5}", fullmatch=True),
+            ),
+            max_size=2,
+        )
+    )
+    sel = P.Selector(metric, list(matchers))
+    sel.offset_us = draw(st.sampled_from([0, 60_000_000]))
+    kind = draw(st.sampled_from(["instant", "range", "agg", "math"]))
+    if kind == "instant":
+        return sel
+    if kind == "range":
+        sel.range_us = 300_000_000
+        return P.RangeFn(draw(st.sampled_from(["rate", "increase"])), sel)
+    if kind == "math":
+        return P.MathFn(draw(st.sampled_from(["abs", "sqrt"])), sel)
+    sel.range_us = 300_000_000
+    inner = P.RangeFn("rate", sel)
+    by = draw(st.lists(_name, max_size=2, unique=True))
+    return P.Agg(draw(st.sampled_from(["sum", "avg"])), inner, by)
+
+
+@given(node=_ast())
+@settings(max_examples=60, deadline=None)
+def test_promql_parse_render_round_trip(node):
+    """render(ast) reparses to the identical AST (dataclass equality)
+    across selectors, matchers, offsets, range fns, aggs, math fns."""
+    from shards_prometheus_spark.functions.promql_parser import parse
+
+    assert parse(_render(node)) == node
