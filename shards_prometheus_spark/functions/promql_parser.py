@@ -274,6 +274,15 @@ class Absent:
     over_time: bool = False
 
 
+@dataclass
+class AbsentExpr:
+    """absent(<vector expr>): 1 with empty labels iff the inner vector
+    is empty — the general (non-selector) form; no labels can be
+    derived from a computed vector, per PromQL."""
+
+    expr: object
+
+
 def _tokenize(s: str) -> list[str]:
     out, pos = [], 0
     while pos < len(s):
@@ -543,9 +552,11 @@ class _Parser:
         if tok == "absent":
             self.next()
             self.expect("(")
-            sel = self._selector()
+            e = self.or_expr()
             self.expect(")")
-            return Absent(sel)
+            if isinstance(e, Selector) and e.range_us is None:
+                return Absent(e)  # selector form keeps its eq labels
+            return AbsentExpr(e)
         if tok in {"absent_over_time", "present_over_time"}:
             fn = self.next()
             self.expect("(")
@@ -1592,6 +1603,14 @@ class PromQLEvaluator:
     def _vector(self, node) -> DataFrame:
         if isinstance(node, Absent):
             return self._absent(node)
+        if isinstance(node, AbsentExpr):
+            n = self._vector(node.expr).agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            return n.filter(F.col("n") == 0).select(
+                F.map_from_arrays(F.array(), F.array()).alias("labels"),
+                F.lit(1.0).alias("value"),
+            )
         if isinstance(node, Selector):
             if node.range_us is not None:
                 raise PromQLSyntaxError(
@@ -1809,6 +1828,9 @@ PROMQL_MONTH = "month(vector(1705276800))"
 PROMQL_HOUR = "hour(timestamp(purchase))"
 PROMQL_PRESENT = "present_over_time(purchase[240h])"
 PROMQL_ABSENT_OT = 'absent_over_time(nosuch{job="api"}[720h])'
+PROMQL_ABSENT_EXPR = (
+    "absent(sum by (user) (increase(click[720h])) > 1000000000)"
+)
 PROMQL_AND = (
     "sum by (user) (increase(click[720h])) and "
     "(sum by (user) (increase(purchase[720h])) > 30)"
@@ -2030,6 +2052,13 @@ def promql_absent_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return promql_eval(spark, sf_dir, PROMQL_ABSENT_OT)
 
 
+def promql_absent_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """absent() over a computed vector (the alerting idiom 'no series
+    breached the threshold'): 1 with empty labels iff the filtered
+    vector is empty."""
+    return promql_eval(spark, sf_dir, PROMQL_ABSENT_EXPR)
+
+
 def promql_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stddev aggregation: population standard deviation across the
     per-(user, shard) increases, grouped by shard."""
@@ -2156,6 +2185,7 @@ QUERIES = {
     "promql_quantile_over_time": promql_quantile_over_time,
     "promql_present_over_time": promql_present_over_time,
     "promql_absent_over_time": promql_absent_over_time,
+    "promql_absent_expr": promql_absent_expr,
     "promql_and": promql_and,
     "promql_unless": promql_unless,
     "promql_or": promql_or,
@@ -2589,6 +2619,16 @@ ORACLES = {
         "WHERE (SELECT COUNT(*) FROM samples_multi s, t t2 "
         "WHERE s.metric = 'nosuch' AND s.ts_us <= t2.t_max "
         f"AND s.ts_us > t2.t_max - {_H720_US}) = 0"
+    ),
+    "promql_absent_expr": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "inc")
+        + ", cu AS (SELECT l_user, SUM(inc) AS v FROM inc "
+        "GROUP BY l_user) "
+        "SELECT '' AS labels, CAST(1.0 AS DOUBLE) AS value FROM t "
+        "WHERE NOT EXISTS (SELECT 1 FROM cu WHERE "
+        + dround("v", 6)
+        + " > 1000000000)"
     ),
     "promql_and": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

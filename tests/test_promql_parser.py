@@ -859,3 +859,20 @@ def test_eval_range_rejects_bucket_selector(spark):
     assert isinstance(ev, PromQLEvaluator)
     with pytest.raises(PromQLSyntaxError):
         ev.eval_range("rate(m_bucket[10s])", 30_000_000, 10_000_000)
+
+
+def test_absent_over_expression(spark):
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "m", {"user": "a"}, 1_000_000, 5.0),
+        ],
+    )
+    # non-empty inner vector -> absent() empty
+    assert ev.eval("absent(sum(m))").count() == 0
+    # filtered-to-empty vector -> one empty-labeled 1
+    got = ev.eval("absent(sum(m) > 100)").collect()
+    assert [(r["labels"], r["value"]) for r in got] == [("", 1.0)]
+    # selector form still carries its equality labels
+    sel = ev.eval('absent(gone{job="x"})').collect()
+    assert [(r["labels"], r["value"]) for r in sel] == [("job=x", 1.0)]
