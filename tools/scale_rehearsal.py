@@ -69,6 +69,12 @@ QUERIES = [
     "promql_rate_by_user",
     "user_sessions",
     "retention_cohorts",
+    "promql_holt_winters",
+    "promql_range_rate",
+    "promql_changes",
+    "promql_deriv",
+    "ddsketch_quantile",
+    "countmin_heavy_hitters",
     # documents
     "dedup_exact",
     "dedup_near",
@@ -92,9 +98,9 @@ QUERIES = [
 #: family boundaries for cache release (mirrors bench.py)
 FAMILY_OF = {}
 for _fam, _names in [
-    ("metrics", QUERIES[:21]),
-    ("docs", QUERIES[21:32]),
-    ("emb", QUERIES[32:]),
+    ("metrics", QUERIES[:27]),
+    ("docs", QUERIES[27:38]),
+    ("emb", QUERIES[38:]),
 ]:
     for _n in _names:
         FAMILY_OF[_n] = _fam
