@@ -88,6 +88,11 @@ _AGG_OPS = {
     "stddev", "stdvar",
 }
 _TOPK_OPS = {"topk", "bottomk"}
+#: deterministic subset selectors (public PromQL 3.x experimental
+#: aggregations): limitk = first k by canonical label string;
+#: limit_ratio = series whose md5(label string) prefix falls below the
+#: ratio threshold (complementary ratios partition the vector)
+_LIMIT_OPS = {"limitk", "limit_ratio"}
 _SORT_FNS = {"sort", "sort_desc"}
 _RANGE_FNS = {
     "rate",
@@ -501,6 +506,8 @@ class _Parser:
             return self._agg()
         if tok in _TOPK_OPS:
             return self._topk()
+        if tok in _LIMIT_OPS:
+            return self._limit()
         if tok in _SORT_FNS:
             fn = self.next()
             self.expect("(")
@@ -625,6 +632,21 @@ class _Parser:
         e = self.or_expr()
         self.expect(")")
         return Agg(op, e, [], k=k)
+
+    def _limit(self):
+        op = self.next()
+        self.expect("(")
+        if op == "limitk":
+            k = int(self._number())
+            self.expect(",")
+            e = self.or_expr()
+            self.expect(")")
+            return Agg(op, e, [], k=k)
+        r = self._number()
+        self.expect(",")
+        e = self.or_expr()
+        self.expect(")")
+        return Agg(op, e, [], param=r)
 
     def _math_fn(self):
         fn = self.next()
@@ -1145,6 +1167,24 @@ class PromQLEvaluator:
             pinned = F.round(F.col("value"), 6)
             order = F.desc(pinned) if node.op == "sort_desc" else F.asc(pinned)
             return child.orderBy(order, F.asc(_label_str(F.col("labels"))))
+        if node.op in _LIMIT_OPS:
+            key = _label_str(F.col("labels"))
+            if node.op == "limitk":
+                # first k by canonical label string —
+                # TakeOrderedAndProject, same shape as topk
+                return child.orderBy(F.asc(key)).limit(node.k or 0)
+            r = float(node.param or 0.0)
+            if r >= 1.0:
+                return child
+            if r <= 0.0:
+                return child.filter(F.lit(False))
+            # md5-prefix threshold: lexicographic compare of fixed-width
+            # lowercase hex == numeric compare; engine-portable
+            thresh = format(int(r * 2**32), "08x")
+            return child.filter(
+                F.substring(F.md5(key.cast("binary")), 1, 8)
+                < F.lit(thresh)
+            )
         if node.k is not None:  # topk / bottomk over the full vector
             # rank on the 6dp-pinned value (cross-engine accumulation
             # noise must not reorder ranks), ties broken on label text.
@@ -1831,6 +1871,10 @@ PROMQL_ABSENT_OT = 'absent_over_time(nosuch{job="api"}[720h])'
 PROMQL_ABSENT_EXPR = (
     "absent(sum by (user) (increase(click[720h])) > 1000000000)"
 )
+PROMQL_LIMITK = "limitk(5, sum by (user) (increase(click[720h])))"
+PROMQL_LIMIT_RATIO = (
+    "limit_ratio(0.3, sum by (user) (increase(click[720h])))"
+)
 PROMQL_AND = (
     "sum by (user) (increase(click[720h])) and "
     "(sum by (user) (increase(purchase[720h])) > 30)"
@@ -2052,6 +2096,17 @@ def promql_absent_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return promql_eval(spark, sf_dir, PROMQL_ABSENT_OT)
 
 
+def promql_limitk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """limitk: deterministic first-k-by-label-string subset."""
+    return promql_eval(spark, sf_dir, PROMQL_LIMITK)
+
+
+def promql_limit_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """limit_ratio: md5-threshold subset — complementary ratios
+    partition the vector deterministically."""
+    return promql_eval(spark, sf_dir, PROMQL_LIMIT_RATIO)
+
+
 def promql_absent_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """absent() over a computed vector (the alerting idiom 'no series
     breached the threshold'): 1 with empty labels iff the filtered
@@ -2186,6 +2241,8 @@ QUERIES = {
     "promql_present_over_time": promql_present_over_time,
     "promql_absent_over_time": promql_absent_over_time,
     "promql_absent_expr": promql_absent_expr,
+    "promql_limitk": promql_limitk,
+    "promql_limit_ratio": promql_limit_ratio,
     "promql_and": promql_and,
     "promql_unless": promql_unless,
     "promql_or": promql_or,
@@ -2619,6 +2676,25 @@ ORACLES = {
         "WHERE (SELECT COUNT(*) FROM samples_multi s, t t2 "
         "WHERE s.metric = 'nosuch' AND s.ts_us <= t2.t_max "
         f"AND s.ts_us > t2.t_max - {_H720_US}) = 0"
+    ),
+    "promql_limitk": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "inc")
+        + ", cu AS (SELECT 'user=' || l_user AS labels, SUM(inc) AS v "
+        "FROM inc GROUP BY l_user) "
+        "SELECT labels, "
+        + dround("v", 4)
+        + " AS value FROM cu ORDER BY labels ASC LIMIT 5"
+    ),
+    "promql_limit_ratio": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "inc")
+        + ", cu AS (SELECT 'user=' || l_user AS labels, SUM(inc) AS v "
+        "FROM inc GROUP BY l_user) "
+        "SELECT labels, "
+        + dround("v", 4)
+        + " AS value FROM cu WHERE substr(md5(labels), 1, 8) < "
+        + f"'{format(int(0.3 * 2**32), '08x')}'"
     ),
     "promql_absent_expr": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

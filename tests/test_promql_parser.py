@@ -876,3 +876,28 @@ def test_absent_over_expression(spark):
     # selector form still carries its equality labels
     sel = ev.eval('absent(gone{job="x"})').collect()
     assert [(r["labels"], r["value"]) for r in sel] == [("job=x", 1.0)]
+
+
+def test_limitk_and_limit_ratio(spark):
+    ev = _tiny_eval(
+        spark,
+        [
+            (i, i, "m", {"user": f"u{i}"}, 1_000_000, float(i))
+            for i in range(1, 9)
+        ],
+    )
+    # first k by label string
+    lk = ev.eval("limitk(3, m)").collect()
+    assert [r["labels"] for r in lk] == ["user=u1", "user=u2", "user=u3"]
+    # complementary ratios partition the vector
+    a = {r["labels"] for r in ev.eval("limit_ratio(0.4, m)").collect()}
+    b = {r["labels"] for r in ev.eval("limit_ratio(0.6, m)").collect()}
+    allv = {r["labels"] for r in ev.eval("m").collect()}
+    assert a <= allv
+    # r>=1 keeps all; r<=0 keeps none
+    assert {
+        r["labels"] for r in ev.eval("limit_ratio(1, m)").collect()
+    } == allv
+    assert ev.eval("limit_ratio(0, m)").count() == 0
+    # monotone: the 0.4 subset is contained in the 0.6 subset
+    assert a <= b
