@@ -94,6 +94,7 @@ _TOPK_OPS = {"topk", "bottomk"}
 #: ratio threshold (complementary ratios partition the vector)
 _LIMIT_OPS = {"limitk", "limit_ratio"}
 _SORT_FNS = {"sort", "sort_desc"}
+_SORT_BY_LABEL_FNS = {"sort_by_label", "sort_by_label_desc"}
 _RANGE_FNS = {
     "rate",
     "irate",
@@ -105,6 +106,8 @@ _RANGE_FNS = {
     "deriv",
     "predict_linear",
     "holt_winters",
+    # PromQL 3.x renamed holt_winters; same recursion
+    "double_exponential_smoothing",
     "avg_over_time",
     "min_over_time",
     "max_over_time",
@@ -508,6 +511,21 @@ class _Parser:
             return self._topk()
         if tok in _LIMIT_OPS:
             return self._limit()
+        if tok in _SORT_BY_LABEL_FNS:
+            fn = self.next()
+            self.expect("(")
+            e = self.or_expr()
+            lbls: list[str] = []
+            while self.peek() == ",":
+                self.next()
+                t = self.next()
+                if not (t.startswith('"') and t.endswith('"')):
+                    raise PromQLSyntaxError(
+                        f"{fn}() label names must be quoted, got {t!r}"
+                    )
+                lbls.append(_unquote(t))
+            self.expect(")")
+            return Agg(fn, e, lbls)
         if tok in _SORT_FNS:
             fn = self.next()
             self.expect("(")
@@ -704,7 +722,7 @@ class _Parser:
         if fn == "predict_linear":
             self.expect(",")
             param = self._number()
-        elif fn == "holt_winters":
+        elif fn in {"holt_winters", "double_exponential_smoothing"}:
             self.expect(",")
             param = self._number()
             self.expect(",")
@@ -953,7 +971,7 @@ class PromQLEvaluator:
                 .agg(F.first("labels").alias("labels"), val.alias("value"))
                 .filter(F.col("value").isNotNull())
             )
-        if fn == "holt_winters":
+        if fn in {"holt_winters", "double_exponential_smoothing"}:
             # Double exponential smoothing, the public Prometheus
             # recursion: s₁=x₁, b₁=x₂−x₁; sᵢ=sf·xᵢ+(1−sf)(sᵢ₋₁+bᵢ₋₁),
             # bᵢ=tf(sᵢ−sᵢ₋₁)+(1−tf)bᵢ₋₁; result sₙ. The per-series
@@ -1167,6 +1185,20 @@ class PromQLEvaluator:
             pinned = F.round(F.col("value"), 6)
             order = F.desc(pinned) if node.op == "sort_desc" else F.asc(pinned)
             return child.orderBy(order, F.asc(_label_str(F.col("labels"))))
+        if node.op in _SORT_BY_LABEL_FNS:
+            # presentation sort on label VALUES (missing ⇒ ""), full
+            # canonical string as the tiebreak
+            keys = [
+                F.coalesce(
+                    F.element_at("labels", F.lit(b)), F.lit("")
+                )
+                for b in node.by
+            ] or [_label_str(F.col("labels"))]
+            desc = node.op.endswith("_desc")
+            order = [(F.desc(k) if desc else F.asc(k)) for k in keys]
+            return child.orderBy(
+                *order, F.asc(_label_str(F.col("labels")))
+            )
         if node.op in _LIMIT_OPS:
             key = _label_str(F.col("labels"))
             if node.op == "limitk":

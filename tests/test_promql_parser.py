@@ -901,3 +901,41 @@ def test_limitk_and_limit_ratio(spark):
     assert ev.eval("limit_ratio(0, m)").count() == 0
     # monotone: the 0.4 subset is contained in the 0.6 subset
     assert a <= b
+
+
+def test_sort_by_label_and_hw_alias(spark):
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "m", {"user": "b", "shard": "2"}, 1_000_000, 1.0),
+            (2, 22, "m", {"user": "a", "shard": "1"}, 1_000_000, 2.0),
+            (3, 33, "m", {"user": "c"}, 1_000_000, 3.0),
+        ],
+    )
+    got = [
+        r["labels"]
+        for r in ev.eval('sort_by_label(m, "shard")').collect()
+    ]
+    # missing shard sorts as "" (first); then shard 1, 2
+    assert got == ["user=c", "shard=1,user=a", "shard=2,user=b"]
+    got_d = [
+        r["labels"]
+        for r in ev.eval('sort_by_label_desc(m, "user")').collect()
+    ]
+    assert got_d == ["user=c", "shard=2,user=b", "shard=1,user=a"]
+    # 3.x alias runs the same recursion as holt_winters
+    ev2 = _tiny_eval(
+        spark,
+        [
+            (1, 11, "m", {"user": "a"}, 0, 5.3),
+            (2, 11, "m", {"user": "a"}, 1_000_000, 35.29),
+            (3, 11, "m", {"user": "a"}, 2_000_000, 6.86),
+            (4, 11, "m", {"user": "a"}, 3_000_000, 7.91),
+        ],
+    )
+    hw = ev2.eval(
+        "double_exponential_smoothing(m[1h], 0.5, 0.5)"
+    ).collect()
+    assert [(r["labels"], r["value"]) for r in hw] == [
+        ("user=a", 29.6825)
+    ]
