@@ -570,6 +570,87 @@ _IVF_SQL = (
     f"AS rk FROM cand) WHERE rk <= {TOP_K}"
 )
 
+#: power-iteration count for the top principal component (static —
+#: the loop unrolls into ONE declarative plan, no driver collect)
+PCA_ITERS = 3
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by power
+    iteration — dimensionality-reduction's first step, entirely in
+    DataFrame ops.
+
+    Shape: ONE corpus pass emits each row's d² outer-product entries
+    JVM-side (nested `transform` + flatten + explode — map-side
+    combined, so the shuffle carries d² rows per partition, never the
+    corpus), giving the Gram matrix; the covariance and the
+    PCA_ITERS matrix-vector products then run on (d², d)-sized
+    relations with broadcast vectors. Deterministic: fixed iteration
+    count, all-ones init, and a continuous pipeline (no discrete
+    decisions) — cross-engine fp noise stays ~1e-10, absorbed by the
+    4dp output rounding.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    outer = emb.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.transform(
+                        "embedding",
+                        lambda y, j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (x.cast("double") * y.cast("double")).alias(
+                                "p"
+                            ),
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    gram = outer.groupBy("i", "j").agg(F.sum("p").alias("s"))
+    means = _dims(spark, sf_dir).groupBy("d").agg(
+        F.avg("v").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    mi = means.select(
+        F.col("d").alias("i"), F.col("m").alias("mi"), "n"
+    )
+    mj = means.select(F.col("d").alias("j"), F.col("m").alias("mj"))
+    cov = (
+        gram.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("s") / F.col("n") - F.col("mi") * F.col("mj")).alias(
+                "c"
+            ),
+        )
+    )
+    v = means.select("d", F.lit(1.0).alias("vv"))
+    for _ in range(PCA_ITERS):
+        u = (
+            cov.join(
+                F.broadcast(v.select(F.col("d").alias("j"), "vv")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("vv")).alias("u"))
+        )
+        nrm = u.agg(
+            F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nm")
+        )
+        v = u.join(F.broadcast(nrm)).select(
+            F.col("i").alias("d"),
+            (F.col("u") / F.col("nm")).alias("vv"),
+        )
+    return v.select(
+        F.col("d").cast("long").alias("dim"),
+        F.round("vv", 4).alias("loading"),
+    )
+
+
 QUERIES = {
     "similarity_topk": similarity_topk,
     "similarity_lsh": similarity_lsh,
@@ -577,6 +658,7 @@ QUERIES = {
     "similarity_kmeans": similarity_kmeans,
     "similarity_knn_graph": similarity_knn_graph,
     "embedding_label_centroids": embedding_label_centroids,
+    "embedding_pca_power": embedding_pca_power,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic": dedup_semantic,
     "ann_recall_eval": ann_recall_eval,
@@ -606,6 +688,31 @@ ORACLES = {
         "FROM (SELECT va, vb, cos6, ROW_NUMBER() OVER ("
         "PARTITION BY va ORDER BY cos6 DESC, vb ASC) AS rk FROM cos) "
         "WHERE rk = 1"
+    ),
+    "embedding_pca_power": (
+        f"{_DIMS_CTE}, "
+        "m AS (SELECT d, AVG(v) AS m, COUNT(*) AS n FROM dims "
+        "GROUP BY d), "
+        "g AS (SELECT a.d AS i, b.d AS j, SUM(a.v * b.v) AS s "
+        "FROM dims a JOIN dims b USING (vec_id) GROUP BY 1, 2), "
+        "c AS (SELECT g.i, g.j, g.s / mi.n - mi.m * mj.m AS c "
+        "FROM g JOIN m mi ON mi.d = g.i JOIN m mj ON mj.d = g.j), "
+        "v0 AS (SELECT d, CAST(1.0 AS DOUBLE) AS vv FROM m), "
+        "u1 AS (SELECT c.i AS d, SUM(c.c * v0.vv) AS u FROM c "
+        "JOIN v0 ON v0.d = c.j GROUP BY 1), "
+        "v1 AS (SELECT d, u / (SELECT sqrt(SUM(u * u)) FROM u1) AS vv "
+        "FROM u1), "
+        "u2 AS (SELECT c.i AS d, SUM(c.c * v1.vv) AS u FROM c "
+        "JOIN v1 ON v1.d = c.j GROUP BY 1), "
+        "v2 AS (SELECT d, u / (SELECT sqrt(SUM(u * u)) FROM u2) AS vv "
+        "FROM u2), "
+        "u3 AS (SELECT c.i AS d, SUM(c.c * v2.vv) AS u FROM c "
+        "JOIN v2 ON v2.d = c.j GROUP BY 1), "
+        "v3 AS (SELECT d, u / (SELECT sqrt(SUM(u * u)) FROM u3) AS vv "
+        "FROM u3) "
+        "SELECT CAST(d AS BIGINT) AS dim, "
+        + dround("vv", 4)
+        + " AS loading FROM v3"
     ),
     "embedding_label_centroids": (
         f"{_DIMS_CTE}, ld AS (SELECT d.vec_id, e.label, d.d, d.v "

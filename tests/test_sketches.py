@@ -105,3 +105,41 @@ def test_sketches_merge_across_partitions(spark):
         .collect()
     }
     assert merged == global_
+
+
+def test_pca_power_is_near_top_eigenvector(spark):
+    """Power iteration guarantees: unit norm, and a Rayleigh quotient
+    that does not decrease from the init and beats the spectrum mean.
+    (The synthetic embeddings are near-isotropic — lambda2/lambda1 =
+    0.93 — so closeness to the exact top eigenvector is NOT a property
+    3 iterations can promise and is deliberately not asserted.)"""
+    import numpy as np
+
+    from shards_prometheus_spark.model import load_table
+    from shards_prometheus_spark.operators.similarity import (
+        embedding_pca_power,
+    )
+
+    got = {
+        r["dim"]: r["loading"]
+        for r in embedding_pca_power(spark, SF_SMOKE).collect()
+    }
+    v = np.array([got[d] for d in sorted(got)])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+    X = np.array(
+        [
+            r["embedding"]
+            for r in load_table(spark, SF_SMOKE, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    d = C.shape[0]
+    v0 = np.ones(d) / np.sqrt(d)
+    rq = float(v @ C @ v)
+    assert rq >= float(v0 @ C @ v0) - 1e-9
+    assert rq >= np.trace(C) / d  # beats the spectrum mean
+    w = np.linalg.eigvalsh(C)
+    assert rq <= w[-1] + 1e-9  # bounded by the top eigenvalue
