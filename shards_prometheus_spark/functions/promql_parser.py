@@ -377,8 +377,12 @@ class _Parser:
 
     def _number(self) -> float:
         tok = self.next()
+        sign = 1.0
+        if tok in {"-", "+"}:  # signed numeric argument, e.g. -0.6
+            sign = -1.0 if tok == "-" else 1.0
+            tok = self.next()
         try:
-            return float(tok)
+            return sign * float(tok)
         except ValueError:
             raise PromQLSyntaxError(f"expected a number, got {tok!r}") from None
 
@@ -727,6 +731,13 @@ class _Parser:
             param = self._number()
             self.expect(",")
             param2 = self._number()
+            # Prometheus errors unless 0 < sf, tf < 1; accepting
+            # out-of-range factors would silently diverge the recursion
+            if not (0.0 < param < 1.0 and 0.0 < param2 < 1.0):
+                raise PromQLSyntaxError(
+                    f"{fn}() smoothing factors must be in (0, 1), got "
+                    f"sf={param}, tf={param2}"
+                )
         self.expect(")")
         if isinstance(arg, Subquery):
             if fn not in _OVER_TIME_FNS:
@@ -918,10 +929,12 @@ class PromQLEvaluator:
             (F.col("ts_us") <= end) & (F.col("ts_us") > end - sel.range_us)
         )
         if fn in {"deriv", "predict_linear"}:
-            # regression x-axis: seconds relative to the evaluation
-            # time — centering near 0 keeps the least-squares moments
-            # well-conditioned (ts_us magnitudes are ~1.7e15)
-            df = df.withColumn("_xref", end)
+            # regression x-axis: seconds relative to the UNSHIFTED
+            # evaluation time (Prometheus regresses against the query
+            # timestamp, not the offset-shifted window end — matching
+            # eval_range's _ets axis); centering near 0 keeps the
+            # least-squares moments well-conditioned (ts_us ~1.7e15)
+            df = df.withColumn("_xref", end + F.lit(sel.offset_us))
         return self._range_fold(
             df, ["series_id"], fn, sel.range_us, param=node.param,
             param2=node.param2
@@ -1206,16 +1219,23 @@ class PromQLEvaluator:
                 # TakeOrderedAndProject, same shape as topk
                 return child.orderBy(F.asc(key)).limit(node.k or 0)
             r = float(node.param or 0.0)
-            if r >= 1.0:
+            if r >= 1.0 or r <= -1.0:
                 return child
-            if r <= 0.0:
+            if r == 0.0:
                 return child.filter(F.lit(False))
             # md5-prefix threshold: lexicographic compare of fixed-width
-            # lowercase hex == numeric compare; engine-portable
-            thresh = format(int(r * 2**32), "08x")
+            # lowercase hex == numeric compare; engine-portable. PromQL
+            # defines a NEGATIVE ratio as the complementary subset, so
+            # limit_ratio(r) ∪ limit_ratio(-(1-r)) partitions the
+            # vector: r>0 keeps prefix < r·2³², r<0 keeps
+            # prefix ≥ (1+r)·2³².
+            prefix = F.substring(F.md5(key.cast("binary")), 1, 8)
+            if r > 0.0:
+                return child.filter(
+                    prefix < F.lit(format(int(r * 2**32), "08x"))
+                )
             return child.filter(
-                F.substring(F.md5(key.cast("binary")), 1, 8)
-                < F.lit(thresh)
+                prefix >= F.lit(format(int((1.0 + r) * 2**32), "08x"))
             )
         if node.k is not None:  # topk / bottomk over the full vector
             # rank on the 6dp-pinned value (cross-engine accumulation
@@ -1427,6 +1447,11 @@ class PromQLEvaluator:
                 # a raw accumulated double can flip across engines
                 v6 = F.round(F.col("value"), 6)
                 cond = cmp_cond(v6, sc) if rsc else cmp_cond(sc, v6)
+                if isinstance(other, ScalarFn):
+                    # NaN scalar (inner vector ≠ 1 series): IEEE/PromQL
+                    # says every comparison is false — but Spark orders
+                    # NaN above all doubles, so guard explicitly
+                    cond = cond & (F.col("_sc_n") == 1)
                 if node.bool_mode:
                     return vec.withColumn("value", cond.cast("double")).select(
                         "labels", "value"

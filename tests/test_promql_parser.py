@@ -771,6 +771,34 @@ def test_holt_winters_recursion(spark):
     assert {(r["labels"], r["value"]) for r in got} == {
         ("user=a", 29.6825)
     }
+    # Prometheus rejects smoothing factors outside (0, 1)
+    for bad in ["0", "1", "1.5", "-0.2"]:
+        with pytest.raises(PromQLSyntaxError):
+            ev.eval(f"holt_winters(m[1h], {bad}, 0.5)")
+        with pytest.raises(PromQLSyntaxError):
+            ev.eval(f"holt_winters(m[1h], 0.5, {bad})")
+
+
+def test_predict_linear_offset_unshifted_xref(spark):
+    """predict_linear under `offset`: the regression x-axis is the
+    UNSHIFTED evaluation timestamp (Prometheus), so the intercept
+    extrapolates across the offset gap. Series a: 10@1s, 20@2s
+    (slope 10/s); t_max=4s (pinned by series b). offset 2s windows
+    (0s,2s]; predict_linear(..., 0) = value at t=4s = 40."""
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "m", {"user": "a"}, 1_000_000, 10.0),
+            (2, 11, "m", {"user": "a"}, 2_000_000, 20.0),
+            (3, 22, "m", {"user": "b"}, 3_000_000, 1.0),
+            (4, 22, "m", {"user": "b"}, 4_000_000, 1.0),
+        ],
+    )
+    got = ev.eval('predict_linear(m{user="a"}[1h] offset 2s, 0)').collect()
+    assert [(r["labels"], r["value"]) for r in got] == [("user=a", 40.0)]
+    # slope-only deriv is offset-invariant
+    d = ev.eval('deriv(m{user="a"}[1h] offset 2s)').collect()
+    assert [(r["labels"], r["value"]) for r in d] == [("user=a", 10.0)]
 
 
 def test_idelta_scalar_trig(spark):
@@ -796,6 +824,14 @@ def test_idelta_scalar_trig(spark):
     assert s == {("user=a", 0.4), ("user=b", 0.6)}
     # scalar over a >1-series vector -> NaN -> comparisons drop all
     assert ev.eval("m > scalar(m)").count() == 0
+    # the < / <= direction too: Spark orders NaN above all doubles,
+    # so an unguarded `v < NaN` would wrongly keep every series
+    assert ev.eval("m < scalar(m)").count() == 0
+    assert ev.eval("m <= scalar(m)").count() == 0
+    assert ev.eval("m == scalar(m)").count() == 0
+    # bool mode: NaN comparison is false -> 0.0 for every series
+    b = {r["value"] for r in ev.eval("m < bool scalar(m)").collect()}
+    assert b == {0.0}
     # trig family
     one = ev.eval("cos(vector(0))").collect()
     assert [(r["labels"], r["value"]) for r in one] == [("", 1.0)]
@@ -901,6 +937,15 @@ def test_limitk_and_limit_ratio(spark):
     assert ev.eval("limit_ratio(0, m)").count() == 0
     # monotone: the 0.4 subset is contained in the 0.6 subset
     assert a <= b
+    # NEGATIVE ratio = the complementary subset (PromQL):
+    # limit_ratio(r) ∪ limit_ratio(-(1-r)) partitions the vector
+    neg = {r["labels"] for r in ev.eval("limit_ratio(-0.6, m)").collect()}
+    assert a | neg == allv
+    assert a & neg == set()
+    # r <= -1 keeps everything (complement of nothing)
+    assert {
+        r["labels"] for r in ev.eval("limit_ratio(-1, m)").collect()
+    } == allv
 
 
 def test_sort_by_label_and_hw_alias(spark):
