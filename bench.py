@@ -74,7 +74,14 @@ FAMILIES: list[tuple[str, list[str]]] = [
         ["pack_chunks", "contamination_ngram", "corpus_filter_chain"],
     ),
     ("semantic", ["dedup_semantic", "similarity_kmeans"]),
-    ("promql", ["subquery_max_rate", "promql_rate_by_user"]),
+    (
+        "promql",
+        [
+            "subquery_max_rate",
+            "promql_rate_by_user",
+            "promql_range_hist_quantile",
+        ],
+    ),
     ("olap", ["user_sessions", "retention_cohorts"]),
     ("multimodal", ["multimodal_decode"]),
     (

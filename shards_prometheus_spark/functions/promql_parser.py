@@ -145,6 +145,13 @@ _SET_OPS = {"and", "or", "unless"}
 
 _BUCKET_SUFFIX = "_bucket"
 
+#: `@ start()` / `@ end()` sentinels stored in Selector.at_us (real
+#: timestamps are always positive µs). Instant queries resolve both to
+#: the evaluation time t_max (start == end there); eval_range resolves
+#: start() to t_max - span and end() to t_max — the grid window edges.
+_AT_START = -1
+_AT_END = -2
+
 
 class PromQLSyntaxError(ValueError):
     pass
@@ -484,12 +491,18 @@ class _Parser:
             elif tok == "@":
                 self.next()
                 ts_tok = self.next()
-                try:
-                    at_us = int(float(ts_tok) * 1e6)
-                except ValueError:
-                    raise PromQLSyntaxError(
-                        f"@ needs a unix timestamp, got {ts_tok!r}"
-                    ) from None
+                if ts_tok in {"start", "end"}:  # @ start() / @ end()
+                    self.expect("(")
+                    self.expect(")")
+                    at_us = _AT_START if ts_tok == "start" else _AT_END
+                else:
+                    try:
+                        at_us = int(float(ts_tok) * 1e6)
+                    except ValueError:
+                        raise PromQLSyntaxError(
+                            f"@ needs a unix timestamp or start()/end(), "
+                            f"got {ts_tok!r}"
+                        ) from None
                 if not isinstance(e, (Selector, Subquery)):
                     raise PromQLSyntaxError(
                         "@ applies to selectors/subqueries"
@@ -832,9 +845,13 @@ class PromQLEvaluator:
     @staticmethod
     def _end(sel) -> Column:
         """Selector evaluation time: `@ ts` pins it to a literal,
-        otherwise the broadcast t_max; `offset` shifts either back."""
+        otherwise the broadcast t_max; `offset` shifts either back.
+        `@ start()`/`@ end()` both resolve to t_max here — an instant
+        query's range collapses to a point (start == end == t_max)."""
         base = (
-            F.lit(sel.at_us) if sel.at_us is not None else F.col("t_max")
+            F.lit(sel.at_us)
+            if sel.at_us is not None and sel.at_us >= 0
+            else F.col("t_max")
         )
         return base - F.lit(sel.offset_us)
 
@@ -868,15 +885,19 @@ class PromQLEvaluator:
             sel.offset_us, sel.at_us,
         )
 
-    def _bucket_cum(self, windowed: DataFrame) -> DataFrame:
+    def _bucket_cum(
+        self, windowed: DataFrame, extra_keys: tuple[str, ...] = ()
+    ) -> DataFrame:
         """Cumulative le-bucket observation counts per series — the
         counters a prometheus-cpp histogram family exports
         (prometheus.cpp:277-293; cumulative exposition is the public
         text-format convention). One hash aggregate over the windowed
-        scan × (len(BOUNDS)+1) broadcast bound rows."""
+        scan × (len(BOUNDS)+1) broadcast bound rows. `extra_keys`
+        (e.g. the grid instant ``_ets``) widen the aggregate key and
+        pass through to the output."""
         j = windowed.crossJoin(F.broadcast(self._bounds_df()))
         return (
-            j.groupBy("series_id", "le", "le_num")
+            j.groupBy("series_id", "le", "le_num", *extra_keys)
             .agg(
                 F.first("labels").alias("labels"),
                 F.sum(
@@ -886,6 +907,7 @@ class PromQLEvaluator:
                 .alias("cum"),
             )
             .select(
+                *extra_keys,
                 F.map_concat(
                     F.col("labels"), F.create_map(F.lit("le"), F.col("le"))
                 ).alias("labels"),
@@ -1126,7 +1148,11 @@ class PromQLEvaluator:
         a ≤(range/step + 1)-row derived relation, always broadcast."""
         n = int(sub.range_us // sub.step_us) + 1
         step, off = sub.step_us, sub.offset_us
-        t_ref = "t_max" if sub.at_us is None else str(sub.at_us)
+        t_ref = (
+            "t_max"
+            if sub.at_us is None or sub.at_us < 0  # @ start()/end() ≡ t_max
+            else str(sub.at_us)
+        )
         return (
             self._tmax.select(
                 F.col("t_max"),
@@ -1307,15 +1333,21 @@ class PromQLEvaluator:
 
     # -- histogram_quantile ----------------------------------------------
     def _hist_quantile(self, node: HistQuantile) -> DataFrame:
+        return self._hq_impl(self._vector(node.expr), node.phi)
+
+    def _hq_impl(
+        self, vec: DataFrame, phi: float, keys: tuple[str, ...] = ()
+    ) -> DataFrame:
         """PromQL histogram_quantile over any le-labeled vector: group
         by the non-le labels, interpolate inside the first bucket whose
         cumulative value reaches φ·total; the +Inf bucket clamps to the
         highest finite bound. Feed it accumulation-stable vectors
         (bucket counts, or single-division rates) — the bucket pick is
-        a discrete decision on the raw doubles."""
-        vec = self._vector(node.expr)
+        a discrete decision on the raw doubles. `keys` (e.g. the grid
+        instant ``_ets``) widen every partition and pass through."""
         le = F.element_at("labels", F.lit("le"))
         base = vec.select(
+            *keys,
             F.map_filter(
                 F.col("labels"), lambda k, _v: k != F.lit("le")
             ).alias("labels"),
@@ -1324,9 +1356,11 @@ class PromQLEvaluator:
             .alias("_le"),
             F.col("value").alias("_v"),
         ).withColumn("_g", _label_str(F.col("labels")))
-        wg = Window.partitionBy("_g")
-        wo = Window.partitionBy("_g").orderBy("_le")
+        part = ["_g", *keys]
+        wg = Window.partitionBy(*part)
+        wo = Window.partitionBy(*part).orderBy("_le")
         d = base.select(
+            *keys,
             "labels",
             "_g",
             "_le",
@@ -1335,9 +1369,9 @@ class PromQLEvaluator:
             F.coalesce(F.lag("_v").over(wo), F.lit(0.0)).alias("_cp"),
             F.coalesce(F.lag("_le").over(wo), F.lit(0.0)).alias("_lb"),
         )
-        target = F.lit(node.phi) * F.col("_tot")
+        target = F.lit(phi) * F.col("_tot")
         hit = d.filter((F.col("_tot") > 0) & (F.col("_v") >= target))
-        pick = Window.partitionBy("_g").orderBy("_le")
+        pick = Window.partitionBy(*part).orderBy("_le")
         first = hit.withColumn("rn", F.row_number().over(pick)).filter(
             F.col("rn") == 1
         )
@@ -1351,7 +1385,7 @@ class PromQLEvaluator:
                 / (F.col("_v") - F.col("_cp"))
             )
         )
-        return first.select("labels", q.alias("value"))
+        return first.select(*keys, "labels", q.alias("value"))
 
     # -- binary operators ------------------------------------------------
     @staticmethod
@@ -1372,33 +1406,45 @@ class PromQLEvaluator:
             )
         return F.map_filter(labels_col, lambda k, _v: ~k.isin(*ls))
 
-    def _setop(self, node: BinOp) -> DataFrame:
+    def _setop(
+        self, node: BinOp, gkeys: tuple[str, ...] = ()
+    ) -> DataFrame:
         """and/or/unless: label-set membership algebra. `and` keeps
         left series whose match key exists on the right (semi join),
         `unless` those absent (anti join), `or` adds right series with
         no left match. Values and label sets pass through unchanged —
-        broadcast-friendly key-only probes at scale."""
+        broadcast-friendly key-only probes at scale. Under eval_range
+        (`gkeys` = ("_ets",)) membership is per grid instant."""
         if isinstance(node.lhs, Scalar) or isinstance(node.rhs, Scalar):
             raise PromQLSyntaxError(
                 f"{node.op!r} needs vector operands on both sides"
             )
+        ev = self._gvector if gkeys else self._vector
+        jk = ["_k", *gkeys]
         key = _label_str(self._match_labels(node.match, F.col("labels")))
-        lk = self._vector(node.lhs).withColumn("_k", key)
-        rk = self._vector(node.rhs).withColumn("_k", key)
+        lk = ev(node.lhs).withColumn("_k", key)
+        rk = ev(node.rhs).withColumn("_k", key)
         if node.op == "and":
-            out = lk.join(rk.select("_k").distinct(), "_k", "semi")
+            out = lk.join(rk.select(*jk).distinct(), jk, "semi")
         elif node.op == "unless":
-            out = lk.join(rk.select("_k").distinct(), "_k", "anti")
+            out = lk.join(rk.select(*jk).distinct(), jk, "anti")
         else:  # or: left wins per match key; unmatched right appended
             out = lk.unionByName(
-                rk.join(lk.select("_k").distinct(), "_k", "anti")
+                rk.join(lk.select(*jk).distinct(), jk, "anti")
                 .select(*lk.columns)
             )
-        return out.select("labels", "value")
+        return out.select(*gkeys, "labels", "value")
 
-    def _binop(self, node: BinOp) -> DataFrame:
+    def _binop(
+        self, node: BinOp, gkeys: tuple[str, ...] = ()
+    ) -> DataFrame:
+        """Binary operators. With `gkeys` = ("_ets",) — the eval_range
+        path — both sides are grid relations and every match, join,
+        and uniqueness check is additionally keyed on the grid
+        instant, so the whole grid still evaluates in one pass."""
         if node.op in _SET_OPS:
-            return self._setop(node)
+            return self._setop(node, gkeys)
+        ev = self._gvector if gkeys else self._vector
         lsc = isinstance(node.lhs, (Scalar, TimeFn, ScalarFn))
         rsc = isinstance(node.rhs, (Scalar, TimeFn, ScalarFn))
         if lsc and rsc:
@@ -1424,19 +1470,32 @@ class PromQLEvaluator:
 
         if rsc or lsc:  # vector ⋄ scalar
             other = node.rhs if rsc else node.lhs
-            vec = self._vector(node.lhs if rsc else node.rhs)
+            vec = ev(node.lhs if rsc else node.rhs)
             if isinstance(other, TimeFn):
-                # time(): the broadcast t_max, in seconds
-                vec = vec.join(F.broadcast(self._tmax))
-                sc = F.col("t_max").cast("double") / F.lit(1e6)
+                if gkeys:
+                    # time() on a grid: the step's own timestamp
+                    sc = F.col("_ets").cast("double") / F.lit(1e6)
+                else:
+                    # time(): the broadcast t_max, in seconds
+                    vec = vec.join(F.broadcast(self._tmax))
+                    sc = F.col("t_max").cast("double") / F.lit(1e6)
             elif isinstance(other, ScalarFn):
                 # scalar(v): 1-row aggregate of the inner vector,
-                # broadcast onto every row; NaN unless exactly 1 series
-                one = self._vector(other.expr).agg(
-                    F.count(F.lit(1)).alias("_sc_n"),
-                    F.max("value").alias("_sc_v"),
-                )
-                vec = vec.join(F.broadcast(one))
+                # broadcast onto every row; NaN unless exactly 1
+                # series. On a grid: one row PER instant, left-joined
+                # so instants with an empty inner vector stay NaN.
+                if gkeys:
+                    one = ev(other.expr).groupBy(*gkeys).agg(
+                        F.count(F.lit(1)).alias("_sc_n"),
+                        F.max("value").alias("_sc_v"),
+                    )
+                    vec = vec.join(F.broadcast(one), list(gkeys), "left")
+                else:
+                    one = self._vector(other.expr).agg(
+                        F.count(F.lit(1)).alias("_sc_n"),
+                        F.max("value").alias("_sc_v"),
+                    )
+                    vec = vec.join(F.broadcast(one))
                 sc = F.when(
                     F.col("_sc_n") == 1, F.col("_sc_v")
                 ).otherwise(F.lit(float("nan")))
@@ -1454,13 +1513,15 @@ class PromQLEvaluator:
                     cond = cond & (F.col("_sc_n") == 1)
                 if node.bool_mode:
                     return vec.withColumn("value", cond.cast("double")).select(
-                        "labels", "value"
+                        *gkeys, "labels", "value"
                     )
-                return vec.filter(cond).select("labels", "value")
+                return vec.filter(cond).select(*gkeys, "labels", "value")
             val = (
                 arith(F.col("value"), sc) if rsc else arith(sc, F.col("value"))
             )
-            return vec.withColumn("value", val).select("labels", "value")
+            return vec.withColumn("value", val).select(
+                *gkeys, "labels", "value"
+            )
 
         # vector ⋄ vector: equi-join on the canonical string of the
         # match label set — full set by default, on()'s subset, or the
@@ -1473,29 +1534,28 @@ class PromQLEvaluator:
         def match_labels(labels_col: Column) -> Column:
             return self._match_labels(node.match, labels_col)
 
-        left = self._vector(node.lhs).select(
+        left = ev(node.lhs).select(
+            *gkeys,
             _label_str(match_labels(F.col("labels"))).alias("_k"),
             F.col("labels").alias("_llabels"),
             F.col("value").alias("_l"),
         )
-        right = self._vector(node.rhs).select(
+        right = ev(node.rhs).select(
+            *gkeys,
             _label_str(match_labels(F.col("labels"))).alias("_k"),
             F.col("labels").alias("_rlabels"),
             F.col("value").alias("_r"),
         )
+        wk = Window.partitionBy("_k", *gkeys)
         if node.group != "left":  # left must be unique per match key
-            left = left.withColumn(
-                "_lc", F.count(F.lit(1)).over(Window.partitionBy("_k"))
-            )
+            left = left.withColumn("_lc", F.count(F.lit(1)).over(wk))
         else:
             left = left.withColumn("_lc", F.lit(1))
         if node.group != "right":  # right must be unique per match key
-            right = right.withColumn(
-                "_rc", F.count(F.lit(1)).over(Window.partitionBy("_k"))
-            )
+            right = right.withColumn("_rc", F.count(F.lit(1)).over(wk))
         else:
             right = right.withColumn("_rc", F.lit(1))
-        j = left.join(right, "_k")
+        j = left.join(right, ["_k", *gkeys])
         dup = (F.col("_lc") > 1) | (F.col("_rc") > 1)
 
         def guard(c: Column) -> Column:
@@ -1535,22 +1595,28 @@ class PromQLEvaluator:
             cond = cmp_cond(l6, r6)
             if node.bool_mode:
                 return j.select(
+                    *gkeys,
                     out_labels.alias("labels"),
                     guard(cond.cast("double")).alias("value"),
                 )
             return j.filter(cond).select(
-                out_labels.alias("labels"), guard(F.col("_l")).alias("value")
+                *gkeys,
+                out_labels.alias("labels"),
+                guard(F.col("_l")).alias("value"),
             )
         return j.select(
+            *gkeys,
             out_labels.alias("labels"),
             guard(arith(F.col("_l"), F.col("_r"))).alias("value"),
         )
 
     # -- math / label functions ------------------------------------------
-    def _math(self, node: MathFn) -> DataFrame:
+    def _math(self, node: MathFn, ev=None) -> DataFrame:
         """Per-sample math on the 6dp-pinned operand (discrete outputs
-        — ceil/floor/round — must not flip on cross-engine noise)."""
-        vec = self._vector(node.expr)
+        — ceil/floor/round — must not flip on cross-engine noise).
+        `ev` swaps the child evaluator (the eval_range grid path);
+        extra columns like ``_ets`` pass through untouched."""
+        vec = (ev or self._vector)(node.expr)
         v = F.round(F.col("value"), 6)
         fn, a = node.fn, node.args
         if fn == "abs":
@@ -1638,12 +1704,13 @@ class PromQLEvaluator:
             )
         )
 
-    def _label(self, node: LabelFn) -> DataFrame:
+    def _label(self, node: LabelFn, ev=None) -> DataFrame:
         """label_replace / label_join: pure label-map rewrites. An
         empty produced value DROPS the dst label; a non-matching
         label_replace regex leaves the series untouched (both are the
-        public PromQL semantics)."""
-        vec = self._vector(node.expr)
+        public PromQL semantics). `ev` swaps the child evaluator (the
+        eval_range grid path); ``_ets`` passes through untouched."""
+        vec = (ev or self._vector)(node.expr)
         labels = F.col("labels")
         base = F.map_filter(labels, lambda k, _v: k != F.lit(node.dst))
         if node.kind == "replace":
@@ -1757,84 +1824,174 @@ class PromQLEvaluator:
         the Prometheus ``query_range`` shape: one vector per grid
         instant, returned tall as (ts_us, labels, value).
 
-        Supported forms (the dashboard core): an instant selector, a
-        range function over a selector, or a by()-aggregation over
-        either. One scan joins the broadcast grid; every downstream
-        fold/agg keys on (series-or-labels, _ets), so the whole grid
-        evaluates in ONE pass — grid points are never looped.
+        Compositional over the dashboard core: instant and `_bucket`
+        selectors, every range function (rate/increase/…_over_time/
+        deriv/predict_linear/holt_winters), sum/avg/min/max/count
+        by()/without() aggregation, histogram_quantile (the #1
+        Grafana panel: ``histogram_quantile(φ, rate(x_bucket[5m]))``),
+        vector binary operators with on/ignoring/group_left/right
+        (error-rate ``a/b`` panels), comparisons (+``bool``), set
+        operators, math and label functions, `@ start()`/`@ end()`.
+
+        Plan shape: each LEAF selector is one scan joined to the
+        broadcast ≤(span/step+1)-row grid; every downstream fold,
+        aggregate, window, and join is additionally keyed on the grid
+        instant `_ets`, so the whole grid evaluates in ONE pass —
+        grid points are never looped, and the per-instant keying
+        shards exactly like a (series, time-bucket) rollup at scale.
         """
         node = parse(expr)
-        agg: Agg | None = None
-        if isinstance(node, Agg):
-            if node.op not in {"sum", "avg", "min", "max", "count"} or (
-                node.k is not None or node.mode != "by"
-            ):
-                raise PromQLSyntaxError(
-                    "eval_range aggregation supports sum/avg/min/max/"
-                    "count by (…)"
-                )
-            agg, node = node, node.expr
-        if isinstance(node, Selector) and node.range_us is None:
-            inner, ifn, irange = node, "last_over_time", LOOKBACK_US
-        elif isinstance(node, RangeFn) and isinstance(node.sel, Selector):
-            inner, ifn, irange = node.sel, node.fn, node.sel.range_us
-        else:
-            raise PromQLSyntaxError(
-                "eval_range supports an instant selector, a range "
-                "function over a selector, or a by()-agg over either"
-            )
-        if inner.metric.endswith(_BUCKET_SUFFIX):
-            raise PromQLSyntaxError(
-                "synthetic _bucket selectors are not supported in "
-                "eval_range (evaluate histogram_quantile per instant "
-                "with eval() instead)"
-            )
-        grid = self._grid(Subquery(inner, span_us, step_us))
-        win_end = F.col("_ets") - F.lit(inner.offset_us)
-        df = self._matched(inner).join(
-            F.broadcast(grid),
-            (F.col("ts_us") <= win_end)
-            & (F.col("ts_us") > win_end - F.lit(irange)),
-        )
-        if ifn in {"deriv", "predict_linear"}:
-            df = df.withColumn("_xref", F.col("_ets"))
-        pts = self._range_fold(
-            df, ["series_id", "_ets"], ifn, irange,
-            param=getattr(node, "param", None),
-            param2=getattr(node, "param2", None),
-        ).select("_ets", "labels", "value")
-        if agg is None:
-            out = pts
-        else:
-            new_labels = (
-                F.map_from_arrays(
-                    F.array(*[F.lit(b) for b in agg.by]),
-                    F.array(
-                        *[F.element_at("labels", F.lit(b)) for b in agg.by]
-                    ),
-                )
-                if agg.by
-                else F.map_from_arrays(F.array(), F.array())
-            )
-            fold = {
-                "sum": F.sum("value"),
-                "avg": F.avg("value"),
-                "min": F.min("value"),
-                "max": F.max("value"),
-                "count": F.count(F.lit(1)).cast("double"),
-            }[agg.op]
-            out = (
-                pts.withColumn("labels", new_labels)
-                .groupBy(
-                    "_ets", _label_str(F.col("labels")).alias("_k")
-                )
-                .agg(F.first("labels").alias("labels"), fold.alias("value"))
-                .drop("_k")
-            )
+        self._gspan = (span_us, step_us)
+        self._gridf = self._grid(Subquery(None, span_us, step_us))
+        try:
+            out = self._gvector(node)
+        finally:
+            del self._gspan, self._gridf
         return out.select(
             F.col("_ets").alias("ts_us"),
             _label_str(F.col("labels")).alias("labels"),
             F.round("value", 4).alias("value"),
+        )
+
+    def _gend(self, sel) -> Column:
+        """Grid-leaf evaluation time: the grid instant `_ets`, unless
+        `@` pins it — to a literal, or to the grid window edges for
+        `@ start()` / `@ end()`; `offset` shifts any of them back."""
+        if sel.at_us is None:
+            base = F.col("_ets")
+        elif sel.at_us == _AT_END:
+            base = F.col("t_max")
+        elif sel.at_us == _AT_START:
+            base = F.col("t_max") - F.lit(self._gspan[0])
+        else:
+            base = F.lit(sel.at_us)
+        return base - F.lit(sel.offset_us)
+
+    def _gwindow(
+        self, sel: Selector, irange: int | None
+    ) -> DataFrame:
+        """One scan × broadcast grid join, windowed per grid instant:
+        (win_end - irange, win_end], or cumulative-from-start when
+        `irange` is None (the `_bucket` instant-selector semantics)."""
+        win_end = self._gend(sel)
+        cond = F.col("ts_us") <= win_end
+        if irange is not None:
+            cond = cond & (F.col("ts_us") > win_end - F.lit(irange))
+        return self._matched(sel).join(F.broadcast(self._gridf), cond)
+
+    def _gvector(self, node) -> DataFrame:
+        """Grid-mode recursive evaluation → (_ets, labels, value):
+        the same dispatch as `_vector` with every relation carrying
+        the grid instant through folds, aggs, and joins."""
+        if isinstance(node, Selector):
+            if node.range_us is not None:
+                raise PromQLSyntaxError(
+                    "range selector outside a range function"
+                )
+            if node.metric.endswith(_BUCKET_SUFFIX):
+                # cumulative bucket counters at each grid instant
+                df = self._gwindow(self._bucket_base(node), None)
+                return self._bucket_cum(df, ("_ets",)).select(
+                    "_ets", "labels", F.col("cum").alias("value")
+                )
+            df = self._gwindow(node, LOOKBACK_US)
+            return self._range_fold(
+                df, ["series_id", "_ets"], "last_over_time", LOOKBACK_US
+            ).select("_ets", "labels", "value")
+        if isinstance(node, RangeFn):
+            if not isinstance(node.sel, Selector):
+                raise PromQLSyntaxError(
+                    "eval_range does not nest subqueries"
+                )
+            sel, fn = node.sel, node.fn
+            if sel.metric.endswith(_BUCKET_SUFFIX) and fn in {
+                "rate", "increase",
+            }:
+                # bucket increase over the window = in-window count
+                # of observations ≤ le (each observation is one
+                # increment) — keyed per grid instant
+                df = self._gwindow(self._bucket_base(sel), sel.range_us)
+                value = F.col("cum")
+                if fn == "rate":
+                    value = value / F.lit(sel.range_us / 1e6)
+                return self._bucket_cum(df, ("_ets",)).select(
+                    "_ets", "labels", value.alias("value")
+                )
+            df = self._gwindow(sel, sel.range_us)
+            if fn in {"deriv", "predict_linear"}:
+                # x-axis: the unshifted per-instant evaluation time
+                df = df.withColumn(
+                    "_xref", self._gend(sel) + F.lit(sel.offset_us)
+                )
+            return self._range_fold(
+                df, ["series_id", "_ets"], fn, sel.range_us,
+                param=node.param, param2=node.param2,
+            ).select("_ets", "labels", "value")
+        if isinstance(node, Agg):
+            return self._gagg(node)
+        if isinstance(node, HistQuantile):
+            return self._hq_impl(
+                self._gvector(node.expr), node.phi, ("_ets",)
+            ).select("_ets", "labels", "value")
+        if isinstance(node, BinOp):
+            return self._binop(node, ("_ets",))
+        if isinstance(node, MathFn):
+            return self._math(node, ev=self._gvector)
+        if isinstance(node, LabelFn):
+            return self._label(node, ev=self._gvector)
+        if isinstance(node, VectorFn):
+            return self._gridf.select(
+                "_ets",
+                F.map_from_arrays(F.array(), F.array()).alias("labels"),
+                F.lit(float(node.value)).alias("value"),
+            )
+        raise PromQLSyntaxError(
+            "eval_range does not support "
+            f"{type(node).__name__} expressions"
+        )
+
+    def _gagg(self, node: Agg) -> DataFrame:
+        """by()/without() aggregation per grid instant — one hash
+        aggregate keyed on (_ets, grouped label set)."""
+        if node.op not in {"sum", "avg", "min", "max", "count"} or (
+            node.k is not None
+        ):
+            raise PromQLSyntaxError(
+                "eval_range aggregation supports sum/avg/min/max/"
+                "count by()/without()"
+            )
+        pts = self._gvector(node.expr)
+        if node.mode == "without":
+            new_labels = (
+                F.map_filter(
+                    F.col("labels"), lambda k, _v: ~k.isin(*node.by)
+                )
+                if node.by
+                else F.col("labels")
+            )
+        else:
+            new_labels = (
+                F.map_from_arrays(
+                    F.array(*[F.lit(b) for b in node.by]),
+                    F.array(
+                        *[F.element_at("labels", F.lit(b)) for b in node.by]
+                    ),
+                )
+                if node.by
+                else F.map_from_arrays(F.array(), F.array())
+            )
+        fold = {
+            "sum": F.sum("value"),
+            "avg": F.avg("value"),
+            "min": F.min("value"),
+            "max": F.max("value"),
+            "count": F.count(F.lit(1)).cast("double"),
+        }[node.op]
+        return (
+            pts.withColumn("labels", new_labels)
+            .groupBy("_ets", _label_str(F.col("labels")).alias("_k"))
+            .agg(F.first("labels").alias("labels"), fold.alias("value"))
+            .drop("_k")
         )
 
 
@@ -1920,6 +2077,15 @@ PROMQL_DEG = "deg(vector(3.141592653589793))"
 #: query_range demos: 240h span on a 24h grid
 PROMQL_RANGE_EXPR = "sum by (user) (rate(click[24h]))"
 PROMQL_RANGE_INSTANT_EXPR = "view"
+#: the #1 Grafana panel shape, now grid-evaluable
+PROMQL_RANGE_HQ_EXPR = "histogram_quantile(0.9, rate(view_bucket[24h]))"
+#: the error-rate panel shape: vector / vector per grid instant
+PROMQL_RANGE_RATIO_EXPR = (
+    "sum by (user) (increase(click[24h])) / "
+    "sum by (user) (increase(view[24h]))"
+)
+#: `@ end()` — the Grafana-emitted pinned-eval-time form
+PROMQL_AT_END = "sum by (user) (increase(click[240h] @ end()))"
 PROMQL_TS_AGE = "time() - timestamp(click)"
 PROMQL_MONTH = "month(vector(1705276800))"
 PROMQL_HOUR = "hour(timestamp(purchase))"
@@ -2121,6 +2287,34 @@ def promql_range_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def promql_range_hist_quantile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The #1 Grafana panel on the step grid:
+    histogram_quantile(0.9, rate(view_bucket[24h])) per 24h grid
+    instant — bucket counters folded per (series, le, instant),
+    quantile interpolation windows keyed per instant; one scan ×
+    broadcast grid end to end."""
+    return PromQLEvaluator.from_dir(spark, sf_dir).eval_range(
+        PROMQL_RANGE_HQ_EXPR, 240 * 3_600_000_000, 24 * 3_600_000_000
+    )
+
+
+def promql_range_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error-rate panel shape on the step grid: a vector/vector
+    division matched per (user, grid instant) — each side one scan ×
+    broadcast grid, joined on the match key + instant."""
+    return PromQLEvaluator.from_dir(spark, sf_dir).eval_range(
+        PROMQL_RANGE_RATIO_EXPR, 240 * 3_600_000_000, 24 * 3_600_000_000
+    )
+
+
+def promql_at_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`@ end()` (the Grafana-emitted form): pins the selector to the
+    query window end — t_max for an instant query."""
+    return promql_eval(spark, sf_dir, PROMQL_AT_END)
+
+
 def promql_ts_age(spark: SparkSession, sf_dir: str) -> DataFrame:
     """time() - timestamp(v): per-series staleness age in seconds —
     the canonical freshness-alert idiom."""
@@ -2238,8 +2432,9 @@ def _bucket_cum_cte(metric: str, rng_us: int, per_series: bool) -> str:
     )
 
 
-def _hq_sql(part: str, out_labels: str) -> str:
-    """histogram_quantile fold over the `vv` vector (le_num, v)."""
+def _hq_sql(part: str, out_labels: str, lead: str = "") -> str:
+    """histogram_quantile fold over the `vv` vector (le_num, v);
+    `lead` prepends extra output columns (the grid's ts_us)."""
     p = f"PARTITION BY {part} " if part else ""
     tot_p = f"PARTITION BY {part}" if part else ""
     return (
@@ -2249,13 +2444,43 @@ def _hq_sql(part: str, out_labels: str) -> str:
         "FROM vv), "
         f"hit AS (SELECT *, ROW_NUMBER() OVER ({p}ORDER BY le_num) AS rn "
         "FROM q WHERE tot > 0 AND v >= 0.9 * tot) "
-        f"SELECT {out_labels} AS labels, "
+        f"SELECT {lead}{out_labels} AS labels, "
         + dround(
             "CASE WHEN isinf(le_num) THEN lb WHEN v = cp THEN lb "
             "ELSE lb + (le_num - lb) * (0.9 * tot - cp) / (v - cp) END",
             4,
         )
         + " AS value FROM hit WHERE rn = 1"
+    )
+
+
+def _grid_cte(step_us: int, span_us: int) -> str:
+    """The eval_range grid as a DuckDB CTE `g(ets)` — step-aligned
+    instants in (t_max - span, t_max], mirroring `_grid()`."""
+    n = span_us // step_us + 1
+    head = f"((t.t_max // {step_us}) * {step_us})"
+    return (
+        f"g AS (SELECT {head} - gs.i * {step_us} AS ets FROM t "
+        f"CROSS JOIN generate_series(0, {n}) AS gs(i) "
+        f"WHERE {head} - gs.i * {step_us} > t.t_max - {span_us})"
+    )
+
+
+def _grid_increase_cte(metric: str, rng_us: int, name: str) -> str:
+    """Per-(user, grid-instant) clamped increase over each instant's
+    trailing window — the grid twin of `_increase_cte`, summed by
+    user (the demo exprs aggregate `by (user)`)."""
+    return (
+        f"{name}_w AS (SELECT s.l_user, s.l_shard, g.ets, s.ts_us, "
+        "s.event_id, s.value FROM samples_multi s JOIN g "
+        "ON s.ts_us <= g.ets AND s.ts_us > g.ets - "
+        f"{rng_us} WHERE s.metric = '{metric}'), "
+        f"{name}_d AS (SELECT l_user, l_shard, ets, value, "
+        "LAG(value) OVER (PARTITION BY l_user, l_shard, ets "
+        f"ORDER BY ts_us, event_id) AS prev FROM {name}_w), "
+        f"{name} AS (SELECT l_user, ets, "
+        "SUM(CASE WHEN value < prev THEN value ELSE value - prev END) AS v "
+        f"FROM {name}_d WHERE prev IS NOT NULL GROUP BY l_user, ets)"
     )
 
 
@@ -2291,6 +2516,9 @@ QUERIES = {
     "promql_deg": promql_deg,
     "promql_range_rate": promql_range_rate,
     "promql_range_instant": promql_range_instant,
+    "promql_range_hist_quantile": promql_range_hist_quantile,
+    "promql_range_ratio": promql_range_ratio,
+    "promql_at_end": promql_at_end,
     "promql_ts_age": promql_ts_age,
     "promql_month": promql_month,
     "promql_hour": promql_hour,
@@ -2599,6 +2827,44 @@ ORACLES = {
         "SELECT ets AS ts_us, 'user=' || l_user AS labels, "
         + dround("SUM(v)", 4)
         + " AS value FROM r GROUP BY ets, l_user"
+    ),
+    "promql_range_hist_quantile": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _grid_cte(_H24_US, _H240_US)
+        + f", b(le, le_num) AS (VALUES {_B_VALUES}), "
+        "w AS (SELECT s.l_user, s.l_shard, g.ets, s.value "
+        "FROM samples_multi s JOIN g ON s.ts_us <= g.ets "
+        f"AND s.ts_us > g.ets - {_H24_US} WHERE s.metric = 'view'), "
+        "cum AS (SELECT l_user, l_shard, ets, b.le_num, "
+        "CAST(SUM(CASE WHEN w.value <= b.le_num THEN 1 ELSE 0 END) "
+        "AS DOUBLE) AS c FROM w CROSS JOIN b "
+        "GROUP BY l_user, l_shard, ets, b.le_num), "
+        "vv AS (SELECT l_user, l_shard, ets, le_num, "
+        f"c / {_H24_US / 1e6} AS v FROM cum), "
+        + _hq_sql(
+            "l_user, l_shard, ets",
+            "'shard=' || l_shard || ',user=' || l_user",
+            lead="ets AS ts_us, ",
+        )
+    ),
+    "promql_range_ratio": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _grid_cte(_H24_US, _H240_US)
+        + ", "
+        + _grid_increase_cte("click", _H24_US, "ci")
+        + ", "
+        + _grid_increase_cte("view", _H24_US, "vi")
+        + " SELECT ci.ets AS ts_us, 'user=' || ci.l_user AS labels, "
+        + dround("ci.v / vi.v", 4)
+        + " AS value FROM ci JOIN vi "
+        "ON vi.l_user = ci.l_user AND vi.ets = ci.ets"
+    ),
+    "promql_at_end": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H240_US, "inc")
+        + " SELECT 'user=' || l_user AS labels, "
+        + dround("SUM(inc)", 4)
+        + " AS value FROM inc GROUP BY l_user"
     ),
     "promql_range_instant": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

@@ -884,17 +884,79 @@ def test_eval_range_grid(spark):
         ev.eval_range("topk(3, m)", 30_000_000, 10_000_000)
 
 
-def test_eval_range_rejects_bucket_selector(spark):
-    from shards_prometheus_spark.functions.promql_parser import (
-        PromQLEvaluator,
-    )
+def test_eval_range_dashboard_core(spark):
+    """The grid evaluator composes: histogram_quantile over a bucket
+    increase, binary ops, comparisons, and @ end() — all per grid
+    instant. Observations 3,7,20,40 at t=5,10,15,20s; span 20s step
+    10s → grid instants 10s and 20s."""
+    rows = [
+        (1, 11, "m", {"user": "a"}, 5_000_000, 3.0),
+        (2, 11, "m", {"user": "a"}, 10_000_000, 7.0),
+        (3, 11, "m", {"user": "a"}, 15_000_000, 20.0),
+        (4, 11, "m", {"user": "a"}, 20_000_000, 40.0),
+    ]
+    ev = _tiny_eval(spark, rows)
+    span, step = 20_000_000, 10_000_000
 
-    ev = _tiny_eval(
-        spark, [(1, 11, "m", {"user": "a"}, 1_000_000, 1.0)]
-    )
-    assert isinstance(ev, PromQLEvaluator)
-    with pytest.raises(PromQLSyntaxError):
-        ev.eval_range("rate(m_bucket[10s])", 30_000_000, 10_000_000)
+    # histogram_quantile(0.5, increase(m_bucket[10s])): window (0,10]
+    # holds {3,7} -> φ·tot=1 hits le=5, interp from lb=1 -> 5.0;
+    # window (10,20] holds {20,40} -> hits le=25, lb=10 -> 25.0
+    hq = {
+        (r["ts_us"], r["labels"]): r["value"]
+        for r in ev.eval_range(
+            "histogram_quantile(0.5, increase(m_bucket[10s]))", span, step
+        ).collect()
+    }
+    assert hq == {
+        (10_000_000, "user=a"): 5.0,
+        (20_000_000, "user=a"): 25.0,
+    }
+
+    # vector/vector binop per instant: increase(m[10s])/increase(m[20s])
+    # (in-window lag deltas) ets=10: 4/4 = 1.0; ets=20: 20/37
+    ratio = {
+        (r["ts_us"], r["labels"]): r["value"]
+        for r in ev.eval_range(
+            "sum by (user) (increase(m[10s])) / "
+            "sum by (user) (increase(m[20s]))",
+            span, step,
+        ).collect()
+    }
+    assert ratio == {
+        (10_000_000, "user=a"): 1.0,
+        (20_000_000, "user=a"): round(20 / 37, 4),
+    }
+
+    # comparison filters per instant: instant m -> 7 @10s, 40 @20s
+    cmp_got = {
+        (r["ts_us"], r["labels"]): r["value"]
+        for r in ev.eval_range("m > 10", span, step).collect()
+    }
+    assert cmp_got == {(20_000_000, "user=a"): 40.0}
+
+    # @ end(): pinned to t_max, broadcast across the grid instants
+    pinned = {
+        (r["ts_us"], r["labels"]): r["value"]
+        for r in ev.eval_range(
+            "sum by (user) (increase(m[10s] @ end()))", span, step
+        ).collect()
+    }
+    assert pinned == {
+        (10_000_000, "user=a"): 20.0,
+        (20_000_000, "user=a"): 20.0,
+    }
+
+    # without() grouping and math functions compose on the grid
+    m_sqrt = {
+        (r["ts_us"], r["labels"]): r["value"]
+        for r in ev.eval_range(
+            "sqrt(sum without (user) (increase(m[10s])))", span, step
+        ).collect()
+    }
+    assert m_sqrt == {
+        (10_000_000, ""): 2.0,
+        (20_000_000, ""): round(20.0 ** 0.5, 4),
+    }
 
 
 def test_absent_over_expression(spark):
