@@ -61,6 +61,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "dedup_exact",
             "dedup_near",
             "dedup_simhash",
+            "dedup_simhash_classes",
             "dedup_ngram_jaccard",
         ],
     ),

@@ -209,16 +209,10 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_CHUNKS = [(0, 6), (6, 5), (11, 5)]
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-16 pairs within Hamming distance ≤ 2.
-
-    Scale shape: docs collapse to distinct-signature classes (≤ 2^16
-    values however large the corpus), candidate class pairs come from
-    pigeonhole chunk joins — never an all-pairs product over docs — and
-    qualifying class pairs expand back to doc pairs (the output itself).
-    """
-    sigs = _simhash_sigs(spark, sf_dir)
-    classes = sigs.groupBy("sig").agg(F.count(F.lit(1)).alias("cnt"))
+def _simhash_close_pairs(classes: DataFrame) -> DataFrame:
+    """(sig_a, sig_b, hamming): distinct-signature class pairs within
+    Hamming distance ≤ 2 via pigeonhole chunk joins over the ≤2^16-row
+    class relation — never an all-pairs product over docs."""
     chunk_cols = [
         (F.shiftright(F.col("sig"), off) % F.lit(1 << width)).alias(f"c{i}")
         for i, (off, width) in enumerate(_SIMHASH_CHUNKS)
@@ -234,11 +228,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = p if pairs is None else pairs.unionByName(p)
     assert pairs is not None
     hamming = F.bit_count(F.expr("sig_a ^ sig_b")).cast("long")
-    close = (
+    return (
         pairs.distinct()
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-16 pairs within Hamming distance ≤ 2.
+
+    Scale shape: docs collapse to distinct-signature classes (≤ 2^16
+    values however large the corpus), candidate class pairs come from
+    pigeonhole chunk joins — never an all-pairs product over docs — and
+    qualifying class pairs expand back to doc pairs (the output itself).
+
+    OUTPUT-CONTRACT caveat: pair enumeration grows with class size
+    squared (625 M pairs at sf1.0 = half the full 50 k-doc pair
+    matrix, BENCH_sf1.json). The linear-output primary answer for a
+    100 TB run is `dedup_simhash_classes` (doc → representative);
+    keep this query for pair-level inspection at small scale.
+    """
+    sigs = _simhash_sigs(spark, sf_dir)
+    classes = sigs.groupBy("sig").agg(F.count(F.lit(1)).alias("cnt"))
+    close = _simhash_close_pairs(classes)
     # Expand qualifying class pairs to doc pairs. Classes are disjoint,
     # so each unordered doc pair appears exactly once; least/greatest
     # restores the doc_a < doc_b contract.
@@ -288,6 +301,96 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cross.unionByName(within)
+
+
+def dedup_simhash_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup, the PRIMARY scale answer: doc → representative
+    (min doc_id of its Hamming-≤2 connected signature component) —
+    LINEAR output in corpus size, unlike `dedup_simhash`'s pair
+    enumeration (pair count grows with class size squared: 625 M pairs
+    at sf1.0, half the full pair matrix). A 100 TB dedup run wants
+    survivors, not 10^12 pair rows.
+
+    Scale shape: the iterative min-label component propagation runs
+    entirely on the CLASS graph (≤ 2^16 signature nodes however large
+    the corpus — the loop's working set is independent of data size);
+    docs touch exactly one hash aggregate (per-sig count / min id) and
+    one broadcast join (sig → representative). Same propagation +
+    localCheckpoint discipline as `dedup_clusters`; the oracle states
+    the identical fixpoint as a recursive transitive closure.
+
+    Output: (doc_id, representative_id, is_keeper) for every doc whose
+    component holds ≥ 2 docs (including same-signature exact-sig dups).
+    """
+    sigs = _simhash_sigs(spark, sf_dir)
+    classes = (
+        sigs.groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .localCheckpoint()
+    )
+    close = _simhash_close_pairs(classes).select("sig_a", "sig_b")
+    adj = close.unionByName(
+        close.select(
+            F.col("sig_b").alias("sig_a"), F.col("sig_a").alias("sig_b")
+        )
+    ).localCheckpoint()
+    labels = classes.select(
+        "sig", F.col("sig").alias("label")
+    ).localCheckpoint()
+    for _ in range(MAX_CC_ITERS):
+        neigh_min = (
+            adj.join(
+                labels.select(
+                    F.col("sig").alias("sig_b"),
+                    F.col("label").alias("nbr_label"),
+                ),
+                "sig_b",
+            )
+            .groupBy("sig_a")
+            .agg(F.min("nbr_label").alias("min_nbr"))
+        )
+        step = (
+            labels.join(
+                neigh_min.select(F.col("sig_a").alias("sig"), "min_nbr"),
+                "sig",
+                "left",
+            )
+            .select(
+                "sig",
+                F.col("label").alias("old_label"),
+                F.least(
+                    "label", F.coalesce("min_nbr", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            step.filter(F.col("label") != F.col("old_label"))
+            .limit(1)
+            .count()
+        )
+        labels = step.select("sig", "label")
+        if changed == 0:
+            break
+    stats = (
+        labels.join(classes, "sig")
+        .groupBy("label")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.min("min_doc").alias("rep"),
+        )
+    )
+    lookup = labels.join(
+        stats.filter(F.col("n_docs") >= 2), "label"
+    ).select("sig", "rep")
+    return sigs.join(F.broadcast(lookup), "sig").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rep").cast("long").alias("representative_id"),
+        (F.col("doc_id") == F.col("rep")).cast("long").alias("is_keeper"),
+    )
 
 
 def _shingle_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,9 +655,21 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near": dedup_near,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_classes": dedup_simhash_classes,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
 }
+
+#: SimHash signature relation as an oracle CTE suffix (shared by the
+#: pair and class queries).
+_SIMHASH_SIGS_SQL = (
+    f"{TOKENS_CTE}, hp{_params_values(SIMHASH_PARAMS, ['j', 'a', 'b', 'w'])}, "
+    "bits AS (SELECT doc_id, j, w, "
+    f"SUM(CASE WHEN ((a * token_id + b) % {HASH_P}) % 2 = 1 THEN 1 ELSE -1 END) AS s "
+    "FROM dset, hp GROUP BY doc_id, j, w), "
+    "sigs AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN w ELSE 0 END) AS BIGINT) AS sig "
+    "FROM bits GROUP BY doc_id)"
+)
 
 #: dedup_near's pair relation as an oracle CTE suffix (jaccard ≥ 0.9).
 _ND_PAIRS_SQL = (
@@ -582,16 +697,40 @@ ORACLES = {
         f"WHERE i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter) >= {NEAR_DUP_JACCARD}"
     ),
     "dedup_simhash": (
-        f"{TOKENS_CTE}, hp{_params_values(SIMHASH_PARAMS, ['j', 'a', 'b', 'w'])}, "
-        "bits AS (SELECT doc_id, j, w, "
-        f"SUM(CASE WHEN ((a * token_id + b) % {HASH_P}) % 2 = 1 THEN 1 ELSE -1 END) AS s "
-        "FROM dset, hp GROUP BY doc_id, j, w), "
-        "sigs AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN w ELSE 0 END) AS BIGINT) AS sig "
-        "FROM bits GROUP BY doc_id) "
+        f"{_SIMHASH_SIGS_SQL} "
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
         "CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming "
         "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id "
         f"WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}"
+    ),
+    # component fixpoint over the ≤2^16-node SIGNATURE graph as a
+    # recursive transitive closure; docs then inherit their class
+    # component's representative (min doc_id)
+    "dedup_simhash_classes": (
+        (
+            f"{_SIMHASH_SIGS_SQL}, "
+            "cls AS (SELECT sig, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "MIN(doc_id) AS min_doc FROM sigs GROUP BY sig), "
+            "e AS (SELECT a.sig AS sa, b.sig AS sb FROM cls a JOIN cls b "
+            "ON a.sig < b.sig "
+            f"AND bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}), "
+            "und AS (SELECT sa AS a, sb AS b FROM e "
+            "UNION ALL SELECT sb, sa FROM e), "
+            "reach AS (SELECT a, b FROM und "
+            "UNION SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b), "
+            "comp AS (SELECT c.sig, "
+            "LEAST(c.sig, COALESCE(MIN(r.b), c.sig)) AS comp "
+            "FROM cls c LEFT JOIN reach r ON r.a = c.sig GROUP BY c.sig), "
+            "stats AS (SELECT cm.comp, SUM(c.cnt) AS n_docs, "
+            "MIN(c.min_doc) AS rep FROM comp cm "
+            "JOIN cls c ON c.sig = cm.sig GROUP BY cm.comp) "
+            "SELECT CAST(s.doc_id AS BIGINT) AS doc_id, "
+            "CAST(st.rep AS BIGINT) AS representative_id, "
+            "CAST(CASE WHEN s.doc_id = st.rep THEN 1 ELSE 0 END AS BIGINT) "
+            "AS is_keeper "
+            "FROM sigs s JOIN comp cm ON cm.sig = s.sig "
+            "JOIN stats st ON st.comp = cm.comp WHERE st.n_docs >= 2"
+        ).replace("WITH ", "WITH RECURSIVE ", 1)
     ),
     # recursive transitive closure states the same fixpoint the Spark
     # min-label propagation loop converges to
