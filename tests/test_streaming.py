@@ -670,6 +670,55 @@ def test_streaming_promql_rate_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_promql_grid_matches_batch(spark, tmp_path):
+    """The LIVE-DASHBOARD story: eval_range (the query_range grid API)
+    over the STREAMED samples relation — events arrive across ≥2 real
+    micro-batches, then the full step grid of
+    'sum by (user) (rate(click[240h]))' over the sink table must equal
+    the batch grid over the original events, instant for instant.
+    (240h windows: sf0.001 series are too sparse for 2-sample 24h
+    windows, and rate needs consecutive in-window samples.)"""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    expr = "sum by (user) (rate(click[240h]))"
+    from shards_prometheus_spark.streaming import samples_multi_stream
+    from shards_prometheus_spark.streaming.ingest import EVENTS_SCHEMA
+
+    glob, _ = _split_events_dir(spark, tmp_path, n_parts=4)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob)
+    )
+    q = run_to_memory(
+        samples_multi_stream(stream),
+        "promql_grid_stream_samples",
+        output_mode="append",
+    )
+    _await(q)
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 2, "expected >=2 non-empty micro-batches"
+
+    span, step = 240 * 3_600_000_000, 24 * 3_600_000_000
+    streamed = spark.table("promql_grid_stream_samples")
+    got = {
+        (r["ts_us"], r["labels"], r["value"])
+        for r in PromQLEvaluator(streamed)
+        .eval_range(expr, span, step)
+        .collect()
+    }
+    want = {
+        (r["ts_us"], r["labels"], r["value"])
+        for r in PromQLEvaluator.from_dir(spark, SF_SMOKE)
+        .eval_range(expr, span, step)
+        .collect()
+    }
+    assert len(want) > 0
+    assert got == want
+
+
 def test_streaming_countmin_matches_batch(spark, tmp_path):
     """Count-min sketch state accumulated over 4 real micro-batches
     equals the batch sketch cell table (mergeability end to end)."""
