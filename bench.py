@@ -10,7 +10,12 @@ count action) and the reported per-query number is the MEDIAN of those
 executions; the headline total is the sum of medians. A single cold
 sample proved non-reproducible on a loaded machine (r03: 103.6 s
 artifact vs 63.4 s rerun), so the median is the contract now — a rerun
-of this script must land within ±15% of the artifact.
+of this script must land within ±15% of the artifact. Queries whose
+3-rep median lands under SMALL_Q_SEC get EXTRA_REPS more samples:
+sub-second queries are dominated by fixed job-submission jitter
+(±0.1-0.3 s absolute ≈ ±30% relative), and 5-sample medians are what
+keeps the TOTAL inside the ±15% promise (the r4 rerun missed at
++16.8% purely on that jitter).
 
 Between query *families* the Tier C memoized persist cache is released
 (clear_caches) so timings are independent of suite ordering and memory
@@ -29,6 +34,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: Executions per query; reported value is the median.
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+#: Queries whose REPS-median is below this get EXTRA_REPS more
+#: samples — sub-second medians are jitter-dominated otherwise.
+SMALL_Q_SEC = 0.5
+EXTRA_REPS = 2
 
 #: Headline set grouped into families: spans scan-agg, window, join,
 #: top-k, pairwise/LSH and text paths — the shapes that dominate at
@@ -137,16 +146,19 @@ def main() -> None:
             fn = queries.get(name)
             if fn is None:
                 continue
-            samples: list[float] = []
-            for _ in range(max(1, REPS)):
+            def one_sample() -> float:
                 t0 = time.perf_counter()
                 # Force full execution; count() alone can skip result
                 # exprs, so the queries end in shapes count() can't
                 # prune (aggregates / joins), making this end-to-end.
                 df = fn(spark, sf_dir)
                 n = df.count()
-                samples.append(time.perf_counter() - t0)
                 assert n >= 0
+                return time.perf_counter() - t0
+
+            samples = [one_sample() for _ in range(max(1, REPS))]
+            if statistics.median(samples) < SMALL_Q_SEC:
+                samples += [one_sample() for _ in range(EXTRA_REPS)]
             timings[name] = round(statistics.median(samples), 4)
         # Release memoized corpus-sized relations so the next family
         # starts from the same memory state regardless of ordering.

@@ -19,14 +19,19 @@ conflate data-driven pair blowup with plan behavior):
   fresh cosine neighborhoods).
 
 Output: BENCH_sf1.json at the repo root — per-query sf0.1/sf1.0
-seconds and the ratio; queries whose ratio exceeds FLAG_RATIO are
-listed in "flagged".
+MEDIAN-of-REPS seconds, each leg's (min..max) spread, and the ratio
+of medians; queries whose ratio exceeds FLAG_RATIO are listed in
+"flagged". Medians (the bench.py r4 protocol) because the r4 one-
+cold-run artifact documented 78.6-136.4 s GC variance on dedup_near
+— wider than most effects being measured; a single sample cannot
+decide a 10× ratio.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -44,66 +49,76 @@ OUT = os.path.join(
 FACTOR = 10
 #: sub-linear per-query work is expected to stay well under this at 10×
 FLAG_RATIO = 15.0
+#: samples per (query, sf) leg; reported value is the median
+REPS = int(os.environ.get("SPARK_GRAFT_REHEARSAL_REPS", "3"))
 
-#: headline queries whose inputs are limited to the scaled tables
-QUERIES = [
-    # metrics over events
-    "counter_sum",
-    "counter_rate",
-    "gauge_last",
-    "instant_vector",
-    "agg_by_label",
-    "topk",
-    "range_agg_sliding",
-    "histogram_buckets",
-    "histogram_quantile",
-    "agg_quantile",
-    "rollup_hourly",
-    "daily_from_rollup",
-    "scrape_snapshot",
-    "exposition_lines",
-    "vector_binop",
-    "asof_join_demo",
-    "range_join_demo",
-    "subquery_max_rate",
-    "promql_rate_by_user",
-    "user_sessions",
-    "retention_cohorts",
-    "promql_holt_winters",
-    "promql_range_rate",
-    "promql_changes",
-    "promql_deriv",
-    "ddsketch_quantile",
-    "countmin_heavy_hitters",
-    # documents
-    "dedup_exact",
-    "dedup_near",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "text_token_counts",
-    "text_quality_score",
-    "unigram_logprob",
-    "pack_chunks",
-    "contamination_ngram",
-    "corpus_filter_chain",
-    "multimodal_decode",
-    # embeddings
-    "similarity_topk",
-    "similarity_lsh",
-    "similarity_ivf",
-    "similarity_kmeans",
-    "dedup_semantic",
+#: headline queries whose inputs are limited to the scaled tables,
+#: grouped into families for cache release (mirrors bench.py)
+FAMILIES: list[tuple[str, list[str]]] = [
+    (
+        "metrics",
+        [
+            "counter_sum",
+            "counter_rate",
+            "gauge_last",
+            "instant_vector",
+            "agg_by_label",
+            "topk",
+            "range_agg_sliding",
+            "histogram_buckets",
+            "histogram_quantile",
+            "agg_quantile",
+            "rollup_hourly",
+            "daily_from_rollup",
+            "scrape_snapshot",
+            "exposition_lines",
+            "vector_binop",
+            "asof_join_demo",
+            "range_join_demo",
+            "subquery_max_rate",
+            "promql_rate_by_user",
+            "user_sessions",
+            "retention_cohorts",
+            "promql_holt_winters",
+            "promql_range_rate",
+            "promql_range_hist_quantile",
+            "promql_range_ratio",
+            "promql_changes",
+            "promql_deriv",
+            "ddsketch_quantile",
+            "countmin_heavy_hitters",
+        ],
+    ),
+    (
+        "docs",
+        [
+            "dedup_exact",
+            "dedup_near",
+            "dedup_simhash",
+            "dedup_simhash_classes",
+            "dedup_ngram_jaccard",
+            "text_token_counts",
+            "text_quality_score",
+            "unigram_logprob",
+            "pack_chunks",
+            "contamination_ngram",
+            "corpus_filter_chain",
+            "multimodal_decode",
+        ],
+    ),
+    (
+        "emb",
+        [
+            "similarity_topk",
+            "similarity_lsh",
+            "similarity_ivf",
+            "similarity_kmeans",
+            "dedup_semantic",
+        ],
+    ),
 ]
-
-#: family boundaries for cache release (mirrors bench.py)
-FAMILY_OF = {}
-for _fam, _names in [
-    ("metrics", QUERIES[:27]),
-    ("docs", QUERIES[27:38]),
-    ("emb", QUERIES[38:]),
-]:
-    for _n in _names:
-        FAMILY_OF[_n] = _fam
+QUERIES = [n for _f, ns in FAMILIES for n in ns]
+FAMILY_OF = {n: f for f, ns in FAMILIES for n in ns}
 
 
 def generate(spark: SparkSession) -> None:
@@ -194,12 +209,24 @@ def main() -> None:
             if fam != fam_prev:
                 clear_caches(spark)
                 fam_prev = fam
-            t0 = time.perf_counter()
-            n = queries[name](spark, sf_dir).count()
-            dt = round(time.perf_counter() - t0, 3)
-            results.setdefault(name, {})[key] = dt
-            results[name][f"rows_{key}"] = n
-            print(f"{key:7s} {name:28s} {dt:8.3f}s rows={n}", flush=True)
+            samples: list[float] = []
+            n = -1
+            for _ in range(max(1, REPS)):
+                t0 = time.perf_counter()
+                n = queries[name](spark, sf_dir).count()
+                samples.append(time.perf_counter() - t0)
+            med = round(statistics.median(samples), 3)
+            r = results.setdefault(name, {})
+            r[key] = med
+            r[f"spread_{key}"] = [
+                round(min(samples), 3), round(max(samples), 3)
+            ]
+            r[f"rows_{key}"] = n
+            print(
+                f"{key:7s} {name:28s} {med:8.3f}s "
+                f"[{min(samples):.3f}..{max(samples):.3f}] rows={n}",
+                flush=True,
+            )
         clear_caches(spark)
 
     for name, r in results.items():
@@ -211,6 +238,8 @@ def main() -> None:
     artifact = {
         "factor": FACTOR,
         "flag_ratio": FLAG_RATIO,
+        "reps": REPS,
+        "aggregation": "median_per_leg_ratio_of_medians",
         "flagged": flagged,
         "queries": results,
     }
