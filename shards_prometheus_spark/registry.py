@@ -35,6 +35,7 @@ from shards_prometheus_spark.operators import (
     snapshot,
     text,
     tpch,
+    tpch2,
 )
 
 _MODULES = [
@@ -61,6 +62,7 @@ _MODULES = [
     multimodal,
     sketches,
     tpch,
+    tpch2,
 ]
 
 
