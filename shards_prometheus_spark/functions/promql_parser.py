@@ -1952,13 +1952,48 @@ class PromQLEvaluator:
 
     def _gagg(self, node: Agg) -> DataFrame:
         """by()/without() aggregation per grid instant — one hash
-        aggregate keyed on (_ets, grouped label set)."""
+        aggregate keyed on (_ets, grouped label set); topk/bottomk
+        rank inside (_ets, group) window partitions (the "top 5
+        series" Grafana panel) — partitions are group-sized, never
+        grid- or corpus-sized."""
+        if node.op in _TOPK_OPS and node.k is not None:
+            pts = self._gvector(node.expr)
+            if node.mode == "without" and node.by:
+                gkey = _label_str(
+                    F.map_filter(
+                        F.col("labels"), lambda k, _v: ~k.isin(*node.by)
+                    )
+                )
+            elif node.mode == "by" and node.by:
+                gkey = _label_str(
+                    F.map_from_arrays(
+                        F.array(*[F.lit(b) for b in node.by]),
+                        F.array(
+                            *[
+                                F.element_at("labels", F.lit(b))
+                                for b in node.by
+                            ]
+                        ),
+                    )
+                )
+            else:
+                gkey = F.lit("")
+            pinned = F.round(F.col("value"), 6)
+            order = F.desc(pinned) if node.op == "topk" else F.asc(pinned)
+            w = Window.partitionBy(F.col("_ets"), gkey).orderBy(
+                order, F.asc(_label_str(F.col("labels")))
+            )
+            return (
+                pts.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= (node.k or 0))
+                .drop("_rk")
+            )
         if node.op not in {"sum", "avg", "min", "max", "count"} or (
             node.k is not None
         ):
             raise PromQLSyntaxError(
                 "eval_range aggregation supports sum/avg/min/max/"
-                "count by()/without()"
+                "count by()/without() and topk/bottomk"
             )
         pts = self._gvector(node.expr)
         if node.mode == "without":
@@ -2084,6 +2119,8 @@ PROMQL_RANGE_RATIO_EXPR = (
     "sum by (user) (increase(click[24h])) / "
     "sum by (user) (increase(view[24h]))"
 )
+#: the "top N series" panel shape: rank within each grid instant
+PROMQL_RANGE_TOPK_EXPR = "topk(3, sum by (user) (rate(click[24h])))"
 #: `@ end()` — the Grafana-emitted pinned-eval-time form
 PROMQL_AT_END = "sum by (user) (increase(click[240h] @ end()))"
 PROMQL_TS_AGE = "time() - timestamp(click)"
@@ -2309,6 +2346,15 @@ def promql_range_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def promql_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "top N series" panel on the step grid: topk ranks inside
+    each (grid instant) window partition on the 6dp-pinned value with
+    canonical-label tiebreaks — partitions stay group-sized."""
+    return PromQLEvaluator.from_dir(spark, sf_dir).eval_range(
+        PROMQL_RANGE_TOPK_EXPR, 240 * 3_600_000_000, 24 * 3_600_000_000
+    )
+
+
 def promql_at_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`@ end()` (the Grafana-emitted form): pins the selector to the
     query window end — t_max for an instant query."""
@@ -2518,6 +2564,7 @@ QUERIES = {
     "promql_range_instant": promql_range_instant,
     "promql_range_hist_quantile": promql_range_hist_quantile,
     "promql_range_ratio": promql_range_ratio,
+    "promql_range_topk": promql_range_topk,
     "promql_at_end": promql_at_end,
     "promql_ts_age": promql_ts_age,
     "promql_month": promql_month,
@@ -2865,6 +2912,32 @@ ORACLES = {
         + " SELECT 'user=' || l_user AS labels, "
         + dround("SUM(inc)", 4)
         + " AS value FROM inc GROUP BY l_user"
+    ),
+    "promql_range_topk": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        f"g AS (SELECT ((t.t_max // {_H24_US}) * {_H24_US}) "
+        f"- gs.i * {_H24_US} AS ets FROM t "
+        f"CROSS JOIN generate_series(0, {_H240_US // _H24_US + 1}) "
+        f"AS gs(i) WHERE ((t.t_max // {_H24_US}) * {_H24_US}) "
+        f"- gs.i * {_H24_US} > t.t_max - {_H240_US}), "
+        "w AS (SELECT s.l_user, s.l_shard, g.ets, s.ts_us, s.event_id, "
+        "s.value FROM samples_multi s JOIN g ON s.ts_us <= g.ets "
+        f"AND s.ts_us > g.ets - {_H24_US} WHERE s.metric = 'click'), "
+        "d AS (SELECT l_user, l_shard, ets, value, "
+        "LAG(value) OVER (PARTITION BY l_user, l_shard, ets "
+        "ORDER BY ts_us, event_id) AS prev FROM w), "
+        "r AS (SELECT l_user, l_shard, ets, "
+        "SUM(CASE WHEN value < prev THEN value ELSE value - prev END) "
+        "/ 86400.0 AS v FROM d WHERE prev IS NOT NULL "
+        "GROUP BY l_user, l_shard, ets), "
+        "u AS (SELECT ets, l_user, SUM(v) AS sv FROM r GROUP BY 1, 2), "
+        "rk AS (SELECT ets, l_user, sv, ROW_NUMBER() OVER ("
+        "PARTITION BY ets ORDER BY "
+        + dround("sv", 6)
+        + " DESC, 'user=' || l_user ASC) AS rn FROM u) "
+        "SELECT ets AS ts_us, 'user=' || l_user AS labels, "
+        + dround("sv", 4)
+        + " AS value FROM rk WHERE rn <= 3"
     ),
     "promql_range_instant": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

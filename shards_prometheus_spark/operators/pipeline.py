@@ -317,6 +317,66 @@ def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Mixture temperature for domain reweighting (DoReMi-style smoothing:
+#: τ < 1 upweights small domains relative to proportional sampling).
+MIX_TAU = 0.7
+#: Training-order shards for the deterministic global shuffle.
+SHUFFLE_SHARDS = 8
+SHUF_A = 69_621  # portable affine permutation hash (distinct from the
+SHUF_B = 113     # split/quota constants so the streams decorrelate)
+
+
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling weights: per (lang, source) domain,
+    token count → temperature-scaled weight w_i ∝ n_i^τ (normalized).
+    The knob every multi-domain pretraining recipe tunes (DoReMi-style
+    smoothing with a fixed τ; τ=1 recovers proportional sampling).
+
+    One corpus scan, no explode: per-doc token counts are a pure
+    `size(filter(split(...)))` expression, aggregated map-side into the
+    domain-sized relation; the normalizer is a post-agg window over
+    ~dozens of domain rows (vector-sized, PLANS.md 1-part convention).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    ).cast("long")
+    per_domain = docs.groupBy("lang", "source").agg(
+        F.sum(n_tok).alias("n_tokens")
+    )
+    scaled = F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_TAU))
+    total = F.sum(scaled).over(Window.partitionBy())
+    return per_domain.select(
+        "lang",
+        "source",
+        "n_tokens",
+        F.round(scaled / total, 6).alias("weight"),
+    )
+
+
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: a portable
+    affine permutation hash assigns every document a shard and a dense
+    within-shard position — the reproducible "shuffled corpus" layout
+    a data loader reads shard-by-shard. Identical output on any engine
+    or cluster size (pure int64 arithmetic, no rand()).
+
+    Scale shape: the only window is per-shard (corpus/SHUFFLE_SHARDS
+    rows); at 100 TB raise SHUFFLE_SHARDS so each shard's row_number
+    partition stays executor-sized — shard count does not change any
+    document's hash, only the modulus that buckets it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * SHUF_A + SHUF_B) % HASH_P
+    w = Window.partitionBy("shard").orderBy("h")
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard", (F.col("h") % SHUFFLE_SHARDS).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
 QUERIES = {
     "pack_chunks": pack_chunks,
     "split_assign": split_assign,
@@ -324,6 +384,8 @@ QUERIES = {
     "repetition_stats": repetition_stats,
     "corpus_filter_chain": corpus_filter_chain,
     "quota_sample": quota_sample,
+    "domain_mix_weights": domain_mix_weights,
+    "global_shuffle": global_shuffle,
 }
 
 ORACLES = {
@@ -429,3 +491,25 @@ def _filter_chain_oracle() -> str:
 
 
 ORACLES["corpus_filter_chain"] = _filter_chain_oracle()
+
+ORACLES["domain_mix_weights"] = (
+    "WITH d AS (SELECT lang, source, CAST(SUM(length(list_filter("
+    "string_split(lower(text), ' '), x -> x <> ''))) AS BIGINT) "
+    "AS n_tokens FROM documents GROUP BY 1, 2) "
+    "SELECT lang, source, n_tokens, "
+    + dround(
+        f"POWER(n_tokens, {MIX_TAU}) "
+        f"/ SUM(POWER(n_tokens, {MIX_TAU})) OVER ()",
+        6,
+    )
+    + " AS weight FROM d"
+)
+
+ORACLES["global_shuffle"] = (
+    f"WITH h AS (SELECT doc_id, (doc_id * {SHUF_A} + {SHUF_B}) "
+    f"% {HASH_P} AS h FROM documents) "
+    "SELECT doc_id, CAST(h % "
+    f"{SHUFFLE_SHARDS} AS BIGINT) AS shard, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY h % "
+    f"{SHUFFLE_SHARDS} ORDER BY h) AS BIGINT) AS pos FROM h"
+)

@@ -880,8 +880,16 @@ def test_eval_range_grid(spark):
         (30_000_000, "user=a"): 6.0,
         (20_000_000, "user=a"): 4.0,
     }
+    # topk ranks per grid instant (sole series -> passes through)
+    tk = {
+        (r["ts_us"], r["labels"]): r["value"]
+        for r in ev.eval_range(
+            "topk(1, m)", 30_000_000, 10_000_000
+        ).collect()
+    }
+    assert tk == inst
     with pytest.raises(PromQLSyntaxError):
-        ev.eval_range("topk(3, m)", 30_000_000, 10_000_000)
+        ev.eval_range("limitk(2, m)", 30_000_000, 10_000_000)
 
 
 def test_eval_range_dashboard_core(spark):
