@@ -5,17 +5,24 @@ local[$SPARK_GRAFT_CPUS] and prints:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed REPS times end-to-end (plan + execute + full
-count action) and the reported per-query number is the MEDIAN of those
-executions; the headline total is the sum of medians. A single cold
-sample proved non-reproducible on a loaded machine (r03: 103.6 s
-artifact vs 63.4 s rerun), so the median is the contract now — a rerun
-of this script must land within ±15% of the artifact. Queries whose
-3-rep median lands under SMALL_Q_SEC get EXTRA_REPS more samples:
-sub-second queries are dominated by fixed job-submission jitter
-(±0.1-0.3 s absolute ≈ ±30% relative), and 5-sample medians are what
-keeps the TOTAL inside the ±15% promise (the r4 rerun missed at
-+16.8% purely on that jitter).
+Each query is primed with ONE untimed execution, then executed REPS
+times end-to-end (plan + execute + full count action); the reported
+per-query number is the MEDIAN of the timed executions and the
+headline total is the sum of medians. The reported quantity is
+therefore STEADY-STATE latency: Tier C memoized signatures built,
+codegen cached — the state r4's medians already de-facto measured
+(its cache-backed dedup medians were warm), made explicit, because a
+median-of-3 straddling the cold/warm cache boundary (dedup_near:
+34 s cold vs 3 s steady) cannot keep any rerun bound. Cold
+single-pass numbers are the scale rehearsal's job (BENCH_sf1.json).
+A single cold sample proved non-reproducible on a loaded machine
+(r03: 103.6 s artifact vs 63.4 s rerun), so the median is the
+contract now — a rerun of this script must land within ±15% of the
+artifact. Queries whose 3-rep median lands under SMALL_Q_SEC get
+EXTRA_REPS more samples: sub-second queries are dominated by fixed
+job-submission jitter (±0.1-0.3 s absolute ≈ ±30% relative), and
+5-sample medians are what keeps the TOTAL inside the ±15% promise
+(the r4 rerun missed at +16.8% purely on that jitter).
 
 Between query *families* the Tier C memoized persist cache is released
 (clear_caches) so timings are independent of suite ordering and memory
@@ -81,7 +88,13 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ),
     (
         "pipeline",
-        ["pack_chunks", "contamination_ngram", "corpus_filter_chain"],
+        [
+            "pack_chunks",
+            "contamination_ngram",
+            "corpus_filter_chain",
+            "domain_mix_weights",
+            "global_shuffle",
+        ],
     ),
     ("semantic", ["dedup_semantic", "similarity_kmeans"]),
     (
@@ -90,13 +103,23 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "subquery_max_rate",
             "promql_rate_by_user",
             "promql_range_hist_quantile",
+            "promql_range_topk",
         ],
     ),
     ("olap", ["user_sessions", "retention_cohorts"]),
     ("multimodal", ["multimodal_decode"]),
     (
         "tpch",
-        ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q18"],
+        [
+            "tpch_q1",
+            "tpch_q3",
+            "tpch_q5",
+            "tpch_q6",
+            "tpch_q10",
+            "tpch_q18",
+            "tpch_q9",
+            "tpch_q21",
+        ],
     ),
 ]
 
@@ -156,6 +179,15 @@ def main() -> None:
                 assert n >= 0
                 return time.perf_counter() - t0
 
+            # One untimed PRIMING execution: the reported number is the
+            # steady-state latency (Tier C memoized signatures built,
+            # codegen cached) — the de-facto state r4's medians already
+            # measured, made explicit. Without it the median-of-3 for
+            # cache-backed queries straddles the cold/warm boundary
+            # (dedup_near: 34 s cold vs 3 s steady on this machine) and
+            # the ±15% rerun promise is structurally unkeepable. Cold
+            # single-run numbers live in the sf1.0 rehearsal artifact.
+            one_sample()
             samples = [one_sample() for _ in range(max(1, REPS))]
             if statistics.median(samples) < SMALL_Q_SEC:
                 samples += [one_sample() for _ in range(EXTRA_REPS)]
@@ -174,6 +206,7 @@ def main() -> None:
                 "sf": sf,
                 "reps": REPS,
                 "aggregation": "median_per_query_sum_of_medians",
+                "protocol": "steady_state_primed",
             }
         )
     )
