@@ -114,6 +114,8 @@ _RANGE_FNS = {
     "sum_over_time",
     "count_over_time",
     "last_over_time",
+    "stddev_over_time",
+    "stdvar_over_time",
 }
 #: instant-vector math functions; all evaluate on the 6dp-pinned
 #: operand (the pin is the cross-engine determinism spec — discrete
@@ -138,6 +140,8 @@ _OVER_TIME_FNS = {
     "sum_over_time",
     "count_over_time",
     "last_over_time",
+    "stddev_over_time",
+    "stdvar_over_time",
 }
 _CMP_OPS = {">", ">=", "<", "<=", "==", "!="}
 #: vector set operators (lowest precedence: or < and/unless < cmp)
@@ -975,13 +979,20 @@ class PromQLEvaluator:
         `keys` is ["series_id"] for plain range functions and
         ["series_id", "_ets"] under a subquery grid."""
         if fn in {"avg_over_time", "min_over_time", "max_over_time",
-                  "sum_over_time", "count_over_time"}:
+                  "sum_over_time", "count_over_time",
+                  "stddev_over_time", "stdvar_over_time"}:
+            # stddev/stdvar: population moments of the raw samples
+            # (both engines read identical parquet doubles, so the only
+            # cross-engine noise is summation order — handled by the
+            # output pin like every other fold)
             agg = {
                 "avg_over_time": F.avg("value"),
                 "min_over_time": F.min("value"),
                 "max_over_time": F.max("value"),
                 "sum_over_time": F.sum("value"),
                 "count_over_time": F.count(F.lit(1)).cast("double"),
+                "stddev_over_time": F.stddev_pop("value"),
+                "stdvar_over_time": F.var_pop("value"),
             }[fn]
             return df.groupBy(*keys).agg(
                 F.first("labels").alias("labels"), agg.alias("value")
@@ -1197,6 +1208,8 @@ class PromQLEvaluator:
             "max_over_time": F.max("value"),
             "sum_over_time": F.sum("value"),
             "count_over_time": F.count(F.lit(1)).cast("double"),
+            "stddev_over_time": F.stddev_pop("value"),
+            "stdvar_over_time": F.var_pop("value"),
         }
         if node.fn == "last_over_time":
             w = Window.partitionBy("series_id").orderBy(F.desc("_ets"))
@@ -2114,13 +2127,19 @@ PROMQL_RANGE_EXPR = "sum by (user) (rate(click[24h]))"
 PROMQL_RANGE_INSTANT_EXPR = "view"
 #: the #1 Grafana panel shape, now grid-evaluable
 PROMQL_RANGE_HQ_EXPR = "histogram_quantile(0.9, rate(view_bucket[24h]))"
-#: the error-rate panel shape: vector / vector per grid instant
+#: the error-rate panel shape: vector / vector per grid instant.
+#: 240h windows: at 24h the two sides are so sparse on this corpus
+#: that the inner match is EMPTY at every SF (a vacuously-green demo);
+#: trailing-10-day increase keeps both sides dense (423 rows at
+#: sf0.01) so the panel actually exercises the per-instant join.
 PROMQL_RANGE_RATIO_EXPR = (
-    "sum by (user) (increase(click[24h])) / "
-    "sum by (user) (increase(view[24h]))"
+    "sum by (user) (increase(click[240h])) / "
+    "sum by (user) (increase(view[240h]))"
 )
 #: the "top N series" panel shape: rank within each grid instant
 PROMQL_RANGE_TOPK_EXPR = "topk(3, sum by (user) (rate(click[24h])))"
+#: population spread of a series' raw samples over the window
+PROMQL_STDDEV_OT = "stddev_over_time(view[720h])"
 #: `@ end()` — the Grafana-emitted pinned-eval-time form
 PROMQL_AT_END = "sum by (user) (increase(click[240h] @ end()))"
 PROMQL_TS_AGE = "time() - timestamp(click)"
@@ -2346,6 +2365,15 @@ def promql_range_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def promql_stddev_over_time(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """stddev_over_time: population standard deviation of each
+    series' raw samples in the range window (stdvar_over_time is the
+    same fold squared; both pin outputs like every range fold)."""
+    return promql_eval(spark, sf_dir, PROMQL_STDDEV_OT)
+
+
 def promql_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The "top N series" panel on the step grid: topk ranks inside
     each (grid instant) window partition on the 6dp-pinned value with
@@ -2565,6 +2593,7 @@ QUERIES = {
     "promql_range_hist_quantile": promql_range_hist_quantile,
     "promql_range_ratio": promql_range_ratio,
     "promql_range_topk": promql_range_topk,
+    "promql_stddev_over_time": promql_stddev_over_time,
     "promql_at_end": promql_at_end,
     "promql_ts_age": promql_ts_age,
     "promql_month": promql_month,
@@ -2898,9 +2927,9 @@ ORACLES = {
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
         + _grid_cte(_H24_US, _H240_US)
         + ", "
-        + _grid_increase_cte("click", _H24_US, "ci")
+        + _grid_increase_cte("click", _H240_US, "ci")
         + ", "
-        + _grid_increase_cte("view", _H24_US, "vi")
+        + _grid_increase_cte("view", _H240_US, "vi")
         + " SELECT ci.ets AS ts_us, 'user=' || ci.l_user AS labels, "
         + dround("ci.v / vi.v", 4)
         + " AS value FROM ci JOIN vi "
@@ -2969,6 +2998,15 @@ ORACLES = {
         "SELECT 'shard=' || l_shard || ',user=' || l_user AS labels, "
         + dround("value - prev", 4)
         + " AS value FROM rd WHERE rn = 1 AND prev IS NOT NULL"
+    ),
+    "promql_stddev_over_time": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        "rw AS (SELECT s.* FROM samples_multi s, t "
+        "WHERE s.metric = 'view' AND s.ts_us <= t.t_max "
+        f"AND s.ts_us > t.t_max - {_H720_US}) "
+        "SELECT 'shard=' || l_shard || ',user=' || l_user AS labels, "
+        + dround("stddev_pop(value)", 4)
+        + " AS value FROM rw GROUP BY l_user, l_shard"
     ),
     "promql_scalar_share": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

@@ -80,20 +80,38 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides of the band join and any downstream probe reuse it)."""
 
     def build() -> DataFrame:
-        params = spark.createDataFrame(
-            MINHASH_PARAMS, "i int, a long, b long, band int, w long"
-        )
+        # All NUM_HASHES permutation minima as aggregate COLUMNS of a
+        # single groupBy(doc_id) pass — the naive layout (explode the
+        # (doc, token) relation × NUM_HASHES params, then aggregate)
+        # shuffles 16× the rows for identical math; at 100 TB that
+        # factor is the difference between one corpus-sized shuffle
+        # and sixteen. Bands then fold column-wise and posexplode
+        # only the 4-row-per-doc band relation.
         dset = doc_token_sets(spark, sf_dir)
-        h = (F.col("a") * F.col("token_id") + F.col("b")) % F.lit(HASH_P)
-        minh = (
-            dset.crossJoin(F.broadcast(params))
-            .groupBy("doc_id", "i", "band", "w")
-            .agg(F.min(h).alias("min_h"))
+        mins = dset.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    (F.lit(a) * F.col("token_id") + F.lit(b))
+                    % F.lit(HASH_P)
+                ).alias(f"m{i}")
+                for i, a, b, _band, _w in MINHASH_PARAMS
+            ]
         )
-        return minh.groupBy("doc_id", "band").agg(
-            F.sum((F.col("min_h") % F.lit(BAND_MOD)) * F.col("w")).alias(
-                "band_hash"
-            )
+        n_bands = NUM_HASHES // BAND_ROWS
+        band_exprs = []
+        for band in range(n_bands):
+            parts = [
+                (F.col(f"m{band * BAND_ROWS + r}") % F.lit(BAND_MOD))
+                * F.lit(_BAND_W[r])
+                for r in range(BAND_ROWS)
+            ]
+            total = parts[0]
+            for p in parts[1:]:
+                total = total + p
+            band_exprs.append(total)
+        return mins.select(
+            "doc_id",
+            F.posexplode(F.array(*band_exprs)).alias("band", "band_hash"),
         )
 
     return _memo_persist(spark, sf_dir, "minhash_sigs", build)
@@ -179,25 +197,31 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join all re-reference it)."""
 
     def build() -> DataFrame:
-        params = spark.createDataFrame(
-            SIMHASH_PARAMS, "j int, a long, b long, w long"
-        )
+        # All SIMHASH_BITS sign-sums as aggregate COLUMNS of one
+        # groupBy(doc_id) pass (same 16×-fewer-shuffled-rows rewrite
+        # as _minhash_sigs: the params crossJoin exploded the
+        # (doc, token) relation per bit for identical math), then the
+        # signature folds column-wise — no second aggregation.
         dset = doc_token_sets(spark, sf_dir)
-        bit = (
-            (F.col("a") * F.col("token_id") + F.col("b")) % F.lit(HASH_P)
-        ) % 2
-        contrib = F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
-        return (
-            dset.crossJoin(F.broadcast(params))
-            .groupBy("doc_id", "j", "w")
-            .agg(F.sum(contrib).alias("s"))
-            .groupBy("doc_id")
-            .agg(
-                F.sum(F.when(F.col("s") > 0, F.col("w")).otherwise(F.lit(0)))
-                .cast("long")
-                .alias("sig")
-            )
+
+        def contrib(a: int, b: int):
+            bit = (
+                (F.lit(a) * F.col("token_id") + F.lit(b)) % F.lit(HASH_P)
+            ) % 2
+            return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+        sums = dset.groupBy("doc_id").agg(
+            *[
+                F.sum(contrib(a, b)).alias(f"s{j}")
+                for j, a, b, _w in SIMHASH_PARAMS
+            ]
         )
+        sig = None
+        for j, _a, _b, w in SIMHASH_PARAMS:
+            term = F.when(F.col(f"s{j}") > 0, F.lit(w)).otherwise(F.lit(0))
+            sig = term if sig is None else sig + term
+        assert sig is not None
+        return sums.select("doc_id", sig.cast("long").alias("sig"))
 
     return _memo_persist(spark, sf_dir, "simhash_sigs", build)
 

@@ -257,6 +257,64 @@ def test_tpch_q10_dimensions_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_tpch_q8_seven_table_tree_broadcasts_dims(spark):
+    """q8: every dimension side (part, nation-filtered customer set,
+    nation-joined supplier) broadcasts; only lineitem-orders shuffles.
+    No cartesian anywhere in the 7-table tree."""
+    from shards_prometheus_spark.operators.tpch2 import tpch_q8
+    from shards_prometheus_spark.plans import formatted_plan
+
+    df = tpch_q8(spark, SF_SMOKE)
+    assert_no_cartesian_product(df)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q17_threshold_relation_broadcasts(spark):
+    """q17: the correlated per-part AVG threshold must join back as a
+    broadcast (part-sized), and the brand filter must reach the scan."""
+    from shards_prometheus_spark.operators.tpch2 import tpch_q17
+
+    from shards_prometheus_spark.plans import formatted_plan
+
+    df = tpch_q17(spark, SF_SMOKE)
+    assert_broadcast_join(df)
+    # the brand filter reaches the PART scan (assert_pushed_filters
+    # inspects only the first scan node — lineitem here)
+    assert "EqualTo(p_brand,Brand#5)" in formatted_plan(df)
+
+
+def test_tpch_q21_no_cartesian_no_global_window_on_facts(spark):
+    """q21: the sole-latest-shipper logic is two aggregate levels plus
+    a per-order window — never a cartesian, and every Window partitions
+    by order key (no single-partition fact-sized window)."""
+    from shards_prometheus_spark.operators.tpch2 import tpch_q21
+    from shards_prometheus_spark.plans import formatted_plan
+
+    df = tpch_q21(spark, SF_SMOKE)
+    assert_no_cartesian_product(df)
+    plan = formatted_plan(df)
+    # the only non-partitioned window is the supplier-sized top-N rank
+    assert plan.count("Window") >= 2
+
+
+def test_minhash_sigs_single_aggregation_pass(spark):
+    """The banded-minhash signature build must stay ONE groupBy(doc_id)
+    pass: no crossJoin row explosion (the 16-params explode shuffled
+    16x the rows for identical math)."""
+    from shards_prometheus_spark.operators.dedup import _minhash_sigs
+    from shards_prometheus_spark.operators.tierc_common import (
+        clear_caches,
+    )
+    from shards_prometheus_spark.plans import formatted_plan
+
+    clear_caches(spark)
+    plan = formatted_plan(_minhash_sigs(spark, SF_SMOKE))
+    clear_caches(spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 @pytest.mark.parametrize("fmt", ["csv", "json"])
 def test_text_format_round_trip(spark, tmp_path, fmt):
     """CSV/JSON interchange re-imports bit-identically (shortest

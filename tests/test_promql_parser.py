@@ -529,6 +529,37 @@ def _tiny_eval(spark, rows):
     return PromQLEvaluator(df)
 
 
+def test_stddev_stdvar_over_time(spark):
+    """Population spread of raw samples in the window: values 1,3,5
+    -> stdvar 8/3, stddev sqrt(8/3); the subquery path folds the same
+    three last_over_time grid points to the identical answer."""
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "m", {"user": "a"}, 10_000_000, 1.0),
+            (2, 11, "m", {"user": "a"}, 20_000_000, 3.0),
+            (3, 11, "m", {"user": "a"}, 30_000_000, 5.0),
+        ],
+    )
+    got = {
+        r["labels"]: r["value"]
+        for r in ev.eval("stddev_over_time(m[30s])").collect()
+    }
+    assert got == {"user=a": round((8 / 3) ** 0.5, 4)}
+    var = {
+        r["labels"]: r["value"]
+        for r in ev.eval("stdvar_over_time(m[30s])").collect()
+    }
+    assert var == {"user=a": round(8 / 3, 4)}
+    sub = {
+        r["labels"]: r["value"]
+        for r in ev.eval(
+            "stddev_over_time(last_over_time(m[10s])[30s:10s])"
+        ).collect()
+    }
+    assert sub == {"user=a": round((8 / 3) ** 0.5, 4)}
+
+
 def test_math_functions(spark):
     ev = _tiny_eval(
         spark,
