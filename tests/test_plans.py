@@ -315,6 +315,31 @@ def test_minhash_sigs_single_aggregation_pass(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_eval_range_one_scan_per_leaf_broadcast_grid(spark):
+    """The grid evaluator's scale contract: each LEAF selector is ONE
+    parquet scan joined to the broadcast grid relation; composition
+    never re-scans. hist-quantile-over-rate has one leaf (one scan),
+    the ratio panel two; the only nested-loop join is against the
+    ≤(span/step+1)-row grid — and never a cartesian."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        promql_range_hist_quantile,
+        promql_range_ratio,
+    )
+    from shards_prometheus_spark.plans import formatted_plan
+
+    hq = formatted_plan(promql_range_hist_quantile(spark, SF_SMOKE))
+    ratio = formatted_plan(promql_range_ratio(spark, SF_SMOKE))
+    assert_no_cartesian_product(promql_range_hist_quantile(spark, SF_SMOKE))
+    assert_no_cartesian_product(promql_range_ratio(spark, SF_SMOKE))
+    # scans scale with LEAF COUNT only (samples_multi is a 3-metric
+    # union and t_max derives from it, so one leaf = 6 scan nodes, all
+    # metric-pushdown-pruned); composition must never multiply beyond
+    # that — the two-leaf ratio is exactly 2x the one-leaf quantile
+    one_leaf = hq.count("Scan parquet")
+    assert one_leaf <= 6, hq
+    assert ratio.count("Scan parquet") == 2 * one_leaf
+
+
 @pytest.mark.parametrize("fmt", ["csv", "json"])
 def test_text_format_round_trip(spark, tmp_path, fmt):
     """CSV/JSON interchange re-imports bit-identically (shortest

@@ -83,6 +83,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "promql_range_rate",
             "promql_range_hist_quantile",
             "promql_range_ratio",
+            "promql_range_topk",
             "promql_changes",
             "promql_deriv",
             "ddsketch_quantile",
@@ -103,6 +104,8 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "pack_chunks",
             "contamination_ngram",
             "corpus_filter_chain",
+            "domain_mix_weights",
+            "global_shuffle",
             "multimodal_decode",
         ],
     ),
