@@ -830,7 +830,14 @@ class PromQLEvaluator:
     def __init__(self, samples: DataFrame):
         """`samples` is any relation with (event_id, series_id, metric,
         labels MAP<STRING,STRING>, ts_us, value) — the §1.2 model."""
-        self._tmax = samples.agg(F.max("ts_us").alias("t_max"))
+        # t_max materialized EAGERLY (localCheckpoint, 1 row): the
+        # lazy aggregate's subtree would otherwise be embedded at
+        # every self.samples reference, so each selector leaf would
+        # scan the corpus TWICE (once for the max, once for data) —
+        # at 100 TB that doubles every PromQL query's read volume.
+        self._tmax = samples.agg(
+            F.max("ts_us").alias("t_max")
+        ).localCheckpoint()
         self.samples = samples.join(F.broadcast(self._tmax))
 
     @classmethod

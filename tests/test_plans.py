@@ -332,11 +332,12 @@ def test_eval_range_one_scan_per_leaf_broadcast_grid(spark):
     assert_no_cartesian_product(promql_range_hist_quantile(spark, SF_SMOKE))
     assert_no_cartesian_product(promql_range_ratio(spark, SF_SMOKE))
     # scans scale with LEAF COUNT only (samples_multi is a 3-metric
-    # union and t_max derives from it, so one leaf = 6 scan nodes, all
-    # metric-pushdown-pruned); composition must never multiply beyond
-    # that — the two-leaf ratio is exactly 2x the one-leaf quantile
+    # union, so one leaf = 3 metric-pushdown-pruned scan nodes; t_max
+    # is an eagerly-materialized 1-row relation, NOT a second corpus
+    # scan per leaf); composition must never multiply beyond that —
+    # the two-leaf ratio is exactly 2x the one-leaf quantile
     one_leaf = hq.count("Scan parquet")
-    assert one_leaf <= 6, hq
+    assert one_leaf <= 3, hq
     assert ratio.count("Scan parquet") == 2 * one_leaf
 
 
