@@ -104,6 +104,8 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "promql_rate_by_user",
             "promql_range_hist_quantile",
             "promql_range_topk",
+            "recording_rules",
+            "alert_rules",
         ],
     ),
     ("olap", ["user_sessions", "retention_cohorts"]),

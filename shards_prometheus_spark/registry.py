@@ -28,6 +28,7 @@ from shards_prometheus_spark.operators import (
     pipeline,
     quality,
     range_functions,
+    rules,
     rollup,
     selectors,
     similarity,
@@ -52,6 +53,7 @@ _MODULES = [
     olap,
     pipeline,
     quality,
+    rules,
     promql_functions,
     promql_parser,
     snapshot,
