@@ -31,8 +31,8 @@ from shards_prometheus_spark.functions.promql_parser import (
     SAMPLES_MULTI_CTE,
     _H720_US,
     _T_CTE,
+    PromQLEvaluator,
     _increase_cte,
-    promql_eval,
 )
 from shards_prometheus_spark.model import dround
 
@@ -57,34 +57,40 @@ ALERT_RULES: list[tuple[str, str]] = [
 ]
 
 
-def recording_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Evaluate the recording-rule group: (metric, labels, value) —
-    each rule's vector labeled with its record name."""
+def eval_rule_group(
+    ev: PromQLEvaluator,
+    rules: list[tuple[str, str]],
+    name_col: str,
+) -> DataFrame:
+    """Evaluate a rule group against ANY samples relation (batch
+    parquet or a streamed sink table) — each rule's result vector
+    labeled with its rule name, unioned plan-level."""
     parts = [
-        promql_eval(spark, sf_dir, expr).select(
-            F.lit(name).alias("metric"), "labels", "value"
+        ev.eval(expr).select(
+            F.lit(name).alias(name_col), "labels", "value"
         )
-        for name, expr in RECORDING_RULES
+        for name, expr in rules
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def recording_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the recording-rule group: (metric, labels, value) —
+    each rule's vector labeled with its record name."""
+    return eval_rule_group(
+        PromQLEvaluator.from_dir(spark, sf_dir), RECORDING_RULES, "metric"
+    )
 
 
 def alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evaluate the alert group: (alertname, labels, value) for every
     FIRING series (the comparison already filtered non-firing ones)."""
-    parts = [
-        promql_eval(spark, sf_dir, expr).select(
-            F.lit(name).alias("alertname"), "labels", "value"
-        )
-        for name, expr in ALERT_RULES
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return eval_rule_group(
+        PromQLEvaluator.from_dir(spark, sf_dir), ALERT_RULES, "alertname"
+    )
 
 
 QUERIES = {

@@ -719,6 +719,55 @@ def test_streaming_promql_grid_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_rule_groups_match_batch(spark, tmp_path):
+    """Live rule evaluation: the recording AND alert rule groups over
+    the STREAMED samples relation (events across ≥2 real micro-batches)
+    equal the batch groups — the 'rules evaluated each interval against
+    the live store' Prometheus-server behavior."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+    from shards_prometheus_spark.operators.rules import (
+        ALERT_RULES,
+        RECORDING_RULES,
+        alert_rules,
+        eval_rule_group,
+        recording_rules,
+    )
+    from shards_prometheus_spark.streaming import samples_multi_stream
+    from shards_prometheus_spark.streaming.ingest import EVENTS_SCHEMA
+
+    glob, _ = _split_events_dir(spark, tmp_path, n_parts=3)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob)
+    )
+    q = run_to_memory(
+        samples_multi_stream(stream),
+        "rules_stream_samples",
+        output_mode="append",
+    )
+    _await(q)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+
+    ev = PromQLEvaluator(spark.table("rules_stream_samples"))
+    for group, name_col, batch_fn in (
+        (RECORDING_RULES, "metric", recording_rules),
+        (ALERT_RULES, "alertname", alert_rules),
+    ):
+        got = {
+            (r[name_col], r["labels"], r["value"])
+            for r in eval_rule_group(ev, group, name_col).collect()
+        }
+        want = {
+            (r[name_col], r["labels"], r["value"])
+            for r in batch_fn(spark, SF_SMOKE).collect()
+        }
+        assert len(want) > 0
+        assert got == want
+
+
 def test_streaming_countmin_matches_batch(spark, tmp_path):
     """Count-min sketch state accumulated over 4 real micro-batches
     equals the batch sketch cell table (mergeability end to end)."""
