@@ -193,8 +193,16 @@ def pair_jaccard(
     corpus where the candidate volume, not the token stream, should
     bound verify cost.
     """
+    # token ids are dense vocabulary ranks (< 2^31 for any corpus
+    # whose vocab fits an int), so the array rides as INT not LONG —
+    # the candidate-side array payload is the verify shuffle's binding
+    # cost (two ~set_size arrays per candidate pair; 9.15 M pairs at
+    # sf1.0), and halving its bytes halves the GC/shuffle pressure
+    # that dominates that stage's wall-time variance.
     arrs = token_sets.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("token_id")).alias("toks"),
+        F.sort_array(
+            F.collect_set(F.col("token_id").cast("int"))
+        ).alias("toks"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     aa = arrs.select(

@@ -86,6 +86,9 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "promql_range_topk",
             "promql_changes",
             "promql_deriv",
+            "promql_stddev_over_time",
+            "recording_rules",
+            "alert_rules",
             "ddsketch_quantile",
             "countmin_heavy_hitters",
         ],
