@@ -55,6 +55,7 @@ Here the evaluator runs inside the engine.
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -129,8 +130,8 @@ _MATH1_FNS = {
 _CLAMP_FNS = {"clamp", "clamp_min", "clamp_max"}
 #: calendar functions: the operand is epoch SECONDS, interpreted UTC
 _DATE_FNS = {
-    "minute", "hour", "day_of_week", "day_of_month", "days_in_month",
-    "month", "year",
+    "minute", "hour", "day_of_week", "day_of_month", "day_of_year",
+    "days_in_month", "month", "year",
 }
 #: outer functions accepted over a subquery ``expr[range:step]``
 _OVER_TIME_FNS = {
@@ -233,6 +234,20 @@ class Agg:
 @dataclass
 class HistQuantile:
     phi: float
+    expr: object
+
+
+@dataclass
+class HistFraction:
+    """histogram_fraction(lo, hi, v) over a classic le-labeled bucket
+    vector: the estimated fraction of observations in (lo, hi], with
+    the same piecewise-linear in-bucket interpolation model as
+    histogram_quantile (the classic-bucket analog of the
+    native-histogram function; the batch twin is
+    operators/histograms.py:108)."""
+
+    lo: float
+    hi: float
     expr: object
 
 
@@ -453,7 +468,9 @@ class _Parser:
 
     def mul_expr(self):
         e = self.primary()
-        while self.peek() in {"*", "/", "%"}:
+        # atan2 is PromQL's one named binary operator; it binds at
+        # the same precedence level as * / %
+        while self.peek() in {"*", "/", "%", "atan2"}:
             op = self.next()
             match, group, extra = self._matching()
             e = BinOp(
@@ -561,6 +578,16 @@ class _Parser:
             e = self.or_expr()
             self.expect(")")
             return HistQuantile(phi, e)
+        if tok == "histogram_fraction":
+            self.next()
+            self.expect("(")
+            lo = self._number()
+            self.expect(",")
+            hi = self._number()
+            self.expect(",")
+            e = self.or_expr()
+            self.expect(")")
+            return HistFraction(lo, hi, e)
         if tok in _RANGE_FNS:
             return self._range_fn()
         if (
@@ -570,10 +597,22 @@ class _Parser:
             or tok in _DATE_FNS
         ):
             return self._math_fn()
+        if tok == "pi":
+            # pi(): a scalar literal — valid anywhere a number is
+            self.next()
+            self.expect("(")
+            self.expect(")")
+            return Scalar(math.pi)
         if tok == "vector":
             self.next()
             self.expect("(")
-            v = self._number()
+            if self.peek() == "pi":  # vector(pi())
+                self.next()
+                self.expect("(")
+                self.expect(")")
+                v = math.pi
+            else:
+                v = self._number()
             self.expect(")")
             return VectorFn(v)
         if tok == "timestamp":
@@ -659,6 +698,11 @@ class _Parser:
 
     def _topk(self):
         op = self.next()
+        by: list[str] = []
+        mode = "by"
+        if self.peek() in {"by", "without"}:
+            mode = self.next()
+            by = self._label_list()
         self.expect("(")
         ktok = self.next()
         try:
@@ -670,7 +714,7 @@ class _Parser:
         self.expect(",")
         e = self.or_expr()
         self.expect(")")
-        return Agg(op, e, [], k=k)
+        return Agg(op, e, by, k=k, mode=mode)
 
     def _limit(self):
         op = self.next()
@@ -761,17 +805,10 @@ class _Parser:
                 raise PromQLSyntaxError(
                     f"{fn}() over a subquery is unsupported; use *_over_time"
                 )
-            inner = arg.expr
-            if not (
-                isinstance(inner, Selector)
-                and inner.range_us is None
-                or isinstance(inner, RangeFn)
-                and isinstance(inner.sel, Selector)
-            ):
-                raise PromQLSyntaxError(
-                    "subquery inner expression must be an instant selector "
-                    "or a range function"
-                )
+            # the inner expression may be ANY vector expression — the
+            # evaluator re-enters the grid dispatch for composed inners
+            # (aggregations, binops, quantiles) and keeps a specialized
+            # single-fold plan for the plain selector / range-fn forms
             return RangeFn(fn, arg)
         if not isinstance(arg, Selector) or arg.range_us is None:
             raise PromQLSyntaxError(f"{fn}() needs a range selector [d]")
@@ -814,6 +851,29 @@ def parse(expr: str):
 _label_str = _labelset_str
 
 
+def _topk_gkey(node: "Agg") -> Column:
+    """topk/bottomk grouping key: by(…) keeps exactly the listed
+    labels, without(…) drops them — and `without ()` (empty list)
+    keeps the FULL label set (per-series pass-through, the PromQL
+    semantics), never the global group."""
+    if node.mode == "without":
+        if not node.by:
+            return _label_str(F.col("labels"))
+        return _label_str(
+            F.map_filter(F.col("labels"), lambda k, _v: ~k.isin(*node.by))
+        )
+    if node.by:
+        return _label_str(
+            F.map_from_arrays(
+                F.array(*[F.lit(b) for b in node.by]),
+                F.array(
+                    *[F.element_at("labels", F.lit(b)) for b in node.by]
+                ),
+            )
+        )
+    return F.lit("")
+
+
 def _fmt_le(b: float) -> str:
     """Prometheus-style bucket bound rendering ('1', '2.5', '+Inf')."""
     return str(int(b)) if float(b) == int(b) else str(b)
@@ -830,14 +890,19 @@ class PromQLEvaluator:
     def __init__(self, samples: DataFrame):
         """`samples` is any relation with (event_id, series_id, metric,
         labels MAP<STRING,STRING>, ts_us, value) — the §1.2 model."""
-        # t_max materialized EAGERLY (localCheckpoint, 1 row): the
-        # lazy aggregate's subtree would otherwise be embedded at
-        # every self.samples reference, so each selector leaf would
-        # scan the corpus TWICE (once for the max, once for data) —
-        # at 100 TB that doubles every PromQL query's read volume.
-        self._tmax = samples.agg(
-            F.max("ts_us").alias("t_max")
-        ).localCheckpoint()
+        # t_max materialized EAGERLY (one collect of a 1-row aggregate,
+        # rebuilt as a literal relation): the lazy aggregate's subtree
+        # would otherwise be embedded at every self.samples reference,
+        # so each selector leaf would scan the corpus TWICE (once for
+        # the max, once for data) — at 100 TB that doubles every PromQL
+        # query's read volume. A driver-side literal (not
+        # localCheckpoint) survives executor loss/decommission on a
+        # real cluster: checkpoint blocks are executor-resident state,
+        # a collected scalar is not.
+        row = samples.agg(F.max("ts_us").alias("t_max")).collect()[0]
+        self._tmax = samples.sparkSession.createDataFrame(
+            [(row["t_max"],)], "t_max bigint"
+        )
         self.samples = samples.join(F.broadcast(self._tmax))
 
     @classmethod
@@ -1193,6 +1258,18 @@ class PromQLEvaluator:
     def _subquery(self, node: RangeFn) -> DataFrame:
         sub: Subquery = node.sel
         inner = sub.expr
+        simple = (
+            isinstance(inner, Selector)
+            and inner.range_us is None
+            or isinstance(inner, RangeFn)
+            and isinstance(inner.sel, Selector)
+        )
+        if not simple:
+            # composed inner (aggregation, binop, quantile, …):
+            # evaluate it per grid instant through the grid dispatch,
+            # then fold all instants per series — the instant query is
+            # the 1-outer-point case of the grid subquery
+            return self._subquery_composed(node)
         if isinstance(inner, RangeFn):
             isel, ifn = inner.sel, inner.fn
             irange = isel.range_us
@@ -1227,6 +1304,55 @@ class PromQLEvaluator:
             )
         return (
             pts.groupBy("series_id")
+            .agg(
+                F.first("labels").alias("labels"),
+                outer[node.fn].alias("value"),
+            )
+            .select("labels", "value")
+        )
+
+    def _subquery_composed(self, node: RangeFn) -> DataFrame:
+        """Instant subquery with a COMPOSED inner expression: evaluate
+        the inner through the grid dispatch on the subquery's own
+        instants (one scan per leaf, every stage keyed on `_ets`),
+        then fold all instants per series. `_gspan` is pinned to
+        (0, step) so `@ start()`/`@ end()` inside the inner both
+        resolve to t_max — an instant query's range is a point."""
+        sub: Subquery = node.sel
+        saved = (getattr(self, "_gridf", None), getattr(self, "_gspan", None))
+        self._gridf = self._grid(sub)
+        self._gspan = (0, sub.step_us)
+        try:
+            pts = self._gvector(sub.expr)
+        finally:
+            if saved[0] is None:
+                del self._gridf, self._gspan
+            else:
+                self._gridf, self._gspan = saved
+        pts = pts.withColumn("value", F.round("value", 6))
+        key = _label_str(F.col("labels"))
+        if node.fn == "last_over_time":
+            w = Window.partitionBy(key).orderBy(F.desc("_ets"))
+            return (
+                pts.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("labels", "value")
+            )
+        outer = {
+            "avg_over_time": F.avg("value"),
+            "min_over_time": F.min("value"),
+            "max_over_time": F.max("value"),
+            "sum_over_time": F.sum("value"),
+            "count_over_time": F.count(F.lit(1)).cast("double"),
+            "stddev_over_time": F.stddev_pop("value"),
+            "stdvar_over_time": F.var_pop("value"),
+        }
+        if node.fn not in outer:
+            raise PromQLSyntaxError(
+                f"{node.fn} over a composed subquery is unsupported"
+            )
+        return (
+            pts.groupBy(key.alias("_k"))
             .agg(
                 F.first("labels").alias("labels"),
                 outer[node.fn].alias("value"),
@@ -1291,6 +1417,17 @@ class PromQLEvaluator:
             # SinglePartition exchange.
             pinned = F.round(F.col("value"), 6)
             order = F.desc(pinned) if node.op == "topk" else F.asc(pinned)
+            if node.by or node.mode == "without":
+                # topk by()/without(): rank inside each group's window
+                # partition — partitions are group-sized
+                w = Window.partitionBy(_topk_gkey(node)).orderBy(
+                    order, F.asc(_label_str(F.col("labels")))
+                )
+                return (
+                    child.withColumn("_rk", F.row_number().over(w))
+                    .filter(F.col("_rk") <= node.k)
+                    .drop("_rk")
+                )
             return child.orderBy(
                 order, F.asc(_label_str(F.col("labels")))
             ).limit(node.k)
@@ -1407,6 +1544,69 @@ class PromQLEvaluator:
         )
         return first.select(*keys, "labels", q.alias("value"))
 
+    def _hfrac_impl(
+        self,
+        vec: DataFrame,
+        lo: float,
+        hi: float,
+        keys: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """histogram_fraction over an le-labeled vector: per group,
+        rank(x) = Σ_buckets count_b · overlap_b(x) with linear overlap
+        inside finite buckets (the histogram_quantile interpolation
+        model inverted); the +Inf bucket contributes only at x = +Inf
+        (symmetric with histogram_quantile clamping φ=1 to the highest
+        finite bound). fraction = (rank(hi) − rank(lo)) / total —
+        one hash aggregate per group, no extra pass over the data."""
+        le = F.element_at("labels", F.lit("le"))
+        base = vec.select(
+            *keys,
+            F.map_filter(
+                F.col("labels"), lambda k, _v: k != F.lit("le")
+            ).alias("labels"),
+            F.when(le == "+Inf", F.lit(float("inf")))
+            .otherwise(le.cast("double"))
+            .alias("_le"),
+            F.col("value").alias("_v"),
+        ).withColumn("_g", _label_str(F.col("labels")))
+        part = ["_g", *keys]
+        wo = Window.partitionBy(*part).orderBy("_le")
+        d = base.select(
+            *keys,
+            "labels",
+            "_g",
+            "_le",
+            "_v",
+            F.coalesce(F.lag("_v").over(wo), F.lit(0.0)).alias("_cp"),
+            F.coalesce(F.lag("_le").over(wo), F.lit(0.0)).alias("_lb"),
+        )
+
+        def rank(x: float) -> Column:
+            share = F.when(
+                F.col("_le") == float("inf"),
+                F.lit(1.0 if x == float("inf") else 0.0),
+            ).otherwise(
+                F.least(
+                    F.greatest(
+                        (F.lit(x) - F.col("_lb"))
+                        / (F.col("_le") - F.col("_lb")),
+                        F.lit(0.0),
+                    ),
+                    F.lit(1.0),
+                )
+            )
+            return F.sum((F.col("_v") - F.col("_cp")) * share)
+
+        tot = F.max("_v")
+        frac = F.when(tot > 0, (rank(hi) - rank(lo)) / tot).otherwise(
+            F.lit(float("nan"))
+        )
+        return (
+            d.groupBy(*part)
+            .agg(F.first("labels").alias("labels"), frac.alias("value"))
+            .select(*keys, "labels", "value")
+        )
+
     # -- binary operators ------------------------------------------------
     @staticmethod
     def _match_labels(
@@ -1480,6 +1680,8 @@ class PromQLEvaluator:
                 "*": a * b,
                 "/": F.try_divide(a, b),
                 "%": F.try_mod(a, b),
+                # y atan2 x — argument order matches math.atan2
+                "atan2": F.atan2(a, b),
             }[node.op]
 
         def cmp_cond(a: Column, b: Column) -> Column:
@@ -1686,6 +1888,7 @@ class PromQLEvaluator:
                 # Spark dayofweek: 1=Sunday; PromQL: 0=Sunday
                 "day_of_week": F.dayofweek(ts) - F.lit(1),
                 "day_of_month": F.dayofmonth(ts),
+                "day_of_year": F.dayofyear(ts),
                 "days_in_month": F.dayofmonth(F.last_day(ts)),
                 "month": F.month(ts),
                 "year": F.year(ts),
@@ -1824,6 +2027,10 @@ class PromQLEvaluator:
             )
         if isinstance(node, HistQuantile):
             return self._hist_quantile(node)
+        if isinstance(node, HistFraction):
+            return self._hfrac_impl(
+                self._vector(node.expr), node.lo, node.hi
+            )
         if isinstance(node, BinOp):
             return self._binop(node)
         raise PromQLSyntaxError(f"not a vector expression: {node}")
@@ -1919,9 +2126,12 @@ class PromQLEvaluator:
                 df, ["series_id", "_ets"], "last_over_time", LOOKBACK_US
             ).select("_ets", "labels", "value")
         if isinstance(node, RangeFn):
+            if isinstance(node.sel, Subquery):
+                return self._gsubquery(node)
             if not isinstance(node.sel, Selector):
                 raise PromQLSyntaxError(
-                    "eval_range does not nest subqueries"
+                    "eval_range range functions need a selector "
+                    "or subquery argument"
                 )
             sel, fn = node.sel, node.fn
             if sel.metric.endswith(_BUCKET_SUFFIX) and fn in {
@@ -1953,6 +2163,10 @@ class PromQLEvaluator:
             return self._hq_impl(
                 self._gvector(node.expr), node.phi, ("_ets",)
             ).select("_ets", "labels", "value")
+        if isinstance(node, HistFraction):
+            return self._hfrac_impl(
+                self._gvector(node.expr), node.lo, node.hi, ("_ets",)
+            ).select("_ets", "labels", "value")
         if isinstance(node, BinOp):
             return self._binop(node, ("_ets",))
         if isinstance(node, MathFn):
@@ -1970,6 +2184,84 @@ class PromQLEvaluator:
             f"{type(node).__name__} expressions"
         )
 
+    def _gsubquery(self, node: RangeFn) -> DataFrame:
+        """``fn(inner[r:s])`` on the grid — the Grafana smoothing
+        panel (e.g. ``max_over_time(rate(m[10m])[1h:10m])`` as a
+        query_range). Inner instants are ABSOLUTE step-aligned times
+        i ∈ (e − offset − r, e − offset] for each outer grid instant
+        e (the same alignment rule as the instant subquery `_grid`).
+        The composed (outer × inner) mapping is a ≤(span/step+1)·
+        (r/s+1)-row broadcast relation; the inner expression evaluates
+        ONCE over the distinct inner instants — still one scan per
+        leaf selector — then the outer fold groups per (outer
+        instant, series). Inner points are pinned at 6dp like the
+        instant path, so discrete outer folds (max/min) can't flip on
+        cross-engine noise."""
+        sub: Subquery = node.sel
+        if sub.at_us is not None:
+            raise PromQLSyntaxError(
+                "@ on a grid subquery is unsupported"
+            )
+        n = int(sub.range_us // sub.step_us) + 1
+        step, off = sub.step_us, sub.offset_us
+        cg = (
+            self._gridf.select(
+                "_ets",
+                F.explode(F.sequence(F.lit(0), F.lit(n))).alias("_j"),
+            )
+            .select(
+                "_ets",
+                F.expr(
+                    f"((_ets - {off}) div {step}) * {step}"
+                    f" - _j * {step}"
+                ).alias("_iets"),
+            )
+            .filter(
+                F.col("_iets")
+                > F.col("_ets") - F.lit(off + sub.range_us)
+            )
+        )
+        saved = self._gridf
+        self._gridf = cg.select(F.col("_iets").alias("_ets")).distinct()
+        try:
+            inner = self._gvector(sub.expr)
+        finally:
+            self._gridf = saved
+        pts = (
+            inner.withColumnRenamed("_ets", "_iets")
+            .withColumn("value", F.round("value", 6))
+            .join(F.broadcast(cg), "_iets")
+        )
+        key = _label_str(F.col("labels"))
+        if node.fn == "last_over_time":
+            w = Window.partitionBy("_ets", key).orderBy(F.desc("_iets"))
+            return (
+                pts.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("_ets", "labels", "value")
+            )
+        outer = {
+            "avg_over_time": F.avg("value"),
+            "min_over_time": F.min("value"),
+            "max_over_time": F.max("value"),
+            "sum_over_time": F.sum("value"),
+            "count_over_time": F.count(F.lit(1)).cast("double"),
+            "stddev_over_time": F.stddev_pop("value"),
+            "stdvar_over_time": F.var_pop("value"),
+        }
+        if node.fn not in outer:
+            raise PromQLSyntaxError(
+                f"{node.fn} over a grid subquery is unsupported"
+            )
+        return (
+            pts.groupBy("_ets", key.alias("_k"))
+            .agg(
+                F.first("labels").alias("labels"),
+                outer[node.fn].alias("value"),
+            )
+            .select("_ets", "labels", "value")
+        )
+
     def _gagg(self, node: Agg) -> DataFrame:
         """by()/without() aggregation per grid instant — one hash
         aggregate keyed on (_ets, grouped label set); topk/bottomk
@@ -1978,26 +2270,7 @@ class PromQLEvaluator:
         grid- or corpus-sized."""
         if node.op in _TOPK_OPS and node.k is not None:
             pts = self._gvector(node.expr)
-            if node.mode == "without" and node.by:
-                gkey = _label_str(
-                    F.map_filter(
-                        F.col("labels"), lambda k, _v: ~k.isin(*node.by)
-                    )
-                )
-            elif node.mode == "by" and node.by:
-                gkey = _label_str(
-                    F.map_from_arrays(
-                        F.array(*[F.lit(b) for b in node.by]),
-                        F.array(
-                            *[
-                                F.element_at("labels", F.lit(b))
-                                for b in node.by
-                            ]
-                        ),
-                    )
-                )
-            else:
-                gkey = F.lit("")
+            gkey = _topk_gkey(node)
             pinned = F.round(F.col("value"), 6)
             order = F.desc(pinned) if node.op == "topk" else F.asc(pinned)
             w = Window.partitionBy(F.col("_ets"), gkey).orderBy(
@@ -2173,6 +2446,28 @@ PROMQL_OR = (
     "(sum by (user) (increase(purchase[720h])) > 30) or "
     "sum by (user) (increase(click[720h]))"
 )
+#: atan2 — PromQL's one named binary operator (same precedence as */%)
+PROMQL_ATAN2 = (
+    "sum by (user) (increase(click[720h])) atan2 "
+    "sum by (user) (increase(view[720h]))"
+)
+PROMQL_DAY_OF_YEAR = "day_of_year(vector(1705276800))"
+PROMQL_PI = "deg(vector(pi()))"
+#: interpolated in-bucket fractions: 10 ∈ (5,50], 100 ∈ (50,500] for
+#: the view bounds — both boundaries exercise the linear overlap model
+PROMQL_HIST_FRACTION = (
+    "histogram_fraction(10, 100, sum by (le) (increase(view_bucket[720h])))"
+)
+#: subqueries ON the grid — the Grafana smoothing-panel shape as a
+#: query_range: trailing-3-day max of the 48h rate, per grid day
+PROMQL_RANGE_SUBQ = (
+    "max_over_time(sum by (user) (rate(click[48h]))[72h:24h])"
+)
+#: inner step (12h) ≠ outer step (24h): the composed grid has 4 inner
+#: instants per outer instant, increases over 48h windows
+PROMQL_RANGE_SUBQ_AVG = (
+    "avg_over_time(sum by (user) (increase(click[48h]))[48h:12h])"
+)
 
 
 def promql_rate_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2331,6 +2626,29 @@ def promql_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return promql_eval(spark, sf_dir, PROMQL_DEG)
 
 
+def promql_atan2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """y atan2 x — the one named PromQL binary operator, vector-vector
+    matched on the full label set like any arithmetic binop."""
+    return promql_eval(spark, sf_dir, PROMQL_ATAN2)
+
+
+def promql_day_of_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """day_of_year(): calendar read of an epoch-seconds vector (UTC)."""
+    return promql_eval(spark, sf_dir, PROMQL_DAY_OF_YEAR)
+
+
+def promql_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pi() as a scalar literal — deg(vector(pi())) = 180."""
+    return promql_eval(spark, sf_dir, PROMQL_PI)
+
+
+def promql_hist_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_fraction(10, 100, …): estimated fraction of
+    observations in (10, 100] from the classic bucket vector, linear
+    in-bucket interpolation (batch twin: histograms.py:108)."""
+    return promql_eval(spark, sf_dir, PROMQL_HIST_FRACTION)
+
+
 def promql_range_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query_range shape: sum by (user) (rate(click[24h])) on a
     24h-step grid over the trailing 240h — one scan, grid joined
@@ -2387,6 +2705,26 @@ def promql_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical-label tiebreaks — partitions stay group-sized."""
     return PromQLEvaluator.from_dir(spark, sf_dir).eval_range(
         PROMQL_RANGE_TOPK_EXPR, 240 * 3_600_000_000, 24 * 3_600_000_000
+    )
+
+
+def promql_range_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery nested in query_range: per grid day, the max of the
+    per-user 48h click rate sampled daily over that day's trailing 72h — inner
+    rate evaluated once over the distinct composed instants, outer
+    max folded per (grid instant, series)."""
+    return PromQLEvaluator.from_dir(spark, sf_dir).eval_range(
+        PROMQL_RANGE_SUBQ, 240 * 3_600_000_000, 24 * 3_600_000_000
+    )
+
+
+def promql_range_subquery_avg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grid subquery with inner step 12h ≠ outer step 24h: average of
+    the trailing-48h increase sampled every 12h, per grid day."""
+    return PromQLEvaluator.from_dir(spark, sf_dir).eval_range(
+        PROMQL_RANGE_SUBQ_AVG, 240 * 3_600_000_000, 24 * 3_600_000_000
     )
 
 
@@ -2473,7 +2811,10 @@ def promql_or(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T_CTE = "t AS (SELECT MAX(ts_us) AS t_max FROM samples_multi)"
 _H720_US = 720 * 3_600_000_000
 _H240_US = 240 * 3_600_000_000
+_H72_US = 72 * 3_600_000_000
+_H48_US = 48 * 3_600_000_000
 _H24_US = 24 * 3_600_000_000
+_H12_US = 12 * 3_600_000_000
 
 #: bucket bounds as a DuckDB VALUES list — mirrors _bounds_df()
 _B_VALUES = ", ".join(
@@ -2614,6 +2955,12 @@ QUERIES = {
     "promql_and": promql_and,
     "promql_unless": promql_unless,
     "promql_or": promql_or,
+    "promql_atan2": promql_atan2,
+    "promql_day_of_year": promql_day_of_year,
+    "promql_pi": promql_pi,
+    "promql_hist_fraction": promql_hist_fraction,
+    "promql_range_subquery": promql_range_subquery,
+    "promql_range_subquery_avg": promql_range_subquery_avg,
 }
 
 #: shared regression window for the deriv/predict oracles: x is
@@ -3186,6 +3533,101 @@ ORACLES = {
         + dround("v", 4)
         + " AS value FROM cu "
         "WHERE l_user NOT IN (SELECT l_user FROM pu)"
+    ),
+    "promql_atan2": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _increase_cte("click", _H720_US, "ca")
+        + ", "
+        + _increase_cte("view", _H720_US, "va")
+        + ", cu AS (SELECT l_user, SUM(inc) AS v FROM ca GROUP BY l_user), "
+        "vu AS (SELECT l_user, SUM(inc) AS v FROM va GROUP BY l_user) "
+        "SELECT 'user=' || cu.l_user AS labels, "
+        + dround("ATAN2(cu.v, vu.v)", 4)
+        + " AS value FROM cu JOIN vu ON vu.l_user = cu.l_user"
+    ),
+    "promql_day_of_year": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE} "
+        "SELECT '' AS labels, CAST(EXTRACT(doy FROM make_timestamp("
+        "CAST(ROUND(1705276800.0, 6) * 1e6 AS BIGINT))) AS DOUBLE) "
+        "AS value FROM t"
+    ),
+    "promql_pi": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE} "
+        "SELECT '' AS labels, "
+        + dround("degrees(ROUND(PI(), 6))", 4)
+        + " AS value FROM t"
+    ),
+    "promql_hist_fraction": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _bucket_cum_cte("view", _H720_US, per_series=False)
+        + ", q AS (SELECT le_num, c, "
+        "COALESCE(LAG(c) OVER (ORDER BY le_num), 0.0) AS cp, "
+        "COALESCE(LAG(le_num) OVER (ORDER BY le_num), 0.0) AS lb "
+        "FROM cum) "
+        "SELECT '' AS labels, "
+        + dround(
+            "(SUM((c - cp) * CASE WHEN isinf(le_num) THEN 0.0 ELSE "
+            "LEAST(GREATEST((100.0 - lb) / (le_num - lb), 0.0), 1.0) END)"
+            " - SUM((c - cp) * CASE WHEN isinf(le_num) THEN 0.0 ELSE "
+            "LEAST(GREATEST((10.0 - lb) / (le_num - lb), 0.0), 1.0) END))"
+            " / MAX(c)",
+            4,
+        )
+        + " AS value FROM q HAVING MAX(c) > 0"
+    ),
+    "promql_range_subquery": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _grid_cte(_H24_US, _H240_US)
+        + f", cg AS (SELECT g.ets, ((g.ets) // {_H24_US}) * {_H24_US} "
+        f"- j.i * {_H24_US} AS iets FROM g CROSS JOIN "
+        f"generate_series(0, {_H72_US // _H24_US + 1}) AS j(i) "
+        f"WHERE ((g.ets) // {_H24_US}) * {_H24_US} - j.i * {_H24_US} "
+        f"> g.ets - {_H72_US}), "
+        "ig AS (SELECT DISTINCT iets FROM cg), "
+        "w AS (SELECT s.l_user, s.l_shard, ig.iets, s.ts_us, "
+        "s.event_id, s.value FROM samples_multi s JOIN ig "
+        f"ON s.ts_us <= ig.iets AND s.ts_us > ig.iets - {_H48_US} "
+        "WHERE s.metric = 'click'), "
+        "d AS (SELECT l_user, l_shard, iets, value, "
+        "LAG(value) OVER (PARTITION BY l_user, l_shard, iets "
+        "ORDER BY ts_us, event_id) AS prev FROM w), "
+        "r0 AS (SELECT l_user, l_shard, iets, "
+        "SUM(CASE WHEN value < prev THEN value ELSE value - prev END) "
+        "/ 172800.0 AS v FROM d WHERE prev IS NOT NULL "
+        "GROUP BY l_user, l_shard, iets), "
+        "r AS (SELECT l_user, iets, ROUND(SUM(v), 6) AS v6 FROM r0 "
+        "GROUP BY l_user, iets) "
+        "SELECT cg.ets AS ts_us, 'user=' || r.l_user AS labels, "
+        + dround("MAX(r.v6)", 4)
+        + " AS value FROM cg JOIN r ON r.iets = cg.iets "
+        "GROUP BY cg.ets, r.l_user"
+    ),
+    "promql_range_subquery_avg": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _grid_cte(_H24_US, _H240_US)
+        + f", cg AS (SELECT g.ets, ((g.ets) // {_H12_US}) * {_H12_US} "
+        f"- j.i * {_H12_US} AS iets FROM g CROSS JOIN "
+        f"generate_series(0, {_H48_US // _H12_US + 1}) AS j(i) "
+        f"WHERE ((g.ets) // {_H12_US}) * {_H12_US} - j.i * {_H12_US} "
+        f"> g.ets - {_H48_US}), "
+        "ig AS (SELECT DISTINCT iets FROM cg), "
+        "w AS (SELECT s.l_user, s.l_shard, ig.iets, s.ts_us, "
+        "s.event_id, s.value FROM samples_multi s JOIN ig "
+        f"ON s.ts_us <= ig.iets AND s.ts_us > ig.iets - {_H48_US} "
+        "WHERE s.metric = 'click'), "
+        "d AS (SELECT l_user, l_shard, iets, value, "
+        "LAG(value) OVER (PARTITION BY l_user, l_shard, iets "
+        "ORDER BY ts_us, event_id) AS prev FROM w), "
+        "r0 AS (SELECT l_user, l_shard, iets, "
+        "SUM(CASE WHEN value < prev THEN value ELSE value - prev END) "
+        "AS v FROM d WHERE prev IS NOT NULL "
+        "GROUP BY l_user, l_shard, iets), "
+        "r AS (SELECT l_user, iets, ROUND(SUM(v), 6) AS v6 FROM r0 "
+        "GROUP BY l_user, iets) "
+        "SELECT cg.ets AS ts_us, 'user=' || r.l_user AS labels, "
+        + dround("AVG(r.v6)", 4)
+        + " AS value FROM cg JOIN r ON r.iets = cg.iets "
+        "GROUP BY cg.ets, r.l_user"
     ),
     "promql_label_join": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

@@ -1085,3 +1085,130 @@ def test_sort_by_label_and_hw_alias(spark):
     assert [(r["labels"], r["value"]) for r in hw] == [
         ("user=a", 29.6825)
     ]
+
+
+def test_topk_grouping_modes(spark):
+    """topk by()/without(): rank inside each group; `without ()`
+    (empty list) keeps the full label set — per-series pass-through,
+    never the global group."""
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "m", {"user": "a", "shard": "1"}, 1_000_000, 5.0),
+            (2, 22, "m", {"user": "b", "shard": "1"}, 1_000_000, 9.0),
+            (3, 33, "m", {"user": "c", "shard": "2"}, 1_000_000, 2.0),
+            (4, 44, "m", {"user": "d", "shard": "2"}, 1_000_000, 7.0),
+        ],
+    )
+    per_shard = {
+        (r["labels"], r["value"])
+        for r in ev.eval("topk by (shard) (1, m)").collect()
+    }
+    assert per_shard == {
+        ("shard=1,user=b", 9.0),
+        ("shard=2,user=d", 7.0),
+    }
+    # without (user): groups keyed on the remaining labels (shard)
+    wo = {
+        (r["labels"], r["value"])
+        for r in ev.eval("bottomk without (user) (1, m)").collect()
+    }
+    assert wo == {("shard=1,user=a", 5.0), ("shard=2,user=c", 2.0)}
+    # without (): full label set is the key -> every series survives
+    assert ev.eval("topk without () (1, m)").count() == 4
+    # global topk unchanged
+    assert ev.eval("topk(1, m)").count() == 1
+
+
+def test_atan2_pi_day_of_year(spark):
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "y", {"user": "a"}, 1_000_000, 1.0),
+            (2, 22, "x", {"user": "a"}, 1_000_000, 1.0),
+        ],
+    )
+    got = ev.eval("y atan2 x").collect()
+    assert [(r["labels"], r["value"]) for r in got] == [
+        ("user=a", 0.7854)  # atan2(1, 1) = pi/4
+    ]
+    # pi() in scalar position; vector(pi()) as the operand form
+    assert ev.eval("vector(1) * pi()").collect()[0]["value"] == 3.1416
+    assert ev.eval("deg(vector(pi()))").collect()[0]["value"] == 180.0
+    # 1705276800 = 2024-01-15T00:00Z -> day 15 of the year
+    assert (
+        ev.eval("day_of_year(vector(1705276800))").collect()[0]["value"]
+        == 15.0
+    )
+
+
+def test_histogram_fraction_interpolation(spark):
+    """Counts 4 in (0,10], 6 in (10,100], 2 in +Inf (total 12):
+    fraction(5, 55) = (4*0.5 + 6*0.5) / 12 = 5/12; the +Inf bucket
+    contributes only at hi = +Inf (not expressible as a literal, so
+    pinned by fraction(0, 100) = 10/12)."""
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "hb", {"le": "10"}, 1_000_000, 4.0),
+            (2, 22, "hb", {"le": "100"}, 1_000_000, 10.0),
+            (3, 33, "hb", {"le": "+Inf"}, 1_000_000, 12.0),
+        ],
+    )
+    mid = ev.eval("histogram_fraction(5, 55, hb)").collect()
+    assert [(r["labels"], r["value"]) for r in mid] == [
+        ("", round(5 / 12, 4))
+    ]
+    fin = ev.eval("histogram_fraction(0, 100, hb)").collect()
+    assert fin[0]["value"] == round(10 / 12, 4)
+
+
+def test_grid_subquery_composition(spark):
+    """Subquery on the grid: sum_over_time(m[20s:10s]) over a 20s span
+    / 10s step grid. Samples at t=5,15,25,35s with values 1,2,4,8;
+    inner last_over_time at aligned instants 10,20,30,40 sees 1,2,4,8;
+    each outer instant folds its two trailing inner instants."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    rows = [
+        (1, 11, "m", {"user": "a"}, 5_000_000, 1.0),
+        (2, 11, "m", {"user": "a"}, 15_000_000, 2.0),
+        (3, 11, "m", {"user": "a"}, 25_000_000, 4.0),
+        (4, 11, "m", {"user": "a"}, 35_000_000, 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, series_id long, metric string, "
+        "labels map<string,string>, ts_us long, value double",
+    )
+    ev = PromQLEvaluator(df)
+    got = {
+        (r["ts_us"], r["labels"], r["value"])
+        for r in ev.eval_range(
+            "sum_over_time(m[20s:10s])", 20_000_000, 10_000_000
+        ).collect()
+    }
+    # t_max = 35s -> outer grid {30s, 20s}; inner instants per outer:
+    # 30 -> {30, 20} (4 + 2), 20 -> {20, 10} (2 + 1)
+    assert got == {
+        (30_000_000, "user=a", 6.0),
+        (20_000_000, "user=a", 3.0),
+    }
+    # composed inner (aggregation) through the same path, on the grid
+    comp = {
+        (r["ts_us"], r["value"])
+        for r in ev.eval_range(
+            "max_over_time(sum by (user) (m)[20s:10s])",
+            20_000_000,
+            10_000_000,
+        ).collect()
+    }
+    assert comp == {(30_000_000, 4.0), (20_000_000, 2.0)}
+    # composed inner on the INSTANT path (1-outer-point case):
+    # instants {10,20,30}s see last samples 1,2,4 -> min 1.0
+    inst = ev.eval(
+        "min_over_time(sum by (user) (m)[30s:10s])"
+    ).collect()
+    assert [(r["labels"], r["value"]) for r in inst] == [("user=a", 1.0)]

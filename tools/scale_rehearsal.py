@@ -247,7 +247,14 @@ def main() -> None:
         [
             n
             for n, r in results.items()
-            if r["ratio"] > FLAG_RATIO and r["sf0.1"] >= FLOOR_SEC
+            # the job-floor exemption only applies when the LARGE leg
+            # is also floor-plausible: a 0.9 s -> 60 s blow-up is a
+            # real scaling regression, not per-job jitter
+            if r["ratio"] > FLAG_RATIO
+            and (
+                r["sf0.1"] >= FLOOR_SEC
+                or r["sf1.0"] > FLOOR_SEC * FLAG_RATIO
+            )
         ],
         key=lambda n: -results[n]["ratio"],
     )
