@@ -29,9 +29,15 @@ from pyspark.sql import functions as F
 
 from shards_prometheus_spark.functions.promql_parser import (
     SAMPLES_MULTI_CTE,
+    _H24_US,
+    _H72_US,
+    _H240_US,
     _H720_US,
     _T_CTE,
     PromQLEvaluator,
+    Subquery,
+    _grid_cte,
+    _grid_increase_cte,
     _increase_cte,
 )
 from shards_prometheus_spark.model import dround
@@ -77,6 +83,70 @@ def eval_rule_group(
     return out
 
 
+#: (alertname, expr, for_us, step_us) — alert rules with a `for:` hold
+#: duration: the rule FIRES only if its comparison holds at EVERY
+#: rule-evaluation instant in the trailing `for:` window (Prometheus
+#: pending→firing semantics; an instant where the comparison fails
+#: resets the pending clock, which in batch form is exactly
+#: "present at every grid instant"). Thresholds are scalar(avg(...))
+#: so both rules are meaningful at every SF.
+ALERT_FOR_RULES: list[tuple[str, str, int, int]] = [
+    (
+        "SustainedAboveAverageClicks",
+        "sum by (user) (increase(click[240h])) > "
+        "scalar(avg(sum by (user) (increase(click[240h]))))",
+        _H72_US,
+        _H24_US,
+    ),
+    (
+        "SustainedBelowAverageViews",
+        "sum by (user) (increase(view[240h])) < "
+        "scalar(avg(sum by (user) (increase(view[240h]))))",
+        _H72_US,
+        _H24_US,
+    ),
+]
+
+
+def eval_alert_for_group(
+    ev: PromQLEvaluator,
+    rules: list[tuple[str, str, int, int]],
+    name_col: str,
+) -> DataFrame:
+    """`for:` hold semantics over ANY samples relation: one
+    `eval_range` over the hold window per rule (the comparison only
+    emits series where it holds, so an alert is FIRING iff its label
+    set appears at every grid instant); the reported value is the
+    most recent instant's. Plan-level union across rules, one grid
+    pass per rule — no driver loop over collected results."""
+    parts = []
+    for name, expr, for_us, step_us in rules:
+        g = ev.eval_range(expr, for_us, step_us)
+        # true grid size as a broadcast 1-row relation (NOT a count of
+        # surviving instants — an all-failing instant must disqualify)
+        ng = ev._grid(Subquery(None, for_us, step_us)).agg(
+            F.count(F.lit(1)).alias("_gn")
+        )
+        parts.append(
+            g.groupBy("labels")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.max(F.struct("ts_us", "value")).alias("_last"),
+            )
+            .join(F.broadcast(ng))
+            .filter(F.col("_n") == F.col("_gn"))
+            .select(
+                F.lit(name).alias(name_col),
+                "labels",
+                F.col("_last.value").alias("value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def recording_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evaluate the recording-rule group: (metric, labels, value) —
     each rule's vector labeled with its record name."""
@@ -93,9 +163,19 @@ def alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def alert_rules_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the `for:`-duration alert group: (alertname, labels,
+    value) for every alert whose comparison held at EVERY evaluation
+    instant in its trailing hold window."""
+    return eval_alert_for_group(
+        PromQLEvaluator.from_dir(spark, sf_dir), ALERT_FOR_RULES, "alertname"
+    )
+
+
 QUERIES = {
     "recording_rules": recording_rules,
     "alert_rules": alert_rules,
+    "alert_rules_for": alert_rules_for,
 }
 
 _REC_SQL = (
@@ -132,7 +212,41 @@ _ALERT_SQL = (
     "(SELECT 1 FROM samples_multi WHERE metric = 'temperature')"
 )
 
+_ALERT_FOR_SQL = (
+    f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+    + _grid_cte(_H24_US, _H72_US)
+    + ", "
+    + _grid_increase_cte("click", _H240_US, "ci")
+    + ", "
+    + _grid_increase_cte("view", _H240_US, "vi")
+    + ", cthr AS (SELECT ets, AVG(v) AS a FROM ci GROUP BY ets), "
+    "vthr AS (SELECT ets, AVG(v) AS a FROM vi GROUP BY ets), "
+    "cfire AS (SELECT ci.ets, ci.l_user, ci.v FROM ci "
+    "JOIN cthr ON cthr.ets = ci.ets WHERE "
+    + dround("ci.v", 6)
+    + " > cthr.a), "
+    "vfire AS (SELECT vi.ets, vi.l_user, vi.v FROM vi "
+    "JOIN vthr ON vthr.ets = vi.ets WHERE "
+    + dround("vi.v", 6)
+    + " < vthr.a), "
+    "gc AS (SELECT COUNT(*) AS n, MAX(ets) AS mx FROM g) "
+    "SELECT 'SustainedAboveAverageClicks' AS alertname, "
+    "'user=' || f.l_user AS labels, "
+    + dround("f.v", 4)
+    + " AS value FROM cfire f, gc WHERE f.ets = gc.mx "
+    "AND f.l_user IN (SELECT l_user FROM cfire GROUP BY l_user "
+    "HAVING COUNT(*) = (SELECT n FROM gc)) "
+    "UNION ALL "
+    "SELECT 'SustainedBelowAverageViews' AS alertname, "
+    "'user=' || f.l_user AS labels, "
+    + dround("f.v", 4)
+    + " AS value FROM vfire f, gc WHERE f.ets = gc.mx "
+    "AND f.l_user IN (SELECT l_user FROM vfire GROUP BY l_user "
+    "HAVING COUNT(*) = (SELECT n FROM gc))"
+)
+
 ORACLES = {
     "recording_rules": _REC_SQL,
     "alert_rules": _ALERT_SQL,
+    "alert_rules_for": _ALERT_FOR_SQL,
 }

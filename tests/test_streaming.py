@@ -728,9 +728,12 @@ def test_streaming_rule_groups_match_batch(spark, tmp_path):
         PromQLEvaluator,
     )
     from shards_prometheus_spark.operators.rules import (
+        ALERT_FOR_RULES,
         ALERT_RULES,
         RECORDING_RULES,
         alert_rules,
+        alert_rules_for,
+        eval_alert_for_group,
         eval_rule_group,
         recording_rules,
     )
@@ -766,6 +769,22 @@ def test_streaming_rule_groups_match_batch(spark, tmp_path):
         }
         assert len(want) > 0
         assert got == want
+
+    # `for:`-duration alerts over the live store: the hold-window grid
+    # re-derives pending/firing from the streamed samples each
+    # evaluation, so the streamed store's firing set equals batch
+    got_for = {
+        (r["alertname"], r["labels"], r["value"])
+        for r in eval_alert_for_group(
+            ev, ALERT_FOR_RULES, "alertname"
+        ).collect()
+    }
+    want_for = {
+        (r["alertname"], r["labels"], r["value"])
+        for r in alert_rules_for(spark, SF_SMOKE).collect()
+    }
+    assert len(want_for) > 0
+    assert got_for == want_for
 
 
 def test_streaming_countmin_matches_batch(spark, tmp_path):
