@@ -101,9 +101,60 @@ def daily_from_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_grid_sliding(
+    spark: SparkSession, sf_dir: str, rollup: DataFrame | None = None
+) -> DataFrame:
+    """A LONG-RANGE SLIDING GRID answered from the rollup tier — the
+    single biggest read-volume lever at 100 TB: per user, the 72h
+    rolling click volume at every daily grid instant over the trailing
+    240h, reading ONE ROW PER SERIES-HOUR instead of raw samples
+    (3-4 orders fewer rows; the oracle recomputes the same windows
+    from RAW samples, proving the routing lossless).
+
+    Window convention: hour-aligned [end−72h, end) windows — the
+    closed-open tiling where rollup hours compose exactly (PromQL's
+    (lo, hi] boundary needs per-hour boundary samples, which the tier
+    doesn't store; grid ends are day-aligned so every window is a
+    whole number of hours).
+
+    `rollup` lets the caller pass the MATERIALIZED tier (the
+    production shape — tests pin that the plan then scans only the
+    rollup relation, never raw events); by default the tier is derived
+    inline from the same raw scan.
+    """
+    h = rollup if rollup is not None else _hourly(spark, sf_dir)
+    h = h.filter(F.col("metric") == "click")
+    tend = h.agg((F.max("hour_ts") + 3600).alias("t_end"))
+    grid = (
+        tend.select(
+            "t_end",
+            F.explode(F.sequence(F.lit(0), F.lit(10))).alias("k"),
+        )
+        .select(
+            "t_end",
+            (
+                F.expr("(t_end div 86400) * 86400")
+                - F.col("k") * 86400
+            ).alias("ets"),
+        )
+        .filter(F.col("ets") > F.col("t_end") - 10 * SECONDS_PER_DAY)
+        .select("ets")
+    )
+    j = h.join(
+        F.broadcast(grid),
+        (F.col("hour_ts") >= F.col("ets") - 3 * SECONDS_PER_DAY)
+        & (F.col("hour_ts") < F.col("ets")),
+    )
+    return (
+        j.groupBy("label_user", F.col("ets").alias("win_end"))
+        .agg(F.round(F.sum("sum_v"), 4).alias("sum_v"))
+    )
+
+
 QUERIES = {
     "rollup_hourly": rollup_hourly,
     "daily_from_rollup": daily_from_rollup,
+    "rollup_grid_sliding": rollup_grid_sliding,
 }
 
 _DAY_SQL = f"(({_HOUR_SQL}) // {SECONDS_PER_DAY}) * {SECONDS_PER_DAY}"
@@ -123,6 +174,22 @@ ORACLES = {
         "ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 4) AS first_v, "
         "ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 4) AS last_v "
         "FROM d GROUP BY metric, label_user, hour_ts"
+    ),
+    # computed from RAW samples — the routing-losslessness proof
+    "rollup_grid_sliding": (
+        f"{SAMPLES_CTE}, te AS (SELECT "
+        "((MAX(ts_us) // 3600000000) * 3600 + 3600) AS t_end "
+        "FROM samples WHERE metric = 'click'), "
+        "g AS (SELECT ((t_end // 86400) * 86400) - k.i * 86400 AS ets "
+        "FROM te CROSS JOIN generate_series(0, 10) AS k(i) "
+        "WHERE ((t_end // 86400) * 86400) - k.i * 86400 "
+        f"> t_end - {10 * SECONDS_PER_DAY}) "
+        "SELECT s.label_user, g.ets AS win_end, "
+        "ROUND(SUM(s.value), 4) AS sum_v "
+        "FROM samples s JOIN g "
+        f"ON s.ts_us >= (g.ets - {3 * SECONDS_PER_DAY}) * 1000000 "
+        "AND s.ts_us < g.ets * 1000000 "
+        "WHERE s.metric = 'click' GROUP BY s.label_user, g.ets"
     ),
     # computed from RAW samples — the losslessness proof
     "daily_from_rollup": (

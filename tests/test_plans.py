@@ -466,3 +466,36 @@ def test_ddsketch_no_corpus_single_partition(spark):
 
     df = ddsketch_quantile(spark, SF_SMOKE)
     assert count_single_partition_exchanges(df) == 0
+
+
+def test_rollup_grid_routes_to_materialized_tier(spark, tmp_path):
+    """The long-range grid answered from the MATERIALIZED rollup tier
+    must scan ONLY the rollup relation (never raw events) and must
+    equal the inline-derived answer — the read-volume lever that makes
+    month-long grids viable at 100 TB."""
+    from shards_prometheus_spark.operators.rollup import (
+        _hourly,
+        rollup_grid_sliding,
+    )
+
+    tier_path = str(tmp_path / "rollup_hourly")
+    _hourly(spark, SF_SMOKE).write.parquet(tier_path)
+    tier = spark.read.parquet(tier_path)
+
+    routed = rollup_grid_sliding(spark, SF_SMOKE, rollup=tier)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "events.parquet" not in plan, "routed grid re-read raw events"
+    # every scan reads the tier's schema (hour_ts), not raw event rows
+    assert plan.count("Scan parquet") >= 1 and "hour_ts" in plan
+    assert "event_id" not in plan
+
+    inline = {
+        (r["label_user"], r["win_end"], r["sum_v"])
+        for r in rollup_grid_sliding(spark, SF_SMOKE).collect()
+    }
+    got = {
+        (r["label_user"], r["win_end"], r["sum_v"])
+        for r in routed.collect()
+    }
+    assert len(got) > 0
+    assert got == inline
