@@ -142,21 +142,43 @@ def exposition_lines_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Prometheus metric-name regex (public exposition-format grammar).
 _NAME_RE = "^([A-Za-z_:][A-Za-z0-9_:]*)"
 
+#: OpenMetrics HELP text — one deterministic docstring per family
+#: (prometheus-cpp families carry a help string; the engine's registry
+#: uses a fixed phrase so both oracle engines render it identically).
+_OM_HELP = " Series exported by the metrics registry."
 
-def exposition_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scrape *source*: parse the text exposition payload back into a
-    typed relation — the inverse of `exposition_lines`, i.e. what a
-    scraper does with the reference's endpoint output (the text format
-    emitted behind prometheus.cpp:80's collectable).
+#: OpenMetrics exemplar suffix grammar: ` # {labels} value [ts]`
+_EXEMPLAR_RE = r" # \{.*$"
+
+
+def openmetrics_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OpenMetrics dialect of the scrape payload: `# HELP` lines
+    per family, the same `# TYPE` + sample body as the classic format
+    (counters already carry the `_total` sample-name suffix OpenMetrics
+    mandates), and the `# EOF` terminator. One line per row."""
+    body = exposition_lines(spark, sf_dir)
+    fams = scrape_snapshot(spark, sf_dir).select("metric").distinct()
+    helps = fams.select(
+        F.concat(F.lit("# HELP "), F.col("metric"), F.lit(_OM_HELP)).alias(
+            "line"
+        )
+    )
+    eof = fams.select(F.lit("# EOF").alias("line")).distinct()
+    return helps.unionByName(body).unionByName(eof)
+
+
+def _parse_payload(lines: DataFrame) -> DataFrame:
+    """Shared exposition parser body: text lines → typed relation.
 
     Pure regexp expressions (JVM-side, codegen). Kind is recovered from
     the line shape (`_total` → counter, `_bucket`/`_sum`/`_count` →
     histogram, bare name → gauge) and validated against the `# TYPE`
     headers by an inner join on (metric, kind) — a header-less or
     mistyped series would drop out rather than pass through silently.
+    `# HELP`/`# EOF` rows (the OpenMetrics dialect) are comments to
+    this grammar; exemplar suffixes must be stripped by the caller.
     Output: (metric, kind, stat, label_user, le, value).
     """
-    lines = exposition_lines(spark, sf_dir)
     hdr_re = r"^# TYPE (\S+) (\S+)$"
     headers = (
         lines.filter(F.col("line").startswith("# TYPE "))
@@ -173,7 +195,13 @@ def exposition_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         unesc_label(
             F.regexp_extract("line", r'="((?:[^"\\]|\\.)*)"', 1)
         ).alias("lval"),
-        F.regexp_extract("line", r" ([^ ]+)$", 1).cast("double").alias("value"),
+        # try_cast, not cast: under ANSI the optimizer constant-folds
+        # this expression over literal comment rows (`# EOF`) BEFORE
+        # the comment filter prunes them — a plan-time crash; malformed
+        # values must degrade to NULL, never fail the scrape
+        F.regexp_extract("line", r" ([^ ]+)$", 1)
+        .try_cast("double")
+        .alias("value"),
     )
 
     def strip(n: int) -> Column:
@@ -204,6 +232,44 @@ def exposition_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classified.join(
         F.broadcast(headers), ["metric", "kind"]
     ).select("metric", "kind", "stat", "label_user", "le", "value")
+
+
+def exposition_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrape *source*: parse the classic text exposition payload back
+    into a typed relation — the inverse of `exposition_lines`, i.e.
+    what a scraper does with the reference's endpoint output (the text
+    format emitted behind prometheus.cpp:80's collectable)."""
+    return _parse_payload(exposition_lines(spark, sf_dir))
+
+
+def _with_exemplars(lines: DataFrame) -> DataFrame:
+    """Fixture decoration: attach a deterministic exemplar suffix to
+    every counter sample line (OpenMetrics allows exemplars on counter
+    and histogram samples) — the parse demo proves the scraper accepts
+    and ignores them."""
+    is_counter = F.col("line").rlike(
+        r"^[A-Za-z_:][A-Za-z0-9_:]*_total\{"
+    )
+    return lines.select(
+        F.when(
+            is_counter,
+            F.concat(F.col("line"), F.lit(' # {trace_id="t0"} 1.0 1.0')),
+        )
+        .otherwise(F.col("line"))
+        .alias("line")
+    )
+
+
+def openmetrics_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrape source for a MODERN endpoint: parse an OpenMetrics
+    payload — `# HELP`/`# EOF` lines and exemplar-bearing counter
+    samples (parsed and ignored, the v1 scraper contract) — into the
+    same typed relation as the classic parser."""
+    payload = _with_exemplars(openmetrics_lines(spark, sf_dir))
+    stripped = payload.select(
+        F.regexp_replace("line", _EXEMPLAR_RE, "").alias("line")
+    )
+    return _parse_payload(stripped)
 
 
 class MetricsExposer:
@@ -300,10 +366,13 @@ QUERIES = {
     "exposition_lines": exposition_lines,
     "exposition_parse": exposition_parse,
     "exposition_lines_multi": exposition_lines_multi,
+    "openmetrics_lines": openmetrics_lines,
+    "openmetrics_parse": openmetrics_parse,
 }
 
-_LINES_SQL = (
-    f"{_BUCKET_COUNTS_SQL}, snap AS ({_SNAP_SQL}) "
+_LINES_PREFIX_SQL = f"{_BUCKET_COUNTS_SQL}, snap AS ({_SNAP_SQL}) "
+
+_LINES_BODY_SQL = (
         "SELECT '# TYPE ' || metric || ' ' || kind AS line "
         "FROM (SELECT DISTINCT kind, metric FROM snap) "
         "UNION ALL "
@@ -326,10 +395,20 @@ _LINES_SQL = (
         "FROM g"
 )
 
-# the oracle re-parses the text built by the exposition oracle — both
-# engines run their full serialize → parse round trip independently
-_PARSE_SQL = (
-    f"WITH lines AS (SELECT line FROM ({_LINES_SQL}) t), "
+_LINES_SQL = _LINES_PREFIX_SQL + _LINES_BODY_SQL
+
+_OM_LINES_SQL = (
+    _LINES_PREFIX_SQL
+    + f"SELECT '# HELP ' || metric || '{_OM_HELP}' AS line "
+    "FROM (SELECT DISTINCT metric FROM snap) "
+    "UNION ALL "
+    + _LINES_BODY_SQL
+    + " UNION ALL SELECT DISTINCT '# EOF' FROM snap"
+)
+
+#: the parse body over a prepared `lines` CTE — shared by the classic
+#: and OpenMetrics parse oracles
+_PARSE_BODY_SQL = (
     "hdr AS (SELECT DISTINCT "
     "regexp_extract(line, '^# TYPE (\\S+) (\\S+)$', 1) AS metric, "
     "regexp_extract(line, '^# TYPE (\\S+) (\\S+)$', 2) AS kind "
@@ -359,6 +438,25 @@ _PARSE_SQL = (
     "FROM cls) c JOIN hdr h USING (metric, kind)"
 )
 
+# the oracle re-parses the text built by the exposition oracle — both
+# engines run their full serialize → parse round trip independently
+_PARSE_SQL = (
+    f"WITH lines AS (SELECT line FROM ({_LINES_SQL}) t), "
+    + _PARSE_BODY_SQL
+)
+
+# OpenMetrics round trip: decorate counter lines with an exemplar
+# suffix, strip it back out, then run the shared parse body — both
+# engines execute the identical decoration + strip
+_OM_PARSE_SQL = (
+    f"WITH lines0 AS (SELECT line FROM ({_OM_LINES_SQL}) t), "
+    "lines AS (SELECT regexp_replace(CASE WHEN "
+    "regexp_matches(line, '^[A-Za-z_:][A-Za-z0-9_:]*_total\\{') "
+    "THEN line || ' # {trace_id=\"t0\"} 1.0 1.0' ELSE line END, "
+    "' # \\{.*$', '') AS line FROM lines0), "
+    + _PARSE_BODY_SQL
+)
+
 from shards_prometheus_spark.model import SAMPLES_MULTI_CTE  # noqa: E402
 
 _LINES_MULTI_SQL = (
@@ -374,4 +472,6 @@ ORACLES = {
     "exposition_lines": _LINES_SQL,
     "exposition_parse": _PARSE_SQL,
     "exposition_lines_multi": _LINES_MULTI_SQL,
+    "openmetrics_lines": _OM_LINES_SQL,
+    "openmetrics_parse": _OM_PARSE_SQL,
 }

@@ -211,3 +211,36 @@ def test_label_value_escaping_round_trip(spark):
     assert esc_map['a\\b'] == 'a\\\\b'
     assert esc_map['a\nb'] == 'a\\nb'
     assert esc_map['a\\nb'] == 'a\\\\nb'
+
+
+def test_openmetrics_dialect_round_trip(spark):
+    """OpenMetrics payload: # HELP per family, # TYPE + samples, one
+    # EOF terminator; the OM parser accepts exemplar-bearing counter
+    lines and recovers EXACTLY the classic parser's typed relation."""
+    from shards_prometheus_spark.sources.exposition import (
+        exposition_parse,
+        openmetrics_lines,
+        openmetrics_parse,
+    )
+
+    lines = [
+        r["line"]
+        for r in openmetrics_lines(spark, SF_SMOKE).collect()
+    ]
+    helps = [l for l in lines if l.startswith("# HELP ")]
+    types = [l for l in lines if l.startswith("# TYPE ")]
+    assert len(helps) > 0 and len(types) > 0
+    # one HELP per family, same family set as TYPE headers
+    assert {h.split()[2] for h in helps} == {t.split()[2] for t in types}
+    assert lines.count("# EOF") == 1
+
+    key = lambda r: (
+        r["metric"], r["kind"], r["stat"], r["label_user"], r["le"],
+        r["value"],
+    )
+    om = sorted(map(key, openmetrics_parse(spark, SF_SMOKE).collect()))
+    classic = sorted(
+        map(key, exposition_parse(spark, SF_SMOKE).collect())
+    )
+    assert len(om) > 0
+    assert om == classic
