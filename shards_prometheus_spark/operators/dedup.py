@@ -175,19 +175,22 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dset = doc_token_sets(spark, sf_dir)
     vocab_size = dset.agg(F.max("token_id")).first()[0] or 0
+    # distinct BEFORE verification, both branches: besides deduping
+    # band collisions, the hash exchange on (doc_a, doc_b) breaks the
+    # band-bucket-aligned task layout — a hot LSH bucket otherwise
+    # lands its whole n² candidate burst in ONE verify task, whose
+    # allocation spike is what made large-scale wall time GC-bound
+    # (observed as a 5× spread across identical reps). Uniform
+    # pair-keyed partitions bound per-task payload at any scale.
+    candidates = candidates.distinct()
     if vocab_size <= MASK_VOCAB_LIMIT:
-        # Bitmask verify is O(1)/pair with no shuffle, so it's cheaper
-        # to score band-duplicate candidates and dedupe the survivors
-        # than to pay a distinct over every band collision first.
         verified = _mask_jaccard(candidates, dset)
     else:
-        verified = pair_jaccard(candidates.distinct(), dset)
-    return (
-        verified.filter(F.col("jaccard_raw") >= NEAR_DUP_JACCARD)
-        .select(
-            "doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard")
-        )
-        .distinct()
+        verified = pair_jaccard(candidates, dset)
+    # candidates are distinct and verification is per-pair, so the
+    # output needs no second distinct pass
+    return verified.filter(F.col("jaccard_raw") >= NEAR_DUP_JACCARD).select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard")
     )
 
 
