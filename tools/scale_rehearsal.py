@@ -5,6 +5,9 @@ tables (events / documents / embeddings).
 Usage:
     python3 tools/scale_rehearsal.py            # generate (if absent) + run
     python3 tools/scale_rehearsal.py --gen-only
+    python3 tools/scale_rehearsal.py --sf3      # second-decade pairwise leg
+                                                # (sf1.0 -> sf3.0, 3x step)
+                                                # -> BENCH_sf3.json
 
 Synthesis (10 copies of sf0.1, each copy made DISTINCT, not duplicated
 — identical copies would add artificial near-duplicate structure and
@@ -133,11 +136,25 @@ QUERIES = [n for _f, ns in FAMILIES for n in ns]
 FAMILY_OF = {n: f for f, ns in FAMILIES for n in ns}
 
 
-def generate(spark: SparkSession) -> None:
-    os.makedirs(OUT, exist_ok=True)
+def generate(
+    spark: SparkSession,
+    out: str = OUT,
+    factor: int = FACTOR,
+    tables: tuple[str, ...] = ("events", "documents", "embeddings"),
+) -> None:
+    os.makedirs(out, exist_ok=True)
+    if "events" in tables:
+        _gen_events(spark, out, factor)
+    if "documents" in tables:
+        _gen_documents(spark, out, factor)
+    if "embeddings" in tables:
+        _gen_embeddings(spark, out, factor)
+
+
+def _gen_events(spark: SparkSession, out_dir: str, factor: int) -> None:
     ev = spark.read.parquet(f"{SRC}/events.parquet")
     parts = []
-    for c in range(FACTOR):
+    for c in range(factor):
         parts.append(
             ev.select(
                 (F.col("event_id") + F.lit(c * 10**9)).alias("event_id"),
@@ -148,14 +165,16 @@ def generate(spark: SparkSession) -> None:
                 "props",
             )
         )
-    out = parts[0]
+    u = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    out.write.mode("overwrite").parquet(f"{OUT}/events.parquet")
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
+
+def _gen_documents(spark: SparkSession, out_dir: str, factor: int) -> None:
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     parts = []
-    for c in range(FACTOR):
+    for c in range(factor):
         if c == 0:
             text = F.col("text")
         else:
@@ -174,18 +193,23 @@ def generate(spark: SparkSession) -> None:
                 "source",
             ).withColumn("n_chars", F.length("text").cast("long"))
         )
-    out = parts[0]
+    u = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    out.write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
+
+def _gen_embeddings(spark: SparkSession, out_dir: str, factor: int) -> None:
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
     parts = []
-    for c in range(FACTOR):
+    for c in range(factor):
         e = F.col("embedding")
         if c > 0:
+            # cyclic rotation, c modulo the vector width (factors can
+            # exceed the 64-dim width at the sf3 leg)
+            k = c % 63 + 1 if c >= 64 else c
             e = F.concat(
-                F.slice(e, c + 1, F.size(e) - c), F.slice(e, 1, c)
+                F.slice(e, k + 1, F.size(e) - k), F.slice(e, 1, k)
             )
         parts.append(
             emb.select(
@@ -194,30 +218,58 @@ def generate(spark: SparkSession) -> None:
                 "label",
             )
         )
-    out = parts[0]
+    u = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    out.write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
-def main() -> None:
-    from shards_prometheus_spark.session import get_spark
-    from shards_prometheus_spark.registry import all_queries
+#: second-decade leg: 3× on top of the sf1.0 corpus for the pairwise
+#: dedup/similarity family. dedup_simhash (pair ENUMERATION) is
+#: deliberately absent — its output is quadratic by contract (the
+#: documented debug secondary; dedup_simhash_classes is the linear
+#: primary answer), so counting ~5G pairs would measure output
+#: materialization, not plan scaling.
+OUT3 = os.path.join(os.path.dirname(OUT), "sf3.0")
+FACTOR3 = 30
+PAIRWISE_FAMILIES: list[tuple[str, list[str]]] = [
+    (
+        "docs",
+        [
+            "dedup_exact",
+            "dedup_near",
+            "dedup_simhash_classes",
+            "dedup_ngram_jaccard",
+            "dedup_clusters",
+        ],
+    ),
+    (
+        "emb",
+        [
+            "dedup_semantic",
+            "dedup_embedding_cosine",
+            "similarity_topk",
+            "similarity_lsh",
+            "similarity_ivf",
+        ],
+    ),
+]
+#: linear at 3× data is ratio 3; flag past 2× headroom over linear
+SF3_FLAG_RATIO = 6.0
+
+
+def _measure(
+    spark, queries, families, legs: list[tuple[str, str]]
+) -> dict[str, dict]:
     from shards_prometheus_spark.operators.tierc_common import clear_caches
 
-    spark = get_spark("scale-rehearsal")
-    if not os.path.exists(f"{OUT}/embeddings.parquet"):
-        print("generating", OUT, flush=True)
-        generate(spark)
-    if "--gen-only" in sys.argv:
-        return
-
-    queries = all_queries()
+    family_of = {n: f for f, ns in families for n in ns}
+    names = [n for _f, ns in families for n in ns]
     results: dict[str, dict] = {}
-    for sf_dir, key in [(SRC, "sf0.1"), (OUT, "sf1.0")]:
+    for sf_dir, key in legs:
         fam_prev = None
-        for name in QUERIES:
-            fam = FAMILY_OF[name]
+        for name in names:
+            fam = family_of[name]
             if fam != fam_prev:
                 clear_caches(spark)
                 fam_prev = fam
@@ -240,9 +292,19 @@ def main() -> None:
                 flush=True,
             )
         clear_caches(spark)
+    return results
 
-    for name, r in results.items():
-        r["ratio"] = round(r["sf1.0"] / max(r["sf0.1"], 1e-9), 2)
+
+def _flag_and_write(
+    results: dict[str, dict],
+    small: str,
+    large: str,
+    flag_ratio: float,
+    factor: int,
+    out_name: str,
+) -> None:
+    for r in results.values():
+        r["ratio"] = round(r[large] / max(r[small], 1e-9), 2)
     flagged = sorted(
         [
             n
@@ -250,17 +312,17 @@ def main() -> None:
             # the job-floor exemption only applies when the LARGE leg
             # is also floor-plausible: a 0.9 s -> 60 s blow-up is a
             # real scaling regression, not per-job jitter
-            if r["ratio"] > FLAG_RATIO
+            if r["ratio"] > flag_ratio
             and (
-                r["sf0.1"] >= FLOOR_SEC
-                or r["sf1.0"] > FLOOR_SEC * FLAG_RATIO
+                r[small] >= FLOOR_SEC
+                or r[large] > FLOOR_SEC * flag_ratio
             )
         ],
         key=lambda n: -results[n]["ratio"],
     )
     artifact = {
-        "factor": FACTOR,
-        "flag_ratio": FLAG_RATIO,
+        "factor": factor,
+        "flag_ratio": flag_ratio,
         "floor_sec": FLOOR_SEC,
         "reps": REPS,
         "aggregation": "median_per_leg_ratio_of_medians",
@@ -269,11 +331,53 @@ def main() -> None:
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_sf1.json",
+        out_name,
     )
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print(json.dumps({"flagged": flagged, "written": path}))
+
+
+def main() -> None:
+    from shards_prometheus_spark.session import get_spark
+    from shards_prometheus_spark.registry import all_queries
+
+    spark = get_spark("scale-rehearsal")
+    if "--sf3" in sys.argv:
+        # pairwise family only: needs documents+embeddings at sf1.0
+        # (the small leg) and sf3.0 (the large leg); events unused
+        if not os.path.exists(f"{OUT}/embeddings.parquet"):
+            print("generating", OUT, flush=True)
+            generate(spark)
+        if not os.path.exists(f"{OUT3}/embeddings.parquet"):
+            print("generating", OUT3, flush=True)
+            generate(
+                spark, OUT3, FACTOR3, tables=("documents", "embeddings")
+            )
+        if "--gen-only" in sys.argv:
+            return
+        results = _measure(
+            spark,
+            all_queries(),
+            PAIRWISE_FAMILIES,
+            [(OUT, "sf1.0"), (OUT3, "sf3.0")],
+        )
+        _flag_and_write(
+            results, "sf1.0", "sf3.0", SF3_FLAG_RATIO, 3, "BENCH_sf3.json"
+        )
+        return
+
+    if not os.path.exists(f"{OUT}/embeddings.parquet"):
+        print("generating", OUT, flush=True)
+        generate(spark)
+    if "--gen-only" in sys.argv:
+        return
+    results = _measure(
+        spark, all_queries(), FAMILIES, [(SRC, "sf0.1"), (OUT, "sf1.0")]
+    )
+    _flag_and_write(
+        results, "sf0.1", "sf1.0", FLAG_RATIO, FACTOR, "BENCH_sf1.json"
+    )
 
 
 if __name__ == "__main__":
