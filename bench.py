@@ -65,8 +65,10 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "agg_quantile",
             "rollup_hourly",
             "daily_from_rollup",
+            "rollup_grid_sliding",
             "scrape_snapshot",
             "exposition_lines",
+            "openmetrics_parse",
             "vector_binop",
         ],
     ),
@@ -106,6 +108,8 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "promql_range_topk",
             "recording_rules",
             "alert_rules",
+            "alert_rules_for",
+            "promql_range_subquery",
         ],
     ),
     ("olap", ["user_sessions", "retention_cohorts"]),

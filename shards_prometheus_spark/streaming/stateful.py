@@ -184,3 +184,98 @@ def stateful_increase_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Alert pending→firing state machine (the `for:` clause under streaming)
+# ---------------------------------------------------------------------------
+
+#: (alertname, labels, state, consec, active_since_us) per alert series.
+ALERT_STATE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("alertname", StringType()),
+        StructField("labels", StringType()),
+        StructField("state", StringType()),
+        StructField("consec", LongType()),
+        StructField("active_since_us", LongType()),
+    ]
+)
+
+ALERT_STATE_SCHEMA = StructType(
+    [
+        StructField("consec", LongType()),
+        StructField("active_since_us", LongType()),
+    ]
+)
+
+
+def _make_update_alert(for_n: int):
+    """Per-(alertname, labels) fold of rule-evaluation ticks into the
+    Prometheus alert state machine: inactive → pending on the first
+    true evaluation (ActiveAt), pending → firing after `for_n`
+    CONSECUTIVE true evaluations (`for:` = for_n × the evaluation
+    interval), any false evaluation → inactive (the pending clock
+    resets, public Prometheus semantics)."""
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            consec, since = state.get
+        else:
+            consec, since = 0, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values("ts_us")
+            for ts, cond in zip(
+                batch["ts_us"].to_numpy(), batch["cond"].to_numpy()
+            ):
+                if bool(cond):
+                    if consec == 0:
+                        since = int(ts)
+                    consec += 1
+                else:
+                    consec, since = 0, 0
+        state.update((int(consec), int(since)))
+        st = (
+            "inactive"
+            if consec == 0
+            else ("firing" if consec >= for_n else "pending")
+        )
+        yield pd.DataFrame(
+            {
+                "alertname": [key[0]],
+                "labels": [key[1]],
+                "state": [st],
+                "consec": [int(consec)],
+                "active_since_us": [int(since)],
+            }
+        )
+
+    return update
+
+
+def alert_state_stream(evals: DataFrame, for_n: int) -> DataFrame:
+    """The `for:` hold clause as CROSS-MICRO-BATCH state: `evals` is
+    the rule-evaluation tick stream (alertname, labels, ts_us, cond) —
+    what a scheduler emits once per evaluation interval — and the
+    output is each alert series' live state machine row. State is two
+    ints per alert series (bounded like the reference's registry,
+    prometheus.cpp:34-45); the group key (alertname, labels) is the
+    natural shuffle key. The batch twin is the trailing-window grid
+    filter in operators/rules.py:eval_alert_for_group — under
+    streaming the consecutive-true run must live in a state store
+    because evaluations for one alert arrive across micro-batches."""
+    return (
+        evals.select("alertname", "labels", "ts_us", "cond")
+        .groupBy("alertname", "labels")
+        .applyInPandasWithState(
+            _make_update_alert(for_n),
+            ALERT_STATE_OUTPUT_SCHEMA,
+            ALERT_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
