@@ -67,11 +67,17 @@ def apply_matchers(
 
     ``matchers`` is (label, op, value) triples with op in
     {=, !=, =~, !~}. Missing labels compare as "" and regexes are
-    fully anchored (`^(?:re)$`) — both Prometheus semantics.
+    fully anchored — both Prometheus semantics. Anchoring uses
+    Java's UNIX_LINES flag ``(?d)`` plus a hard ``\\z`` end anchor:
+    without it, Java regex treats ``\\r`` / U+0085 / U+2028 / U+2029
+    as line terminators (``.`` skips them, ``$`` matches before
+    them) while RE2 — what real Prometheus uses — excludes only
+    ``\\n`` from ``.``; a label value like ``"a\\r0"`` would then
+    diverge from Prometheus on ``=~"a.*|[0-4]"``.
     """
     for label, op, val in matchers:
         col = label_col(label)
-        anchored = f"^(?:{val})$"
+        anchored = f"(?d)^(?:{val})\\z"
         if op == "=":
             df = df.filter(col == val)
         elif op == "!=":

@@ -34,8 +34,11 @@ Supported core (instant query at evaluation time T):
   Duplicate series in a match group raise at execution time (the
   Prometheus 'found duplicate series for the match group' error).
 
-Not supported (documented): compound durations (``1h30m``), the ``@``
-modifier, ``le`` matchers on synthetic ``_bucket`` selectors.
+Supported since r4: the ``@`` modifier (``@ <ts>``, ``@ start()``,
+``@ end()``) on instant and range selectors, including on grid
+subqueries. Not supported (documented): compound durations
+(``1h30m``), ``le`` matchers on synthetic ``_bucket`` selectors,
+native histograms (see SURVEY §2b scope note).
 
 Evaluation model: T = the max sample timestamp, carried as a COLUMN
 (broadcast 1-row relation, never collected) so the whole expression
@@ -597,8 +600,13 @@ class _Parser:
             or tok in _DATE_FNS
         ):
             return self._math_fn()
-        if tok == "pi":
-            # pi(): a scalar literal — valid anywhere a number is
+        if tok == "pi" and (
+            self.i + 1 < len(self.toks) and self.toks[self.i + 1] == "("
+        ):
+            # pi(): a scalar literal — valid anywhere a number is.
+            # Lookahead-gated: `pi` is also a legal METRIC name, so
+            # `pi{user="a"}` / bare `pi` must fall through to the
+            # selector path.
             self.next()
             self.expect("(")
             self.expect(")")
@@ -1938,7 +1946,10 @@ class PromQLEvaluator:
         base = F.map_filter(labels, lambda k, _v: k != F.lit(node.dst))
         if node.kind == "replace":
             repl, src, regex = node.args
-            anch = f"^(?:{regex})$"  # PromQL fully anchors the match
+            # PromQL fully anchors the match; (?d)+\z makes Java's
+            # `.`/`$` match RE2's \n-only line-terminator semantics
+            # (Java otherwise treats \r etc. as terminators).
+            anch = f"(?d)^(?:{regex})\\z"
             srcv = F.coalesce(
                 F.element_at(labels, F.lit(src)), F.lit("")
             )

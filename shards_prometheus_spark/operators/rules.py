@@ -118,13 +118,20 @@ def eval_alert_for_group(
     emits series where it holds, so an alert is FIRING iff its label
     set appears at every grid instant); the reported value is the
     most recent instant's. Plan-level union across rules, one grid
-    pass per rule — no driver loop over collected results."""
+    pass per rule — no driver loop over collected results.
+
+    Prometheus fires when `now - ActiveAt >= for`, where ActiveAt is
+    the first TRUE evaluation — that needs `for/step + 1` consecutive
+    true evaluations (the activation tick plus for/step more). The
+    grid span is therefore `for + step`, which yields exactly
+    `for/step + 1` instants in (t - for - step, t]."""
     parts = []
     for name, expr, for_us, step_us in rules:
-        g = ev.eval_range(expr, for_us, step_us)
+        span_us = for_us + step_us
+        g = ev.eval_range(expr, span_us, step_us)
         # true grid size as a broadcast 1-row relation (NOT a count of
         # surviving instants — an all-failing instant must disqualify)
-        ng = ev._grid(Subquery(None, for_us, step_us)).agg(
+        ng = ev._grid(Subquery(None, span_us, step_us)).agg(
             F.count(F.lit(1)).alias("_gn")
         )
         parts.append(
@@ -214,7 +221,9 @@ _ALERT_SQL = (
 
 _ALERT_FOR_SQL = (
     f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
-    + _grid_cte(_H24_US, _H72_US)
+    # span = for + step: firing needs for/step + 1 consecutive true
+    # evaluations (Prometheus: now - ActiveAt >= for)
+    + _grid_cte(_H24_US, _H72_US + _H24_US)
     + ", "
     + _grid_increase_cte("click", _H240_US, "ci")
     + ", "

@@ -212,10 +212,12 @@ ALERT_STATE_SCHEMA = StructType(
 def _make_update_alert(for_n: int):
     """Per-(alertname, labels) fold of rule-evaluation ticks into the
     Prometheus alert state machine: inactive → pending on the first
-    true evaluation (ActiveAt), pending → firing after `for_n`
-    CONSECUTIVE true evaluations (`for:` = for_n × the evaluation
-    interval), any false evaluation → inactive (the pending clock
-    resets, public Prometheus semantics)."""
+    true evaluation (ActiveAt), pending → firing once `now - ActiveAt
+    >= for` — i.e. after `for_n + 1` CONSECUTIVE true evaluations
+    (`for:` = for_n × the evaluation interval; the activation tick
+    itself is at hold 0, so for_n MORE ticks must pass), any false
+    evaluation → inactive (the pending clock resets, public
+    Prometheus semantics)."""
 
     def update(
         key: Tuple[Any, ...],
@@ -242,7 +244,7 @@ def _make_update_alert(for_n: int):
         st = (
             "inactive"
             if consec == 0
-            else ("firing" if consec >= for_n else "pending")
+            else ("firing" if consec >= for_n + 1 else "pending")
         )
         yield pd.DataFrame(
             {

@@ -1142,6 +1142,27 @@ def test_atan2_pi_day_of_year(spark):
     )
 
 
+def test_pi_as_metric_name(spark):
+    """`pi` without a following `(` is a valid METRIC name — the pi()
+    branch must be lookahead-gated, not consume the token outright."""
+    ev = _tiny_eval(
+        spark,
+        [
+            (1, 11, "pi", {"user": "a"}, 1_000_000, 7.0),
+            (2, 22, "pi", {"user": "b"}, 1_000_000, 9.0),
+        ],
+    )
+    assert sorted(
+        r["value"] for r in ev.eval('pi{user="a"}').collect()
+    ) == [7.0]
+    assert sorted(r["value"] for r in ev.eval("pi").collect()) == [
+        7.0,
+        9.0,
+    ]
+    # the function form still parses alongside the metric
+    assert ev.eval("vector(1) * pi()").collect()[0]["value"] == 3.1416
+
+
 def test_histogram_fraction_interpolation(spark):
     """Counts 4 in (0,10], 6 in (10,100], 2 in +Inf (total 12):
     fraction(5, 55) = (4*0.5 + 6*0.5) / 12 = 5/12; the +Inf bucket

@@ -257,6 +257,44 @@ def test_promql_matcher_semantics_match_python_re(spark, vals):
     )
 
 
+def test_promql_matcher_carriage_return_matches_re2(spark):
+    """Deterministic pin of the RE2-vs-Java line-terminator case the
+    property test above found: Java regex treats ``\\r`` as a line
+    terminator (``.`` skips it, ``$`` matches before it) while
+    RE2/Prometheus excludes only ``\\n`` — so ``"a\\r0"`` must match
+    ``user=~"a.*|[0-4]"`` and ``"a\\r"`` must match ``user=~"a."``.
+    Fixed by anchoring with ``(?d)…\\z`` (labelset.py apply_matchers)."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    vals = ["a\r0", "a\r", "a\n0", "b ", "plain"]
+    rows = [
+        (i, i, "m", {"user": v}, 1_000_000, float(i))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, series_id long, metric string, "
+        "labels map<string,string>, ts_us long, value double",
+    )
+    ev = PromQLEvaluator(df)
+
+    def got(expr):
+        return sorted(r["value"] for r in ev.eval(expr).collect())
+
+    # "a\r0" matches a.* (RE2 `.` matches \r); "a\n0" does not
+    # (`.` never matches \n); "a\r" matches via a.* too.
+    assert got('m{user=~"a.*|[0-4]"}') == [0.0, 1.0]
+    # `a.` must consume the \r / U+2028 as an ordinary char.
+    assert got('m{user=~"a."}') == [1.0]
+    # $-bearing user regex: full anchoring must not let Java's $
+    # match before a trailing terminator.
+    assert got('m{user=~"a$"}') == []
+    assert got('m{user=~"b "}') == [3.0]
+    assert got('m{user!~"a.*|[0-4]"}') == [2.0, 3.0, 4.0]
+
+
 def _render(node):
     """Canonical PromQL rendering of the small AST subset the strategy
     below generates."""

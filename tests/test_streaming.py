@@ -831,3 +831,71 @@ def test_streaming_countmin_matches_batch(spark, tmp_path):
         ):
             want[(j, r["cell"])] = r["c"]
     assert got == want
+
+
+def test_alert_state_machine_for_hold_boundary(spark, tmp_path):
+    """The pending→firing boundary across real micro-batches: with
+    for: = 3 evaluation intervals (for_n=3), firing needs for_n + 1
+    consecutive TRUE evaluations — Prometheus fires when
+    now - ActiveAt >= for, and the activation tick is at hold 0.
+    A series true for exactly 3 ticks must stay PENDING (the r6
+    implementation wrongly fired it); 4 ticks fire; a false tick
+    resets to inactive."""
+    import pyspark.sql.types as T
+
+    from shards_prometheus_spark.streaming.stateful import (
+        alert_state_stream,
+    )
+
+    h = 3_600_000_000 * 24  # one evaluation interval (24h) in µs
+    # batch 1 ticks, then batch 2 ticks (2 parquet files → 2
+    # micro-batches, state carried across them)
+    b1 = [
+        ("A", "user=a", 1 * h, True),
+        ("A", "user=a", 2 * h, True),
+        ("A", "user=b", 1 * h, True),
+        ("A", "user=b", 2 * h, True),
+        ("A", "user=c", 1 * h, True),
+        ("A", "user=c", 2 * h, True),
+    ]
+    b2 = [
+        ("A", "user=a", 3 * h, True),
+        ("A", "user=a", 4 * h, True),  # 4th consecutive true → firing
+        ("A", "user=b", 3 * h, True),  # only 3 → must stay pending
+        ("A", "user=c", 3 * h, False),  # reset → inactive
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("alertname", T.StringType()),
+            T.StructField("labels", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("cond", T.BooleanType()),
+        ]
+    )
+    d = tmp_path / "ticks"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(d / "p1")
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(d / "p2")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "p*"))
+    )
+    q = run_to_memory(
+        alert_state_stream(stream, for_n=3), "alert_states"
+    )
+    _await(q)
+    rows = {
+        (r["alertname"], r["labels"], r["state"], r["consec"])
+        for r in spark.table("alert_states").collect()
+    }
+    assert ("A", "user=a", "firing", 4) in rows
+    assert ("A", "user=b", "pending", 3) in rows
+    assert ("A", "user=c", "inactive", 0) in rows
+    # the off-by-one pin: NO series with consec <= for_n ever fired,
+    # and user=b / user=c never fired at all
+    assert not {r for r in rows if r[2] == "firing" and r[3] <= 3}
+    assert not {r for r in rows if r[1] != "user=a" and r[2] == "firing"}
