@@ -35,6 +35,13 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
     # Arrow for any pandas-interop path (multimodal UDFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Cached plans otherwise pin their output partitioning BEFORE AQE
+    # coalescing, so a .persist() of a wide-initial-partition plan
+    # materializes thousands of tiny cache partitions (the exposition
+    # payload cache hit 3.8k partitions for 15k rows). Letting the
+    # optimizer change cached-plan output partitioning keeps AQE's
+    # right-sizing inside caches too.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 

@@ -57,7 +57,17 @@ def unesc_label(c: Column) -> Column:
 
 def exposition_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full scrape payload, one line per row."""
-    snap = scrape_snapshot(spark, sf_dir)
+    # The snapshot relation feeds 4 of the 5 union legs; persist it so
+    # the registry aggregation runs once, not once per leg (it is
+    # registry-sized — ~1.5k rows at sf0.01 — so the cache is tiny).
+    snap = scrape_snapshot(spark, sf_dir).persist()
+    return _classic_lines(spark, sf_dir, snap)
+
+
+def _classic_lines(
+    spark: SparkSession, sf_dir: str, snap: DataFrame
+) -> DataFrame:
+    """Classic-format payload from an (ideally persisted) snapshot."""
     headers = snap.select("kind", "metric").distinct().select(
         F.concat(F.lit("# TYPE "), F.col("metric"), F.lit(" "), F.col("kind"))
         .alias("line")
@@ -147,24 +157,66 @@ _NAME_RE = "^([A-Za-z_:][A-Za-z0-9_:]*)"
 #: uses a fixed phrase so both oracle engines render it identically).
 _OM_HELP = " Series exported by the metrics registry."
 
-#: OpenMetrics exemplar suffix grammar: ` # {labels} value [ts]`
-_EXEMPLAR_RE = r" # \{.*$"
+#: OpenMetrics exemplar suffix grammar: ` # {labels} value [ts]`.
+#: Anchored AFTER the sample value (`} <value> # {`): label values may
+#: legally contain ` # {` (only \, " and newline are escaped), so a
+#: strip from the FIRST ` # {` anywhere would truncate the sample.
+#: Greedy `.*` pins the match to the LAST candidate — the true
+#: exemplar, since nothing after it can contain ` # {` again.
+_EXEMPLAR_RE = r"^(.*\} [^ ]+) # \{.*$"
 
 
 def openmetrics_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OpenMetrics dialect of the scrape payload: `# HELP` lines
     per family, the same `# TYPE` + sample body as the classic format
     (counters already carry the `_total` sample-name suffix OpenMetrics
-    mandates), and the `# EOF` terminator. One line per row."""
-    body = exposition_lines(spark, sf_dir)
-    fams = scrape_snapshot(spark, sf_dir).select("metric").distinct()
-    helps = fams.select(
+    mandates), and the `# EOF` terminator. One line per row.
+
+    The relation is UNORDERED (it is a union); OpenMetrics requires
+    `# EOF` as the final serialized line and HELP/TYPE before each
+    family's samples — serializers must go through
+    :func:`openmetrics_text`, which applies the section order.
+
+    All three sections derive from ONE persisted snapshot — the r6
+    version rebuilt `scrape_snapshot` for the HELP and EOF legs on top
+    of the body's own snapshot legs, recomputing the registry
+    aggregation ~4x per scrape.
+    """
+    snap = scrape_snapshot(spark, sf_dir).persist()
+    body = _classic_lines(spark, sf_dir, snap)
+    helps = snap.select("metric").distinct().select(
         F.concat(F.lit("# HELP "), F.col("metric"), F.lit(_OM_HELP)).alias(
             "line"
         )
     )
-    eof = fams.select(F.lit("# EOF").alias("line")).distinct()
+    eof = spark.range(1).select(F.lit("# EOF").alias("line"))
     return helps.unionByName(body).unionByName(eof)
+
+
+def openmetrics_text(lines: DataFrame) -> str:
+    """Serialize an OpenMetrics line relation to payload bytes in spec
+    order: families grouped (HELP, TYPE, then that family's samples,
+    families sorted by name), `# EOF` as the final line."""
+    import re as _re
+
+    def key(line: str):
+        if line == "# EOF":
+            return (2, "", 0, "")
+        for rank, prefix in ((0, "# HELP "), (1, "# TYPE ")):
+            if line.startswith(prefix):
+                fam = line[len(prefix):].split(" ", 1)[0]
+                return (1, fam, rank, line)
+        m = _re.match(_NAME_RE, line)
+        name = m.group(1) if m else line
+        # sample names carry _total/_bucket/_sum/_count suffixes;
+        # group them with their family
+        fam = _re.sub(r"_(total|bucket|sum|count)$", "", name)
+        return (1, fam, 2, line)
+
+    return (
+        "\n".join(sorted((r["line"] for r in lines.collect()), key=key))
+        + "\n"
+    )
 
 
 def _parse_payload(lines: DataFrame) -> DataFrame:
@@ -238,8 +290,13 @@ def exposition_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scrape *source*: parse the classic text exposition payload back
     into a typed relation — the inverse of `exposition_lines`, i.e.
     what a scraper does with the reference's endpoint output (the text
-    format emitted behind prometheus.cpp:80's collectable)."""
-    return _parse_payload(exposition_lines(spark, sf_dir))
+    format emitted behind prometheus.cpp:80's collectable).
+
+    The payload is persisted across the round trip: `_parse_payload`
+    scans it twice (the `# TYPE` header leg and the sample body leg),
+    and without the cache each scan would re-run the whole
+    serialization tree."""
+    return _parse_payload(exposition_lines(spark, sf_dir).persist())
 
 
 def _with_exemplars(lines: DataFrame) -> DataFrame:
@@ -267,8 +324,8 @@ def openmetrics_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     same typed relation as the classic parser."""
     payload = _with_exemplars(openmetrics_lines(spark, sf_dir))
     stripped = payload.select(
-        F.regexp_replace("line", _EXEMPLAR_RE, "").alias("line")
-    )
+        F.regexp_replace("line", _EXEMPLAR_RE, "$1").alias("line")
+    ).persist()  # scanned twice by _parse_payload (headers + body)
     return _parse_payload(stripped)
 
 

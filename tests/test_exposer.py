@@ -244,3 +244,54 @@ def test_openmetrics_dialect_round_trip(spark):
     )
     assert len(om) > 0
     assert om == classic
+
+
+def test_openmetrics_text_section_order(spark):
+    """Serialized OpenMetrics payloads must end with `# EOF` and put
+    each family's HELP/TYPE before its samples (the relation itself is
+    an unordered union — openmetrics_text applies the spec order)."""
+    from shards_prometheus_spark.sources.exposition import (
+        openmetrics_lines,
+        openmetrics_text,
+    )
+
+    payload = openmetrics_text(openmetrics_lines(spark, SF_SMOKE))
+    lines = payload.rstrip("\n").split("\n")
+    assert lines[-1] == "# EOF"
+    assert lines.count("# EOF") == 1
+    seen_sample_of = set()
+    for ln in lines[:-1]:
+        if ln.startswith("# HELP ") or ln.startswith("# TYPE "):
+            fam = ln.split(" ", 3)[2]
+            assert fam not in seen_sample_of, (
+                f"header for {fam} after its samples"
+            )
+        else:
+            name = ln.split("{", 1)[0].split(" ", 1)[0]
+            import re
+
+            seen_sample_of.add(
+                re.sub(r"_(total|bucket|sum|count)$", "", name)
+            )
+
+
+def test_exemplar_strip_is_value_anchored(spark):
+    """A label value legally containing ` # {` must survive exemplar
+    stripping — the strip anchors after the sample value, not at the
+    first ` # {` in the line."""
+    from shards_prometheus_spark.sources.exposition import _EXEMPLAR_RE
+
+    tricky = 'm_total{user="a # {weird"} 5.0000 # {trace_id="t"} 1.0 1.0'
+    plain = 'm_total{user="a # {weird"} 5.0000'
+    df = spark.createDataFrame(
+        [(tricky,), (plain,), ("# EOF",)], "line string"
+    )
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        r["line"]
+        for r in df.select(
+            F.regexp_replace("line", _EXEMPLAR_RE, "$1").alias("line")
+        ).collect()
+    )
+    assert got == sorted([plain, plain, "# EOF"])
