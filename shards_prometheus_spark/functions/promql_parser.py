@@ -147,6 +147,13 @@ _OVER_TIME_FNS = {
     "stddev_over_time",
     "stdvar_over_time",
 }
+#: counter/gauge lag-spine functions ALSO accepted over a subquery:
+#: the subquery's per-instant points become the range samples the
+#: outer function folds — `rate(m[1h:5m])` is the canonical PromQL
+#: smoothing idiom a Grafana user types.
+_SUBQ_LAG_FNS = {
+    "rate", "increase", "delta", "irate", "idelta", "resets", "changes",
+}
 _CMP_OPS = {">", ">=", "<", "<=", "==", "!="}
 #: vector set operators (lowest precedence: or < and/unless < cmp)
 _SET_OPS = {"and", "or", "unless"}
@@ -809,9 +816,13 @@ class _Parser:
                 )
         self.expect(")")
         if isinstance(arg, Subquery):
-            if fn not in _OVER_TIME_FNS:
+            if (
+                fn not in _OVER_TIME_FNS
+                and fn not in _SUBQ_LAG_FNS
+                and fn != "last_over_time"
+            ):
                 raise PromQLSyntaxError(
-                    f"{fn}() over a subquery is unsupported; use *_over_time"
+                    f"{fn}() over a subquery is unsupported"
                 )
             # the inner expression may be ANY vector expression — the
             # evaluator re-enters the grid dispatch for composed inners
@@ -1294,6 +1305,21 @@ class PromQLEvaluator:
         # decisions (max/min) can't flip on cross-engine noise
         pts = self._range_fold(df, ["series_id", "_ets"], ifn, irange)
         pts = pts.withColumn("value", F.round("value", 6))
+        if node.fn in _SUBQ_LAG_FNS:
+            # rate(m[1h:5m]) and friends: the subquery points ARE the
+            # range samples — reuse the lag-spine fold with the
+            # instant axis as the timestamp (one point per instant,
+            # so the event_id tiebreak is vacuous)
+            d = pts.select(
+                "series_id",
+                "labels",
+                F.col("_ets").alias("ts_us"),
+                F.lit(0).cast("long").alias("event_id"),
+                "value",
+            )
+            return self._range_fold(
+                d, ["series_id"], node.fn, sub.range_us
+            ).select("labels", "value")
         outer = {
             "avg_over_time": F.avg("value"),
             "min_over_time": F.min("value"),
@@ -1339,6 +1365,17 @@ class PromQLEvaluator:
                 self._gridf, self._gspan = saved
         pts = pts.withColumn("value", F.round("value", 6))
         key = _label_str(F.col("labels"))
+        if node.fn in _SUBQ_LAG_FNS:
+            d = pts.select(
+                key.alias("_k"),
+                "labels",
+                F.col("_ets").alias("ts_us"),
+                F.lit(0).cast("long").alias("event_id"),
+                "value",
+            )
+            return self._range_fold(
+                d, ["_k"], node.fn, sub.range_us
+            ).select("labels", "value")
         if node.fn == "last_over_time":
             w = Window.partitionBy(key).orderBy(F.desc("_ets"))
             return (
@@ -2209,28 +2246,44 @@ class PromQLEvaluator:
         instant path, so discrete outer folds (max/min) can't flip on
         cross-engine noise."""
         sub: Subquery = node.sel
-        if sub.at_us is not None:
-            raise PromQLSyntaxError(
-                "@ on a grid subquery is unsupported"
-            )
         n = int(sub.range_us // sub.step_us) + 1
         step, off = sub.step_us, sub.offset_us
+        # `@` pins the subquery's anchor for EVERY outer instant —
+        # `@ end()` to the grid window end (t_max), `@ start()` to its
+        # start, a literal to itself — so the result is constant
+        # across the grid, per PromQL. Unpinned, the anchor is the
+        # outer instant `_ets` itself.
+        gridf = self._gridf
+        if sub.at_us is not None and "t_max" not in gridf.columns:
+            # a nested subquery's synthetic grid carries only _ets
+            gridf = gridf.join(F.broadcast(self._tmax))
+        if sub.at_us is None:
+            ref = "_ets"
+        elif sub.at_us == _AT_END:
+            ref = "t_max"
+        elif sub.at_us == _AT_START:
+            ref = f"(t_max - {self._gspan[0]})"
+        else:
+            ref = str(sub.at_us)
         cg = (
-            self._gridf.select(
+            gridf.select(
                 "_ets",
+                *(["t_max"] if sub.at_us is not None else []),
                 F.explode(F.sequence(F.lit(0), F.lit(n))).alias("_j"),
             )
             .select(
                 "_ets",
                 F.expr(
-                    f"((_ets - {off}) div {step}) * {step}"
+                    f"(({ref} - {off}) div {step}) * {step}"
                     f" - _j * {step}"
                 ).alias("_iets"),
+                F.expr(ref).alias("_ref"),
             )
             .filter(
                 F.col("_iets")
-                > F.col("_ets") - F.lit(off + sub.range_us)
+                > F.col("_ref") - F.lit(off + sub.range_us)
             )
+            .select("_ets", "_iets")
         )
         saved = self._gridf
         self._gridf = cg.select(F.col("_iets").alias("_ets")).distinct()
@@ -2244,6 +2297,18 @@ class PromQLEvaluator:
             .join(F.broadcast(cg), "_iets")
         )
         key = _label_str(F.col("labels"))
+        if node.fn in _SUBQ_LAG_FNS:
+            d = pts.select(
+                "_ets",
+                key.alias("_k"),
+                "labels",
+                F.col("_iets").alias("ts_us"),
+                F.lit(0).cast("long").alias("event_id"),
+                "value",
+            )
+            return self._range_fold(
+                d, ["_ets", "_k"], node.fn, sub.range_us
+            ).select("_ets", "labels", "value")
         if node.fn == "last_over_time":
             w = Window.partitionBy("_ets", key).orderBy(F.desc("_iets"))
             return (
@@ -2478,6 +2543,22 @@ PROMQL_RANGE_SUBQ = (
 #: instants per outer instant, increases over 48h windows
 PROMQL_RANGE_SUBQ_AVG = (
     "avg_over_time(sum by (user) (increase(click[48h]))[48h:12h])"
+)
+#: rate() OVER a subquery — the canonical smoothing idiom: the
+#: subquery's per-instant points (daily per-user sample counts) become
+#: the range samples the counter fold consumes; × 86400 renders the
+#: per-second rate as a per-day figure (a plain scalar binop)
+PROMQL_SUBQ_RATE = (
+    "rate(sum by (user) (count_over_time(click[24h]))[240h:24h]) * 86400"
+)
+#: increase() over a subquery ON the grid — query_range twin
+PROMQL_RANGE_SUBQ_INC = (
+    "increase(sum by (user) (count_over_time(click[24h]))[72h:24h])"
+)
+#: `@ end()` ON a grid subquery: the anchor pins to the grid window
+#: end for every outer instant, so the panel renders a constant line
+PROMQL_RANGE_SUBQ_AT = (
+    "max_over_time(sum by (user) (rate(click[48h]))[72h:24h] @ end())"
 )
 
 
@@ -2739,6 +2820,38 @@ def promql_range_subquery_avg(
     )
 
 
+def promql_range_subquery_at(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`@ end()` on a grid subquery: the subquery anchor is pinned to
+    the grid window end, making the fold constant across outer
+    instants (PromQL's @-is-constant rule) — closes the r6 asymmetry
+    where instant subqueries accepted `@` but the grid path raised."""
+    return PromQLEvaluator.from_dir(spark, sf_dir).eval_range(
+        PROMQL_RANGE_SUBQ_AT, 240 * 3_600_000_000, 24 * 3_600_000_000
+    )
+
+
+def promql_subquery_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rate() OVER a subquery (instant): the per-instant points of
+    `sum by (user) (count_over_time(click[24h]))[240h:24h]` are the
+    range samples the counter-reset-clamped fold consumes; the scalar
+    × 86400 renders per-day. Closes the r6 'use *_over_time' gap —
+    `rate(m[1h:5m])` is valid PromQL a Grafana user types."""
+    return promql_eval(spark, sf_dir, PROMQL_SUBQ_RATE)
+
+
+def promql_range_subquery_increase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """increase() over a subquery ON the grid (query_range twin):
+    per grid day, the clamped increase of the daily per-user sample
+    count over that day's trailing 72h of composed instants."""
+    return PromQLEvaluator.from_dir(spark, sf_dir).eval_range(
+        PROMQL_RANGE_SUBQ_INC, 240 * 3_600_000_000, 24 * 3_600_000_000
+    )
+
+
 def promql_at_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`@ end()` (the Grafana-emitted form): pins the selector to the
     query window end — t_max for an instant query."""
@@ -2972,6 +3085,9 @@ QUERIES = {
     "promql_hist_fraction": promql_hist_fraction,
     "promql_range_subquery": promql_range_subquery,
     "promql_range_subquery_avg": promql_range_subquery_avg,
+    "promql_subquery_rate": promql_subquery_rate,
+    "promql_range_subquery_increase": promql_range_subquery_increase,
+    "promql_range_subquery_at": promql_range_subquery_at,
 }
 
 #: shared regression window for the deriv/predict oracles: x is
@@ -3639,6 +3755,70 @@ ORACLES = {
         + dround("AVG(r.v6)", 4)
         + " AS value FROM cg JOIN r ON r.iets = cg.iets "
         "GROUP BY cg.ets, r.l_user"
+    ),
+    "promql_subquery_rate": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _grid_cte(_H24_US, _H240_US)
+        + ", w AS (SELECT s.l_user, g.ets, CAST(COUNT(*) AS DOUBLE) AS v "
+        "FROM samples_multi s JOIN g ON s.ts_us <= g.ets "
+        f"AND s.ts_us > g.ets - {_H24_US} WHERE s.metric = 'click' "
+        "GROUP BY s.l_user, g.ets), "
+        "d AS (SELECT l_user, ets, v, LAG(v) OVER "
+        "(PARTITION BY l_user ORDER BY ets) AS prev FROM w) "
+        "SELECT 'user=' || l_user AS labels, "
+        + dround(
+            "SUM(CASE WHEN v < prev THEN v ELSE v - prev END) "
+            f"/ ({_H240_US // 1_000_000}.0) * 86400",
+            4,
+        )
+        + " AS value FROM d WHERE prev IS NOT NULL GROUP BY l_user"
+    ),
+    "promql_range_subquery_at": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _grid_cte(_H24_US, _H240_US)
+        + f", ci AS (SELECT ((t.t_max // {_H24_US}) * {_H24_US}) "
+        f"- j.i * {_H24_US} AS iets FROM t CROSS JOIN "
+        f"generate_series(0, {_H72_US // _H24_US + 1}) AS j(i) "
+        f"WHERE ((t.t_max // {_H24_US}) * {_H24_US}) - j.i * {_H24_US} "
+        f"> t.t_max - {_H72_US}), "
+        "w AS (SELECT s.l_user, s.l_shard, ci.iets, s.ts_us, "
+        "s.event_id, s.value FROM samples_multi s JOIN ci "
+        f"ON s.ts_us <= ci.iets AND s.ts_us > ci.iets - {_H48_US} "
+        "WHERE s.metric = 'click'), "
+        "d AS (SELECT l_user, l_shard, iets, value, "
+        "LAG(value) OVER (PARTITION BY l_user, l_shard, iets "
+        "ORDER BY ts_us, event_id) AS prev FROM w), "
+        "r0 AS (SELECT l_user, l_shard, iets, "
+        "SUM(CASE WHEN value < prev THEN value ELSE value - prev END) "
+        "/ 172800.0 AS v FROM d WHERE prev IS NOT NULL "
+        "GROUP BY l_user, l_shard, iets), "
+        "r AS (SELECT l_user, iets, ROUND(SUM(v), 6) AS v6 FROM r0 "
+        "GROUP BY l_user, iets), "
+        "vm AS (SELECT l_user, MAX(v6) AS val FROM r GROUP BY l_user) "
+        "SELECT g.ets AS ts_us, 'user=' || vm.l_user AS labels, "
+        + dround("vm.val", 4)
+        + " AS value FROM g CROSS JOIN vm"
+    ),
+    "promql_range_subquery_increase": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _grid_cte(_H24_US, _H240_US)
+        + f", cg AS (SELECT g.ets, ((g.ets) // {_H24_US}) * {_H24_US} "
+        f"- j.i * {_H24_US} AS iets FROM g CROSS JOIN "
+        f"generate_series(0, {_H72_US // _H24_US + 1}) AS j(i) "
+        f"WHERE ((g.ets) // {_H24_US}) * {_H24_US} - j.i * {_H24_US} "
+        f"> g.ets - {_H72_US}), "
+        "ig AS (SELECT DISTINCT iets FROM cg), "
+        "w AS (SELECT s.l_user, ig.iets, CAST(COUNT(*) AS DOUBLE) AS v "
+        "FROM samples_multi s JOIN ig ON s.ts_us <= ig.iets "
+        f"AND s.ts_us > ig.iets - {_H24_US} WHERE s.metric = 'click' "
+        "GROUP BY s.l_user, ig.iets), "
+        "p AS (SELECT cg.ets, w.l_user, w.iets, w.v FROM cg "
+        "JOIN w ON w.iets = cg.iets), "
+        "d AS (SELECT ets, l_user, iets, v, LAG(v) OVER "
+        "(PARTITION BY ets, l_user ORDER BY iets) AS prev FROM p) "
+        "SELECT ets AS ts_us, 'user=' || l_user AS labels, "
+        + dround("SUM(CASE WHEN v < prev THEN v ELSE v - prev END)", 4)
+        + " AS value FROM d WHERE prev IS NOT NULL GROUP BY ets, l_user"
     ),
     "promql_label_join": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

@@ -24,7 +24,7 @@ from tests.conftest import SF_SMOKE
         "click{user=unquoted}",              # unquoted matcher
         "topk(5, click) extra",              # trailing tokens
         "1 + 2",                             # scalar-scalar
-        "rate(click[1h:5m])",                # rate over subquery
+        "deriv(click[1h:5m])",               # regression over subquery
         "click[1h][1h:5m]",                  # subquery of a range vector
     ],
 )
@@ -1233,3 +1233,81 @@ def test_grid_subquery_composition(spark):
         "min_over_time(sum by (user) (m)[30s:10s])"
     ).collect()
     assert [(r["labels"], r["value"]) for r in inst] == [("user=a", 1.0)]
+
+
+def test_counter_fns_over_subquery(spark):
+    """rate/increase/delta/resets/changes/irate over a subquery: the
+    per-instant points are the range samples the lag fold consumes
+    (hand-computed on a series with one counter reset)."""
+    ev = _tiny_eval(
+        spark,
+        [
+            (i, 1, "m", {"user": "a"}, i * 3_600_000_000, float(v))
+            for i, v in enumerate([0, 10, 20, 30, 5, 15, 25])
+        ],
+    )
+    # window (2h, 6h]: instants 3h..6h -> values 30, 5, 15, 25
+    got = {
+        q: ev.eval(q).collect()[0]["value"]
+        for q in (
+            "increase(m[4h:1h])",  # 5 (reset) + 10 + 10
+            "rate(m[4h:1h])",      # 25 / 14400s
+            "delta(m[4h:1h])",     # 25 - 30
+            "resets(m[4h:1h])",
+            "changes(m[4h:1h])",
+            "irate(m[4h:1h])",     # last pair 15 -> 25
+            "idelta(m[4h:1h])",
+            "last_over_time(m[4h:1h])",
+        )
+    }
+    assert got == {
+        "increase(m[4h:1h])": 25.0,
+        "rate(m[4h:1h])": 0.0017,
+        "delta(m[4h:1h])": -5.0,
+        "resets(m[4h:1h])": 1.0,
+        "changes(m[4h:1h])": 3.0,
+        "irate(m[4h:1h])": 10.0,
+        "idelta(m[4h:1h])": 10.0,
+        "last_over_time(m[4h:1h])": 25.0,
+    }
+    # grid twin: increase per outer instant over its own trailing grid
+    H = 3_600_000_000
+    g = {
+        (r["ts_us"] // H, r["value"])
+        for r in ev.eval_range("increase(m[3h:1h])", 2 * H, H).collect()
+    }
+    assert g == {(5, 15.0), (6, 20.0)}
+
+
+def test_at_on_grid_subquery(spark):
+    """`@` pins a grid subquery's anchor for every outer instant —
+    end(), start(), and a literal all render constant lines."""
+    H = 3_600_000_000
+    ev = _tiny_eval(
+        spark,
+        [
+            (i, 1, "m", {"user": "a"}, i * H, float(v))
+            for i, v in enumerate([0, 10, 20, 30, 5, 15, 25])
+        ],
+    )
+
+    def grid(q):
+        return sorted(
+            (r["ts_us"] // H, r["value"])
+            for r in ev.eval_range(q, 2 * H, H).collect()
+        )
+
+    # @ end(): anchor 6h -> instants 4h,5h,6h -> 5,15,25 -> inc 20
+    assert grid("increase(m[3h:1h] @ end())") == [(5, 20.0), (6, 20.0)]
+    # @ start(): anchor 4h -> instants 2h,3h,4h -> 20,30,5 -> max 30
+    assert grid("max_over_time(m[3h:1h] @ start())") == [
+        (5, 30.0),
+        (6, 30.0),
+    ]
+    # literal @ 21600 (= 6h): instants 5h,6h -> avg(15, 25)
+    assert grid("avg_over_time(m[2h:1h] @ 21600)") == [
+        (5, 20.0),
+        (6, 20.0),
+    ]
+    # unpinned baseline varies across the grid
+    assert grid("increase(m[3h:1h])") == [(5, 15.0), (6, 20.0)]

@@ -311,6 +311,12 @@ def _render(node):
         if node.offset_us:
             s += f" offset {node.offset_us // 1_000_000}s"
         return s
+    if isinstance(node, P.Subquery):
+        s = f"{_render(node.expr)}[{node.range_us // 1_000_000}s"
+        s += f":{node.step_us // 1_000_000}s]"
+        if node.offset_us:
+            s += f" offset {node.offset_us // 1_000_000}s"
+        return s
     if isinstance(node, P.RangeFn):
         return f"{node.fn}({_render(node.sel)})"
     if isinstance(node, P.Agg):
@@ -354,12 +360,42 @@ def _ast(draw):
     )
     sel = P.Selector(metric, list(matchers))
     sel.offset_us = draw(st.sampled_from([0, 60_000_000]))
-    kind = draw(st.sampled_from(["instant", "range", "agg", "math"]))
+    kind = draw(
+        st.sampled_from(["instant", "range", "agg", "math", "subq"])
+    )
     if kind == "instant":
         return sel
     if kind == "range":
         sel.range_us = 300_000_000
         return P.RangeFn(draw(st.sampled_from(["rate", "increase"])), sel)
+    if kind == "subq":
+        # counter-family AND *_over_time outers over a subquery whose
+        # inner is an instant selector or a range function
+        if draw(st.booleans()):
+            # instant selector inner; its own offset is not renderable
+            # inside subquery brackets (offset binds to the subquery)
+            sel.offset_us = 0
+            inner = sel
+        else:
+            rsel = P.Selector(metric, list(matchers))
+            rsel.offset_us = sel.offset_us
+            rsel.range_us = 300_000_000
+            inner = P.RangeFn("rate", rsel)
+        sub = P.Subquery(
+            inner,
+            3_600_000_000,
+            300_000_000,
+            offset_us=draw(st.sampled_from([0, 60_000_000])),
+        )
+        return P.RangeFn(
+            draw(
+                st.sampled_from(
+                    ["rate", "increase", "delta", "resets",
+                     "max_over_time", "last_over_time"]
+                )
+            ),
+            sub,
+        )
     if kind == "math":
         return P.MathFn(draw(st.sampled_from(["abs", "sqrt"])), sel)
     sel.range_us = 300_000_000
