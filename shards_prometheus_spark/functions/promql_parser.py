@@ -36,9 +36,11 @@ Supported core (instant query at evaluation time T):
 
 Supported since r4: the ``@`` modifier (``@ <ts>``, ``@ start()``,
 ``@ end()``) on instant and range selectors, including on grid
-subqueries. Not supported (documented): compound durations
-(``1h30m``), ``le`` matchers on synthetic ``_bucket`` selectors,
-native histograms (see SURVEY §2b scope note).
+subqueries. Since r7: compound durations (``1h30m``, units
+ms/s/m/h/d/w/y, strictly descending) and counter-family functions
+over subqueries (``rate(m[1h:5m])``). Not supported (documented):
+``le`` matchers on synthetic ``_bucket`` selectors, native
+histograms (see SURVEY §2b scope note).
 
 Evaluation model: T = the max sample timestamp, carried as a COLUMN
 (broadcast 1-row relation, never collected) so the whole expression
@@ -75,11 +77,26 @@ from shards_prometheus_spark.operators.histograms import BOUNDS
 #: Staleness lookback for instant selectors (PromQL default 5m).
 LOOKBACK_US = 300_000_000
 
-_DUR_US = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000, "d": 86_400_000_000}
+_DUR_US = {
+    "ms": 1_000,
+    "s": 1_000_000,
+    "m": 60_000_000,
+    "h": 3_600_000_000,
+    "d": 86_400_000_000,
+    "w": 7 * 86_400_000_000,
+    "y": 365 * 86_400_000_000,
+}
+
+#: strictly-descending unit order a compound duration must follow
+#: (`1h30m` is valid, `30m1h` and `1h2h` are not — public grammar)
+_DUR_ORDER = ["y", "w", "d", "h", "m", "s", "ms"]
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-        (?P<num>\d+(?:\.\d+)?(?:[smhd])?)      # number or duration
+        # number, duration, or COMPOUND duration (1h30m) as one token;
+        # ms before m so 500ms doesn't split
+        (?P<num>\d+(?:\.\d+)?
+            (?:(?:ms|[smhdwy])(?:\d+(?:\.\d+)?(?:ms|[smhdwy]))*)?)
       | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
       | (?P<str>"(?:[^"\\]|\\.)*")             # backslash escapes OK
       | (?P<op>=~|!~|!=|==|>=|<=|[{}()\[\],=<>+\-*/%:@])
@@ -342,10 +359,19 @@ def _tokenize(s: str) -> list[str]:
 
 
 def _dur_us(tok: str) -> int:
-    m = re.fullmatch(r"(\d+(?:\.\d+)?)([smhd])", tok)
-    if not m:
+    """Duration token → µs. Accepts single units (``240h``) and
+    compound durations (``1h30m``, ``1d12h30m``); compound units must
+    be strictly descending and unique, per the public grammar."""
+    parts = re.findall(r"(\d+(?:\.\d+)?)(ms|[smhdwy])", tok)
+    if not parts or "".join(n + u for n, u in parts) != tok:
         raise PromQLSyntaxError(f"expected duration, got {tok!r}")
-    return int(float(m.group(1)) * _DUR_US[m.group(2)])
+    ranks = [_DUR_ORDER.index(u) for _n, u in parts]
+    if ranks != sorted(set(ranks)):
+        raise PromQLSyntaxError(
+            f"compound duration units must be descending and unique: "
+            f"{tok!r}"
+        )
+    return sum(int(float(n) * _DUR_US[u]) for n, u in parts)
 
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r"}

@@ -29,6 +29,7 @@ from shards_prometheus_spark.operators.tierc_common import (
     _memo_persist,
     doc_token_ids,
     doc_token_sets,
+    memo_count,
     pair_jaccard,
 )
 
@@ -42,6 +43,17 @@ MINHASH_PARAMS = [
     for i in range(NUM_HASHES)
 ]
 NEAR_DUP_JACCARD = 0.9
+#: Signature rows per band-join task (see dedup_near): the self-join
+#: emits ~10³ pairs per signature row on this corpus shape, so 2 k
+#: sig rows/task ≈ 2 M pairs/task — small enough that the in-task
+#: pair enumeration + partial-distinct hash stays out of GC trouble,
+#: large enough that task-scheduling overhead is noise.
+SIGS_PER_JOIN_TASK = 2_000
+#: Broadcast the band-join build side while the signature relation is
+#: at most this many rows (~50 MB at 24 B/row — comfortable for any
+#: executor). Beyond it (billions of docs) the self-join shuffles at
+#: the same data-driven width instead.
+BROADCAST_SIGS_LIMIT = 2_000_000
 
 # --- SimHash parameters ---
 SIMHASH_BITS = 16
@@ -162,12 +174,48 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     output either way.
     """
     sigs = _minhash_sigs(spark, sf_dir)
-    a = sigs.select(
-        F.col("doc_id").alias("doc_a"), "band", "band_hash"
+    # Width of the band self-join must track CORPUS size, not the
+    # exchange's byte size: the signature relation is small (600 k
+    # rows ≈ 12 MB at the sf3 rehearsal) but the join's per-bucket n²
+    # expansion emits ~10³ pairs per signature row. The r6 plan let
+    # Spark choose — at sf1.0 the build side fit the 10 MB broadcast
+    # threshold (burst spread over the probe's ~30 parent partitions);
+    # at sf3.0 it crossed the threshold and fell to a shuffled join
+    # whose width AQE coalesced BY INPUT BYTES to 11 partitions of
+    # ~50 M pairs each — that broadcast-cliff discontinuity, not the
+    # funnel, was the flagged 8×-at-3×-data decade (BENCH_sf3).
+    #
+    # Fix, both regimes data-driven off one cheap count of the
+    # persisted sigs: while the signature relation is broadcastable,
+    # broadcast the build side and ROUND-ROBIN repartition the probe
+    # to ~SIGS_PER_JOIN_TASK rows/task — a hot LSH bucket's probe rows
+    # then spread across MANY tasks, so the n² burst parallelizes
+    # uniformly (better than any band-hash layout, which pins a
+    # bucket's whole burst to one task). Past broadcastability
+    # (billions of docs — the true 100 TB regime) fall back to a
+    # hash-partitioned self-join at the same data-driven width; AQE
+    # skew-join splitting handles residual hot buckets there.
+    n_sigs = memo_count(spark, sf_dir, "minhash_sigs", sigs)
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        n_sigs // SIGS_PER_JOIN_TASK,
     )
     b = sigs.select(
         F.col("doc_id").alias("doc_b"), "band", "band_hash"
     )
+    if n_sigs <= BROADCAST_SIGS_LIMIT:
+        a = sigs.repartition(n_parts).select(
+            F.col("doc_id").alias("doc_a"), "band", "band_hash"
+        )
+        b = F.broadcast(b)
+    else:
+        rep = sigs.repartition(n_parts, "band", "band_hash")
+        a = rep.select(
+            F.col("doc_id").alias("doc_a"), "band", "band_hash"
+        )
+        b = rep.select(
+            F.col("doc_id").alias("doc_b"), "band", "band_hash"
+        )
     candidates = (
         a.join(b, ["band", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -45,6 +45,21 @@ _TOKEN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _CACHE_MAX = 8
 
 
+#: Memoized row counts of the persisted relations (e.g. the signature
+#: count that sizes dedup_near's band-join width) — one job per
+#: (app, sf_dir, kind) instead of one per query call.
+_COUNT_CACHE: dict[tuple[str, str, str], int] = {}
+
+
+def memo_count(spark: SparkSession, sf_dir: str, kind: str, df: DataFrame) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        n = df.count()
+        _COUNT_CACHE[key] = n
+    return n
+
+
 def _memo_persist(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     df = _TOKEN_CACHE.get(key)
@@ -77,6 +92,7 @@ def clear_caches(spark: SparkSession | None = None) -> int:
         except Exception:
             pass
     _TOKEN_CACHE.clear()
+    _COUNT_CACHE.clear()
     return n
 
 

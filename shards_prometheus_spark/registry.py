@@ -110,9 +110,11 @@ _PRIORITY = [
     # extras — still parity-run by tests/test_oracle_parity.py and the
     # full tools/parity.py sweep — to admit the VERDICT r6 asks
     # (alert `for:` hold semantics, subqueries on the grid); the
-    # eval_range family keeps two driver representatives.
+    # eval_range family keeps two driver representatives. r7 likewise
+    # demotes promql_range_ratio (driver-green r5-r6) to admit the
+    # VERDICT r7 ask: rate() OVER a subquery (promql_subquery_rate).
     "promql_range_hist_quantile",
-    "promql_range_ratio",
+    "promql_subquery_rate",
     "promql_range_subquery",
     "alert_rules_for",
     # Tier C — dedup family (dedup_simhash_classes is the r5

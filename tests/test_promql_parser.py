@@ -1311,3 +1311,30 @@ def test_at_on_grid_subquery(spark):
     ]
     # unpinned baseline varies across the grid
     assert grid("increase(m[3h:1h])") == [(5, 15.0), (6, 20.0)]
+
+
+def test_compound_durations():
+    """Compound durations (public grammar): units strictly descending
+    and unique, ms/s/m/h/d/w/y; usable in ranges, offsets, and
+    subquery brackets."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLSyntaxError,
+        _dur_us,
+        parse,
+    )
+
+    assert _dur_us("1h30m") == 5_400 * 1_000_000
+    assert _dur_us("1d12h30m") == (36 * 3_600 + 1_800) * 1_000_000
+    assert _dur_us("500ms") == 500_000
+    assert _dur_us("2w") == 14 * 86_400_000_000
+    for bad in ("30m1h", "1h2h", "1h30x", "h30m"):
+        with pytest.raises(PromQLSyntaxError):
+            _dur_us(bad)
+    assert parse("rate(click[1h30m])").sel.range_us == 5_400_000_000
+    assert (
+        parse("sum_over_time(view[1d] offset 1h30m)").sel.offset_us
+        == 5_400_000_000
+    )
+    sub = parse("max_over_time(rate(click[1h])[1d12h:6h])").sel
+    assert sub.range_us == 36 * 3_600_000_000
+    assert sub.step_us == 6 * 3_600_000_000

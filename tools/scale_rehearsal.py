@@ -211,6 +211,17 @@ def _gen_embeddings(spark: SparkSession, out_dir: str, factor: int) -> None:
             e = F.concat(
                 F.slice(e, k + 1, F.size(e) - k), F.slice(e, 1, k)
             )
+            if c >= 64:
+                # the rotation alone collides past the width (c=64 ->
+                # k=2, byte-identical to copy c=2 — exactly the
+                # artificial near-dup structure this generator must
+                # avoid); scale one element keyed on the wrap count so
+                # every copy stays distinct
+                wrap = float(1 + c // 63)
+                e = F.concat(
+                    F.array(F.element_at(e, 1) * F.lit(wrap)),
+                    F.slice(e, 2, F.size(e) - 1),
+                )
         parts.append(
             emb.select(
                 (F.col("vec_id") + F.lit(c * 10**9)).alias("vec_id"),
