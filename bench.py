@@ -110,6 +110,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "alert_rules",
             "alert_rules_for",
             "promql_range_subquery",
+            "promql_subquery_rate",
         ],
     ),
     ("olap", ["user_sessions", "retention_cohorts"]),

@@ -196,14 +196,16 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-partitioned self-join at the same data-driven width; AQE
     # skew-join splitting handles residual hot buckets there.
     n_sigs = memo_count(spark, sf_dir, "minhash_sigs", sigs)
-    n_parts = max(
-        spark.sparkContext.defaultParallelism,
-        n_sigs // SIGS_PER_JOIN_TASK,
-    )
+    par = spark.sparkContext.defaultParallelism
+    n_parts = max(par, n_sigs // SIGS_PER_JOIN_TASK)
     b = sigs.select(
         F.col("doc_id").alias("doc_b"), "band", "band_hash"
     )
     if n_sigs <= BROADCAST_SIGS_LIMIT:
+        # the probe repartition is load-bearing at EVERY scale: the
+        # persisted sigs relation may sit in 1-2 cache partitions
+        # (AQE right-sizes cached plans by bytes), so without it the
+        # broadcast join's n² burst would run 1-wide
         a = sigs.repartition(n_parts).select(
             F.col("doc_id").alias("doc_a"), "band", "band_hash"
         )
