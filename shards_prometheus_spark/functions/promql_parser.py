@@ -37,10 +37,12 @@ Supported core (instant query at evaluation time T):
 Supported since r4: the ``@`` modifier (``@ <ts>``, ``@ start()``,
 ``@ end()``) on instant and range selectors, including on grid
 subqueries. Since r7: compound durations (``1h30m``, units
-ms/s/m/h/d/w/y, strictly descending) and counter-family functions
-over subqueries (``rate(m[1h:5m])``). Not supported (documented):
-``le`` matchers on synthetic ``_bucket`` selectors, native
-histograms (see SURVEY §2b scope note).
+ms/s/m/h/d/w/y, strictly descending), counter-family functions over
+subqueries (``rate(m[1h:5m])``), and ``le`` matchers on synthetic
+``_bucket`` selectors (applied after bucket synthesis). Not
+supported (documented): native histograms (see SURVEY §2b scope
+note); range functions other than rate/increase directly on
+``_bucket`` selectors.
 
 Evaluation model: T = the max sample timestamp, carried as a COLUMN
 (broadcast 1-row relation, never collected) so the whole expression
@@ -1001,10 +1003,26 @@ class PromQLEvaluator:
         return spark.createDataFrame(rows, "le string, le_num double")
 
     def _bucket_base(self, sel: Selector) -> Selector:
+        """Base-metric selector for a synthetic ``_bucket`` series.
+        ``le`` matchers are NOT pushed to the raw scan — `le` only
+        exists after bucket synthesis — they re-apply via
+        `_le_filter` on the synthesized relation."""
         return Selector(
-            sel.metric[: -len(_BUCKET_SUFFIX)], sel.matchers, None,
-            sel.offset_us, sel.at_us,
+            sel.metric[: -len(_BUCKET_SUFFIX)],
+            [m for m in sel.matchers if m[0] != "le"],
+            None,
+            sel.offset_us,
+            sel.at_us,
         )
+
+    @staticmethod
+    def _le_filter(df: DataFrame, sel: Selector) -> DataFrame:
+        """Apply the selector's ``le`` matchers to a synthesized
+        bucket relation (labels map carries the rendered `le` value,
+        e.g. "0.5" / "+Inf" — matchers compare that string, the
+        public Prometheus behavior)."""
+        le_ms = [m for m in sel.matchers if m[0] == "le"]
+        return apply_matchers(df, le_ms) if le_ms else df
 
     def _bucket_cum(
         self, windowed: DataFrame, extra_keys: tuple[str, ...] = ()
@@ -1041,7 +1059,7 @@ class PromQLEvaluator:
         df = self._matched(self._bucket_base(sel)).filter(
             F.col("ts_us") <= end
         )
-        return self._bucket_cum(df).select(
+        return self._le_filter(self._bucket_cum(df), sel).select(
             "labels", F.col("cum").alias("value")
         )
 
@@ -1056,7 +1074,7 @@ class PromQLEvaluator:
         value = F.col("cum")
         if fn == "rate":
             value = value / F.lit(sel.range_us / 1e6)
-        return self._bucket_cum(df).select(
+        return self._le_filter(self._bucket_cum(df), sel).select(
             "labels", value.alias("value")
         )
 
@@ -2192,7 +2210,9 @@ class PromQLEvaluator:
             if node.metric.endswith(_BUCKET_SUFFIX):
                 # cumulative bucket counters at each grid instant
                 df = self._gwindow(self._bucket_base(node), None)
-                return self._bucket_cum(df, ("_ets",)).select(
+                return self._le_filter(
+                    self._bucket_cum(df, ("_ets",)), node
+                ).select(
                     "_ets", "labels", F.col("cum").alias("value")
                 )
             df = self._gwindow(node, LOOKBACK_US)
@@ -2218,7 +2238,9 @@ class PromQLEvaluator:
                 value = F.col("cum")
                 if fn == "rate":
                     value = value / F.lit(sel.range_us / 1e6)
-                return self._bucket_cum(df, ("_ets",)).select(
+                return self._le_filter(
+                    self._bucket_cum(df, ("_ets",)), sel
+                ).select(
                     "_ets", "labels", value.alias("value")
                 )
             df = self._gwindow(sel, sel.range_us)
@@ -2586,6 +2608,12 @@ PROMQL_RANGE_SUBQ_INC = (
 PROMQL_RANGE_SUBQ_AT = (
     "max_over_time(sum by (user) (rate(click[48h]))[72h:24h] @ end())"
 )
+#: `le` matchers on a synthetic _bucket selector: applied AFTER bucket
+#: synthesis (le only exists on the synthesized series), the r7
+#: closure of the last documented evaluator gap
+PROMQL_BUCKET_LE = (
+    'sum by (user, le) (increase(view_bucket{le=~"5|50"}[720h]))'
+)
 
 
 def promql_rate_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2858,6 +2886,15 @@ def promql_range_subquery_at(
     )
 
 
+def promql_bucket_le(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`le` matchers on a synthetic `_bucket` selector: the matcher
+    filters the synthesized cumulative-bucket series (string compare
+    on the rendered bound, public Prometheus behavior), then a
+    per-(user, le) aggregation — `sum by (le)` over bucket rates is
+    the canonical heatmap panel."""
+    return promql_eval(spark, sf_dir, PROMQL_BUCKET_LE)
+
+
 def promql_subquery_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rate() OVER a subquery (instant): the per-instant points of
     `sum by (user) (count_over_time(click[24h]))[240h:24h]` are the
@@ -3114,6 +3151,7 @@ QUERIES = {
     "promql_subquery_rate": promql_subquery_rate,
     "promql_range_subquery_increase": promql_range_subquery_increase,
     "promql_range_subquery_at": promql_range_subquery_at,
+    "promql_bucket_le": promql_bucket_le,
 }
 
 #: shared regression window for the deriv/predict oracles: x is
@@ -3781,6 +3819,14 @@ ORACLES = {
         + dround("AVG(r.v6)", 4)
         + " AS value FROM cg JOIN r ON r.iets = cg.iets "
         "GROUP BY cg.ets, r.l_user"
+    ),
+    "promql_bucket_le": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _bucket_cum_cte("view", _H720_US, per_series=True)
+        + " SELECT 'le=' || b.le || ',user=' || cum.l_user AS labels, "
+        + dround("SUM(cum.c)", 4)
+        + " AS value FROM cum JOIN b ON b.le_num = cum.le_num "
+        "WHERE b.le IN ('5', '50') GROUP BY cum.l_user, b.le"
     ),
     "promql_subquery_rate": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

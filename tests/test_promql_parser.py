@@ -1338,3 +1338,52 @@ def test_compound_durations():
     sub = parse("max_over_time(rate(click[1h])[1d12h:6h])").sel
     assert sub.range_us == 36 * 3_600_000_000
     assert sub.step_us == 6 * 3_600_000_000
+
+
+def test_le_matchers_on_bucket_selector(spark):
+    """`le` matchers on synthetic _bucket selectors apply AFTER bucket
+    synthesis: =/!=/=~ partition the synthesized series exactly, and
+    the grid path honours them too."""
+    q = "increase(view_bucket{X}[720h])"
+    allb = {
+        (r["labels"], r["value"])
+        for r in promql_eval(
+            spark, SF_SMOKE, q.replace("{X}", "")
+        ).collect()
+    }
+    inf = {
+        (r["labels"], r["value"])
+        for r in promql_eval(
+            spark, SF_SMOKE, q.replace("{X}", '{le="+Inf"}')
+        ).collect()
+    }
+    rest = {
+        (r["labels"], r["value"])
+        for r in promql_eval(
+            spark, SF_SMOKE, q.replace("{X}", '{le!="+Inf"}')
+        ).collect()
+    }
+    assert inf and rest and not (inf & rest)
+    assert inf | rest == allb
+    for lbl, _v in inf:
+        assert "le=+Inf" in lbl
+    # grid path: regex matcher keeps exactly the named bounds
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    g = (
+        PromQLEvaluator.from_dir(spark, SF_SMOKE)
+        .eval_range(
+            'sum by (le) (increase(view_bucket{le=~"5|50"}[240h]))',
+            72 * 3_600_000_000,
+            24 * 3_600_000_000,
+        )
+        .collect()
+    )
+    assert g
+    les = {
+        dict(kv.split("=", 1) for kv in r["labels"].split(","))["le"]
+        for r in g
+    }
+    assert les == {"5", "50"}
