@@ -39,10 +39,11 @@ HASH_P = 2_147_483_647
 #: correct failure mode, silent recompute is not).
 _TOKEN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
-#: Six distinct relation kinds exist per sf_dir (ids, sets, minhash /
-#: simhash signatures, shingles, shingles_flagged); 8 leaves headroom
-#: for one sf_dir plus stragglers from a previous one.
-_CACHE_MAX = 8
+#: Eight distinct relation kinds exist per sf_dir (ids, sets, minhash
+#: / simhash signatures, shingles, shingles_flagged, near-dup edges +
+#: adjacency); 10 leaves headroom for one sf_dir plus stragglers from
+#: a previous one.
+_CACHE_MAX = 10
 
 
 #: Memoized row counts of the persisted relations (e.g. the signature
