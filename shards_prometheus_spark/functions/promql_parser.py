@@ -1321,11 +1321,17 @@ class PromQLEvaluator:
     def _subquery(self, node: RangeFn) -> DataFrame:
         sub: Subquery = node.sel
         inner = sub.expr
+        # synthetic _bucket inners go through the composed path: the
+        # grid dispatch owns bucket synthesis, while the specialized
+        # single-fold plan below scans the RAW metric name (a
+        # `view_bucket` scan would silently match nothing)
         simple = (
             isinstance(inner, Selector)
             and inner.range_us is None
+            and not inner.metric.endswith(_BUCKET_SUFFIX)
             or isinstance(inner, RangeFn)
             and isinstance(inner.sel, Selector)
+            and not inner.sel.metric.endswith(_BUCKET_SUFFIX)
         )
         if not simple:
             # composed inner (aggregation, binop, quantile, …):
@@ -2405,12 +2411,14 @@ class PromQLEvaluator:
                 .filter(F.col("_rk") <= (node.k or 0))
                 .drop("_rk")
             )
-        if node.op not in {"sum", "avg", "min", "max", "count"} or (
-            node.k is not None
-        ):
+        if node.op not in {
+            "sum", "avg", "min", "max", "count", "group",
+            "quantile", "stddev", "stdvar",
+        } or (node.k is not None):
             raise PromQLSyntaxError(
-                "eval_range aggregation supports sum/avg/min/max/"
-                "count by()/without() and topk/bottomk"
+                "eval_range aggregation supports sum/avg/min/max/count/"
+                "group/quantile/stddev/stdvar by()/without() and "
+                "topk/bottomk"
             )
         pts = self._gvector(node.expr)
         if node.mode == "without":
@@ -2438,6 +2446,16 @@ class PromQLEvaluator:
             "min": F.min("value"),
             "max": F.max("value"),
             "count": F.count(F.lit(1)).cast("double"),
+            # `group`: presence marker — constant 1 per output group
+            "group": F.max(F.lit(1.0)),
+            # same 6dp-pinned discrete folds as the instant path:
+            # order-statistic selection / population moments over
+            # identical values on both engines
+            "quantile": F.percentile(
+                F.round(F.col("value"), 6), F.lit(node.param or 0.0)
+            ),
+            "stddev": F.stddev_pop(F.round(F.col("value"), 6)),
+            "stdvar": F.var_pop(F.round(F.col("value"), 6)),
         }[node.op]
         return (
             pts.withColumn("labels", new_labels)
@@ -2613,6 +2631,11 @@ PROMQL_RANGE_SUBQ_AT = (
 #: closure of the last documented evaluator gap
 PROMQL_BUCKET_LE = (
     'sum by (user, le) (increase(view_bucket{le=~"5|50"}[720h]))'
+)
+#: quantile aggregation ON the grid — the p90-across-series panel as a
+#: query_range (r7 extends _gagg beyond sum/avg/min/max/count)
+PROMQL_RANGE_QUANTILE = (
+    "quantile by (shard) (0.9, increase(click[240h]))"
 )
 
 
@@ -2886,6 +2909,15 @@ def promql_range_subquery_at(
     )
 
 
+def promql_range_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantile by() on the grid: per grid day and shard, the p90 of
+    the per-series 240h click increases — φ·(n-1) rank interpolation
+    over 6dp-pinned inputs, one hash aggregate keyed on (_ets, shard)."""
+    return PromQLEvaluator.from_dir(spark, sf_dir).eval_range(
+        PROMQL_RANGE_QUANTILE, 240 * 3_600_000_000, 24 * 3_600_000_000
+    )
+
+
 def promql_bucket_le(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`le` matchers on a synthetic `_bucket` selector: the matcher
     filters the synthesized cumulative-bucket series (string compare
@@ -3152,6 +3184,7 @@ QUERIES = {
     "promql_range_subquery_increase": promql_range_subquery_increase,
     "promql_range_subquery_at": promql_range_subquery_at,
     "promql_bucket_le": promql_bucket_le,
+    "promql_range_quantile": promql_range_quantile,
 }
 
 #: shared regression window for the deriv/predict oracles: x is
@@ -3819,6 +3852,24 @@ ORACLES = {
         + dround("AVG(r.v6)", 4)
         + " AS value FROM cg JOIN r ON r.iets = cg.iets "
         "GROUP BY cg.ets, r.l_user"
+    ),
+    "promql_range_quantile": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _grid_cte(_H24_US, _H240_US)
+        + ", w AS (SELECT s.l_user, s.l_shard, g.ets, s.ts_us, "
+        "s.event_id, s.value FROM samples_multi s JOIN g "
+        f"ON s.ts_us <= g.ets AND s.ts_us > g.ets - {_H240_US} "
+        "WHERE s.metric = 'click'), "
+        "d AS (SELECT l_user, l_shard, ets, value, "
+        "LAG(value) OVER (PARTITION BY l_user, l_shard, ets "
+        "ORDER BY ts_us, event_id) AS prev FROM w), "
+        "r AS (SELECT l_user, l_shard, ets, ROUND("
+        "SUM(CASE WHEN value < prev THEN value ELSE value - prev END)"
+        ", 6) AS v6 FROM d WHERE prev IS NOT NULL "
+        "GROUP BY l_user, l_shard, ets) "
+        "SELECT ets AS ts_us, 'shard=' || l_shard AS labels, "
+        + dround("quantile_cont(v6, 0.9)", 4)
+        + " AS value FROM r GROUP BY ets, l_shard"
     ),
     "promql_bucket_le": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

@@ -1387,3 +1387,65 @@ def test_le_matchers_on_bucket_selector(spark):
         for r in g
     }
     assert les == {"5", "50"}
+
+
+def test_bucket_inner_subquery(spark):
+    """A synthetic _bucket inner inside a subquery routes through the
+    composed (grid-dispatch) path — the specialized single-fold plan
+    would scan the raw metric name and silently match nothing (the
+    r7 regression this test pins as non-empty)."""
+    mx = {
+        r["labels"]: r["value"]
+        for r in promql_eval(
+            spark,
+            SF_SMOKE,
+            "max_over_time(increase(view_bucket[24h])[240h:24h])",
+        ).collect()
+    }
+    av = {
+        r["labels"]: r["value"]
+        for r in promql_eval(
+            spark,
+            SF_SMOKE,
+            "avg_over_time(increase(view_bucket[24h])[240h:24h])",
+        ).collect()
+    }
+    assert mx and set(mx) == set(av)
+    assert all("le=" in k for k in mx)
+    for k in mx:
+        assert mx[k] >= av[k] - 1e-9
+
+
+def test_grid_agg_extensions(spark):
+    """quantile/stddev/stdvar/group by() on the grid: quantile sits
+    within [min, max] per (instant, group), stdvar = stddev², and
+    group is constant 1."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    ev = PromQLEvaluator.from_dir(spark, SF_SMOKE)
+    span, step = 240 * 3_600_000_000, 24 * 3_600_000_000
+
+    def grid(expr):
+        return {
+            (r["ts_us"], r["labels"]): r["value"]
+            for r in ev.eval_range(expr, span, step).collect()
+        }
+
+    base = "increase(click[240h])"
+    q = grid(f"quantile by (shard) (0.9, {base})")
+    lo = grid(f"min by (shard) ({base})")
+    hi = grid(f"max by (shard) ({base})")
+    assert q and set(q) == set(lo) == set(hi)
+    for k in q:
+        assert lo[k] - 1e-6 <= q[k] <= hi[k] + 1e-6
+    sd = grid(f"stddev by (shard) ({base})")
+    sv = grid(f"stdvar by (shard) ({base})")
+    assert sd and set(sd) == set(sv)
+    for k in sd:
+        # both are independently 4dp-rounded outputs, so compare at
+        # the precision the square of a rounded stddev can carry
+        assert sv[k] == pytest.approx(sd[k] ** 2, rel=1e-4, abs=1e-2)
+    g = grid(f"group by (shard) ({base})")
+    assert g and set(g.values()) == {1.0}
