@@ -2411,14 +2411,41 @@ class PromQLEvaluator:
                 .filter(F.col("_rk") <= (node.k or 0))
                 .drop("_rk")
             )
+        if node.op in _LIMIT_OPS:
+            pts = self._gvector(node.expr)
+            key = _label_str(F.col("labels"))
+            if node.op == "limitk":
+                # first k by canonical label string PER grid instant
+                w = Window.partitionBy("_ets").orderBy(F.asc(key))
+                return (
+                    pts.withColumn("_rk", F.row_number().over(w))
+                    .filter(F.col("_rk") <= (node.k or 0))
+                    .drop("_rk")
+                )
+            # limit_ratio: the md5-prefix subset depends only on the
+            # label set, so the instant filter applies per series
+            # unchanged across the grid
+            r = float(node.param or 0.0)
+            if r >= 1.0 or r <= -1.0:
+                return pts
+            if r == 0.0:
+                return pts.filter(F.lit(False))
+            prefix = F.substring(F.md5(key.cast("binary")), 1, 8)
+            if r > 0.0:
+                return pts.filter(
+                    prefix < F.lit(format(int(r * 2**32), "08x"))
+                )
+            return pts.filter(
+                prefix >= F.lit(format(int((1.0 + r) * 2**32), "08x"))
+            )
         if node.op not in {
             "sum", "avg", "min", "max", "count", "group",
-            "quantile", "stddev", "stdvar",
+            "quantile", "stddev", "stdvar", "count_values",
         } or (node.k is not None):
             raise PromQLSyntaxError(
                 "eval_range aggregation supports sum/avg/min/max/count/"
-                "group/quantile/stddev/stdvar by()/without() and "
-                "topk/bottomk"
+                "group/quantile/stddev/stdvar/count_values/limitk/"
+                "limit_ratio by()/without() and topk/bottomk"
             )
         pts = self._gvector(node.expr)
         if node.mode == "without":
@@ -2439,6 +2466,23 @@ class PromQLEvaluator:
                 )
                 if node.by
                 else F.map_from_arrays(F.array(), F.array())
+            )
+        if node.op == "count_values":
+            # the 6dp-pinned value rendered as a label joins the
+            # grouping key, per grid instant
+            rendered = F.round(F.col("value"), 6).cast("string")
+            labeled = F.map_concat(
+                new_labels,
+                F.create_map(F.lit(node.value_label), rendered),
+            )
+            return (
+                pts.withColumn("labels", labeled)
+                .groupBy("_ets", _label_str(F.col("labels")).alias("_k"))
+                .agg(
+                    F.first("labels").alias("labels"),
+                    F.count(F.lit(1)).cast("double").alias("value"),
+                )
+                .drop("_k")
             )
         fold = {
             "sum": F.sum("value"),

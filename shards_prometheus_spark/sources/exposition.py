@@ -349,11 +349,17 @@ class MetricsExposer:
         host: str = "127.0.0.1",
         port: int = 0,
         lines_fn=None,
+        openmetrics: bool = False,
     ):
         """`lines_fn` (optional): zero-arg callable returning the line
         DataFrame — lets the exposer serve a LIVE source (a streaming
         memory-sink registry) instead of the batch sf_dir relations;
-        collect-on-scrape semantics are identical either way."""
+        collect-on-scrape semantics are identical either way.
+        ``openmetrics=True`` serves the OpenMetrics dialect instead:
+        payload from `openmetrics_lines` (or `lines_fn`), serialized in
+        spec order by `openmetrics_text` (HELP/TYPE before each
+        family's samples, `# EOF` final) with the OpenMetrics
+        content type."""
         import http.server
         import threading
 
@@ -367,7 +373,11 @@ class MetricsExposer:
                 body = outer.collect_text().encode()
                 self.send_response(200)
                 self.send_header(
-                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                    "Content-Type",
+                    "application/openmetrics-text; version=1.0.0; "
+                    "charset=utf-8"
+                    if outer._openmetrics
+                    else "text/plain; version=0.0.4; charset=utf-8",
                 )
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
@@ -379,6 +389,7 @@ class MetricsExposer:
         self._spark = spark
         self._sf_dir = sf_dir
         self._lines_fn = lines_fn
+        self._openmetrics = openmetrics
         self._server = http.server.ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._server.server_address[:2]
         self._thread = threading.Thread(
@@ -386,6 +397,13 @@ class MetricsExposer:
         )
 
     def collect_text(self) -> str:
+        if self._openmetrics:
+            df = (
+                self._lines_fn()
+                if self._lines_fn is not None
+                else openmetrics_lines(self._spark, self._sf_dir)
+            )
+            return openmetrics_text(df)
         if self._lines_fn is not None:
             lines = self._lines_fn().collect()
         else:

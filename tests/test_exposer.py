@@ -295,3 +295,48 @@ def test_exemplar_strip_is_value_anchored(spark):
         ).collect()
     )
     assert got == sorted([plain, plain, "# EOF"])
+
+
+def test_http_scrape_serves_openmetrics(spark):
+    """openmetrics=True serves the OM dialect over HTTP: the OM
+    content type, HELP/TYPE per family before samples, `# EOF` as the
+    final line — and a scraper's parse of the body recovers the same
+    typed relation as the classic endpoint's."""
+    import urllib.request
+
+    from shards_prometheus_spark.sources.exposition import (
+        MetricsExposer,
+        _parse_payload,
+        exposition_parse,
+    )
+
+    exp = MetricsExposer(spark, SF_SMOKE, openmetrics=True).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://{exp.host}:{exp.port}/metrics"
+        ) as r:
+            ctype = r.headers["Content-Type"]
+            body = r.read().decode()
+    finally:
+        exp.stop()
+    assert ctype.startswith("application/openmetrics-text")
+    lines = body.rstrip("\n").split("\n")
+    assert lines[-1] == "# EOF" and lines.count("# EOF") == 1
+    assert any(l.startswith("# HELP ") for l in lines)
+
+    key = lambda r: (
+        r["metric"], r["kind"], r["stat"], r["label_user"], r["le"],
+        r["value"],
+    )
+    got = sorted(
+        map(
+            key,
+            _parse_payload(
+                spark.createDataFrame(
+                    [(l,) for l in lines], "line string"
+                )
+            ).collect(),
+        )
+    )
+    want = sorted(map(key, exposition_parse(spark, SF_SMOKE).collect()))
+    assert got and got == want

@@ -1449,3 +1449,47 @@ def test_grid_agg_extensions(spark):
         assert sv[k] == pytest.approx(sd[k] ** 2, rel=1e-4, abs=1e-2)
     g = grid(f"group by (shard) ({base})")
     assert g and set(g.values()) == {1.0}
+
+
+def test_grid_limitk_limit_ratio_count_values(spark):
+    """limitk / limit_ratio / count_values on the grid: limitk keeps
+    the first k label strings per instant; limit_ratio(r) and its
+    complement partition each instant's vector; count_values buckets
+    per (instant, rendered value)."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    ev = PromQLEvaluator.from_dir(spark, SF_SMOKE)
+    span, step = 240 * 3_600_000_000, 24 * 3_600_000_000
+    base = "sum by (user) (increase(click[240h]))"
+
+    def rows(expr):
+        return [
+            (r["ts_us"], r["labels"], r["value"])
+            for r in ev.eval_range(expr, span, step).collect()
+        ]
+
+    full = rows(base)
+    per_instant = {}
+    for ts, lbl, _v in full:
+        per_instant.setdefault(ts, set()).add(lbl)
+
+    lk = rows(f"limitk(3, {base})")
+    assert lk
+    for ts, lbls in per_instant.items():
+        got = sorted(l for t, l, _ in lk if t == ts)
+        assert got == sorted(lbls)[: min(3, len(lbls))]
+
+    a = rows(f"limit_ratio(0.4, {base})")
+    b = rows(f"limit_ratio(-0.6, {base})")
+    assert sorted(a + b) == sorted(full)
+    assert not (set(a) & set(b))
+
+    cv = rows(f'count_values by (user) ("v", {base})')
+    assert cv
+    # every row's count is >= 1 and the value label is present
+    assert all("v=" in lbl and v >= 1.0 for _t, lbl, v in cv)
+    # total count per instant equals the instant's vector size
+    for ts, lbls in per_instant.items():
+        assert sum(v for t, _l, v in cv if t == ts) == len(lbls)
