@@ -919,8 +919,15 @@ def test_eval_range_grid(spark):
         ).collect()
     }
     assert tk == inst
-    with pytest.raises(PromQLSyntaxError):
-        ev.eval_range("limitk(2, m)", 30_000_000, 10_000_000)
+    # limitk on the grid (r7): first-k per instant — sole series
+    # passes through
+    lk = {
+        (r["ts_us"], r["labels"]): r["value"]
+        for r in ev.eval_range(
+            "limitk(2, m)", 30_000_000, 10_000_000
+        ).collect()
+    }
+    assert lk == inst
 
 
 def test_eval_range_dashboard_core(spark):
