@@ -499,3 +499,49 @@ def test_rollup_grid_routes_to_materialized_tier(spark, tmp_path):
     }
     assert len(got) > 0
     assert got == inline
+
+
+def test_dedup_near_band_join_width_and_broadcast(spark):
+    """The r7 scale fix, pinned: in the broadcastable regime the band
+    self-join must be a BROADCAST join whose probe side went through
+    an explicit ROUND-ROBIN repartition (data-driven width — without
+    it the n² bucket burst runs as wide as the persisted sigs' cache
+    partitioning, i.e. 1-2 tasks), and the plan has no cartesian."""
+    from shards_prometheus_spark.operators.dedup import dedup_near
+    from shards_prometheus_spark.plans import formatted_plan
+
+    df = dedup_near(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "RoundRobinPartitioning" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    assert_no_cartesian_product(df)
+
+
+def test_exposition_round_trip_reuses_cached_payload(spark):
+    """openmetrics_parse scans the serialized payload twice (TYPE
+    headers + sample body); both scans must hit the persisted relation
+    (InMemoryTableScan), not re-run the serialization tree."""
+    from shards_prometheus_spark.plans import formatted_plan
+    from shards_prometheus_spark.sources.exposition import (
+        openmetrics_parse,
+    )
+
+    plan = formatted_plan(openmetrics_parse(spark, SF_SMOKE))
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+
+
+def test_grid_quantile_no_cartesian_broadcast_grid(spark):
+    """quantile by() on the grid keeps the eval_range plan shape: the
+    grid relation joins broadcast, no cartesian products."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        promql_range_quantile,
+    )
+
+    df = promql_range_quantile(spark, SF_SMOKE)
+    assert_no_cartesian_product(df)
+    # the grid join is a non-equi window condition, so it plans as a
+    # broadcast NESTED-LOOP join (grid side broadcast, ≤ span/step+1
+    # rows) — never a shuffled or cartesian join
+    from shards_prometheus_spark.plans import formatted_plan
+
+    assert "BroadcastNestedLoopJoin" in formatted_plan(df)
