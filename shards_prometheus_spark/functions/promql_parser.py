@@ -95,10 +95,13 @@ _DUR_ORDER = ["y", "w", "d", "h", "m", "s", "ms"]
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-        # number, duration, or COMPOUND duration (1h30m) as one token;
+        # number (incl. scientific 1e9 / 2.5e-3 — exponent and
+        # duration suffixes are mutually exclusive per the grammar),
+        # duration, or COMPOUND duration (1h30m) as one token;
         # ms before m so 500ms doesn't split
         (?P<num>\d+(?:\.\d+)?
-            (?:(?:ms|[smhdwy])(?:\d+(?:\.\d+)?(?:ms|[smhdwy]))*)?)
+            (?:[eE][+-]?\d+
+              |(?:(?:ms|[smhdwy])(?:\d+(?:\.\d+)?(?:ms|[smhdwy]))*)?))
       | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
       | (?P<str>"(?:[^"\\]|\\.)*")             # backslash escapes OK
       | (?P<op>=~|!~|!=|==|>=|<=|[{}()\[\],=<>+\-*/%:@])
@@ -579,7 +582,7 @@ class _Parser:
             e = self.or_expr()
             self.expect(")")
             return e
-        if re.fullmatch(r"\d+(?:\.\d+)?", tok):
+        if re.fullmatch(r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", tok):
             return Scalar(float(self.next()))
         if tok in _AGG_OPS or tok == "count_values":
             return self._agg()
@@ -702,9 +705,15 @@ class _Parser:
             self.expect(",")
             arg = self.or_expr()
             self.expect(")")
+            if isinstance(arg, Subquery):
+                # quantile_over_time(φ, expr[r:s]): the subquery's
+                # per-instant points are the samples the φ-fold
+                # consumes — the canonical smoothed-latency panel
+                return RangeFn("quantile_over_time", arg, param=phi)
             if not isinstance(arg, Selector) or arg.range_us is None:
                 raise PromQLSyntaxError(
-                    "quantile_over_time() needs a range selector [d]"
+                    "quantile_over_time() needs a range selector [d] "
+                    "or a subquery [r:s]"
                 )
             return RangeFn("quantile_over_time", arg, param=phi)
         return self._selector()
@@ -886,6 +895,29 @@ class _Parser:
 def parse(expr: str):
     """PromQL string → AST."""
     return _Parser(_tokenize(expr)).parse()
+
+
+def _subq_outer(fn: str, param: float | None):
+    """Outer fold aggregate for ``fn(inner[r:s])`` — shared by the
+    instant, composed, and grid subquery paths. The subquery's
+    6dp-pinned per-instant points are the samples the fold consumes;
+    quantile_over_time threads its φ param (φ·(n-1) rank linear
+    interpolation, the same spec as the range-selector fold at
+    `_range_fold`). Returns None for fns folded elsewhere (the lag
+    family and last_over_time have their own spines)."""
+    table = {
+        "avg_over_time": F.avg("value"),
+        "min_over_time": F.min("value"),
+        "max_over_time": F.max("value"),
+        "sum_over_time": F.sum("value"),
+        "count_over_time": F.count(F.lit(1)).cast("double"),
+        "stddev_over_time": F.stddev_pop("value"),
+        "stdvar_over_time": F.var_pop("value"),
+        "quantile_over_time": F.percentile(
+            F.col("value"), F.lit(float(param or 0.0))
+        ),
+    }
+    return table.get(fn)
 
 
 # --------------------------------------------------------------------------
@@ -1370,15 +1402,6 @@ class PromQLEvaluator:
             return self._range_fold(
                 d, ["series_id"], node.fn, sub.range_us
             ).select("labels", "value")
-        outer = {
-            "avg_over_time": F.avg("value"),
-            "min_over_time": F.min("value"),
-            "max_over_time": F.max("value"),
-            "sum_over_time": F.sum("value"),
-            "count_over_time": F.count(F.lit(1)).cast("double"),
-            "stddev_over_time": F.stddev_pop("value"),
-            "stdvar_over_time": F.var_pop("value"),
-        }
         if node.fn == "last_over_time":
             w = Window.partitionBy("series_id").orderBy(F.desc("_ets"))
             return (
@@ -1386,11 +1409,16 @@ class PromQLEvaluator:
                 .filter(F.col("rn") == 1)
                 .select("labels", "value")
             )
+        outer = _subq_outer(node.fn, node.param)
+        if outer is None:
+            raise PromQLSyntaxError(
+                f"{node.fn} over a subquery is unsupported"
+            )
         return (
             pts.groupBy("series_id")
             .agg(
                 F.first("labels").alias("labels"),
-                outer[node.fn].alias("value"),
+                outer.alias("value"),
             )
             .select("labels", "value")
         )
@@ -1433,16 +1461,8 @@ class PromQLEvaluator:
                 .filter(F.col("rn") == 1)
                 .select("labels", "value")
             )
-        outer = {
-            "avg_over_time": F.avg("value"),
-            "min_over_time": F.min("value"),
-            "max_over_time": F.max("value"),
-            "sum_over_time": F.sum("value"),
-            "count_over_time": F.count(F.lit(1)).cast("double"),
-            "stddev_over_time": F.stddev_pop("value"),
-            "stdvar_over_time": F.var_pop("value"),
-        }
-        if node.fn not in outer:
+        outer = _subq_outer(node.fn, node.param)
+        if outer is None:
             raise PromQLSyntaxError(
                 f"{node.fn} over a composed subquery is unsupported"
             )
@@ -1450,7 +1470,7 @@ class PromQLEvaluator:
             pts.groupBy(key.alias("_k"))
             .agg(
                 F.first("labels").alias("labels"),
-                outer[node.fn].alias("value"),
+                outer.alias("value"),
             )
             .select("labels", "value")
         )
@@ -2056,20 +2076,25 @@ class PromQLEvaluator:
             )
         return vec.withColumn("labels", out)
 
+    @staticmethod
+    def _absent_labels(sel: Selector) -> Column:
+        """absent()'s output label set: the selector's equality
+        matchers (PromQL convention — the only labels knowable about
+        a vector that produced nothing)."""
+        eq = [(l, v) for l, op, v in sel.matchers if op == "="]
+        if not eq:
+            return F.map_from_arrays(F.array(), F.array())
+        return F.map_from_arrays(
+            F.array(*[F.lit(l) for l, _ in eq]),
+            F.array(*[F.lit(v) for _, v in eq]),
+        )
+
     def _absent(self, node: Absent) -> DataFrame:
         """1 iff no series matches the selector at T, labeled with the
         selector's equality matchers (PromQL convention). The emptiness
         probe is a 1-row count aggregate — tiny, but necessarily a
         global fold (absence is a global fact)."""
-        eq = [(l, v) for l, op, v in node.sel.matchers if op == "="]
-        labels = (
-            F.map_from_arrays(
-                F.array(*[F.lit(l) for l, _ in eq]),
-                F.array(*[F.lit(v) for _, v in eq]),
-            )
-            if eq
-            else F.map_from_arrays(F.array(), F.array())
-        )
+        labels = self._absent_labels(node.sel)
         if node.over_time:
             # absent_over_time: emptiness over the [d] window, not the
             # staleness lookback
@@ -2281,9 +2306,60 @@ class PromQLEvaluator:
                 F.map_from_arrays(F.array(), F.array()).alias("labels"),
                 F.lit(float(node.value)).alias("value"),
             )
+        if isinstance(node, Absent):
+            return self._gabsent(node)
+        if isinstance(node, AbsentExpr):
+            # absent(<computed vector>) per grid instant: instants
+            # where the inner grid vector is empty. `present` is
+            # grid-sized (distinct instants), never corpus-sized.
+            present = self._gvector(node.expr).select("_ets").distinct()
+            return self._gridf.join(present, "_ets", "left_anti").select(
+                "_ets",
+                F.map_from_arrays(F.array(), F.array()).alias("labels"),
+                F.lit(1.0).alias("value"),
+            )
+        if isinstance(node, TsFn):
+            return self._gtimestamp(node)
         raise PromQLSyntaxError(
             "eval_range does not support "
             f"{type(node).__name__} expressions"
+        )
+
+    def _gabsent(self, node: Absent) -> DataFrame:
+        """absent()/absent_over_time() on the query_range grid — the
+        'service down over time' liveness panel: 1 at every grid
+        instant whose probe window (staleness lookback, or the [d]
+        window for absent_over_time) holds no matching sample. The
+        probe reuses the one-scan × broadcast-grid leaf join; present
+        instants anti-join the grid, so the distinct relation is
+        grid-sized, never corpus-sized."""
+        win = node.sel.range_us if node.over_time else LOOKBACK_US
+        present = self._gwindow(node.sel, win).select("_ets").distinct()
+        return self._gridf.join(present, "_ets", "left_anti").select(
+            "_ets",
+            self._absent_labels(node.sel).alias("labels"),
+            F.lit(1.0).alias("value"),
+        )
+
+    def _gtimestamp(self, node: TsFn) -> DataFrame:
+        """timestamp(v) on the grid: per (series, grid instant), the
+        selected (= most recent in the staleness window) sample's ts
+        in seconds — the range-rendered freshness panel."""
+        sel = node.sel
+        if sel.range_us is not None:
+            raise PromQLSyntaxError("timestamp() needs an instant vector")
+        df = self._gwindow(sel, LOOKBACK_US)
+        w = Window.partitionBy("series_id", "_ets").orderBy(
+            F.desc("ts_us"), F.desc("event_id")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "_ets",
+                "labels",
+                (F.col("ts_us").cast("double") / F.lit(1e6)).alias("value"),
+            )
         )
 
     def _gsubquery(self, node: RangeFn) -> DataFrame:
@@ -2370,16 +2446,8 @@ class PromQLEvaluator:
                 .filter(F.col("rn") == 1)
                 .select("_ets", "labels", "value")
             )
-        outer = {
-            "avg_over_time": F.avg("value"),
-            "min_over_time": F.min("value"),
-            "max_over_time": F.max("value"),
-            "sum_over_time": F.sum("value"),
-            "count_over_time": F.count(F.lit(1)).cast("double"),
-            "stddev_over_time": F.stddev_pop("value"),
-            "stdvar_over_time": F.var_pop("value"),
-        }
-        if node.fn not in outer:
+        outer = _subq_outer(node.fn, node.param)
+        if outer is None:
             raise PromQLSyntaxError(
                 f"{node.fn} over a grid subquery is unsupported"
             )
@@ -2387,7 +2455,7 @@ class PromQLEvaluator:
             pts.groupBy("_ets", key.alias("_k"))
             .agg(
                 F.first("labels").alias("labels"),
-                outer[node.fn].alias("value"),
+                outer.alias("value"),
             )
             .select("_ets", "labels", "value")
         )
@@ -2398,6 +2466,12 @@ class PromQLEvaluator:
         rank inside (_ets, group) window partitions (the "top 5
         series" Grafana panel) — partitions are group-sized, never
         grid- or corpus-sized."""
+        if node.op in _SORT_FNS or node.op in _SORT_BY_LABEL_FNS:
+            # Prometheus IGNORES sort()/sort_desc()/sort_by_label*()
+            # in range queries (query_range output ordering is fixed)
+            # — the conformant grid behavior is a pass-through, not an
+            # error
+            return self._gvector(node.expr)
         if node.op in _TOPK_OPS and node.k is not None:
             pts = self._gvector(node.expr)
             gkey = _topk_gkey(node)
@@ -2680,6 +2754,27 @@ PROMQL_BUCKET_LE = (
 #: query_range (r7 extends _gagg beyond sum/avg/min/max/count)
 PROMQL_RANGE_QUANTILE = (
     "quantile by (shard) (0.9, increase(click[240h]))"
+)
+#: absent_over_time ON the grid — the "service down over time"
+#: liveness panel (the analog of scraping the reference's endpoint and
+#: seeing nothing, prometheus.cpp:80): 1 at each hourly instant whose
+#: trailing hour holds no shard-0 purchase (a real present/absent mix
+#: on this corpus, not a vacuous constant)
+PROMQL_RANGE_ABSENT = 'absent_over_time(purchase{shard="0"}[1h])'
+#: timestamp() ON the grid — the range-rendered freshness panel: each
+#: series' last-sample time at every hourly instant it was live
+PROMQL_RANGE_TS = "timestamp(click)"
+#: quantile_over_time OVER a subquery (instant) — the canonical
+#: smoothed-latency idiom `quantile_over_time(φ, expr[r:s])`: p90 of
+#: the daily per-user sample counts over the trailing 10 days
+PROMQL_SUBQ_QUANTILE = (
+    "quantile_over_time(0.9, "
+    "sum by (user) (count_over_time(click[24h]))[240h:24h])"
+)
+#: … and ON the grid: per grid day, the median of the per-user 48h
+#: click rate sampled daily over that day's trailing 72h
+PROMQL_RANGE_SUBQ_QUANT = (
+    "quantile_over_time(0.5, sum by (user) (rate(click[48h]))[72h:24h])"
 )
 
 
@@ -2991,6 +3086,48 @@ def promql_range_subquery_increase(
     )
 
 
+def promql_range_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """absent_over_time on the query_range grid: the liveness panel —
+    1 at each hourly grid instant whose trailing-hour probe window is
+    empty (reference hook: scrape-absence of the registry endpoint,
+    prometheus.cpp:80). Present instants anti-join the broadcast grid."""
+    return PromQLEvaluator.from_dir(spark, sf_dir).eval_range(
+        PROMQL_RANGE_ABSENT, 240 * 3_600_000_000, 3_600_000_000
+    )
+
+
+def promql_range_timestamp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """timestamp() on the query_range grid: per (series, hourly
+    instant), the most recent sample's time in seconds within the 5m
+    staleness window — the range-rendered freshness panel."""
+    return PromQLEvaluator.from_dir(spark, sf_dir).eval_range(
+        PROMQL_RANGE_TS, 720 * 3_600_000_000, 3_600_000_000
+    )
+
+
+def promql_subquery_quantile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """quantile_over_time(φ, expr[r:s]) — the φ-parameterized fold
+    over subquery points (instant path): p90 of the daily per-user
+    click sample counts across the trailing 10 days' instants."""
+    return promql_eval(spark, sf_dir, PROMQL_SUBQ_QUANTILE)
+
+
+def promql_range_subquery_quantile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """quantile_over_time over a subquery ON the grid: per grid day,
+    the median of the per-user 48h click rate sampled daily over that
+    day's trailing 72h — inner evaluated once over distinct composed
+    instants, φ-fold per (grid instant, series)."""
+    return PromQLEvaluator.from_dir(spark, sf_dir).eval_range(
+        PROMQL_RANGE_SUBQ_QUANT, 240 * 3_600_000_000, 24 * 3_600_000_000
+    )
+
+
 def promql_at_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`@ end()` (the Grafana-emitted form): pins the selector to the
     query window end — t_max for an instant query."""
@@ -3078,6 +3215,7 @@ _H72_US = 72 * 3_600_000_000
 _H48_US = 48 * 3_600_000_000
 _H24_US = 24 * 3_600_000_000
 _H12_US = 12 * 3_600_000_000
+_H1_US = 3_600_000_000
 
 #: bucket bounds as a DuckDB VALUES list — mirrors _bounds_df()
 _B_VALUES = ", ".join(
@@ -3224,6 +3362,10 @@ QUERIES = {
     "promql_hist_fraction": promql_hist_fraction,
     "promql_range_subquery": promql_range_subquery,
     "promql_range_subquery_avg": promql_range_subquery_avg,
+    "promql_range_absent": promql_range_absent,
+    "promql_range_timestamp": promql_range_timestamp,
+    "promql_subquery_quantile": promql_subquery_quantile,
+    "promql_range_subquery_quantile": promql_range_subquery_quantile,
     "promql_subquery_rate": promql_subquery_rate,
     "promql_range_subquery_increase": promql_range_subquery_increase,
     "promql_range_subquery_at": promql_range_subquery_at,
@@ -3986,6 +4128,68 @@ ORACLES = {
         "SELECT ets AS ts_us, 'user=' || l_user AS labels, "
         + dround("SUM(CASE WHEN v < prev THEN v ELSE v - prev END)", 4)
         + " AS value FROM d WHERE prev IS NOT NULL GROUP BY ets, l_user"
+    ),
+    "promql_range_absent": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _grid_cte(_H1_US, _H240_US)
+        + ", p AS (SELECT DISTINCT g.ets FROM g JOIN samples_multi s "
+        f"ON s.ts_us <= g.ets AND s.ts_us > g.ets - {_H1_US} "
+        "WHERE s.metric = 'purchase' AND s.l_shard = '0') "
+        "SELECT g.ets AS ts_us, 'shard=0' AS labels, "
+        "CAST(1.0 AS DOUBLE) AS value FROM g "
+        "WHERE g.ets NOT IN (SELECT ets FROM p)"
+    ),
+    "promql_range_timestamp": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _grid_cte(_H1_US, _H720_US)
+        + ", w AS (SELECT s.l_user, s.l_shard, g.ets, s.ts_us, "
+        "ROW_NUMBER() OVER (PARTITION BY s.l_user, s.l_shard, g.ets "
+        "ORDER BY s.ts_us DESC, s.event_id DESC) AS rn "
+        "FROM samples_multi s JOIN g ON s.ts_us <= g.ets "
+        f"AND s.ts_us > g.ets - {LOOKBACK_US} "
+        "WHERE s.metric = 'click') "
+        "SELECT ets AS ts_us, "
+        "'shard=' || l_shard || ',user=' || l_user AS labels, "
+        + dround("ts_us / 1e6", 4)
+        + " AS value FROM w WHERE rn = 1"
+    ),
+    "promql_subquery_quantile": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _grid_cte(_H24_US, _H240_US)
+        + ", w AS (SELECT s.l_user, g.ets, CAST(COUNT(*) AS DOUBLE) AS v "
+        "FROM samples_multi s JOIN g ON s.ts_us <= g.ets "
+        f"AND s.ts_us > g.ets - {_H24_US} WHERE s.metric = 'click' "
+        "GROUP BY s.l_user, g.ets) "
+        "SELECT 'user=' || l_user AS labels, "
+        + dround("quantile_cont(v, 0.9)", 4)
+        + " AS value FROM w GROUP BY l_user"
+    ),
+    "promql_range_subquery_quantile": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _grid_cte(_H24_US, _H240_US)
+        + f", cg AS (SELECT g.ets, ((g.ets) // {_H24_US}) * {_H24_US} "
+        f"- j.i * {_H24_US} AS iets FROM g CROSS JOIN "
+        f"generate_series(0, {_H72_US // _H24_US + 1}) AS j(i) "
+        f"WHERE ((g.ets) // {_H24_US}) * {_H24_US} - j.i * {_H24_US} "
+        f"> g.ets - {_H72_US}), "
+        "ig AS (SELECT DISTINCT iets FROM cg), "
+        "w AS (SELECT s.l_user, s.l_shard, ig.iets, s.ts_us, "
+        "s.event_id, s.value FROM samples_multi s JOIN ig "
+        f"ON s.ts_us <= ig.iets AND s.ts_us > ig.iets - {_H48_US} "
+        "WHERE s.metric = 'click'), "
+        "d AS (SELECT l_user, l_shard, iets, value, "
+        "LAG(value) OVER (PARTITION BY l_user, l_shard, iets "
+        "ORDER BY ts_us, event_id) AS prev FROM w), "
+        "r0 AS (SELECT l_user, l_shard, iets, "
+        "SUM(CASE WHEN value < prev THEN value ELSE value - prev END) "
+        "/ 172800.0 AS v FROM d WHERE prev IS NOT NULL "
+        "GROUP BY l_user, l_shard, iets), "
+        "r AS (SELECT l_user, iets, ROUND(SUM(v), 6) AS v6 FROM r0 "
+        "GROUP BY l_user, iets) "
+        "SELECT cg.ets AS ts_us, 'user=' || r.l_user AS labels, "
+        + dround("quantile_cont(r.v6, 0.5)", 4)
+        + " AS value FROM cg JOIN r ON r.iets = cg.iets "
+        "GROUP BY cg.ets, r.l_user"
     ),
     "promql_label_join": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

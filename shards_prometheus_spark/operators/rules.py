@@ -105,6 +105,16 @@ ALERT_FOR_RULES: list[tuple[str, str, int, int]] = [
         _H72_US,
         _H24_US,
     ),
+    # absent() through eval_range — the dead-exporter page with a
+    # hold window (needs the r8 grid absent path: a rule group is
+    # evaluated via eval_range, so an absent() rule used to be
+    # rejected outright)
+    (
+        "SustainedMissingTemperature",
+        "absent(temperature)",
+        _H72_US,
+        _H24_US,
+    ),
 ]
 
 
@@ -238,7 +248,12 @@ _ALERT_FOR_SQL = (
     "JOIN vthr ON vthr.ets = vi.ets WHERE "
     + dround("vi.v", 6)
     + " < vthr.a), "
-    "gc AS (SELECT COUNT(*) AS n, MAX(ets) AS mx FROM g) "
+    "gc AS (SELECT COUNT(*) AS n, MAX(ets) AS mx FROM g), "
+    # per-instant absence probe (5m staleness lookback, the grid
+    # absent() semantics): the rule fires iff absent at EVERY instant
+    "tabs AS (SELECT g.ets FROM g WHERE NOT EXISTS "
+    "(SELECT 1 FROM samples_multi s WHERE s.metric = 'temperature' "
+    "AND s.ts_us <= g.ets AND s.ts_us > g.ets - 300000000)) "
     "SELECT 'SustainedAboveAverageClicks' AS alertname, "
     "'user=' || f.l_user AS labels, "
     + dround("f.v", 4)
@@ -251,7 +266,13 @@ _ALERT_FOR_SQL = (
     + dround("f.v", 4)
     + " AS value FROM vfire f, gc WHERE f.ets = gc.mx "
     "AND f.l_user IN (SELECT l_user FROM vfire GROUP BY l_user "
-    "HAVING COUNT(*) = (SELECT n FROM gc))"
+    "HAVING COUNT(*) = (SELECT n FROM gc)) "
+    "UNION ALL "
+    # the absent() rule fires iff the probe window was empty at every
+    # grid instant (no equality matchers → empty label string)
+    "SELECT 'SustainedMissingTemperature' AS alertname, "
+    "'' AS labels, 1.0 AS value FROM gc "
+    "WHERE (SELECT COUNT(*) FROM tabs) = gc.n"
 )
 
 ORACLES = {

@@ -1500,3 +1500,106 @@ def test_grid_limitk_limit_ratio_count_values(spark):
     # total count per instant equals the instant's vector size
     for ts, lbls in per_instant.items():
         assert sum(v for t, _l, v in cv if t == ts) == len(lbls)
+
+
+def test_eval_range_absent_timestamp_sort(spark):
+    """r8 grid paths: absent()/absent_over_time()/timestamp() on
+    query_range, and sort()/sort_desc() as Prometheus-conformant
+    no-ops there (real Prometheus ignores sort in range queries)."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    rows = [
+        (i, 11, "m", {"user": "a"}, i * 5_000_000, float(i))
+        for i in range(1, 9)
+    ]
+    ev = PromQLEvaluator(
+        spark.createDataFrame(
+            rows,
+            "event_id long, series_id long, metric string, "
+            "labels map<string,string>, ts_us long, value double",
+        )
+    )
+
+    def grid(expr):
+        return sorted(
+            (r["ts_us"], r["labels"], r["value"])
+            for r in ev.eval_range(expr, 30_000_000, 10_000_000).collect()
+        )
+
+    # absent of a missing metric: 1 at EVERY grid instant, labels
+    # carry the equality matchers
+    assert grid('absent(nope{job="x"})') == [
+        (t, "job=x", 1.0) for t in (20_000_000, 30_000_000, 40_000_000)
+    ]
+    # absent of a present metric: empty (m is live within the 5m
+    # staleness window at every instant)
+    assert grid("absent(m)") == []
+    # absent_over_time probes the [d] window, not the lookback:
+    # samples stop at 40s, so a 10s window is empty... never here
+    # (t_max = last sample); missing metric -> all instants
+    assert grid("absent_over_time(nope[10s])") == [
+        (t, "", 1.0) for t in (20_000_000, 30_000_000, 40_000_000)
+    ]
+    assert grid("absent_over_time(m[10s])") == []
+    # absent(<computed vector>) per grid instant
+    assert grid("absent(sum(m))") == []
+    assert grid("absent(sum(m) > 1e9)") == [
+        (t, "", 1.0) for t in (20_000_000, 30_000_000, 40_000_000)
+    ]
+    # timestamp(): the selected sample's ts in seconds per instant
+    assert grid("timestamp(m)") == [
+        (20_000_000, "user=a", 20.0),
+        (30_000_000, "user=a", 30.0),
+        (40_000_000, "user=a", 40.0),
+    ]
+    # sort()/sort_desc() are no-ops on the grid (conformance: real
+    # Prometheus ignores sort in query_range), NOT errors
+    assert grid("sort(m)") == grid("m")
+    assert grid("sort_desc(sum by (user) (m))") == grid(
+        "sum by (user) (m)"
+    )
+
+
+def test_quantile_over_time_subquery(spark):
+    """r8: quantile_over_time(phi, expr[r:s]) — the phi-fold over
+    subquery points, instant path, against a hand-computed value."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    rows = [
+        (i, 11, "m", {"user": "a"}, i * 5_000_000, float(i))
+        for i in range(1, 9)
+    ]
+    ev = PromQLEvaluator(
+        spark.createDataFrame(
+            rows,
+            "event_id long, series_id long, metric string, "
+            "labels map<string,string>, ts_us long, value double",
+        )
+    )
+    # m[20s:5s] at t_max=40s: instants 25,30,35,40 -> values 5,6,7,8
+    got = ev.eval("quantile_over_time(0.5, m[20s:5s])").collect()
+    assert len(got) == 1 and got[0]["value"] == 6.5
+    got = ev.eval("quantile_over_time(0.0, m[20s:5s])").collect()
+    assert got[0]["value"] == 5.0
+    got = ev.eval("quantile_over_time(1.0, m[20s:5s])").collect()
+    assert got[0]["value"] == 8.0
+    # composed inner (the smoothed-latency idiom)
+    got = ev.eval(
+        "quantile_over_time(0.5, sum by (user) (m)[20s:5s])"
+    ).collect()
+    assert len(got) == 1 and got[0]["value"] == 6.5
+    # and on the grid: per instant, median over that instant's
+    # trailing composed instants
+    g = {
+        r["ts_us"]: r["value"]
+        for r in ev.eval_range(
+            "quantile_over_time(0.5, m[10s:5s])", 30_000_000, 10_000_000
+        ).collect()
+    }
+    # grid 40: inner instants 35,40 -> 7,8 -> 7.5; grid 30: 25,30 ->
+    # 5,6 -> 5.5; grid 20: 15,20 -> 3,4 -> 3.5
+    assert g == {40_000_000: 7.5, 30_000_000: 5.5, 20_000_000: 3.5}
