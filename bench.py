@@ -109,8 +109,12 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "recording_rules",
             "alert_rules",
             "alert_rules_for",
+            "alert_rules_keep_firing",
             "promql_range_subquery",
             "promql_subquery_rate",
+            "promql_subquery_quantile",
+            "promql_range_absent",
+            "promql_range_timestamp",
         ],
     ),
     ("olap", ["user_sessions", "retention_cohorts"]),

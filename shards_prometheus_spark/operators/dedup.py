@@ -19,6 +19,8 @@ AQE-split.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -54,6 +56,14 @@ SIGS_PER_JOIN_TASK = 2_000
 #: executor). Beyond it (billions of docs) the self-join shuffles at
 #: the same data-driven width instead.
 BROADCAST_SIGS_LIMIT = 2_000_000
+
+
+def _knob(env: str, default: int) -> int:
+    """Module default, overridable per-process via env — exists so a
+    test can FORCE the beyond-broadcast branch at small SF (the branch
+    the 100 TB story rests on must be executable, not just reasoned
+    about) and a rehearsal can pin either regime."""
+    return int(os.environ.get(env, default))
 
 # --- SimHash parameters ---
 SIMHASH_BITS = 16
@@ -197,11 +207,15 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-join splitting handles residual hot buckets there.
     n_sigs = memo_count(spark, sf_dir, "minhash_sigs", sigs)
     par = spark.sparkContext.defaultParallelism
-    n_parts = max(par, n_sigs // SIGS_PER_JOIN_TASK)
+    per_task = _knob("SPARK_GRAFT_SIGS_PER_JOIN_TASK", SIGS_PER_JOIN_TASK)
+    bcast_limit = _knob(
+        "SPARK_GRAFT_BROADCAST_SIGS_LIMIT", BROADCAST_SIGS_LIMIT
+    )
+    n_parts = max(par, n_sigs // per_task)
     b = sigs.select(
         F.col("doc_id").alias("doc_b"), "band", "band_hash"
     )
-    if n_sigs <= BROADCAST_SIGS_LIMIT:
+    if n_sigs <= bcast_limit:
         # the probe repartition is load-bearing at EVERY scale: the
         # persisted sigs relation may sit in 1-2 cache partitions
         # (AQE right-sizes cached plans by bytes), so without it the
@@ -215,9 +229,14 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = rep.select(
             F.col("doc_id").alias("doc_a"), "band", "band_hash"
         )
+        # shuffle_hash pins the intended physical shape: both sides
+        # are already hash-partitioned on the join keys at n_parts, so
+        # the SHJ reuses those exchanges (no sort, no extra shuffle) —
+        # and the hint keeps AQE from re-broadcasting in the forced-
+        # fallback test at small SF, where the relation is tiny
         b = rep.select(
             F.col("doc_id").alias("doc_b"), "band", "band_hash"
-        )
+        ).hint("shuffle_hash")
     candidates = (
         a.join(b, ["band", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))

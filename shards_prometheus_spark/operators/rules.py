@@ -24,12 +24,13 @@ server schedules them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shards_prometheus_spark.functions.promql_parser import (
     SAMPLES_MULTI_CTE,
     _H24_US,
+    _H48_US,
     _H72_US,
     _H240_US,
     _H720_US,
@@ -164,6 +165,97 @@ def eval_alert_for_group(
     return out
 
 
+#: (alertname, expr, for_us, keep_firing_for_us, step_us) — alert rules
+#: with BOTH a `for:` hold and a `keep_firing_for:` grace window (public
+#: Prometheus surface since 2.42): once FIRING, the alert keeps firing
+#: through false evaluations until `keep_firing_for` has elapsed since
+#: the last TRUE evaluation; any true evaluation while held resets the
+#: countdown (and needs no new `for:` run). Pending alerts get no grace
+#: — a false evaluation still resets them.
+ALERT_KEEP_RULES: list[tuple[str, str, int, int, int]] = [
+    (
+        "KeepFiringAboveAverageClicks",
+        "sum by (user) (increase(click[240h])) > "
+        "scalar(avg(sum by (user) (increase(click[240h]))))",
+        _H24_US,
+        _H48_US,
+        _H24_US,
+    ),
+]
+
+
+def eval_alert_keep_group(
+    ev: PromQLEvaluator,
+    rules: list[tuple[str, str, int, int, int]],
+    name_col: str,
+) -> DataFrame:
+    """`for:` + `keep_firing_for:` state at the latest evaluation
+    instant T, computed from the TRUE evaluation instants alone (the
+    comparison emits only instants where it holds, and grid instants
+    are step-aligned, so consecutive trues are exactly `step` apart):
+
+    - firing_raw(t): a run of for/step + 1 consecutive trues ends at t
+      — detected as lag(ts, for/step) == t - for (one window pass).
+    - a KILL occurs after true instant t iff the next true is more
+      than keep + step away (the first evaluation past the grace
+      window sees `now - last_true > keep`), or t is the last true and
+      T - t > keep.
+    - FIRING at T ⇔ the latest firing_raw instant exists and is later
+      than the latest kill-gap start (a kill instant always falls
+      strictly before the next true, so comparing gap STARTS is
+      exact).
+
+    The state machine is evaluated cold from the window start
+    (span = for + keep + 4·step) — the same convention as a restarted
+    Prometheus. Reported value: the latest TRUE evaluation's, which is
+    what a held alert keeps exporting. One grid pass per rule, all
+    window partitions are per-label (never corpus-sized), plan-level
+    union."""
+    parts = []
+    for name, expr, for_us, keep_us, step_us in rules:
+        span_us = for_us + keep_us + 4 * step_us
+        need = for_us // step_us + 1
+        g = ev.eval_range(expr, span_us, step_us)
+        t_end = ev._grid(Subquery(None, span_us, step_us)).agg(
+            F.max("_ets").alias("_T")
+        )
+        w = Window.partitionBy("labels").orderBy("ts_us")
+        st = (
+            g.withColumn("_lagk", F.lag("ts_us", need - 1).over(w))
+            .withColumn("_next", F.lead("ts_us").over(w))
+            .join(F.broadcast(t_end))
+        )
+        fraw = F.col("_lagk") == F.col("ts_us") - F.lit(
+            (need - 1) * step_us
+        )
+        kill = F.when(
+            F.col("_next").isNotNull(),
+            F.col("_next") - F.col("ts_us") > F.lit(keep_us + step_us),
+        ).otherwise(F.col("_T") - F.col("ts_us") > F.lit(keep_us))
+        agg = st.groupBy("labels").agg(
+            F.max(F.when(fraw, F.col("ts_us"))).alias("_last_fraw"),
+            F.max(F.when(kill, F.col("ts_us"))).alias("_last_kill"),
+            F.max(F.struct("ts_us", "value")).alias("_last_true"),
+        )
+        parts.append(
+            agg.filter(
+                F.col("_last_fraw").isNotNull()
+                & (
+                    F.col("_last_kill").isNull()
+                    | (F.col("_last_kill") < F.col("_last_fraw"))
+                )
+            ).select(
+                F.lit(name).alias(name_col),
+                "labels",
+                F.col("_last_true.value").alias("value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def recording_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evaluate the recording-rule group: (metric, labels, value) —
     each rule's vector labeled with its record name."""
@@ -189,10 +281,25 @@ def alert_rules_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def alert_rules_keep_firing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Evaluate the `keep_firing_for:` alert group: (alertname,
+    labels, value) for every alert FIRING at the latest evaluation
+    instant — including alerts whose comparison has since gone false
+    but whose grace window has not elapsed."""
+    return eval_alert_keep_group(
+        PromQLEvaluator.from_dir(spark, sf_dir),
+        ALERT_KEEP_RULES,
+        "alertname",
+    )
+
+
 QUERIES = {
     "recording_rules": recording_rules,
     "alert_rules": alert_rules,
     "alert_rules_for": alert_rules_for,
+    "alert_rules_keep_firing": alert_rules_keep_firing,
 }
 
 _REC_SQL = (
@@ -275,8 +382,45 @@ _ALERT_FOR_SQL = (
     "WHERE (SELECT COUNT(*) FROM tabs) = gc.n"
 )
 
+#: keep_firing_for oracle — mirrors eval_alert_keep_group's closed
+#: form: per label, latest firing_raw instant (lag(ets, need-1) check)
+#: vs latest kill-gap start (next true > keep+step away, or last true
+#: with T - t > keep); value = the latest TRUE instant's.
+_KEEP_FOR_N = _H24_US // _H24_US + 1  # for/step + 1 consecutive trues
+_KEEP_SPAN = _H24_US + _H48_US + 4 * _H24_US
+_ALERT_KEEP_SQL = (
+    f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+    + _grid_cte(_H24_US, _KEEP_SPAN)
+    + ", "
+    + _grid_increase_cte("click", _H240_US, "ci")
+    + ", cthr AS (SELECT ets, AVG(v) AS a FROM ci GROUP BY ets), "
+    "tr AS (SELECT ci.ets, ci.l_user, ci.v FROM ci "
+    "JOIN cthr ON cthr.ets = ci.ets WHERE "
+    + dround("ci.v", 6)
+    + " > cthr.a), "
+    "gc AS (SELECT MAX(ets) AS mx FROM g), "
+    "sq AS (SELECT l_user, ets, v, "
+    "LEAD(ets) OVER (PARTITION BY l_user ORDER BY ets) AS nxt, "
+    f"LAG(ets, {_KEEP_FOR_N - 1}) OVER "
+    "(PARTITION BY l_user ORDER BY ets) AS lagk FROM tr), "
+    "ag AS (SELECT l_user, "
+    f"MAX(CASE WHEN lagk = ets - {(_KEEP_FOR_N - 1) * _H24_US} "
+    "THEN ets END) AS last_fraw, "
+    "MAX(CASE WHEN (nxt IS NOT NULL AND nxt - ets > "
+    f"{_H48_US + _H24_US}) OR (nxt IS NULL AND "
+    f"(SELECT mx FROM gc) - ets > {_H48_US}) THEN ets END) "
+    "AS last_kill, "
+    "ARG_MAX(v, ets) AS last_v FROM sq GROUP BY l_user) "
+    "SELECT 'KeepFiringAboveAverageClicks' AS alertname, "
+    "'user=' || l_user AS labels, "
+    + dround("last_v", 4)
+    + " AS value FROM ag WHERE last_fraw IS NOT NULL "
+    "AND (last_kill IS NULL OR last_kill < last_fraw)"
+)
+
 ORACLES = {
     "recording_rules": _REC_SQL,
     "alert_rules": _ALERT_SQL,
     "alert_rules_for": _ALERT_FOR_SQL,
+    "alert_rules_keep_firing": _ALERT_KEEP_SQL,
 }

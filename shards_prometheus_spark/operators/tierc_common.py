@@ -41,9 +41,12 @@ _TOKEN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 #: Eight distinct relation kinds exist per sf_dir (ids, sets, minhash
 #: / simhash signatures, shingles, shingles_flagged, near-dup edges +
-#: adjacency); 10 leaves headroom for one sf_dir plus stragglers from
-#: a previous one.
-_CACHE_MAX = 10
+#: adjacency) plus three registry-sized exposition relations
+#: (snapshot, classic payload, OpenMetrics payload — memoized here so
+#: a long-running exposer's per-scrape rebuilds stop accumulating
+#: unreleased persists); 14 leaves headroom for one sf_dir plus
+#: stragglers from a previous one.
+_CACHE_MAX = 14
 
 
 #: Memoized row counts of the persisted relations (e.g. the signature

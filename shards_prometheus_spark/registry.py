@@ -99,29 +99,33 @@ _PRIORITY = [
     "count_values",
     "histogram_quantile_bucketed",
     "offset_instant",
-    "vector_binop",
     "absent",
     "range_agg_tumbling",
     "rollup_hourly",
     "exposition_parse",
-    # Tier B — eval_range dashboard core + the r6 rule/subquery rows.
-    # The 50-entry window is zero-sum: promql_range_topk and
-    # promql_at_end (driver-green in r5) are demoted to judge-verified
-    # extras — still parity-run by tests/test_oracle_parity.py and the
-    # full tools/parity.py sweep — to admit the VERDICT r6 asks
-    # (alert `for:` hold semantics, subqueries on the grid); the
-    # eval_range family keeps two driver representatives. r7 likewise
-    # demotes promql_range_ratio (driver-green r5-r6) to admit the
-    # VERDICT r7 ask: rate() OVER a subquery (promql_subquery_rate).
+    # Tier B — eval_range dashboard core + rule/subquery rows.
+    # The 50-entry window is zero-sum; each round's VERDICT asks are
+    # admitted by demoting rows that already earned driver-green in a
+    # prior round (r6: promql_range_topk/promql_at_end out; r7:
+    # promql_range_ratio out). r8 admits the four VERDICT r8 asks —
+    # grid absent()/timestamp(), quantile_over_time over subqueries,
+    # keep_firing_for — by demoting promql_subquery_rate and
+    # promql_range_subquery (driver-green r6-r7), vector_binop
+    # (vector_binop_labels keeps the binop row) and dedup_simhash
+    # (the documented quadratic-output debug secondary;
+    # dedup_simhash_classes is the linear primary). All demoted rows
+    # stay registered and parity-run by tests/test_oracle_parity.py
+    # and the full tools/parity.py sweep.
     "promql_range_hist_quantile",
-    "promql_subquery_rate",
-    "promql_range_subquery",
+    "promql_range_absent",
+    "promql_range_timestamp",
+    "promql_subquery_quantile",
     "alert_rules_for",
+    "alert_rules_keep_firing",
     # Tier C — dedup family (dedup_simhash_classes is the r5
     # linear-output primary SimHash answer)
     "dedup_exact",
     "dedup_near",
-    "dedup_simhash",
     "dedup_simhash_classes",
     "dedup_ngram_jaccard",
     "dedup_clusters",

@@ -29,6 +29,7 @@ from shards_prometheus_spark.operators.histograms import (
     histogram_buckets,
 )
 from shards_prometheus_spark.operators.snapshot import scrape_snapshot
+from shards_prometheus_spark.operators.tierc_common import _memo_persist
 
 
 def _dec(col: str) -> Column:
@@ -55,13 +56,21 @@ def unesc_label(c: Column) -> Column:
     return F.replace(c, F.lit("\x00"), F.lit("\\"))
 
 
+def _snap_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot relation feeds 4 of the 5 classic union legs and
+    both OpenMetrics section legs; it is registry-sized (~1.5k rows at
+    sf0.01). MEMOIZED per (app, sf_dir) — a per-call .persist() here
+    accumulated one cached relation per HTTP scrape on a long-running
+    exposer (the same per-call-persist pathology the r7 dedup_clusters
+    fix removed); the memo is released by clear_caches()."""
+    return _memo_persist(
+        spark, sf_dir, "expo_snap", lambda: scrape_snapshot(spark, sf_dir)
+    )
+
+
 def exposition_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full scrape payload, one line per row."""
-    # The snapshot relation feeds 4 of the 5 union legs; persist it so
-    # the registry aggregation runs once, not once per leg (it is
-    # registry-sized — ~1.5k rows at sf0.01 — so the cache is tiny).
-    snap = scrape_snapshot(spark, sf_dir).persist()
-    return _classic_lines(spark, sf_dir, snap)
+    return _classic_lines(spark, sf_dir, _snap_persisted(spark, sf_dir))
 
 
 def _classic_lines(
@@ -104,11 +113,25 @@ def _classic_lines(
             F.col("cum_count").cast("string"),
         ).alias("line")
     )
+    # the le="+Inf" bucket is MANDATORY in both exposition dialects and
+    # its cumulative count equals the histogram _count stat; the data-
+    # driven bucket relation never materializes it on a corpus whose
+    # values all fall under the top finite bound
+    inf_bucket = snap.filter(
+        (F.col("kind") == "histogram") & (F.col("stat") == "count")
+    ).select(
+        F.concat(
+            F.col("metric"),
+            F.lit('_bucket{le="+Inf"} '),
+            F.col("value").cast("long").cast("string"),
+        ).alias("line")
+    )
     return (
         headers.unionByName(counters)
         .unionByName(gauges)
         .unionByName(hist_scalar)
         .unionByName(buckets)
+        .unionByName(inf_bucket)
     )
 
 
@@ -158,12 +181,15 @@ _NAME_RE = "^([A-Za-z_:][A-Za-z0-9_:]*)"
 _OM_HELP = " Series exported by the metrics registry."
 
 #: OpenMetrics exemplar suffix grammar: ` # {labels} value [ts]`.
-#: Anchored AFTER the sample value (`} <value> # {`): label values may
-#: legally contain ` # {` (only \, " and newline are escaped), so a
-#: strip from the FIRST ` # {` anywhere would truncate the sample.
-#: Greedy `.*` pins the match to the LAST candidate — the true
-#: exemplar, since nothing after it can contain ` # {` again.
-_EXEMPLAR_RE = r"^(.*\} [^ ]+) # \{.*$"
+#: Anchored AFTER the sample value and its OPTIONAL timestamp
+#: (`} <value>[ <ts>] # {`): label values may legally contain ` # {`
+#: (only \, " and newline are escaped), so a strip from the FIRST
+#: ` # {` anywhere would truncate the sample. Greedy `.*` pins the
+#: match to the LAST candidate — the true exemplar, since nothing
+#: after it can contain ` # {` again; the optional-timestamp group
+#: backtracks to empty when the token after the value is the
+#: exemplar's `#` marker.
+_EXEMPLAR_RE = r"^(.*\} [^ ]+(?: [^ ]+)?) # \{.*$"
 
 
 def openmetrics_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,7 +208,7 @@ def openmetrics_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the body's own snapshot legs, recomputing the registry
     aggregation ~4x per scrape.
     """
-    snap = scrape_snapshot(spark, sf_dir).persist()
+    snap = _snap_persisted(spark, sf_dir)
     body = _classic_lines(spark, sf_dir, snap)
     helps = snap.select("metric").distinct().select(
         F.concat(F.lit("# HELP "), F.col("metric"), F.lit(_OM_HELP)).alias(
@@ -201,17 +227,28 @@ def openmetrics_text(lines: DataFrame) -> str:
 
     def key(line: str):
         if line == "# EOF":
-            return (2, "", 0, "")
+            return (2, "", 0, "", -1.0, "")
         for rank, prefix in ((0, "# HELP "), (1, "# TYPE ")):
             if line.startswith(prefix):
                 fam = line[len(prefix):].split(" ", 1)[0]
-                return (1, fam, rank, line)
+                return (1, fam, rank, "", -1.0, line)
         m = _re.match(_NAME_RE, line)
         name = m.group(1) if m else line
         # sample names carry _total/_bucket/_sum/_count suffixes;
         # group them with their family
         fam = _re.sub(r"_(total|bucket|sum|count)$", "", name)
-        return (1, fam, 2, line)
+        # OpenMetrics mandates buckets in ASCENDING numeric le order
+        # (+Inf last) — a lexicographic sort puts "10" before "5" and
+        # "+Inf" first; non-bucket samples keep lexicographic order
+        le = -1.0
+        if name.endswith("_bucket"):
+            lm = _re.search(r'le="([^"]*)"', line)
+            if lm:
+                try:
+                    le = float(lm.group(1))
+                except ValueError:
+                    le = float("inf")
+        return (1, fam, 2, name, le, line)
 
     return (
         "\n".join(sorted((r["line"] for r in lines.collect()), key=key))
@@ -295,8 +332,16 @@ def exposition_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     The payload is persisted across the round trip: `_parse_payload`
     scans it twice (the `# TYPE` header leg and the sample body leg),
     and without the cache each scan would re-run the whole
-    serialization tree."""
-    return _parse_payload(exposition_lines(spark, sf_dir).persist())
+    serialization tree. Memoized per (app, sf_dir), released by
+    clear_caches() — not a per-call persist."""
+    return _parse_payload(
+        _memo_persist(
+            spark,
+            sf_dir,
+            "expo_payload",
+            lambda: exposition_lines(spark, sf_dir),
+        )
+    )
 
 
 def _with_exemplars(lines: DataFrame) -> DataFrame:
@@ -322,11 +367,17 @@ def openmetrics_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload — `# HELP`/`# EOF` lines and exemplar-bearing counter
     samples (parsed and ignored, the v1 scraper contract) — into the
     same typed relation as the classic parser."""
-    payload = _with_exemplars(openmetrics_lines(spark, sf_dir))
-    stripped = payload.select(
-        F.regexp_replace("line", _EXEMPLAR_RE, "$1").alias("line")
-    ).persist()  # scanned twice by _parse_payload (headers + body)
-    return _parse_payload(stripped)
+    def build() -> DataFrame:
+        payload = _with_exemplars(openmetrics_lines(spark, sf_dir))
+        return payload.select(
+            F.regexp_replace("line", _EXEMPLAR_RE, "$1").alias("line")
+        )
+
+    # scanned twice by _parse_payload (headers + body); memoized per
+    # (app, sf_dir), released by clear_caches() — not a per-call persist
+    return _parse_payload(
+        _memo_persist(spark, sf_dir, "om_payload", build)
+    )
 
 
 class MetricsExposer:
@@ -467,7 +518,11 @@ _LINES_BODY_SQL = (
         + _le_label_sql()
         + ") || '\"} ' || CAST(CAST(SUM(bucket_count) OVER "
         "(PARTITION BY metric ORDER BY bucket_idx) AS BIGINT) AS VARCHAR) "
-        "FROM g"
+        "FROM g "
+        "UNION ALL "
+        "SELECT metric || '_bucket{le=\"+Inf\"} ' || "
+        "CAST(CAST(value AS BIGINT) AS VARCHAR) "
+        "FROM snap WHERE kind = 'histogram' AND stat = 'count'"
 )
 
 _LINES_SQL = _LINES_PREFIX_SQL + _LINES_BODY_SQL

@@ -259,6 +259,92 @@ def _make_update_alert(for_n: int):
     return update
 
 
+#: keep-firing state: the consec run, its start, the last TRUE eval's
+#: µs timestamp, and whether the alert is (still) firing.
+ALERT_KEEP_STATE_SCHEMA = StructType(
+    [
+        StructField("consec", LongType()),
+        StructField("active_since_us", LongType()),
+        StructField("last_true_us", LongType()),
+        StructField("firing", LongType()),
+    ]
+)
+
+
+def _make_update_alert_keep(for_n: int, keep_us: int):
+    """The `for:` machine of `_make_update_alert` extended with
+    `keep_firing_for` (public Prometheus since 2.42): a FIRING alert
+    that evaluates false stays firing until `keep_us` has elapsed
+    since its last true evaluation; any true evaluation while held
+    keeps it firing without a fresh `for:` run and resets the
+    countdown. A PENDING alert gets no grace — false still resets it.
+    Mirrors the batch closed form in rules.py:eval_alert_keep_group;
+    tests pin the two equal across micro-batch boundaries."""
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            consec, since, last_true, firing = state.get
+        else:
+            consec, since, last_true, firing = 0, 0, 0, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values("ts_us")
+            for ts, cond in zip(
+                batch["ts_us"].to_numpy(), batch["cond"].to_numpy()
+            ):
+                if bool(cond):
+                    if consec == 0:
+                        since = int(ts)
+                    consec += 1
+                    last_true = int(ts)
+                    if consec >= for_n + 1:
+                        firing = 1
+                else:
+                    consec, since = 0, 0
+                    if firing and int(ts) - last_true > keep_us:
+                        firing = 0
+        state.update((int(consec), int(since), int(last_true), int(firing)))
+        st = (
+            "firing"
+            if firing
+            else ("pending" if consec > 0 else "inactive")
+        )
+        yield pd.DataFrame(
+            {
+                "alertname": [key[0]],
+                "labels": [key[1]],
+                "state": [st],
+                "consec": [int(consec)],
+                "active_since_us": [int(since)],
+            }
+        )
+
+    return update
+
+
+def alert_keep_state_stream(
+    evals: DataFrame, for_n: int, keep_us: int
+) -> DataFrame:
+    """`for:` + `keep_firing_for:` as CROSS-MICRO-BATCH state — same
+    tick-stream contract as `alert_state_stream`, state is four ints
+    per alert series."""
+    return (
+        evals.select("alertname", "labels", "ts_us", "cond")
+        .groupBy("alertname", "labels")
+        .applyInPandasWithState(
+            _make_update_alert_keep(for_n, keep_us),
+            ALERT_STATE_OUTPUT_SCHEMA,
+            ALERT_KEEP_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def alert_state_stream(evals: DataFrame, for_n: int) -> DataFrame:
     """The `for:` hold clause as CROSS-MICRO-BATCH state: `evals` is
     the rule-evaluation tick stream (alertname, labels, ts_us, cond) —

@@ -545,3 +545,38 @@ def test_grid_quantile_no_cartesian_broadcast_grid(spark):
     from shards_prometheus_spark.plans import formatted_plan
 
     assert "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def test_dedup_near_forced_fallback_matches_broadcast(spark, monkeypatch):
+    """The beyond-broadcast regime (the branch the 100 TB story rests
+    on), EXECUTED: forcing the fallback via the injectable limits must
+    (a) plan the band self-join as a ShuffledHashJoin over an explicit
+    hashpartitioning(band, band_hash) exchange at the data-driven
+    width, and (b) produce pair-identical output to the broadcast
+    regime."""
+    from shards_prometheus_spark.operators.dedup import dedup_near
+    from shards_prometheus_spark.plans import formatted_plan
+
+    base = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_near(spark, SF_SMOKE).collect()
+    }
+    assert base  # non-vacuous: sf0.001 has real near-dup pairs
+
+    # force the fallback: sigs (~2000 rows at sf0.001) > limit 0;
+    # per-task 50 makes the width data-driven (2000/50 = 40 > the
+    # default parallelism), so the width assert is meaningful
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_SIGS_LIMIT", "0")
+    monkeypatch.setenv("SPARK_GRAFT_SIGS_PER_JOIN_TASK", "50")
+    df = dedup_near(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    # the band exchange exists at width n_sigs // per_task = 40 (the
+    # broadcast regime has NO hashpartitioning(band...) exchange)
+    assert "hashpartitioning(band" in plan, plan[:2000]
+    assert ", 40)" in plan.split("hashpartitioning(band", 1)[1][:200]
+    assert_no_cartesian_product(df)
+    forced = {
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in df.collect()
+    }
+    assert forced == base

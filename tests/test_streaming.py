@@ -899,3 +899,146 @@ def test_alert_state_machine_for_hold_boundary(spark, tmp_path):
     # and user=b / user=c never fired at all
     assert not {r for r in rows if r[2] == "firing" and r[3] <= 3}
     assert not {r for r in rows if r[1] != "user=a" and r[2] == "firing"}
+
+
+def test_alert_keep_firing_grace_across_micro_batches(spark, tmp_path):
+    """keep_firing_for across REAL micro-batch boundaries: a firing
+    alert held through false evaluations inside the grace window
+    (including a batch boundary), re-armed by a single true evaluation
+    WITHOUT a fresh for: run, and resolved once the window elapses.
+    Pending alerts get no grace."""
+    import pyspark.sql.types as T
+
+    from shards_prometheus_spark.streaming.stateful import (
+        alert_keep_state_stream,
+    )
+
+    h = 3_600_000_000  # one evaluation interval in µs
+    keep = int(1.5 * h)
+    # for_n=1 → firing needs 2 consecutive trues
+    batches = [
+        # b1: a fires (2 trues); b pends (1 true)
+        [("K", "user=a", 1 * h, True), ("K", "user=a", 2 * h, True),
+         ("K", "user=b", 1 * h, True)],
+        # b2: a held by grace (1h ≤ keep) then re-armed by ONE true
+        # (no new for: run needed); b resets — pending gets no grace
+        [("K", "user=a", 3 * h, False), ("K", "user=a", 4 * h, True),
+         ("K", "user=b", 2 * h, False)],
+        # b3: a still held at the batch boundary (5h-4h=1h ≤ keep)
+        [("K", "user=a", 5 * h, False)],
+        # b4: grace elapsed (6h-4h=2h > keep) → inactive
+        [("K", "user=a", 6 * h, False)],
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("alertname", T.StringType()),
+            T.StructField("labels", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("cond", T.BooleanType()),
+        ]
+    )
+    d = tmp_path / "kticks"
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            str(d / f"p{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "p*"))
+    )
+    q = run_to_memory(
+        alert_keep_state_stream(stream, for_n=1, keep_us=keep),
+        "alert_keep_states",
+    )
+    _await(q)
+    rows = [
+        (r["labels"], r["state"], r["consec"])
+        for r in spark.table("alert_keep_states").collect()
+    ]
+    a_states = [s for l, s, _c in rows if l == "user=a"]
+    # per-batch latest state for a: firing, firing (re-armed), firing
+    # (held with consec 0 — grace carried ACROSS the boundary),
+    # inactive (grace elapsed)
+    assert sorted(a_states) == sorted(
+        ["firing", "firing", "firing", "inactive"]
+    )
+    assert ("user=a", "firing", 0) in rows  # held-by-grace, not a run
+    assert not [r for r in rows if r[0] == "user=b" and r[1] == "firing"]
+
+
+def test_alert_keep_firing_stream_equals_batch(spark, tmp_path):
+    """The streaming keep_firing_for machine, fed the REAL rule's
+    evaluation ticks (true/false per label per grid instant from the
+    batch evaluator on the sf0.001 tables, split into two micro-
+    batches), must end with exactly the batch group's firing set."""
+    import pyspark.sql.types as T
+
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+        Subquery,
+    )
+    from shards_prometheus_spark.operators.rules import (
+        ALERT_KEEP_RULES,
+        alert_rules_keep_firing,
+    )
+    from shards_prometheus_spark.streaming.stateful import (
+        alert_keep_state_stream,
+    )
+
+    name, expr, for_us, keep_us, step_us = ALERT_KEEP_RULES[0]
+    span_us = for_us + keep_us + 4 * step_us
+    ev = PromQLEvaluator.from_dir(spark, SF_SMOKE)
+    trues = {
+        (r["labels"], r["ts_us"])
+        for r in ev.eval_range(expr, span_us, step_us).collect()
+    }
+    instants = sorted(
+        r["_ets"]
+        for r in ev._grid(Subquery(None, span_us, step_us)).collect()
+    )
+    labels = sorted({l for l, _t in trues})
+    ticks = [
+        (name, l, t, (l, t) in trues) for l in labels for t in instants
+    ]
+    assert ticks and any(not c for *_x, c in ticks)  # real true/false mix
+    schema = T.StructType(
+        [
+            T.StructField("alertname", T.StringType()),
+            T.StructField("labels", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("cond", T.BooleanType()),
+        ]
+    )
+    cut = instants[len(instants) // 2]
+    d = tmp_path / "rticks"
+    spark.createDataFrame(
+        [t for t in ticks if t[2] <= cut], schema
+    ).coalesce(1).write.parquet(str(d / "p1"))
+    spark.createDataFrame(
+        [t for t in ticks if t[2] > cut], schema
+    ).coalesce(1).write.parquet(str(d / "p2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "p*"))
+    )
+    q = run_to_memory(
+        alert_keep_state_stream(
+            stream, for_n=for_us // step_us, keep_us=keep_us
+        ),
+        "alert_keep_equal",
+    )
+    _await(q)
+    # last batch's state per label = the stream's final word
+    import collections
+
+    last = {}
+    for r in spark.table("alert_keep_equal").collect():
+        last[r["labels"]] = r["state"]  # memory sink appends in order
+    stream_firing = {l for l, s in last.items() if s == "firing"}
+    batch_firing = {
+        r["labels"] for r in alert_rules_keep_firing(spark, SF_SMOKE).collect()
+    }
+    assert stream_firing == batch_firing
+    assert batch_firing  # non-vacuous at sf0.001

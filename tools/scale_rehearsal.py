@@ -268,6 +268,31 @@ PAIRWISE_FAMILIES: list[tuple[str, list[str]]] = [
 #: linear at 3× data is ratio 3; flag past 2× headroom over linear
 SF3_FLAG_RATIO = 6.0
 
+#: queries whose first post-clear rep is a deterministic cache build
+#: an order of magnitude above steady state — priced separately
+PRICE_BUILD_SEPARATELY = {"dedup_clusters"}
+
+#: third-decade leg (sf3.0 -> sf12.0, 4× step): sized to push the
+#: MinHash signature relation PAST dedup_near's 2 M-row broadcast
+#: limit so the broadcast->shuffled-hash handoff itself is measured,
+#: not reasoned about. Factor 100 ("sf10") would land EXACTLY on the
+#: limit (20 k sigs per sf0.1 copy × 100 = 2,000,000 and the guard is
+#: <=), so the leg uses factor 120 -> 2.4 M sigs, safely beyond.
+OUT12 = os.path.join(os.path.dirname(OUT), "sf12.0")
+FACTOR12 = 120
+#: linear at 4× data is ratio 4; flag past 2× headroom over linear
+SF12_FLAG_RATIO = 8.0
+SF12_FAMILIES: list[tuple[str, list[str]]] = [
+    (
+        "docs",
+        [
+            "dedup_exact",
+            "dedup_near",
+            "dedup_simhash_classes",
+        ],
+    ),
+]
+
 
 def _measure(
     spark, queries, families, legs: list[tuple[str, str]]
@@ -286,6 +311,17 @@ def _measure(
                 fam_prev = fam
             samples: list[float] = []
             n = -1
+            if name in PRICE_BUILD_SEPARATELY:
+                # the first rep after a family-boundary cache clear
+                # deterministically pays the full memoized-funnel
+                # build (e.g. dedup_clusters' 27 M-row edge relation);
+                # price it as its own number so the steady-state
+                # spread column stays readable (VERDICT r7 #5)
+                t0 = time.perf_counter()
+                n = queries[name](spark, sf_dir).count()
+                results.setdefault(name, {})[f"build_{key}"] = round(
+                    time.perf_counter() - t0, 3
+                )
             for _ in range(max(1, REPS)):
                 t0 = time.perf_counter()
                 n = queries[name](spark, sf_dir).count()
@@ -354,6 +390,48 @@ def main() -> None:
     from shards_prometheus_spark.registry import all_queries
 
     spark = get_spark("scale-rehearsal")
+    if "--sf12" in sys.argv:
+        # third-decade leg: documents only (the dedup_near handoff ask)
+        if not os.path.exists(f"{OUT3}/documents.parquet"):
+            print("generating", OUT3, flush=True)
+            generate(spark, OUT3, FACTOR3, tables=("documents",))
+        if not os.path.exists(f"{OUT12}/documents.parquet"):
+            print("generating", OUT12, flush=True)
+            generate(spark, OUT12, FACTOR12, tables=("documents",))
+        if "--gen-only" in sys.argv:
+            return
+        from shards_prometheus_spark.operators.dedup import (
+            BROADCAST_SIGS_LIMIT,
+            _minhash_sigs,
+        )
+        from shards_prometheus_spark.operators.tierc_common import (
+            clear_caches,
+        )
+
+        n_sigs = {
+            key: _minhash_sigs(spark, d).count()
+            for d, key in [(OUT3, "sf3.0"), (OUT12, "sf12.0")]
+        }
+        clear_caches(spark)
+        print("sig counts:", n_sigs, "limit:", BROADCAST_SIGS_LIMIT,
+              flush=True)
+        results = _measure(
+            spark,
+            all_queries(),
+            SF12_FAMILIES,
+            [(OUT3, "sf3.0"), (OUT12, "sf12.0")],
+        )
+        results["_meta_dedup_near_regime"] = {
+            "sf3.0": n_sigs["sf3.0"],
+            "sf12.0": n_sigs["sf12.0"],
+            "broadcast_sigs_limit": BROADCAST_SIGS_LIMIT,
+            "ratio": 0.0,
+        }
+        _flag_and_write(
+            results, "sf3.0", "sf12.0", SF12_FLAG_RATIO, 4,
+            "BENCH_sf12.json",
+        )
+        return
     if "--sf3" in sys.argv:
         # pairwise family only: needs documents+embeddings at sf1.0
         # (the small leg) and sf3.0 (the large leg); events unused
