@@ -176,6 +176,14 @@ _OVER_TIME_FNS = {
 _SUBQ_LAG_FNS = {
     "rate", "increase", "delta", "irate", "idelta", "resets", "changes",
 }
+#: range fns routed through _range_fold over subquery points with the
+#: subquery instants as the sample axis (r8): the regression pair
+#: (deriv/predict_linear, x-ref = the outer evaluation instant) and the
+#: sequential-smoothing pair (JVM-side aggregate() fold).
+_SUBQ_FOLD_FNS = {
+    "deriv", "predict_linear", "holt_winters",
+    "double_exponential_smoothing",
+}
 _CMP_OPS = {">", ">=", "<", "<=", "==", "!="}
 #: vector set operators (lowest precedence: or < and/unless < cmp)
 _SET_OPS = {"and", "or", "unless"}
@@ -856,6 +864,7 @@ class _Parser:
             if (
                 fn not in _OVER_TIME_FNS
                 and fn not in _SUBQ_LAG_FNS
+                and fn not in _SUBQ_FOLD_FNS
                 and fn != "last_over_time"
             ):
                 raise PromQLSyntaxError(
@@ -865,7 +874,7 @@ class _Parser:
             # evaluator re-enters the grid dispatch for composed inners
             # (aggregations, binops, quantiles) and keeps a specialized
             # single-fold plan for the plain selector / range-fn forms
-            return RangeFn(fn, arg)
+            return RangeFn(fn, arg, param=param, param2=param2)
         if not isinstance(arg, Selector) or arg.range_us is None:
             raise PromQLSyntaxError(f"{fn}() needs a range selector [d]")
         return RangeFn(fn, arg, param=param, param2=param2)
@@ -1387,7 +1396,7 @@ class PromQLEvaluator:
         # decisions (max/min) can't flip on cross-engine noise
         pts = self._range_fold(df, ["series_id", "_ets"], ifn, irange)
         pts = pts.withColumn("value", F.round("value", 6))
-        if node.fn in _SUBQ_LAG_FNS:
+        if node.fn in _SUBQ_LAG_FNS or node.fn in _SUBQ_FOLD_FNS:
             # rate(m[1h:5m]) and friends: the subquery points ARE the
             # range samples — reuse the lag-spine fold with the
             # instant axis as the timestamp (one point per instant,
@@ -1399,8 +1408,14 @@ class PromQLEvaluator:
                 F.lit(0).cast("long").alias("event_id"),
                 "value",
             )
+            if node.fn in {"deriv", "predict_linear"}:
+                # regression x-ref: the (instant) query's eval time
+                d = d.join(F.broadcast(self._tmax)).withColumn(
+                    "_xref", F.col("t_max")
+                )
             return self._range_fold(
-                d, ["series_id"], node.fn, sub.range_us
+                d, ["series_id"], node.fn, sub.range_us,
+                param=node.param, param2=node.param2,
             ).select("labels", "value")
         if node.fn == "last_over_time":
             w = Window.partitionBy("series_id").orderBy(F.desc("_ets"))
@@ -1443,7 +1458,7 @@ class PromQLEvaluator:
                 self._gridf, self._gspan = saved
         pts = pts.withColumn("value", F.round("value", 6))
         key = _label_str(F.col("labels"))
-        if node.fn in _SUBQ_LAG_FNS:
+        if node.fn in _SUBQ_LAG_FNS or node.fn in _SUBQ_FOLD_FNS:
             d = pts.select(
                 key.alias("_k"),
                 "labels",
@@ -1451,8 +1466,13 @@ class PromQLEvaluator:
                 F.lit(0).cast("long").alias("event_id"),
                 "value",
             )
+            if node.fn in {"deriv", "predict_linear"}:
+                d = d.join(F.broadcast(self._tmax)).withColumn(
+                    "_xref", F.col("t_max")
+                )
             return self._range_fold(
-                d, ["_k"], node.fn, sub.range_us
+                d, ["_k"], node.fn, sub.range_us,
+                param=node.param, param2=node.param2,
             ).select("labels", "value")
         if node.fn == "last_over_time":
             w = Window.partitionBy(key).orderBy(F.desc("_ets"))
@@ -2427,7 +2447,7 @@ class PromQLEvaluator:
             .join(F.broadcast(cg), "_iets")
         )
         key = _label_str(F.col("labels"))
-        if node.fn in _SUBQ_LAG_FNS:
+        if node.fn in _SUBQ_LAG_FNS or node.fn in _SUBQ_FOLD_FNS:
             d = pts.select(
                 "_ets",
                 key.alias("_k"),
@@ -2436,8 +2456,12 @@ class PromQLEvaluator:
                 F.lit(0).cast("long").alias("event_id"),
                 "value",
             )
+            if node.fn in {"deriv", "predict_linear"}:
+                # x-ref: the OUTER evaluation instant (per grid point)
+                d = d.withColumn("_xref", F.col("_ets"))
             return self._range_fold(
-                d, ["_ets", "_k"], node.fn, sub.range_us
+                d, ["_ets", "_k"], node.fn, sub.range_us,
+                param=node.param, param2=node.param2,
             ).select("_ets", "labels", "value")
         if node.fn == "last_over_time":
             w = Window.partitionBy("_ets", key).orderBy(F.desc("_iets"))
@@ -2775,6 +2799,13 @@ PROMQL_SUBQ_QUANTILE = (
 #: click rate sampled daily over that day's trailing 72h
 PROMQL_RANGE_SUBQ_QUANT = (
     "quantile_over_time(0.5, sum by (user) (rate(click[48h]))[72h:24h])"
+)
+#: deriv OVER a subquery (r8) — per-user least-squares slope of the
+#: daily sample-count series across the trailing 10 days' instants
+#: (the "is volume trending up" panel); x-ref = the query eval time
+PROMQL_SUBQ_DERIV = (
+    "deriv(sum by (user) (count_over_time(click[24h]))[240h:24h])"
+    " * 86400"
 )
 
 
@@ -3128,6 +3159,16 @@ def promql_range_subquery_quantile(
     )
 
 
+def promql_subquery_deriv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """deriv over subquery points (r8): per-user regression slope of
+    the daily 24h click sample counts over the trailing 10 days —
+    routed through the shared _range_fold regression with the
+    subquery instants as the sample axis and t_max as the x-ref."""
+    return promql_eval(spark, sf_dir, PROMQL_SUBQ_DERIV)
+
+
 def promql_at_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`@ end()` (the Grafana-emitted form): pins the selector to the
     query window end — t_max for an instant query."""
@@ -3366,6 +3407,7 @@ QUERIES = {
     "promql_range_timestamp": promql_range_timestamp,
     "promql_subquery_quantile": promql_subquery_quantile,
     "promql_range_subquery_quantile": promql_range_subquery_quantile,
+    "promql_subquery_deriv": promql_subquery_deriv,
     "promql_subquery_rate": promql_subquery_rate,
     "promql_range_subquery_increase": promql_range_subquery_increase,
     "promql_range_subquery_at": promql_range_subquery_at,
@@ -4152,6 +4194,24 @@ ORACLES = {
         "'shard=' || l_shard || ',user=' || l_user AS labels, "
         + dround("ts_us / 1e6", 4)
         + " AS value FROM w WHERE rn = 1"
+    ),
+    "promql_subquery_deriv": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        + _grid_cte(_H24_US, _H240_US)
+        + ", w AS (SELECT s.l_user, g.ets, "
+        "ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS v "
+        "FROM samples_multi s JOIN g ON s.ts_us <= g.ets "
+        f"AND s.ts_us > g.ets - {_H24_US} WHERE s.metric = 'click' "
+        "GROUP BY s.l_user, g.ets) "
+        "SELECT 'user=' || l_user AS labels, "
+        + dround(
+            "ROUND(REGR_SLOPE(v, (ets - (SELECT t_max FROM t)) / 1e6)"
+            ", 6) * 86400",
+            4,
+        )
+        + " AS value FROM w GROUP BY l_user "
+        "HAVING REGR_SLOPE(v, (ets - (SELECT t_max FROM t)) / 1e6) "
+        "IS NOT NULL"
     ),
     "promql_subquery_quantile": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

@@ -1603,3 +1603,51 @@ def test_quantile_over_time_subquery(spark):
     # grid 40: inner instants 35,40 -> 7,8 -> 7.5; grid 30: 25,30 ->
     # 5,6 -> 5.5; grid 20: 15,20 -> 3,4 -> 3.5
     assert g == {40_000_000: 7.5, 30_000_000: 5.5, 20_000_000: 3.5}
+
+
+def test_fold_fns_over_subquery_match_range_selector(spark):
+    """r8: deriv/predict_linear/holt_winters over a subquery. With one
+    sample per 5s and a [20s:5s] subquery (instants 25..40 = the last
+    samples themselves), each fold over the subquery points must equal
+    the same fold over the plain range selector m[20s]."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    rows = [
+        (i, 11, "m", {"user": "a"}, i * 5_000_000, float(i))
+        for i in range(1, 9)
+    ]
+    ev = PromQLEvaluator(
+        spark.createDataFrame(
+            rows,
+            "event_id long, series_id long, metric string, "
+            "labels map<string,string>, ts_us long, value double",
+        )
+    )
+
+    def one(expr):
+        got = ev.eval(expr).collect()
+        assert len(got) == 1, expr
+        return got[0]["value"]
+
+    for fn_expr in (
+        "deriv({})",
+        "predict_linear({}, 30)",
+        "holt_winters({}, 0.5, 0.3)",
+    ):
+        sub = one(fn_expr.format("m[20s:5s]"))
+        rng = one(fn_expr.format("m[20s]"))
+        assert sub == rng, (fn_expr, sub, rng)
+    # hand check: values 5,6,7,8 at 25..40s -> slope 0.2/s;
+    # predict_linear 30s after t_max=40: 8 + 0.2*30 = 14
+    assert one("deriv(m[20s:5s])") == 0.2
+    assert one("predict_linear(m[20s:5s], 30)") == 14.0
+    # composed inner goes through the same fold
+    assert one("deriv(sum by (user) (m)[20s:5s])") == 0.2
+    # and on the grid: per grid instant the trailing-window slope is
+    # the constant 0.2 (m is linear)
+    g = ev.eval_range(
+        "deriv(m[15s:5s])", 20_000_000, 10_000_000
+    ).collect()
+    assert g and all(r["value"] == 0.2 for r in g)
