@@ -2333,7 +2333,9 @@ class PromQLEvaluator:
             # where the inner grid vector is empty. `present` is
             # grid-sized (distinct instants), never corpus-sized.
             present = self._gvector(node.expr).select("_ets").distinct()
-            return self._gridf.join(present, "_ets", "left_anti").select(
+            return self._gridf.join(
+                F.broadcast(present), "_ets", "left_anti"
+            ).select(
                 "_ets",
                 F.map_from_arrays(F.array(), F.array()).alias("labels"),
                 F.lit(1.0).alias("value"),
@@ -2354,8 +2356,12 @@ class PromQLEvaluator:
         instants anti-join the grid, so the distinct relation is
         grid-sized, never corpus-sized."""
         win = node.sel.range_us if node.over_time else LOOKBACK_US
+        # the present-instants relation is grid-sized (distinct _ets,
+        # <= span/step + 1 rows) — always broadcast the anti-join side
         present = self._gwindow(node.sel, win).select("_ets").distinct()
-        return self._gridf.join(present, "_ets", "left_anti").select(
+        return self._gridf.join(
+            F.broadcast(present), "_ets", "left_anti"
+        ).select(
             "_ets",
             self._absent_labels(node.sel).alias("labels"),
             F.lit(1.0).alias("value"),

@@ -24,7 +24,7 @@ from tests.conftest import SF_SMOKE
         "click{user=unquoted}",              # unquoted matcher
         "topk(5, click) extra",              # trailing tokens
         "1 + 2",                             # scalar-scalar
-        "deriv(click[1h:5m])",               # regression over subquery
+        "mad_over_time(click[1h:5m])",       # unknown fn over subquery
         "click[1h][1h:5m]",                  # subquery of a range vector
     ],
 )
