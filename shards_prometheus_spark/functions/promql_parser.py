@@ -327,6 +327,15 @@ class TsFn:
 
 
 @dataclass
+class TsFnExpr:
+    """timestamp(<computed vector>): every sample of a computed
+    vector sits AT the evaluation timestamp (only a plain selector
+    preserves raw sample times), so the value is T in seconds."""
+
+    expr: object
+
+
+@dataclass
 class TimeFn:
     """time(): the evaluation timestamp (t_max) in seconds — valid in
     scalar positions of binary expressions."""
@@ -552,7 +561,10 @@ class _Parser:
                     e.range_us = d1
             elif tok == "offset":
                 self.next()
-                off = _dur_us(self.next())
+                sign = 1
+                if self.peek() in {"-", "+"}:
+                    sign = -1 if self.next() == "-" else 1
+                off = sign * _dur_us(self.next())
                 if not isinstance(e, (Selector, Subquery)):
                     raise PromQLSyntaxError(
                         "offset applies to selectors/subqueries"
@@ -672,9 +684,12 @@ class _Parser:
         if tok == "timestamp":
             self.next()
             self.expect("(")
-            sel = self._selector()
+            arg = self.or_expr()
             self.expect(")")
-            return TsFn(sel)
+            if isinstance(arg, Selector):
+                return TsFn(arg)
+            # computed vector: samples sit at the evaluation time
+            return TsFnExpr(arg)
         if tok == "time":
             self.next()
             self.expect("(")
@@ -2163,6 +2178,19 @@ class PromQLEvaluator:
             return self._vector_fn(node)
         if isinstance(node, TsFn):
             return self._timestamp(node)
+        if isinstance(node, TsFnExpr):
+            # value = the evaluation time (t_max) in seconds, one row
+            # per series of the computed vector
+            return (
+                self._vector(node.expr)
+                .join(F.broadcast(self._tmax))
+                .select(
+                    "labels",
+                    (F.col("t_max").cast("double") / F.lit(1e6)).alias(
+                        "value"
+                    ),
+                )
+            )
         if isinstance(node, (TimeFn, ScalarFn)):
             raise PromQLSyntaxError(
                 "time()/scalar() are only valid in scalar positions; "
@@ -2342,6 +2370,13 @@ class PromQLEvaluator:
             )
         if isinstance(node, TsFn):
             return self._gtimestamp(node)
+        if isinstance(node, TsFnExpr):
+            # per grid instant: the instant itself, in seconds
+            return self._gvector(node.expr).select(
+                "_ets",
+                "labels",
+                (F.col("_ets").cast("double") / F.lit(1e6)).alias("value"),
+            )
         raise PromQLSyntaxError(
             "eval_range does not support "
             f"{type(node).__name__} expressions"

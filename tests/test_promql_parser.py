@@ -1651,3 +1651,55 @@ def test_fold_fns_over_subquery_match_range_selector(spark):
         "deriv(m[15s:5s])", 20_000_000, 10_000_000
     ).collect()
     assert g and all(r["value"] == 0.2 for r in g)
+
+
+def test_negative_offset_and_timestamp_expr(spark):
+    """r8 conformance tail: `offset -d` (window shifted FORWARD — the
+    default-on Prometheus feature) and timestamp(<computed vector>)
+    (computed samples sit at the evaluation time, so the value is T
+    seconds — only a plain selector preserves raw sample times)."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    rows = [
+        (i, 11, "m", {"user": "a"}, i * 5_000_000, float(i))
+        for i in range(1, 9)
+    ]
+    ev = PromQLEvaluator(
+        spark.createDataFrame(
+            rows,
+            "event_id long, series_id long, metric string, "
+            "labels map<string,string>, ts_us long, value double",
+        )
+    )
+    # grid instants 20,30,40; offset -10s reads the window 10s AHEAD:
+    # instant 20 sees the sample at 30 (value 6), 30 sees 40 (8)
+    g = {
+        r["ts_us"]: r["value"]
+        for r in ev.eval_range(
+            "m offset -10s", 30_000_000, 10_000_000
+        ).collect()
+    }
+    assert g == {20_000_000: 6.0, 30_000_000: 8.0, 40_000_000: 8.0}
+    plain = {
+        r["ts_us"]: r["value"]
+        for r in ev.eval_range("m", 30_000_000, 10_000_000).collect()
+    }
+    for t in (20_000_000, 30_000_000):
+        assert g[t] == plain[t + 10_000_000]
+    # timestamp over a computed vector: the evaluation time itself
+    got = ev.eval("timestamp(sum by (user) (m))").collect()
+    assert len(got) == 1 and got[0]["value"] == 40.0
+    gg = {
+        r["ts_us"]: r["value"]
+        for r in ev.eval_range(
+            "timestamp(sum(m))", 30_000_000, 10_000_000
+        ).collect()
+    }
+    assert gg == {
+        20_000_000: 20.0, 30_000_000: 30.0, 40_000_000: 40.0,
+    }
+    # plain-selector timestamp still reports RAW sample times
+    raw = ev.eval("timestamp(m)").collect()
+    assert raw[0]["value"] == 40.0  # last sample at 40s here
