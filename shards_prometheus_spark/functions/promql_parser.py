@@ -104,7 +104,7 @@ _TOKEN_RE = re.compile(
               |(?:(?:ms|[smhdwy])(?:\d+(?:\.\d+)?(?:ms|[smhdwy]))*)?))
       | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
       | (?P<str>"(?:[^"\\]|\\.)*")             # backslash escapes OK
-      | (?P<op>=~|!~|!=|==|>=|<=|[{}()\[\],=<>+\-*/%:@])
+      | (?P<op>=~|!~|!=|==|>=|<=|[{}()\[\],=<>+\-*/%:@^])
     )""",
     re.VERBOSE,
 )
@@ -525,14 +525,43 @@ class _Parser:
         return e
 
     def mul_expr(self):
-        e = self.primary()
+        e = self.unary_expr()
         # atan2 is PromQL's one named binary operator; it binds at
         # the same precedence level as * / %
         while self.peek() in {"*", "/", "%", "atan2"}:
             op = self.next()
             match, group, extra = self._matching()
             e = BinOp(
-                op, e, self.primary(), match=match, group=group,
+                op, e, self.unary_expr(), match=match, group=group,
+                extra=extra,
+            )
+        return e
+
+    def unary_expr(self):
+        # unary +/- bind tighter than * / % but LOOSER than ^
+        # (-m ^ 2 = -(m ^ 2), per the public grammar). Scalars fold
+        # in place; vector negation desugars to 0 - v (scalar-vector
+        # arith keeps the vector's labels).
+        if self.peek() in {"-", "+"}:
+            op = self.next()
+            e = self.unary_expr()
+            if isinstance(e, Scalar):
+                return Scalar(-e.value if op == "-" else e.value)
+            if op == "+":
+                return e
+            return BinOp("-", Scalar(0.0), e)
+        return self.pow_expr()
+
+    def pow_expr(self):
+        # ^ binds tightest of the binary operators and is RIGHT-
+        # associative (a ^ b ^ c = a ^ (b ^ c)); its right operand
+        # admits a unary sign (a ^ -1)
+        e = self.primary()
+        if self.peek() == "^":
+            self.next()
+            match, group, extra = self._matching()
+            e = BinOp(
+                "^", e, self.unary_expr(), match=match, group=group,
                 extra=extra,
             )
         return e
@@ -1832,6 +1861,7 @@ class PromQLEvaluator:
                 "%": F.try_mod(a, b),
                 # y atan2 x — argument order matches math.atan2
                 "atan2": F.atan2(a, b),
+                "^": F.pow(a, b),
             }[node.op]
 
         def cmp_cond(a: Column, b: Column) -> Column:

@@ -1703,3 +1703,46 @@ def test_negative_offset_and_timestamp_expr(spark):
     # plain-selector timestamp still reports RAW sample times
     raw = ev.eval("timestamp(m)").collect()
     assert raw[0]["value"] == 40.0  # last sample at 40s here
+
+
+def test_power_operator_and_unary(spark):
+    """r8: the ^ operator (right-associative, binds tightest; right
+    operand admits a unary sign) and unary vector negation."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    rows = [
+        (i, 11, "m", {"user": "a"}, i * 5_000_000, float(i))
+        for i in range(1, 9)
+    ]
+    ev = PromQLEvaluator(
+        spark.createDataFrame(
+            rows,
+            "event_id long, series_id long, metric string, "
+            "labels map<string,string>, ts_us long, value double",
+        )
+    )
+
+    def one(expr):
+        got = ev.eval(expr).collect()
+        assert len(got) == 1, expr
+        return got[0]["value"], got[0]["labels"]
+
+    # m = 8 at t_max
+    assert one("m ^ 2") == (64.0, "user=a")
+    assert one("2 ^ m") == (256.0, "user=a")
+    # right-associative: 2 ^ (m - 5) ^ 2 with m-5 = 3 -> 2^9 = 512
+    assert one("2 ^ (m - 5) ^ 2")[0] == 512.0
+    # ^ binds tighter than unary: -m ^ 2 = -(m^2)
+    assert one("-m ^ 2")[0] == -64.0
+    assert one("m ^ -1")[0] == 0.125
+    # unary negation keeps labels
+    assert one("-m") == (-8.0, "user=a")
+    assert one("-sum by (user) (m)")[0] == -8.0
+    # ^ on the grid too
+    g = {
+        r["ts_us"]: r["value"]
+        for r in ev.eval_range("m ^ 2", 30_000_000, 10_000_000).collect()
+    }
+    assert g == {20_000_000: 16.0, 30_000_000: 36.0, 40_000_000: 64.0}
