@@ -173,6 +173,10 @@ _OVER_TIME_FNS = {
 #: the subquery's per-instant points become the range samples the
 #: outer function folds — `rate(m[1h:5m])` is the canonical PromQL
 #: smoothing idiom a Grafana user types.
+#: default subquery step for `m[1h:]` — the public
+#: `--query.default-evaluation-interval` default (1m)
+DEFAULT_EVAL_INTERVAL_US = 60_000_000
+
 _SUBQ_LAG_FNS = {
     "rate", "increase", "delta", "irate", "idelta", "resets", "changes",
 }
@@ -324,6 +328,14 @@ class TsFn:
     """timestamp(v): the selected sample's timestamp in seconds."""
 
     sel: Selector
+
+
+@dataclass
+class VectorTimeFn:
+    """vector(time()): one empty-labeled sample carrying the
+    evaluation time in seconds (per grid instant on the range path) —
+    also the desugar target of the zero-argument calendar functions
+    (`year()` ≡ `year(vector(time()))`, public PromQL)."""
 
 
 @dataclass
@@ -578,7 +590,12 @@ class _Parser:
                 d1 = _dur_us(self.next())
                 if self.peek() == ":":
                     self.next()
-                    d2 = _dur_us(self.next())
+                    if self.peek() == "]":
+                        # [r:] — empty step defaults to the public
+                        # default evaluation interval (1m)
+                        d2 = DEFAULT_EVAL_INTERVAL_US
+                    else:
+                        d2 = _dur_us(self.next())
                     self.expect("]")
                     e = Subquery(e, d1, d2)
                 else:
@@ -706,6 +723,12 @@ class _Parser:
                 self.expect("(")
                 self.expect(")")
                 v = math.pi
+            elif self.peek() == "time":  # vector(time())
+                self.next()
+                self.expect("(")
+                self.expect(")")
+                self.expect(")")
+                return VectorTimeFn()
             else:
                 v = self._number()
             self.expect(")")
@@ -838,6 +861,10 @@ class _Parser:
     def _math_fn(self):
         fn = self.next()
         self.expect("(")
+        if fn in _DATE_FNS and self.peek() == ")":
+            # year() ≡ year(vector(time())) — the public default arg
+            self.next()
+            return MathFn(fn, VectorTimeFn(), [])
         e = self.or_expr()
         args: list[float] = []
         if fn == "round":
@@ -2206,6 +2233,13 @@ class PromQLEvaluator:
             return self._label(node)
         if isinstance(node, VectorFn):
             return self._vector_fn(node)
+        if isinstance(node, VectorTimeFn):
+            return self._tmax.select(
+                F.map_from_arrays(F.array(), F.array()).alias("labels"),
+                (F.col("t_max").cast("double") / F.lit(1e6)).alias(
+                    "value"
+                ),
+            )
         if isinstance(node, TsFn):
             return self._timestamp(node)
         if isinstance(node, TsFnExpr):
@@ -2383,6 +2417,12 @@ class PromQLEvaluator:
                 "_ets",
                 F.map_from_arrays(F.array(), F.array()).alias("labels"),
                 F.lit(float(node.value)).alias("value"),
+            )
+        if isinstance(node, VectorTimeFn):
+            return self._gridf.select(
+                "_ets",
+                F.map_from_arrays(F.array(), F.array()).alias("labels"),
+                (F.col("_ets").cast("double") / F.lit(1e6)).alias("value"),
             )
         if isinstance(node, Absent):
             return self._gabsent(node)

@@ -1746,3 +1746,53 @@ def test_power_operator_and_unary(spark):
         for r in ev.eval_range("m ^ 2", 30_000_000, 10_000_000).collect()
     }
     assert g == {20_000_000: 16.0, 30_000_000: 36.0, 40_000_000: 64.0}
+
+
+def test_vector_time_calendar_defaults_and_default_step(spark):
+    """r8: vector(time()), zero-arg calendar functions (year() ≡
+    year(vector(time()))), and the [r:] default subquery step."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        DEFAULT_EVAL_INTERVAL_US,
+        PromQLEvaluator,
+        parse,
+    )
+
+    rows = [
+        (i, 11, "m", {"user": "a"}, i * 5_000_000, float(i))
+        for i in range(1, 9)
+    ]
+    ev = PromQLEvaluator(
+        spark.createDataFrame(
+            rows,
+            "event_id long, series_id long, metric string, "
+            "labels map<string,string>, ts_us long, value double",
+        )
+    )
+
+    def one(expr):
+        got = ev.eval(expr).collect()
+        assert len(got) == 1, expr
+        return got[0]["value"]
+
+    assert one("vector(time())") == 40.0  # t_max = 40s epoch
+    assert one("year()") == 1970.0
+    assert one("month()") == 1.0
+    assert one("day_of_week()") == 4.0  # 1970-01-01 was a Thursday
+    # grid: per-instant values
+    g = {
+        r["ts_us"]: r["value"]
+        for r in ev.eval_range(
+            "vector(time())", 30_000_000, 10_000_000
+        ).collect()
+    }
+    assert g == {20_000_000: 20.0, 30_000_000: 30.0, 40_000_000: 40.0}
+    assert all(
+        r["value"] == 1970.0
+        for r in ev.eval_range(
+            "year()", 30_000_000, 10_000_000
+        ).collect()
+    )
+    # [r:] parses with the public 1m default step and evaluates
+    sq = parse("m[10m:]")
+    assert sq.step_us == DEFAULT_EVAL_INTERVAL_US
+    assert ev.eval("count_over_time(m[10m:])").count() <= 1
