@@ -318,6 +318,12 @@ def _render(node):
             s += f" offset {node.offset_us // 1_000_000}s"
         return s
     if isinstance(node, P.RangeFn):
+        if node.fn == "quantile_over_time":
+            return (
+                f"quantile_over_time({node.param}, {_render(node.sel)})"
+            )
+        if node.fn == "predict_linear":
+            return f"predict_linear({_render(node.sel)}, {node.param})"
         return f"{node.fn}({_render(node.sel)})"
     if isinstance(node, P.Agg):
         by = f" by ({', '.join(node.by)})" if node.by else ""
@@ -387,15 +393,18 @@ def _ast(draw):
             300_000_000,
             offset_us=draw(st.sampled_from([0, 60_000_000])),
         )
-        return P.RangeFn(
-            draw(
-                st.sampled_from(
-                    ["rate", "increase", "delta", "resets",
-                     "max_over_time", "last_over_time"]
-                )
-            ),
-            sub,
+        # r7 counter family + r8 phi/regression folds over subqueries
+        fn = draw(
+            st.sampled_from(
+                ["rate", "increase", "delta", "resets",
+                 "max_over_time", "last_over_time",
+                 "quantile_over_time", "deriv", "predict_linear"]
+            )
         )
+        param = {
+            "quantile_over_time": 0.9, "predict_linear": 600.0,
+        }.get(fn)
+        return P.RangeFn(fn, sub, param=param)
     if kind == "math":
         return P.MathFn(draw(st.sampled_from(["abs", "sqrt"])), sel)
     sel.range_us = 300_000_000
