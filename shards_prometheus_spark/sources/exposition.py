@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from shards_prometheus_spark.operators.histograms import (
+    BOUNDS,
     _BUCKET_COUNTS_SQL,
     _le_label_sql,
     histogram_buckets,
@@ -104,19 +105,28 @@ def _classic_lines(
             F.col("metric"), F.lit("_"), F.col("stat"), F.lit(" "), _dec("value")
         ).alias("line")
     )
-    buckets = histogram_buckets(spark, sf_dir).select(
-        F.concat(
-            F.col("metric"),
-            F.lit('_bucket{le="'),
-            F.col("le"),
-            F.lit('"} '),
-            F.col("cum_count").cast("string"),
-        ).alias("line")
+    # FINITE bounds only: on a corpus with values above the top bound,
+    # _bucket_idx_col maps the overflow to the "+Inf" label, so an
+    # unfiltered leg would duplicate the count-derived +Inf line below
+    # — duplicate series are illegal in both exposition dialects
+    buckets = (
+        histogram_buckets(spark, sf_dir)
+        .filter(F.col("le_idx") < len(BOUNDS))
+        .select(
+            F.concat(
+                F.col("metric"),
+                F.lit('_bucket{le="'),
+                F.col("le"),
+                F.lit('"} '),
+                F.col("cum_count").cast("string"),
+            ).alias("line")
+        )
     )
     # the le="+Inf" bucket is MANDATORY in both exposition dialects and
-    # its cumulative count equals the histogram _count stat; the data-
-    # driven bucket relation never materializes it on a corpus whose
-    # values all fall under the top finite bound
+    # its cumulative count equals the histogram _count stat; this leg
+    # is the SOLE +Inf source (the data-driven relation above never
+    # materializes it on an under-bound corpus and is filtered to
+    # finite bounds on an overflow corpus)
     inf_bucket = snap.filter(
         (F.col("kind") == "histogram") & (F.col("stat") == "count")
     ).select(
@@ -518,7 +528,10 @@ _LINES_BODY_SQL = (
         + _le_label_sql()
         + ") || '\"} ' || CAST(CAST(SUM(bucket_count) OVER "
         "(PARTITION BY metric ORDER BY bucket_idx) AS BIGINT) AS VARCHAR) "
-        "FROM g "
+        # finite bounds only — the count-derived leg below is the sole
+        # +Inf source (the WHERE removes only the HIGHEST bucket_idx,
+        # so the running cumulative for finite buckets is unchanged)
+        f"FROM g WHERE bucket_idx < {len(BOUNDS)} "
         "UNION ALL "
         "SELECT metric || '_bucket{le=\"+Inf\"} ' || "
         "CAST(CAST(value AS BIGINT) AS VARCHAR) "

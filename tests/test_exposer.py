@@ -466,3 +466,62 @@ def test_live_streaming_openmetrics_two_micro_batches(spark, tmp_path):
         for r in counter_sum(spark, SF_SMOKE).collect()
     }
     assert parsed and parsed == want
+
+
+def test_overflow_corpus_single_inf_bucket_line(spark, tmp_path):
+    """A corpus with values ABOVE the top finite bound (500) must emit
+    exactly ONE le="+Inf" bucket line per family — the count-derived
+    leg. Before r9 the data-driven bucket leg also rendered the
+    overflow bucket under the "+Inf" label, duplicating the series
+    (illegal in both exposition dialects); sf0.001/sf0.01 fixtures max
+    out at 490 so oracle parity could not catch it (ADVICE r8, high).
+    DuckDB runs the identical oracle SQL over the same overflow corpus
+    to pin both engines to the corrected single-+Inf rendering."""
+    import duckdb
+    import pandas as pd
+
+    from shards_prometheus_spark.operators.histograms import BOUNDS
+    from shards_prometheus_spark.sources.exposition import (
+        _LINES_SQL,
+        exposition_lines,
+    )
+    from shards_prometheus_spark.operators.tierc_common import clear_caches
+
+    # 3 samples under the top bound, 2 OVERFLOW samples above it
+    rows = pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2, 3, 4, 5], dtype="int64"),
+            "ts": pd.to_datetime(
+                ["2025-01-01 00:00:0%d" % i for i in range(5)]
+            ),
+            "user_id": pd.array([7, 7, 8, 8, 9], dtype="int64"),
+            "event_type": ["click"] * 5,
+            "value": [1.5, 42.0, 499.9, 560.21, 777.0],
+            "props": ['{"k": 0}'] * 5,
+        }
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/_events_tmp"
+    )
+    import glob
+    import shutil
+
+    part = glob.glob(f"{sf_dir}/_events_tmp/part-*.parquet")[0]
+    shutil.copy(part, f"{sf_dir}/events.parquet")
+
+    lines = [r["line"] for r in exposition_lines(spark, sf_dir).collect()]
+    clear_caches(spark)  # drop the tmp-dir memoized snapshot
+    inf_lines = [l for l in lines if 'le="+Inf"' in l]
+    assert inf_lines == ['click_bucket{le="+Inf"} 5']
+    # the finite-bound legs stop at the top configured bound
+    top = f"{BOUNDS[-1]:g}"
+    assert f'click_bucket{{le="{top}"}} 3' in lines
+    # DuckDB oracle over the same overflow corpus renders identically
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    oracle = sorted(r[0] for r in con.execute(_LINES_SQL).fetchall())
+    assert sorted(lines) == oracle

@@ -349,7 +349,13 @@ def _flag_and_write(
     flag_ratio: float,
     factor: int,
     out_name: str,
+    meta: dict | None = None,
 ) -> None:
+    """`meta` entries are attached to the artifact AFTER flagging —
+    they are not query timing rows, so they must never enter the
+    ratio computation or the flag scan (ADVICE r8: an in-`results`
+    meta dict got its ratio field overwritten and was one count-ratio
+    away from being flagged as a scaling regression)."""
     for r in results.values():
         r["ratio"] = round(r[large] / max(r[small], 1e-9), 2)
     flagged = sorted(
@@ -376,6 +382,8 @@ def _flag_and_write(
         "flagged": flagged,
         "queries": results,
     }
+    if meta:
+        artifact.update(meta)
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         out_name,
@@ -421,15 +429,16 @@ def main() -> None:
             SF12_FAMILIES,
             [(OUT3, "sf3.0"), (OUT12, "sf12.0")],
         )
-        results["_meta_dedup_near_regime"] = {
-            "sf3.0": n_sigs["sf3.0"],
-            "sf12.0": n_sigs["sf12.0"],
-            "broadcast_sigs_limit": BROADCAST_SIGS_LIMIT,
-            "ratio": 0.0,
-        }
         _flag_and_write(
             results, "sf3.0", "sf12.0", SF12_FLAG_RATIO, 4,
             "BENCH_sf12.json",
+            meta={
+                "_meta_dedup_near_regime": {
+                    "sf3.0": n_sigs["sf3.0"],
+                    "sf12.0": n_sigs["sf12.0"],
+                    "broadcast_sigs_limit": BROADCAST_SIGS_LIMIT,
+                }
+            },
         )
         return
     if "--sf3" in sys.argv:
