@@ -169,9 +169,10 @@ def eval_alert_for_group(
 #: with BOTH a `for:` hold and a `keep_firing_for:` grace window (public
 #: Prometheus surface since 2.42): once FIRING, the alert keeps firing
 #: through false evaluations until `keep_firing_for` has elapsed since
-#: the last TRUE evaluation; any true evaluation while held resets the
-#: countdown (and needs no new `for:` run). Pending alerts get no grace
-#: — a false evaluation still resets them.
+#: the FIRST false evaluation after firing (upstream's KeepFiringSince
+#: anchor); any true evaluation while held clears the anchor (and
+#: needs no new `for:` run). Pending alerts get no grace — a false
+#: evaluation still resets them.
 ALERT_KEEP_RULES: list[tuple[str, str, int, int, int]] = [
     (
         "KeepFiringAboveAverageClicks",
@@ -196,10 +197,18 @@ def eval_alert_keep_group(
 
     - firing_raw(t): a run of for/step + 1 consecutive trues ends at t
       — detected as lag(ts, for/step) == t - for (one window pass).
-    - a KILL occurs after true instant t iff the next true is more
-      than keep + step away (the first evaluation past the grace
-      window sees `now - last_true > keep`), or t is the last true and
-      T - t > keep.
+    - a KILL occurs after true instant t iff some FALSE grid instant
+      ts in the gap satisfies `ts - keep_since >= keep`, where
+      keep_since — upstream's KeepFiringSince — is the FIRST false
+      instant after t, i.e. t + step on a step-aligned grid. The
+      largest false instant before the next true nt is nt - step, so
+      the gap kills iff `nt - t >= keep + 2·step`; for the tail (t is
+      the last true) the largest false instant is T itself, so the
+      kill is `T - t >= keep + step`. Exact for ANY keep/step ratio
+      (the r8 form anchored at the last TRUE evaluation and resolved
+      up to one step early on non-multiple configs — ADVICE r8; the
+      two coincide when keep is a step multiple, as in the configured
+      48h/24h rule).
     - FIRING at T ⇔ the latest firing_raw instant exists and is later
       than the latest kill-gap start (a kill instant always falls
       strictly before the next true, so comparing gap STARTS is
@@ -230,8 +239,11 @@ def eval_alert_keep_group(
         )
         kill = F.when(
             F.col("_next").isNotNull(),
-            F.col("_next") - F.col("ts_us") > F.lit(keep_us + step_us),
-        ).otherwise(F.col("_T") - F.col("ts_us") > F.lit(keep_us))
+            F.col("_next") - F.col("ts_us")
+            >= F.lit(keep_us + 2 * step_us),
+        ).otherwise(
+            F.col("_T") - F.col("ts_us") >= F.lit(keep_us + step_us)
+        )
         agg = st.groupBy("labels").agg(
             F.max(F.when(fraw, F.col("ts_us"))).alias("_last_fraw"),
             F.max(F.when(kill, F.col("ts_us"))).alias("_last_kill"),
@@ -384,8 +396,9 @@ _ALERT_FOR_SQL = (
 
 #: keep_firing_for oracle — mirrors eval_alert_keep_group's closed
 #: form: per label, latest firing_raw instant (lag(ets, need-1) check)
-#: vs latest kill-gap start (next true > keep+step away, or last true
-#: with T - t > keep); value = the latest TRUE instant's.
+#: vs latest kill-gap start (first-false-anchored upstream countdown:
+#: next true ≥ keep+2·step away, or last true with T - t ≥ keep+step);
+#: value = the latest TRUE instant's.
 _KEEP_FOR_N = _H24_US // _H24_US + 1  # for/step + 1 consecutive trues
 _KEEP_SPAN = _H24_US + _H48_US + 4 * _H24_US
 _ALERT_KEEP_SQL = (
@@ -406,9 +419,9 @@ _ALERT_KEEP_SQL = (
     "ag AS (SELECT l_user, "
     f"MAX(CASE WHEN lagk = ets - {(_KEEP_FOR_N - 1) * _H24_US} "
     "THEN ets END) AS last_fraw, "
-    "MAX(CASE WHEN (nxt IS NOT NULL AND nxt - ets > "
-    f"{_H48_US + _H24_US}) OR (nxt IS NULL AND "
-    f"(SELECT mx FROM gc) - ets > {_H48_US}) THEN ets END) "
+    "MAX(CASE WHEN (nxt IS NOT NULL AND nxt - ets >= "
+    f"{_H48_US + 2 * _H24_US}) OR (nxt IS NULL AND "
+    f"(SELECT mx FROM gc) - ets >= {_H48_US + _H24_US}) THEN ets END) "
     "AS last_kill, "
     "ARG_MAX(v, ets) AS last_v FROM sq GROUP BY l_user) "
     "SELECT 'KeepFiringAboveAverageClicks' AS alertname, "

@@ -259,13 +259,14 @@ def _make_update_alert(for_n: int):
     return update
 
 
-#: keep-firing state: the consec run, its start, the last TRUE eval's
-#: µs timestamp, and whether the alert is (still) firing.
+#: keep-firing state: the consec run, its start, the first FALSE
+#: evaluation since firing went false (upstream's KeepFiringSince;
+#: 0 while the rule evaluates true), and whether the alert is firing.
 ALERT_KEEP_STATE_SCHEMA = StructType(
     [
         StructField("consec", LongType()),
         StructField("active_since_us", LongType()),
-        StructField("last_true_us", LongType()),
+        StructField("keep_since_us", LongType()),
         StructField("firing", LongType()),
     ]
 )
@@ -273,13 +274,17 @@ ALERT_KEEP_STATE_SCHEMA = StructType(
 
 def _make_update_alert_keep(for_n: int, keep_us: int):
     """The `for:` machine of `_make_update_alert` extended with
-    `keep_firing_for` (public Prometheus since 2.42): a FIRING alert
-    that evaluates false stays firing until `keep_us` has elapsed
-    since its last true evaluation; any true evaluation while held
-    keeps it firing without a fresh `for:` run and resets the
-    countdown. A PENDING alert gets no grace — false still resets it.
-    Mirrors the batch closed form in rules.py:eval_alert_keep_group;
-    tests pin the two equal across micro-batch boundaries."""
+    `keep_firing_for` (public Prometheus since 2.42): when a FIRING
+    alert first evaluates false, the countdown anchors THERE
+    (upstream's KeepFiringSince) and the alert resolves at the first
+    evaluation with `ts - keep_since >= keep_us`; any true evaluation
+    while held clears the anchor — the alert keeps firing with no
+    fresh `for:` run and a later false restarts the full grace. Exact
+    for ANY keep/step ratio (the r8 last-true anchor resolved up to
+    one step early on non-multiple configs — ADVICE r8). A PENDING
+    alert gets no grace — false still resets it. Mirrors the batch
+    closed form in rules.py:eval_alert_keep_group; tests pin the two
+    equal across micro-batch boundaries."""
 
     def update(
         key: Tuple[Any, ...],
@@ -287,9 +292,9 @@ def _make_update_alert_keep(for_n: int, keep_us: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            consec, since, last_true, firing = state.get
+            consec, since, keep_since, firing = state.get
         else:
-            consec, since, last_true, firing = 0, 0, 0, 0
+            consec, since, keep_since, firing = 0, 0, 0, 0
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch):
             batch = batch.sort_values("ts_us")
@@ -300,14 +305,17 @@ def _make_update_alert_keep(for_n: int, keep_us: int):
                     if consec == 0:
                         since = int(ts)
                     consec += 1
-                    last_true = int(ts)
+                    keep_since = 0
                     if consec >= for_n + 1:
                         firing = 1
                 else:
                     consec, since = 0, 0
-                    if firing and int(ts) - last_true > keep_us:
-                        firing = 0
-        state.update((int(consec), int(since), int(last_true), int(firing)))
+                    if firing:
+                        if keep_since == 0:
+                            keep_since = int(ts)
+                        if int(ts) - keep_since >= keep_us:
+                            firing, keep_since = 0, 0
+        state.update((int(consec), int(since), int(keep_since), int(firing)))
         st = (
             "firing"
             if firing

@@ -914,20 +914,27 @@ def test_alert_keep_firing_grace_across_micro_batches(spark, tmp_path):
     )
 
     h = 3_600_000_000  # one evaluation interval in µs
-    keep = int(1.5 * h)
+    keep = int(1.5 * h)  # deliberately NOT a step multiple: pins the
+    # upstream first-false anchor (a last-true anchor resolves one
+    # step early on exactly this config — ADVICE r8)
     # for_n=1 → firing needs 2 consecutive trues
     batches = [
         # b1: a fires (2 trues); b pends (1 true)
         [("K", "user=a", 1 * h, True), ("K", "user=a", 2 * h, True),
          ("K", "user=b", 1 * h, True)],
-        # b2: a held by grace (1h ≤ keep) then re-armed by ONE true
-        # (no new for: run needed); b resets — pending gets no grace
+        # b2: a's countdown anchors at the first false (3h); re-armed
+        # by ONE true at 4h (no new for: run needed), clearing the
+        # anchor; b resets — pending gets no grace
         [("K", "user=a", 3 * h, False), ("K", "user=a", 4 * h, True),
          ("K", "user=b", 2 * h, False)],
-        # b3: a still held at the batch boundary (5h-4h=1h ≤ keep)
+        # b3: false at 5h re-anchors the countdown THERE (5h-5h=0)
         [("K", "user=a", 5 * h, False)],
-        # b4: grace elapsed (6h-4h=2h > keep) → inactive
+        # b4: 6h-5h=1h < keep → STILL held; without the 4h re-arm the
+        # 3h anchor would have resolved at 4.5h, so both these firing
+        # states exist ONLY because of the re-arm
         [("K", "user=a", 6 * h, False)],
+        # b5: 7h-5h=2h ≥ keep → grace elapsed, inactive
+        [("K", "user=a", 7 * h, False)],
     ]
     schema = T.StructType(
         [
@@ -958,10 +965,11 @@ def test_alert_keep_firing_grace_across_micro_batches(spark, tmp_path):
     ]
     a_states = [s for l, s, _c in rows if l == "user=a"]
     # per-batch latest state for a: firing, firing (re-armed), firing
-    # (held with consec 0 — grace carried ACROSS the boundary),
-    # inactive (grace elapsed)
+    # (countdown re-anchored at 5h), firing (held at 6h ONLY because
+    # the 4h re-arm cleared the 3h anchor — grace carried ACROSS two
+    # boundaries), inactive (7h: 2h ≥ keep since the 5h anchor)
     assert sorted(a_states) == sorted(
-        ["firing", "firing", "firing", "inactive"]
+        ["firing", "firing", "firing", "firing", "inactive"]
     )
     assert ("user=a", "firing", 0) in rows  # held-by-grace, not a run
     assert not [r for r in rows if r[0] == "user=b" and r[1] == "firing"]
