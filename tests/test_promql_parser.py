@@ -23,7 +23,7 @@ from tests.conftest import SF_SMOKE
         "rate(click)",                       # range fn without [d]
         "click{user=unquoted}",              # unquoted matcher
         "topk(5, click) extra",              # trailing tokens
-        "1 + 2",                             # scalar-scalar
+        "1 > 2",                             # scalar cmp needs bool
         "mad_over_time(click[1h:5m])",       # unknown fn over subquery
         "click[1h][1h:5m]",                  # subquery of a range vector
     ],
@@ -87,6 +87,78 @@ def test_vector_scalar_arithmetic(spark):
     assert set(base) == set(doubled) and len(base) > 0
     for k, v in base.items():
         assert doubled[k] == pytest.approx(2 * v, abs=2e-4)
+
+
+def test_scalar_expressions(spark):
+    """Top-level pure-scalar queries (VERDICT r8 missing #3): one
+    empty-labeled row — the relational resultType: scalar."""
+    import math
+
+    rows = promql_eval(spark, SF_SMOKE, "1 + 2 * 3").collect()
+    assert [(r["labels"], r["value"]) for r in rows] == [("", 7.0)]
+    t_max = (
+        samples_multi(spark, SF_SMOKE).agg(F.max("ts_us")).collect()[0][0]
+    )
+    got = promql_eval(spark, SF_SMOKE, "time() - 3600").collect()[0]
+    assert got["value"] == pytest.approx(round(t_max / 1e6 - 3600, 4))
+    assert (
+        promql_eval(spark, SF_SMOKE, "scalar(vector(42)) * 2")
+        .collect()[0]["value"]
+        == 84.0
+    )
+    # scalar(v) of a multi-series vector is NaN, and NaN propagates
+    nan_v = promql_eval(spark, SF_SMOKE, "scalar(click) + 1").collect()
+    assert len(nan_v) == 1 and math.isnan(nan_v[0]["value"])
+
+
+def test_scalar_bool_comparisons(spark):
+    def one(expr):
+        return promql_eval(spark, SF_SMOKE, expr).collect()[0]["value"]
+
+    assert one("1 >= bool 2") == 0.0
+    assert one("time() > bool 3600") == 1.0
+    # NaN operand: IEEE — every comparison false except `!=`
+    assert one("scalar(click) == bool 1") == 0.0
+    assert one("scalar(click) != bool 1") == 1.0
+
+
+def test_vector_times_compound_scalar(spark):
+    """`v * (1+2)` — a compound scalar side routes through
+    _scalar_rel and must equal the literal `v * 3` plan exactly
+    (both round the same raw product)."""
+    direct = {
+        (r["labels"], r["value"])
+        for r in promql_eval(
+            spark, SF_SMOKE, "sum by (user) (increase(click[720h])) * 3"
+        ).collect()
+    }
+    compound = {
+        (r["labels"], r["value"])
+        for r in promql_eval(
+            spark,
+            SF_SMOKE,
+            "sum by (user) (increase(click[720h])) * (1 + 2)",
+        ).collect()
+    }
+    assert direct == compound and len(direct) > 0
+
+
+def test_range_scalar_broadcasts_over_grid(spark):
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    h = 3_600_000_000
+    rows = PromQLEvaluator(samples_multi(spark, SF_SMOKE)).eval_range(
+        "time() - 3600", 24 * h, 6 * h
+    ).collect()
+    # exactly range/step instants survive the strict > window edge
+    assert len(rows) == 4
+    assert all(r["labels"] == "" for r in rows)
+    for r in rows:
+        assert r["value"] == pytest.approx(
+            round(r["ts_us"] / 1e6 - 3600, 4)
+        )
 
 
 def test_offset_shifts_the_window(spark):
