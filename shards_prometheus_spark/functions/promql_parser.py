@@ -1060,9 +1060,12 @@ class PromQLEvaluator:
     never collected.
     """
 
-    def __init__(self, samples: DataFrame):
+    def __init__(self, samples: DataFrame, eval_ts_us: int | None = None):
         """`samples` is any relation with (event_id, series_id, metric,
-        labels MAP<STRING,STRING>, ts_us, value) — the §1.2 model."""
+        labels MAP<STRING,STRING>, ts_us, value) — the §1.2 model.
+        `eval_ts_us` pins the evaluation time ("now") explicitly — the
+        HTTP API's `time`/`end` parameters; default is the data's max
+        timestamp (the batch analog of a live server's wall clock)."""
         # t_max materialized EAGERLY (one collect of a 1-row aggregate,
         # rebuilt as a literal relation): the lazy aggregate's subtree
         # would otherwise be embedded at every self.samples reference,
@@ -1072,11 +1075,18 @@ class PromQLEvaluator:
         # localCheckpoint) survives executor loss/decommission on a
         # real cluster: checkpoint blocks are executor-resident state,
         # a collected scalar is not.
-        row = samples.agg(F.max("ts_us").alias("t_max")).collect()[0]
+        if eval_ts_us is None:
+            row = samples.agg(F.max("ts_us").alias("t_max")).collect()[0]
+            eval_ts_us = row["t_max"]
         self._tmax = samples.sparkSession.createDataFrame(
-            [(row["t_max"],)], "t_max bigint"
+            [(eval_ts_us,)], "t_max bigint"
         )
         self.samples = samples.join(F.broadcast(self._tmax))
+
+    def eval_time_us(self) -> int:
+        """The pinned evaluation time — instant-vector responses stamp
+        every sample with it (a 1-row literal relation, free to read)."""
+        return self._tmax.first()["t_max"]
 
     @classmethod
     def from_dir(cls, spark: SparkSession, sf_dir: str) -> "PromQLEvaluator":
@@ -2408,6 +2418,47 @@ class PromQLEvaluator:
         vec = self._vector(node)
         return vec.select(
             _label_str(F.col("labels")).alias("labels"),
+            F.round("value", 4).alias("value"),
+        )
+
+    def eval_instant_map(self, expr: str) -> DataFrame:
+        """(labels MAP, value) twin of `eval` — the HTTP JSON layer
+        (sources/query_api.py) renders the map as the response's
+        `metric` object; values carry the same 4dp pin so the JSON is
+        bit-identical to the registered string-form relations."""
+        node = parse(expr)
+        if is_scalar_expr(node):
+            return self._scalar_rel(node, grid=False).select(
+                F.map_from_arrays(F.array(), F.array()).alias("labels"),
+                F.round("value", 4).alias("value"),
+            )
+        return self._vector(node).select(
+            "labels", F.round("value", 4).alias("value")
+        )
+
+    def eval_range_map(
+        self, expr: str, span_us: int, step_us: int
+    ) -> DataFrame:
+        """(ts_us, labels MAP, value) twin of `eval_range` for the
+        HTTP JSON layer's matrix rendering."""
+        node = parse(expr)
+        self._gspan = (span_us, step_us)
+        self._gridf = self._grid(Subquery(None, span_us, step_us))
+        try:
+            if is_scalar_expr(node):
+                return self._scalar_rel(node, grid=True).select(
+                    F.col("_ets").alias("ts_us"),
+                    F.map_from_arrays(F.array(), F.array()).alias(
+                        "labels"
+                    ),
+                    F.round("value", 4).alias("value"),
+                )
+            out = self._gvector(node)
+        finally:
+            del self._gspan, self._gridf
+        return out.select(
+            F.col("_ets").alias("ts_us"),
+            "labels",
             F.round("value", 4).alias("value"),
         )
 

@@ -5,6 +5,9 @@ exposition format (prometheus.cpp:47,73,80). Here:
 
 - ``exposition``  — renders the registry snapshot in that text format
   (the scrape payload as a DataFrame of lines).
+- ``query_api``   — the paired server's HTTP *read* API
+  (`/api/v1/query`, `/api/v1/query_range`) served by MetricsExposer:
+  PromQL in, public-format JSON out.
 - ``storage``     — the 100 TB physical layout: (date, metric)-
   partitioned parquet writers/readers that make partition pruning and
   row-group skipping real.
@@ -13,6 +16,9 @@ exposition format (prometheus.cpp:47,73,80). Here:
 from shards_prometheus_spark.sources.exposition import (  # noqa: F401
     MetricsExposer,
     exposition_lines,
+)
+from shards_prometheus_spark.sources.query_api import (  # noqa: F401
+    handle_api_request,
 )
 from shards_prometheus_spark.sources.storage import (  # noqa: F401
     read_samples_partitioned,

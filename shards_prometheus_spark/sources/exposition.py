@@ -411,6 +411,7 @@ class MetricsExposer:
         port: int = 0,
         lines_fn=None,
         openmetrics: bool = False,
+        samples_fn=None,
     ):
         """`lines_fn` (optional): zero-arg callable returning the line
         DataFrame — lets the exposer serve a LIVE source (a streaming
@@ -420,15 +421,36 @@ class MetricsExposer:
         payload from `openmetrics_lines` (or `lines_fn`), serialized in
         spec order by `openmetrics_text` (HELP/TYPE before each
         family's samples, `# EOF` final) with the OpenMetrics
-        content type."""
+        content type.
+
+        The read API (`/api/v1/query`, `/api/v1/query_range` —
+        sources/query_api.py) is served over the §1.2 samples relation:
+        `samples_fn` (zero-arg callable, for a live registry) if given,
+        else `samples_multi(spark, sf_dir)`. Each request builds a
+        fresh evaluator over the current relation — collect-on-query,
+        the read twin of collect-on-scrape."""
         import http.server
+        import json
         import threading
+        from urllib.parse import parse_qs, urlsplit
 
         outer = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802 - stdlib contract
-                if self.path.rstrip("/") not in ("", "/metrics"):
+                parts = urlsplit(self.path)
+                if parts.path.startswith("/api/"):
+                    status, payload = outer.handle_api(
+                        parts.path, parse_qs(parts.query)
+                    )
+                    body = json.dumps(payload).encode()
+                    self.send_response(status)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if parts.path.rstrip("/") not in ("", "/metrics"):
                     self.send_error(404)
                     return
                 body = outer.collect_text().encode()
@@ -451,11 +473,33 @@ class MetricsExposer:
         self._sf_dir = sf_dir
         self._lines_fn = lines_fn
         self._openmetrics = openmetrics
+        self._samples_fn = samples_fn
         self._server = http.server.ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._server.server_address[:2]
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True
         )
+
+    def handle_api(self, path: str, params: dict) -> tuple:
+        """Answer one read-API request (query_api.handle_api_request)
+        over the current samples relation."""
+        from shards_prometheus_spark.functions.promql_parser import (
+            PromQLEvaluator,
+        )
+        from shards_prometheus_spark.model import samples_multi
+        from shards_prometheus_spark.sources.query_api import (
+            handle_api_request,
+        )
+
+        def make_evaluator(eval_ts_us):
+            samples = (
+                self._samples_fn()
+                if self._samples_fn is not None
+                else samples_multi(self._spark, self._sf_dir)
+            )
+            return PromQLEvaluator(samples, eval_ts_us=eval_ts_us)
+
+        return handle_api_request(make_evaluator, path, params)
 
     def collect_text(self) -> str:
         if self._openmetrics:

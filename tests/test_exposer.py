@@ -525,3 +525,125 @@ def test_overflow_corpus_single_inf_bucket_line(spark, tmp_path):
     )
     oracle = sorted(r[0] for r in con.execute(_LINES_SQL).fetchall())
     assert sorted(lines) == oracle
+
+
+# ---------------------------------------------------------------------------
+# HTTP read API (/api/v1/query, /api/v1/query_range) — the paired
+# server's query surface (sources/query_api.py); the reference's
+# default endpoint IS that server's port 9090 (prometheus.cpp:47).
+# ---------------------------------------------------------------------------
+
+
+def _api_get(exposer, path_qs: str):
+    import json
+    import urllib.error
+
+    url = f"http://{exposer.host}:{exposer.port}{path_qs}"
+    try:
+        with urllib.request.urlopen(url, timeout=120) as resp:
+            return resp.status, json.loads(resp.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+def test_api_instant_query_round_trip(spark):
+    """GET /api/v1/query returns the public vector JSON, value-equal
+    to the evaluator's own instant relation; every sample is stamped
+    with the evaluation time (data t_max when `time` is omitted)."""
+    from urllib.parse import quote
+
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    expr = "sum by (user) (increase(click[720h]))"
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        status, payload = _api_get(
+            exposer, f"/api/v1/query?query={quote(expr)}"
+        )
+    finally:
+        exposer.stop()
+    assert status == 200 and payload["status"] == "success"
+    data = payload["data"]
+    assert data["resultType"] == "vector"
+    ev = PromQLEvaluator.from_dir(spark, SF_SMOKE)
+    want = {
+        (tuple(sorted(r["labels"].items())), r["value"])
+        for r in ev.eval_instant_map(expr).collect()
+    }
+    t_s = ev.eval_time_us() / 1e6
+    got = set()
+    for entry in data["result"]:
+        ts, val = entry["value"]
+        assert ts == t_s
+        got.add((tuple(sorted(entry["metric"].items())), float(val)))
+    assert got == want and len(got) > 0
+
+
+def test_api_range_query_round_trip(spark):
+    """GET /api/v1/query_range renders the eval_range grid as the
+    public matrix JSON: per-series values at each grid instant,
+    pinned at end = the requested end timestamp."""
+    from urllib.parse import quote
+
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    h_us = 3_600_000_000
+    ev = PromQLEvaluator.from_dir(spark, SF_SMOKE)
+    end_us = ev.eval_time_us()
+    expr = "sum by (user) (count_over_time(click[240h]))"
+    qs = (
+        f"/api/v1/query_range?query={quote(expr)}"
+        f"&start={(end_us - 240 * h_us) / 1e6}"
+        f"&end={end_us / 1e6}&step=24h"
+    )
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        status, payload = _api_get(exposer, qs)
+    finally:
+        exposer.stop()
+    assert status == 200 and payload["status"] == "success"
+    data = payload["data"]
+    assert data["resultType"] == "matrix"
+    want: dict[tuple, list] = {}
+    rows = ev.eval_range_map(expr, 240 * h_us, 24 * h_us).collect()
+    for r in sorted(rows, key=lambda r: r["ts_us"]):
+        want.setdefault(tuple(sorted(r["labels"].items())), []).append(
+            [r["ts_us"] / 1e6, r["value"]]
+        )
+    got = {
+        tuple(sorted(entry["metric"].items())): [
+            [ts, float(v)] for ts, v in entry["values"]
+        ]
+        for entry in data["result"]
+    }
+    assert got == want and len(got) > 0
+
+
+def test_api_scalar_and_errors(spark):
+    """resultType: scalar for pure-scalar queries; the public error
+    envelope (400 bad_data) for a missing parameter, an unparsable
+    query, and an inverted range; 404 for unknown API paths."""
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        status, payload = _api_get(exposer, "/api/v1/query?query=1%2B2")
+        assert status == 200
+        assert payload["data"]["resultType"] == "scalar"
+        ts, val = payload["data"]["result"]
+        assert val == "3" and ts > 0
+        for path_qs in (
+            "/api/v1/query",  # missing query param
+            "/api/v1/query?query=rate(click)",  # parse error
+            "/api/v1/query_range?query=click&start=9&end=3&step=1",
+        ):
+            status, payload = _api_get(exposer, path_qs)
+            assert status == 400
+            assert payload["status"] == "error"
+            assert payload["errorType"] == "bad_data"
+        status, payload = _api_get(exposer, "/api/v1/nope?query=x")
+        assert status == 404 and payload["errorType"] == "not_found"
+    finally:
+        exposer.stop()

@@ -1050,3 +1050,62 @@ def test_alert_keep_firing_stream_equals_batch(spark, tmp_path):
     }
     assert stream_firing == batch_firing
     assert batch_firing  # non-vacuous at sf0.001
+
+
+def test_live_api_query_over_streaming_registry(spark):
+    """The read API over a LIVE registry: events stream into a
+    memory-sink samples_multi relation; /api/v1/query evaluates
+    PromQL against THAT table per request (collect-on-query, the
+    read twin of the collect-on-scrape exposition test above). The
+    streamed corpus equals the batch corpus, so the JSON must equal
+    the batch evaluator's relation."""
+    import json
+    import urllib.request
+    from urllib.parse import quote
+
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+    from shards_prometheus_spark.model import samples_multi
+    from shards_prometheus_spark.sources import MetricsExposer
+    from shards_prometheus_spark.streaming import (
+        run_to_memory,
+        stream_events,
+    )
+    from shards_prometheus_spark.streaming.ingest import (
+        samples_multi_stream,
+    )
+
+    q = run_to_memory(
+        samples_multi_stream(stream_events(spark, SF_SMOKE)),
+        "live_api_samples_t",
+        output_mode="append",
+    )
+    _await(q)
+
+    expr = "sum by (user) (count_over_time(click[720h]))"
+    exposer = MetricsExposer(
+        spark, samples_fn=lambda: spark.table("live_api_samples_t")
+    ).start()
+    try:
+        url = (
+            f"http://{exposer.host}:{exposer.port}"
+            f"/api/v1/query?query={quote(expr)}"
+        )
+        with urllib.request.urlopen(url, timeout=120) as resp:
+            payload = json.loads(resp.read().decode())
+    finally:
+        exposer.stop()
+    assert payload["status"] == "success"
+    assert payload["data"]["resultType"] == "vector"
+    got = {
+        (tuple(sorted(e["metric"].items())), float(e["value"][1]))
+        for e in payload["data"]["result"]
+    }
+    want = {
+        (tuple(sorted(r["labels"].items())), r["value"])
+        for r in PromQLEvaluator(samples_multi(spark, SF_SMOKE))
+        .eval_instant_map(expr)
+        .collect()
+    }
+    assert got == want and len(got) > 0
