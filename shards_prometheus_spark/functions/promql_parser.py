@@ -378,8 +378,13 @@ class AbsentExpr:
     expr: object
 
 
+#: one segment of a recording-rule metric name (colons join segments)
+_NAME_PART_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
 def _tokenize(s: str) -> list[str]:
-    out, pos = [], 0
+    toks: list[tuple[str, int, int]] = []
+    pos = 0
     while pos < len(s):
         m = _TOKEN_RE.match(s, pos)
         if m is None or m.end() == pos:
@@ -387,8 +392,31 @@ def _tokenize(s: str) -> list[str]:
                 break
             raise PromQLSyntaxError(f"cannot tokenize at: {s[pos:]!r}")
         tok = next(v for v in m.groups() if v is not None)
-        out.append(tok)
+        toks.append((tok, m.end() - len(tok), m.end()))
         pos = m.end()
+    # merge recording-rule metric names (`user:click:rate720h`, the
+    # public level:metric:operation convention): an identifier
+    # followed by ADJACENT `:` + identifier pairs collapses into one
+    # name token. Adjacency (no whitespace between the three tokens)
+    # keeps subquery colons intact — those always follow a duration /
+    # number or `[`, never an identifier.
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        tok, _st, en = toks[i]
+        if _NAME_PART_RE.match(tok):
+            while (
+                i + 2 < len(toks)
+                and toks[i + 1][0] == ":"
+                and toks[i + 1][1] == en
+                and _NAME_PART_RE.match(toks[i + 2][0])
+                and toks[i + 2][1] == toks[i + 1][2]
+            ):
+                tok += ":" + toks[i + 2][0]
+                en = toks[i + 2][2]
+                i += 2
+        out.append(tok)
+        i += 1
     return out
 
 
@@ -952,7 +980,11 @@ class _Parser:
 
     def _selector(self) -> Selector:
         metric = self.next()
-        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", metric):
+        # colons are legal in metric names (reserved for recording
+        # rules by the public convention — level:metric:operation)
+        if not re.fullmatch(
+            r"[A-Za-z_][A-Za-z0-9_]*(?::[A-Za-z_][A-Za-z0-9_]*)*", metric
+        ):
             raise PromQLSyntaxError(f"expected metric name, got {metric!r}")
         sel = Selector(metric)
         if self.peek() == "{":

@@ -107,19 +107,18 @@ _PRIORITY = [
     # The 50-entry window is zero-sum; each round's VERDICT asks are
     # admitted by demoting rows that already earned driver-green in a
     # prior round (r6: promql_range_topk/promql_at_end out; r7:
-    # promql_range_ratio out). r8 admits the four VERDICT r8 asks —
-    # grid absent()/timestamp(), quantile_over_time over subqueries,
-    # keep_firing_for — by demoting promql_subquery_rate and
-    # promql_range_subquery (driver-green r6-r7), vector_binop
-    # (vector_binop_labels keeps the binop row) and dedup_simhash
-    # (the documented quadratic-output debug secondary;
-    # dedup_simhash_classes is the linear primary). All demoted rows
-    # stay registered and parity-run by tests/test_oracle_parity.py
-    # and the full tools/parity.py sweep.
+    # promql_range_ratio out; r8: promql_subquery_rate,
+    # promql_range_subquery, vector_binop, dedup_simhash out). r9
+    # admits the three VERDICT r9 asks — recording-rule chaining and
+    # the two top-level-scalar rows — by demoting promql_range_absent,
+    # promql_range_timestamp, and promql_subquery_quantile (all
+    # driver-green r8). All demoted rows stay registered and
+    # parity-run by tests/test_oracle_parity.py and the full
+    # tools/parity.py sweep.
     "promql_range_hist_quantile",
-    "promql_range_absent",
-    "promql_range_timestamp",
-    "promql_subquery_quantile",
+    "promql_scalar_expr",
+    "promql_range_scalar",
+    "rules_chained",
     "alert_rules_for",
     "alert_rules_keep_firing",
     # Tier C — dedup family (dedup_simhash_classes is the r5
