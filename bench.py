@@ -138,6 +138,33 @@ FAMILIES: list[tuple[str, list[str]]] = [
 #: machinery warm; nothing about the measured sf_dir is cached).
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
+#: Probe drift above this ratio (vs the run's FASTEST probe) marks the
+#: family as load-contaminated in `env_flagged`.
+PROBE_DRIFT_RATIO = 1.25
+
+
+def _loadavg() -> list[float] | None:
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
+def _calibration_probe() -> float:
+    """A fixed ~100 ms single-core busy loop, timed. Fixed WORK on one
+    core means the measured duration moves with CPU contention and
+    nothing else — so a bench run on a loaded machine self-identifies
+    (r8's driver artifact was a 78.6 s loaded-machine outlier vs four
+    52-62 s runs of identical code, and nothing inside the JSON could
+    prove it; same for r3's 103.6 s vs 63.4 s)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(1_500_000):
+        x += i * i
+    assert x >= 0
+    return time.perf_counter() - t0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -174,8 +201,15 @@ def main() -> None:
         clear_caches(spark)
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
+    load_start = _loadavg()
+    probes: dict[str, float] = {"start": round(_calibration_probe(), 4)}
+
     timings: dict[str, float] = {}
-    for _family, names in FAMILIES:
+    for family, names in FAMILIES:
+        # environment self-calibration: time the fixed busy loop
+        # before each family so a load spike mid-run is attributable
+        # to the families it actually contaminated
+        probes[family] = round(_calibration_probe(), 4)
         for name in names:
             fn = queries.get(name)
             if fn is None:
@@ -207,6 +241,10 @@ def main() -> None:
         # starts from the same memory state regardless of ordering.
         clear_caches(spark)
     total = round(sum(timings.values()), 4)
+    ref = min(probes.values())
+    env_flagged = sorted(
+        k for k, v in probes.items() if v > PROBE_DRIFT_RATIO * ref
+    )
     print(
         json.dumps(
             {
@@ -218,6 +256,16 @@ def main() -> None:
                 "reps": REPS,
                 "aggregation": "median_per_query_sum_of_medians",
                 "protocol": "steady_state_primed",
+                # environment self-calibration (ARCHITECTURE §7.4):
+                # a skewed artifact identifies itself — probes are a
+                # fixed single-core busy loop timed per family, and a
+                # family whose probe exceeds 1.25x the run's fastest
+                # probe ran under external CPU load; discount it
+                # before reading its timings as a regression.
+                "loadavg_start": load_start,
+                "loadavg_end": _loadavg(),
+                "calibration_probes": probes,
+                "env_flagged": env_flagged,
             }
         )
     )

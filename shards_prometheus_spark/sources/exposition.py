@@ -190,6 +190,18 @@ _NAME_RE = "^([A-Za-z_:][A-Za-z0-9_:]*)"
 #: uses a fixed phrase so both oracle engines render it identically).
 _OM_HELP = " Series exported by the metrics registry."
 
+#: OpenMetrics UNIT metadata — one deterministic unit per kind,
+#: emitted at the same (metric, kind) granularity as the `# TYPE`
+#: lines. The registry's families are synthetic event types without a
+#: unit suffix in the name; a production registry should name
+#: families `<name>_<unit>` per the OM spec's suffix rule — the
+#: grouping/serialization machinery here is what carries over.
+_OM_UNITS = {
+    "counter": "events",
+    "gauge": "level",
+    "histogram": "observations",
+}
+
 #: OpenMetrics exemplar suffix grammar: ` # {labels} value [ts]`.
 #: Anchored AFTER the sample value and its OPTIONAL timestamp
 #: (`} <value>[ <ts>] # {`): label values may legally contain ` # {`
@@ -204,9 +216,11 @@ _EXEMPLAR_RE = r"^(.*\} [^ ]+(?: [^ ]+)?) # \{.*$"
 
 def openmetrics_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OpenMetrics dialect of the scrape payload: `# HELP` lines
-    per family, the same `# TYPE` + sample body as the classic format
-    (counters already carry the `_total` sample-name suffix OpenMetrics
-    mandates), and the `# EOF` terminator. One line per row.
+    per family, `# UNIT` metadata per (metric, kind) — the spec's
+    third metadata line type — the same `# TYPE` + sample body as the
+    classic format (counters already carry the `_total` sample-name
+    suffix OpenMetrics mandates), and the `# EOF` terminator. One line
+    per row.
 
     The relation is UNORDERED (it is a union); OpenMetrics requires
     `# EOF` as the final serialized line and HELP/TYPE before each
@@ -225,20 +239,35 @@ def openmetrics_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             "line"
         )
     )
+    unit_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _OM_UNITS.items() for x in kv]
+        ),
+        F.col("kind"),
+    )
+    units = snap.select("metric", "kind").distinct().select(
+        F.concat(
+            F.lit("# UNIT "), F.col("metric"), F.lit(" "), unit_expr
+        ).alias("line")
+    )
     eof = spark.range(1).select(F.lit("# EOF").alias("line"))
-    return helps.unionByName(body).unionByName(eof)
+    return helps.unionByName(units).unionByName(body).unionByName(eof)
 
 
 def openmetrics_text(lines: DataFrame) -> str:
     """Serialize an OpenMetrics line relation to payload bytes in spec
-    order: families grouped (HELP, TYPE, then that family's samples,
-    families sorted by name), `# EOF` as the final line."""
+    order: families grouped (HELP, TYPE, UNIT, then that family's
+    samples, families sorted by name), `# EOF` as the final line."""
     import re as _re
 
     def key(line: str):
         if line == "# EOF":
             return (2, "", 0, "", -1.0, "")
-        for rank, prefix in ((0, "# HELP "), (1, "# TYPE ")):
+        for rank, prefix in (
+            (0, "# HELP "),
+            (1, "# TYPE "),
+            (2, "# UNIT "),
+        ):
             if line.startswith(prefix):
                 fam = line[len(prefix):].split(" ", 1)[0]
                 return (1, fam, rank, "", -1.0, line)
@@ -258,7 +287,7 @@ def openmetrics_text(lines: DataFrame) -> str:
                     le = float(lm.group(1))
                 except ValueError:
                     le = float("inf")
-        return (1, fam, 2, name, le, line)
+        return (1, fam, 3, name, le, line)
 
     return (
         "\n".join(sorted((r["line"] for r in lines.collect()), key=key))
@@ -584,10 +613,21 @@ _LINES_BODY_SQL = (
 
 _LINES_SQL = _LINES_PREFIX_SQL + _LINES_BODY_SQL
 
+_OM_UNIT_CASE = (
+    "CASE kind "
+    + " ".join(
+        f"WHEN '{k}' THEN '{u}'" for k, u in _OM_UNITS.items()
+    )
+    + " END"
+)
+
 _OM_LINES_SQL = (
     _LINES_PREFIX_SQL
     + f"SELECT '# HELP ' || metric || '{_OM_HELP}' AS line "
     "FROM (SELECT DISTINCT metric FROM snap) "
+    "UNION ALL "
+    f"SELECT '# UNIT ' || metric || ' ' || {_OM_UNIT_CASE} "
+    "FROM (SELECT DISTINCT kind, metric FROM snap) "
     "UNION ALL "
     + _LINES_BODY_SQL
     + " UNION ALL SELECT DISTINCT '# EOF' FROM snap"

@@ -260,12 +260,19 @@ def test_openmetrics_text_section_order(spark):
     assert lines[-1] == "# EOF"
     assert lines.count("# EOF") == 1
     seen_sample_of = set()
+    meta_rank = {"# HELP ": 0, "# TYPE ": 1, "# UNIT ": 2}
+    last_meta: dict = {}
     for ln in lines[:-1]:
-        if ln.startswith("# HELP ") or ln.startswith("# TYPE "):
+        prefix = next((p for p in meta_rank if ln.startswith(p)), None)
+        if prefix is not None:
             fam = ln.split(" ", 3)[2]
             assert fam not in seen_sample_of, (
-                f"header for {fam} after its samples"
+                f"metadata for {fam} after its samples"
             )
+            # within a family the metadata groups serialize in
+            # HELP, TYPE, UNIT order (r9 adds the UNIT lines)
+            assert meta_rank[prefix] >= last_meta.get(fam, -1), ln
+            last_meta[fam] = meta_rank[prefix]
         else:
             name = ln.split("{", 1)[0].split(" ", 1)[0]
             import re
@@ -273,6 +280,11 @@ def test_openmetrics_text_section_order(spark):
             seen_sample_of.add(
                 re.sub(r"_(total|bucket|sum|count)$", "", name)
             )
+    # every family carries UNIT metadata for each of its TYPE lines
+    units = [ln for ln in lines if ln.startswith("# UNIT ")]
+    types = [ln for ln in lines if ln.startswith("# TYPE ")]
+    assert len(units) == len(types) > 0
+    assert {u.split(" ")[2] for u in units} == set(last_meta)
     # r8: buckets serialize in ascending NUMERIC le order, +Inf last
     # and present (the OM-mandated bucket), never lexicographic
     import re as _re
