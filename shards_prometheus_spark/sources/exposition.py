@@ -466,18 +466,33 @@ class MetricsExposer:
         outer = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
+            def _api(self, extra_params: dict | None = None) -> bool:
+                parts = urlsplit(self.path)
+                if not parts.path.startswith("/api/"):
+                    return False
+                params = parse_qs(parts.query)
+                for k, v in (extra_params or {}).items():
+                    params.setdefault(k, []).extend(v)
+                status, payload = outer.handle_api(parts.path, params)
+                body = json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return True
+
+            def do_POST(self):  # noqa: N802 - stdlib contract
+                # the public API accepts form-encoded POST bodies
+                # (Grafana's default for long query strings)
+                n = int(self.headers.get("Content-Length") or 0)
+                form = parse_qs(self.rfile.read(n).decode())
+                if not self._api(form):
+                    self.send_error(404)
+
             def do_GET(self):  # noqa: N802 - stdlib contract
                 parts = urlsplit(self.path)
-                if parts.path.startswith("/api/"):
-                    status, payload = outer.handle_api(
-                        parts.path, parse_qs(parts.query)
-                    )
-                    body = json.dumps(payload).encode()
-                    self.send_response(status)
-                    self.send_header("Content-Type", "application/json")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
+                if self._api():
                     return
                 if parts.path.rstrip("/") not in ("", "/metrics"):
                     self.send_error(404)

@@ -1,4 +1,6 @@
-"""Prometheus HTTP *read* API: `/api/v1/query` + `/api/v1/query_range`.
+"""Prometheus HTTP *read* API: `/api/v1/query`, `/api/v1/query_range`,
+and the metadata endpoints Grafana needs to browse the store
+(`/api/v1/series`, `/api/v1/labels`, `/api/v1/label/<name>/values`).
 
 The reference exposes only the WRITE side of the pair — the scrape
 endpoint its paired Prometheus server pulls (HTTP server at
@@ -24,11 +26,17 @@ server, both inherent to the batch data model:
 from __future__ import annotations
 
 import math
+import re
 from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
 
 from shards_prometheus_spark.functions.promql_parser import (
     PromQLSyntaxError,
+    Selector,
     _dur_us,
+    is_scalar_expr,
+    parse,
 )
 
 #: Prometheus rejects range queries above this many grid points with
@@ -83,11 +91,6 @@ def instant_data(evaluator, query: str, time_us: int) -> dict:
     """The `data` object of an instant query response: resultType
     `scalar` for pure-scalar expressions, else `vector` with every
     sample stamped at the evaluation time (public semantics)."""
-    from shards_prometheus_spark.functions.promql_parser import (
-        is_scalar_expr,
-        parse,
-    )
-
     rows = evaluator.eval_instant_map(query).collect()
     ts = time_us / 1e6
     if is_scalar_expr(parse(query)):
@@ -126,6 +129,89 @@ def range_data(
     }
 
 
+def _matched_samples(evaluator, matches, start_us, end_us):
+    """The samples surviving the `match[]` selectors (unioned, the
+    public semantics) within the optional [start, end] time range —
+    the relation behind the three metadata endpoints. Each selector
+    must be a plain instant vector selector."""
+    from shards_prometheus_spark.functions.labelset import (
+        apply_matchers,
+    )
+
+    df = evaluator.samples
+    if matches:
+        parts = []
+        for m in matches:
+            node = parse(m)
+            if not isinstance(node, Selector) or node.range_us is not None:
+                raise ValueError(f"invalid series selector {m!r}")
+            parts.append(
+                apply_matchers(
+                    df.filter(F.col("metric") == node.metric),
+                    node.matchers,
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+    if start_us is not None:
+        df = df.filter(F.col("ts_us") >= start_us)
+    if end_us is not None:
+        df = df.filter(F.col("ts_us") <= end_us)
+    return df
+
+
+def series_data(evaluator, matches, start_us, end_us) -> list:
+    """`/api/v1/series`: one label-set object (incl. __name__) per
+    live series matching any selector — distinct (metric, labels),
+    output-sized."""
+    from shards_prometheus_spark.functions.labelset import label_str
+
+    # distinct on the canonical label STRING (Spark set ops reject
+    # MAP columns), keeping one map per series
+    rows = (
+        _matched_samples(evaluator, matches, start_us, end_us)
+        .groupBy("metric", label_str(F.col("labels")).alias("_k"))
+        .agg(F.first("labels").alias("labels"))
+        .collect()
+    )
+    out = [
+        {"__name__": r["metric"], **dict(r["labels"] or {})} for r in rows
+    ]
+    return sorted(out, key=lambda d: sorted(d.items()))
+
+
+def labels_data(evaluator, matches, start_us, end_us) -> list:
+    """`/api/v1/labels`: sorted distinct label names, plus __name__."""
+    rows = (
+        _matched_samples(evaluator, matches, start_us, end_us)
+        .select(F.explode(F.map_keys("labels")).alias("k"))
+        .distinct()
+        .collect()
+    )
+    return sorted({r["k"] for r in rows} | {"__name__"})
+
+
+def label_values_data(
+    evaluator, name: str, matches, start_us, end_us
+) -> list:
+    """`/api/v1/label/<name>/values`: sorted distinct values of one
+    label (`__name__` enumerates metric families)."""
+    df = _matched_samples(evaluator, matches, start_us, end_us)
+    col = (
+        F.col("metric")
+        if name == "__name__"
+        else F.element_at("labels", F.lit(name))
+    )
+    rows = df.select(col.alias("v")).filter(
+        F.col("v").isNotNull()
+    ).distinct().collect()
+    return sorted(r["v"] for r in rows)
+
+
+_LABEL_VALUES_RE = re.compile(r"^/api/v1/label/([^/]+)/values$")
+
+
 def handle_api_request(make_evaluator, path: str, params: dict) -> tuple:
     """Dispatch one read-API request → (http_status, payload dict).
 
@@ -145,11 +231,12 @@ def handle_api_request(make_evaluator, path: str, params: dict) -> tuple:
             "error": msg,
         }
 
-    query = p("query")
-    if query is None:
-        return bad("missing required parameter: query")
+    lv = _LABEL_VALUES_RE.match(path)
     try:
         if path == "/api/v1/query":
+            query = p("query")
+            if query is None:
+                return bad("missing required parameter: query")
             t = p("time")
             time_us = parse_time_param(t) if t is not None else None
             ev = make_evaluator(time_us)
@@ -157,6 +244,9 @@ def handle_api_request(make_evaluator, path: str, params: dict) -> tuple:
                 time_us = ev.eval_time_us()
             data = instant_data(ev, query, time_us)
         elif path == "/api/v1/query_range":
+            query = p("query")
+            if query is None:
+                return bad("missing required parameter: query")
             missing = [k for k in ("start", "end", "step") if p(k) is None]
             if missing:
                 return bad(
@@ -174,6 +264,22 @@ def handle_api_request(make_evaluator, path: str, params: dict) -> tuple:
             data = range_data(
                 make_evaluator(end_us), query, start_us, end_us, step_us
             )
+        elif path in ("/api/v1/series", "/api/v1/labels") or lv:
+            matches = params.get("match[]") or []
+            if path == "/api/v1/series" and not matches:
+                return bad("no match[] parameter provided")
+            s, e = p("start"), p("end")
+            start_us = parse_time_param(s) if s is not None else None
+            end_us = parse_time_param(e) if e is not None else None
+            ev = make_evaluator(None)
+            if path == "/api/v1/series":
+                data = series_data(ev, matches, start_us, end_us)
+            elif path == "/api/v1/labels":
+                data = labels_data(ev, matches, start_us, end_us)
+            else:
+                data = label_values_data(
+                    ev, lv.group(1), matches, start_us, end_us
+                )
         else:
             return 404, {
                 "status": "error",

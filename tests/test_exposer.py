@@ -659,3 +659,80 @@ def test_api_scalar_and_errors(spark):
         assert status == 404 and payload["errorType"] == "not_found"
     finally:
         exposer.stop()
+
+
+def test_api_metadata_endpoints_and_post(spark):
+    """/api/v1/series, /api/v1/labels, /api/v1/label/<n>/values — the
+    store-browsing endpoints Grafana calls before any query — plus a
+    form-encoded POST (the public API accepts both verbs)."""
+    from urllib.parse import quote, urlencode
+
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+    from shards_prometheus_spark.model import samples_multi
+
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        sel = 'click{shard="0"}'
+        status, payload = _api_get(
+            exposer, f"/api/v1/series?match[]={quote(sel)}"
+        )
+        assert status == 200
+        got = payload["data"]
+        assert got and all(
+            s["__name__"] == "click" and s["shard"] == "0" for s in got
+        )
+        rows = (
+            samples_multi(spark, SF_SMOKE)
+            .filter("metric = 'click'")
+            .filter("element_at(labels, 'shard') = '0'")
+            .selectExpr(
+                "element_at(labels, 'user') AS user",
+                "element_at(labels, 'shard') AS shard",
+            )
+            .distinct()
+            .collect()
+        )
+        want = [
+            {"__name__": "click", "user": r["user"], "shard": r["shard"]}
+            for r in rows
+        ]
+        assert sorted(got, key=str) == sorted(want, key=str)
+
+        status, payload = _api_get(exposer, "/api/v1/labels")
+        assert status == 200
+        assert payload["data"] == ["__name__", "shard", "user"]
+
+        status, payload = _api_get(
+            exposer, "/api/v1/label/__name__/values"
+        )
+        metrics = {
+            r["metric"]
+            for r in samples_multi(spark, SF_SMOKE)
+            .select("metric")
+            .distinct()
+            .collect()
+        }
+        assert payload["data"] == sorted(metrics)
+
+        # series without match[] is a public bad_data error
+        status, payload = _api_get(exposer, "/api/v1/series")
+        assert status == 400 and payload["errorType"] == "bad_data"
+
+        # POST round-trips the same instant query as GET
+        import json
+        import urllib.request
+
+        body = urlencode({"query": "1+2"}).encode()
+        req = urllib.request.Request(
+            f"http://{exposer.host}:{exposer.port}/api/v1/query",
+            data=body,
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            posted = json.loads(resp.read().decode())
+        assert posted["data"]["resultType"] == "scalar"
+        assert posted["data"]["result"][1] == "3"
+    finally:
+        exposer.stop()
