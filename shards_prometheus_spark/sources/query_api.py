@@ -1,6 +1,9 @@
 """Prometheus HTTP *read* API: `/api/v1/query`, `/api/v1/query_range`,
-and the metadata endpoints Grafana needs to browse the store
-(`/api/v1/series`, `/api/v1/labels`, `/api/v1/label/<name>/values`).
+the metadata endpoints Grafana needs to browse the store
+(`/api/v1/series`, `/api/v1/labels`, `/api/v1/label/<name>/values`,
+`/api/v1/metadata`, `/api/v1/status/buildinfo`), and the rule-state
+surface (`/api/v1/rules`, `/api/v1/alerts`) over the configured
+recording/alerting groups.
 
 The reference exposes only the WRITE side of the pair — the scrape
 endpoint its paired Prometheus server pulls (HTTP server at
@@ -209,6 +212,205 @@ def label_values_data(
     return sorted(r["v"] for r in rows)
 
 
+def parse_label_str(s: str) -> dict:
+    """Inverse of labelset.label_str: canonical `k=v,k2=v2` rendering
+    (structural `\\`/`,`/`=` backslash-escaped) → dict. The rule
+    evaluators return string labels — Spark cannot group on MAP
+    columns — so the JSON layer re-materializes the object here."""
+    out: dict[str, str] = {}
+    key, cur, i = None, [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            cur.append(s[i + 1])
+            i += 2
+            continue
+        if c == "=" and key is None:
+            key = "".join(cur)
+            cur = []
+        elif c == ",":
+            if key is not None:
+                out[key] = "".join(cur)
+            key, cur = None, []
+        else:
+            cur.append(c)
+        i += 1
+    if key is not None:
+        out[key] = "".join(cur)
+    return out
+
+
+def _alert_groups():
+    """The configured alerting-rule groups: (group_name, rows_fn,
+    definitions) — definitions as (alertname, expr, for_us, keep_us,
+    step_us) with 0 where a rule has no hold/grace."""
+    from shards_prometheus_spark.operators import rules as R
+
+    return [
+        (
+            "alerts",
+            lambda ev: R.eval_rule_group(ev, R.ALERT_RULES, "alertname"),
+            [(n, e, 0, 0, 0) for n, e in R.ALERT_RULES],
+        ),
+        (
+            "alerts_for",
+            lambda ev: R.eval_alert_for_group(
+                ev, R.ALERT_FOR_RULES, "alertname"
+            ),
+            [(n, e, f, 0, s) for n, e, f, s in R.ALERT_FOR_RULES],
+        ),
+        (
+            "alerts_keep_firing",
+            lambda ev: R.eval_alert_keep_group(
+                ev, R.ALERT_KEEP_RULES, "alertname"
+            ),
+            [(n, e, f, k, s) for n, e, f, k, s in R.ALERT_KEEP_RULES],
+        ),
+    ]
+
+
+def _firing_rows(evaluator) -> dict:
+    """alertname → [(labels dict, value)] across all alert groups,
+    incl. the chained group's alert (evaluated through its chain)."""
+    from shards_prometheus_spark.operators import rules as R
+
+    out: dict[str, list] = {}
+    for _g, rows_fn, _defs in _alert_groups():
+        for r in rows_fn(evaluator).collect():
+            out.setdefault(r["alertname"], []).append(
+                (parse_label_str(r["labels"]), r["value"])
+            )
+    chained_alerts = {
+        n for kind, n, _e in R.CHAINED_RULE_GROUP if kind == "alert"
+    }
+    rows = R.eval_rule_group_chained(
+        evaluator.samples.drop("t_max"), R.CHAINED_RULE_GROUP
+    ).collect()
+    for r in rows:
+        if r["rule"] in chained_alerts:
+            out.setdefault(r["rule"], []).append(
+                (parse_label_str(r["labels"]), r["value"])
+            )
+    return out
+
+
+def _alert_json(name: str, labels: dict, value) -> dict:
+    return {
+        "labels": {"alertname": name, **labels},
+        "state": "firing",
+        "value": _fmt_value(value),
+    }
+
+
+def alerts_data(evaluator) -> dict:
+    """`/api/v1/alerts`: every currently-firing alert across the
+    configured groups, public shape ({labels incl. alertname, state,
+    value})."""
+    alerts = [
+        _alert_json(name, labels, v)
+        for name, rows in sorted(_firing_rows(evaluator).items())
+        for labels, v in sorted(rows, key=lambda t: sorted(t[0].items()))
+    ]
+    return {"alerts": alerts}
+
+
+def rules_data(evaluator, include_alerts: bool) -> dict:
+    """`/api/v1/rules`: the configured recording + alerting groups in
+    the public shape — rule definitions always; each alerting rule's
+    active alerts evaluated per request unless `exclude_alerts` (the
+    public parameter) is set."""
+    from shards_prometheus_spark.operators import rules as R
+
+    firing = _firing_rows(evaluator) if include_alerts else {}
+    groups = [
+        {
+            "name": "recording",
+            "rules": [
+                {"type": "recording", "name": n, "query": e, "health": "ok"}
+                for n, e in R.RECORDING_RULES
+            ],
+        },
+    ]
+
+    def finish(entry: dict) -> dict:
+        if entry["type"] == "alerting" and include_alerts:
+            active = firing.get(entry["name"], [])
+            entry["state"] = "firing" if active else "inactive"
+            entry["alerts"] = [
+                _alert_json(entry["name"], labels, v)
+                for labels, v in sorted(
+                    active, key=lambda t: sorted(t[0].items())
+                )
+            ]
+        return entry
+
+    groups.append(
+        {
+            "name": "recording_chained",
+            "rules": [
+                finish(
+                    {
+                        "type": "recording"
+                        if kind == "record"
+                        else "alerting",
+                        "name": n,
+                        "query": e,
+                        "health": "ok",
+                    }
+                )
+                for kind, n, e in R.CHAINED_RULE_GROUP
+            ],
+        }
+    )
+    for gname, _rows_fn, defs in _alert_groups():
+        rules = [
+            finish(
+                {
+                    "type": "alerting",
+                    "name": name,
+                    "query": expr,
+                    "duration": for_us / 1e6,
+                    "keepFiringFor": keep_us / 1e6,
+                    "health": "ok",
+                }
+            )
+            for name, expr, for_us, keep_us, _step in defs
+        ]
+        groups.append({"name": gname, "rules": rules})
+    return {"groups": groups}
+
+
+def metadata_data(evaluator) -> dict:
+    """`/api/v1/metadata`: per-family help/type/unit — the registry
+    convention exposes each family through all three kinds, matching
+    the exposition dialect's HELP/TYPE/UNIT lines."""
+    from shards_prometheus_spark.sources.exposition import (
+        _OM_HELP,
+        _OM_UNITS,
+    )
+
+    metrics = sorted(
+        r["metric"]
+        for r in evaluator.samples.select("metric").distinct().collect()
+    )
+    return {
+        m: [
+            {"type": kind, "help": _OM_HELP.strip(), "unit": unit}
+            for kind, unit in sorted(_OM_UNITS.items())
+        ]
+        for m in metrics
+    }
+
+
+#: buildinfo is static — the version stamp a Grafana datasource health
+#: check reads (public endpoint; fields mirror the upstream shape).
+BUILDINFO = {
+    "version": "2.x-spark",
+    "application": "shards-prometheus-spark",
+    "features": {"query_api": "true", "exposition": "true"},
+}
+
+
 _LABEL_VALUES_RE = re.compile(r"^/api/v1/label/([^/]+)/values$")
 
 
@@ -280,6 +482,17 @@ def handle_api_request(make_evaluator, path: str, params: dict) -> tuple:
                 data = label_values_data(
                     ev, lv.group(1), matches, start_us, end_us
                 )
+        elif path == "/api/v1/alerts":
+            data = alerts_data(make_evaluator(None))
+        elif path == "/api/v1/rules":
+            data = rules_data(
+                make_evaluator(None),
+                include_alerts=p("exclude_alerts") not in ("true", "1"),
+            )
+        elif path == "/api/v1/metadata":
+            data = metadata_data(make_evaluator(None))
+        elif path == "/api/v1/status/buildinfo":
+            data = BUILDINFO
         else:
             return 404, {
                 "status": "error",

@@ -736,3 +736,123 @@ def test_api_metadata_endpoints_and_post(spark):
         assert posted["data"]["result"][1] == "3"
     finally:
         exposer.stop()
+
+
+def test_parse_label_str_inverse_of_label_str(spark):
+    """parse_label_str must invert the canonical rendering exactly,
+    escapes included."""
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.functions.labelset import label_str
+    from shards_prometheus_spark.sources.query_api import parse_label_str
+
+    cases = [
+        {"user": "7", "shard": "2"},
+        {"a": "b,c=d", "c": "d"},          # the injectivity case
+        {"k": 'v"w\\x', "e=q": "p,q"},     # escapes in keys and values
+        {},
+    ]
+    df = spark.createDataFrame(
+        [(c,) for c in cases], "m map<string,string>"
+    ).select(label_str(F.col("m")).alias("s"))
+    rendered = [r["s"] for r in df.collect()]
+    for want, s in zip(cases, rendered):
+        assert parse_label_str(s) == want, (s, want)
+
+
+def test_api_rules_alerts_metadata_buildinfo(spark):
+    """/api/v1/rules, /api/v1/alerts, /api/v1/metadata,
+    /api/v1/status/buildinfo — the rule-state and metadata surface;
+    alerts must equal the batch rule evaluators' firing sets."""
+    from shards_prometheus_spark.operators.rules import (
+        alert_rules,
+        alert_rules_for,
+        alert_rules_keep_firing,
+    )
+    from shards_prometheus_spark.sources.query_api import parse_label_str
+
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        status, payload = _api_get(exposer, "/api/v1/alerts")
+        assert status == 200
+        got = {
+            (
+                e["labels"]["alertname"],
+                tuple(
+                    sorted(
+                        (k, v)
+                        for k, v in e["labels"].items()
+                        if k != "alertname"
+                    )
+                ),
+            )
+            for e in payload["data"]["alerts"]
+        }
+        assert all(
+            e["state"] == "firing" for e in payload["data"]["alerts"]
+        )
+        want = set()
+        for fn in (alert_rules, alert_rules_for, alert_rules_keep_firing):
+            for r in fn(spark, SF_SMOKE).collect():
+                want.add((
+                    r["alertname"],
+                    tuple(sorted(parse_label_str(r["labels"]).items())),
+                ))
+        from shards_prometheus_spark.operators.rules import rules_chained
+
+        for r in rules_chained(spark, SF_SMOKE).collect():
+            if r["rule"] == "AboveAverageDailyClickRate":
+                want.add((
+                    r["rule"],
+                    tuple(sorted(parse_label_str(r["labels"]).items())),
+                ))
+        assert got == want and len(got) > 0
+
+        status, payload = _api_get(
+            exposer, "/api/v1/rules?exclude_alerts=true"
+        )
+        groups = {g["name"]: g for g in payload["data"]["groups"]}
+        assert set(groups) == {
+            "recording",
+            "recording_chained",
+            "alerts",
+            "alerts_for",
+            "alerts_keep_firing",
+        }
+        for g in groups.values():
+            for rule in g["rules"]:
+                assert "alerts" not in rule and rule["query"]
+        kf = groups["alerts_keep_firing"]["rules"][0]
+        assert kf["duration"] == 24 * 3600.0
+        assert kf["keepFiringFor"] == 48 * 3600.0
+
+        status, payload = _api_get(exposer, "/api/v1/rules")
+        rules = [
+            r
+            for g in payload["data"]["groups"]
+            for r in g["rules"]
+            if r["type"] == "alerting"
+        ]
+        firing_names = {e[0] for e in want}
+        for r in rules:
+            assert r["state"] == (
+                "firing" if r["name"] in firing_names else "inactive"
+            )
+            assert {a["labels"]["alertname"] for a in r["alerts"]} <= {
+                r["name"]
+            }
+
+        status, payload = _api_get(exposer, "/api/v1/metadata")
+        meta = payload["data"]
+        assert "click" in meta
+        assert {m["type"] for m in meta["click"]} == {
+            "counter",
+            "gauge",
+            "histogram",
+        }
+        assert all(m["unit"] and m["help"] for m in meta["click"])
+
+        status, payload = _api_get(exposer, "/api/v1/status/buildinfo")
+        assert status == 200 and payload["data"]["version"]
+    finally:
+        exposer.stop()
