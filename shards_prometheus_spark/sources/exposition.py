@@ -518,6 +518,7 @@ class MetricsExposer:
         self._lines_fn = lines_fn
         self._openmetrics = openmetrics
         self._samples_fn = samples_fn
+        self._default_ev = None
         self._server = http.server.ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._server.server_address[:2]
         self._thread = threading.Thread(
@@ -536,12 +537,26 @@ class MetricsExposer:
         )
 
         def make_evaluator(eval_ts_us):
-            samples = (
-                self._samples_fn()
-                if self._samples_fn is not None
-                else samples_multi(self._spark, self._sf_dir)
-            )
-            return PromQLEvaluator(samples, eval_ts_us=eval_ts_us)
+            if self._samples_fn is not None:
+                # live registry: the relation (and its t_max) grows
+                # between requests — rebuild per request
+                return PromQLEvaluator(
+                    self._samples_fn(), eval_ts_us=eval_ts_us
+                )
+            if eval_ts_us is not None:
+                # pinned time needs no t_max collect — cheap to build
+                return PromQLEvaluator(
+                    samples_multi(self._spark, self._sf_dir),
+                    eval_ts_us=eval_ts_us,
+                )
+            # batch dirs are immutable: the default evaluator's eager
+            # t_max collect scans the corpus once per EXPOSER, not
+            # once per request
+            if self._default_ev is None:
+                self._default_ev = PromQLEvaluator(
+                    samples_multi(self._spark, self._sf_dir)
+                )
+            return self._default_ev
 
         return handle_api_request(make_evaluator, path, params)
 
