@@ -852,8 +852,9 @@ def test_time_timestamp_vector_date_fns(spark):
     assert one("days_in_month(vector(1705276800))") == ("", 31.0)
     assert one("year(vector(1705276800))") == ("", 2024.0)
     assert one("hour(timestamp(m))") == ("user=a", 1.0)
-    with pytest.raises(PromQLSyntaxError):
-        ev.eval("time()")
+    # top-level time() is a scalar query since r9 (VERDICT r8 #3):
+    # one empty-labeled row carrying t_max in seconds
+    assert one("time()") == ("", 1_705_280_400.0)
 
 
 def test_holt_winters_recursion(spark):
