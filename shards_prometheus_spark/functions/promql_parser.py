@@ -339,6 +339,15 @@ class VectorTimeFn:
 
 
 @dataclass
+class VectorExpr:
+    """vector(<scalar expr>): one empty-labeled sample carrying the
+    computed scalar — the general public form (a literal/pi() keeps
+    the VectorFn fast path, time() the VectorTimeFn one)."""
+
+    expr: object
+
+
+@dataclass
 class TsFnExpr:
     """timestamp(<computed vector>): every sample of a computed
     vector sits AT the evaluation timestamp (only a plain selector
@@ -744,23 +753,22 @@ class _Parser:
             self.expect(")")
             return Scalar(math.pi)
         if tok == "vector":
+            # vector(<scalar expr>) — literals/pi() keep the VectorFn
+            # fast path, bare time() the VectorTimeFn one, any other
+            # scalar tree the general VectorExpr
             self.next()
             self.expect("(")
-            if self.peek() == "pi":  # vector(pi())
-                self.next()
-                self.expect("(")
-                self.expect(")")
-                v = math.pi
-            elif self.peek() == "time":  # vector(time())
-                self.next()
-                self.expect("(")
-                self.expect(")")
-                self.expect(")")
-                return VectorTimeFn()
-            else:
-                v = self._number()
+            e = self.or_expr()
             self.expect(")")
-            return VectorFn(v)
+            if isinstance(e, Scalar):
+                return VectorFn(e.value)
+            if isinstance(e, TimeFn):
+                return VectorTimeFn()
+            if not is_scalar_expr(e):
+                raise PromQLSyntaxError(
+                    "vector() takes a scalar expression"
+                )
+            return VectorExpr(e)
         if tok == "timestamp":
             self.next()
             self.expect("(")
@@ -2315,6 +2323,11 @@ class PromQLEvaluator:
             return self._label(node)
         if isinstance(node, VectorFn):
             return self._vector_fn(node)
+        if isinstance(node, VectorExpr):
+            return self._scalar_rel(node.expr, grid=False).select(
+                F.map_from_arrays(F.array(), F.array()).alias("labels"),
+                "value",
+            )
         if isinstance(node, VectorTimeFn):
             return self._tmax.select(
                 F.map_from_arrays(F.array(), F.array()).alias("labels"),
@@ -2641,6 +2654,12 @@ class PromQLEvaluator:
                 "_ets",
                 F.map_from_arrays(F.array(), F.array()).alias("labels"),
                 F.lit(float(node.value)).alias("value"),
+            )
+        if isinstance(node, VectorExpr):
+            return self._scalar_rel(node.expr, grid=True).select(
+                "_ets",
+                F.map_from_arrays(F.array(), F.array()).alias("labels"),
+                "value",
             )
         if isinstance(node, VectorTimeFn):
             return self._gridf.select(

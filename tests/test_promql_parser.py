@@ -122,6 +122,19 @@ def test_scalar_bool_comparisons(spark):
     assert one("scalar(click) != bool 1") == 1.0
 
 
+def test_vector_of_scalar_expression(spark):
+    """vector(<scalar expr>) — the general public form: one
+    empty-labeled sample carrying the computed scalar (literal and
+    time() keep their fast-path nodes)."""
+    rows = promql_eval(
+        spark, SF_SMOKE, "vector(1 + 2 * scalar(vector(10)))"
+    ).collect()
+    assert [(r["labels"], r["value"]) for r in rows] == [("", 21.0)]
+    # a vector inside vector() is rejected, as upstream
+    with pytest.raises(PromQLSyntaxError):
+        promql_eval(spark, SF_SMOKE, "vector(click)")
+
+
 def test_vector_times_compound_scalar(spark):
     """`v * (1+2)` — a compound scalar side routes through
     _scalar_rel and must equal the literal `v * 3` plan exactly
