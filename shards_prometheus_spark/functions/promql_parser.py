@@ -2481,6 +2481,35 @@ class PromQLEvaluator:
             "labels", F.round("value", 4).alias("value")
         )
 
+    def eval_raw_matrix(self, expr: str) -> DataFrame:
+        """Instant query of a bare range selector (`m[5m]`): the RAW
+        samples in the trailing window per series, (labels MAP, ts_us,
+        value) — upstream answers these with `resultType: matrix` (the
+        Prometheus UI's debug view). Synthetic `_bucket` selectors
+        have no raw samples and return empty, like a server that never
+        scraped such a family."""
+        node = parse(expr)
+        if not isinstance(node, Selector) or node.range_us is None:
+            raise PromQLSyntaxError(f"not a range selector: {expr}")
+        if node.metric.endswith(_BUCKET_SUFFIX):
+            return (
+                self.samples.filter(F.lit(False))
+                .select("labels", "ts_us", F.col("value").cast("double"))
+            )
+        end = self._end(node)
+        return (
+            self._matched(node)
+            .filter(
+                (F.col("ts_us") <= end)
+                & (F.col("ts_us") > end - F.lit(node.range_us))
+            )
+            .select(
+                "labels",
+                "ts_us",
+                F.col("value").cast("double").alias("value"),
+            )
+        )
+
     def eval_range_map(
         self, expr: str, span_us: int, step_us: int
     ) -> DataFrame:

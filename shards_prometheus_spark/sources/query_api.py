@@ -90,13 +90,40 @@ def _fmt_value(v) -> str:
     return s[:-2] if s.endswith(".0") else s
 
 
+#: a top-level PromQL string literal — `resultType: string` upstream
+_STRING_QUERY_RE = re.compile(r'^\s*"((?:[^"\\]|\\.)*)"\s*$')
+
+
 def instant_data(evaluator, query: str, time_us: int) -> dict:
-    """The `data` object of an instant query response: resultType
-    `scalar` for pure-scalar expressions, else `vector` with every
-    sample stamped at the evaluation time (public semantics)."""
-    rows = evaluator.eval_instant_map(query).collect()
+    """The `data` object of an instant query response, by expression
+    shape (all public semantics): `string` for a string literal,
+    `scalar` for pure-scalar expressions, `matrix` of raw samples for
+    a bare range selector (`m[5m]`, the Prometheus UI debug view),
+    else `vector` with every sample stamped at the evaluation time."""
     ts = time_us / 1e6
-    if is_scalar_expr(parse(query)):
+    m = _STRING_QUERY_RE.match(query)
+    if m:
+        body = re.sub(r"\\(.)", r"\1", m.group(1))
+        return {"resultType": "string", "result": [ts, body]}
+    node = parse(query)
+    if isinstance(node, Selector) and node.range_us is not None:
+        rows = evaluator.eval_raw_matrix(query).collect()
+        series: dict[tuple, dict] = {}
+        for r in sorted(rows, key=lambda r: r["ts_us"]):
+            labels = dict(r["labels"] or {})
+            key = tuple(sorted(labels.items()))
+            entry = series.setdefault(
+                key, {"metric": labels, "values": []}
+            )
+            entry["values"].append(
+                [r["ts_us"] / 1e6, _fmt_value(r["value"])]
+            )
+        return {
+            "resultType": "matrix",
+            "result": [series[k] for k in sorted(series)],
+        }
+    rows = evaluator.eval_instant_map(query).collect()
+    if is_scalar_expr(node):
         val = rows[0]["value"] if rows else float("nan")
         return {"resultType": "scalar", "result": [ts, _fmt_value(val)]}
     return {

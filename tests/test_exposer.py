@@ -856,3 +856,52 @@ def test_api_rules_alerts_metadata_buildinfo(spark):
         assert status == 200 and payload["data"]["version"]
     finally:
         exposer.stop()
+
+
+def test_api_instant_matrix_and_string_results(spark):
+    """The two remaining instant resultTypes: a bare range selector
+    answers with the RAW samples as a matrix (the Prometheus UI debug
+    view), a string literal with resultType: string."""
+    from urllib.parse import quote
+
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+    from shards_prometheus_spark.model import samples_multi
+
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        status, payload = _api_get(
+            exposer, f"/api/v1/query?query={quote('click[720h]')}"
+        )
+        assert status == 200
+        data = payload["data"]
+        assert data["resultType"] == "matrix"
+        got = {
+            (tuple(sorted(e["metric"].items())), ts, float(v))
+            for e in data["result"]
+            for ts, v in e["values"]
+        }
+        ev = PromQLEvaluator(samples_multi(spark, SF_SMOKE))
+        want = {
+            (
+                tuple(sorted(dict(r["labels"]).items())),
+                r["ts_us"] / 1e6,
+                r["value"],
+            )
+            for r in ev.eval_raw_matrix("click[720h]").collect()
+        }
+        assert got == want and len(got) > 0
+        # values inside each series are time-ordered
+        for e in data["result"]:
+            ts_list = [ts for ts, _v in e["values"]]
+            assert ts_list == sorted(ts_list)
+
+        status, payload = _api_get(
+            exposer, '/api/v1/query?query=%22hello%20world%22'
+        )
+        assert status == 200
+        assert payload["data"]["resultType"] == "string"
+        assert payload["data"]["result"][1] == "hello world"
+    finally:
+        exposer.stop()
