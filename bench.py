@@ -107,6 +107,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "promql_range_hist_quantile",
             "promql_range_topk",
             "recording_rules",
+            "rules_chained",
             "alert_rules",
             "alert_rules_for",
             "alert_rules_keep_firing",
