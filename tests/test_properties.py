@@ -421,3 +421,31 @@ def test_promql_parse_render_round_trip(node):
     from shards_prometheus_spark.functions.promql_parser import parse
 
     assert parse(_render(node)) == node
+
+
+# -- canonical label string round trip (pure Python, no Spark) ---------
+
+_struct = st.text(
+    alphabet=st.sampled_from(list('abz09 ,=\\"\n')), max_size=8
+)
+
+
+def _py_esc(s: str) -> str:
+    """labelset._esc replicated in Python (backslash first — the
+    Spark twin's replace order; equality of the two renderings is
+    pinned by test_parse_label_str_inverse_of_label_str)."""
+    return (
+        s.replace("\\", "\\\\").replace(",", "\\,").replace("=", "\\=")
+    )
+
+
+@given(st.dictionaries(_struct, _struct, max_size=5))
+def test_parse_label_str_roundtrip_property(d):
+    """query_api.parse_label_str inverts the canonical rendering for
+    ARBITRARY keys/values containing the structural characters."""
+    from shards_prometheus_spark.sources.query_api import parse_label_str
+
+    s = ",".join(
+        f"{_py_esc(k)}={_py_esc(v)}" for k, v in sorted(d.items())
+    )
+    assert parse_label_str(s) == d
