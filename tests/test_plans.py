@@ -580,3 +580,25 @@ def test_dedup_near_forced_fallback_matches_broadcast(spark, monkeypatch):
         (r["doc_a"], r["doc_b"], r["jaccard"]) for r in df.collect()
     }
     assert forced == base
+
+
+def test_chained_record_selectors_push_to_scan(spark):
+    """Chained rule groups union record vectors onto the corpus
+    relation; a later layer's record-name selector must still push its
+    metric equality into BOTH union branches, so the parquet side
+    prunes every row group (no such event_type value) instead of
+    re-scanning the corpus — the property that keeps the lazy chain
+    viable at scale (ARCHITECTURE §7 r9 note). Also: no cartesian
+    anywhere in the 3-layer cascade."""
+    from shards_prometheus_spark.operators.rules import rules_chained
+    from shards_prometheus_spark.plans.checks import formatted_plan
+
+    df = rules_chained(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    # the EqualTo(...) spelling only appears in PushedFilters lines
+    # (Filter nodes render as `(event_type = ...)`), so a plain
+    # substring check pins scan-side pushdown on the LATER scans too
+    # (assert_pushed_filters reads only the first scan)
+    assert "EqualTo(event_type,user:click:rate720h)" in plan
+    assert "EqualTo(event_type,user:click:rate720h:daily)" in plan
+    assert_no_cartesian_product(df)
