@@ -153,15 +153,17 @@ def _loadavg() -> list[float] | None:
 
 
 def _calibration_probe() -> float:
-    """A fixed ~100 ms single-core busy loop, timed. Fixed WORK on one
-    core means the measured duration moves with CPU contention and
-    nothing else — so a bench run on a loaded machine self-identifies
+    """A fixed ~200 ms single-core busy loop, timed (sized so OS
+    scheduler jitter — ±20-30 ms absolute — stays under the 25% flag
+    threshold; a 90 ms sizing false-flagged quiet families). Fixed
+    WORK on one core means the measured duration moves with CPU
+    contention and nothing else — so a loaded bench run self-identifies
     (r8's driver artifact was a 78.6 s loaded-machine outlier vs four
     52-62 s runs of identical code, and nothing inside the JSON could
     prove it; same for r3's 103.6 s vs 63.4 s)."""
     t0 = time.perf_counter()
     x = 0
-    for i in range(1_500_000):
+    for i in range(3_000_000):
         x += i * i
     assert x >= 0
     return time.perf_counter() - t0
