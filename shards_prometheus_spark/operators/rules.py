@@ -374,6 +374,192 @@ def alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def load_rule_groups(text: str) -> list[dict]:
+    """Parse a Prometheus rule FILE (the public YAML shape a real
+    deployment already has: `groups:` → name/interval/rules with
+    `record:`/`alert:`, `expr`, `for`, `keep_firing_for`, `labels`,
+    `annotations`) into normalized group dicts — durations in µs,
+    upstream's 1m default interval when unset."""
+    import yaml
+
+    from shards_prometheus_spark.functions.promql_parser import _dur_us
+
+    doc = yaml.safe_load(text) or {}
+    groups = []
+    for g in doc.get("groups", []):
+        rules = []
+        for r in g.get("rules", []):
+            if "record" in r:
+                rules.append(
+                    {
+                        "kind": "record",
+                        "name": r["record"],
+                        "expr": r["expr"],
+                        "labels": dict(r.get("labels") or {}),
+                    }
+                )
+            elif "alert" in r:
+                rules.append(
+                    {
+                        "kind": "alert",
+                        "name": r["alert"],
+                        "expr": r["expr"],
+                        "for_us": _dur_us(str(r["for"]))
+                        if r.get("for")
+                        else 0,
+                        "keep_us": _dur_us(str(r["keep_firing_for"]))
+                        if r.get("keep_firing_for")
+                        else 0,
+                        "labels": dict(r.get("labels") or {}),
+                        "annotations": dict(r.get("annotations") or {}),
+                    }
+                )
+            else:
+                raise ValueError(f"rule needs record: or alert:: {r}")
+        groups.append(
+            {
+                "name": g["name"],
+                "interval_us": _dur_us(str(g["interval"]))
+                if g.get("interval")
+                else 60_000_000,
+                "rules": rules,
+            }
+        )
+    return groups
+
+
+def eval_rule_file(samples: DataFrame, text: str) -> DataFrame:
+    """Evaluate a Prometheus rule FILE against a samples relation the
+    way the paired server does: within each group, rules run
+    SEQUENTIALLY at one shared tick — record outputs (with the rule's
+    static labels merged in, overriding series labels per upstream)
+    are written back so later rules select them — and alert rules get
+    `for:`/`keep_firing_for:` hold semantics on the group's own
+    evaluation interval. Groups are independent (each starts from the
+    raw store; on a cluster each is its own job, exactly how a server
+    schedules them). Static labels on ALERT rules are parsed and kept
+    in the group dicts but not merged into the firing set's label
+    rendering (they are routing metadata, not series identity).
+
+    Returns (grp, kind, rule, labels, value): every record's vector
+    and every firing alert, labeled with its group and rule name."""
+    from shards_prometheus_spark.functions.labelset import label_str
+
+    parts = []
+    for g in load_rule_groups(text):
+        gsamples = samples
+        ev = PromQLEvaluator(gsamples)
+        tick_us = ev.eval_time_us()
+        step_us = g["interval_us"]
+        for r in g["rules"]:
+            gcol = F.lit(g["name"]).alias("grp")
+            kcol = F.lit(r["kind"]).alias("kind")
+            if r["kind"] == "record":
+                vec = ev.eval_instant_map(r["expr"])
+                if r["labels"]:
+                    static = F.create_map(
+                        *[
+                            F.lit(x)
+                            for kv in sorted(r["labels"].items())
+                            for x in kv
+                        ]
+                    )
+                    keys = list(r["labels"])
+                    vec = vec.select(
+                        F.map_concat(
+                            F.map_filter(
+                                F.col("labels"),
+                                lambda k, _v: ~k.isin(*keys)
+                                if len(keys) > 1
+                                else k != keys[0],
+                            ),
+                            static,
+                        ).alias("labels"),
+                        "value",
+                    )
+                parts.append(
+                    vec.select(
+                        gcol,
+                        kcol,
+                        F.lit(r["name"]).alias("rule"),
+                        label_str(F.col("labels")).alias("labels"),
+                        "value",
+                    )
+                )
+                sid = F.xxhash64(
+                    F.lit(r["name"]), label_str(F.col("labels"))
+                )
+                rec = vec.select(
+                    sid.alias("event_id"),
+                    sid.alias("series_id"),
+                    F.lit(r["name"]).alias("metric"),
+                    F.col("labels"),
+                    F.lit(tick_us).alias("ts_us"),
+                    F.col("value").cast("double").alias("value"),
+                )
+                gsamples = gsamples.unionByName(rec)
+                ev = PromQLEvaluator(gsamples, eval_ts_us=tick_us)
+            elif r["keep_us"]:
+                df = eval_alert_keep_group(
+                    ev,
+                    [(r["name"], r["expr"], r["for_us"], r["keep_us"],
+                      step_us)],
+                    "rule",
+                )
+                parts.append(df.select(gcol, kcol, "rule", "labels", "value"))
+            elif r["for_us"]:
+                df = eval_alert_for_group(
+                    ev,
+                    [(r["name"], r["expr"], r["for_us"], step_us)],
+                    "rule",
+                )
+                parts.append(df.select(gcol, kcol, "rule", "labels", "value"))
+            else:
+                df = eval_rule_group(ev, [(r["name"], r["expr"])], "rule")
+                parts.append(df.select(gcol, kcol, "rule", "labels", "value"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+#: demo rule FILE — the literal YAML a reference+server user already
+#: maintains: a layered group (chaining + a static record label) and a
+#: `for:`-hold group on a 1d evaluation interval.
+DEMO_RULE_FILE = """
+groups:
+  - name: layered
+    interval: 1d
+    rules:
+      - record: user:click:rate720h
+        expr: sum by (user) (rate(click[720h]))
+      - record: user:click:rate720h:daily
+        expr: user:click:rate720h * 86400
+        labels:
+          tier: daily
+      - alert: AboveAverageDailyClickRate
+        expr: >-
+          user:click:rate720h:daily >
+          scalar(avg(user:click:rate720h:daily))
+  - name: holds
+    interval: 1d
+    rules:
+      - alert: SustainedAboveAverageClicks
+        expr: >-
+          sum by (user) (increase(click[240h])) >
+          scalar(avg(sum by (user) (increase(click[240h]))))
+        for: 3d
+"""
+
+
+def rules_from_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate DEMO_RULE_FILE — the YAML rule file a switching user
+    brings — over the batch relations."""
+    from shards_prometheus_spark.model import samples_multi
+
+    return eval_rule_file(samples_multi(spark, sf_dir), DEMO_RULE_FILE)
+
+
 def rules_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evaluate the layered rule group: (rule, labels, value) — the
     two-layer record chain plus an alert over the layer-2 recorded
@@ -411,6 +597,7 @@ def alert_rules_keep_firing(
 QUERIES = {
     "recording_rules": recording_rules,
     "rules_chained": rules_chained,
+    "rules_from_file": rules_from_file,
     "alert_rules": alert_rules,
     "alert_rules_for": alert_rules_for,
     "alert_rules_keep_firing": alert_rules_keep_firing,
@@ -558,9 +745,53 @@ _CHAINED_SQL = (
     "WHERE " + dround("v2", 6) + " > a"
 )
 
+#: rule-FILE oracle — the layered group's cascade (incl. the static
+#: `tier=daily` record label riding into layer 2 and the alert) plus
+#: the holds group's 3d-for rule on a 1d interval (span = for + step
+#: = 96h → fires iff above average at all 4 grid instants).
+_RULE_FILE_SQL = (
+    f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+    + _increase_cte("click", _H720_US, "fci")
+    + ", fl1 AS (SELECT l_user, "
+    + dround(f"SUM(inc / {_H720_US / 1e6})", 4)
+    + " AS v FROM fci GROUP BY l_user), "
+    "fl2 AS (SELECT l_user, "
+    + dround("v * 86400", 4)
+    + " AS v2 FROM fl1), "
+    "fthr AS (SELECT AVG(v2) AS a FROM fl2), "
+    + _grid_cte(_H24_US, _H72_US + _H24_US)
+    + ", "
+    + _grid_increase_cte("click", _H240_US, "fgi")
+    + ", gthr AS (SELECT ets, AVG(v) AS a FROM fgi GROUP BY ets), "
+    "gfire AS (SELECT fgi.ets, fgi.l_user, fgi.v FROM fgi "
+    "JOIN gthr ON gthr.ets = fgi.ets WHERE "
+    + dround("fgi.v", 6)
+    + " > gthr.a), "
+    "gc AS (SELECT COUNT(*) AS n, MAX(ets) AS mx FROM g) "
+    "SELECT 'layered' AS grp, 'record' AS kind, "
+    "'user:click:rate720h' AS rule, 'user=' || l_user AS labels, "
+    "v AS value FROM fl1 "
+    "UNION ALL "
+    "SELECT 'layered', 'record', 'user:click:rate720h:daily', "
+    "'tier=daily,user=' || l_user, v2 FROM fl2 "
+    "UNION ALL "
+    "SELECT 'layered', 'alert', 'AboveAverageDailyClickRate', "
+    "'tier=daily,user=' || l_user, v2 FROM fl2, fthr WHERE "
+    + dround("v2", 6)
+    + " > a "
+    "UNION ALL "
+    "SELECT 'holds', 'alert', 'SustainedAboveAverageClicks', "
+    "'user=' || f.l_user, "
+    + dround("f.v", 4)
+    + " FROM gfire f, gc WHERE f.ets = gc.mx "
+    "AND f.l_user IN (SELECT l_user FROM gfire GROUP BY l_user "
+    "HAVING COUNT(*) = (SELECT n FROM gc))"
+)
+
 ORACLES = {
     "recording_rules": _REC_SQL,
     "rules_chained": _CHAINED_SQL,
+    "rules_from_file": _RULE_FILE_SQL,
     "alert_rules": _ALERT_SQL,
     "alert_rules_for": _ALERT_FOR_SQL,
     "alert_rules_keep_firing": _ALERT_KEEP_SQL,

@@ -109,17 +109,19 @@ _PRIORITY = [
     # prior round (r6: promql_range_topk/promql_at_end out; r7:
     # promql_range_ratio out; r8: promql_subquery_rate,
     # promql_range_subquery, vector_binop, dedup_simhash out). r9
-    # admits the three VERDICT r9 asks — recording-rule chaining and
-    # the two top-level-scalar rows — by demoting promql_range_absent,
-    # promql_range_timestamp, and promql_subquery_quantile (all
-    # driver-green r8). All demoted rows stay registered and
-    # parity-run by tests/test_oracle_parity.py and the full
-    # tools/parity.py sweep.
+    # admits four rows — recording-rule chaining, the two
+    # top-level-scalar rows, and YAML rule-FILE evaluation — by
+    # demoting promql_range_absent, promql_range_timestamp,
+    # promql_subquery_quantile (all driver-green r8) and
+    # alert_rules_for (driver-green r6-r8; its for:-hold semantics
+    # are additionally exercised INSIDE rules_from_file's holds
+    # group). All demoted rows stay registered and parity-run by
+    # tests/test_oracle_parity.py and the full tools/parity.py sweep.
     "promql_range_hist_quantile",
     "promql_scalar_expr",
     "promql_range_scalar",
     "rules_chained",
-    "alert_rules_for",
+    "rules_from_file",
     "alert_rules_keep_firing",
     # Tier C — dedup family (dedup_simhash_classes is the r5
     # linear-output primary SimHash answer)
