@@ -476,6 +476,9 @@ class MetricsExposer:
                 status, payload = outer.handle_api(parts.path, params)
                 body = json.dumps(payload).encode()
                 self.send_response(status)
+                # the public API serves CORS-open JSON (upstream's
+                # default --web.cors.origin) so browser dashboards work
+                self.send_header("Access-Control-Allow-Origin", "*")
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()

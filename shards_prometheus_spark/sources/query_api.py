@@ -500,6 +500,9 @@ def handle_api_request(make_evaluator, path: str, params: dict) -> tuple:
             s, e = p("start"), p("end")
             start_us = parse_time_param(s) if s is not None else None
             end_us = parse_time_param(e) if e is not None else None
+            limit = int(p("limit") or 0)
+            if limit < 0:
+                return bad("limit must be non-negative")
             ev = make_evaluator(None)
             if path == "/api/v1/series":
                 data = series_data(ev, matches, start_us, end_us)
@@ -509,6 +512,13 @@ def handle_api_request(make_evaluator, path: str, params: dict) -> tuple:
                 data = label_values_data(
                     ev, lv.group(1), matches, start_us, end_us
                 )
+            if limit and len(data) > limit:
+                # public `limit` semantics: truncate + warn
+                return 200, {
+                    "status": "success",
+                    "data": data[:limit],
+                    "warnings": ["results truncated due to limit"],
+                }
         elif path == "/api/v1/alerts":
             data = alerts_data(make_evaluator(None))
         elif path == "/api/v1/rules":

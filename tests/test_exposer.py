@@ -905,3 +905,34 @@ def test_api_instant_matrix_and_string_results(spark):
         assert payload["data"]["result"][1] == "hello world"
     finally:
         exposer.stop()
+
+
+def test_api_cors_and_limit(spark):
+    """The public surface details a browser dashboard needs: CORS-open
+    JSON responses, and the `limit` parameter truncating metadata
+    results with the public warning."""
+    import json
+    import urllib.request
+
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        url = (
+            f"http://{exposer.host}:{exposer.port}"
+            "/api/v1/label/user/values"
+        )
+        with urllib.request.urlopen(url, timeout=120) as resp:
+            assert resp.headers["Access-Control-Allow-Origin"] == "*"
+            full = json.loads(resp.read().decode())["data"]
+        assert len(full) > 2
+        with urllib.request.urlopen(url + "?limit=2", timeout=120) as resp:
+            payload = json.loads(resp.read().decode())
+        assert payload["data"] == full[:2]
+        assert payload["warnings"] == ["results truncated due to limit"]
+        # a limit above the result size neither truncates nor warns
+        with urllib.request.urlopen(
+            url + f"?limit={len(full) + 5}", timeout=120
+        ) as resp:
+            payload = json.loads(resp.read().decode())
+        assert payload["data"] == full and "warnings" not in payload
+    finally:
+        exposer.stop()
