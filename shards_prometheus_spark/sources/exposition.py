@@ -441,6 +441,7 @@ class MetricsExposer:
         lines_fn=None,
         openmetrics: bool = False,
         samples_fn=None,
+        rule_file: str | None = None,
     ):
         """`lines_fn` (optional): zero-arg callable returning the line
         DataFrame — lets the exposer serve a LIVE source (a streaming
@@ -457,7 +458,10 @@ class MetricsExposer:
         `samples_fn` (zero-arg callable, for a live registry) if given,
         else `samples_multi(spark, sf_dir)`. Each request builds a
         fresh evaluator over the current relation — collect-on-query,
-        the read twin of collect-on-scrape."""
+        the read twin of collect-on-scrape. `rule_file` (YAML text in
+        the public rule-file shape) makes `/api/v1/rules` and
+        `/api/v1/alerts` serve the USER's groups — chaining and hold
+        semantics included — instead of the built-in demo groups."""
         import http.server
         import json
         import threading
@@ -521,6 +525,7 @@ class MetricsExposer:
         self._lines_fn = lines_fn
         self._openmetrics = openmetrics
         self._samples_fn = samples_fn
+        self._rule_file = rule_file
         self._default_ev = None
         self._server = http.server.ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._server.server_address[:2]
@@ -561,7 +566,9 @@ class MetricsExposer:
                 )
             return self._default_ev
 
-        return handle_api_request(make_evaluator, path, params)
+        return handle_api_request(
+            make_evaluator, path, params, rule_file=self._rule_file
+        )
 
     def collect_text(self) -> str:
         if self._openmetrics:

@@ -329,25 +329,105 @@ def _alert_json(name: str, labels: dict, value) -> dict:
     }
 
 
-def alerts_data(evaluator) -> dict:
+def _file_firing_rows(evaluator, rule_file: str) -> dict:
+    """alertname → [(labels dict, value)] by evaluating a USER rule
+    file (eval_rule_file semantics: in-group chaining + holds)."""
+    from shards_prometheus_spark.operators import rules as R
+
+    rows = R.eval_rule_file(
+        evaluator.samples.drop("t_max"), rule_file
+    ).collect()
+    out: dict[str, list] = {}
+    for r in rows:
+        if r["kind"] == "alert":
+            out.setdefault(r["rule"], []).append(
+                (parse_label_str(r["labels"]), r["value"])
+            )
+    return out
+
+
+def alerts_data(evaluator, rule_file: str | None = None) -> dict:
     """`/api/v1/alerts`: every currently-firing alert across the
-    configured groups, public shape ({labels incl. alertname, state,
-    value})."""
+    configured groups — the exposer's `rule_file` (a user's
+    rules.yml) when given, else the built-in demo groups — public
+    shape ({labels incl. alertname, state, value})."""
+    firing = (
+        _file_firing_rows(evaluator, rule_file)
+        if rule_file is not None
+        else _firing_rows(evaluator)
+    )
     alerts = [
         _alert_json(name, labels, v)
-        for name, rows in sorted(_firing_rows(evaluator).items())
+        for name, rows in sorted(firing.items())
         for labels, v in sorted(rows, key=lambda t: sorted(t[0].items()))
     ]
     return {"alerts": alerts}
 
 
-def rules_data(evaluator, include_alerts: bool) -> dict:
+def _file_rules_data(evaluator, include_alerts: bool, rule_file: str) -> dict:
+    """`/api/v1/rules` over a USER rule file: definitions straight
+    from the YAML (duration/keepFiringFor/labels/annotations), state
+    and active alerts from one eval_rule_file pass when requested."""
+    from shards_prometheus_spark.operators import rules as R
+
+    firing = (
+        _file_firing_rows(evaluator, rule_file) if include_alerts else {}
+    )
+    groups = []
+    for g in R.load_rule_groups(rule_file):
+        rules = []
+        for r in g["rules"]:
+            if r["kind"] == "record":
+                entry = {
+                    "type": "recording",
+                    "name": r["name"],
+                    "query": r["expr"],
+                    "labels": r["labels"],
+                    "health": "ok",
+                }
+            else:
+                entry = {
+                    "type": "alerting",
+                    "name": r["name"],
+                    "query": r["expr"],
+                    "duration": r["for_us"] / 1e6,
+                    "keepFiringFor": r["keep_us"] / 1e6,
+                    "labels": r["labels"],
+                    "annotations": r["annotations"],
+                    "health": "ok",
+                }
+                if include_alerts:
+                    active = firing.get(r["name"], [])
+                    entry["state"] = "firing" if active else "inactive"
+                    entry["alerts"] = [
+                        _alert_json(r["name"], labels, v)
+                        for labels, v in sorted(
+                            active, key=lambda t: sorted(t[0].items())
+                        )
+                    ]
+            rules.append(entry)
+        groups.append(
+            {
+                "name": g["name"],
+                "interval": g["interval_us"] / 1e6,
+                "rules": rules,
+            }
+        )
+    return {"groups": groups}
+
+
+def rules_data(
+    evaluator, include_alerts: bool, rule_file: str | None = None
+) -> dict:
     """`/api/v1/rules`: the configured recording + alerting groups in
     the public shape — rule definitions always; each alerting rule's
     active alerts evaluated per request unless `exclude_alerts` (the
-    public parameter) is set."""
+    public parameter) is set. With `rule_file` set on the exposer,
+    the user's YAML groups replace the built-in demo groups."""
     from shards_prometheus_spark.operators import rules as R
 
+    if rule_file is not None:
+        return _file_rules_data(evaluator, include_alerts, rule_file)
     firing = _firing_rows(evaluator) if include_alerts else {}
     groups = [
         {
@@ -441,13 +521,17 @@ BUILDINFO = {
 _LABEL_VALUES_RE = re.compile(r"^/api/v1/label/([^/]+)/values$")
 
 
-def handle_api_request(make_evaluator, path: str, params: dict) -> tuple:
+def handle_api_request(
+    make_evaluator, path: str, params: dict, rule_file: str | None = None
+) -> tuple:
     """Dispatch one read-API request → (http_status, payload dict).
 
     `make_evaluator(eval_ts_us | None)` builds a PromQLEvaluator
     pinned at the given time (None = data t_max) — collect-on-query,
     the read twin of the exposer's collect-on-scrape. `params` is the
-    parse_qs dict (each value a list)."""
+    parse_qs dict (each value a list). `rule_file` (a user's YAML
+    rules text) makes /api/v1/rules and /api/v1/alerts serve THOSE
+    groups instead of the built-in demo groups."""
 
     def p(name: str) -> str | None:
         vals = params.get(name)
@@ -520,11 +604,12 @@ def handle_api_request(make_evaluator, path: str, params: dict) -> tuple:
                     "warnings": ["results truncated due to limit"],
                 }
         elif path == "/api/v1/alerts":
-            data = alerts_data(make_evaluator(None))
+            data = alerts_data(make_evaluator(None), rule_file)
         elif path == "/api/v1/rules":
             data = rules_data(
                 make_evaluator(None),
                 include_alerts=p("exclude_alerts") not in ("true", "1"),
+                rule_file=rule_file,
             )
         elif path == "/api/v1/metadata":
             data = metadata_data(make_evaluator(None))

@@ -936,3 +936,56 @@ def test_api_cors_and_limit(spark):
         assert payload["data"] == full and "warnings" not in payload
     finally:
         exposer.stop()
+
+
+def test_api_user_rule_file_served(spark):
+    """MetricsExposer(rule_file=...) serves the USER's rules.yml on
+    /api/v1/rules and /api/v1/alerts — definitions straight from the
+    YAML, firing state from eval_rule_file (chaining + holds)."""
+    from shards_prometheus_spark.operators.rules import (
+        DEMO_RULE_FILE,
+        rules_from_file,
+    )
+    from shards_prometheus_spark.sources.query_api import parse_label_str
+
+    exposer = MetricsExposer(
+        spark, SF_SMOKE, rule_file=DEMO_RULE_FILE
+    ).start()
+    try:
+        status, payload = _api_get(
+            exposer, "/api/v1/rules?exclude_alerts=true"
+        )
+        assert status == 200
+        groups = {g["name"]: g for g in payload["data"]["groups"]}
+        assert set(groups) == {"layered", "holds"}
+        assert groups["layered"]["interval"] == 86400.0
+        layered = {r["name"]: r for r in groups["layered"]["rules"]}
+        assert layered["user:click:rate720h:daily"]["labels"] == {
+            "tier": "daily"
+        }
+        hold = groups["holds"]["rules"][0]
+        assert hold["duration"] == 3 * 86400.0
+        assert "alerts" not in hold  # exclude_alerts honored
+
+        status, payload = _api_get(exposer, "/api/v1/alerts")
+        got = {
+            (
+                e["labels"]["alertname"],
+                tuple(
+                    sorted(
+                        (k, v)
+                        for k, v in e["labels"].items()
+                        if k != "alertname"
+                    )
+                ),
+            )
+            for e in payload["data"]["alerts"]
+        }
+        want = {
+            (r["rule"], tuple(sorted(parse_label_str(r["labels"]).items())))
+            for r in rules_from_file(spark, SF_SMOKE).collect()
+            if r["kind"] == "alert"
+        }
+        assert got == want and len(got) > 0
+    finally:
+        exposer.stop()
