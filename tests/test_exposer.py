@@ -989,3 +989,42 @@ def test_api_user_rule_file_served(spark):
         assert got == want and len(got) > 0
     finally:
         exposer.stop()
+
+
+def test_api_concurrent_requests(spark):
+    """ThreadingHTTPServer + one shared SparkSession: 8 parallel
+    mixed-endpoint requests must all answer correctly (Spark actions
+    are thread-safe; the cached default evaluator may be built
+    concurrently — last-wins is benign)."""
+    import json
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+    from urllib.parse import quote
+
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        paths = [
+            "/api/v1/query?query=1%2B2",
+            f"/api/v1/query?query={quote('sum by (user) (count_over_time(click[720h]))')}",
+            "/api/v1/labels",
+            "/api/v1/label/__name__/values",
+            "/api/v1/status/buildinfo",
+            f"/api/v1/series?match[]={quote('click')}",
+            "/api/v1/query?query=time()",
+            "/api/v1/metadata",
+        ]
+
+        def get(p):
+            url = f"http://{exposer.host}:{exposer.port}{p}"
+            with urllib.request.urlopen(url, timeout=180) as resp:
+                return json.loads(resp.read().decode())
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            results = list(pool.map(get, paths))
+        assert all(r["status"] == "success" for r in results)
+        assert results[0]["data"]["result"][1] == "3"
+        assert len(results[1]["data"]["result"]) > 0
+        assert "user" in results[2]["data"]
+        assert "click" in results[3]["data"]
+    finally:
+        exposer.stop()
