@@ -602,3 +602,24 @@ def test_chained_record_selectors_push_to_scan(spark):
     assert "EqualTo(event_type,user:click:rate720h)" in plan
     assert "EqualTo(event_type,user:click:rate720h:daily)" in plan
     assert_no_cartesian_product(df)
+
+
+def test_promql_over_partitioned_store_prunes_partitions(spark, partitioned_samples):
+    """The 100 TB read path end-to-end: the SAME PromQL evaluator over
+    the (date, metric)-partitioned layout turns every selector's
+    metric equality into a PARTITION filter (whole directories
+    skipped, not just row groups), and the result equals the flat
+    relation's."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+    from shards_prometheus_spark.model import samples
+
+    expr = "sum by (user) (count_over_time(purchase[720h]))"
+    store = read_samples_partitioned(spark, partitioned_samples)
+    df = PromQLEvaluator(store).eval(expr)
+    assert_partition_filters(df, "metric")
+    flat = PromQLEvaluator(samples(spark, SF_SMOKE)).eval(expr)
+    assert {(r["labels"], r["value"]) for r in df.collect()} == {
+        (r["labels"], r["value"]) for r in flat.collect()
+    } != set()
