@@ -1130,7 +1130,26 @@ class PromQLEvaluator:
 
     @classmethod
     def from_dir(cls, spark: SparkSession, sf_dir: str) -> "PromQLEvaluator":
-        return cls(samples_multi(spark, sf_dir))
+        """Evaluator over a batch dir, with t_max memoized per
+        (app, sf_dir): the test/store dirs are immutable, and the
+        eager max(ts_us) collect is otherwise a full corpus scan on
+        EVERY evaluator construction — once per PromQL query, twice
+        the read volume a query needs. Shares the Tier C count cache,
+        so clear_caches() releases it with every other memo (rewrite
+        a dir in place → clear_caches, the existing convention)."""
+        from shards_prometheus_spark.operators.tierc_common import (
+            _COUNT_CACHE,
+        )
+
+        key = (spark.sparkContext.applicationId, sf_dir, "promql_t_max")
+        samples = samples_multi(spark, sf_dir)
+        t_max = _COUNT_CACHE.get(key)
+        if t_max is None:
+            t_max = samples.agg(F.max("ts_us").alias("t_max")).collect()[
+                0
+            ]["t_max"]
+            _COUNT_CACHE[key] = t_max
+        return cls(samples, eval_ts_us=t_max)
 
     # -- selectors -------------------------------------------------------
     def _matched(self, sel: Selector) -> DataFrame:
