@@ -526,7 +526,6 @@ class MetricsExposer:
         self._openmetrics = openmetrics
         self._samples_fn = samples_fn
         self._rule_file = rule_file
-        self._default_ev = None
         self._server = http.server.ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._server.server_address[:2]
         self._thread = threading.Thread(
@@ -557,14 +556,17 @@ class MetricsExposer:
                     samples_multi(self._spark, self._sf_dir),
                     eval_ts_us=eval_ts_us,
                 )
-            # batch dirs are immutable: the default evaluator's eager
-            # t_max collect scans the corpus once per EXPOSER, not
-            # once per request
-            if self._default_ev is None:
-                self._default_ev = PromQLEvaluator(
-                    samples_multi(self._spark, self._sf_dir)
-                )
-            return self._default_ev
+            # FRESH evaluator per request, t_max from the from_dir
+            # memo (one corpus scan per (app, sf_dir), not per
+            # request). A shared cached instance raced under the
+            # ThreadingHTTPServer: plan construction mutates
+            # _gridf/_gspan (the _subquery save/set/restore), so two
+            # concurrent subquery-bearing requests could build plans
+            # against each other's grids. from_dir also restores the
+            # clear_caches() convention: rewrite a dir in place →
+            # clear_caches releases the t_max memo, where the old
+            # exposer-lifetime cache served a stale pin forever.
+            return PromQLEvaluator.from_dir(self._spark, self._sf_dir)
 
         return handle_api_request(
             make_evaluator, path, params, rule_file=self._rule_file

@@ -49,11 +49,17 @@ MAX_RANGE_POINTS = 11_000
 
 def parse_time_param(s: str) -> int:
     """`time`/`start`/`end` parameter → µs: unix seconds (float) or
-    RFC3339 (`2024-01-15T00:00:00Z`), the two public formats."""
+    RFC3339 (`2024-01-15T00:00:00Z`), the two public formats.
+    Non-finite floats (`inf`, `nan`) are bad_data, as upstream —
+    int(inf*1e6) would otherwise OverflowError into a 422."""
     try:
-        return int(float(s) * 1e6)
+        sec = float(s)
     except ValueError:
         pass
+    else:
+        if not math.isfinite(sec):
+            raise ValueError(f"invalid time value {s!r}")
+        return int(sec * 1e6)
     try:
         dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
     except ValueError:
@@ -70,12 +76,22 @@ def parse_duration_param(s: str) -> int:
         sec = float(s)
     except ValueError:
         try:
-            return _dur_us(s)
+            us = _dur_us(s)
         except PromQLSyntaxError:
             raise ValueError(f"invalid duration value {s!r}")
-    if sec <= 0:
-        raise ValueError(f"duration must be positive: {s!r}")
-    return int(sec * 1e6)
+    else:
+        if not math.isfinite(sec):
+            raise ValueError(f"invalid duration value {s!r}")
+        us = int(sec * 1e6)
+    # ZERO must fail in BOTH branches: '0s' parses to 0 through
+    # _dur_us, and (end-start)//0 downstream would 422 where upstream
+    # answers 400 "zero or negative query resolution step"
+    if us <= 0:
+        raise ValueError(
+            "zero or negative query resolution step width is not "
+            f"accepted: {s!r}"
+        )
+    return us
 
 
 def _fmt_value(v) -> str:

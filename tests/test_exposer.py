@@ -992,15 +992,18 @@ def test_api_user_rule_file_served(spark):
 
 
 def test_api_concurrent_requests(spark):
-    """ThreadingHTTPServer + one shared SparkSession: 8 parallel
-    mixed-endpoint requests must all answer correctly (Spark actions
-    are thread-safe; the cached default evaluator may be built
-    concurrently — last-wins is benign)."""
+    """ThreadingHTTPServer + one shared SparkSession: 10 parallel
+    mixed-endpoint requests must all answer correctly. Two are
+    SUBQUERY queries at the default time — the request shape that
+    raced when a single default evaluator was shared across handler
+    threads (plan construction mutates _gridf/_gspan; fresh
+    per-request evaluators via the from_dir t_max memo fixed it)."""
     import json
     import urllib.request
     from concurrent.futures import ThreadPoolExecutor
     from urllib.parse import quote
 
+    subq = quote("max_over_time(sum(count_over_time(click[48h]))[240h:24h])")
     exposer = MetricsExposer(spark, SF_SMOKE).start()
     try:
         paths = [
@@ -1012,6 +1015,8 @@ def test_api_concurrent_requests(spark):
             f"/api/v1/series?match[]={quote('click')}",
             "/api/v1/query?query=time()",
             "/api/v1/metadata",
+            f"/api/v1/query?query={subq}",
+            f"/api/v1/query?query={subq}",
         ]
 
         def get(p):
@@ -1019,12 +1024,37 @@ def test_api_concurrent_requests(spark):
             with urllib.request.urlopen(url, timeout=180) as resp:
                 return json.loads(resp.read().decode())
 
-        with ThreadPoolExecutor(max_workers=8) as pool:
+        with ThreadPoolExecutor(max_workers=len(paths)) as pool:
             results = list(pool.map(get, paths))
         assert all(r["status"] == "success" for r in results)
         assert results[0]["data"]["result"][1] == "3"
         assert len(results[1]["data"]["result"]) > 0
         assert "user" in results[2]["data"]
         assert "click" in results[3]["data"]
+        # the two concurrent subquery answers agree with each other
+        # and are non-degenerate (the race produced wrong-grid plans)
+        assert results[8]["data"] == results[9]["data"]
+        assert len(results[8]["data"]["result"]) == 1
+    finally:
+        exposer.stop()
+
+
+def test_api_param_hygiene_bad_data(spark):
+    """Degenerate public inputs answer 400 bad_data, not a 422 from
+    the raised Python error: a '0s' step (ZeroDivisionError in the
+    grid arithmetic), a negative duration-string step, and a
+    non-finite time value (OverflowError in int(inf*1e6))."""
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        for path_qs in (
+            "/api/v1/query_range?query=click&start=1&end=9&step=0s",
+            "/api/v1/query_range?query=click&start=1&end=9&step=0",
+            "/api/v1/query?query=click&time=inf",
+            "/api/v1/query?query=click&time=nan",
+            "/api/v1/query_range?query=click&start=inf&end=9&step=1",
+        ):
+            status, payload = _api_get(exposer, path_qs)
+            assert status == 400, path_qs
+            assert payload["errorType"] == "bad_data", path_qs
     finally:
         exposer.stop()
