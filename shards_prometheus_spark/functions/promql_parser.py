@@ -2529,6 +2529,56 @@ class PromQLEvaluator:
             )
         )
 
+    def _grid_abs(
+        self, start_us: int, end_us: int, step_us: int
+    ) -> DataFrame:
+        """Upstream's query_range grid: t = start + k·step for
+        k = 0..⌊(end-start)/step⌋ — INCLUSIVE of start, aligned to the
+        request's own `start` rather than to the epoch. A ≤(span/step
+        + 1)-row derived relation off the 1-row t_max literal, always
+        broadcast — same plan shape as the epoch-aligned `_grid`."""
+        n = int((end_us - start_us) // step_us)
+        return (
+            self._tmax.select(
+                F.explode(F.sequence(F.lit(0), F.lit(n))).alias("_i")
+            )
+            .select(
+                (F.lit(start_us) + F.col("_i") * F.lit(step_us)).alias(
+                    "_ets"
+                )
+            )
+        )
+
+    def eval_range_map_at(
+        self, expr: str, start_us: int, end_us: int, step_us: int
+    ) -> DataFrame:
+        """(ts_us, labels MAP, value) over the ABSOLUTE upstream grid
+        `start, start+step, …, ≤ end` — the public query_range
+        contract (evaluation instants carry the request's own
+        alignment, start itself included). The evaluator must be
+        pinned at `end_us` so `@ start()`/`@ end()` resolve to the
+        request window (t_max = end, _gspan = end - start)."""
+        node = parse(expr)
+        self._gspan = (end_us - start_us, step_us)
+        self._gridf = self._grid_abs(start_us, end_us, step_us)
+        try:
+            if is_scalar_expr(node):
+                return self._scalar_rel(node, grid=True).select(
+                    F.col("_ets").alias("ts_us"),
+                    F.map_from_arrays(F.array(), F.array()).alias(
+                        "labels"
+                    ),
+                    F.round("value", 4).alias("value"),
+                )
+            out = self._gvector(node)
+        finally:
+            del self._gspan, self._gridf
+        return out.select(
+            F.col("_ets").alias("ts_us"),
+            "labels",
+            F.round("value", 4).alias("value"),
+        )
+
     def eval_range_map(
         self, expr: str, span_us: int, step_us: int
     ) -> DataFrame:

@@ -16,14 +16,13 @@ reference + its scraper": a Grafana-shaped client can now point at
 
 Response format follows the public API (`status`/`data`,
 `resultType` vector|matrix|scalar, `[unix_seconds, "value"]` pairs,
-`errorType`/`error` on failure). Documented divergences from a live
-server, both inherent to the batch data model:
-- the default evaluation time is the DATA's max timestamp, not the
-  wall clock (pass `time`/`end` to pin it);
-- the `query_range` grid is step-aligned to the epoch (the evaluator's
-  `_grid` contract, instants in `(start, end]`) rather than to
-  `start` — identical whenever `start` and `end` share the step's
-  alignment, which every dashboard panel's aligned request does.
+`errorType`/`error` on failure). `query_range` evaluates at
+`start, start+step, …, ≤ end` inclusive of `start` — upstream's own
+grid, carried through `PromQLEvaluator.eval_range_map_at`, so even
+hand-built unaligned requests get the request's exact arithmetic
+sequence of timestamps. One documented divergence remains, inherent
+to the batch data model: the default evaluation time is the DATA's
+max timestamp, not the wall clock (pass `time`/`end` to pin it).
 """
 
 from __future__ import annotations
@@ -159,9 +158,12 @@ def range_data(
 ) -> dict:
     """The `data` object of a query_range response: one matrix series
     per label set, values ordered by grid instant (scalar expressions
-    render as the single empty-labeled series, as upstream does)."""
-    rows = evaluator.eval_range_map(
-        query, end_us - start_us, step_us
+    render as the single empty-labeled series, as upstream does).
+    Instants are `start, start+step, …, ≤ end` — start-inclusive,
+    request-aligned (the evaluator is pinned at `end_us` by the
+    caller so `@ start()`/`@ end()` resolve to the window)."""
+    rows = evaluator.eval_range_map_at(
+        query, start_us, end_us, step_us
     ).collect()
     series: dict[tuple, dict] = {}
     for r in sorted(rows, key=lambda r: r["ts_us"]):

@@ -594,9 +594,9 @@ def test_api_instant_query_round_trip(spark):
 
 
 def test_api_range_query_round_trip(spark):
-    """GET /api/v1/query_range renders the eval_range grid as the
-    public matrix JSON: per-series values at each grid instant,
-    pinned at end = the requested end timestamp."""
+    """GET /api/v1/query_range renders the upstream start-inclusive
+    grid as the public matrix JSON: per-series values at each grid
+    instant, pinned at end = the requested end timestamp."""
     from urllib.parse import quote
 
     from shards_prometheus_spark.functions.promql_parser import (
@@ -621,7 +621,9 @@ def test_api_range_query_round_trip(spark):
     data = payload["data"]
     assert data["resultType"] == "matrix"
     want: dict[tuple, list] = {}
-    rows = ev.eval_range_map(expr, 240 * h_us, 24 * h_us).collect()
+    rows = ev.eval_range_map_at(
+        expr, end_us - 240 * h_us, end_us, 24 * h_us
+    ).collect()
     for r in sorted(rows, key=lambda r: r["ts_us"]):
         want.setdefault(tuple(sorted(r["labels"].items())), []).append(
             [r["ts_us"] / 1e6, r["value"]]
@@ -1037,6 +1039,58 @@ def test_api_concurrent_requests(spark):
         assert len(results[8]["data"]["result"]) == 1
     finally:
         exposer.stop()
+
+
+def test_api_range_grid_aligned_to_start(spark):
+    """An UNALIGNED query_range request gets exactly the request's
+    own arithmetic sequence of timestamps — start, start+step, …,
+    ≤ end, START INCLUDED — upstream's grid, not the epoch-aligned
+    internal one (the r9-documented divergence, now closed). Pinned
+    with a scalar query so every instant materializes a row."""
+    from urllib.parse import quote
+
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    end_us = PromQLEvaluator.from_dir(spark, SF_SMOKE).eval_time_us()
+    # deliberately unaligned: start shifted off any step multiple,
+    # and (end - start) NOT a multiple of step → last point < end
+    start_us = end_us - 100_000_000_000 + 1_234_567
+    step_us = 7_000_000_000
+    qs = (
+        "/api/v1/query_range?query=time()%2B0"
+        f"&start={start_us / 1e6}&end={end_us / 1e6}"
+        f"&step={step_us / 1e6}"
+    )
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        status, payload = _api_get(exposer, qs)
+    finally:
+        exposer.stop()
+    assert status == 200 and payload["status"] == "success"
+    (series,) = payload["data"]["result"]
+    got = [ts for ts, _v in series["values"]]
+    n = (end_us - start_us) // step_us
+    want = [(start_us + k * step_us) / 1e6 for k in range(n + 1)]
+    assert got == want
+    assert got[0] == start_us / 1e6  # start itself evaluates
+    assert got[-1] < end_us / 1e6  # unaligned span: last point < end
+    q = quote("sum by (user) (count_over_time(click[240h]))")
+    qs = (
+        f"/api/v1/query_range?query={q}"
+        f"&start={start_us / 1e6}&end={end_us / 1e6}"
+        f"&step={step_us / 1e6}"
+    )
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        status, payload = _api_get(exposer, qs)
+    finally:
+        exposer.stop()
+    assert status == 200
+    for series in payload["data"]["result"]:
+        assert all(ts in set(want) for ts, _v in series["values"])
+    assert payload["data"]["result"]  # vectors populate the grid too
 
 
 def test_api_param_hygiene_bad_data(spark):
