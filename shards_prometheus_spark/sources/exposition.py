@@ -442,6 +442,8 @@ class MetricsExposer:
         openmetrics: bool = False,
         samples_fn=None,
         rule_file: str | None = None,
+        max_samples: int | None = None,
+        query_timeout_s: float | None = None,
     ):
         """`lines_fn` (optional): zero-arg callable returning the line
         DataFrame — lets the exposer serve a LIVE source (a streaming
@@ -461,7 +463,15 @@ class MetricsExposer:
         the read twin of collect-on-scrape. `rule_file` (YAML text in
         the public rule-file shape) makes `/api/v1/rules` and
         `/api/v1/alerts` serve the USER's groups — chaining and hold
-        semantics included — instead of the built-in demo groups."""
+        semantics included — instead of the built-in demo groups.
+
+        `max_samples` / `query_timeout_s` are the paired server's
+        public query-safety flags (`--query.max-samples`,
+        `--query.timeout`): a query whose result would collect more
+        than `max_samples` rows fails with the public 422 envelope
+        via a plan-level LIMIT probe, and a request overrunning the
+        timeout answers 503/`timeout` with its in-flight Spark jobs
+        cancelled (query_api.handle_api_request)."""
         import http.server
         import json
         import threading
@@ -526,6 +536,8 @@ class MetricsExposer:
         self._openmetrics = openmetrics
         self._samples_fn = samples_fn
         self._rule_file = rule_file
+        self._max_samples = max_samples
+        self._query_timeout_s = query_timeout_s
         self._server = http.server.ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._server.server_address[:2]
         self._thread = threading.Thread(
@@ -569,7 +581,13 @@ class MetricsExposer:
             return PromQLEvaluator.from_dir(self._spark, self._sf_dir)
 
         return handle_api_request(
-            make_evaluator, path, params, rule_file=self._rule_file
+            make_evaluator,
+            path,
+            params,
+            rule_file=self._rule_file,
+            max_samples=self._max_samples,
+            timeout_s=self._query_timeout_s,
+            spark=self._spark,
         )
 
     def collect_text(self) -> str:

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import math
 import re
+import threading
+import time
 from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
@@ -44,6 +46,54 @@ from shards_prometheus_spark.functions.promql_parser import (
 #: Prometheus rejects range queries above this many grid points with
 #: bad_data — same public guard, same limit.
 MAX_RANGE_POINTS = 11_000
+
+
+class QueryGuardError(Exception):
+    """A valid query exceeded the exposer's max-samples cap — the
+    public `--query.max-samples` failure (422 execution error)."""
+
+
+class QueryTimeoutError(Exception):
+    """A request overran the exposer's per-query timeout — the public
+    `--query.timeout` failure (503, errorType `timeout`)."""
+
+
+#: per-request deadline, thread-local: the ThreadingHTTPServer runs
+#: each request on its own thread, so the guard state never crosses
+#: requests (the same isolation argument as per-request evaluators)
+_REQ = threading.local()
+
+
+def _check_deadline() -> None:
+    dl = getattr(_REQ, "deadline", None)
+    if dl is not None and time.monotonic() > dl:
+        raise QueryTimeoutError("query timed out in expression evaluation")
+
+
+def _guard_probe(df, max_samples: int | None):
+    """The PLAN-LEVEL cap probe: LIMIT max_samples+1 pushed into the
+    query plan (CollectLimit — executors stop producing once the
+    probe is satisfied), NOT a post-collect length check on an
+    unbounded fetch. One extra row is enough to distinguish 'at the
+    cap' from 'over it'."""
+    return df if max_samples is None else df.limit(max_samples + 1)
+
+
+def _guarded_collect(df, max_samples: int | None) -> list:
+    """Collect at most max_samples rows or fail with the public
+    guard message — the driver never materializes more than cap+1
+    rows no matter the store's cardinality. Deadline-checked on both
+    sides of the action so a cancelled/overrun job maps to the
+    timeout envelope, not a generic execution error."""
+    _check_deadline()
+    rows = _guard_probe(df, max_samples).collect()
+    _check_deadline()
+    if max_samples is not None and len(rows) > max_samples:
+        raise QueryGuardError(
+            "query processing would load too many samples into memory "
+            f"in query execution (limit: {max_samples})"
+        )
+    return rows
 
 
 def parse_time_param(s: str) -> int:
@@ -109,7 +159,9 @@ def _fmt_value(v) -> str:
 _STRING_QUERY_RE = re.compile(r'^\s*"((?:[^"\\]|\\.)*)"\s*$')
 
 
-def instant_data(evaluator, query: str, time_us: int) -> dict:
+def instant_data(
+    evaluator, query: str, time_us: int, max_samples: int | None = None
+) -> dict:
     """The `data` object of an instant query response, by expression
     shape (all public semantics): `string` for a string literal,
     `scalar` for pure-scalar expressions, `matrix` of raw samples for
@@ -122,7 +174,9 @@ def instant_data(evaluator, query: str, time_us: int) -> dict:
         return {"resultType": "string", "result": [ts, body]}
     node = parse(query)
     if isinstance(node, Selector) and node.range_us is not None:
-        rows = evaluator.eval_raw_matrix(query).collect()
+        rows = _guarded_collect(
+            evaluator.eval_raw_matrix(query), max_samples
+        )
         series: dict[tuple, dict] = {}
         for r in sorted(rows, key=lambda r: r["ts_us"]):
             labels = dict(r["labels"] or {})
@@ -137,7 +191,7 @@ def instant_data(evaluator, query: str, time_us: int) -> dict:
             "resultType": "matrix",
             "result": [series[k] for k in sorted(series)],
         }
-    rows = evaluator.eval_instant_map(query).collect()
+    rows = _guarded_collect(evaluator.eval_instant_map(query), max_samples)
     if is_scalar_expr(node):
         val = rows[0]["value"] if rows else float("nan")
         return {"resultType": "scalar", "result": [ts, _fmt_value(val)]}
@@ -154,7 +208,12 @@ def instant_data(evaluator, query: str, time_us: int) -> dict:
 
 
 def range_data(
-    evaluator, query: str, start_us: int, end_us: int, step_us: int
+    evaluator,
+    query: str,
+    start_us: int,
+    end_us: int,
+    step_us: int,
+    max_samples: int | None = None,
 ) -> dict:
     """The `data` object of a query_range response: one matrix series
     per label set, values ordered by grid instant (scalar expressions
@@ -162,9 +221,10 @@ def range_data(
     Instants are `start, start+step, …, ≤ end` — start-inclusive,
     request-aligned (the evaluator is pinned at `end_us` by the
     caller so `@ start()`/`@ end()` resolve to the window)."""
-    rows = evaluator.eval_range_map_at(
-        query, start_us, end_us, step_us
-    ).collect()
+    rows = _guarded_collect(
+        evaluator.eval_range_map_at(query, start_us, end_us, step_us),
+        max_samples,
+    )
     series: dict[tuple, dict] = {}
     for r in sorted(rows, key=lambda r: r["ts_us"]):
         labels = dict(r["labels"] or {})
@@ -540,7 +600,13 @@ _LABEL_VALUES_RE = re.compile(r"^/api/v1/label/([^/]+)/values$")
 
 
 def handle_api_request(
-    make_evaluator, path: str, params: dict, rule_file: str | None = None
+    make_evaluator,
+    path: str,
+    params: dict,
+    rule_file: str | None = None,
+    max_samples: int | None = None,
+    timeout_s: float | None = None,
+    spark=None,
 ) -> tuple:
     """Dispatch one read-API request → (http_status, payload dict).
 
@@ -549,7 +615,18 @@ def handle_api_request(
     the read twin of the exposer's collect-on-scrape. `params` is the
     parse_qs dict (each value a list). `rule_file` (a user's YAML
     rules text) makes /api/v1/rules and /api/v1/alerts serve THOSE
-    groups instead of the built-in demo groups."""
+    groups instead of the built-in demo groups.
+
+    Resource guards (the paired server's public query-safety flags):
+    `max_samples` caps how many result samples `/api/v1/query` and
+    `/api/v1/query_range` may collect — enforced as a LIMIT cap+1
+    probe INSIDE the plan (CollectLimit), answering the public 422
+    "would load too many samples" envelope, never an unbounded fetch.
+    `timeout_s` bounds the whole request: a deadline checked around
+    every guarded action plus, when `spark` is given, a watchdog that
+    CANCELS the request thread's in-flight jobs via a Spark job tag —
+    an overrun answers 503/`timeout` ("query timed out in expression
+    evaluation") and stops burning cluster time."""
 
     def p(name: str) -> str | None:
         vals = params.get(name)
@@ -562,6 +639,33 @@ def handle_api_request(
             "error": msg,
         }
 
+    timed_out = lambda: (  # noqa: E731 - two call sites below
+        getattr(_REQ, "deadline", None) is not None
+        and time.monotonic() > _REQ.deadline
+    )
+    watchdog = None
+    _REQ.deadline = (
+        time.monotonic() + timeout_s if timeout_s is not None else None
+    )
+    if timeout_s is not None and spark is not None:
+        # jobs submitted by THIS thread carry the tag (per-thread in
+        # pinned-thread mode); the watchdog kills them at the deadline
+        tag = f"promql-api-{id(params)}-{threading.get_ident()}"
+        sc = spark.sparkContext
+        sc.addJobTag(tag)
+        watchdog = threading.Timer(
+            timeout_s, lambda: sc.cancelJobsWithTag(tag)
+        )
+        watchdog.daemon = True
+        watchdog.start()
+
+        def _cleanup():
+            watchdog.cancel()
+            sc.removeJobTag(tag)
+
+    else:
+        _cleanup = lambda: None  # noqa: E731
+
     lv = _LABEL_VALUES_RE.match(path)
     try:
         if path == "/api/v1/query":
@@ -573,7 +677,7 @@ def handle_api_request(
             ev = make_evaluator(time_us)
             if time_us is None:
                 time_us = ev.eval_time_us()
-            data = instant_data(ev, query, time_us)
+            data = instant_data(ev, query, time_us, max_samples)
         elif path == "/api/v1/query_range":
             query = p("query")
             if query is None:
@@ -593,7 +697,12 @@ def handle_api_request(
                     "exceeded maximum resolution of 11,000 points"
                 )
             data = range_data(
-                make_evaluator(end_us), query, start_us, end_us, step_us
+                make_evaluator(end_us),
+                query,
+                start_us,
+                end_us,
+                step_us,
+                max_samples,
             )
         elif path in ("/api/v1/series", "/api/v1/labels") or lv:
             matches = params.get("match[]") or []
@@ -641,10 +750,33 @@ def handle_api_request(
             }
     except (ValueError, PromQLSyntaxError) as exc:
         return bad(str(exc))
-    except Exception as exc:  # evaluation failure on a valid query
+    except QueryTimeoutError as exc:
+        return 503, {
+            "status": "error",
+            "errorType": "timeout",
+            "error": str(exc),
+        }
+    except QueryGuardError as exc:
         return 422, {
             "status": "error",
             "errorType": "execution",
             "error": str(exc),
         }
+    except Exception as exc:  # evaluation failure on a valid query
+        if timed_out():
+            # the watchdog cancelled this request's in-flight jobs;
+            # the Py4J cancellation error IS the timeout
+            return 503, {
+                "status": "error",
+                "errorType": "timeout",
+                "error": "query timed out in expression evaluation",
+            }
+        return 422, {
+            "status": "error",
+            "errorType": "execution",
+            "error": str(exc),
+        }
+    finally:
+        _cleanup()
+        _REQ.deadline = None
     return 200, {"status": "success", "data": data}

@@ -1093,6 +1093,83 @@ def test_api_range_grid_aligned_to_start(spark):
     assert payload["data"]["result"]  # vectors populate the grid too
 
 
+def test_api_max_samples_guard(spark):
+    """The public `--query.max-samples` guard: a cap-exceeding query
+    answers the 422 execution envelope ('would load too many
+    samples'); the SAME query under a higher cap succeeds; and the
+    cap is a plan-level CollectLimit probe, not a post-collect length
+    check on an unbounded fetch."""
+    from urllib.parse import quote
+
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+    from shards_prometheus_spark.sources.query_api import _guard_probe
+
+    # high-cardinality instant vector (114 series at sf0.001; the
+    # bare `click` selector is EMPTY inside the staleness window)
+    q = quote("count_over_time(click[720h])")
+    exposer = MetricsExposer(spark, SF_SMOKE, max_samples=3).start()
+    try:
+        status, payload = _api_get(exposer, f"/api/v1/query?query={q}")
+        # the per-series raw-matrix debug view is capped too
+        status2, payload2 = _api_get(
+            exposer, f"/api/v1/query?query={quote('click[720h]')}"
+        )
+        # range queries go through the same guard
+        end_us = PromQLEvaluator.from_dir(spark, SF_SMOKE).eval_time_us()
+        status3, payload3 = _api_get(
+            exposer,
+            f"/api/v1/query_range?query={q}"
+            f"&start={(end_us - 864_000_000_000) / 1e6}"
+            f"&end={end_us / 1e6}&step=24h",
+        )
+    finally:
+        exposer.stop()
+    for st, pl in ((status, payload), (status2, payload2), (status3, payload3)):
+        assert st == 422
+        assert pl["errorType"] == "execution"
+        assert "would load too many samples" in pl["error"]
+    exposer = MetricsExposer(spark, SF_SMOKE, max_samples=100_000).start()
+    try:
+        status, payload = _api_get(exposer, f"/api/v1/query?query={q}")
+    finally:
+        exposer.stop()
+    assert status == 200 and len(payload["data"]["result"]) > 0
+    # the guard is IN the plan: LIMIT cap+1 compiles to CollectLimit
+    ev = PromQLEvaluator.from_dir(spark, SF_SMOKE)
+    probed = _guard_probe(
+        ev.eval_instant_map("count_over_time(click[720h])"), 3
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "CollectLimit 4" in plan
+
+
+def test_api_query_timeout(spark):
+    """The public `--query.timeout` guard: a request overrunning the
+    deadline answers 503 with errorType `timeout` and upstream's
+    message; a generous timeout leaves the same query untouched."""
+    from urllib.parse import quote
+
+    q = quote("count_over_time(click[720h])")
+    exposer = MetricsExposer(
+        spark, SF_SMOKE, query_timeout_s=1e-6
+    ).start()
+    try:
+        status, payload = _api_get(exposer, f"/api/v1/query?query={q}")
+    finally:
+        exposer.stop()
+    assert status == 503
+    assert payload["errorType"] == "timeout"
+    assert payload["error"] == "query timed out in expression evaluation"
+    exposer = MetricsExposer(spark, SF_SMOKE, query_timeout_s=600).start()
+    try:
+        status, payload = _api_get(exposer, f"/api/v1/query?query={q}")
+    finally:
+        exposer.stop()
+    assert status == 200 and len(payload["data"]["result"]) > 0
+
+
 def test_api_param_hygiene_bad_data(spark):
     """Degenerate public inputs answer 400 bad_data, not a 422 from
     the raised Python error: a '0s' step (ZeroDivisionError in the
