@@ -24,6 +24,8 @@ server schedules them.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -438,8 +440,12 @@ def eval_rule_file(samples: DataFrame, text: str) -> DataFrame:
     evaluation interval. Groups are independent (each starts from the
     raw store; on a cluster each is its own job, exactly how a server
     schedules them). Static labels on ALERT rules are parsed and kept
-    in the group dicts but not merged into the firing set's label
-    rendering (they are routing metadata, not series identity).
+    in the group dicts; the relational firing set below carries the
+    SERIES labels only — the JSON serving layer
+    (query_api._alert_json) merges the rule's static labels (rule
+    overrides series, per upstream, where they are part of alert
+    identity) and template-expands labels + annotations per firing
+    series.
 
     Returns (grp, kind, rule, labels, value): every record's vector
     and every firing alert, labeled with its group and rule name."""
@@ -558,6 +564,85 @@ def rules_from_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shards_prometheus_spark.model import samples_multi
 
     return eval_rule_file(samples_multi(spark, sf_dir), DEMO_RULE_FILE)
+
+
+def humanize(v: float) -> str:
+    """Upstream's `humanize` template function: %.4g with SI scaling
+    by thousands (k/M/G/… above 1, m/u/n/… below), special values
+    rendered bare — virtually every real rules.yml annotation calls
+    it, so the served alert text must match byte-for-byte."""
+    import math as _m
+
+    if _m.isinf(v) or _m.isnan(v):
+        # Go's %.4g spellings, not Python's lowercase ones
+        return "NaN" if _m.isnan(v) else ("+Inf" if v > 0 else "-Inf")
+    if v == 0:
+        return "%.4g" % v
+    if abs(v) >= 1:
+        prefix = ""
+        for p in ("k", "M", "G", "T", "P", "E", "Z", "Y"):
+            if abs(v) < 1000:
+                break
+            prefix = p
+            v /= 1000
+        return "%.4g%s" % (v, prefix)
+    prefix = ""
+    for p in ("m", "u", "n", "p", "f", "a", "z", "y"):
+        if abs(v) >= 1:
+            break
+        prefix = p
+        v *= 1000
+    return "%.4g%s" % (v, prefix)
+
+
+def humanize_percentage(v: float) -> str:
+    """Upstream's `humanizePercentage`: ratio → `%.4g%%`."""
+    return "%.4g%%" % (v * 100)
+
+
+#: `{{ ... }}` actions the renderer understands — the subset of the
+#: upstream alert-template language that covers real rule files:
+#: `$value`, `$labels.<name>`, and the humanize pipeline calls in
+#: both call (`{{ humanize $value }}`) and pipe
+#: (`{{ $value | humanize }}`) form.
+_TEMPLATE_RE = re.compile(r"\{\{-?\s*(.*?)\s*-?\}\}")
+
+
+def render_template(text: str, labels: dict, value: float) -> str:
+    """Expand alert annotation/label templates the way the paired
+    server does before handing alerts to Alertmanager: `$labels.x` →
+    the firing series' label value (empty for a missing label, per Go
+    template field access on the map), `$value` → the sample value,
+    `humanize`/`humanizePercentage` applied in call or pipe form.
+    UNKNOWN actions pass through verbatim — a renderer that silently
+    ate `{{ $externalLabels.cluster }}` would corrupt a migrated rule
+    file worse than leaving it visible."""
+
+    def _value_str(v: float) -> str:
+        s = repr(float(v))
+        return s[:-2] if s.endswith(".0") else s
+
+    def sub(m) -> str:
+        action = m.group(1)
+        if action == "$value":
+            return _value_str(value)
+        if action.startswith("$labels."):
+            return str(labels.get(action[len("$labels.") :], ""))
+        for fn, impl in (
+            ("humanize ", humanize),
+            ("humanizePercentage ", humanize_percentage),
+        ):
+            if action.startswith(fn) and action[len(fn):] == "$value":
+                return impl(value)
+        for pipe, impl in (
+            ("$value | humanize", humanize),
+            ("$value | humanizePercentage", humanize_percentage),
+        ):
+            if action == pipe:
+                return impl(value)
+        return m.group(0)  # unknown: passthrough
+
+    return _TEMPLATE_RE.sub(sub, text)
 
 
 def rules_chained(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -399,12 +399,41 @@ def _firing_rows(evaluator) -> dict:
     return out
 
 
-def _alert_json(name: str, labels: dict, value) -> dict:
-    return {
-        "labels": {"alertname": name, **labels},
+def _alert_json(
+    name: str,
+    labels: dict,
+    value,
+    rule_labels: dict | None = None,
+    annotations: dict | None = None,
+) -> dict:
+    """One active-alert object. For rule-file-backed alerts the rule's
+    static labels are part of alert IDENTITY upstream: they merge into
+    the served label set, overriding series labels, and both they and
+    the annotations are template-EXPANDED per firing series
+    (`{{ $labels.x }}`, `{{ $value }}`, humanize — rules.render_template)
+    so a migrated rules.yml pages with rendered text, not raw
+    template strings."""
+    from shards_prometheus_spark.operators.rules import render_template
+
+    merged = dict(labels)
+    if rule_labels:
+        merged.update(
+            {
+                k: render_template(v, labels, value)
+                for k, v in rule_labels.items()
+            }
+        )
+    out = {
+        "labels": {"alertname": name, **merged},
         "state": "firing",
         "value": _fmt_value(value),
     }
+    if annotations is not None:
+        out["annotations"] = {
+            k: render_template(v, merged, value)
+            for k, v in annotations.items()
+        }
+    return out
 
 
 def _file_firing_rows(evaluator, rule_file: str) -> dict:
@@ -429,13 +458,26 @@ def alerts_data(evaluator, rule_file: str | None = None) -> dict:
     configured groups — the exposer's `rule_file` (a user's
     rules.yml) when given, else the built-in demo groups — public
     shape ({labels incl. alertname, state, value})."""
-    firing = (
-        _file_firing_rows(evaluator, rule_file)
-        if rule_file is not None
-        else _firing_rows(evaluator)
-    )
+    from shards_prometheus_spark.operators import rules as R
+
+    if rule_file is not None:
+        firing = _file_firing_rows(evaluator, rule_file)
+        defs = {
+            r["name"]: r
+            for g in R.load_rule_groups(rule_file)
+            for r in g["rules"]
+            if r["kind"] == "alert"
+        }
+    else:
+        firing, defs = _firing_rows(evaluator), {}
     alerts = [
-        _alert_json(name, labels, v)
+        _alert_json(
+            name,
+            labels,
+            v,
+            rule_labels=defs[name]["labels"] if name in defs else None,
+            annotations=defs[name]["annotations"] if name in defs else None,
+        )
         for name, rows in sorted(firing.items())
         for labels, v in sorted(rows, key=lambda t: sorted(t[0].items()))
     ]
@@ -478,7 +520,13 @@ def _file_rules_data(evaluator, include_alerts: bool, rule_file: str) -> dict:
                     active = firing.get(r["name"], [])
                     entry["state"] = "firing" if active else "inactive"
                     entry["alerts"] = [
-                        _alert_json(r["name"], labels, v)
+                        _alert_json(
+                            r["name"],
+                            labels,
+                            v,
+                            rule_labels=r["labels"],
+                            annotations=r["annotations"],
+                        )
                         for labels, v in sorted(
                             active, key=lambda t: sorted(t[0].items())
                         )

@@ -993,6 +993,104 @@ def test_api_user_rule_file_served(spark):
         exposer.stop()
 
 
+TEMPLATED_RULE_FILE = """
+groups:
+  - name: paging
+    interval: 1d
+    rules:
+      - alert: HighClickVolume
+        expr: >-
+          sum by (user) (increase(click[720h])) >
+          scalar(avg(sum by (user) (increase(click[720h]))))
+        labels:
+          severity: page
+          team: "user-{{ $labels.user }}"
+        annotations:
+          summary: >-
+            User {{ $labels.user }} clicked {{ $value }} times
+            ({{ humanize $value }}, piped {{ $value | humanize }})
+          ratio: "{{ humanizePercentage $value }}"
+          opaque: "{{ $externalLabels.cluster }} stays verbatim"
+"""
+
+
+def test_api_alert_templating_and_rule_labels(spark):
+    """Rule-file-backed alerts serve RENDERED annotations per firing
+    series ({{ $labels.x }} and {{ $value }} substituted, humanize in
+    call and pipe form) and merge the rule's static labels into the
+    alert's label set (rule overrides series, part of alert identity
+    upstream); unknown template actions pass through verbatim."""
+    from shards_prometheus_spark.operators.rules import (
+        humanize,
+        humanize_percentage,
+    )
+
+    exposer = MetricsExposer(
+        spark, SF_SMOKE, rule_file=TEMPLATED_RULE_FILE
+    ).start()
+    try:
+        status, payload = _api_get(exposer, "/api/v1/alerts")
+        assert status == 200
+        alerts = payload["data"]["alerts"]
+        assert len(alerts) > 0
+        for a in alerts:
+            labels = a["labels"]
+            user = labels["user"]
+            val = float(a["value"])
+            vstr = repr(val)
+            vstr = vstr[:-2] if vstr.endswith(".0") else vstr
+            # static labels merged + templated
+            assert labels["severity"] == "page"
+            assert labels["team"] == f"user-{user}"
+            # annotations rendered per firing series
+            ann = a["annotations"]
+            assert ann["summary"] == (
+                f"User {user} clicked {vstr} times"
+                f" ({humanize(val)}, piped {humanize(val)})"
+            )
+            assert ann["ratio"] == humanize_percentage(val)
+            # unknown action untouched
+            assert ann["opaque"] == (
+                "{{ $externalLabels.cluster }} stays verbatim"
+            )
+        # /api/v1/rules carries the same rendered active alerts
+        status, payload = _api_get(exposer, "/api/v1/rules")
+        (group,) = payload["data"]["groups"]
+        (rule,) = group["rules"]
+        assert rule["state"] == "firing"
+        assert {
+            (a["labels"]["team"], a["annotations"]["ratio"])
+            for a in rule["alerts"]
+        } == {
+            (a["labels"]["team"], a["annotations"]["ratio"])
+            for a in alerts
+        }
+    finally:
+        exposer.stop()
+
+
+def test_humanize_matches_upstream_forms():
+    """humanize/humanizePercentage pin upstream's %.4g + SI scaling."""
+    from shards_prometheus_spark.operators.rules import (
+        humanize,
+        humanize_percentage,
+        render_template,
+    )
+
+    assert humanize(0) == "0"
+    assert humanize(1500) == "1.5k"
+    assert humanize(2_500_000) == "2.5M"
+    assert humanize(0.0005) == "500u"
+    assert humanize(0.25) == "250m"
+    assert humanize(float("inf")) == "+Inf"  # Go's %.4g spelling
+    assert humanize(float("nan")) == "NaN"
+    assert humanize_percentage(0.1234) == "12.34%"
+    assert render_template(
+        "{{ $labels.missing }}|{{ $value }}", {}, 2.0
+    ) == "|2"
+    assert render_template("{{- $value -}}", {}, 3.5) == "3.5"
+
+
 def test_api_concurrent_requests(spark):
     """ThreadingHTTPServer + one shared SparkSession: 10 parallel
     mixed-endpoint requests must all answer correctly. Two are
