@@ -380,8 +380,9 @@ def load_rule_groups(text: str) -> list[dict]:
     """Parse a Prometheus rule FILE (the public YAML shape a real
     deployment already has: `groups:` → name/interval/rules with
     `record:`/`alert:`, `expr`, `for`, `keep_firing_for`, `labels`,
-    `annotations`) into normalized group dicts — durations in µs,
-    upstream's 1m default interval when unset."""
+    `annotations`, and the group-level `limit:` series cap) into
+    normalized group dicts — durations in µs, upstream's 1m default
+    interval when unset, limit 0 (= none) when unset."""
     import yaml
 
     from shards_prometheus_spark.functions.promql_parser import _dur_us
@@ -389,6 +390,7 @@ def load_rule_groups(text: str) -> list[dict]:
     doc = yaml.safe_load(text) or {}
     groups = []
     for g in doc.get("groups", []):
+        limit = int(g.get("limit") or 0)
         rules = []
         for r in g.get("rules", []):
             if "record" in r:
@@ -424,10 +426,18 @@ def load_rule_groups(text: str) -> list[dict]:
                 "interval_us": _dur_us(str(g["interval"]))
                 if g.get("interval")
                 else 60_000_000,
+                "limit": limit,
                 "rules": rules,
             }
         )
     return groups
+
+
+class RuleLimitError(Exception):
+    """A rule produced more series/alerts than its group's `limit:` —
+    upstream's per-group cap on rule output cardinality (0 = none).
+    Upstream discards the rule's samples and marks it unhealthy with
+    this message; the batch single-pass evaluation raises it."""
 
 
 def eval_rule_file(samples: DataFrame, text: str) -> DataFrame:
@@ -450,6 +460,20 @@ def eval_rule_file(samples: DataFrame, text: str) -> DataFrame:
     Returns (grp, kind, rule, labels, value): every record's vector
     and every firing alert, labeled with its group and rule name."""
     from shards_prometheus_spark.functions.labelset import label_str
+
+    def _enforce_limit(df: DataFrame, limit: int, rname: str, gname: str):
+        """Upstream's group `limit:`: cap the rule's output
+        cardinality. A plan-level LIMIT n+1 count probe (executors
+        stop once the probe fills — the same shape as the query API's
+        max-samples guard), run ONLY when the group sets a limit, so
+        unlimited groups stay one-pass lazy."""
+        if limit:
+            n = df.limit(limit + 1).count()
+            if n > limit:
+                raise RuleLimitError(
+                    f"exceeded limit of {limit} with {n} series for "
+                    f"rule {rname!r} in group {gname!r}"
+                )
 
     parts = []
     for g in load_rule_groups(text):
@@ -483,6 +507,7 @@ def eval_rule_file(samples: DataFrame, text: str) -> DataFrame:
                         ).alias("labels"),
                         "value",
                     )
+                _enforce_limit(vec, g["limit"], r["name"], g["name"])
                 parts.append(
                     vec.select(
                         gcol,
@@ -505,23 +530,25 @@ def eval_rule_file(samples: DataFrame, text: str) -> DataFrame:
                 )
                 gsamples = gsamples.unionByName(rec)
                 ev = PromQLEvaluator(gsamples, eval_ts_us=tick_us)
-            elif r["keep_us"]:
-                df = eval_alert_keep_group(
-                    ev,
-                    [(r["name"], r["expr"], r["for_us"], r["keep_us"],
-                      step_us)],
-                    "rule",
-                )
-                parts.append(df.select(gcol, kcol, "rule", "labels", "value"))
-            elif r["for_us"]:
-                df = eval_alert_for_group(
-                    ev,
-                    [(r["name"], r["expr"], r["for_us"], step_us)],
-                    "rule",
-                )
-                parts.append(df.select(gcol, kcol, "rule", "labels", "value"))
             else:
-                df = eval_rule_group(ev, [(r["name"], r["expr"])], "rule")
+                if r["keep_us"]:
+                    df = eval_alert_keep_group(
+                        ev,
+                        [(r["name"], r["expr"], r["for_us"], r["keep_us"],
+                          step_us)],
+                        "rule",
+                    )
+                elif r["for_us"]:
+                    df = eval_alert_for_group(
+                        ev,
+                        [(r["name"], r["expr"], r["for_us"], step_us)],
+                        "rule",
+                    )
+                else:
+                    df = eval_rule_group(
+                        ev, [(r["name"], r["expr"])], "rule"
+                    )
+                _enforce_limit(df, g["limit"], r["name"], g["name"])
                 parts.append(df.select(gcol, kcol, "rule", "labels", "value"))
     out = parts[0]
     for p in parts[1:]:

@@ -1069,6 +1069,52 @@ def test_api_alert_templating_and_rule_labels(spark):
         exposer.stop()
 
 
+def test_rule_group_limit_enforced(spark):
+    """Upstream's group-level `limit:`: a rule yielding more series
+    than the cap errors that group's evaluation with the documented
+    'exceeded limit of X with Y series' failure; the same group under
+    a sufficient limit evaluates normally. The probe is a plan-level
+    LIMIT cap+1 count, so the error reports cap+1, not the full
+    (possibly enormous) cardinality."""
+    import pytest as _pytest
+
+    from shards_prometheus_spark.model import samples_multi
+    from shards_prometheus_spark.operators.rules import (
+        RuleLimitError,
+        eval_rule_file,
+        load_rule_groups,
+    )
+
+    yml = """
+groups:
+  - name: capped
+    interval: 1d
+    limit: 2
+    rules:
+      - record: user:click:count720h
+        expr: count_over_time(click[720h])
+"""
+    samples = samples_multi(spark, SF_SMOKE)
+    assert load_rule_groups(yml)[0]["limit"] == 2
+    with _pytest.raises(RuleLimitError, match=r"exceeded limit of 2 with 3 series"):
+        eval_rule_file(samples, yml)
+    roomy = yml.replace("limit: 2", "limit: 100000")
+    rows = eval_rule_file(samples, roomy).collect()
+    assert len(rows) > 2  # same group, sufficient cap: evaluates
+    # alert rules are capped too
+    alert_yml = """
+groups:
+  - name: capped_alerts
+    interval: 1d
+    limit: 1
+    rules:
+      - alert: EveryClickSeries
+        expr: count_over_time(click[720h]) > 0
+"""
+    with _pytest.raises(RuleLimitError, match=r"exceeded limit of 1 with 2 series"):
+        eval_rule_file(samples, alert_yml)
+
+
 def test_humanize_matches_upstream_forms():
     """humanize/humanizePercentage pin upstream's %.4g + SI scaling."""
     from shards_prometheus_spark.operators.rules import (
