@@ -75,9 +75,16 @@ def exposition_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _classic_lines(
-    spark: SparkSession, sf_dir: str, snap: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    snap: DataFrame,
+    bucket_metrics: list[str] | None = None,
 ) -> DataFrame:
-    """Classic-format payload from an (ideally persisted) snapshot."""
+    """Classic-format payload from an (ideally persisted) snapshot.
+    `bucket_metrics` (federation) restricts the data-driven bucket
+    leg to those families — the +Inf leg needs no extra filter
+    because it derives from the (already filtered) snapshot's
+    histogram count rows under the same matcher semantics."""
     headers = snap.select("kind", "metric").distinct().select(
         F.concat(F.lit("# TYPE "), F.col("metric"), F.lit(" "), F.col("kind"))
         .alias("line")
@@ -109,8 +116,15 @@ def _classic_lines(
     # _bucket_idx_col maps the overflow to the "+Inf" label, so an
     # unfiltered leg would duplicate the count-derived +Inf line below
     # — duplicate series are illegal in both exposition dialects
+    bucket_src = histogram_buckets(spark, sf_dir)
+    if bucket_metrics is not None:
+        bucket_src = bucket_src.filter(
+            F.col("metric").isin(bucket_metrics)
+            if bucket_metrics
+            else F.lit(False)
+        )
     buckets = (
-        histogram_buckets(spark, sf_dir)
+        bucket_src
         .filter(F.col("le_idx") < len(BOUNDS))
         .select(
             F.concat(
@@ -419,6 +433,91 @@ def openmetrics_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def federate_lines(
+    spark: SparkSession, sf_dir: str, matches: list[str]
+) -> DataFrame:
+    """`/federate`: the classic text-format dump pruned to the series
+    matching any `match[]` selector (selectors UNION, the public
+    federation semantics) — what one Prometheus serves when another
+    scrapes it. Composes the selector machinery (`apply_matchers`,
+    missing label == "", RE2-anchored regexes) with the existing
+    exposition writer, so the output is byte-format-identical to
+    `exposition_lines` filtered to the matched series, `# TYPE`
+    headers included (headers derive from the FILTERED snapshot — a
+    family appears iff at least one of its series matched).
+
+    Scale shape: the match predicate filters the registry-sized
+    persisted snapshot before line rendering; bucket lines are
+    admitted per family by deciding each selector against the EMPTY
+    label set driver-side (bucket series carry no user label), so no
+    extra scan or shuffle is added over the plain exposition plan."""
+    import re as _re
+
+    from shards_prometheus_spark.functions.labelset import apply_matchers
+    from shards_prometheus_spark.functions.promql_parser import (
+        Selector,
+        parse,
+    )
+
+    if not matches:
+        raise ValueError("no match[] parameter provided")
+    sels = []
+    for m in matches:
+        node = parse(m)
+        if not isinstance(node, Selector) or node.range_us is not None:
+            raise ValueError(f"invalid series selector {m!r}")
+        sels.append(node)
+    snap = _snap_persisted(spark, sf_dir)
+    lab = snap.withColumn(
+        "labels", F.create_map(F.lit("user"), F.col("label_user"))
+    )
+    parts = [
+        apply_matchers(lab.filter(F.col("metric") == s.metric), s.matchers)
+        for s in sels
+    ]
+    keep = parts[0]
+    for p in parts[1:]:
+        keep = keep.unionByName(p)
+    # a series matching several selectors must render ONCE (snapshot
+    # rows are unique per (kind, metric, label_user, stat), so the
+    # distinct is registry-sized)
+    snap_f = keep.drop("labels").distinct()
+
+    def _matches_empty(s: "Selector") -> bool:
+        # bucket series carry no user label: a selector admits a
+        # family's bucket lines iff its matchers accept the EMPTY
+        # label set — decidable driver-side (missing label == "")
+        for _label, op, val in s.matchers:
+            hit = _re.fullmatch(val, "") is not None
+            if op == "=" and val != "":
+                return False
+            if op == "!=" and val == "":
+                return False
+            if op == "=~" and not hit:
+                return False
+            if op == "!~" and hit:
+                return False
+        return True
+
+    bucket_metrics = sorted({s.metric for s in sels if _matches_empty(s)})
+    return _classic_lines(
+        spark, sf_dir, snap_f, bucket_metrics=bucket_metrics
+    )
+
+
+#: the registered federate demo: one regex-matcher selector (whose
+#: matchers REJECT the empty label set, so click's label-less
+#: histogram series is pruned) and one bare-family selector (view —
+#: all three kinds federate, buckets included).
+FEDERATE_MATCHES = ['click{user=~"[0-3].*"}', "view"]
+
+
+def federate_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`/federate?match[]=click{user=~"[0-3].*"}&match[]=view` as a
+    relation — the registered twin of the HTTP endpoint."""
+    return federate_lines(spark, sf_dir, FEDERATE_MATCHES)
+
+
 class MetricsExposer:
     """HTTP pull endpoint serving the exposition payload — the literal
     analog of the reference's Exposer (HTTP server started at
@@ -510,6 +609,27 @@ class MetricsExposer:
             def do_GET(self):  # noqa: N802 - stdlib contract
                 parts = urlsplit(self.path)
                 if self._api():
+                    return
+                if parts.path == "/federate":
+                    matches = parse_qs(parts.query).get("match[]") or []
+                    try:
+                        body = outer.collect_federate_text(matches).encode()
+                    except Exception as exc:
+                        self.send_response(400)
+                        msg = str(exc).encode()
+                        self.send_header("Content-Type", "text/plain")
+                        self.send_header("Content-Length", str(len(msg)))
+                        self.end_headers()
+                        self.wfile.write(msg)
+                        return
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "text/plain; version=0.0.4; charset=utf-8",
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                     return
                 if parts.path.rstrip("/") not in ("", "/metrics"):
                     self.send_error(404)
@@ -604,6 +724,14 @@ class MetricsExposer:
             lines = exposition_lines(self._spark, self._sf_dir).collect()
         return "\n".join(sorted(r["line"] for r in lines)) + "\n"
 
+    def collect_federate_text(self, matches: list[str]) -> str:
+        """`/federate` payload over the batch dir: the classic-format
+        dump pruned by the `match[]` selectors (federation always
+        serves the classic dialect, as upstream). Collect-on-scrape,
+        sorted like collect_text so the payload is deterministic."""
+        lines = federate_lines(self._spark, self._sf_dir, matches).collect()
+        return "\n".join(sorted(r["line"] for r in lines)) + "\n"
+
     def start(self) -> "MetricsExposer":
         self._thread.start()
         return self
@@ -637,6 +765,7 @@ QUERIES = {
     "exposition_lines_multi": exposition_lines_multi,
     "openmetrics_lines": openmetrics_lines,
     "openmetrics_parse": openmetrics_parse,
+    "federate": federate_demo,
 }
 
 _LINES_PREFIX_SQL = f"{_BUCKET_COUNTS_SQL}, snap AS ({_SNAP_SQL}) "
@@ -755,10 +884,30 @@ _LINES_MULTI_SQL = (
     "GROUP BY metric, l_user, l_shard"
 )
 
+# federation oracle: the same lines body over the snapshot filtered
+# by FEDERATE_MATCHES — counter/gauge legs keep click series whose
+# user label matches the anchored regex plus every view series;
+# histogram legs keep only view (the click selector's matchers reject
+# the empty label set bucket series carry)
+_FED_PRED = (
+    "((metric = 'click' AND "
+    "regexp_matches(label_user, '^(?:[0-3].*)$')) OR metric = 'view')"
+)
+
+_FEDERATE_SQL = (
+    _LINES_PREFIX_SQL
+    + f", fsnap AS (SELECT * FROM snap WHERE {_FED_PRED}) "
+    + _LINES_BODY_SQL.replace("FROM snap", "FROM fsnap").replace(
+        "FROM g WHERE bucket_idx",
+        "FROM g WHERE metric = 'view' AND bucket_idx",
+    )
+)
+
 ORACLES = {
     "exposition_lines": _LINES_SQL,
     "exposition_parse": _PARSE_SQL,
     "exposition_lines_multi": _LINES_MULTI_SQL,
     "openmetrics_lines": _OM_LINES_SQL,
     "openmetrics_parse": _OM_PARSE_SQL,
+    "federate": _FEDERATE_SQL,
 }

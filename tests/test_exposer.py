@@ -1069,6 +1069,69 @@ def test_api_alert_templating_and_rule_labels(spark):
         exposer.stop()
 
 
+def test_federate_endpoint_prunes_by_match(spark):
+    """GET /federate?match[]=… serves the classic text dump pruned to
+    the matched series, BYTE-identical to exposition_lines filtered
+    to the selectors: TYPE headers for matched families included,
+    click's label-less histogram series pruned (its selector's
+    matchers reject the empty label set), view federated across all
+    three kinds with buckets. No match[] → 400, as upstream."""
+    import re
+    import urllib.request
+    from urllib.parse import quote
+
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        sel = quote('click{user=~"[0-3].*"}')
+        url = (
+            f"http://{exposer.host}:{exposer.port}/federate"
+            f"?match[]={sel}&match[]=view"
+        )
+        with urllib.request.urlopen(url, timeout=120) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith(
+                "text/plain; version=0.0.4"
+            )
+            body = resp.read().decode()
+        # expected: exposition_lines filtered to the two selectors
+        all_lines = [
+            r["line"]
+            for r in exposition_lines(spark, SF_SMOKE).collect()
+        ]
+
+        def keep(line: str) -> bool:
+            if line.startswith("# TYPE view ") or line.startswith(
+                "# TYPE click "
+            ):
+                # click's histogram family has NO matched series
+                return line != "# TYPE click histogram"
+            m = re.match(r'click(?:_total)?\{user="([0-3][^"]*)"\}', line)
+            if m:
+                return True
+            return bool(
+                re.match(r"view(_total|_bucket|_sum|_count|\{| )", line)
+            )
+
+        want = sorted(ln for ln in all_lines if keep(ln))
+        assert body == "\n".join(want) + "\n"
+        assert any(ln.startswith("# TYPE view histogram") for ln in want)
+        assert any("_bucket" in ln for ln in want)
+        # no match[] → 400
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(
+                f"http://{exposer.host}:{exposer.port}/federate",
+                timeout=60,
+            )
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert b"no match[]" in e.read()
+    finally:
+        exposer.stop()
+
+
 def test_rule_group_limit_enforced(spark):
     """Upstream's group-level `limit:`: a rule yielding more series
     than the cap errors that group's evaluation with the documented
