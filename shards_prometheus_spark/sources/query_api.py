@@ -1,9 +1,10 @@
 """Prometheus HTTP *read* API: `/api/v1/query`, `/api/v1/query_range`,
-the metadata endpoints Grafana needs to browse the store
-(`/api/v1/series`, `/api/v1/labels`, `/api/v1/label/<name>/values`,
-`/api/v1/metadata`, `/api/v1/status/buildinfo`), and the rule-state
-surface (`/api/v1/rules`, `/api/v1/alerts`) over the configured
-recording/alerting groups.
+`/api/v1/query_exemplars`, the metadata/status endpoints Grafana
+needs to browse the store (`/api/v1/series`, `/api/v1/labels`,
+`/api/v1/label/<name>/values`, `/api/v1/metadata`,
+`/api/v1/targets`, `/api/v1/status/buildinfo|config|flags`), and the
+rule-state surface (`/api/v1/rules`, `/api/v1/alerts`) over the
+configured recording/alerting groups.
 
 The reference exposes only the WRITE side of the pair — the scrape
 endpoint its paired Prometheus server pulls (HTTP server at
@@ -315,6 +316,64 @@ def label_values_data(
         F.col("v").isNotNull()
     ).distinct().collect()
     return sorted(r["v"] for r in rows)
+
+
+def exemplars_data(
+    exemplars_df,
+    query: str,
+    start_us: int,
+    end_us: int,
+    max_samples: int | None = None,
+) -> list:
+    """`/api/v1/query_exemplars`: exemplars of the series matching the
+    selector, within [start, end] — the public envelope (one object
+    per series: `seriesLabels` incl. __name__, `exemplars` as
+    {labels, value-string, timestamp-seconds} sorted by timestamp).
+
+    `exemplars_df` is the openmetrics_exemplars relation (metric,
+    label_user, trace_id, ex_value, ex_ts). The selector's matchers
+    run against the same labels-map semantics every other endpoint
+    uses (missing label == "", RE2-anchored), and the time filter is
+    pushed into the plan before the guarded collect."""
+    from shards_prometheus_spark.functions.labelset import apply_matchers
+
+    node = parse(query)
+    if not isinstance(node, Selector) or node.range_us is not None:
+        raise ValueError(f"invalid series selector {query!r}")
+    lab = exemplars_df.filter(
+        F.col("metric") == node.metric
+    ).withColumn(
+        "labels", F.create_map(F.lit("user"), F.col("label_user"))
+    )
+    df = apply_matchers(lab, node.matchers).filter(
+        (F.col("ex_ts") * 1_000_000 >= start_us)
+        & (F.col("ex_ts") * 1_000_000 <= end_us)
+    )
+    rows = _guarded_collect(df, max_samples)
+    by_series: dict[tuple, list] = {}
+    for r in rows:
+        by_series.setdefault((r["metric"], r["label_user"]), []).append(r)
+    out = []
+    for (metric, user), rs in sorted(
+        by_series.items(), key=lambda kv: (kv[0][0], kv[0][1] or "")
+    ):
+        series_labels = {"__name__": metric}
+        if user is not None:
+            series_labels["user"] = user
+        out.append(
+            {
+                "seriesLabels": series_labels,
+                "exemplars": [
+                    {
+                        "labels": {"trace_id": r["trace_id"]},
+                        "value": _fmt_value(r["ex_value"]),
+                        "timestamp": r["ex_ts"],
+                    }
+                    for r in sorted(rs, key=lambda r: r["ex_ts"])
+                ],
+            }
+        )
+    return out
 
 
 def parse_label_str(s: str) -> dict:
@@ -644,6 +703,85 @@ BUILDINFO = {
 }
 
 
+def targets_data(evaluator, target_info: dict | None) -> dict:
+    """`/api/v1/targets`: the scrape-pool view. This engine IS the
+    single scrape target its paired server would pull (the reference
+    registers one Exposer endpoint), so the active-targets list is
+    the exposer's own /metrics URL, healthy, with `lastScrape` pinned
+    at the data's max timestamp (the batch analog of "the last time
+    the store ingested")."""
+    info = target_info or {}
+    instance = info.get("instance", "localhost:0")
+    url = f"http://{instance}/metrics"
+    last = datetime.fromtimestamp(
+        evaluator.eval_time_us() / 1e6, tz=timezone.utc
+    ).isoformat().replace("+00:00", "Z")
+    return {
+        "activeTargets": [
+            {
+                "discoveredLabels": {
+                    "__address__": instance,
+                    "__metrics_path__": "/metrics",
+                    "__scheme__": "http",
+                    "job": "shards-prometheus-spark",
+                },
+                "labels": {
+                    "instance": instance,
+                    "job": "shards-prometheus-spark",
+                },
+                "scrapePool": "shards-prometheus-spark",
+                "scrapeUrl": url,
+                "globalUrl": url,
+                "lastError": "",
+                "lastScrape": last,
+                "lastScrapeDuration": 0.0,
+                "health": "up",
+            }
+        ],
+        "droppedTargets": [],
+    }
+
+
+def status_config_data(
+    target_info: dict | None, rule_file: str | None
+) -> dict:
+    """`/api/v1/status/config`: the loaded configuration as one YAML
+    string (`{"yaml": …}`, the public shape). The engine has no config
+    file — the equivalent of its runtime state is a one-target scrape
+    config plus the user's rule file, rendered as literal YAML."""
+    info = target_info or {}
+    instance = info.get("instance", "localhost:0")
+    lines = [
+        "global:",
+        "  scrape_interval: 15s",
+        "scrape_configs:",
+        "  - job_name: shards-prometheus-spark",
+        "    static_configs:",
+        f"      - targets: ['{instance}']",
+    ]
+    if rule_file is not None:
+        lines += ["rule_files:", "  - rules.yml"]
+    return {"yaml": "\n".join(lines) + "\n"}
+
+
+def status_flags_data(
+    max_samples: int | None, timeout_s: float | None
+) -> dict:
+    """`/api/v1/status/flags`: the runtime flag map — the engine's
+    actual guard settings under the paired server's public flag names
+    (string values, as upstream serves them)."""
+    return {
+        "query.max-samples": str(
+            max_samples if max_samples is not None else 50_000_000
+        ),
+        "query.timeout": (
+            f"{timeout_s:g}s" if timeout_s is not None else "2m"
+        ),
+        "query.max-concurrency": "20",
+        "web.cors.origin": ".*",
+    }
+
+
 _LABEL_VALUES_RE = re.compile(r"^/api/v1/label/([^/]+)/values$")
 
 
@@ -655,6 +793,8 @@ def handle_api_request(
     max_samples: int | None = None,
     timeout_s: float | None = None,
     spark=None,
+    exemplars_fn=None,
+    target_info: dict | None = None,
 ) -> tuple:
     """Dispatch one read-API request → (http_status, payload dict).
 
@@ -786,6 +926,34 @@ def handle_api_request(
                 include_alerts=p("exclude_alerts") not in ("true", "1"),
                 rule_file=rule_file,
             )
+        elif path == "/api/v1/query_exemplars":
+            query = p("query")
+            if query is None:
+                return bad("missing required parameter: query")
+            missing = [k for k in ("start", "end") if p(k) is None]
+            if missing:
+                return bad(
+                    "missing required parameters: " + ", ".join(missing)
+                )
+            start_us = parse_time_param(p("start"))
+            end_us = parse_time_param(p("end"))
+            if end_us < start_us:
+                return bad("end timestamp must not be before start time")
+            if exemplars_fn is None:
+                # a store with no exemplar relation (live registry)
+                # has no exemplars — success with an empty list, the
+                # public response for a selector matching nothing
+                data = []
+            else:
+                data = exemplars_data(
+                    exemplars_fn(), query, start_us, end_us, max_samples
+                )
+        elif path == "/api/v1/targets":
+            data = targets_data(make_evaluator(None), target_info)
+        elif path == "/api/v1/status/config":
+            data = status_config_data(target_info, rule_file)
+        elif path == "/api/v1/status/flags":
+            data = status_flags_data(max_samples, timeout_s)
         elif path == "/api/v1/metadata":
             data = metadata_data(make_evaluator(None))
         elif path == "/api/v1/status/buildinfo":

@@ -1396,3 +1396,117 @@ def test_api_param_hygiene_bad_data(spark):
             assert payload["errorType"] == "bad_data", path_qs
     finally:
         exposer.stop()
+
+
+def test_openmetrics_exemplars_relation(spark):
+    """The exemplar side relation keeps what the scraper used to
+    discard: one row per exemplar-bearing counter sample, trace_id
+    derived from the series' user label and value/ts from the
+    sample's rendered value (the fixture decoration's contract)."""
+    from shards_prometheus_spark.operators.counters import counter_sum
+    from shards_prometheus_spark.sources.exposition import (
+        openmetrics_exemplars,
+    )
+
+    rows = openmetrics_exemplars(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    # exactly one exemplar per counter series
+    counters = counter_sum(spark, SF_SMOKE).collect()
+    assert len(rows) == len(counters)
+    by_series = {
+        (r["metric"], r["label_user"]): r for r in rows
+    }
+    for c in counters:
+        r = by_series[(c["metric"], c["label_user"])]
+        assert r["trace_id"] == f"t-{c['label_user']}"
+        # value and ts both derive from the rendered sample value
+        assert r["ex_value"] == r["ex_ts"]
+        assert abs(r["ex_value"] - c["sum_value"]) < 1e-3
+
+
+def test_api_query_exemplars_roundtrip(spark):
+    """GET /api/v1/query_exemplars serves the public envelope —
+    seriesLabels (incl. __name__) + per-series exemplars sorted by
+    timestamp — equal to the exemplar relation filtered by the
+    selector and [start, end]; missing params answer 400."""
+    from urllib.parse import quote
+
+    from shards_prometheus_spark.sources.exposition import (
+        openmetrics_exemplars,
+    )
+
+    ex_rows = openmetrics_exemplars(spark, SF_SMOKE).collect()
+    all_ts = sorted(r["ex_ts"] for r in ex_rows)
+    # a window that splits the exemplars, pinning the time filter
+    cut = all_ts[len(all_ts) // 2]
+    sel = 'click{user=~"[0-3].*"}'
+    want = {
+        (r["metric"], r["label_user"], r["trace_id"], r["ex_value"])
+        for r in ex_rows
+        if r["metric"] == "click"
+        and r["label_user"] is not None
+        and r["label_user"][:1] in "0123"
+        and 0 <= r["ex_ts"] <= cut
+    }
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        status, payload = _api_get(
+            exposer,
+            f"/api/v1/query_exemplars?query={quote(sel)}"
+            f"&start=0&end={cut}",
+        )
+        assert status == 200 and payload["status"] == "success"
+        got = set()
+        for entry in payload["data"]:
+            labels = entry["seriesLabels"]
+            assert labels["__name__"] == "click"
+            ts_seen = [e["timestamp"] for e in entry["exemplars"]]
+            assert ts_seen == sorted(ts_seen)
+            for e in entry["exemplars"]:
+                got.add(
+                    (
+                        labels["__name__"],
+                        labels.get("user"),
+                        e["labels"]["trace_id"],
+                        float(e["value"]),
+                    )
+                )
+        assert got == want and len(got) > 0
+        # missing start/end -> 400 bad_data
+        status, payload = _api_get(
+            exposer, f"/api/v1/query_exemplars?query={quote(sel)}"
+        )
+        assert status == 400 and payload["errorType"] == "bad_data"
+    finally:
+        exposer.stop()
+
+
+def test_api_targets_and_status_endpoints(spark):
+    """/api/v1/targets reports the exposer itself as the one healthy
+    scrape target; /api/v1/status/config serves the runtime state as
+    YAML; /api/v1/status/flags reflects the exposer's actual guard
+    settings under the public flag names."""
+    exposer = MetricsExposer(
+        spark, SF_SMOKE, max_samples=123, query_timeout_s=7.0
+    ).start()
+    try:
+        instance = f"{exposer.host}:{exposer.port}"
+        status, payload = _api_get(exposer, "/api/v1/targets")
+        assert status == 200 and payload["status"] == "success"
+        (tgt,) = payload["data"]["activeTargets"]
+        assert tgt["health"] == "up"
+        assert tgt["labels"]["instance"] == instance
+        assert tgt["scrapeUrl"] == f"http://{instance}/metrics"
+        assert payload["data"]["droppedTargets"] == []
+
+        status, payload = _api_get(exposer, "/api/v1/status/config")
+        assert status == 200
+        assert f"targets: ['{instance}']" in payload["data"]["yaml"]
+
+        status, payload = _api_get(exposer, "/api/v1/status/flags")
+        assert status == 200
+        flags = payload["data"]
+        assert flags["query.max-samples"] == "123"
+        assert flags["query.timeout"] == "7s"
+    finally:
+        exposer.stop()
