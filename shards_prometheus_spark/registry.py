@@ -98,11 +98,16 @@ _PRIORITY = [
     "topk",
     "count_values",
     "histogram_quantile_bucketed",
-    "offset_instant",
-    "absent",
     "range_agg_tumbling",
     "rollup_hourly",
     "exposition_parse",
+    # r10 admits the two new read-path rows — /federate's selector-
+    # pruned text dump and the exemplar side relation — by demoting
+    # offset_instant and absent (both driver-green since r2; offset
+    # semantics stay driver-exercised inside the promql_range rows,
+    # absent inside the judge-pass parity sweep).
+    "federate",
+    "openmetrics_exemplars",
     # Tier B — eval_range dashboard core + rule/subquery rows.
     # The 50-entry window is zero-sum; each round's VERDICT asks are
     # admitted by demoting rows that already earned driver-green in a

@@ -100,6 +100,11 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "alert_rules",
             "ddsketch_quantile",
             "countmin_heavy_hitters",
+            # r10 (VERDICT r9 #5): the chained cascade's plan growth
+            # and the HTTP serving path's per-request cost, measured
+            # at 10× data instead of inferred
+            "rules_chained",
+            "http_query_range",
         ],
     ),
     (
@@ -275,7 +280,62 @@ SF3_FLAG_RATIO = 6.0
 #: when cache pressure evicted it between reps (ARCHITECTURE §7.2);
 #: pricing the build as its own number keeps the steady-state column
 #: readable the same way dedup_clusters' funnel build is.
-PRICE_BUILD_SEPARATELY = {"dedup_clusters", "dedup_simhash_classes"}
+PRICE_BUILD_SEPARATELY = {
+    "dedup_clusters",
+    "dedup_simhash_classes",
+    # first rep pays the HTTP server start + the cold t_max corpus
+    # scan; steady reps measure the per-request serving cost
+    "http_query_range",
+}
+
+
+#: one exposer per sf_dir, started lazily by the probe and reused
+#: across reps (daemon threads; the process exit reaps them)
+_EXPOSERS: dict[str, object] = {}
+
+
+def _http_query_range_probe(spark, sf_dir):
+    """One end-to-end `/api/v1/query_range` HTTP request against an
+    exposer serving `sf_dir` — the serving path measured at scale:
+    param parsing → fresh per-request evaluator (t_max memo) →
+    eval_range over the corpus → public JSON envelope. The expression
+    aggregates to ONE series so the response stays envelope-sized
+    while every evaluation scans the full corpus; the returned 1-row
+    relation carries the grid-point count so `_measure`'s count()
+    contract holds."""
+    import json as _json
+    import urllib.request
+    from urllib.parse import quote
+
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+    from shards_prometheus_spark.sources.exposition import MetricsExposer
+
+    exposer = _EXPOSERS.get(sf_dir)
+    if exposer is None:
+        exposer = MetricsExposer(spark, sf_dir).start()
+        _EXPOSERS[sf_dir] = exposer
+    end_us = PromQLEvaluator.from_dir(spark, sf_dir).eval_time_us()
+    start_us = end_us - 24 * 3_600_000_000
+    # 24h lookback: the corpus is sparse per series (sf0.1: ~650
+    # click samples across the final day), so a 1h-lookback rate
+    # finds no 2-sample series — the wide window keeps every grid
+    # instant scanning real data
+    qs = (
+        f"/api/v1/query_range?query={quote('sum(rate(click[24h]))')}"
+        f"&start={start_us / 1e6}&end={end_us / 1e6}&step=3600"
+    )
+    with urllib.request.urlopen(
+        f"http://{exposer.host}:{exposer.port}{qs}", timeout=600
+    ) as resp:
+        payload = _json.loads(resp.read().decode())
+    assert payload["status"] == "success", payload
+    n_points = sum(
+        len(s["values"]) for s in payload["data"]["result"]
+    )
+    assert n_points > 0
+    return spark.createDataFrame([(n_points,)], "points bigint")
 
 #: third-decade leg (sf3.0 -> sf12.0, 4× step): sized to push the
 #: MinHash signature relation PAST dedup_near's 2 M-row broadcast
@@ -476,7 +536,10 @@ def main() -> None:
     if "--gen-only" in sys.argv:
         return
     results = _measure(
-        spark, all_queries(), FAMILIES, [(SRC, "sf0.1"), (OUT, "sf1.0")]
+        spark,
+        {**all_queries(), "http_query_range": _http_query_range_probe},
+        FAMILIES,
+        [(SRC, "sf0.1"), (OUT, "sf1.0")],
     )
     _flag_and_write(
         results, "sf0.1", "sf1.0", FLAG_RATIO, FACTOR, "BENCH_sf1.json"
