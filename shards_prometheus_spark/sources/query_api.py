@@ -703,6 +703,62 @@ BUILDINFO = {
 }
 
 
+def status_tsdb_data(evaluator) -> dict:
+    """`/api/v1/status/tsdb`: head-block cardinality statistics — the
+    public shape (headStats + the four top-10 lists). Over the batch
+    store "head" means the whole samples relation: `numSeries` /
+    `numLabelPairs` / min/max time from distinct-aggregates,
+    `chunkCount` as the sample count (the store has no chunk layer;
+    documented batch analog), and `memoryInBytesByLabelName` as the
+    summed label-value byte length (what the head would hold for that
+    label). Every list is top-10 via an aggregated relation ORDER BY
+    + LIMIT — the shuffles are label-cardinality-sized, the collects
+    are 10-row."""
+    df = evaluator.samples
+    head = df.agg(
+        F.countDistinct("series_id").alias("n_series"),
+        F.count(F.lit(1)).alias("n_samples"),
+        F.min("ts_us").alias("t_min"),
+        F.max("ts_us").alias("t_max"),
+    ).collect()[0]
+    pairs = df.select(
+        "series_id", F.explode("labels").alias("k", "v")
+    )
+    n_pairs = pairs.select("k", "v").distinct().count()
+
+    def top10(grouped, name_col) -> list:
+        rows = grouped.orderBy(F.desc("value"), name_col).limit(10).collect()
+        return [
+            {"name": r[name_col], "value": int(r["value"])} for r in rows
+        ]
+
+    by_metric = df.groupBy("metric").agg(
+        F.countDistinct("series_id").alias("value")
+    )
+    by_label_values = pairs.groupBy("k").agg(
+        F.countDistinct("v").alias("value")
+    )
+    by_pair = pairs.select(
+        F.concat("k", F.lit("="), "v").alias("pair"), "series_id"
+    ).groupBy("pair").agg(F.countDistinct("series_id").alias("value"))
+    by_label_bytes = pairs.groupBy("k").agg(
+        F.sum(F.length("v")).alias("value")
+    )
+    return {
+        "headStats": {
+            "numSeries": int(head["n_series"]),
+            "numLabelPairs": int(n_pairs),
+            "chunkCount": int(head["n_samples"]),
+            "minTime": int(head["t_min"] // 1000),
+            "maxTime": int(head["t_max"] // 1000),
+        },
+        "seriesCountByMetricName": top10(by_metric, "metric"),
+        "labelValueCountByLabelName": top10(by_label_values, "k"),
+        "memoryInBytesByLabelName": top10(by_label_bytes, "k"),
+        "seriesCountByLabelValuePair": top10(by_pair, "pair"),
+    }
+
+
 def targets_data(evaluator, target_info: dict | None) -> dict:
     """`/api/v1/targets`: the scrape-pool view. This engine IS the
     single scrape target its paired server would pull (the reference
@@ -954,6 +1010,8 @@ def handle_api_request(
             data = status_config_data(target_info, rule_file)
         elif path == "/api/v1/status/flags":
             data = status_flags_data(max_samples, timeout_s)
+        elif path == "/api/v1/status/tsdb":
+            data = status_tsdb_data(make_evaluator(None))
         elif path == "/api/v1/metadata":
             data = metadata_data(make_evaluator(None))
         elif path == "/api/v1/status/buildinfo":

@@ -1510,3 +1510,44 @@ def test_api_targets_and_status_endpoints(spark):
         assert flags["query.timeout"] == "7s"
     finally:
         exposer.stop()
+
+
+def test_api_status_tsdb(spark):
+    """/api/v1/status/tsdb serves the public head-cardinality shape,
+    cross-checked against direct aggregates over the samples
+    relation (numSeries, top metric's series count, minTime <=
+    maxTime in ms)."""
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        status, payload = _api_get(exposer, "/api/v1/status/tsdb")
+    finally:
+        exposer.stop()
+    assert status == 200 and payload["status"] == "success"
+    data = payload["data"]
+    ev = PromQLEvaluator.from_dir(spark, SF_SMOKE)
+    n_series = ev.samples.select("series_id").distinct().count()
+    assert data["headStats"]["numSeries"] == n_series
+    assert data["headStats"]["minTime"] <= data["headStats"]["maxTime"]
+    by_metric = {
+        r["metric"]: r["n"]
+        for r in ev.samples.groupBy("metric")
+        .agg(F.countDistinct("series_id").alias("n"))
+        .collect()
+    }
+    got = {e["name"]: e["value"] for e in data["seriesCountByMetricName"]}
+    for name, n in got.items():
+        assert by_metric[name] == n
+    assert len(got) == min(10, len(by_metric)) and len(got) > 0
+    for key in (
+        "labelValueCountByLabelName",
+        "memoryInBytesByLabelName",
+        "seriesCountByLabelValuePair",
+    ):
+        assert isinstance(data[key], list) and len(data[key]) > 0
+        assert all(e["value"] > 0 for e in data[key])
