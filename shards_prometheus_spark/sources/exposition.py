@@ -785,7 +785,10 @@ class MetricsExposer:
             timeout_s=self._query_timeout_s,
             spark=self._spark,
             exemplars_fn=exemplars_fn,
-            target_info={"instance": f"{self.host}:{self.port}"},
+            target_info={
+                "instance": f"{self.host}:{self.port}",
+                "start_time": getattr(self, "_start_time", None),
+            },
         )
 
     def collect_text(self) -> str:
@@ -811,6 +814,9 @@ class MetricsExposer:
         return "\n".join(sorted(r["line"] for r in lines)) + "\n"
 
     def start(self) -> "MetricsExposer":
+        import time as _time
+
+        self._start_time = _time.time()
         self._thread.start()
         return self
 

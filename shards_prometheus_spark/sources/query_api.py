@@ -703,6 +703,33 @@ BUILDINFO = {
 }
 
 
+def status_runtimeinfo_data(
+    target_info: dict | None, evaluator
+) -> dict:
+    """`/api/v1/status/runtimeinfo`: the public runtime-state shape.
+    Server facts come from the exposer (`start_time` in target_info);
+    storage facts are the batch analogs — `lastConfigTime` is the
+    start time (config is constructor-fixed), retention is unlimited
+    (a parquet store does not expire samples)."""
+    started = (target_info or {}).get("start_time")
+    start_iso = (
+        datetime.fromtimestamp(started, tz=timezone.utc)
+        .isoformat()
+        .replace("+00:00", "Z")
+        if started is not None
+        else None
+    )
+    return {
+        "startTime": start_iso,
+        "CWD": "/",
+        "reloadConfigSuccess": True,
+        "lastConfigTime": start_iso,
+        "corruptionCount": 0,
+        "goroutineCount": 0,
+        "storageRetention": "0d",
+    }
+
+
 def status_tsdb_data(evaluator) -> dict:
     """`/api/v1/status/tsdb`: head-block cardinality statistics — the
     public shape (headStats + the four top-10 lists). Over the batch
@@ -1012,6 +1039,8 @@ def handle_api_request(
             data = status_flags_data(max_samples, timeout_s)
         elif path == "/api/v1/status/tsdb":
             data = status_tsdb_data(make_evaluator(None))
+        elif path == "/api/v1/status/runtimeinfo":
+            data = status_runtimeinfo_data(target_info, None)
         elif path == "/api/v1/metadata":
             data = metadata_data(make_evaluator(None))
         elif path == "/api/v1/status/buildinfo":

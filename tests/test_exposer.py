@@ -1551,3 +1551,26 @@ def test_api_status_tsdb(spark):
     ):
         assert isinstance(data[key], list) and len(data[key]) > 0
         assert all(e["value"] > 0 for e in data[key])
+
+
+def test_api_status_runtimeinfo(spark):
+    """/api/v1/status/runtimeinfo serves the public runtime shape with
+    startTime stamped at the exposer's own start."""
+    import time as _time
+
+    t0 = _time.time()
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        status, payload = _api_get(exposer, "/api/v1/status/runtimeinfo")
+    finally:
+        exposer.stop()
+    assert status == 200 and payload["status"] == "success"
+    data = payload["data"]
+    assert data["reloadConfigSuccess"] is True
+    from datetime import datetime
+
+    started = datetime.fromisoformat(
+        data["startTime"].replace("Z", "+00:00")
+    ).timestamp()
+    assert t0 - 1 <= started <= _time.time() + 1
+    assert data["lastConfigTime"] == data["startTime"]
