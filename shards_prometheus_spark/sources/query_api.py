@@ -914,6 +914,20 @@ def handle_api_request(
         getattr(_REQ, "deadline", None) is not None
         and time.monotonic() > _REQ.deadline
     )
+    # the public per-request `timeout` parameter: effective timeout is
+    # min(request, server --query.timeout) — a client may tighten the
+    # server cap, never widen it (upstream semantics)
+    t_param = p("timeout")
+    if t_param is not None:
+        try:
+            req_timeout_s = parse_duration_param(t_param) / 1e6
+        except ValueError as exc:
+            return bad(f"invalid parameter 'timeout': {exc}")
+        timeout_s = (
+            min(timeout_s, req_timeout_s)
+            if timeout_s is not None
+            else req_timeout_s
+        )
     watchdog = None
     _REQ.deadline = (
         time.monotonic() + timeout_s if timeout_s is not None else None

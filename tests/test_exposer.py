@@ -1574,3 +1574,29 @@ def test_api_status_runtimeinfo(spark):
     ).timestamp()
     assert t0 - 1 <= started <= _time.time() + 1
     assert data["lastConfigTime"] == data["startTime"]
+
+
+def test_api_per_request_timeout_param(spark):
+    """The public per-request `timeout` parameter: a microscopic
+    timeout on a real query answers 503/`timeout` even on a server
+    with no --query.timeout configured; the same query without the
+    parameter succeeds; a degenerate '0s' stays 400 bad_data."""
+    from urllib.parse import quote
+
+    expr = "sum by (user) (increase(click[720h]))"
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        status, payload = _api_get(
+            exposer, f"/api/v1/query?query={quote(expr)}&timeout=1ms"
+        )
+        assert status == 503 and payload["errorType"] == "timeout"
+        status, payload = _api_get(
+            exposer, f"/api/v1/query?query={quote(expr)}&timeout=2m"
+        )
+        assert status == 200 and payload["status"] == "success"
+        status, payload = _api_get(
+            exposer, f"/api/v1/query?query={quote(expr)}&timeout=0s"
+        )
+        assert status == 400 and payload["errorType"] == "bad_data"
+    finally:
+        exposer.stop()
