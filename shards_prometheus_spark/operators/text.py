@@ -143,6 +143,59 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PII patterns, shared LITERALLY with the oracle and restricted to
+#: syntax Java regex and DuckDB's RE2 interpret identically (ASCII
+#: classes, bounded repeats, \b word boundaries)
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = (
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+)
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub pass every pretraining pipeline runs
+    before packing (emails → `<EMAIL>`, IPv4 → `<IP>`), as pure
+    codegen regexp expressions: `regexp_count` per class for audit
+    counts plus a global `regexp_replace` chain for the scrubbed
+    text, one scan, no shuffle, no UDF — at 100 TB this runs at
+    parquet-scan speed and composes in front of `pack_chunks`.
+
+    The synthetic corpus carries no organic PII, so (the exemplar-
+    fixture pattern) each document is decorated with one
+    deterministic email + IPv4 derived from its doc_id before
+    scrubbing — the counts are provably nonzero and the redaction is
+    exercised on every row; the decoration is shared verbatim with
+    the DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    decorated = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(".7"),
+    )
+    base = docs.select("doc_id", decorated.alias("txt"))
+    scrub = F.regexp_replace(
+        F.regexp_replace("txt", PII_EMAIL_RE, "<EMAIL>"),
+        PII_IPV4_RE,
+        "<IP>",
+    )
+    return base.select(
+        "doc_id",
+        F.regexp_count("txt", F.lit(PII_EMAIL_RE))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count("txt", F.lit(PII_IPV4_RE))
+        .cast("long")
+        .alias("n_ipv4"),
+        scrub.alias("scrubbed"),
+        F.length(scrub).cast("long").alias("n_chars_scrubbed"),
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-weighted rolling hash: Σ token_id·((pos mod 31)+1) mod P."""
     ids = doc_token_ids(spark, sf_dir)
@@ -226,9 +279,21 @@ QUERIES = {
     "text_language_ngram": text_language_ngram,
     "text_quality_score": text_quality_score,
     "text_fingerprint": text_fingerprint,
+    "text_pii_scrub": text_pii_scrub,
     "token_count_bpe": token_count_bpe,
     "unigram_logprob": unigram_logprob,
 }
+
+#: the oracle's twin of text_pii_scrub's decoration + scrub chain
+_PII_DECOR_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR) "
+    "|| '.' || CAST(doc_id % 100 AS VARCHAR) || '.7'"
+)
+_PII_SCRUB_SQL = (
+    f"regexp_replace(regexp_replace(txt, '{PII_EMAIL_RE}', "
+    f"'<EMAIL>', 'g'), '{PII_IPV4_RE}', '<IP>', 'g')"
+)
 
 ORACLES = {
     "text_token_counts": (
@@ -274,6 +339,18 @@ ORACLES = {
         f"{TOKENS_CTE} "
         "SELECT doc_id, CAST(SUM(token_id * ((pos % 31) + 1)) "
         f"% {FP_MOD} AS BIGINT) AS fingerprint FROM dtok GROUP BY doc_id"
+    ),
+    "text_pii_scrub": (
+        f"WITH d AS (SELECT doc_id, {_PII_DECOR_SQL} AS txt "
+        "FROM documents), "
+        "s AS (SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(txt, '{PII_EMAIL_RE}')) AS BIGINT) "
+        "AS n_emails, "
+        f"CAST(len(regexp_extract_all(txt, '{PII_IPV4_RE}')) AS BIGINT) "
+        "AS n_ipv4, "
+        f"{_PII_SCRUB_SQL} AS scrubbed FROM d) "
+        "SELECT doc_id, n_emails, n_ipv4, scrubbed, "
+        "CAST(length(scrubbed) AS BIGINT) AS n_chars_scrubbed FROM s"
     ),
     "token_count_bpe": (
         "SELECT doc_id, "

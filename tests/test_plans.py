@@ -623,3 +623,32 @@ def test_promql_over_partitioned_store_prunes_partitions(spark, partitioned_samp
     assert {(r["labels"], r["value"]) for r in df.collect()} == {
         (r["labels"], r["value"]) for r in flat.collect()
     } != set()
+
+
+def test_pii_scrub_is_pure_codegen_and_scrubs_everything(spark):
+    """text_pii_scrub: the scrubbed text contains NO residual PII
+    match, every row has nonzero audit counts (the fixture decoration
+    guarantees at least one email + IPv4 per document), and the plan
+    is shuffle-free single-scan codegen (no Exchange, no UDF eval) —
+    the property that makes the scrub a scan-speed pass at 100 TB."""
+    from shards_prometheus_spark.operators.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        text_pii_scrub,
+    )
+    from shards_prometheus_spark.plans import formatted_plan
+    from tests.conftest import SF_SMOKE
+
+    df = text_pii_scrub(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re
+
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_emails"] >= 1 and r["n_ipv4"] >= 1
+        assert re.search(PII_EMAIL_RE, r["scrubbed"]) is None
+        assert re.search(PII_IPV4_RE, r["scrubbed"]) is None
+        assert "<EMAIL>" in r["scrubbed"] and "<IP>" in r["scrubbed"]
