@@ -555,15 +555,20 @@ def federate_lines(
         # family's bucket lines iff its matchers accept the EMPTY
         # label set — decidable driver-side (missing label == "")
         for _label, op, val in s.matchers:
-            hit = _re.fullmatch(val, "") is not None
             if op == "=" and val != "":
                 return False
             if op == "!=" and val == "":
                 return False
-            if op == "=~" and not hit:
-                return False
-            if op == "!~" and hit:
-                return False
+            if op in ("=~", "!~"):
+                # only regex ops may interpret val as a pattern — an
+                # equality matcher's value can contain regex
+                # metacharacters (`user="a(b"`) and must not be
+                # compiled
+                hit = _re.fullmatch(val, "") is not None
+                if op == "=~" and not hit:
+                    return False
+                if op == "!~" and hit:
+                    return False
         return True
 
     bucket_metrics = sorted({s.metric for s in sels if _matches_empty(s)})

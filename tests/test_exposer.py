@@ -1600,3 +1600,24 @@ def test_api_per_request_timeout_param(spark):
         assert status == 400 and payload["errorType"] == "bad_data"
     finally:
         exposer.stop()
+
+
+def test_federate_equality_matcher_with_regex_metachars(spark):
+    """An equality matcher whose value contains regex metacharacters
+    (`user="a(b"`) is a VALID selector — it must prune to empty (no
+    such series, and the empty-label bucket decision must not compile
+    the value as a regex), not crash to 400."""
+    from urllib.parse import quote
+
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        sel = quote('click{user="a(b"}')
+        url = (
+            f"http://{exposer.host}:{exposer.port}/federate"
+            f"?match[]={sel}"
+        )
+        with urllib.request.urlopen(url, timeout=120) as resp:
+            assert resp.status == 200
+            assert resp.read().decode() == "\n"
+    finally:
+        exposer.stop()
