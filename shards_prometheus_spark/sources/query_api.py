@@ -703,9 +703,7 @@ BUILDINFO = {
 }
 
 
-def status_runtimeinfo_data(
-    target_info: dict | None, evaluator
-) -> dict:
+def status_runtimeinfo_data(target_info: dict | None) -> dict:
     """`/api/v1/status/runtimeinfo`: the public runtime-state shape.
     Server facts come from the exposer (`start_time` in target_info);
     storage facts are the batch analogs — `lastConfigTime` is the
@@ -1054,7 +1052,7 @@ def handle_api_request(
         elif path == "/api/v1/status/tsdb":
             data = status_tsdb_data(make_evaluator(None))
         elif path == "/api/v1/status/runtimeinfo":
-            data = status_runtimeinfo_data(target_info, None)
+            data = status_runtimeinfo_data(target_info)
         elif path == "/api/v1/metadata":
             data = metadata_data(make_evaluator(None))
         elif path == "/api/v1/status/buildinfo":
