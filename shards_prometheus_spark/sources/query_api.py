@@ -1,8 +1,8 @@
 """Prometheus HTTP *read* API: `/api/v1/query`, `/api/v1/query_range`,
 `/api/v1/query_exemplars`, the metadata/status endpoints Grafana
 needs to browse the store (`/api/v1/series`, `/api/v1/labels`,
-`/api/v1/label/<name>/values`, `/api/v1/metadata`,
-`/api/v1/targets`, `/api/v1/status/buildinfo|config|flags`), and the
+`/api/v1/label/<name>/values`, `/api/v1/metadata`, `/api/v1/targets`,
+`/api/v1/status/{buildinfo,config,flags,tsdb,runtimeinfo}`), and the
 rule-state surface (`/api/v1/rules`, `/api/v1/alerts`) over the
 configured recording/alerting groups.
 
