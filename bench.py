@@ -91,7 +91,13 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ("similarity", ["similarity_topk", "similarity_lsh", "similarity_ivf"]),
     (
         "text",
-        ["text_token_counts", "text_quality_score", "unigram_logprob"],
+        [
+            "text_token_counts",
+            "text_quality_score",
+            "unigram_logprob",
+            # r10: the PII scrub pass (codegen regexp, scan-speed)
+            "text_pii_scrub",
+        ],
     ),
     (
         "pipeline",
