@@ -245,12 +245,16 @@ def test_promql_matcher_semantics_match_python_re(spark, vals):
     def got(expr):
         return sorted(r["value"] for r in ev.eval(expr).collect())
 
-    anchored = re.compile(f"^(?:{pattern})$")
+    # fullmatch, not ^(?:re)$ + match: Python's `$` matches BEFORE a
+    # trailing newline, so the ground truth would wrongly admit
+    # values like "0\n" that RE2/Prometheus \z anchoring rejects
+    # (hypothesis counterexample, r10)
+    anchored = re.compile(pattern)
     assert got(f'm{{user=~"{pattern}"}}') == sorted(
-        float(i) for i, v in enumerate(vals) if anchored.match(v)
+        float(i) for i, v in enumerate(vals) if anchored.fullmatch(v)
     )
     assert got(f'm{{user!~"{pattern}"}}') == sorted(
-        float(i) for i, v in enumerate(vals) if not anchored.match(v)
+        float(i) for i, v in enumerate(vals) if not anchored.fullmatch(v)
     )
     assert got('m{user=""}') == sorted(
         float(i) for i, v in enumerate(vals) if v == ""
@@ -268,7 +272,7 @@ def test_promql_matcher_carriage_return_matches_re2(spark):
         PromQLEvaluator,
     )
 
-    vals = ["a\r0", "a\r", "a\n0", "b ", "plain"]
+    vals = ["a\r0", "a\r", "a\n0", "b ", "plain", "0\n"]
     rows = [
         (i, i, "m", {"user": v}, 1_000_000, float(i))
         for i, v in enumerate(vals)
@@ -292,7 +296,10 @@ def test_promql_matcher_carriage_return_matches_re2(spark):
     # match before a trailing terminator.
     assert got('m{user=~"a$"}') == []
     assert got('m{user=~"b "}') == [3.0]
-    assert got('m{user!~"a.*|[0-4]"}') == [2.0, 3.0, 4.0]
+    # "0\n" must NOT match [0-4]: Python's `$` would admit it
+    # before the trailing newline, RE2's \z anchoring does not
+    # (the r10 hypothesis counterexample, pinned)
+    assert got('m{user!~"a.*|[0-4]"}') == [2.0, 3.0, 4.0, 5.0]
 
 
 def _render(node):
