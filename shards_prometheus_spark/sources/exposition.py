@@ -410,23 +410,32 @@ def _with_exemplars(lines: DataFrame) -> DataFrame:
     is_counter = F.col("line").rlike(
         r"^[A-Za-z_:][A-Za-z0-9_:]*_total\{"
     )
+    # OpenMetrics allows exemplars on histogram BUCKET samples too —
+    # decorate them with an le-derived trace so both legal exemplar
+    # positions are exercised
+    is_bucket = F.col("line").rlike(
+        r"^[A-Za-z_:][A-Za-z0-9_:]*_bucket\{"
+    )
     # at decoration time the line has exactly one label block and its
     # last token is the rendered sample value
     user = F.regexp_extract("line", r'\{user="((?:[^"\\]|\\.)*)"\}', 1)
+    le = F.regexp_extract("line", r'\{le="((?:[^"\\]|\\.)*)"\}', 1)
     val = F.regexp_extract("line", r" ([^ ]+)$", 1)
-    return lines.select(
-        F.when(
-            is_counter,
-            F.concat(
-                F.col("line"),
-                F.lit(' # {trace_id="t-'),
-                user,
-                F.lit('"} '),
-                val,
-                F.lit(" "),
-                val,
-            ),
+
+    def suffix(tid_prefix: str, tid: Column) -> Column:
+        return F.concat(
+            F.col("line"),
+            F.lit(f' # {{trace_id="{tid_prefix}'),
+            tid,
+            F.lit('"} '),
+            val,
+            F.lit(" "),
+            val,
         )
+
+    return lines.select(
+        F.when(is_counter, suffix("t-", user))
+        .when(is_bucket, suffix("b-", le))
         .otherwise(F.col("line"))
         .alias("line")
     )
@@ -461,43 +470,70 @@ def openmetrics_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: exemplar-bearing counter sample grammar (the fixture's shape):
+#: exemplar-bearing sample grammars (the fixture's two shapes, the
+#: two positions OpenMetrics permits exemplars in):
 #: `name_total{user="…"} value # {trace_id="…"} ex_value ex_ts`
+#: `name_bucket{le="…"} count # {trace_id="…"} ex_value ex_ts`
 _EX_PARSE_RE = (
     r'^([A-Za-z_:][A-Za-z0-9_:]*)_total\{user="((?:[^"\\]|\\.)*)"\} '
+    r'[^ ]+ # \{trace_id="((?:[^"\\]|\\.)*)"\} ([^ ]+) ([^ ]+)$'
+)
+_EX_BUCKET_RE = (
+    r'^([A-Za-z_:][A-Za-z0-9_:]*_bucket)\{le="((?:[^"\\]|\\.)*)"\} '
     r'[^ ]+ # \{trace_id="((?:[^"\\]|\\.)*)"\} ([^ ]+) ([^ ]+)$'
 )
 
 
 def openmetrics_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exemplar SIDE RELATION: parse the exemplar suffixes off the
-    OpenMetrics payload into (metric, label_user, trace_id, ex_value,
-    ex_ts) — what `/api/v1/query_exemplars` serves. Before r10 the
-    scraper parsed exemplars only to discard them; this keeps them as
-    a first-class relation next to the sample relation, mirroring how
-    the paired server stores exemplars beside series data (the
-    reference itself delegates exemplar storage to that server).
+    OpenMetrics payload into (metric, label_user, le, trace_id,
+    ex_value, ex_ts) — what `/api/v1/query_exemplars` serves. Before
+    r10 the scraper parsed exemplars only to discard them; this keeps
+    them as a first-class relation next to the sample relation,
+    mirroring how the paired server stores exemplars beside series
+    data (the reference itself delegates exemplar storage to that
+    server). Both legal exemplar positions are covered: counter
+    samples (metric = the family name, the evaluator's counter
+    selector convention) and histogram bucket samples (metric keeps
+    the `_bucket` suffix with the `le` label, the evaluator's
+    synthetic bucket-selector convention).
 
-    Scale shape: a filter + per-line regexp projection over the same
-    persisted payload `openmetrics_parse` reads — pure codegen, no
-    extra shuffle, no second serialization pass."""
+    Scale shape: two filters + per-line regexp projections over the
+    same persisted payload `openmetrics_parse` reads, unioned
+    plan-level — pure codegen, no extra shuffle, no second
+    serialization pass."""
     payload = _om_payload_persisted(spark, sf_dir)
-    ex = payload.filter(F.col("line").rlike(_EX_PARSE_RE))
-    return ex.select(
-        F.regexp_extract("line", _EX_PARSE_RE, 1).alias("metric"),
-        unesc_label(F.regexp_extract("line", _EX_PARSE_RE, 2)).alias(
-            "label_user"
-        ),
-        unesc_label(F.regexp_extract("line", _EX_PARSE_RE, 3)).alias(
-            "trace_id"
-        ),
-        F.regexp_extract("line", _EX_PARSE_RE, 4)
-        .try_cast("double")
-        .alias("ex_value"),
-        F.regexp_extract("line", _EX_PARSE_RE, 5)
-        .try_cast("double")
-        .alias("ex_ts"),
+
+    def leg(pattern: str, metric_g, user_col, le_col) -> DataFrame:
+        ex = payload.filter(F.col("line").rlike(pattern))
+        return ex.select(
+            metric_g.alias("metric"),
+            user_col.alias("label_user"),
+            le_col.alias("le"),
+            unesc_label(F.regexp_extract("line", pattern, 3)).alias(
+                "trace_id"
+            ),
+            F.regexp_extract("line", pattern, 4)
+            .try_cast("double")
+            .alias("ex_value"),
+            F.regexp_extract("line", pattern, 5)
+            .try_cast("double")
+            .alias("ex_ts"),
+        )
+
+    counters = leg(
+        _EX_PARSE_RE,
+        F.regexp_extract("line", _EX_PARSE_RE, 1),
+        unesc_label(F.regexp_extract("line", _EX_PARSE_RE, 2)),
+        F.lit(None).cast("string"),
     )
+    buckets = leg(
+        _EX_BUCKET_RE,
+        F.regexp_extract("line", _EX_BUCKET_RE, 1),
+        F.lit(None).cast("string"),
+        unesc_label(F.regexp_extract("line", _EX_BUCKET_RE, 2)),
+    )
+    return counters.unionByName(buckets)
 
 
 def federate_lines(
@@ -615,6 +651,7 @@ class MetricsExposer:
         rule_file: str | None = None,
         max_samples: int | None = None,
         query_timeout_s: float | None = None,
+        exemplars_fn=None,
     ):
         """`lines_fn` (optional): zero-arg callable returning the line
         DataFrame — lets the exposer serve a LIVE source (a streaming
@@ -727,6 +764,7 @@ class MetricsExposer:
         self._lines_fn = lines_fn
         self._openmetrics = openmetrics
         self._samples_fn = samples_fn
+        self._exemplars_fn = exemplars_fn
         self._rule_file = rule_file
         self._max_samples = max_samples
         self._query_timeout_s = query_timeout_s
@@ -772,15 +810,16 @@ class MetricsExposer:
             # exposer-lifetime cache served a stale pin forever.
             return PromQLEvaluator.from_dir(self._spark, self._sf_dir)
 
-        # exemplars exist only for the batch-dir store (parsed off the
-        # OpenMetrics payload); a live registry has no exemplar source
-        exemplars_fn = (
-            (
-                lambda: openmetrics_exemplars(self._spark, self._sf_dir)
+        # batch-dir stores default to the exemplars parsed off the
+        # OpenMetrics payload; a live registry serves exemplars only
+        # if the caller provides a source (constructor `exemplars_fn`,
+        # a zero-arg callable returning the openmetrics_exemplars
+        # schema) — otherwise the endpoint answers the empty set
+        exemplars_fn = self._exemplars_fn
+        if exemplars_fn is None and self._samples_fn is None:
+            exemplars_fn = lambda: openmetrics_exemplars(  # noqa: E731
+                self._spark, self._sf_dir
             )
-            if self._samples_fn is None
-            else None
-        )
         return handle_api_request(
             make_evaluator,
             path,
@@ -952,13 +991,19 @@ _PARSE_SQL = (
 )
 
 # the per-series exemplar decoration (_with_exemplars' SQL twin):
-# trace_id from the user label, exemplar value/ts from the sample's
-# rendered value token
+# trace_id from the user label (counters) or le label (buckets),
+# exemplar value/ts from the sample's rendered value token
 _OM_DECOR_CASE = (
     "CASE WHEN "
     "regexp_matches(line, '^[A-Za-z_:][A-Za-z0-9_:]*_total\\{') "
     "THEN line || ' # {trace_id=\"t-' "
     "|| regexp_extract(line, '\\{user=\"([^\"]*)\"\\}', 1) || '\"} ' "
+    "|| regexp_extract(line, ' ([^ ]+)$', 1) || ' ' "
+    "|| regexp_extract(line, ' ([^ ]+)$', 1) "
+    "WHEN "
+    "regexp_matches(line, '^[A-Za-z_:][A-Za-z0-9_:]*_bucket\\{') "
+    "THEN line || ' # {trace_id=\"b-' "
+    "|| regexp_extract(line, '\\{le=\"([^\"]*)\"\\}', 1) || '\"} ' "
     "|| regexp_extract(line, ' ([^ ]+)$', 1) || ' ' "
     "|| regexp_extract(line, ' ([^ ]+)$', 1) "
     "ELSE line END"
@@ -975,9 +1020,14 @@ _OM_PARSE_SQL = (
 )
 
 # exemplar side relation: the same decorated payload, keeping (not
-# stripping) the suffixes and extracting the exemplar grammar's groups
+# stripping) the suffixes and extracting both exemplar grammars'
+# groups (counter samples, histogram bucket samples)
 _EX_RE_SQL = (
     '^([A-Za-z_:][A-Za-z0-9_:]*)_total\\{user="([^"]*)"\\} '
+    '[^ ]+ # \\{trace_id="([^"]*)"\\} ([^ ]+) ([^ ]+)$'
+)
+_EX_BUCKET_RE_SQL = (
+    '^([A-Za-z_:][A-Za-z0-9_:]*_bucket)\\{le="([^"]*)"\\} '
     '[^ ]+ # \\{trace_id="([^"]*)"\\} ([^ ]+) ([^ ]+)$'
 )
 
@@ -986,10 +1036,21 @@ _OM_EXEMPLARS_SQL = (
     f"lines AS (SELECT {_OM_DECOR_CASE} AS line FROM lines0) "
     f"SELECT regexp_extract(line, '{_EX_RE_SQL}', 1) AS metric, "
     f"regexp_extract(line, '{_EX_RE_SQL}', 2) AS label_user, "
+    "CAST(NULL AS VARCHAR) AS le, "
     f"regexp_extract(line, '{_EX_RE_SQL}', 3) AS trace_id, "
     f"CAST(regexp_extract(line, '{_EX_RE_SQL}', 4) AS DOUBLE) AS ex_value, "
     f"CAST(regexp_extract(line, '{_EX_RE_SQL}', 5) AS DOUBLE) AS ex_ts "
-    f"FROM lines WHERE regexp_matches(line, '{_EX_RE_SQL}')"
+    f"FROM lines WHERE regexp_matches(line, '{_EX_RE_SQL}') "
+    "UNION ALL "
+    f"SELECT regexp_extract(line, '{_EX_BUCKET_RE_SQL}', 1) AS metric, "
+    "CAST(NULL AS VARCHAR) AS label_user, "
+    f"regexp_extract(line, '{_EX_BUCKET_RE_SQL}', 2) AS le, "
+    f"regexp_extract(line, '{_EX_BUCKET_RE_SQL}', 3) AS trace_id, "
+    f"CAST(regexp_extract(line, '{_EX_BUCKET_RE_SQL}', 4) AS DOUBLE) "
+    "AS ex_value, "
+    f"CAST(regexp_extract(line, '{_EX_BUCKET_RE_SQL}', 5) AS DOUBLE) "
+    "AS ex_ts "
+    f"FROM lines WHERE regexp_matches(line, '{_EX_BUCKET_RE_SQL}')"
 )
 
 from shards_prometheus_spark.model import SAMPLES_MULTI_CTE  # noqa: E402

@@ -97,6 +97,13 @@ def _guarded_collect(df, max_samples: int | None) -> list:
     return rows
 
 
+#: time parameters clamp to ±2⁶² µs (~146k years) — upstream clamps
+#: out-of-range times to its min/max representable time instead of
+#: erroring, and an unclamped 1e15-second `end` would overflow int64
+#: at the JVM boundary into a 422
+_TIME_CLAMP_US = 1 << 62
+
+
 def parse_time_param(s: str) -> int:
     """`time`/`start`/`end` parameter → µs: unix seconds (float) or
     RFC3339 (`2024-01-15T00:00:00Z`), the two public formats.
@@ -109,7 +116,8 @@ def parse_time_param(s: str) -> int:
     else:
         if not math.isfinite(sec):
             raise ValueError(f"invalid time value {s!r}")
-        return int(sec * 1e6)
+        us = int(sec * 1e6)
+        return max(-_TIME_CLAMP_US, min(_TIME_CLAMP_US, us))
     try:
         dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
     except ValueError:
@@ -331,7 +339,8 @@ def exemplars_data(
     {labels, value-string, timestamp-seconds} sorted by timestamp).
 
     `exemplars_df` is the openmetrics_exemplars relation (metric,
-    label_user, trace_id, ex_value, ex_ts). The selector's matchers
+    label_user, le, trace_id, ex_value, ex_ts — counter exemplars
+    carry user, bucket exemplars carry le). The selector's matchers
     run against the same labels-map semantics every other endpoint
     uses (missing label == "", RE2-anchored), and the time filter is
     pushed into the plan before the guarded collect."""
@@ -343,7 +352,18 @@ def exemplars_data(
     lab = exemplars_df.filter(
         F.col("metric") == node.metric
     ).withColumn(
-        "labels", F.create_map(F.lit("user"), F.col("label_user"))
+        "labels",
+        # null-valued entries dropped: counter exemplars carry user,
+        # bucket exemplars carry le — matchers see only real labels
+        F.map_filter(
+            F.create_map(
+                F.lit("user"),
+                F.col("label_user"),
+                F.lit("le"),
+                F.col("le"),
+            ),
+            lambda _k, v: v.isNotNull(),
+        ),
     )
     df = apply_matchers(lab, node.matchers).filter(
         (F.col("ex_ts") * 1_000_000 >= start_us)
@@ -352,14 +372,19 @@ def exemplars_data(
     rows = _guarded_collect(df, max_samples)
     by_series: dict[tuple, list] = {}
     for r in rows:
-        by_series.setdefault((r["metric"], r["label_user"]), []).append(r)
+        by_series.setdefault(
+            (r["metric"], r["label_user"], r["le"]), []
+        ).append(r)
     out = []
-    for (metric, user), rs in sorted(
-        by_series.items(), key=lambda kv: (kv[0][0], kv[0][1] or "")
+    for (metric, user, le), rs in sorted(
+        by_series.items(),
+        key=lambda kv: (kv[0][0], kv[0][1] or "", kv[0][2] or ""),
     ):
         series_labels = {"__name__": metric}
         if user is not None:
             series_labels["user"] = user
+        if le is not None:
+            series_labels["le"] = le
         out.append(
             {
                 "seriesLabels": series_labels,

@@ -1410,11 +1410,13 @@ def test_openmetrics_exemplars_relation(spark):
 
     rows = openmetrics_exemplars(spark, SF_SMOKE).collect()
     assert len(rows) > 0
+    c_rows = [r for r in rows if r["le"] is None]
+    b_rows = [r for r in rows if r["le"] is not None]
     # exactly one exemplar per counter series
     counters = counter_sum(spark, SF_SMOKE).collect()
-    assert len(rows) == len(counters)
+    assert len(c_rows) == len(counters)
     by_series = {
-        (r["metric"], r["label_user"]): r for r in rows
+        (r["metric"], r["label_user"]): r for r in c_rows
     }
     for c in counters:
         r = by_series[(c["metric"], c["label_user"])]
@@ -1422,6 +1424,24 @@ def test_openmetrics_exemplars_relation(spark):
         # value and ts both derive from the rendered sample value
         assert r["ex_value"] == r["ex_ts"]
         assert abs(r["ex_value"] - c["sum_value"]) < 1e-3
+    # and one exemplar per histogram BUCKET line (the second legal
+    # OM exemplar position), trace derived from the le bound
+    from shards_prometheus_spark.sources.exposition import (
+        openmetrics_lines,
+    )
+    import re as _re
+
+    n_bucket_lines = sum(
+        1
+        for r in openmetrics_lines(spark, SF_SMOKE).collect()
+        if _re.match(r'[A-Za-z_:][A-Za-z0-9_:]*_bucket\{', r["line"])
+    )
+    assert len(b_rows) == n_bucket_lines > 0
+    for r in b_rows:
+        assert r["metric"].endswith("_bucket")
+        assert r["label_user"] is None
+        assert r["trace_id"] == f"b-{r['le']}"
+        assert r["ex_value"] == r["ex_ts"]
 
 
 def test_api_query_exemplars_roundtrip(spark):
@@ -1621,3 +1641,65 @@ def test_federate_equality_matcher_with_regex_metachars(spark):
             assert resp.read().decode() == "\n"
     finally:
         exposer.stop()
+
+
+def test_api_query_exemplars_bucket_selector(spark):
+    """Bucket exemplars answer through the synthetic `_bucket`
+    selector convention: `view_bucket{le="..."}` returns le-labeled
+    series whose trace ids derive from the bound; a live-registry
+    exposer constructed with an explicit exemplars_fn serves the same
+    relation."""
+    from urllib.parse import quote
+
+    from shards_prometheus_spark.sources.exposition import (
+        openmetrics_exemplars,
+    )
+
+    ex_rows = [
+        r
+        for r in openmetrics_exemplars(spark, SF_SMOKE).collect()
+        if r["metric"] == "view_bucket"
+    ]
+    assert ex_rows
+    le0 = sorted({r["le"] for r in ex_rows})[0]
+    want = {
+        (r["le"], r["trace_id"], r["ex_value"])
+        for r in ex_rows
+        if r["le"] == le0
+    }
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        sel = quote('view_bucket{le="%s"}' % le0)
+        status, payload = _api_get(
+            exposer,
+            f"/api/v1/query_exemplars?query={sel}&start=0&end=1e15",
+        )
+    finally:
+        exposer.stop()
+    assert status == 200 and payload["status"] == "success"
+    got = set()
+    for entry in payload["data"]:
+        labels = entry["seriesLabels"]
+        assert labels["__name__"] == "view_bucket"
+        assert labels["le"] == le0 and "user" not in labels
+        for e in entry["exemplars"]:
+            got.add((labels["le"], e["labels"]["trace_id"], float(e["value"])))
+    assert got == want and len(got) > 0
+
+    # live-registry exposer with an explicit exemplar source serves
+    # the same rows (the exemplars_fn constructor hook)
+    from shards_prometheus_spark.model import samples_multi
+
+    live = MetricsExposer(
+        spark,
+        samples_fn=lambda: samples_multi(spark, SF_SMOKE),
+        exemplars_fn=lambda: openmetrics_exemplars(spark, SF_SMOKE),
+    ).start()
+    try:
+        status, payload2 = _api_get(
+            live,
+            f"/api/v1/query_exemplars?query={sel}&start=0&end=1e15",
+        )
+    finally:
+        live.stop()
+    assert status == 200 and payload2["data"] == payload["data"]
