@@ -974,6 +974,30 @@ def handle_api_request(
     else:
         _cleanup = lambda: None  # noqa: E731
 
+    def _apply_series_limit(data: dict) -> tuple:
+        """The 3.x `limit` parameter on query/query_range: cap the
+        number of returned series (0 = disabled), truncate + warn —
+        the same truncation contract the metadata endpoints serve."""
+        limit_p = p("limit")
+        if limit_p is None:
+            return 200, {"status": "success", "data": data}
+        limit = int(limit_p)
+        if limit < 0:
+            return bad("limit must be non-negative")
+        result = data.get("result")
+        if (
+            limit
+            and data.get("resultType") in ("vector", "matrix")
+            and isinstance(result, list)
+            and len(result) > limit
+        ):
+            return 200, {
+                "status": "success",
+                "data": {**data, "result": result[:limit]},
+                "warnings": ["results truncated due to limit"],
+            }
+        return 200, {"status": "success", "data": data}
+
     lv = _LABEL_VALUES_RE.match(path)
     try:
         if path == "/api/v1/query":
@@ -985,7 +1009,9 @@ def handle_api_request(
             ev = make_evaluator(time_us)
             if time_us is None:
                 time_us = ev.eval_time_us()
-            data = instant_data(ev, query, time_us, max_samples)
+            return _apply_series_limit(
+                instant_data(ev, query, time_us, max_samples)
+            )
         elif path == "/api/v1/query_range":
             query = p("query")
             if query is None:
@@ -1004,13 +1030,15 @@ def handle_api_request(
                 return bad(
                     "exceeded maximum resolution of 11,000 points"
                 )
-            data = range_data(
-                make_evaluator(end_us),
-                query,
-                start_us,
-                end_us,
-                step_us,
-                max_samples,
+            return _apply_series_limit(
+                range_data(
+                    make_evaluator(end_us),
+                    query,
+                    start_us,
+                    end_us,
+                    step_us,
+                    max_samples,
+                )
             )
         elif path in ("/api/v1/series", "/api/v1/labels") or lv:
             matches = params.get("match[]") or []

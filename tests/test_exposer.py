@@ -1703,3 +1703,53 @@ def test_api_query_exemplars_bucket_selector(spark):
     finally:
         live.stop()
     assert status == 200 and payload2["data"] == payload["data"]
+
+
+def test_api_query_limit_param_truncates_series(spark):
+    """The 3.x `limit` parameter on /api/v1/query and
+    /api/v1/query_range: caps the number of returned series with the
+    truncation warning, 0 disables, negative is bad_data."""
+    from urllib.parse import quote
+
+    expr = "sum by (user) (increase(click[720h]))"
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        status, full = _api_get(
+            exposer, f"/api/v1/query?query={quote(expr)}"
+        )
+        assert status == 200
+        n = len(full["data"]["result"])
+        assert n > 2
+        status, lim = _api_get(
+            exposer, f"/api/v1/query?query={quote(expr)}&limit=2"
+        )
+        assert status == 200
+        assert lim["data"]["result"] == full["data"]["result"][:2]
+        assert lim["warnings"] == ["results truncated due to limit"]
+        status, dis = _api_get(
+            exposer, f"/api/v1/query?query={quote(expr)}&limit=0"
+        )
+        assert status == 200 and len(dis["data"]["result"]) == n
+        assert "warnings" not in dis
+        status, neg = _api_get(
+            exposer, f"/api/v1/query?query={quote(expr)}&limit=-1"
+        )
+        assert status == 400 and neg["errorType"] == "bad_data"
+
+        # query_range: same contract
+        end_s = None
+        from shards_prometheus_spark.functions.promql_parser import (
+            PromQLEvaluator,
+        )
+
+        end_s = PromQLEvaluator.from_dir(spark, SF_SMOKE).eval_time_us() / 1e6
+        qs = (
+            f"/api/v1/query_range?query={quote(expr)}"
+            f"&start={end_s - 86400}&end={end_s}&step=21600&limit=1"
+        )
+        status, rng = _api_get(exposer, qs)
+        assert status == 200
+        assert len(rng["data"]["result"]) == 1
+        assert rng["warnings"] == ["results truncated due to limit"]
+    finally:
+        exposer.stop()
