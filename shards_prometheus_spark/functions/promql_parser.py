@@ -142,6 +142,9 @@ _RANGE_FNS = {
     "last_over_time",
     "stddev_over_time",
     "stdvar_over_time",
+    # experimental upstream fn (--enable-feature=
+    # promql-experimental-functions): median absolute deviation
+    "mad_over_time",
 }
 #: instant-vector math functions; all evaluate on the 6dp-pinned
 #: operand (the pin is the cross-engine determinism spec — discrete
@@ -168,6 +171,7 @@ _OVER_TIME_FNS = {
     "last_over_time",
     "stddev_over_time",
     "stdvar_over_time",
+    "mad_over_time",
 }
 #: counter/gauge lag-spine functions ALSO accepted over a subquery:
 #: the subquery's per-instant points become the range samples the
@@ -1031,6 +1035,32 @@ def parse(expr: str):
     return _Parser(_tokenize(expr)).parse()
 
 
+def _mad_agg() -> Column:
+    """`mad_over_time`: median(|x − median(x)|) as ONE aggregate
+    expression — scalar quantile math (φ·(n−1) rank linear
+    interpolation, the quantile_over_time spec, φ=0.5) over the
+    sorted collected window values, deviations re-sorted and folded
+    the same way. Being a single Column it drops into every fold
+    site a plain aggregate can (range fold, subquery outer, grid
+    keys included); per-series state is window-sized, exactly like
+    holt_winters' collected array."""
+
+    def q(arr: Column, n: Column) -> Column:
+        rank = (n.cast("double") - 1) * 0.5
+        lo = F.floor(rank).cast("int")
+        frac = rank - lo.cast("double")
+        hi = F.least(lo + F.lit(2), n)
+        return F.element_at(arr, lo + 1) * (
+            F.lit(1.0) - frac
+        ) + F.element_at(arr, hi) * frac
+
+    vals = F.array_sort(F.collect_list(F.col("value")))
+    n = F.size(vals)
+    med = q(vals, n)
+    dev = F.array_sort(F.transform(vals, lambda x: F.abs(x - med)))
+    return q(dev, n)
+
+
 def _subq_outer(fn: str, param: float | None):
     """Outer fold aggregate for ``fn(inner[r:s])`` — shared by the
     instant, composed, and grid subquery paths. The subquery's
@@ -1050,6 +1080,7 @@ def _subq_outer(fn: str, param: float | None):
         "quantile_over_time": F.percentile(
             F.col("value"), F.lit(float(param or 0.0))
         ),
+        "mad_over_time": _mad_agg(),
     }
     return table.get(fn)
 
@@ -1391,6 +1422,14 @@ class PromQLEvaluator:
                 F.percentile(
                     F.col("value"), F.lit(float(param or 0.0))
                 ).alias("value"),
+            )
+        if fn == "mad_over_time":
+            # median absolute deviation from the median — the single
+            # aggregate expression works under any key set (plain
+            # series, grid instants, subquery folds alike)
+            return df.groupBy(*keys).agg(
+                F.first("labels").alias("labels"),
+                _mad_agg().alias("value"),
             )
         if fn == "present_over_time":
             return df.groupBy(*keys).agg(
@@ -3129,6 +3168,7 @@ PROMQL_STDDEV = (
     "stddev by (shard) (sum by (user, shard) (increase(click[720h])))"
 )
 PROMQL_QOT = "quantile_over_time(0.9, click[720h])"
+PROMQL_MAD = "mad_over_time(click[720h])"
 #: sf = tf = 0.5: every fold constant (0.5 and 1−0.5) is binary-exact,
 #: so both engines run bit-identical recursions
 PROMQL_HW = "holt_winters(view[240h], 0.5, 0.5)"
@@ -3671,6 +3711,14 @@ def promql_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return promql_eval(spark, sf_dir, PROMQL_QOT)
 
 
+def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series median absolute deviation of the raw windowed
+    samples — upstream's experimental mad_over_time
+    (--enable-feature=promql-experimental-functions), φ=0.5
+    rank-interpolated both times."""
+    return promql_eval(spark, sf_dir, PROMQL_MAD)
+
+
 def promql_present_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1 per series with ≥1 sample in the window."""
     return promql_eval(spark, sf_dir, PROMQL_PRESENT)
@@ -3863,6 +3911,7 @@ QUERIES = {
     "promql_month": promql_month,
     "promql_hour": promql_hour,
     "promql_quantile_over_time": promql_quantile_over_time,
+    "promql_mad_over_time": promql_mad_over_time,
     "promql_present_over_time": promql_present_over_time,
     "promql_absent_over_time": promql_absent_over_time,
     "promql_absent_expr": promql_absent_expr,
@@ -4377,6 +4426,18 @@ ORACLES = {
         "SELECT 'shard=' || l_shard || ',user=' || l_user AS labels, "
         + dround("quantile_cont(value, 0.9)", 4)
         + " AS value FROM w GROUP BY l_user, l_shard"
+    ),
+    "promql_mad_over_time": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        "w AS (SELECT s.l_user, s.l_shard, s.value FROM samples_multi s, t "
+        "WHERE s.metric = 'click' AND s.ts_us <= t.t_max "
+        f"AND s.ts_us > t.t_max - {_H720_US}), "
+        "med AS (SELECT l_user, l_shard, quantile_cont(value, 0.5) AS m "
+        "FROM w GROUP BY l_user, l_shard) "
+        "SELECT 'shard=' || w.l_shard || ',user=' || w.l_user AS labels, "
+        + dround("quantile_cont(abs(w.value - med.m), 0.5)", 4)
+        + " AS value FROM w JOIN med ON w.l_user = med.l_user "
+        "AND w.l_shard = med.l_shard GROUP BY w.l_user, w.l_shard"
     ),
     "promql_present_over_time": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

@@ -24,7 +24,7 @@ from tests.conftest import SF_SMOKE
         "click{user=unquoted}",              # unquoted matcher
         "topk(5, click) extra",              # trailing tokens
         "1 > 2",                             # scalar cmp needs bool
-        "mad_over_time(click[1h:5m])",       # unknown fn over subquery
+        "bogus_over_time(click[1h:5m])",     # unknown fn over subquery
         "click[1h][1h:5m]",                  # subquery of a range vector
     ],
 )
@@ -1882,3 +1882,59 @@ def test_vector_time_calendar_defaults_and_default_step(spark):
     sq = parse("m[10m:]")
     assert sq.step_us == DEFAULT_EVAL_INTERVAL_US
     assert ev.eval("count_over_time(m[10m:])").count() <= 1
+
+
+def test_mad_over_time_all_three_paths(spark):
+    """mad_over_time (upstream experimental): the instant fold equals
+    a Python recomputation (rank-interpolated median of absolute
+    deviations from the rank-interpolated median), and the grid and
+    subquery paths both produce non-degenerate relations through the
+    same aggregate."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = PromQLEvaluator.from_dir(spark, SF_SMOKE)
+    got = {
+        r["labels"]: r["value"]
+        for r in ev.eval("mad_over_time(click[720h])").collect()
+    }
+    assert got
+
+    # Python ground truth over the same windowed samples
+    import collections
+
+    t_max = ev.eval_time_us()
+    lo = t_max - 720 * 3_600_000_000
+    series = collections.defaultdict(list)
+    for r in ev.samples.filter("metric = 'click'").collect():
+        if lo < r["ts_us"] <= t_max:
+            key = ",".join(
+                f"{k}={v}" for k, v in sorted((r["labels"] or {}).items())
+            )
+            series[key].append(r["value"])
+
+    def q50(vs):
+        vs = sorted(vs)
+        rank = 0.5 * (len(vs) - 1)
+        fl = int(rank)
+        frac = rank - fl
+        hi = min(fl + 1, len(vs) - 1)
+        return vs[fl] * (1 - frac) + vs[hi] * frac
+
+    for key, vals in series.items():
+        m = q50(vals)
+        want = round(q50([abs(v - m) for v in vals]), 4)
+        assert abs(got[key] - want) < 1e-9, key
+    assert set(got) == set(series)
+
+    # grid + subquery paths execute through the same aggregate
+    g = ev.eval_range(
+        "mad_over_time(click[240h])",
+        span_us=240 * 3_600_000_000,
+        step_us=48 * 3_600_000_000,
+    ).collect()
+    assert len(g) > 0
+    s = ev.eval("mad_over_time(rate(click[240h])[720h:240h])").collect()
+    assert len(s) > 0
