@@ -142,9 +142,13 @@ _RANGE_FNS = {
     "last_over_time",
     "stddev_over_time",
     "stdvar_over_time",
-    # experimental upstream fn (--enable-feature=
-    # promql-experimental-functions): median absolute deviation
+    # experimental upstream fns (--enable-feature=
+    # promql-experimental-functions): median absolute deviation and
+    # the extremum-timestamp family
     "mad_over_time",
+    "ts_of_max_over_time",
+    "ts_of_min_over_time",
+    "ts_of_last_over_time",
 }
 #: instant-vector math functions; all evaluate on the 6dp-pinned
 #: operand (the pin is the cross-engine determinism spec — discrete
@@ -191,6 +195,12 @@ _SUBQ_LAG_FNS = {
 _SUBQ_FOLD_FNS = {
     "deriv", "predict_linear", "holt_winters",
     "double_exponential_smoothing",
+}
+#: experimental extremum-timestamp folds — need the sample TIME axis,
+#: so every subquery path routes them like _SUBQ_FOLD_FNS (points
+#: re-stamped with the subquery instants as ts_us)
+_TS_OF_FNS = {
+    "ts_of_max_over_time", "ts_of_min_over_time", "ts_of_last_over_time",
 }
 _CMP_OPS = {">", ">=", "<", "<=", "==", "!="}
 #: vector set operators (lowest precedence: or < and/unless < cmp)
@@ -976,6 +986,7 @@ class _Parser:
                 fn not in _OVER_TIME_FNS
                 and fn not in _SUBQ_LAG_FNS
                 and fn not in _SUBQ_FOLD_FNS
+                and fn not in _TS_OF_FNS
                 and fn != "last_over_time"
             ):
                 raise PromQLSyntaxError(
@@ -1413,6 +1424,30 @@ class PromQLEvaluator:
                 .filter(F.size("vals") >= 2)
                 .select(*keys, "labels", F.expr(fold).alias("value"))
             )
+        if fn in _TS_OF_FNS:
+            # experimental 3.x: the timestamp (unix seconds) of the
+            # max/min/last sample in the window; value ties resolve
+            # to the LATEST sample, per upstream
+            if fn == "ts_of_last_over_time":
+                ts = F.max("ts_us")
+            elif fn == "ts_of_max_over_time":
+                ts = F.max(
+                    F.struct(
+                        F.col("value").alias("v"),
+                        F.col("ts_us").alias("t"),
+                    )
+                )["t"]
+            else:
+                ts = F.max(
+                    F.struct(
+                        (-F.col("value")).alias("v"),
+                        F.col("ts_us").alias("t"),
+                    )
+                )["t"]
+            return df.groupBy(*keys).agg(
+                F.first("labels").alias("labels"),
+                (ts.cast("double") / F.lit(1e6)).alias("value"),
+            )
         if fn == "quantile_over_time":
             # φ·(n-1) rank linear interpolation over the RAW windowed
             # samples (bit-identical parquet doubles on both engines —
@@ -1589,7 +1624,7 @@ class PromQLEvaluator:
         # decisions (max/min) can't flip on cross-engine noise
         pts = self._range_fold(df, ["series_id", "_ets"], ifn, irange)
         pts = pts.withColumn("value", F.round("value", 6))
-        if node.fn in _SUBQ_LAG_FNS or node.fn in _SUBQ_FOLD_FNS:
+        if node.fn in _SUBQ_LAG_FNS or node.fn in _SUBQ_FOLD_FNS or node.fn in _TS_OF_FNS:
             # rate(m[1h:5m]) and friends: the subquery points ARE the
             # range samples — reuse the lag-spine fold with the
             # instant axis as the timestamp (one point per instant,
@@ -1651,7 +1686,7 @@ class PromQLEvaluator:
                 self._gridf, self._gspan = saved
         pts = pts.withColumn("value", F.round("value", 6))
         key = _label_str(F.col("labels"))
-        if node.fn in _SUBQ_LAG_FNS or node.fn in _SUBQ_FOLD_FNS:
+        if node.fn in _SUBQ_LAG_FNS or node.fn in _SUBQ_FOLD_FNS or node.fn in _TS_OF_FNS:
             d = pts.select(
                 key.alias("_k"),
                 "labels",
@@ -2938,7 +2973,7 @@ class PromQLEvaluator:
             .join(F.broadcast(cg), "_iets")
         )
         key = _label_str(F.col("labels"))
-        if node.fn in _SUBQ_LAG_FNS or node.fn in _SUBQ_FOLD_FNS:
+        if node.fn in _SUBQ_LAG_FNS or node.fn in _SUBQ_FOLD_FNS or node.fn in _TS_OF_FNS:
             d = pts.select(
                 "_ets",
                 key.alias("_k"),
@@ -3169,6 +3204,7 @@ PROMQL_STDDEV = (
 )
 PROMQL_QOT = "quantile_over_time(0.9, click[720h])"
 PROMQL_MAD = "mad_over_time(click[720h])"
+PROMQL_TS_OF_MAX = "ts_of_max_over_time(click[720h])"
 #: sf = tf = 0.5: every fold constant (0.5 and 1−0.5) is binary-exact,
 #: so both engines run bit-identical recursions
 PROMQL_HW = "holt_winters(view[240h], 0.5, 0.5)"
@@ -3719,6 +3755,13 @@ def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return promql_eval(spark, sf_dir, PROMQL_MAD)
 
 
+def promql_ts_of_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series unix-seconds timestamp of the window's maximum
+    sample (latest wins on value ties) — upstream's experimental
+    ts_of_max_over_time."""
+    return promql_eval(spark, sf_dir, PROMQL_TS_OF_MAX)
+
+
 def promql_present_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1 per series with ≥1 sample in the window."""
     return promql_eval(spark, sf_dir, PROMQL_PRESENT)
@@ -3912,6 +3955,7 @@ QUERIES = {
     "promql_hour": promql_hour,
     "promql_quantile_over_time": promql_quantile_over_time,
     "promql_mad_over_time": promql_mad_over_time,
+    "promql_ts_of_max": promql_ts_of_max,
     "promql_present_over_time": promql_present_over_time,
     "promql_absent_over_time": promql_absent_over_time,
     "promql_absent_expr": promql_absent_expr,
@@ -4438,6 +4482,20 @@ ORACLES = {
         + dround("quantile_cont(abs(w.value - med.m), 0.5)", 4)
         + " AS value FROM w JOIN med ON w.l_user = med.l_user "
         "AND w.l_shard = med.l_shard GROUP BY w.l_user, w.l_shard"
+    ),
+    "promql_ts_of_max": (
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        "w AS (SELECT s.l_user, s.l_shard, s.ts_us, s.value "
+        "FROM samples_multi s, t "
+        "WHERE s.metric = 'click' AND s.ts_us <= t.t_max "
+        f"AND s.ts_us > t.t_max - {_H720_US}), "
+        "mx AS (SELECT l_user, l_shard, max(value) AS m "
+        "FROM w GROUP BY l_user, l_shard) "
+        "SELECT 'shard=' || w.l_shard || ',user=' || w.l_user AS labels, "
+        + dround("max(w.ts_us) / 1e6", 4)
+        + " AS value FROM w JOIN mx ON w.l_user = mx.l_user "
+        "AND w.l_shard = mx.l_shard AND w.value = mx.m "
+        "GROUP BY w.l_user, w.l_shard"
     ),
     "promql_present_over_time": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

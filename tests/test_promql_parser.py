@@ -1938,3 +1938,70 @@ def test_mad_over_time_all_three_paths(spark):
     assert len(g) > 0
     s = ev.eval("mad_over_time(rate(click[240h])[720h:240h])").collect()
     assert len(s) > 0
+
+
+def test_ts_of_over_time_family(spark):
+    """ts_of_{max,min,last}_over_time (upstream experimental): the
+    returned value is the unix-seconds timestamp of the window's
+    extremum/last sample, latest-wins on value ties, across all three
+    variants; grid and subquery paths execute through the same
+    fold."""
+    import collections
+
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = PromQLEvaluator.from_dir(spark, SF_SMOKE)
+    t_max = ev.eval_time_us()
+    lo = t_max - 720 * 3_600_000_000
+    series = collections.defaultdict(list)
+    for r in ev.samples.filter("metric = 'click'").collect():
+        if lo < r["ts_us"] <= t_max:
+            key = ",".join(
+                f"{k}={v}" for k, v in sorted((r["labels"] or {}).items())
+            )
+            series[key].append((r["value"], r["ts_us"]))
+
+    def got(expr):
+        return {
+            r["labels"]: r["value"] for r in ev.eval(expr).collect()
+        }
+
+    g_max = got("ts_of_max_over_time(click[720h])")
+    g_min = got("ts_of_min_over_time(click[720h])")
+    g_last = got("ts_of_last_over_time(click[720h])")
+    assert set(g_max) == set(series)
+    for key, pts in series.items():
+        mx = max(v for v, _ in pts)
+        mn = min(v for v, _ in pts)
+        # the ground truth compares pre-pin: the engine's 4dp edge
+        # rounding is HALF_UP (matching the oracle's dround) while
+        # Python round() is banker's — compare within half an ulp of
+        # the pin instead of re-rounding
+        assert (
+            abs(g_max[key] - max(t for v, t in pts if v == mx) / 1e6)
+            <= 5.1e-5
+        ), key
+        assert (
+            abs(g_min[key] - max(t for v, t in pts if v == mn) / 1e6)
+            <= 5.1e-5
+        ), key
+        assert (
+            abs(g_last[key] - max(t for _, t in pts) / 1e6) <= 5.1e-5
+        ), key
+
+    h_us = 3_600_000_000
+    g = ev.eval_range(
+        "ts_of_max_over_time(click[240h])",
+        span_us=240 * h_us,
+        step_us=48 * h_us,
+    ).collect()
+    assert len(g) > 0
+    sq = ev.eval(
+        "ts_of_max_over_time(rate(click[240h])[720h:240h])"
+    ).collect()
+    assert len(sq) > 0
+    # subquery points are stamped at the subquery instants
+    assert all(r["value"] * 1e6 <= t_max for r in sq)
