@@ -1753,3 +1753,28 @@ def test_api_query_limit_param_truncates_series(spark):
         assert rng["warnings"] == ["results truncated due to limit"]
     finally:
         exposer.stop()
+
+
+def test_api_query_exemplars_respects_max_samples_guard(spark):
+    """The max-samples cap guards the exemplar path like every other
+    collect: a selector matching many exemplars under a 1-row cap
+    answers the public 422 envelope; the same request under a high
+    cap succeeds."""
+    from urllib.parse import quote
+
+    sel = quote("click")
+    for cap, want_status in ((1, 422), (100000, 200)):
+        exposer = MetricsExposer(spark, SF_SMOKE, max_samples=cap).start()
+        try:
+            status, payload = _api_get(
+                exposer,
+                f"/api/v1/query_exemplars?query={sel}&start=0&end=1e12",
+            )
+        finally:
+            exposer.stop()
+        assert status == want_status, cap
+        if want_status == 422:
+            assert payload["errorType"] == "execution"
+            assert "too many samples" in payload["error"]
+        else:
+            assert payload["data"]
