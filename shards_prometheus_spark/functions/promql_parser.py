@@ -1431,8 +1431,13 @@ class PromQLEvaluator:
             if fn == "ts_of_last_over_time":
                 ts = F.max("ts_us")
             elif fn == "ts_of_max_over_time":
+                # leading NOT-isnan flag: Spark struct ordering puts
+                # NaN above every double, but upstream replaces a NaN
+                # running extremum with the next REAL value — a NaN
+                # sample may only win when the whole window is NaN
                 ts = F.max(
                     F.struct(
+                        (~F.isnan("value")).alias("f"),
                         F.col("value").alias("v"),
                         F.col("ts_us").alias("t"),
                     )
@@ -1440,6 +1445,7 @@ class PromQLEvaluator:
             else:
                 ts = F.max(
                     F.struct(
+                        (~F.isnan("value")).alias("f"),
                         (-F.col("value")).alias("v"),
                         F.col("ts_us").alias("t"),
                     )
@@ -1575,9 +1581,12 @@ class PromQLEvaluator:
             )
             .select(
                 F.col("t_max"),
+                # bigint(_i): _i and a sub-2³¹ step are both SQL ints,
+                # and an int×int product overflows (ANSI error) once
+                # span exceeds ~35 min at sub-35-min steps
                 F.expr(
                     f"(({t_ref} - {off}) div {step}) * {step}"
-                    f" - _i * {step}"
+                    f" - bigint(_i) * {step}"
                 ).alias("_ets"),
             )
             .filter(
@@ -2617,9 +2626,12 @@ class PromQLEvaluator:
                 F.explode(F.sequence(F.lit(0), F.lit(n))).alias("_i")
             )
             .select(
-                (F.lit(start_us) + F.col("_i") * F.lit(step_us)).alias(
-                    "_ets"
-                )
+                # long cast: _i and a sub-2³¹ step are both ints, and
+                # an int×int product overflows (ANSI) on fine grids
+                (
+                    F.lit(start_us)
+                    + F.col("_i").cast("long") * F.lit(step_us)
+                ).alias("_ets")
             )
         )
 
@@ -2949,9 +2961,10 @@ class PromQLEvaluator:
             )
             .select(
                 "_ets",
+                # bigint(_j): same int×int overflow guard as _grid
                 F.expr(
                     f"(({ref} - {off}) div {step}) * {step}"
-                    f" - _j * {step}"
+                    f" - bigint(_j) * {step}"
                 ).alias("_iets"),
                 F.expr(ref).alias("_ref"),
             )

@@ -78,14 +78,31 @@ def _classic_lines(
     spark: SparkSession,
     sf_dir: str,
     snap: DataFrame,
-    bucket_metrics: list[str] | None = None,
+    bucket_admit: "dict[str, set[str]] | None" = None,
 ) -> DataFrame:
     """Classic-format payload from an (ideally persisted) snapshot.
-    `bucket_metrics` (federation) restricts the data-driven bucket
-    leg to those families — the +Inf leg needs no extra filter
-    because it derives from the (already filtered) snapshot's
-    histogram count rows under the same matcher semantics."""
-    headers = snap.select("kind", "metric").distinct().select(
+    `bucket_admit` (federation) restricts the bucket legs to the
+    admitted {metric: set-of-le-strings} map — each bucket SERIES
+    carries the label set {le: bound}, so a federate selector
+    constraining `le` admits exactly the matching bucket rows
+    (including or excluding "+Inf"), consistent with the selector
+    machinery everywhere else. None = no restriction (the plain
+    exposition payload)."""
+    header_src = snap.select("kind", "metric")
+    if bucket_admit is not None and bucket_admit:
+        # a family whose BUCKET series matched (e.g. via a `le`
+        # matcher) must serve its TYPE header even when none of its
+        # scalar series did — bucket series are real series of the
+        # family; the extra leg is registry-sized and dedupes below
+        header_src = header_src.unionByName(
+            _snap_persisted(spark, sf_dir)
+            .filter(
+                (F.col("kind") == "histogram")
+                & F.col("metric").isin(sorted(bucket_admit))
+            )
+            .select("kind", "metric")
+        )
+    headers = header_src.distinct().select(
         F.concat(F.lit("# TYPE "), F.col("metric"), F.lit(" "), F.col("kind"))
         .alias("line")
     )
@@ -117,12 +134,17 @@ def _classic_lines(
     # unfiltered leg would duplicate the count-derived +Inf line below
     # — duplicate series are illegal in both exposition dialects
     bucket_src = histogram_buckets(spark, sf_dir)
-    if bucket_metrics is not None:
-        bucket_src = bucket_src.filter(
-            F.col("metric").isin(bucket_metrics)
-            if bucket_metrics
-            else F.lit(False)
-        )
+    if bucket_admit is not None:
+        # driver-side literal predicate: #selectors × #bounds terms —
+        # constant-sized, folded by Catalyst, no extra scan/shuffle
+        cond = F.lit(False)
+        for m, les in bucket_admit.items():
+            finite = sorted(le for le in les if le != "+Inf")
+            if finite:
+                cond = cond | (
+                    (F.col("metric") == m) & F.col("le").isin(finite)
+                )
+        bucket_src = bucket_src.filter(cond)
     buckets = (
         bucket_src
         .filter(F.col("le_idx") < len(BOUNDS))
@@ -141,9 +163,28 @@ def _classic_lines(
     # is the SOLE +Inf source (the data-driven relation above never
     # materializes it on an under-bound corpus and is filtered to
     # finite bounds on an overflow corpus)
-    inf_bucket = snap.filter(
-        (F.col("kind") == "histogram") & (F.col("stat") == "count")
-    ).select(
+    if bucket_admit is None:
+        inf_src = snap.filter(
+            (F.col("kind") == "histogram") & (F.col("stat") == "count")
+        )
+    else:
+        # federation: +Inf admission is decided by bucket_admit alone
+        # (a `le` matcher empties the scalar snapshot leg but still
+        # matches the +Inf bucket SERIES), so the count rows come
+        # from the full persisted registry snapshot
+        inf_metrics = sorted(
+            m for m, les in bucket_admit.items() if "+Inf" in les
+        )
+        inf_src = _snap_persisted(spark, sf_dir).filter(
+            (F.col("kind") == "histogram")
+            & (F.col("stat") == "count")
+            & (
+                F.col("metric").isin(inf_metrics)
+                if inf_metrics
+                else F.lit(False)
+            )
+        )
+    inf_bucket = inf_src.select(
         F.concat(
             F.col("metric"),
             F.lit('_bucket{le="+Inf"} '),
@@ -309,29 +350,24 @@ def openmetrics_text(lines: DataFrame) -> str:
     )
 
 
-def _parse_payload(lines: DataFrame) -> DataFrame:
-    """Shared exposition parser body: text lines → typed relation.
+def classify_lines(lines: DataFrame) -> DataFrame:
+    """Per-row exposition classifier: text lines → typed relation,
+    kind recovered from the line SHAPE (`_total` → counter,
+    `_bucket`/`_sum`/`_count` → histogram, bare name → gauge).
 
-    Pure regexp expressions (JVM-side, codegen). Kind is recovered from
-    the line shape (`_total` → counter, `_bucket`/`_sum`/`_count` →
-    histogram, bare name → gauge) and validated against the `# TYPE`
-    headers by an inner join on (metric, kind) — a header-less or
-    mistyped series would drop out rather than pass through silently.
-    `# HELP`/`# EOF` rows (the OpenMetrics dialect) are comments to
-    this grammar; exemplar suffixes must be stripped by the caller.
-    Output: (metric, kind, stat, label_user, le, value).
-    """
-    hdr_re = r"^# TYPE (\S+) (\S+)$"
-    headers = (
-        lines.filter(F.col("line").startswith("# TYPE "))
-        .select(
-            F.regexp_extract("line", hdr_re, 1).alias("metric"),
-            F.regexp_extract("line", hdr_re, 2).alias("kind"),
-        )
-        .distinct()
-    )
+    Pure regexp expressions (JVM-side, codegen), zero shuffles — which
+    also makes it STREAMING-safe: the scrape-loop source maps each
+    micro-batch of raw lines through this with no stateful operator.
+    Comments (`# HELP`/`# TYPE`/`# EOF`) are dropped; exemplar
+    suffixes must be stripped by the caller. Output: (metric, kind,
+    stat, label_user, le, value) plus any NON-`line` input columns
+    carried through (the scrape loop threads target/scrape stamps).
+    Batch callers wanting header validation use `_parse_payload`
+    (this + the `# TYPE` join)."""
+    extra = [c for c in lines.columns if c != "line"]
     raw = F.regexp_extract("line", _NAME_RE, 1)
     parsed = lines.filter(~F.col("line").startswith("#")).select(
+        *extra,
         raw.alias("raw"),
         F.regexp_extract("line", r'\{(\w+)="', 1).alias("lkey"),
         unesc_label(
@@ -350,6 +386,7 @@ def _parse_payload(lines: DataFrame) -> DataFrame:
         return F.expr(f"substring(raw, 1, length(raw) - {n})")
 
     classified = parsed.select(
+        *extra,
         F.when(F.col("raw").endswith("_bucket"), strip(7))
         .when(F.col("raw").endswith("_total"), strip(6))
         .when(F.col("raw").endswith("_sum"), strip(4))
@@ -371,9 +408,30 @@ def _parse_payload(lines: DataFrame) -> DataFrame:
         .when(F.col("stat") == "value", F.lit("gauge"))
         .otherwise(F.lit("histogram")),
     )
-    return classified.join(
+    return classified.select(
+        "metric", "kind", "stat", "label_user", "le", "value", *extra
+    )
+
+
+def _parse_payload(lines: DataFrame) -> DataFrame:
+    """Shared exposition parser body: `classify_lines` plus header
+    VALIDATION — the shape-recovered kind is checked against the
+    `# TYPE` headers by an inner join on (metric, kind), so a
+    header-less or mistyped series drops out rather than passing
+    through silently. Output: (metric, kind, stat, label_user, le,
+    value)."""
+    hdr_re = r"^# TYPE (\S+) (\S+)$"
+    headers = (
+        lines.filter(F.col("line").startswith("# TYPE "))
+        .select(
+            F.regexp_extract("line", hdr_re, 1).alias("metric"),
+            F.regexp_extract("line", hdr_re, 2).alias("kind"),
+        )
+        .distinct()
+    )
+    return classify_lines(lines).join(
         F.broadcast(headers), ["metric", "kind"]
-    ).select("metric", "kind", "stat", "label_user", "le", "value")
+    )
 
 
 def exposition_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,9 +609,11 @@ def federate_lines(
 
     Scale shape: the match predicate filters the registry-sized
     persisted snapshot before line rendering; bucket lines are
-    admitted per family by deciding each selector against the EMPTY
-    label set driver-side (bucket series carry no user label), so no
-    extra scan or shuffle is added over the plain exposition plan."""
+    admitted by deciding each selector against each bucket series'
+    actual label set ({le: bound}) driver-side — the bound list is a
+    registry constant, so the decision is a constant-sized literal
+    predicate and no extra scan or shuffle is added over the plain
+    exposition plan."""
     import re as _re
 
     from shards_prometheus_spark.functions.labelset import apply_matchers
@@ -586,30 +646,41 @@ def federate_lines(
     # distinct is registry-sized)
     snap_f = keep.drop("labels").distinct()
 
-    def _matches_empty(s: "Selector") -> bool:
-        # bucket series carry no user label: a selector admits a
-        # family's bucket lines iff its matchers accept the EMPTY
-        # label set — decidable driver-side (missing label == "")
-        for _label, op, val in s.matchers:
-            if op == "=" and val != "":
+    def _matches_labels(s: "Selector", labels: "dict[str, str]") -> bool:
+        # a bucket series' label set is {le: bound} — decide each
+        # selector against it driver-side (missing label == "", the
+        # same convention as apply_matchers), so a selector
+        # constraining `le` (e.g. view{le="+Inf"}) admits exactly the
+        # matching bucket rows
+        for label, op, val in s.matchers:
+            got = labels.get(label, "")
+            if op == "=" and got != val:
                 return False
-            if op == "!=" and val == "":
+            if op == "!=" and got == val:
                 return False
             if op in ("=~", "!~"):
                 # only regex ops may interpret val as a pattern — an
                 # equality matcher's value can contain regex
                 # metacharacters (`user="a(b"`) and must not be
                 # compiled
-                hit = _re.fullmatch(val, "") is not None
+                hit = _re.fullmatch(val, got) is not None
                 if op == "=~" and not hit:
                     return False
                 if op == "!~" and hit:
                     return False
         return True
 
-    bucket_metrics = sorted({s.metric for s in sels if _matches_empty(s)})
+    from shards_prometheus_spark.operators.histograms import _LE_LABELS
+
+    bucket_admit: dict[str, set] = {}
+    for s in sels:
+        admitted = {
+            le for le in _LE_LABELS if _matches_labels(s, {"le": le})
+        }
+        if admitted:
+            bucket_admit.setdefault(s.metric, set()).update(admitted)
     return _classic_lines(
-        spark, sf_dir, snap_f, bucket_metrics=bucket_metrics
+        spark, sf_dir, snap_f, bucket_admit=bucket_admit
     )
 
 

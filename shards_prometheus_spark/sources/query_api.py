@@ -65,6 +65,21 @@ class QueryTimeoutError(Exception):
 _REQ = threading.local()
 
 
+def _pinned_threads() -> bool:
+    """True iff PySpark pinned-thread mode is on (each Python thread
+    gets its own JVM thread, so Spark job TAGS are per-request).
+    Pinning is the default since Spark 3.2; it is only off when the
+    user exported PYSPARK_PIN_THREAD=false before the gateway
+    launched — the env var is read once at JVM start, so reading it
+    here observes the same value the gateway did."""
+    import os
+
+    return os.environ.get("PYSPARK_PIN_THREAD", "true").lower() not in (
+        "false",
+        "0",
+    )
+
+
 def _check_deadline() -> None:
     dl = getattr(_REQ, "deadline", None)
     if dl is not None and time.monotonic() > dl:
@@ -127,9 +142,12 @@ def parse_time_param(s: str) -> int:
     return int(dt.timestamp() * 1e6)
 
 
-def parse_duration_param(s: str) -> int:
-    """`step` parameter → µs: float seconds or a Prometheus duration
-    string (`15s`, `1h30m`) — both public formats."""
+def parse_duration_param(s: str, kind: str = "step") -> int:
+    """Duration parameter → µs: float seconds or a Prometheus duration
+    string (`15s`, `1h30m`) — both public formats. `kind` selects the
+    non-positive-value wording: `step` keeps upstream's
+    resolution-step message, any other name (`timeout`) reports a
+    parameter-specific error instead of the step-specific one."""
     try:
         sec = float(s)
     except ValueError:
@@ -145,9 +163,13 @@ def parse_duration_param(s: str) -> int:
     # _dur_us, and (end-start)//0 downstream would 422 where upstream
     # answers 400 "zero or negative query resolution step"
     if us <= 0:
+        if kind == "step":
+            raise ValueError(
+                "zero or negative query resolution step width is not "
+                f"accepted: {s!r}"
+            )
         raise ValueError(
-            "zero or negative query resolution step width is not "
-            f"accepted: {s!r}"
+            f"zero or negative {kind} is not accepted: {s!r}"
         )
     return us
 
@@ -513,8 +535,13 @@ def _alert_json(
         "value": _fmt_value(value),
     }
     if annotations is not None:
+        # annotations expand against the firing series' ORIGINAL
+        # label set (the same data rule labels are expanded with),
+        # not the merged set — upstream expands both from the vector
+        # sample's labels, so an annotation referencing a rule-static
+        # label renders empty, as it would there
         out["annotations"] = {
-            k: render_template(v, merged, value)
+            k: render_template(v, labels, value)
             for k, v in annotations.items()
         }
     return out
@@ -943,7 +970,7 @@ def handle_api_request(
     t_param = p("timeout")
     if t_param is not None:
         try:
-            req_timeout_s = parse_duration_param(t_param) / 1e6
+            req_timeout_s = parse_duration_param(t_param, "timeout") / 1e6
         except ValueError as exc:
             return bad(f"invalid parameter 'timeout': {exc}")
         timeout_s = (
@@ -955,9 +982,14 @@ def handle_api_request(
     _REQ.deadline = (
         time.monotonic() + timeout_s if timeout_s is not None else None
     )
-    if timeout_s is not None and spark is not None:
-        # jobs submitted by THIS thread carry the tag (per-thread in
-        # pinned-thread mode); the watchdog kills them at the deadline
+    if timeout_s is not None and spark is not None and _pinned_threads():
+        # jobs submitted by THIS thread carry the tag ONLY in
+        # pinned-thread mode (each Python thread maps to its own JVM
+        # thread, so job tags are per-request); with pinning disabled
+        # all request threads share one JVM thread-local tag set and
+        # one request's deadline could cancel another's jobs — in
+        # that mode we skip tag cancellation and rely on the
+        # _check_deadline() probes around every guarded action
         tag = f"promql-api-{id(params)}-{threading.get_ident()}"
         sc = spark.sparkContext
         sc.addJobTag(tag)
@@ -1026,7 +1058,10 @@ def handle_api_request(
             step_us = parse_duration_param(p("step"))
             if end_us <= start_us:
                 return bad("end timestamp must be after start")
-            if (end_us - start_us) // step_us > MAX_RANGE_POINTS:
+            # grid point count is (end-start)//step + 1 (the start
+            # instant itself is a point) — upstream's arithmetic, so
+            # exactly 11,001 points rejects and 11,000 is accepted
+            if (end_us - start_us) // step_us + 1 > MAX_RANGE_POINTS:
                 return bad(
                     "exceeded maximum resolution of 11,000 points"
                 )

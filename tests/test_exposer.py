@@ -1778,3 +1778,88 @@ def test_api_query_exemplars_respects_max_samples_guard(spark):
             assert "too many samples" in payload["error"]
         else:
             assert payload["data"]
+
+
+def test_api_query_range_point_guard_boundary(spark):
+    """The 11k-point guard counts grid points as (end-start)//step + 1
+    (the start instant is itself a point, upstream's arithmetic):
+    exactly 11,000 points is accepted, 11,001 rejects with the public
+    'maximum resolution' bad_data envelope."""
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        # scalar-literal query: the guard fires before evaluation, and
+        # the accept leg's grid is arithmetic (span/step-sized)
+        base = "/api/v1/query_range?query=42&start=0&step=1"
+        status, payload = _api_get(exposer, f"{base}&end=10999")
+        assert status == 200, payload
+        assert len(payload["data"]["result"][0]["values"]) == 11_000
+        status, payload = _api_get(exposer, f"{base}&end=11000")
+        assert status == 400
+        assert payload["errorType"] == "bad_data"
+        assert "maximum resolution" in payload["error"]
+    finally:
+        exposer.stop()
+
+
+def test_api_timeout_param_nonpositive_wording(spark):
+    """A non-positive `timeout` parameter answers a timeout-specific
+    400 message — not the step parameter's 'query resolution step'
+    wording (the two share the duration parser, not the error)."""
+    from urllib.parse import quote
+
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        status, payload = _api_get(
+            exposer, f"/api/v1/query?query={quote('click')}&timeout=0s"
+        )
+        assert status == 400 and payload["errorType"] == "bad_data"
+        assert "timeout" in payload["error"]
+        assert "resolution step" not in payload["error"]
+        # step keeps the upstream resolution-step wording
+        status, payload = _api_get(
+            exposer,
+            f"/api/v1/query_range?query={quote('click')}"
+            "&start=0&end=100&step=0s",
+        )
+        assert status == 400 and payload["errorType"] == "bad_data"
+        assert "query resolution step width" in payload["error"]
+    finally:
+        exposer.stop()
+
+
+def test_federate_le_matcher_selects_bucket_rows(spark):
+    """A federate selector constraining `le` matches bucket SERIES by
+    their actual label set ({le: bound}): view{le="+Inf"} serves the
+    family TYPE header plus exactly the +Inf bucket line (count rows
+    and finite buckets pruned); view{le="1"} serves exactly the le=1
+    bucket line. Consistent with the selector machinery everywhere
+    else — a bucket series is a real series of the family."""
+    import urllib.request
+    from urllib.parse import quote
+
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        all_lines = [
+            r["line"] for r in exposition_lines(spark, SF_SMOKE).collect()
+        ]
+        for le in ("+Inf", "1"):
+            sel = quote(f'view{{le="{le}"}}')
+            url = (
+                f"http://{exposer.host}:{exposer.port}/federate"
+                f"?match[]={sel}"
+            )
+            with urllib.request.urlopen(url, timeout=120) as resp:
+                assert resp.status == 200
+                body = resp.read().decode()
+            got = sorted(ln for ln in body.splitlines() if ln)
+            want = sorted(
+                ln
+                for ln in all_lines
+                if ln == "# TYPE view histogram"
+                or ln.startswith(f'view_bucket{{le="{le}"}} ')
+            )
+            assert got == want, le
+            # exactly one bucket line plus the header federated
+            assert len(got) == 2, got
+    finally:
+        exposer.stop()

@@ -2005,3 +2005,69 @@ def test_ts_of_over_time_family(spark):
     assert len(sq) > 0
     # subquery points are stamped at the subquery instants
     assert all(r["value"] * 1e6 <= t_max for r in sq)
+
+
+def test_ts_of_max_min_nan_never_beats_finite(spark):
+    """Upstream replaces a NaN running extremum with the next REAL
+    value: a NaN sample only wins ts_of_max/min_over_time when the
+    whole window is NaN (Spark struct ordering alone would rank NaN
+    above every double and hand it the max)."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    h = 3_600_000_000
+    nan = float("nan")
+    rows = [
+        # series a: finite max 5.0@1h, finite min 1.0@3h, NaN last
+        (1, 1, "m", {"user": "a"}, 1 * h, 5.0),
+        (2, 1, "m", {"user": "a"}, 2 * h, 1.0),
+        (3, 1, "m", {"user": "a"}, 3 * h, nan),
+        # series b: all-NaN window — NaN is allowed to win (latest)
+        (4, 2, "m", {"user": "b"}, 1 * h, nan),
+        (5, 2, "m", {"user": "b"}, 2 * h, nan),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, series_id long, metric string, "
+        "labels map<string,string>, ts_us long, value double",
+    )
+    ev = PromQLEvaluator(df)
+    g_max = {
+        r["labels"]: r["value"]
+        for r in ev.eval("ts_of_max_over_time(m[720h])").collect()
+    }
+    g_min = {
+        r["labels"]: r["value"]
+        for r in ev.eval("ts_of_min_over_time(m[720h])").collect()
+    }
+    assert g_max["user=a"] == 3600.0
+    assert g_min["user=a"] == 2 * 3600.0
+    assert g_max["user=b"] == 2 * 3600.0
+    assert g_min["user=b"] == 2 * 3600.0
+
+
+def test_subquery_fine_step_grid_no_overflow(spark):
+    """A sub-35-minute subquery step over a multi-hour range keeps the
+    grid arithmetic in 64-bit: index·step crosses 2³¹ µs, which the
+    int-typed sequence would overflow under ANSI mode."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    h = 3_600_000_000
+    rows = [(i, 1, "m", {"user": "a"}, i * h, float(i)) for i in range(1, 5)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, series_id long, metric string, "
+        "labels map<string,string>, ts_us long, value double",
+    )
+    got = (
+        PromQLEvaluator(df)
+        .eval("count_over_time(m[2h:1m])")
+        .collect()
+    )
+    # t_max = 4h; 120 one-minute instants in (2h, 4h], each instant's
+    # 5m lookback holds a sample only within 5m after the hourly
+    # samples at 3h and 4h → 5 + 5 hits
+    assert [(r["labels"], r["value"]) for r in got] == [("user=a", 10.0)]
