@@ -11,6 +11,10 @@ exposition format (prometheus.cpp:47,73,80). Here:
 - ``storage``     — the 100 TB physical layout: (date, metric)-
   partitioned parquet writers/readers that make partition pruning and
   row-group skipping real.
+- ``scraper``     — the live scrape LOOP: a Python streaming
+  DataSource whose micro-batches are scrape ticks (one HTTP GET per
+  target per tick, executor-side), closing the reference's
+  exposer↔server pairing.
 """
 
 from shards_prometheus_spark.sources.exposition import (  # noqa: F401
@@ -19,6 +23,12 @@ from shards_prometheus_spark.sources.exposition import (  # noqa: F401
 )
 from shards_prometheus_spark.sources.query_api import (  # noqa: F401
     handle_api_request,
+)
+from shards_prometheus_spark.sources.scraper import (  # noqa: F401
+    registry_from_scrapes,
+    scrape_once,
+    scrape_stream,
+    scraped_samples,
 )
 from shards_prometheus_spark.sources.storage import (  # noqa: F401
     read_samples_partitioned,

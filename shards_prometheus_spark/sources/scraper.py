@@ -1,0 +1,265 @@
+"""Live scrape-loop ingestion source — the periodic HTTP pull.
+
+The reference's exposer is only useful because an external Prometheus
+server periodically GETs its `/metrics` endpoint and stamps what it
+reads (prometheus.cpp:47 — the 127.0.0.1:9090 pairing — :73, :80; the
+0.2 s tick model of test.edn:8).  This module is that operational hop,
+Spark-native: a PySpark Python streaming **DataSource**
+(``prometheus_scrape``) whose micro-batches ARE scrape ticks.
+
+Architecture (designed for a fleet, tested on one exposer):
+
+- **Offsets are scrape ticks.**  ``latestOffset`` advances by one per
+  micro-batch, so each batch performs exactly one scrape round; the
+  query's processing-time trigger is the scrape interval (upstream's
+  ``scrape_interval``).  A slow consumer does NOT replay missed ticks
+  — like upstream, a skipped scrape is skipped, the next one reads
+  current state (an HTTP endpoint is not a replayable log).
+- **One input partition per target.**  ``partitions(start, end)``
+  returns one ``_ScrapeTarget`` per configured endpoint, so the HTTP
+  GET runs on EXECUTORS and a 10k-target fleet fans out across the
+  cluster instead of serializing through the driver.  Per-partition
+  work is one GET + registry-sized text: bounded, no skew.
+- **Honest stamping.**  Every emitted line carries ``scrape_ts_us``
+  taken at GET time on the scraping task (upstream stamps samples with
+  the scrape timestamp, not the exposer's), plus the tick index and
+  target URL as labels-to-be.
+- **Parsing stays JVM-side.**  The source emits RAW text lines; the
+  ``scraped_samples`` transform classifies them with
+  ``exposition.classify_lines`` — pure regexp codegen, zero shuffles,
+  streaming-safe.  Python touches one string per scrape (the payload
+  split), never per-sample logic.
+
+Batch one-shot reads work too: ``spark.read.format("prometheus_scrape")
+.option("url", …).load()`` performs a single scrape round (executor-
+side, one partition per target) — the ad-hoc twin of the loop.
+"""
+
+from __future__ import annotations
+
+import time
+import urllib.request
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+#: One row per payload line per scrape: the raw exposition line plus
+#: provenance (which target, which tick, when read).
+SCRAPE_SCHEMA = (
+    "target string, scrape_idx long, scrape_ts_us long, line string"
+)
+
+
+def _fetch_lines(url: str, timeout_s: float) -> list[str]:
+    """One HTTP GET of a `/metrics` endpoint → non-empty payload
+    lines.  Runs on the scraping TASK (executor side)."""
+    with urllib.request.urlopen(url, timeout=timeout_s) as resp:
+        text = resp.read().decode("utf-8", errors="replace")
+    return [ln for ln in text.splitlines() if ln]
+
+
+@dataclass
+class _ScrapeTarget(InputPartition):
+    url: str
+    tick: int
+    timeout_s: float
+
+
+def _targets(options: dict) -> list[str]:
+    raw = options.get("targets") or options.get("url") or ""
+    urls = [u.strip() for u in raw.replace(";", ",").split(",") if u.strip()]
+    if not urls:
+        raise ValueError(
+            "prometheus_scrape requires option 'url' or 'targets' "
+            "(comma-separated /metrics endpoint URLs)"
+        )
+    return urls
+
+
+def _read_target(part: _ScrapeTarget):
+    ts_us = time.time_ns() // 1_000
+    for ln in _fetch_lines(part.url, part.timeout_s):
+        yield (part.url, part.tick, ts_us, ln)
+
+
+class _ScrapeStreamReader(DataSourceStreamReader):
+    """Tick-offset stream reader: one scrape round per micro-batch."""
+
+    def __init__(self, options: dict):
+        self._urls = _targets(options)
+        self._timeout_s = float(options.get("timeout_s", 30.0))
+        # optional self-limit: after max_ticks the offset stops
+        # advancing and the query idles (tests; bounded rehearsals)
+        self._max_ticks = int(options.get("max_ticks", 0))
+        self._tick = 0
+
+    def initialOffset(self) -> dict:
+        return {"tick": 0}
+
+    def latestOffset(self) -> dict:
+        if not self._max_ticks or self._tick < self._max_ticks:
+            self._tick += 1
+        return {"tick": self._tick}
+
+    def partitions(self, start: dict, end: dict):
+        # a batch spanning several ticks (restart/slow consumer)
+        # still scrapes ONCE, at the latest tick — upstream skips
+        # missed scrapes rather than replaying them
+        if end["tick"] <= start["tick"]:
+            return []
+        return [
+            _ScrapeTarget(u, end["tick"], self._timeout_s)
+            for u in self._urls
+        ]
+
+    def read(self, partition: _ScrapeTarget):
+        return _read_target(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class _ScrapeBatchReader(DataSourceReader):
+    """One scrape round as a batch relation (tick 0)."""
+
+    def __init__(self, options: dict):
+        self._urls = _targets(options)
+        self._timeout_s = float(options.get("timeout_s", 30.0))
+
+    def partitions(self):
+        return [_ScrapeTarget(u, 0, self._timeout_s) for u in self._urls]
+
+    def read(self, partition: _ScrapeTarget):
+        return _read_target(partition)
+
+
+class PrometheusScrapeDataSource(DataSource):
+    """``spark.readStream.format("prometheus_scrape")`` — the scrape
+    loop as a first-class Spark source.  Options: ``url`` (one
+    endpoint) or ``targets`` (comma-separated fleet), ``timeout_s``,
+    ``max_ticks`` (0 = unbounded)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "prometheus_scrape"
+
+    def schema(self) -> str:
+        return SCRAPE_SCHEMA
+
+    def streamReader(self, schema: StructType) -> _ScrapeStreamReader:
+        return _ScrapeStreamReader(self.options)
+
+    def reader(self, schema: StructType) -> _ScrapeBatchReader:
+        return _ScrapeBatchReader(self.options)
+
+
+def register(spark: SparkSession) -> None:
+    """Register the source with this session (idempotent)."""
+    spark.dataSource.register(PrometheusScrapeDataSource)
+
+
+def scrape_stream(
+    spark: SparkSession,
+    targets: "str | list[str]",
+    timeout_s: float = 30.0,
+    max_ticks: int = 0,
+) -> DataFrame:
+    """Streaming raw-lines relation over one or more `/metrics`
+    endpoints: one micro-batch per scrape tick, one task per target."""
+    register(spark)
+    if isinstance(targets, str):
+        targets = [targets]
+    return (
+        spark.readStream.format("prometheus_scrape")
+        .option("targets", ",".join(targets))
+        .option("timeout_s", str(timeout_s))
+        .option("max_ticks", str(max_ticks))
+        .load()
+    )
+
+
+def scrape_once(
+    spark: SparkSession,
+    targets: "str | list[str]",
+    timeout_s: float = 30.0,
+) -> DataFrame:
+    """One scrape round as a batch relation (the ad-hoc twin)."""
+    register(spark)
+    if isinstance(targets, str):
+        targets = [targets]
+    return (
+        spark.read.format("prometheus_scrape")
+        .option("targets", ",".join(targets))
+        .option("timeout_s", str(timeout_s))
+        .load()
+    )
+
+
+def scraped_samples(lines: DataFrame) -> DataFrame:
+    """Scraped raw lines → the live-registry samples relation:
+    (metric, kind, stat, label_user, le, value, ts_us, target,
+    scrape_idx), stamped at SCRAPE time.
+
+    `exposition.classify_lines` does the parse as pure per-row regexp
+    codegen — no joins, no state — so this composes with any
+    streaming output mode and any sink.  Counter totals read off a
+    scrape are CUMULATIVE (the exposition format serves running
+    totals), so the registry twin of `counter_sum` is the LAST
+    scrape's total per series, and of `gauge_last` the last scrape's
+    gauge reading — see `registry_from_scrapes`."""
+    from shards_prometheus_spark.sources.exposition import classify_lines
+
+    return classify_lines(lines).withColumnRenamed(
+        "scrape_ts_us", "ts_us"
+    )
+
+
+def registry_from_scrapes(scraped: DataFrame) -> DataFrame:
+    """Latest-scrape state per series from an accumulated scrape log:
+    (metric, kind, stat, label_user, le, value) at each series' most
+    recent scrape — the scraped registry's answer to the direct
+    registry's counter/gauge/histogram state reads.
+
+    Exposition totals are cumulative, so "state" = the newest sample
+    per (metric, stat, label_user, le, target): one window-free
+    max-struct aggregate, shuffle keyed by series — registry-sized
+    state, unbounded scrape count."""
+    key = ["target", "metric", "kind", "stat", "label_user", "le"]
+    picked = (
+        scraped.groupBy(
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")).alias(c)
+              if c in ("label_user", "le") else F.col(c)
+              for c in key]
+        )
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts_us").alias("t"),
+                    F.col("scrape_idx").alias("i"),
+                    F.col("value").alias("v"),
+                )
+            ).alias("last")
+        )
+        .select(
+            "target",
+            "metric",
+            "kind",
+            "stat",
+            F.nullif(F.col("label_user"), F.lit("\x00")).alias(
+                "label_user"
+            ),
+            F.nullif(F.col("le"), F.lit("\x00")).alias("le"),
+            F.col("last.v").alias("value"),
+            F.col("last.t").alias("ts_us"),
+            F.col("last.i").alias("scrape_idx"),
+        )
+    )
+    return picked
