@@ -206,6 +206,18 @@ _CMP_OPS = {">", ">=", "<", "<=", "==", "!="}
 #: vector set operators (lowest precedence: or < and/unless < cmp)
 _SET_OPS = {"and", "or", "unless"}
 
+#: global aggs the `v ⋄ scalar(agg(v))` rewrite can derive as a
+#: window over the already-compiled vector side (same expressions as
+#: `_agg`, so the threshold value is identical to the two-plan form)
+_WINDOWABLE_AGGS = {
+    "sum": lambda: F.sum("value"),
+    "avg": lambda: F.avg("value"),
+    "min": lambda: F.min("value"),
+    "max": lambda: F.max("value"),
+    "count": lambda: F.count(F.lit(1)).cast("double"),
+    "group": lambda: F.max(F.lit(1.0)),
+}
+
 _BUCKET_SUFFIX = "_bucket"
 
 #: `@ start()` / `@ end()` sentinels stored in Selector.at_us (real
@@ -2084,7 +2096,39 @@ class PromQLEvaluator:
                 # broadcast onto every row; NaN unless exactly 1
                 # series. On a grid: one row PER instant, left-joined
                 # so instants with an empty inner vector stay NaN.
-                if gkeys:
+                inner = other.expr
+                vec_side = node.lhs if rsc else node.rhs
+                if (
+                    isinstance(inner, Agg)
+                    and inner.op in _WINDOWABLE_AGGS
+                    and not inner.by
+                    and inner.mode == "by"
+                    and inner.k is None
+                    and inner.param is None
+                    and inner.expr == vec_side
+                ):
+                    # `v ⋄ scalar(agg(v))` — the canonical alert-rule
+                    # threshold shape ("above the average"): the inner
+                    # vector IS the already-compiled vector side, so
+                    # derive the threshold as a WINDOW over those rows
+                    # (per grid instant) instead of compiling v a
+                    # second time — halves every such rule's plan (one
+                    # scan+window tree, not two). A global agg of a
+                    # non-empty vector is exactly 1 series, and rows
+                    # only exist where v is non-empty, so the NaN
+                    # guard (_sc_n == 1) is vacuously satisfied. The
+                    # window partition is the grid instant (or the
+                    # whole VECTOR-sized relation on the instant path)
+                    # — never corpus-sized.
+                    w = (
+                        Window.partitionBy(*gkeys)
+                        if gkeys
+                        else Window.partitionBy()
+                    )
+                    vec = vec.withColumn(
+                        "_sc_v", _WINDOWABLE_AGGS[inner.op]().over(w)
+                    ).withColumn("_sc_n", F.lit(1))
+                elif gkeys:
                     one = ev(other.expr).groupBy(*gkeys).agg(
                         F.count(F.lit(1)).alias("_sc_n"),
                         F.max("value").alias("_sc_v"),

@@ -652,3 +652,51 @@ def test_pii_scrub_is_pure_codegen_and_scrubs_everything(spark):
         assert re.search(PII_EMAIL_RE, r["scrubbed"]) is None
         assert re.search(PII_IPV4_RE, r["scrubbed"]) is None
         assert "<EMAIL>" in r["scrubbed"] and "<IP>" in r["scrubbed"]
+
+
+def test_scalar_self_agg_threshold_single_evaluation(spark):
+    """`v > scalar(avg(v))` — the canonical alert-rule threshold —
+    derives the threshold as a window over the already-compiled
+    vector instead of compiling v twice: the plan scans the samples
+    relation ONCE for the click selector (plus the 1-row t_max leaf),
+    on both the instant and the grid path. A scalar(avg(OTHER))
+    comparison keeps the two-plan form and its NaN guard."""
+    import re
+
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+    from shards_prometheus_spark.model import samples_multi
+    from shards_prometheus_spark.plans import formatted_plan
+    from tests.conftest import SF_SMOKE
+
+    ev = PromQLEvaluator(samples_multi(spark, SF_SMOKE))
+    h_us = 3_600_000_000
+
+    def n_click_scans(df) -> int:
+        plan = formatted_plan(df)
+        # each samples leaf pushes its metric equality to the scan —
+        # count pushed click-filters, not scans (the t_max leaf and
+        # partner relations scan too, with other predicates)
+        return len(re.findall(r"EqualTo\(event_type,click\)", plan))
+
+    expr = (
+        "sum by (user) (increase(click[720h])) > "
+        "scalar(avg(sum by (user) (increase(click[720h]))))"
+    )
+    inst = ev.eval(expr)
+    assert n_click_scans(inst) == 1
+    grid = ev.eval_range(expr, 96 * h_us, 24 * h_us)
+    assert n_click_scans(grid) == 1
+
+    # different inner vector -> no rewrite: two click-filter scans
+    other = (
+        "sum by (user) (increase(click[720h])) > "
+        "scalar(avg(sum by (user) (increase(click[240h]))))"
+    )
+    assert n_click_scans(ev.eval(other)) == 2
+
+    # the rewritten comparison still fires (value semantics are pinned
+    # by the alert_rules* oracle rows; here just require a non-empty
+    # firing set so the plan assertions aren't vacuous)
+    assert len(inst.collect()) > 0
