@@ -306,7 +306,50 @@ def openmetrics_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("line")
     )
     eof = spark.range(1).select(F.lit("# EOF").alias("line"))
-    return helps.unionByName(units).unionByName(body).unionByName(eof)
+    return (
+        helps.unionByName(units)
+        .unionByName(body)
+        .unionByName(_created_lines(spark, sf_dir))
+        .unionByName(eof)
+    )
+
+
+def _created_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenMetrics `_created` child samples (spec: counters and
+    histograms carry a per-MetricPoint creation timestamp): one
+    `metric_created{user="…"} <ts>` per counter series (its first
+    contributing sample's time) and one unlabeled `metric_created`
+    per histogram family. Values are seconds at the payload's 4dp
+    pin. One groupBy per leg over the samples relation — the same
+    aggregate shape as the snapshot legs."""
+    from shards_prometheus_spark.model import samples
+
+    s = samples(spark, sf_dir)
+    created_s = F.round(F.min("ts_us") / F.lit(1e6), 4).alias("cs")
+    ctr = (
+        s.filter(F.col("value") >= 0)
+        .groupBy("metric", "label_user")
+        .agg(created_s)
+        .select(
+            F.concat(
+                F.col("metric"),
+                F.lit('_created{user="'),
+                esc_label(F.col("label_user")),
+                F.lit('"} '),
+                _dec("cs"),
+            ).alias("line")
+        )
+    )
+    hist = (
+        s.groupBy("metric")
+        .agg(created_s)
+        .select(
+            F.concat(
+                F.col("metric"), F.lit("_created "), _dec("cs")
+            ).alias("line")
+        )
+    )
+    return ctr.unionByName(hist)
 
 
 def openmetrics_text(lines: DataFrame) -> str:
@@ -328,8 +371,12 @@ def openmetrics_text(lines: DataFrame) -> str:
                 return (1, fam, rank, "", -1.0, line)
         m = _re.match(_NAME_RE, line)
         name = m.group(1) if m else line
-        # sample names carry _total/_bucket/_sum/_count suffixes;
-        # group them with their family
+        # sample names carry _total/_bucket/_sum/_count/_created
+        # suffixes; group them with their family. `_created` child
+        # samples serialize AFTER the family's value samples (rank 4)
+        # — the OM parser associates them by label set, not position
+        if name.endswith("_created"):
+            return (1, name[: -len("_created")], 4, name, -1.0, line)
         fam = _re.sub(r"_(total|bucket|sum|count)$", "", name)
         # OpenMetrics mandates buckets in ASCENDING numeric le order
         # (+Inf last) — a lexicographic sort puts "10" before "5" and
@@ -358,15 +405,21 @@ def classify_lines(lines: DataFrame) -> DataFrame:
     Pure regexp expressions (JVM-side, codegen), zero shuffles — which
     also makes it STREAMING-safe: the scrape-loop source maps each
     micro-batch of raw lines through this with no stateful operator.
-    Comments (`# HELP`/`# TYPE`/`# EOF`) are dropped; exemplar
-    suffixes must be stripped by the caller. Output: (metric, kind,
-    stat, label_user, le, value) plus any NON-`line` input columns
-    carried through (the scrape loop threads target/scrape stamps).
-    Batch callers wanting header validation use `_parse_payload`
-    (this + the `# TYPE` join)."""
+    Comments (`# HELP`/`# TYPE`/`# EOF`) are dropped, and so are
+    OpenMetrics `_created` child samples (creation timestamps are
+    METADATA, parsed by the dedicated `openmetrics_created` side
+    relation — letting them through would mint phantom gauge series);
+    exemplar suffixes must be stripped by the caller. Output:
+    (metric, kind, stat, label_user, le, value) plus any NON-`line`
+    input columns carried through (the scrape loop threads
+    target/scrape stamps). Batch callers wanting header validation
+    use `_parse_payload` (this + the `# TYPE` join)."""
     extra = [c for c in lines.columns if c != "line"]
     raw = F.regexp_extract("line", _NAME_RE, 1)
-    parsed = lines.filter(~F.col("line").startswith("#")).select(
+    parsed = lines.filter(
+        ~F.col("line").startswith("#")
+        & ~F.regexp_extract("line", _NAME_RE, 1).endswith("_created")
+    ).select(
         *extra,
         raw.alias("raw"),
         F.regexp_extract("line", r'\{(\w+)="', 1).alias("lkey"),
@@ -592,6 +645,46 @@ def openmetrics_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
         unesc_label(F.regexp_extract("line", _EX_BUCKET_RE, 2)),
     )
     return counters.unionByName(buckets)
+
+
+#: `_created` child-sample grammars (the two shapes `_created_lines`
+#: emits): labeled counter-series timestamps and unlabeled
+#: histogram-family timestamps.
+_CREATED_CTR_RE = (
+    r'^([A-Za-z_:][A-Za-z0-9_:]*)_created\{user="((?:[^"\\]|\\.)*)"\}'
+    r" ([^ ]+)$"
+)
+_CREATED_HIST_RE = r"^([A-Za-z_:][A-Za-z0-9_:]*)_created ([^ ]+)$"
+
+
+def openmetrics_created(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_created` SIDE RELATION: parse the OpenMetrics creation
+    timestamps off the payload into (metric, kind, label_user,
+    created_s) — metadata beside the sample relation, the same
+    side-channel treatment as exemplars (an OM-strict scraper needs
+    the lines; the sample relation must never see them as phantom
+    gauges). Pure per-line regexp projections over the same persisted
+    payload `openmetrics_parse` reads — no extra shuffle."""
+    payload = _om_payload_persisted(spark, sf_dir)
+    ctr = payload.filter(F.col("line").rlike(_CREATED_CTR_RE)).select(
+        F.regexp_extract("line", _CREATED_CTR_RE, 1).alias("metric"),
+        F.lit("counter").alias("kind"),
+        unesc_label(
+            F.regexp_extract("line", _CREATED_CTR_RE, 2)
+        ).alias("label_user"),
+        F.regexp_extract("line", _CREATED_CTR_RE, 3)
+        .try_cast("double")
+        .alias("created_s"),
+    )
+    hist = payload.filter(F.col("line").rlike(_CREATED_HIST_RE)).select(
+        F.regexp_extract("line", _CREATED_HIST_RE, 1).alias("metric"),
+        F.lit("histogram").alias("kind"),
+        F.lit(None).cast("string").alias("label_user"),
+        F.regexp_extract("line", _CREATED_HIST_RE, 2)
+        .try_cast("double")
+        .alias("created_s"),
+    )
+    return ctr.unionByName(hist)
 
 
 def federate_lines(
@@ -965,6 +1058,7 @@ QUERIES = {
     "openmetrics_lines": openmetrics_lines,
     "openmetrics_parse": openmetrics_parse,
     "openmetrics_exemplars": openmetrics_exemplars,
+    "openmetrics_created": openmetrics_created,
     "federate": federate_demo,
 }
 
@@ -1010,6 +1104,24 @@ _OM_UNIT_CASE = (
     + " END"
 )
 
+def _created_sql_legs() -> str:
+    """The `_created` child-sample legs of the OM payload oracle —
+    same first-contributing-sample semantics and 4dp pin as
+    `_created_lines`."""
+    from shards_prometheus_spark.model import dround
+
+    cs = _DEC.format(v=dround("MIN(ts_us) / 1000000.0", 4))
+    return (
+        "SELECT metric || '_created{user=\"' || label_user || '\"} ' || "
+        + cs
+        + " FROM samples WHERE value >= 0 GROUP BY metric, label_user "
+        "UNION ALL "
+        "SELECT metric || '_created ' || "
+        + cs
+        + " FROM samples GROUP BY metric"
+    )
+
+
 _OM_LINES_SQL = (
     _LINES_PREFIX_SQL
     + f"SELECT '# HELP ' || metric || '{_OM_HELP}' AS line "
@@ -1019,6 +1131,8 @@ _OM_LINES_SQL = (
     "FROM (SELECT DISTINCT kind, metric FROM snap) "
     "UNION ALL "
     + _LINES_BODY_SQL
+    + " UNION ALL "
+    + _created_sql_legs()
     + " UNION ALL SELECT DISTINCT '# EOF' FROM snap"
 )
 
@@ -1154,6 +1268,25 @@ _FEDERATE_SQL = (
     )
 )
 
+def _om_created_sql() -> str:
+    from shards_prometheus_spark.model import SAMPLES_CTE, dround
+
+    cs = dround("MIN(ts_us) / 1000000.0", 4)
+    return (
+        f"{SAMPLES_CTE} "
+        "SELECT metric, 'counter' AS kind, label_user, "
+        + cs
+        + " AS created_s FROM samples WHERE value >= 0 "
+        "GROUP BY metric, label_user "
+        "UNION ALL "
+        "SELECT metric, 'histogram', CAST(NULL AS VARCHAR), "
+        + cs
+        + " FROM samples GROUP BY metric"
+    )
+
+
+_OM_CREATED_SQL = _om_created_sql()
+
 ORACLES = {
     "exposition_lines": _LINES_SQL,
     "exposition_parse": _PARSE_SQL,
@@ -1161,5 +1294,6 @@ ORACLES = {
     "openmetrics_lines": _OM_LINES_SQL,
     "openmetrics_parse": _OM_PARSE_SQL,
     "openmetrics_exemplars": _OM_EXEMPLARS_SQL,
+    "openmetrics_created": _OM_CREATED_SQL,
     "federate": _FEDERATE_SQL,
 }

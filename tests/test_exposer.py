@@ -1863,3 +1863,89 @@ def test_federate_le_matcher_selects_bucket_rows(spark):
             assert len(got) == 2, got
     finally:
         exposer.stop()
+
+
+def test_openmetrics_created_round_trip(spark):
+    """OM `_created` child samples: the payload carries one
+    `metric_created{user=…}` per counter series and one unlabeled
+    `metric_created` per histogram family; the side relation parses
+    them back to the emitters' first-contributing-sample timestamps;
+    and the SAMPLE relation never sees them (no phantom gauge series
+    named `*_created`)."""
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.model import samples
+    from shards_prometheus_spark.sources.exposition import (
+        openmetrics_created,
+        openmetrics_lines,
+        openmetrics_parse,
+    )
+
+    lines = [
+        r["line"] for r in openmetrics_lines(spark, SF_SMOKE).collect()
+    ]
+    created = [l for l in lines if "_created" in l.split(" ")[0]]
+    assert len(created) > 0
+
+    got = {
+        (r["metric"], r["kind"], r["label_user"]): r["created_s"]
+        for r in openmetrics_created(spark, SF_SMOKE).collect()
+    }
+    s = samples(spark, SF_SMOKE)
+    want_ctr = {
+        (r["metric"], "counter", r["label_user"]): r["cs"]
+        for r in s.filter(F.col("value") >= 0)
+        .groupBy("metric", "label_user")
+        .agg(F.round(F.min("ts_us") / F.lit(1e6), 4).alias("cs"))
+        .collect()
+    }
+    want_hist = {
+        (r["metric"], "histogram", None): r["cs"]
+        for r in s.groupBy("metric")
+        .agg(F.round(F.min("ts_us") / F.lit(1e6), 4).alias("cs"))
+        .collect()
+    }
+    assert got == {**want_ctr, **want_hist}
+
+    # the sample relation is clean of created child samples
+    parsed = openmetrics_parse(spark, SF_SMOKE)
+    assert (
+        parsed.filter(F.col("metric").endswith("_created")).count() == 0
+    )
+
+
+def test_openmetrics_created_serialize_within_family(spark):
+    """Serialized OM payloads keep `_created` lines INSIDE their
+    family's block (after the family's value samples, before the next
+    family's metadata) — the OM parser associates them by label set,
+    but family blocks must stay contiguous."""
+    from shards_prometheus_spark.sources.exposition import (
+        openmetrics_lines,
+        openmetrics_text,
+    )
+
+    payload = openmetrics_text(openmetrics_lines(spark, SF_SMOKE))
+    lines = payload.rstrip("\n").split("\n")
+    import re
+
+    def fam_of(ln: str) -> str | None:
+        if ln.startswith("#"):
+            return ln.split(" ", 3)[2] if ln != "# EOF" else None
+        name = ln.split("{", 1)[0].split(" ", 1)[0]
+        if name.endswith("_created"):
+            return name[: -len("_created")]
+        return re.sub(r"_(total|bucket|sum|count)$", "", name)
+
+    fams = [f for f in (fam_of(ln) for ln in lines) if f is not None]
+    # family blocks contiguous: each family appears as ONE run
+    runs = [f for i, f in enumerate(fams) if i == 0 or fams[i - 1] != f]
+    assert len(runs) == len(set(runs))
+    # created lines come after every value sample of their family
+    seen_created: set = set()
+    for ln in lines:
+        name = ln.split("{", 1)[0].split(" ", 1)[0]
+        if name.endswith("_created"):
+            seen_created.add(name[: -len("_created")])
+        elif not ln.startswith("#"):
+            fam = re.sub(r"_(total|bucket|sum|count)$", "", name)
+            assert fam not in seen_created, ln
