@@ -875,6 +875,71 @@ def targets_data(evaluator, target_info: dict | None) -> dict:
     }
 
 
+def targets_metadata_data(
+    evaluator, target_info: dict | None, params_get
+) -> list:
+    """`/api/v1/targets/metadata`: per-target metric metadata — the
+    flat list shape (one entry per metric × kind for the single
+    target this engine is), filterable by `metric` and
+    `match_target` (a label-set selector matched against the
+    target's labels, the same matcher semantics as everywhere
+    else)."""
+    info = target_info or {}
+    instance = info.get("instance", "localhost:0")
+    tgt_labels = {
+        "instance": instance,
+        "job": "shards-prometheus-spark",
+    }
+    mt = params_get("match_target")
+    if mt:
+        from shards_prometheus_spark.functions.promql_parser import (
+            Selector,
+            parse,
+        )
+
+        node = parse(f"x{mt}") if mt.startswith("{") else parse(mt)
+        if not isinstance(node, Selector):
+            raise ValueError(f"invalid match_target {mt!r}")
+        import re as _re
+
+        for lbl, op, val in node.matchers:
+            got = tgt_labels.get(lbl, "")
+            hit = (
+                got == val
+                if op == "="
+                else got != val
+                if op == "!="
+                else bool(_re.fullmatch(val, got))
+                if op == "=~"
+                else not _re.fullmatch(val, got)
+            )
+            if not hit:
+                return []
+    want_metric = params_get("metric")
+    meta = metadata_data(evaluator)
+    out = []
+    for metric, entries in meta.items():
+        if want_metric and metric != want_metric:
+            continue
+        for e in entries:
+            out.append(
+                {
+                    "target": tgt_labels,
+                    "metric": metric,
+                    "type": e["type"],
+                    "help": e["help"],
+                    "unit": e["unit"],
+                }
+            )
+    return out
+
+
+#: `/api/v1/alertmanagers`: this engine evaluates its rules itself
+#: and pushes to no Alertmanager — both pools are empty, the public
+#: shape for a server with none configured.
+ALERTMANAGERS = {"activeAlertmanagers": [], "droppedAlertmanagers": []}
+
+
 def status_config_data(
     target_info: dict | None, rule_file: str | None
 ) -> dict:
@@ -1133,6 +1198,12 @@ def handle_api_request(
                 )
         elif path == "/api/v1/targets":
             data = targets_data(make_evaluator(None), target_info)
+        elif path == "/api/v1/targets/metadata":
+            data = targets_metadata_data(
+                make_evaluator(None), target_info, p
+            )
+        elif path == "/api/v1/alertmanagers":
+            data = ALERTMANAGERS
         elif path == "/api/v1/status/config":
             data = status_config_data(target_info, rule_file)
         elif path == "/api/v1/status/flags":
@@ -1143,6 +1214,23 @@ def handle_api_request(
             data = status_runtimeinfo_data(target_info)
         elif path == "/api/v1/metadata":
             data = metadata_data(make_evaluator(None))
+        elif path in ("/api/v1/format_query", "/api/v1/parse_query"):
+            # the 3.x prettier/AST endpoints (Grafana's query builder
+            # probes both) — served straight off the evaluator's own
+            # parse tree; a syntax error is the standard 400 bad_data
+            from shards_prometheus_spark.functions.promql_format import (
+                format_query,
+                parse_query_json,
+            )
+
+            query = p("query")
+            if query is None:
+                return bad("missing required parameter: query")
+            data = (
+                format_query(query)
+                if path.endswith("format_query")
+                else parse_query_json(query)
+            )
         elif path == "/api/v1/status/buildinfo":
             data = BUILDINFO
         else:

@@ -1949,3 +1949,146 @@ def test_openmetrics_created_serialize_within_family(spark):
         elif not ln.startswith("#"):
             fam = re.sub(r"_(total|bucket|sum|count)$", "", name)
             assert fam not in seen_created, ln
+
+
+def test_format_query_round_trip_all_demos():
+    """`format_expr` is canonical: parse(format(parse(e))) == parse(e)
+    for EVERY registered demo expression and every rule expression —
+    the format_query endpoint's contract (no SparkSession needed; the
+    formatter is pure AST text)."""
+    from shards_prometheus_spark.functions import promql_parser as P
+    from shards_prometheus_spark.functions.promql_format import (
+        ast_json,
+        format_expr,
+    )
+    from shards_prometheus_spark.operators import rules as R
+
+    exprs = [
+        v
+        for k, v in vars(P).items()
+        if k.startswith("PROMQL_") and isinstance(v, str)
+    ]
+    exprs += [e for _, e in R.RECORDING_RULES]
+    exprs += [e for _, e in R.ALERT_RULES]
+    exprs += [e for _, _, e in R.CHAINED_RULE_GROUP]
+    exprs += [e for _, e, *_ in R.ALERT_FOR_RULES]
+    exprs += [e for _, e, *_ in R.ALERT_KEEP_RULES]
+    assert len(exprs) > 70
+    for e in exprs:
+        ast = P.parse(e)
+        pretty = format_expr(ast)
+        assert P.parse(pretty) == ast, (e, pretty)
+        out = ast_json(ast)  # every demo renders without fallback
+        assert out["type"] != "unknown", e
+
+
+def test_api_format_and_parse_query_endpoints(spark):
+    """/api/v1/format_query serves the canonical pretty-print;
+    /api/v1/parse_query serves the public AST-JSON shape for a
+    selector, an aggregation, and a binary expression; both answer
+    400 bad_data on a syntax error or a missing query param."""
+    from urllib.parse import quote
+
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        q = 'sum   by (user) ( increase( click[720h] ) )'
+        status, payload = _api_get(
+            exposer, f"/api/v1/format_query?query={quote(q)}"
+        )
+        assert status == 200
+        # canonical form: normalized spacing, durations in upstream's
+        # descending-unit spelling (720h ≡ 30d ≡ 4w2d)
+        assert payload["data"] == "sum by (user) (increase(click[4w2d]))"
+
+        sel = quote('click{user=~"[0-3].*"}[240h] offset 1h')
+        status, payload = _api_get(
+            exposer, f"/api/v1/parse_query?query={sel}"
+        )
+        assert status == 200
+        ast = payload["data"]
+        assert ast["type"] == "matrixSelector"
+        assert ast["name"] == "click"
+        assert ast["range"] == 240 * 3600 * 1000  # ms
+        assert ast["offset"] == 3600 * 1000
+        assert ast["matchers"] == [
+            {"name": "user", "type": "=~", "value": "[0-3].*"}
+        ]
+
+        agg = quote("quantile by (shard) (0.9, view)")
+        status, payload = _api_get(
+            exposer, f"/api/v1/parse_query?query={agg}"
+        )
+        ast = payload["data"]
+        assert ast["type"] == "aggregation" and ast["op"] == "quantile"
+        assert ast["grouping"] == ["shard"] and ast["without"] is False
+        assert ast["param"] == {"type": "numberLiteral", "val": "0.9"}
+        assert ast["expr"]["type"] == "vectorSelector"
+
+        binop = quote("click > bool on(user) group_left() view")
+        status, payload = _api_get(
+            exposer, f"/api/v1/parse_query?query={binop}"
+        )
+        ast = payload["data"]
+        assert ast["type"] == "binaryExpr" and ast["op"] == ">"
+        assert ast["bool"] is True
+        assert ast["matching"] == {
+            "card": "many-to-one",
+            "labels": ["user"],
+            "on": True,
+            "include": [],
+        }
+
+        for path in ("format_query", "parse_query"):
+            status, payload = _api_get(
+                exposer, f"/api/v1/{path}?query={quote('sum by (')}"
+            )
+            assert status == 400 and payload["errorType"] == "bad_data"
+            status, payload = _api_get(exposer, f"/api/v1/{path}")
+            assert status == 400
+    finally:
+        exposer.stop()
+
+
+def test_api_targets_metadata_and_alertmanagers(spark):
+    """/api/v1/targets/metadata serves the flat per-target metadata
+    list (filterable by metric and by match_target against the
+    target's label set); /api/v1/alertmanagers serves the empty
+    active/dropped pools (the engine pushes to no Alertmanager)."""
+    from urllib.parse import quote
+
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        status, payload = _api_get(exposer, "/api/v1/targets/metadata")
+        assert status == 200
+        rows = payload["data"]
+        assert len(rows) > 0
+        metrics = {r["metric"] for r in rows}
+        assert "click" in metrics
+        for r in rows:
+            assert set(r) == {"target", "metric", "type", "help", "unit"}
+            assert r["target"]["job"] == "shards-prometheus-spark"
+
+        status, payload = _api_get(
+            exposer, "/api/v1/targets/metadata?metric=click"
+        )
+        assert {r["metric"] for r in payload["data"]} == {"click"}
+
+        mt = quote('{job="shards-prometheus-spark"}')
+        status, payload = _api_get(
+            exposer, f"/api/v1/targets/metadata?match_target={mt}"
+        )
+        assert len(payload["data"]) == len(rows)
+        mt = quote('{job="nope"}')
+        status, payload = _api_get(
+            exposer, f"/api/v1/targets/metadata?match_target={mt}"
+        )
+        assert payload["data"] == []
+
+        status, payload = _api_get(exposer, "/api/v1/alertmanagers")
+        assert status == 200
+        assert payload["data"] == {
+            "activeAlertmanagers": [],
+            "droppedAlertmanagers": [],
+        }
+    finally:
+        exposer.stop()
