@@ -66,6 +66,16 @@ _UNITS = [
 ]
 
 
+import re as _re
+
+#: the classic (unquoted) metric / label-name charsets; anything
+#: else prints in the 3.x quoted selector form
+_CLASSIC_NAME = _re.compile(
+    r"[A-Za-z_][A-Za-z0-9_]*(?::[A-Za-z_][A-Za-z0-9_]*)*"
+)
+_CLASSIC_LABEL = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
 def _fmt_dur(us: int) -> str:
     """µs → canonical compound duration (descending unique units)."""
     if us <= 0:
@@ -164,13 +174,23 @@ def format_expr(node) -> str:
             f"{format_expr(node.expr)})"
         )
     if isinstance(node, Selector):
-        s = node.metric
-        if node.matchers:
-            inner = ",".join(
-                f"{lbl}{op}{_quote(val)}"
-                for lbl, op, val in node.matchers
+        # names outside the classic charset print in the 3.x quoted
+        # form: {"metric.name", "label.name"="v"}
+        classic = bool(_CLASSIC_NAME.fullmatch(node.metric))
+        entries = [] if classic else [_quote(node.metric)]
+        entries += [
+            (
+                lbl
+                if _CLASSIC_LABEL.fullmatch(lbl)
+                else _quote(lbl)
             )
-            s += "{" + inner + "}"
+            + op
+            + _quote(val)
+            for lbl, op, val in node.matchers
+        ]
+        s = node.metric if classic else ""
+        if entries or not classic:
+            s += "{" + ",".join(entries) + "}"
         if node.range_us is not None:
             s += f"[{_fmt_dur(node.range_us)}]"
         return s + _modifiers(node)

@@ -711,6 +711,9 @@ class _Parser:
             e = self.or_expr()
             self.expect(")")
             return e
+        if tok == "{":
+            # brace-led UTF-8 selector: {"metric.name", label="v"}
+            return self._selector()
         if re.fullmatch(r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", tok):
             return Scalar(float(self.next()))
         if tok in _AGG_OPS or tok == "count_values":
@@ -1013,7 +1016,50 @@ class _Parser:
             raise PromQLSyntaxError(f"{fn}() needs a range selector [d]")
         return RangeFn(fn, arg, param=param, param2=param2)
 
+    def _brace_body(self, sel: Selector) -> None:
+        """`{...}` body onto `sel` (opening brace already consumed).
+        The 3.x UTF-8 syntax: a BARE quoted string sets the metric
+        name (sugar for a `__name__` equality — how names outside the
+        classic charset, e.g. OTel's `http.server.duration`, are
+        selected), and label NAMES may be quoted for the same reason.
+        Classic unquoted entries parse exactly as before."""
+        while self.peek() != "}":
+            tok = self.next()
+            quoted = tok.startswith('"') and tok.endswith('"')
+            if quoted and self.peek() in {",", "}"}:
+                # bare quoted string: the metric name entry
+                if sel.metric:
+                    raise PromQLSyntaxError(
+                        "metric name set twice in selector"
+                    )
+                sel.metric = _unquote(tok)
+            else:
+                label = _unquote(tok) if quoted else tok
+                op = self.next()
+                if op not in {"=", "!=", "=~", "!~"}:
+                    raise PromQLSyntaxError(f"bad matcher op {op!r}")
+                val = self.next()
+                if not (val.startswith('"') and val.endswith('"')):
+                    raise PromQLSyntaxError(
+                        f"matcher value must be quoted: {val!r}"
+                    )
+                sel.matchers.append((label, op, _unquote(val)))
+            if self.peek() == ",":
+                self.next()
+        self.expect("}")
+
     def _selector(self) -> Selector:
+        if self.peek() == "{":
+            # brace-led selector — the UTF-8 quoted-name form
+            self.next()
+            sel = Selector("")
+            self._brace_body(sel)
+            if not sel.metric:
+                raise PromQLSyntaxError(
+                    "selector needs a metric name (quote it inside "
+                    "the braces for names outside the classic charset)"
+                )
+            return sel
         metric = self.next()
         # colons are legal in metric names (reserved for recording
         # rules by the public convention — level:metric:operation)
@@ -1024,18 +1070,7 @@ class _Parser:
         sel = Selector(metric)
         if self.peek() == "{":
             self.next()
-            while self.peek() != "}":
-                label = self.next()
-                op = self.next()
-                if op not in {"=", "!=", "=~", "!~"}:
-                    raise PromQLSyntaxError(f"bad matcher op {op!r}")
-                val = self.next()
-                if not (val.startswith('"') and val.endswith('"')):
-                    raise PromQLSyntaxError(f"matcher value must be quoted: {val!r}")
-                sel.matchers.append((label, op, _unquote(val)))
-                if self.peek() == ",":
-                    self.next()
-            self.expect("}")
+            self._brace_body(sel)
         return sel
 
 
@@ -3359,6 +3394,12 @@ PROMQL_RANGE_SUBQ_AT = (
 PROMQL_BUCKET_LE = (
     'sum by (user, le) (increase(view_bucket{le=~"5|50"}[720h]))'
 )
+#: the 3.x UTF-8 quoted-name selector (names outside the classic
+#: charset, e.g. OTel's dotted convention): the metric name is quoted
+#: INSIDE the braces, composing with ordinary matchers
+PROMQL_UTF8_NAME = (
+    'sum by (user) (increase({"web.click", user=~"[0-4].*"}[720h]))'
+)
 #: quantile aggregation ON the grid — the p90-across-series panel as a
 #: query_range (r7 extends _gagg beyond sum/avg/min/max/count)
 PROMQL_RANGE_QUANTILE = (
@@ -3693,6 +3734,24 @@ def promql_range_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PromQLEvaluator.from_dir(spark, sf_dir).eval_range(
         PROMQL_RANGE_QUANTILE, 240 * 3_600_000_000, 24 * 3_600_000_000
     )
+
+
+def promql_utf8_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 quoted-name selector end-to-end: the store carries an
+    OTel-style dotted metric name (click published as `web.click`)
+    and the query selects it through the 3.x quoted syntax
+    `{"web.click", user=~…}` — same evaluator, same plan shape as the
+    classic-name twin (the rename is a pure projection; the selector's
+    metric equality still pushes to the scan)."""
+    from shards_prometheus_spark.model import samples_multi
+
+    s = samples_multi(spark, sf_dir).withColumn(
+        "metric",
+        F.when(F.col("metric") == "click", F.lit("web.click")).otherwise(
+            F.col("metric")
+        ),
+    )
+    return PromQLEvaluator(s).eval(PROMQL_UTF8_NAME)
 
 
 def promql_bucket_le(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4036,6 +4095,7 @@ QUERIES = {
     "promql_range_subquery_increase": promql_range_subquery_increase,
     "promql_range_subquery_at": promql_range_subquery_at,
     "promql_bucket_le": promql_bucket_le,
+    "promql_utf8_name": promql_utf8_name,
     "promql_range_quantile": promql_range_quantile,
     "promql_scalar_expr": promql_scalar_expr,
     "promql_range_scalar": promql_range_scalar,
@@ -4750,6 +4810,25 @@ ORACLES = {
         "SELECT ets AS ts_us, 'shard=' || l_shard AS labels, "
         + dround("quantile_cont(v6, 0.9)", 4)
         + " AS value FROM r GROUP BY ets, l_shard"
+    ),
+    "promql_utf8_name": (
+        # the rename click → web.click is a bijective projection, so
+        # the oracle filters the ORIGINAL name and applies the same
+        # user matcher + per-series increase + sum-by-user fold
+        f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+        "w AS (SELECT s.* FROM samples_multi s, t "
+        "WHERE s.metric = 'click' "
+        "AND regexp_matches(s.l_user, '^(?:[0-4].*)$') "
+        f"AND s.ts_us <= t.t_max AND s.ts_us > t.t_max - {_H720_US}), "
+        "d AS (SELECT l_user, l_shard, value, LAG(value) OVER "
+        "(PARTITION BY l_user, l_shard ORDER BY ts_us, event_id) "
+        "AS prev FROM w), "
+        "i AS (SELECT l_user, l_shard, "
+        "SUM(CASE WHEN value < prev THEN value ELSE value - prev END) "
+        "AS inc FROM d WHERE prev IS NOT NULL GROUP BY l_user, l_shard) "
+        "SELECT 'user=' || l_user AS labels, "
+        + dround("SUM(inc)", 4)
+        + " AS value FROM i GROUP BY l_user"
     ),
     "promql_bucket_le": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

@@ -2071,3 +2071,74 @@ def test_subquery_fine_step_grid_no_overflow(spark):
     # 5m lookback holds a sample only within 5m after the hourly
     # samples at 3h and 4h → 5 + 5 hits
     assert [(r["labels"], r["value"]) for r in got] == [("user=a", 10.0)]
+
+
+def test_utf8_quoted_name_selector_parses_and_formats():
+    """3.x UTF-8 syntax: `{"metric.name"}` selects by quoted metric
+    name, quoted label names are accepted, both compose with classic
+    matchers, and the formatter round-trips through the quoted form
+    (no SparkSession needed)."""
+    import pytest
+
+    from shards_prometheus_spark.functions.promql_format import (
+        format_expr,
+    )
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLSyntaxError,
+        Selector,
+        parse,
+    )
+
+    sel = parse('{"web.click", user=~"[0-4].*"}')
+    assert sel == Selector(
+        "web.click", [("user", "=~", "[0-4].*")]
+    )
+    # quoted LABEL name
+    sel = parse('{"http.server.duration", "peer.service"="db"}')
+    assert sel.metric == "http.server.duration"
+    assert sel.matchers == [("peer.service", "=", "db")]
+    # composes under functions and with range/offset modifiers
+    rf = parse('increase({"web.click"}[720h] offset 1h)')
+    assert rf.sel.metric == "web.click"
+    assert rf.sel.range_us == 720 * 3_600_000_000
+    assert rf.sel.offset_us == 3_600_000_000
+    # classic selector + a quoted-name entry = the name twice
+    with pytest.raises(PromQLSyntaxError):
+        parse('click{"web.click"}')
+    with pytest.raises(PromQLSyntaxError):
+        parse('{"a", "b"}')
+    # a brace selector with matchers only has no metric name
+    with pytest.raises(PromQLSyntaxError):
+        parse('{user="1"}')
+    # formatter round-trip through the quoted form
+    for e in (
+        '{"web.click", user=~"[0-4].*"}',
+        'sum by (user) (increase({"web.click"}[720h]))',
+        '{"http.server.duration", "peer.service"="db"}',
+    ):
+        ast = parse(e)
+        assert parse(format_expr(ast)) == ast, e
+    # classic names keep printing unquoted
+    assert format_expr(parse("click[1h]")) == "click[1h]"
+
+
+def test_utf8_quoted_name_evaluates(spark):
+    """The quoted-name selector evaluates over a store carrying a
+    dotted metric name, equal to the classic-name twin's result."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+        promql_utf8_name,
+    )
+    from shards_prometheus_spark.model import samples_multi
+
+    got = {
+        (r["labels"], r["value"])
+        for r in promql_utf8_name(spark, SF_SMOKE).collect()
+    }
+    want = {
+        (r["labels"], r["value"])
+        for r in PromQLEvaluator(samples_multi(spark, SF_SMOKE))
+        .eval('sum by (user) (increase(click{user=~"[0-4].*"}[720h]))')
+        .collect()
+    }
+    assert got == want != set()
