@@ -218,16 +218,17 @@ def main() -> None:
     load_start = _loadavg()
     probes: dict[str, float] = {"start": round(_calibration_probe(), 4)}
 
-    timings: dict[str, float] = {}
-    for family, names in FAMILIES:
-        # environment self-calibration: time the fixed busy loop
-        # before each family so a load spike mid-run is attributable
-        # to the families it actually contaminated
-        probes[family] = round(_calibration_probe(), 4)
+    def run_family(names: list[str]) -> tuple[float, dict[str, float]]:
+        """One timed pass over a family: (calibration probe, medians).
+        The probe is timed FIRST so a load spike is attributable to
+        the family it actually contaminated."""
+        probe = round(_calibration_probe(), 4)
+        out: dict[str, float] = {}
         for name in names:
             fn = queries.get(name)
             if fn is None:
                 continue
+
             def one_sample() -> float:
                 t0 = time.perf_counter()
                 # Force full execution; count() alone can skip result
@@ -250,10 +251,36 @@ def main() -> None:
             samples = [one_sample() for _ in range(max(1, REPS))]
             if statistics.median(samples) < SMALL_Q_SEC:
                 samples += [one_sample() for _ in range(EXTRA_REPS)]
-            timings[name] = round(statistics.median(samples), 4)
+            out[name] = round(statistics.median(samples), 4)
         # Release memoized corpus-sized relations so the next family
         # starts from the same memory state regardless of ordering.
         clear_caches(spark)
+        return probe, out
+
+    timings: dict[str, float] = {}
+    for family, names in FAMILIES:
+        probes[family], fam_times = run_family(names)
+        timings.update(fam_times)
+
+    # Contamination retry (the calibration machinery's closing move):
+    # a family whose probe drifted past the flag threshold ran under
+    # external CPU load — re-run JUST that family (up to twice) and
+    # keep the attempt with the cleanest probe, so a transient spike
+    # doesn't become the round's artifact. A family that stays
+    # contaminated across three attempts flags honestly below.
+    retries: dict[str, int] = {}
+    ref = min(probes.values())
+    for family, names in FAMILIES:
+        for _attempt in range(2):
+            if probes[family] <= PROBE_DRIFT_RATIO * ref:
+                break
+            retries[family] = retries.get(family, 0) + 1
+            probe, fam_times = run_family(names)
+            if probe < probes[family]:
+                probes[family] = probe
+                timings.update(fam_times)
+            ref = min(ref, probe)
+
     total = round(sum(timings.values()), 4)
     ref = min(probes.values())
     env_flagged = sorted(
@@ -280,6 +307,10 @@ def main() -> None:
                 "loadavg_end": _loadavg(),
                 "calibration_probes": probes,
                 "env_flagged": env_flagged,
+                # families re-run after a contamination flag (cleanest
+                # attempt kept); a family still in env_flagged stayed
+                # contaminated across all attempts
+                "retried_families": retries,
             }
         )
     )
