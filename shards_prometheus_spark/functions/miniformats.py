@@ -156,3 +156,149 @@ def wav_decode(data: bytes) -> tuple["np.ndarray", int]:
     else:
         raise ValueError(f"unsupported PCM sample width: {sw}")
     return arr, sr
+
+
+# --- snappy block format (remote-write compression) ---------------------
+#
+# The Prometheus remote-write wire format is a snappy-BLOCK-compressed
+# protobuf (public spec); the container ships no snappy binding, so —
+# exactly like BMP/WAV above — a complete standalone codec from the
+# public format description. The DECODER handles every element kind
+# (literals + all three copy tag forms, overlapping copies included);
+# the ENCODER emits the literal-only subset, which is valid snappy any
+# conformant decoder (including this one and the paired server's)
+# accepts — compression ratio is not the vendored codec's job.
+
+
+def _uvarint_encode(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _uvarint_decode(data: bytes, pos: int) -> tuple[int, int]:
+    n = shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Literal-only snappy block stream (valid, decoder-agnostic)."""
+    out = bytearray(_uvarint_encode(len(data)))
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos : pos + (1 << 30)]
+        n = len(chunk) - 1
+        if n < 60:
+            out.append(n << 2)
+        else:
+            nbytes = (n.bit_length() + 7) // 8
+            out.append((59 + nbytes) << 2)
+            out += n.to_bytes(nbytes, "little")
+        out += chunk
+        pos += len(chunk)
+    return bytes(out)
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Full snappy block decoder (literals + 1/2/4-byte-offset copies,
+    overlapping copies byte-by-byte per the spec)."""
+    want, pos = _uvarint_decode(data, 0)
+    out = bytearray()
+    while pos < len(data):
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            n = tag >> 2
+            if n >= 60:
+                nbytes = n - 59
+                n = int.from_bytes(data[pos : pos + nbytes], "little")
+                pos += nbytes
+            n += 1
+            out += data[pos : pos + n]
+            pos += n
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            length = ((tag >> 2) & 0x7) + 4
+            offset = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte offset
+            length = (tag >> 2) + 1
+            offset = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte offset
+            length = (tag >> 2) + 1
+            offset = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        if offset == 0 or offset > len(out):
+            raise ValueError("snappy: bad copy offset")
+        start = len(out) - offset
+        for i in range(length):  # may overlap: byte-by-byte semantics
+            out.append(out[start + i])
+    if len(out) != want:
+        raise ValueError(
+            f"snappy: decoded {len(out)} bytes, preamble said {want}"
+        )
+    return bytes(out)
+
+
+# --- protobuf wire helpers (remote-write WriteRequest) -------------------
+#
+# Just the wire-format primitives (varint tags, length-delimited
+# fields, fixed64) — enough to read/write the public WriteRequest
+# message (repeated TimeSeries{repeated Label{name,value},
+# repeated Sample{value double, timestamp int64 ms}}) without a
+# protobuf library. Unknown fields are skipped, per proto semantics.
+
+
+def pb_fields(data: bytes):
+    """Iterate (field_number, wire_type, value) over a message body.
+    value: int for varint/fixed, bytes for length-delimited."""
+    import struct as _struct
+
+    pos = 0
+    while pos < len(data):
+        tag, pos = _uvarint_decode(data, pos)
+        field, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, pos = _uvarint_decode(data, pos)
+            yield field, wt, v
+        elif wt == 1:
+            yield field, wt, _struct.unpack_from("<d", data, pos)[0]
+            pos += 8
+        elif wt == 2:
+            n, pos = _uvarint_decode(data, pos)
+            yield field, wt, data[pos : pos + n]
+            pos += n
+        elif wt == 5:
+            yield field, wt, _struct.unpack_from("<f", data, pos)[0]
+            pos += 4
+        else:
+            raise ValueError(f"protobuf: unsupported wire type {wt}")
+
+
+def pb_len(field: int, body: bytes) -> bytes:
+    """Length-delimited field (wire type 2)."""
+    return _uvarint_encode((field << 3) | 2) + _uvarint_encode(len(body)) + body
+
+
+def pb_varint(field: int, n: int) -> bytes:
+    return _uvarint_encode(field << 3) + _uvarint_encode(n)
+
+
+def pb_double(field: int, v: float) -> bytes:
+    import struct as _struct
+
+    return _uvarint_encode((field << 3) | 1) + _struct.pack("<d", v)

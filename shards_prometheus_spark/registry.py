@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from shards_prometheus_spark.functions import promql as promql_functions
 from shards_prometheus_spark.functions import promql_parser
-from shards_prometheus_spark.sources import exposition
+from shards_prometheus_spark.sources import exposition, remote_write
 from shards_prometheus_spark.operators import (
     aggregations,
     asof,
@@ -58,6 +58,7 @@ _MODULES = [
     promql_parser,
     snapshot,
     exposition,
+    remote_write,
     dedup,
     similarity,
     text,
@@ -93,10 +94,8 @@ _PRIORITY = [
     "vector_binop_labels",
     "counter_increase",
     "counter_rate",
-    "counter_resets",
     "agg_by_label",
     "topk",
-    "count_values",
     "histogram_quantile_bucketed",
     "range_agg_tumbling",
     "rollup_hourly",
@@ -108,6 +107,15 @@ _PRIORITY = [
     # absent inside the judge-pass parity sweep).
     "federate",
     "openmetrics_exemplars",
+    # r11 admits three new-surface rows — OM `_created` metadata, the
+    # remote-write wire round trip, and the UTF-8 quoted-name selector
+    # — by demoting counter_resets, count_values, and
+    # promql_range_scalar (all driver-green for 2+ rounds; resets stay
+    # exercised inside the increase family, count_values inside the
+    # judge-pass sweep, scalar grids inside promql_scalar_expr).
+    "openmetrics_created",
+    "remote_write_roundtrip",
+    "promql_utf8_name",
     # Tier B — eval_range dashboard core + rule/subquery rows.
     # The 50-entry window is zero-sum; each round's VERDICT asks are
     # admitted by demoting rows that already earned driver-green in a
@@ -124,7 +132,6 @@ _PRIORITY = [
     # tests/test_oracle_parity.py and the full tools/parity.py sweep.
     "promql_range_hist_quantile",
     "promql_scalar_expr",
-    "promql_range_scalar",
     "rules_chained",
     "rules_from_file",
     "alert_rules_keep_firing",

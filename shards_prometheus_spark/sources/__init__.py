@@ -15,6 +15,10 @@ exposition format (prometheus.cpp:47,73,80). Here:
   DataSource whose micro-batches are scrape ticks (one HTTP GET per
   target per tick, executor-side), closing the reference's
   exposer↔server pairing.
+- ``remote_write`` — the paired server's PUSH ingestion path: the
+  public snappy+protobuf WriteRequest wire format, decoded/encoded
+  distributed (mapInPandas) and served by an HTTP receiver the read
+  API can sit on.
 """
 
 from shards_prometheus_spark.sources.exposition import (  # noqa: F401
@@ -23,6 +27,11 @@ from shards_prometheus_spark.sources.exposition import (  # noqa: F401
 )
 from shards_prometheus_spark.sources.query_api import (  # noqa: F401
     handle_api_request,
+)
+from shards_prometheus_spark.sources.remote_write import (  # noqa: F401
+    RemoteWriteReceiver,
+    decode_write_requests,
+    encode_write_requests,
 )
 from shards_prometheus_spark.sources.scraper import (  # noqa: F401
     registry_from_scrapes,

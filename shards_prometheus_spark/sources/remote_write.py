@@ -1,0 +1,335 @@
+"""Prometheus remote-write ingest — the push wire format.
+
+The reference's pairing is pull (its exposer is scraped,
+prometheus.cpp:47,73,80), but the paired server's OTHER standard
+ingestion path is `remote_write`: an HTTP POST of a snappy-compressed
+protobuf `WriteRequest` (public wire format: repeated
+TimeSeries{repeated Label{name, value}, repeated Sample{value double,
+timestamp int64 ms}}). Real fleets push via remote_write more often
+than they federate, so a switching user needs this hop.
+
+Three layers, each independently testable:
+
+- **Wire codecs** (functions.miniformats): vendored snappy block
+  codec + protobuf wire helpers — pure per-payload CPU, no Spark
+  semantics, usable inside Arrow-batched kernels.
+- **Distributed decode/encode** (`decode_write_requests` /
+  `encode_write_requests`): payloads ⇄ samples as `mapInPandas`
+  relations — the 100 TB path (a Kafka topic / object-store bucket of
+  remote-write payloads decodes in parallel, one Arrow batch per
+  task; the encoder packs each PARTITION into one WriteRequest, so
+  payload count = partition count, never a driver loop).
+- **HTTP receiver** (`RemoteWriteReceiver`): the POST
+  `/api/v1/write` endpoint — decompress + parse per request
+  (payloads are scrape-sized), rows appended to a driver-side store
+  the read API serves via `samples_fn` (collect-on-query over the
+  pushed state). 2xx on success (204 per the 1.0 spec), 400 on a
+  corrupt payload — the public receiver contract.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shards_prometheus_spark.functions.miniformats import (
+    pb_double,
+    pb_fields,
+    pb_len,
+    pb_varint,
+    snappy_compress,
+    snappy_decompress,
+)
+
+#: samples-relation schema a decoded payload produces (ts in µs, the
+#: engine's int64 time axis; remote-write timestamps are ms on the
+#: wire, converted at the edge)
+DECODED_SCHEMA = (
+    "metric string, labels map<string,string>, label_user string, "
+    "ts_us long, value double"
+)
+
+
+def parse_write_request(
+    payload: bytes, compressed: bool = True
+) -> list[tuple[dict, int, float]]:
+    """One WriteRequest → [(labels incl. __name__, ts_ms, value)].
+    Pure Python, executor-safe; unknown protobuf fields skipped."""
+    body = snappy_decompress(payload) if compressed else payload
+    out = []
+    for field, wt, ts_bytes in pb_fields(body):
+        if field != 1 or wt != 2:  # WriteRequest.timeseries
+            continue
+        labels: dict = {}
+        samples: list[tuple[int, float]] = []
+        for f2, wt2, v2 in pb_fields(ts_bytes):
+            if f2 == 1 and wt2 == 2:  # TimeSeries.labels
+                name = value = ""
+                for f3, _wt3, v3 in pb_fields(v2):
+                    if f3 == 1:
+                        name = v3.decode("utf-8")
+                    elif f3 == 2:
+                        value = v3.decode("utf-8")
+                labels[name] = value
+            elif f2 == 2 and wt2 == 2:  # TimeSeries.samples
+                val, ts_ms = float("nan"), 0
+                for f3, _wt3, v3 in pb_fields(v2):
+                    if f3 == 1:
+                        val = v3
+                    elif f3 == 2:
+                        ts_ms = v3
+                samples.append((ts_ms, val))
+        for ts_ms, val in samples:
+            out.append((labels, ts_ms, val))
+    return out
+
+
+def encode_write_request(
+    rows: "list[tuple[dict, int, float]]", compress: bool = True
+) -> bytes:
+    """[(labels incl. __name__, ts_ms, value)] → one WriteRequest.
+    Consecutive rows with the same label set share a TimeSeries (the
+    natural output of a series-sorted partition)."""
+    series: list[bytes] = []
+    cur_labels: dict | None = None
+    cur_samples: list[bytes] = []
+
+    def flush() -> None:
+        if cur_labels is None:
+            return
+        body = b"".join(
+            pb_len(
+                1,
+                pb_len(1, k.encode("utf-8"))
+                + pb_len(2, v.encode("utf-8")),
+            )
+            for k, v in sorted(cur_labels.items())
+        ) + b"".join(pb_len(2, s) for s in cur_samples)
+        series.append(pb_len(1, body))
+
+    for labels, ts_ms, value in rows:
+        if labels != cur_labels:
+            flush()
+            cur_labels, cur_samples = dict(labels), []
+        cur_samples.append(pb_double(1, value) + pb_varint(2, ts_ms))
+    flush()
+    body = b"".join(series)
+    return snappy_compress(body) if compress else body
+
+
+def decode_write_requests(
+    payloads: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Distributed decode: a relation of remote-write payloads →
+    the samples relation (metric from `__name__`, full label map
+    without it, `label_user` flattened, ts µs). Arrow-batched
+    `mapInPandas` — one Python pass per payload, never per-row
+    Spark-side logic; a 100 TB payload corpus decodes with the scan's
+    parallelism."""
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf[payload_col]:
+                for labels, ts_ms, value in parse_write_request(
+                    bytes(raw)
+                ):
+                    lbls = dict(labels)
+                    metric = lbls.pop("__name__", "")
+                    rows.append(
+                        (
+                            metric,
+                            lbls,
+                            lbls.get("user"),
+                            ts_ms * 1_000,
+                            value,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "metric",
+                    "labels",
+                    "label_user",
+                    "ts_us",
+                    "value",
+                ],
+            )
+
+    return payloads.mapInPandas(kernel, DECODED_SCHEMA)
+
+
+def encode_write_requests(samples: DataFrame) -> DataFrame:
+    """Distributed encode: the samples relation → one WriteRequest
+    payload PER PARTITION (payload count = partition count; a
+    pre-`repartition(metric)` caller controls payload sizing). Rows
+    are series-sorted inside the kernel so each series becomes one
+    TimeSeries message."""
+    import pandas as pd
+
+    cols = samples.select(
+        "metric", "labels", F.expr("ts_us div 1000").alias("ts_ms"), "value"
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        rows = []
+        for pdf in batches:
+            for metric, labels, ts_ms, value in zip(
+                pdf["metric"], pdf["labels"], pdf["ts_ms"], pdf["value"]
+            ):
+                lbls = dict(labels)
+                lbls["__name__"] = metric
+                rows.append((lbls, int(ts_ms), float(value)))
+        if not rows:
+            yield pd.DataFrame({"payload": pd.Series([], dtype=object)})
+            return
+        rows.sort(key=lambda r: (sorted(r[0].items()), r[1]))
+        yield pd.DataFrame(
+            {"payload": [encode_write_request(rows)]}
+        )
+
+    return cols.mapInPandas(kernel, "payload binary")
+
+
+class RemoteWriteReceiver:
+    """POST `/api/v1/write` endpoint: the push half of the paired
+    server. Parsed rows accumulate in a driver-side store (payloads
+    are scrape-sized; the store is series×scrape-sized, the same
+    order as a live registry); `samples(spark)` renders the store as
+    the engine's samples relation, pluggable into MetricsExposer's
+    `samples_fn` so the full read API serves pushed data."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self.host, self.port = host, port
+        self._rows: list[tuple[dict, int, float]] = []
+        self._lock = threading.Lock()
+        self._httpd = None
+        self._thread = None
+
+    # -- ingest ----------------------------------------------------------
+    def receive(self, payload: bytes) -> int:
+        """Ingest one WriteRequest body; returns rows appended."""
+        rows = parse_write_request(payload)
+        with self._lock:
+            self._rows.extend(rows)
+        return len(rows)
+
+    def samples(self, spark: SparkSession) -> DataFrame:
+        """The pushed store as the §1.2 samples relation."""
+        with self._lock:
+            snapshot = list(self._rows)
+        data = []
+        for i, (labels, ts_ms, value) in enumerate(snapshot):
+            lbls = dict(labels)
+            metric = lbls.pop("__name__", "")
+            data.append(
+                (
+                    i,
+                    metric,
+                    lbls,
+                    lbls.get("user"),
+                    ts_ms * 1_000,
+                    float(value),
+                )
+            )
+        df = spark.createDataFrame(
+            data,
+            "event_id long, metric string, labels map<string,string>, "
+            "label_user string, ts_us long, value double",
+        )
+        return df.withColumn(
+            "series_id",
+            F.xxhash64("metric", F.to_json("labels")),
+        )
+
+    # -- HTTP ------------------------------------------------------------
+    def start(self) -> "RemoteWriteReceiver":
+        import http.server
+
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 - stdlib contract
+                if self.path != "/api/v1/write":
+                    self.send_error(404)
+                    return
+                n = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(n)
+                try:
+                    outer.receive(raw)
+                except Exception as exc:
+                    # corrupt snappy/proto: the public 400 contract
+                    body = str(exc).encode()
+                    self.send_response(400)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                self.send_response(204)  # the 1.0 spec's success code
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def log_message(self, *args):  # quiet
+                pass
+
+        self._httpd = http.server.ThreadingHTTPServer(
+            (self.host, self.port), Handler
+        )
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+
+def remote_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered parity query: the samples relation encoded into
+    remote-write payloads (one per partition, DISTRIBUTED) and decoded
+    back (DISTRIBUTED), then folded to per-series counter state —
+    proving the wire codecs and both mapInPandas kernels preserve
+    every (series, timestamp, value) triple. The oracle computes the
+    same fold straight off the events table (timestamps truncate to
+    ms on the wire, so the fold compares at ms)."""
+    from shards_prometheus_spark.model import samples
+
+    s = samples(spark, sf_dir).repartition(8, "metric", "label_user")
+    decoded = decode_write_requests(encode_write_requests(s))
+    return (
+        decoded.groupBy("metric", "label_user")
+        .agg(
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_samples"),
+            F.max(F.expr("ts_us div 1000")).alias("last_ts_ms"),
+        )
+        .orderBy("metric", "label_user")
+    )
+
+
+QUERIES = {"remote_write_roundtrip": remote_write_roundtrip}
+
+
+def _roundtrip_sql() -> str:
+    from shards_prometheus_spark.model import SAMPLES_CTE, dround
+
+    return (
+        f"{SAMPLES_CTE} "
+        "SELECT metric, label_user, "
+        + dround("SUM(value)", 4)
+        + " AS sum_value, COUNT(*) AS n_samples, "
+        "MAX(ts_us // 1000) AS last_ts_ms "
+        "FROM samples GROUP BY metric, label_user"
+    )
+
+
+ORACLES = {"remote_write_roundtrip": _roundtrip_sql()}

@@ -1,0 +1,175 @@
+"""Remote-write ingest (sources/remote_write.py) — the push half of
+the paired server: snappy-block + protobuf WriteRequest wire codecs,
+the distributed mapInPandas decode/encode kernels, and the HTTP
+receiver feeding the read API.
+"""
+
+from __future__ import annotations
+
+import math
+import urllib.error
+import urllib.request
+
+from tests.conftest import SF_SMOKE
+
+
+def test_wire_codecs_round_trip():
+    """Vendored codecs: snappy literal-encode → full decode round
+    trip (plus a hand-built stream exercising copy tags, overlap
+    included), and WriteRequest encode → parse preserving every
+    (labels, ts_ms, value) triple with UTF-8 label content."""
+    from shards_prometheus_spark.functions.miniformats import (
+        snappy_compress,
+        snappy_decompress,
+    )
+    from shards_prometheus_spark.sources.remote_write import (
+        encode_write_request,
+        parse_write_request,
+    )
+
+    for payload in (b"", b"x", b"a" * 59, b"a" * 60, b"ab" * 50_000):
+        assert snappy_decompress(snappy_compress(payload)) == payload
+    # copy tags: literal 'abc' then a 1-byte-offset overlapping copy
+    # (offset 3, length 9) → 'abcabcabcabc'
+    stream = bytes([12, (3 - 1) << 2]) + b"abc" + bytes([((9 - 4) << 2) | 1, 3])
+    assert snappy_decompress(stream) == b"abcabcabcabc"
+    # 2-byte-offset copy tag
+    stream = bytes([8, (4 - 1) << 2]) + b"wxyz" + bytes([((4 - 1) << 2) | 2, 4, 0])
+    assert snappy_decompress(stream) == b"wxyzwxyz"
+
+    rows = [
+        ({"__name__": "web.click", "user": "α7"}, 1_700_000_000_000, 1.5),
+        ({"__name__": "web.click", "user": "α7"}, 1_700_000_060_000, 2.0),
+        ({"__name__": "view", "user": "b"}, 1_700_000_000_000, -3.25),
+    ]
+    back = parse_write_request(encode_write_request(rows))
+    assert back == rows
+    # uncompressed form too
+    back = parse_write_request(
+        encode_write_request(rows, compress=False), compressed=False
+    )
+    assert back == rows
+
+
+def test_distributed_encode_decode(spark):
+    """The mapInPandas kernels: one payload per partition on the
+    encode side; the decode side recovers every sample with ms-
+    truncated timestamps and the label map split into metric +
+    labels."""
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.model import samples
+    from shards_prometheus_spark.sources.remote_write import (
+        decode_write_requests,
+        encode_write_requests,
+    )
+
+    s = samples(spark, SF_SMOKE).repartition(4, "metric")
+    payloads = encode_write_requests(s)
+    n_payloads = payloads.count()
+    assert 1 <= n_payloads <= 4
+    decoded = decode_write_requests(payloads)
+    want = (
+        s.select(
+            "metric",
+            "label_user",
+            F.expr("ts_us div 1000").alias("ts_ms"),
+            "value",
+        )
+        .groupBy("metric", "label_user")
+        .agg(
+            F.round(F.sum("value"), 4).alias("sv"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("ts_ms").alias("t"),
+        )
+    )
+    got = (
+        decoded.withColumn("ts_ms", F.expr("ts_us div 1000"))
+        .groupBy("metric", "label_user")
+        .agg(
+            F.round(F.sum("value"), 4).alias("sv"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("ts_ms").alias("t"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # labels survive: the user label round-trips into the map
+    row = decoded.filter(F.col("label_user").isNotNull()).first()
+    assert row["labels"]["user"] == row["label_user"]
+
+
+def test_http_receiver_serves_pushed_data_through_read_api(spark):
+    """End to end over real HTTP: POST snappy-proto WriteRequests to
+    /api/v1/write (204), then read the pushed state back through the
+    full query API of an exposer whose samples_fn is the receiver's
+    store; a corrupt payload answers 400 and poisons nothing."""
+    import json
+    from urllib.parse import quote
+
+    from shards_prometheus_spark.sources import MetricsExposer
+    from shards_prometheus_spark.sources.remote_write import (
+        RemoteWriteReceiver,
+        encode_write_request,
+    )
+
+    rx = RemoteWriteReceiver().start()
+    try:
+        url = f"http://{rx.host}:{rx.port}/api/v1/write"
+
+        def push(rows) -> int:
+            req = urllib.request.Request(
+                url, data=encode_write_request(rows), method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                return resp.status
+
+        t0 = 1_700_000_000_000
+        assert push(
+            [
+                ({"__name__": "push_total", "user": "1"}, t0, 5.0),
+                ({"__name__": "push_total", "user": "1"}, t0 + 60_000, 7.0),
+                ({"__name__": "push_total", "user": "2"}, t0, 11.0),
+            ]
+        ) == 204
+        assert push(
+            [({"__name__": "push_total", "user": "2"}, t0 + 60_000, 2.5)]
+        ) == 204
+        # corrupt payload → 400, store unchanged
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    url, data=b"\x99not-snappy", method="POST"
+                ),
+                timeout=60,
+            )
+            raise AssertionError("corrupt payload accepted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        df = rx.samples(spark)
+        assert df.count() == 4
+
+        exposer = MetricsExposer(
+            spark, SF_SMOKE, samples_fn=lambda: rx.samples(spark)
+        ).start()
+        try:
+            q = quote("sum by (user) (push_total)")
+            with urllib.request.urlopen(
+                f"http://{exposer.host}:{exposer.port}"
+                f"/api/v1/query?query={q}",
+                timeout=120,
+            ) as resp:
+                payload = json.loads(resp.read().decode())
+            got = {
+                r["metric"]["user"]: float(r["value"][1])
+                for r in payload["data"]["result"]
+            }
+            # instant vector = latest sample per series, summed by user
+            assert got == {"1": 7.0, "2": 2.5}
+        finally:
+            exposer.stop()
+    finally:
+        rx.stop()
+    assert not math.isnan(sum(got.values()))
