@@ -74,6 +74,11 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "scrape_snapshot",
             "exposition_lines",
             "openmetrics_parse",
+            # r11: the OM created-timestamp side relation and the
+            # remote-write wire round trip (distributed encode+decode
+            # through the vendored snappy/proto codecs)
+            "openmetrics_created",
+            "remote_write_roundtrip",
             "vector_binop",
         ],
     ),
