@@ -816,6 +816,7 @@ class MetricsExposer:
         max_samples: int | None = None,
         query_timeout_s: float | None = None,
         exemplars_fn=None,
+        remote_write: bool = False,
     ):
         """`lines_fn` (optional): zero-arg callable returning the line
         DataFrame — lets the exposer serve a LIVE source (a streaming
@@ -872,6 +873,30 @@ class MetricsExposer:
                 return True
 
             def do_POST(self):  # noqa: N802 - stdlib contract
+                parts = urlsplit(self.path)
+                if parts.path == "/api/v1/write":
+                    # the remote-write RECEIVER (upstream's
+                    # --web.enable-remote-write-receiver): raw
+                    # snappy+proto body, 204 on success, 400 on a
+                    # corrupt payload, 404 when the flag is off
+                    if not outer._remote_write:
+                        self.send_error(404)
+                        return
+                    n = int(self.headers.get("Content-Length") or 0)
+                    raw = self.rfile.read(n)
+                    try:
+                        outer.receive_remote_write(raw)
+                    except Exception as exc:
+                        msg = str(exc).encode()
+                        self.send_response(400)
+                        self.send_header("Content-Length", str(len(msg)))
+                        self.end_headers()
+                        self.wfile.write(msg)
+                        return
+                    self.send_response(204)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
                 # the public API accepts form-encoded POST bodies
                 # (Grafana's default for long query strings)
                 n = int(self.headers.get("Content-Length") or 0)
@@ -932,10 +957,48 @@ class MetricsExposer:
         self._rule_file = rule_file
         self._max_samples = max_samples
         self._query_timeout_s = query_timeout_s
+        self._remote_write = remote_write
+        self._rw_rows: list = []
+        self._rw_lock = threading.Lock()
         self._server = http.server.ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._server.server_address[:2]
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True
+        )
+
+    def receive_remote_write(self, payload: bytes) -> int:
+        """Ingest one remote-write WriteRequest body (the push half of
+        the pairing, on the SAME server as /metrics and the read API —
+        upstream's remote-write-receiver flag). Rows land in a
+        driver-side store unioned onto the served relation per
+        request; returns rows appended."""
+        from shards_prometheus_spark.sources.remote_write import (
+            parse_write_request,
+        )
+
+        rows = parse_write_request(payload)
+        with self._rw_lock:
+            self._rw_rows.extend(rows)
+        return len(rows)
+
+    def _rw_samples(self):
+        """The pushed store as a samples relation (None when empty)."""
+        with self._rw_lock:
+            snapshot = list(self._rw_rows)
+        if not snapshot:
+            return None
+        data = []
+        for i, (labels, ts_ms, value) in enumerate(snapshot):
+            lbls = dict(labels)
+            metric = lbls.pop("__name__", "")
+            data.append((i, metric, lbls, ts_ms * 1_000, float(value)))
+        df = self._spark.createDataFrame(
+            data,
+            "event_id long, metric string, labels map<string,string>, "
+            "ts_us long, value double",
+        )
+        return df.withColumn(
+            "series_id", F.xxhash64("metric", F.to_json("labels"))
         )
 
     def handle_api(self, path: str, params: dict) -> tuple:
@@ -950,6 +1013,19 @@ class MetricsExposer:
         )
 
         def make_evaluator(eval_ts_us):
+            pushed = self._rw_samples() if self._remote_write else None
+            if pushed is not None:
+                # pushed state changes t_max between requests — build
+                # over the union, live-registry style
+                base = (
+                    self._samples_fn()
+                    if self._samples_fn is not None
+                    else samples_multi(self._spark, self._sf_dir)
+                )
+                rel = base.unionByName(
+                    pushed, allowMissingColumns=True
+                )
+                return PromQLEvaluator(rel, eval_ts_us=eval_ts_us)
             if self._samples_fn is not None:
                 # live registry: the relation (and its t_max) grows
                 # between requests — rebuild per request

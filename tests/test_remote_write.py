@@ -173,3 +173,71 @@ def test_http_receiver_serves_pushed_data_through_read_api(spark):
     finally:
         rx.stop()
     assert not math.isnan(sum(got.values()))
+
+
+def test_exposer_integrated_remote_write_receiver(spark):
+    """The SAME exposer that serves /metrics and the read API accepts
+    remote-write pushes on /api/v1/write when remote_write=True
+    (upstream's receiver flag): pushed series answer PromQL queries
+    unioned with the batch store; with the flag off the endpoint is
+    404, as upstream."""
+    import json
+    from urllib.parse import quote
+
+    from shards_prometheus_spark.sources import MetricsExposer
+    from shards_prometheus_spark.sources.remote_write import (
+        encode_write_request,
+    )
+
+    exposer = MetricsExposer(spark, SF_SMOKE, remote_write=True).start()
+    try:
+        url = f"http://{exposer.host}:{exposer.port}/api/v1/write"
+        t0 = 1_700_000_000_000
+        payload = encode_write_request(
+            [
+                ({"__name__": "pushed_total", "user": "9"}, t0, 4.0),
+                ({"__name__": "pushed_total", "user": "9"}, t0 + 1, 6.0),
+            ]
+        )
+        req = urllib.request.Request(url, data=payload, method="POST")
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 204
+        q = quote('sum by (user) (pushed_total @ %d)' % (t0 // 1000 + 1))
+        with urllib.request.urlopen(
+            f"http://{exposer.host}:{exposer.port}/api/v1/query?query={q}"
+            f"&time={t0 // 1000 + 1}",
+            timeout=120,
+        ) as resp:
+            payload = json.loads(resp.read().decode())
+        got = {
+            r["metric"]["user"]: float(r["value"][1])
+            for r in payload["data"]["result"]
+        }
+        assert got == {"9": 6.0}
+        # the batch store still answers through the same union (a
+        # range window; instant selectors at t_max are staleness-
+        # bounded regardless of the push)
+        q = quote("sum by (user) (increase(click[720h]))")
+        with urllib.request.urlopen(
+            f"http://{exposer.host}:{exposer.port}/api/v1/query?query={q}",
+            timeout=120,
+        ) as resp:
+            payload = json.loads(resp.read().decode())
+        assert len(payload["data"]["result"]) > 0
+    finally:
+        exposer.stop()
+
+    off = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        req = urllib.request.Request(
+            f"http://{off.host}:{off.port}/api/v1/write",
+            data=b"x",
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError("receiver accepted with the flag off")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        off.stop()
