@@ -158,6 +158,13 @@ WARMUP_SF_DIR = "/root/testdata/sf0.001"
 #: Probe drift above this ratio (vs the run's FASTEST probe) marks the
 #: family as load-contaminated in `env_flagged`.
 PROBE_DRIFT_RATIO = 1.25
+#: the Spark job-floor probe jitters more than the busy loops (it IS
+#: a scheduler round trip — a quiet run spans ~0.08-0.19 s), so it
+#: references the run's MEDIAN floor (robust to a few contaminated
+#: families; the busy-loop probes use min) and flags at 2.5x — sized
+#: against the ~2x+ floors of the r11 degraded windows without
+#: false-flagging the quiet band
+FLOOR_DRIFT_RATIO = 2.5
 
 
 def _loadavg() -> list[float] | None:
@@ -182,6 +189,47 @@ def _calibration_probe() -> float:
     for i in range(3_000_000):
         x += i * i
     assert x >= 0
+    return time.perf_counter() - t0
+
+
+def _busy(_i: int) -> int:
+    x = 0
+    for i in range(3_000_000):
+        x += i * i
+    return x
+
+
+def _spark_floor_probe(spark) -> float:
+    """A fixed TINY Spark job (32-partition shuffle over 100k longs),
+    wall-timed — the per-JOB floor probe. The r11 probes showed the
+    failure mode the CPU probes cannot see: intermittent host windows
+    where busy loops (serial AND multi-process) run full speed but
+    every Spark job's scheduling floor roughly doubles, inflating a
+    65-query pass from ~52 s to ~80 s. Fixed Spark work measures
+    exactly that; at sf0.1 the pass is job-floor-dominated, so this
+    probe moves with the thing that actually skews the timings."""
+    t0 = time.perf_counter()
+    (
+        spark.range(100_000)
+        .selectExpr("id % 53 AS k")
+        .groupBy("k")
+        .count()
+        .count()
+    )
+    return time.perf_counter() - t0
+
+
+def _parallel_probe(pool) -> float:
+    """The MULTI-core twin of `_calibration_probe`: the same fixed
+    busy loop fanned across a persistent process pool (16 workers),
+    wall-timed. The r11 probes exposed a blind spot: two bench runs
+    came back ~50% slow with PERFECT serial probes — hypervisor-level
+    multicore steal throttled 32-thread Spark stages while a lone
+    busy loop still got a full core. Fixed parallel work moves with
+    exactly that; a family is contamination-flagged if EITHER probe
+    drifts."""
+    t0 = time.perf_counter()
+    list(pool.map(_busy, range(16)))
     return time.perf_counter() - t0
 
 
@@ -221,13 +269,32 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
     load_start = _loadavg()
-    probes: dict[str, float] = {"start": round(_calibration_probe(), 4)}
+    from concurrent.futures import ProcessPoolExecutor
 
-    def run_family(names: list[str]) -> tuple[float, dict[str, float]]:
-        """One timed pass over a family: (calibration probe, medians).
-        The probe is timed FIRST so a load spike is attributable to
-        the family it actually contaminated."""
+    pool = ProcessPoolExecutor(max_workers=16)
+    _parallel_probe(pool)  # warm the worker pool (fork/spawn cost)
+    _spark_floor_probe(spark)  # warm the probe's own codegen
+    probes: dict[str, float] = {"start": round(_calibration_probe(), 4)}
+    mp_probes: dict[str, float] = {
+        "start": round(_parallel_probe(pool), 4)
+    }
+    floor_probes: dict[str, float] = {
+        "start": round(_spark_floor_probe(spark), 4)
+    }
+
+    def run_family(
+        names: list[str],
+    ) -> tuple[float, float, float, dict[str, float]]:
+        """One timed pass over a family: (serial probe, parallel
+        probe, Spark job-floor probe, medians). The probes are timed
+        FIRST so a load spike is attributable to the family it
+        actually contaminated."""
         probe = round(_calibration_probe(), 4)
+        mp_probe = round(_parallel_probe(pool), 4)
+        floor = round(
+            statistics.median(_spark_floor_probe(spark) for _ in range(3)),
+            4,
+        )
         out: dict[str, float] = {}
         for name in names:
             fn = queries.get(name)
@@ -260,36 +327,64 @@ def main() -> None:
         # Release memoized corpus-sized relations so the next family
         # starts from the same memory state regardless of ordering.
         clear_caches(spark)
-        return probe, out
+        return probe, mp_probe, floor, out
 
     timings: dict[str, float] = {}
     for family, names in FAMILIES:
-        probes[family], fam_times = run_family(names)
+        (
+            probes[family],
+            mp_probes[family],
+            floor_probes[family],
+            fam_times,
+        ) = run_family(names)
         timings.update(fam_times)
 
+    def _dirty(fam: str, ref: float, mp_ref: float, fl_ref: float) -> bool:
+        return (
+            probes[fam] > PROBE_DRIFT_RATIO * ref
+            or mp_probes[fam] > PROBE_DRIFT_RATIO * mp_ref
+            or floor_probes[fam] > FLOOR_DRIFT_RATIO * fl_ref
+        )
+
     # Contamination retry (the calibration machinery's closing move):
-    # a family whose probe drifted past the flag threshold ran under
-    # external CPU load — re-run JUST that family (up to twice) and
-    # keep the attempt with the cleanest probe, so a transient spike
-    # doesn't become the round's artifact. A family that stays
-    # contaminated across three attempts flags honestly below.
+    # a family whose serial OR parallel probe drifted past the flag
+    # threshold ran under external load — re-run JUST that family (up
+    # to twice) and keep the attempt with the cleanest probes, so a
+    # transient spike doesn't become the round's artifact. A family
+    # that stays contaminated across three attempts flags honestly
+    # below.
     retries: dict[str, int] = {}
     ref = min(probes.values())
+    mp_ref = min(mp_probes.values())
+    fl_ref = statistics.median(floor_probes.values())
     for family, names in FAMILIES:
         for _attempt in range(2):
-            if probes[family] <= PROBE_DRIFT_RATIO * ref:
+            if not _dirty(family, ref, mp_ref, fl_ref):
                 break
             retries[family] = retries.get(family, 0) + 1
-            probe, fam_times = run_family(names)
-            if probe < probes[family]:
+            probe, mp_probe, floor, fam_times = run_family(names)
+            if floor + probe + mp_probe < (
+                floor_probes[family] + probes[family] + mp_probes[family]
+            ):
                 probes[family] = probe
+                mp_probes[family] = mp_probe
+                floor_probes[family] = floor
                 timings.update(fam_times)
             ref = min(ref, probe)
+            mp_ref = min(mp_ref, mp_probe)
+            fl_ref = min(fl_ref, statistics.median(floor_probes.values()))
 
+    pool.shutdown(wait=False)
     total = round(sum(timings.values()), 4)
     ref = min(probes.values())
+    mp_ref = min(mp_probes.values())
+    fl_ref = statistics.median(floor_probes.values())
     env_flagged = sorted(
-        k for k, v in probes.items() if v > PROBE_DRIFT_RATIO * ref
+        k
+        for k in probes
+        if probes[k] > PROBE_DRIFT_RATIO * ref
+        or mp_probes.get(k, 0.0) > PROBE_DRIFT_RATIO * mp_ref
+        or floor_probes.get(k, 0.0) > FLOOR_DRIFT_RATIO * fl_ref
     )
     print(
         json.dumps(
@@ -311,6 +406,25 @@ def main() -> None:
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),
                 "calibration_probes": probes,
+                # the multicore twin: same fixed work across a
+                # 16-worker process pool, wall-timed — catches
+                # hypervisor steal that throttles parallel Spark
+                # stages while a lone busy loop still runs full speed
+                "parallel_probes": mp_probes,
+                # the per-JOB floor probe (median of 3 tiny fixed
+                # Spark shuffles): catches the host windows where CPU
+                # probes stay clean but every Spark job's scheduling
+                # floor doubles — the r11 failure mode
+                "spark_floor_probes": floor_probes,
+                # the CROSS-RUN comparator: on this box a quiet run's
+                # floor median is ~0.10 s and totals scale roughly
+                # linearly with it during host-degraded windows that
+                # no per-family reference can see (uniform inflation);
+                # adjudicate two runs of identical code by their
+                # floor medians before reading the totals
+                "floor_median": round(
+                    statistics.median(floor_probes.values()), 4
+                ),
                 "env_flagged": env_flagged,
                 # families re-run after a contamination flag (cleanest
                 # attempt kept); a family still in env_flagged stayed
