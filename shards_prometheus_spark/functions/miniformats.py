@@ -171,6 +171,8 @@ def wav_decode(data: bytes) -> tuple["np.ndarray", int]:
 
 
 def _uvarint_encode(n: int) -> bytes:
+    if n < 0:
+        raise ValueError(f"uvarint cannot encode negative {n}")
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -180,6 +182,21 @@ def _uvarint_encode(n: int) -> bytes:
         else:
             out.append(b)
             return bytes(out)
+
+
+def _int64_to_u(n: int) -> int:
+    """Protobuf int64 → wire varint value: negative values encode as
+    the 64-bit two's complement (the 10-byte form), per the spec —
+    Python's arithmetic right shift would otherwise never terminate
+    on a pre-1970 (negative-ms) timestamp."""
+    if not -(1 << 63) <= n < (1 << 63):
+        raise ValueError(f"int64 out of range: {n}")
+    return n & ((1 << 64) - 1)
+
+
+def _u_to_int64(n: int) -> int:
+    """Wire varint value → protobuf int64 (two's complement)."""
+    return n - (1 << 64) if n >= (1 << 63) else n
 
 
 def _uvarint_decode(data: bytes, pos: int) -> tuple[int, int]:
@@ -295,7 +312,9 @@ def pb_len(field: int, body: bytes) -> bytes:
 
 
 def pb_varint(field: int, n: int) -> bytes:
-    return _uvarint_encode(field << 3) + _uvarint_encode(n)
+    """Varint field; `n` is a protobuf int64 (negatives take the
+    two's-complement 10-byte form)."""
+    return _uvarint_encode(field << 3) + _uvarint_encode(_int64_to_u(n))
 
 
 def pb_double(field: int, v: float) -> bytes:

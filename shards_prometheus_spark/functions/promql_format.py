@@ -94,7 +94,15 @@ def _fmt_dur(us: int) -> str:
 
 
 def _num(x: float) -> str:
-    """Number literal: integer form when exact, shortest repr else."""
+    """Number literal: integer form when exact, shortest repr else;
+    non-finite values keep PromQL's spellings (Inf parses back
+    through the same number path)."""
+    import math
+
+    if math.isnan(x):
+        return "NaN"
+    if math.isinf(x):
+        return "Inf" if x > 0 else "-Inf"
     if x == int(x) and abs(x) < 1e15:
         return str(int(x))
     return repr(x)
@@ -195,8 +203,11 @@ def format_expr(node) -> str:
             s += f"[{_fmt_dur(node.range_us)}]"
         return s + _modifiers(node)
     if isinstance(node, Subquery):
+        # _operand: a binary inner must keep its parentheses —
+        # `(a + b)[1h:5m]` re-parsed without them would attach the
+        # subquery to the right operand only
         return (
-            f"{format_expr(node.expr)}"
+            f"{_operand(node.expr)}"
             f"[{_fmt_dur(node.range_us)}:{_fmt_dur(node.step_us)}]"
             + _modifiers(node)
         )

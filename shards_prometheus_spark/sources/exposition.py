@@ -405,21 +405,20 @@ def classify_lines(lines: DataFrame) -> DataFrame:
     Pure regexp expressions (JVM-side, codegen), zero shuffles — which
     also makes it STREAMING-safe: the scrape-loop source maps each
     micro-batch of raw lines through this with no stateful operator.
-    Comments (`# HELP`/`# TYPE`/`# EOF`) are dropped, and so are
-    OpenMetrics `_created` child samples (creation timestamps are
-    METADATA, parsed by the dedicated `openmetrics_created` side
-    relation — letting them through would mint phantom gauge series);
-    exemplar suffixes must be stripped by the caller. Output:
-    (metric, kind, stat, label_user, le, value) plus any NON-`line`
-    input columns carried through (the scrape loop threads
-    target/scrape stamps). Batch callers wanting header validation
-    use `_parse_payload` (this + the `# TYPE` join)."""
+    Comments (`# HELP`/`# TYPE`/`# EOF`) are dropped; exemplar
+    suffixes must be stripped by the caller. OpenMetrics `_created`
+    child samples pass THROUGH this per-row classifier (as gauges of
+    their suffixed name) — discrimination is the header join's job:
+    `_parse_payload` drops a `metric_created` row exactly when no
+    `# TYPE metric_created …` header claims it as a real family, so a
+    legitimately-named `tickets_created` gauge survives while
+    `click_created` metadata does not (the `openmetrics_created` side
+    relation parses the metadata form). Output: (metric, kind, stat,
+    label_user, le, value) plus any NON-`line` input columns carried
+    through (the scrape loop threads target/scrape stamps)."""
     extra = [c for c in lines.columns if c != "line"]
     raw = F.regexp_extract("line", _NAME_RE, 1)
-    parsed = lines.filter(
-        ~F.col("line").startswith("#")
-        & ~F.regexp_extract("line", _NAME_RE, 1).endswith("_created")
-    ).select(
+    parsed = lines.filter(~F.col("line").startswith("#")).select(
         *extra,
         raw.alias("raw"),
         F.regexp_extract("line", r'\{(\w+)="', 1).alias("lkey"),
@@ -958,8 +957,15 @@ class MetricsExposer:
         self._max_samples = max_samples
         self._query_timeout_s = query_timeout_s
         self._remote_write = remote_write
-        self._rw_rows: list = []
-        self._rw_lock = threading.Lock()
+        # the push store is THE receiver implementation (one
+        # ingest/render code path, not a re-implementation that can
+        # drift), just without its own HTTP server — this exposer's
+        # handler is the wire
+        from shards_prometheus_spark.sources.remote_write import (
+            RemoteWriteReceiver,
+        )
+
+        self._rw = RemoteWriteReceiver()
         self._server = http.server.ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._server.server_address[:2]
         self._thread = threading.Thread(
@@ -969,37 +975,15 @@ class MetricsExposer:
     def receive_remote_write(self, payload: bytes) -> int:
         """Ingest one remote-write WriteRequest body (the push half of
         the pairing, on the SAME server as /metrics and the read API —
-        upstream's remote-write-receiver flag). Rows land in a
-        driver-side store unioned onto the served relation per
-        request; returns rows appended."""
-        from shards_prometheus_spark.sources.remote_write import (
-            parse_write_request,
-        )
-
-        rows = parse_write_request(payload)
-        with self._rw_lock:
-            self._rw_rows.extend(rows)
-        return len(rows)
+        upstream's remote-write-receiver flag). Delegates to the
+        shared RemoteWriteReceiver store; returns rows appended."""
+        return self._rw.receive(payload)
 
     def _rw_samples(self):
         """The pushed store as a samples relation (None when empty)."""
-        with self._rw_lock:
-            snapshot = list(self._rw_rows)
-        if not snapshot:
+        if self._rw.n_rows == 0:
             return None
-        data = []
-        for i, (labels, ts_ms, value) in enumerate(snapshot):
-            lbls = dict(labels)
-            metric = lbls.pop("__name__", "")
-            data.append((i, metric, lbls, ts_ms * 1_000, float(value)))
-        df = self._spark.createDataFrame(
-            data,
-            "event_id long, metric string, labels map<string,string>, "
-            "ts_us long, value double",
-        )
-        return df.withColumn(
-            "series_id", F.xxhash64("metric", F.to_json("labels"))
-        )
+        return self._rw.samples(self._spark)
 
     def handle_api(self, path: str, params: dict) -> tuple:
         """Answer one read-API request (query_api.handle_api_request)

@@ -904,15 +904,22 @@ def targets_metadata_data(
 
         for lbl, op, val in node.matchers:
             got = tgt_labels.get(lbl, "")
-            hit = (
-                got == val
-                if op == "="
-                else got != val
-                if op == "!="
-                else bool(_re.fullmatch(val, got))
-                if op == "=~"
-                else not _re.fullmatch(val, got)
-            )
+            try:
+                hit = (
+                    got == val
+                    if op == "="
+                    else got != val
+                    if op == "!="
+                    else bool(_re.fullmatch(val, got))
+                    if op == "=~"
+                    else not _re.fullmatch(val, got)
+                )
+            except _re.error as exc:
+                # re.error is not a ValueError — unwrapped it would
+                # answer 422/execution where upstream says bad_data
+                raise ValueError(
+                    f"invalid regex in match_target: {exc}"
+                ) from None
             if not hit:
                 return []
     want_metric = params_get("metric")
@@ -1123,10 +1130,12 @@ def handle_api_request(
             step_us = parse_duration_param(p("step"))
             if end_us <= start_us:
                 return bad("end timestamp must be after start")
-            # grid point count is (end-start)//step + 1 (the start
-            # instant itself is a point) — upstream's arithmetic, so
-            # exactly 11,001 points rejects and 11,000 is accepted
-            if (end_us - start_us) // step_us + 1 > MAX_RANGE_POINTS:
+            # upstream's LITERAL check is `end.Sub(start)/step > 11000`
+            # on the quotient — since the point count is quotient + 1,
+            # the guard's message says "11,000 points" but the
+            # arithmetic admits 11,001; matched exactly, quirk and all
+            # (an earlier +1 "fix" here rejected 11,001 and diverged)
+            if (end_us - start_us) // step_us > MAX_RANGE_POINTS:
                 return bad(
                     "exceeded maximum resolution of 11,000 points"
                 )

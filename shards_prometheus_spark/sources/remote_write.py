@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from shards_prometheus_spark.functions.miniformats import (
+    _u_to_int64,
     pb_double,
     pb_fields,
     pb_len,
@@ -80,7 +81,9 @@ def parse_write_request(
                     if f3 == 1:
                         val = v3
                     elif f3 == 2:
-                        ts_ms = v3
+                        # int64: a pre-1970 sender encodes negative
+                        # ms as the 10-byte two's-complement varint
+                        ts_ms = _u_to_int64(v3)
                 samples.append((ts_ms, val))
         for ts_ms, val in samples:
             out.append((labels, ts_ms, val))
@@ -217,6 +220,11 @@ class RemoteWriteReceiver:
         with self._lock:
             self._rows.extend(rows)
         return len(rows)
+
+    @property
+    def n_rows(self) -> int:
+        with self._lock:
+            return len(self._rows)
 
     def samples(self, spark: SparkSession) -> DataFrame:
         """The pushed store as the §1.2 samples relation."""

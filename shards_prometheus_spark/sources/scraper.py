@@ -96,20 +96,29 @@ class _ScrapeStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self._urls = _targets(options)
         self._timeout_s = float(options.get("timeout_s", 30.0))
-        # optional self-limit: after max_ticks the offset stops
-        # advancing and the query idles (tests; bounded rehearsals)
+        # optional self-limit: after max_ticks scrapes by THIS reader
+        # instance the offset stops advancing and the query idles
+        # (tests; bounded rehearsals)
         self._max_ticks = int(options.get("max_ticks", 0))
         self._tick = 0
+        self._served = 0
 
     def initialOffset(self) -> dict:
         return {"tick": 0}
 
     def latestOffset(self) -> dict:
-        if not self._max_ticks or self._tick < self._max_ticks:
+        if not self._max_ticks or self._served < self._max_ticks:
             self._tick += 1
+            self._served += 1
         return {"tick": self._tick}
 
     def partitions(self, start: dict, end: dict):
+        # a restarted query resumes from its CHECKPOINTED offset while
+        # this (fresh) reader's counter restarts at 0 — fast-forward
+        # to the checkpoint so the next latestOffset advances past it
+        # instead of emitting empty catch-up batches for `start` ticks
+        # (the first post-restart batch may still be empty once)
+        self._tick = max(self._tick, start["tick"])
         # a batch spanning several ticks (restart/slow consumer)
         # still scrapes ONCE, at the latest tick — upstream skips
         # missed scrapes rather than replaying them
@@ -203,7 +212,9 @@ def scrape_once(
     )
 
 
-def scraped_samples(lines: DataFrame) -> DataFrame:
+def scraped_samples(
+    lines: DataFrame, drop_created: bool = True
+) -> DataFrame:
     """Scraped raw lines → the live-registry samples relation:
     (metric, kind, stat, label_user, le, value, ts_us, target,
     scrape_idx), stamped at SCRAPE time.
@@ -214,12 +225,22 @@ def scraped_samples(lines: DataFrame) -> DataFrame:
     scrape are CUMULATIVE (the exposition format serves running
     totals), so the registry twin of `counter_sum` is the LAST
     scrape's total per series, and of `gauge_last` the last scrape's
-    gauge reading — see `registry_from_scrapes`."""
+    gauge reading — see `registry_from_scrapes`.
+
+    `drop_created` (default on): `*_created`-suffixed names are
+    treated as OpenMetrics creation-timestamp METADATA and filtered
+    (the streaming path cannot do the batch parser's header-join
+    discrimination — that would be a stream-stream self-join); a
+    fleet whose registries legitimately name a gauge family
+    `*_created` passes False."""
     from shards_prometheus_spark.sources.exposition import classify_lines
 
-    return classify_lines(lines).withColumnRenamed(
+    out = classify_lines(lines).withColumnRenamed(
         "scrape_ts_us", "ts_us"
     )
+    if drop_created:
+        out = out.filter(~F.col("metric").endswith("_created"))
+    return out
 
 
 def registry_from_scrapes(scraped: DataFrame) -> DataFrame:

@@ -1781,19 +1781,20 @@ def test_api_query_exemplars_respects_max_samples_guard(spark):
 
 
 def test_api_query_range_point_guard_boundary(spark):
-    """The 11k-point guard counts grid points as (end-start)//step + 1
-    (the start instant is itself a point, upstream's arithmetic):
-    exactly 11,000 points is accepted, 11,001 rejects with the public
+    """The 11k-point guard is upstream's LITERAL quotient check
+    (`(end-start)/step > 11000`): since points = quotient + 1, the
+    message says "11,000 points" but exactly 11,001 points is
+    accepted — matched quirk and all; 11,002 rejects with the public
     'maximum resolution' bad_data envelope."""
     exposer = MetricsExposer(spark, SF_SMOKE).start()
     try:
         # scalar-literal query: the guard fires before evaluation, and
         # the accept leg's grid is arithmetic (span/step-sized)
         base = "/api/v1/query_range?query=42&start=0&step=1"
-        status, payload = _api_get(exposer, f"{base}&end=10999")
-        assert status == 200, payload
-        assert len(payload["data"]["result"][0]["values"]) == 11_000
         status, payload = _api_get(exposer, f"{base}&end=11000")
+        assert status == 200, payload
+        assert len(payload["data"]["result"][0]["values"]) == 11_001
+        status, payload = _api_get(exposer, f"{base}&end=11001")
         assert status == 400
         assert payload["errorType"] == "bad_data"
         assert "maximum resolution" in payload["error"]
@@ -2090,5 +2091,55 @@ def test_api_targets_metadata_and_alertmanagers(spark):
             "activeAlertmanagers": [],
             "droppedAlertmanagers": [],
         }
+    finally:
+        exposer.stop()
+
+
+def test_parse_keeps_legit_created_named_family(spark):
+    """A REAL family whose name happens to end in `_created` (e.g. a
+    gauge counting created tickets) must survive the parse — the
+    header join discriminates OM creation-timestamp metadata (no
+    TYPE header of its own) from legitimately-named families (which
+    have one)."""
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.sources.exposition import (
+        _parse_payload,
+    )
+
+    lines = spark.createDataFrame(
+        [
+            ("# TYPE tickets_created gauge",),
+            ('tickets_created{user="7"} 5.0000',),
+            ("# TYPE click counter",),
+            ('click_total{user="1"} 3.0000',),
+            # OM metadata: no `# TYPE click_created` header exists
+            ('click_created{user="1"} 1700000000.0000',),
+            ("# EOF",),
+        ],
+        "line string",
+    )
+    got = {
+        (r["metric"], r["kind"], r["value"])
+        for r in _parse_payload(lines).collect()
+    }
+    assert got == {
+        ("tickets_created", "gauge", 5.0),
+        ("click", "counter", 3.0),
+    }
+
+
+def test_api_targets_metadata_bad_regex_is_bad_data(spark):
+    """An invalid regex in match_target answers 400 bad_data (re.error
+    is not a ValueError — unguarded it leaked as 422/execution)."""
+    from urllib.parse import quote
+
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        mt = quote('{job=~"["}')
+        status, payload = _api_get(
+            exposer, f"/api/v1/targets/metadata?match_target={mt}"
+        )
+        assert status == 400 and payload["errorType"] == "bad_data"
     finally:
         exposer.stop()

@@ -2142,3 +2142,25 @@ def test_utf8_quoted_name_evaluates(spark):
         .collect()
     }
     assert got == want != set()
+
+
+def test_format_subquery_over_binop_and_nonfinite_numbers():
+    """format_expr parenthesizes a binary subquery inner (unguarded,
+    `(a+b)[1h:5m]` would re-parse as a + b[1h:5m]) and spells
+    non-finite numbers in PromQL's own tokens instead of crashing."""
+    from shards_prometheus_spark.functions.promql_format import (
+        format_expr,
+        format_query,
+    )
+    from shards_prometheus_spark.functions.promql_parser import parse
+
+    for e in (
+        "max_over_time((sum by (user) (rate(click[1h])) "
+        "+ vector(1))[24h:1h])",
+        'histogram_fraction(0, Inf, increase(view_bucket[720h]))',
+    ):
+        ast = parse(e)
+        assert parse(format_expr(ast)) == ast, e
+    assert "Inf" in format_query(
+        "histogram_fraction(0, Inf, view_bucket)"
+    )

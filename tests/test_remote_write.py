@@ -241,3 +241,40 @@ def test_exposer_integrated_remote_write_receiver(spark):
             assert e.code == 404
     finally:
         off.stop()
+
+
+def test_wire_codec_negative_timestamp_int64():
+    """Protobuf int64 semantics: a pre-1970 (negative-ms) timestamp
+    encodes as the 10-byte two's-complement varint and decodes back —
+    the naive arithmetic-shift encoding would hang forever."""
+    from shards_prometheus_spark.sources.remote_write import (
+        encode_write_request,
+        parse_write_request,
+    )
+
+    rows = [({"__name__": "m", "user": "a"}, -62_135_596_800_000, 1.0)]
+    assert parse_write_request(encode_write_request(rows)) == rows
+
+
+def test_scrape_reader_restart_fast_forwards_to_checkpoint():
+    """A restarted scrape stream resumes from its CHECKPOINTED offset
+    while the fresh reader's counter restarts at 0: the planner must
+    fast-forward past the checkpoint instead of emitting empty
+    catch-up batches (or stalling forever under max_ticks)."""
+    from shards_prometheus_spark.sources.scraper import (
+        _ScrapeStreamReader,
+    )
+
+    r = _ScrapeStreamReader({"url": "http://x/metrics", "max_ticks": "3"})
+    # fresh reader, checkpoint at tick 100 (a prior incarnation's)
+    end = r.latestOffset()
+    assert end == {"tick": 1}
+    assert r.partitions({"tick": 100}, end) == []  # one empty batch
+    # the next planned tick must jump PAST the checkpoint
+    end = r.latestOffset()
+    assert end["tick"] == 101
+    parts = r.partitions({"tick": 100}, end)
+    assert len(parts) == 1 and parts[0].tick == 101
+    # max_ticks bounds scrapes by THIS instance, not the global index
+    assert r.latestOffset()["tick"] == 102
+    assert r.latestOffset()["tick"] == 102  # 3 served -> idle
