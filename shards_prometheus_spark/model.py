@@ -59,6 +59,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def series_id_expr(metric, labels) -> F.Column:
+    """THE canonical series identity: xxhash64 over the metric name and
+    the canonical sorted label rendering (labelset.label_str).
+
+    Every producer of a samples relation — the batch views below, the
+    streaming ingest projection, recording-rule write-back, and the
+    remote-write receiver — derives series_id through this one
+    expression, so a pushed/streamed/recorded series with the same
+    (metric, labels) as a base series hashes to the SAME id and
+    window folds (Window.partitionBy('series_id')) see one logical
+    series, not two. Pure Catalyst (map_entries/array_sort/transform
+    + xxhash64): codegen, no shuffle."""
+    from shards_prometheus_spark.functions.labelset import label_str
+
+    metric_col = F.col(metric) if isinstance(metric, str) else metric
+    labels_col = F.col(labels) if isinstance(labels, str) else labels
+    return F.xxhash64(metric_col, label_str(labels_col))
+
+
 def _ts_us(df: DataFrame, col: str = "ts") -> F.Column:
     """Normalize the events timestamp column to int64 microseconds.
 
@@ -90,11 +109,12 @@ def samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     label_user = F.col("user_id").cast("string")
+    labels = F.create_map(F.lit("user"), label_user)
     return ev.select(
         F.col("event_id"),
-        F.xxhash64(F.col("event_type"), label_user).alias("series_id"),
+        series_id_expr(F.col("event_type"), labels).alias("series_id"),
         F.col("event_type").alias("metric"),
-        F.create_map(F.lit("user"), label_user).alias("labels"),
+        labels.alias("labels"),
         label_user.alias("label_user"),
         _ts_us(ev).alias("ts_us"),
         F.col("value"),
@@ -145,15 +165,14 @@ def samples_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     label_user = F.col("user_id").cast("string")
     k = F.get_json_object("props", "$.k").cast("long")
     shard = (k % 10).cast("string")
+    labels = F.create_map(
+        F.lit("user"), label_user, F.lit("shard"), shard
+    )
     return ev.filter(k.isNotNull()).select(
         F.col("event_id"),
-        F.xxhash64(F.col("event_type"), label_user, shard).alias(
-            "series_id"
-        ),
+        series_id_expr(F.col("event_type"), labels).alias("series_id"),
         F.col("event_type").alias("metric"),
-        F.create_map(
-            F.lit("user"), label_user, F.lit("shard"), shard
-        ).alias("labels"),
+        labels.alias("labels"),
         _ts_us(ev).alias("ts_us"),
         F.col("value"),
     )

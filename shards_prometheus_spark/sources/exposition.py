@@ -877,24 +877,17 @@ class MetricsExposer:
                     # the remote-write RECEIVER (upstream's
                     # --web.enable-remote-write-receiver): raw
                     # snappy+proto body, 204 on success, 400 on a
-                    # corrupt payload, 404 when the flag is off
+                    # corrupt payload, 413 over the body cap, 500 on
+                    # internal failure, 404 when the flag is off
+                    # (shared body: remote_write.handle_write_post)
                     if not outer._remote_write:
                         self.send_error(404)
                         return
-                    n = int(self.headers.get("Content-Length") or 0)
-                    raw = self.rfile.read(n)
-                    try:
-                        outer.receive_remote_write(raw)
-                    except Exception as exc:
-                        msg = str(exc).encode()
-                        self.send_response(400)
-                        self.send_header("Content-Length", str(len(msg)))
-                        self.end_headers()
-                        self.wfile.write(msg)
-                        return
-                    self.send_response(204)
-                    self.send_header("Content-Length", "0")
-                    self.end_headers()
+                    from shards_prometheus_spark.sources.remote_write import (  # noqa: E501
+                        handle_write_post,
+                    )
+
+                    handle_write_post(self, outer.receive_remote_write)
                     return
                 # the public API accepts form-encoded POST bodies
                 # (Grafana's default for long query strings)

@@ -53,6 +53,46 @@ DECODED_SCHEMA = (
     "ts_us long, value double"
 )
 
+#: Largest POST body either /api/v1/write handler will buffer —
+#: payloads are scrape-sized by contract; anything larger is a
+#: misconfigured (or adversarial) sender, answered 413 instead of
+#: exhausting driver memory.
+MAX_WRITE_BODY_BYTES = 64 << 20
+
+
+def handle_write_post(handler, receive) -> None:
+    """Shared POST `/api/v1/write` body for both HTTP frontends (the
+    standalone receiver and MetricsExposer): size-cap → 413; decode
+    failure (the codecs raise ValueError on corrupt snappy/protobuf)
+    → the public 400 contract; any OTHER exception is an internal
+    failure → 500, never misreported as a client error; success →
+    204 (the 1.0 spec's code)."""
+
+    def _respond(code: int, body: bytes = b"") -> None:
+        handler.send_response(code)
+        handler.send_header("Content-Length", str(len(body)))
+        handler.end_headers()
+        if body:
+            handler.wfile.write(body)
+
+    n = int(handler.headers.get("Content-Length") or 0)
+    if n > MAX_WRITE_BODY_BYTES:
+        _respond(
+            413,
+            f"body of {n} bytes exceeds the "
+            f"{MAX_WRITE_BODY_BYTES}-byte write limit".encode(),
+        )
+        return
+    raw = handler.rfile.read(n)
+    try:
+        receive(raw)
+    except ValueError as exc:
+        _respond(400, str(exc).encode())
+    except Exception as exc:  # noqa: BLE001 - the 5xx contract
+        _respond(500, str(exc).encode())
+    else:
+        _respond(204)
+
 
 def parse_write_request(
     payload: bytes, compressed: bool = True
@@ -174,8 +214,16 @@ def encode_write_requests(samples: DataFrame) -> DataFrame:
     TimeSeries message."""
     import pandas as pd
 
+    # FLOOR µs→ms (not `div`, which truncates toward zero): a pre-1970
+    # negative timestamp must round the same way the decoder's
+    # ms→µs*1000 expects, or the round trip shifts it by 1 ms.
+    # (ts_us - pmod(ts_us, 1000)) is exactly divisible, so the long
+    # `div` IS the floor — no double-precision detour.
     cols = samples.select(
-        "metric", "labels", F.expr("ts_us div 1000").alias("ts_ms"), "value"
+        "metric",
+        "labels",
+        F.expr("(ts_us - pmod(ts_us, 1000)) div 1000").alias("ts_ms"),
+        "value",
     )
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -227,7 +275,19 @@ class RemoteWriteReceiver:
             return len(self._rows)
 
     def samples(self, spark: SparkSession) -> DataFrame:
-        """The pushed store as the §1.2 samples relation."""
+        """The pushed store as the §1.2 samples relation.
+
+        series_id comes from model.series_id_expr — the SAME canonical
+        hash every base relation uses — so a push targeting an
+        existing (metric, labels) series lands in the same window
+        partition as the base rows instead of splitting one logical
+        series in two. event_id is namespaced NEGATIVE (-1, -2, …):
+        the base corpus's event_ids are non-negative, so the
+        (ts_us, event_id) LAG tiebreak in increase/rate folds stays
+        deterministic across the union (pushed rows order before base
+        rows at an equal timestamp)."""
+        from shards_prometheus_spark.model import series_id_expr
+
         with self._lock:
             snapshot = list(self._rows)
         data = []
@@ -236,7 +296,7 @@ class RemoteWriteReceiver:
             metric = lbls.pop("__name__", "")
             data.append(
                 (
-                    i,
+                    -(i + 1),
                     metric,
                     lbls,
                     lbls.get("user"),
@@ -250,8 +310,7 @@ class RemoteWriteReceiver:
             "label_user string, ts_us long, value double",
         )
         return df.withColumn(
-            "series_id",
-            F.xxhash64("metric", F.to_json("labels")),
+            "series_id", series_id_expr("metric", "labels")
         )
 
     # -- HTTP ------------------------------------------------------------
@@ -265,21 +324,7 @@ class RemoteWriteReceiver:
                 if self.path != "/api/v1/write":
                     self.send_error(404)
                     return
-                n = int(self.headers.get("Content-Length") or 0)
-                raw = self.rfile.read(n)
-                try:
-                    outer.receive(raw)
-                except Exception as exc:
-                    # corrupt snappy/proto: the public 400 contract
-                    body = str(exc).encode()
-                    self.send_response(400)
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
-                    return
-                self.send_response(204)  # the 1.0 spec's success code
-                self.send_header("Content-Length", "0")
-                self.end_headers()
+                handle_write_post(self, outer.receive)
 
             def log_message(self, *args):  # quiet
                 pass

@@ -85,21 +85,20 @@ def samples_multi_stream(events: DataFrame) -> DataFrame:
     production) and point the evaluator at the sink table. Streaming
     ingest + batch PromQL reads over one relation is exactly the
     Prometheus server split (scrape loop writes, query engine reads)."""
-    from shards_prometheus_spark.model import _ts_us
+    from shards_prometheus_spark.model import _ts_us, series_id_expr
 
     label_user = F.col("user_id").cast("string")
     k = F.get_json_object("props", "$.k").cast("long")
     shard = (k % 10).cast("string")
     ts_us = _ts_us(events)
+    labels = F.create_map(
+        F.lit("user"), label_user, F.lit("shard"), shard
+    )
     return events.filter(k.isNotNull()).select(
         F.col("event_id"),
-        F.xxhash64(F.col("event_type"), label_user, shard).alias(
-            "series_id"
-        ),
+        series_id_expr(F.col("event_type"), labels).alias("series_id"),
         F.col("event_type").alias("metric"),
-        F.create_map(
-            F.lit("user"), label_user, F.lit("shard"), shard
-        ).alias("labels"),
+        labels.alias("labels"),
         ts_us.alias("ts_us"),
         F.col("value"),
     )

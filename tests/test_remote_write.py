@@ -278,3 +278,149 @@ def test_scrape_reader_restart_fast_forwards_to_checkpoint():
     # max_ticks bounds scrapes by THIS instance, not the global index
     assert r.latestOffset()["tick"] == 102
     assert r.latestOffset()["tick"] == 102  # 3 served -> idle
+
+
+def test_pushed_series_id_unifies_with_base_relation(spark):
+    """ADVICE r11 (medium): a push targeting an EXISTING base series
+    must hash to the base relation's series_id — both sides now derive
+    it through model.series_id_expr — so per-series window folds
+    (rate/increase LAG over series_id) see one logical series across
+    the union, not two. Pushed event_ids live in the reserved
+    negative namespace so the (ts_us, event_id) LAG tiebreak stays
+    deterministic against non-negative base ids."""
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.model import samples
+    from shards_prometheus_spark.sources.remote_write import (
+        RemoteWriteReceiver,
+        encode_write_request,
+    )
+
+    base = samples(spark, SF_SMOKE)
+    row = base.orderBy("metric", "label_user").first()
+
+    rx = RemoteWriteReceiver()
+    rx.receive(
+        encode_write_request(
+            [
+                (
+                    {"__name__": row["metric"], "user": row["label_user"]},
+                    row["ts_us"] // 1000 + 60_000,
+                    1.0,
+                )
+            ]
+        )
+    )
+    pushed = rx.samples(spark)
+    assert pushed.count() == 1
+    p = pushed.first()
+    assert p["series_id"] == row["series_id"]
+    assert p["event_id"] < 0  # reserved namespace, below all base ids
+
+    # the union folds to ONE series for that (metric, label) pair
+    un = base.unionByName(pushed, allowMissingColumns=True)
+    n_ids = (
+        un.filter(
+            (F.col("metric") == row["metric"])
+            & (F.col("label_user") == row["label_user"])
+        )
+        .select("series_id")
+        .distinct()
+        .count()
+    )
+    assert n_ids == 1
+
+
+def test_encode_floor_ms_negative_timestamps(spark):
+    """µs→ms on the encode side FLOORS (not truncates-toward-zero):
+    a pre-1970 ts_us lands on the ms grid the same way a positive one
+    does, symmetric with the decoder's ms*1000."""
+    from shards_prometheus_spark.sources.remote_write import (
+        decode_write_requests,
+        encode_write_requests,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("m", {"user": "a"}, -1_500, 1.0),  # -1.5 ms → floor -2 ms
+            ("m", {"user": "a"}, 1_500, 2.0),  # 1.5 ms → floor 1 ms
+            ("m", {"user": "a"}, -2_000, 3.0),  # exact grid stays
+        ],
+        "metric string, labels map<string,string>, ts_us long, value double",
+    ).coalesce(1)
+    got = {
+        r["value"]: r["ts_us"]
+        for r in decode_write_requests(encode_write_requests(df)).collect()
+    }
+    assert got == {1.0: -2_000, 2.0: 1_000, 3.0: -2_000}
+
+
+class _FakeWriteHandler:
+    """Duck-typed BaseHTTPRequestHandler for handle_write_post."""
+
+    def __init__(self, body: bytes, claimed_len: int | None = None):
+        import io
+
+        self.headers = {
+            "Content-Length": str(
+                len(body) if claimed_len is None else claimed_len
+            )
+        }
+        self.rfile = io.BytesIO(body)
+        self.wfile = io.BytesIO()
+        self.status = None
+
+    def send_response(self, code):
+        self.status = code
+
+    def send_header(self, *a):
+        pass
+
+    def end_headers(self):
+        pass
+
+
+def test_write_post_contract_413_400_500():
+    """ADVICE r11 (low): the shared /api/v1/write body caps the
+    buffered size (413 above MAX_WRITE_BODY_BYTES, nothing read),
+    keeps 400 for codec ValueErrors, and reports internal failures as
+    500 instead of blaming the client."""
+    from shards_prometheus_spark.sources.remote_write import (
+        MAX_WRITE_BODY_BYTES,
+        encode_write_request,
+        handle_write_post,
+    )
+
+    calls = []
+
+    def ok(raw):
+        calls.append(raw)
+
+    # over-cap: rejected by the CLAIMED length, body never ingested
+    h = _FakeWriteHandler(b"tiny", claimed_len=MAX_WRITE_BODY_BYTES + 1)
+    handle_write_post(h, ok)
+    assert h.status == 413 and calls == []
+
+    # corrupt payload → ValueError from the codecs → 400
+    h = _FakeWriteHandler(b"\x99not-snappy")
+    def decode(raw):
+        from shards_prometheus_spark.sources.remote_write import (
+            parse_write_request,
+        )
+        parse_write_request(raw)
+    handle_write_post(h, decode)
+    assert h.status == 400
+
+    # internal failure → 500, not 400
+    def boom(raw):
+        raise RuntimeError("executor lost")
+    h = _FakeWriteHandler(
+        encode_write_request([({"__name__": "m"}, 0, 1.0)])
+    )
+    handle_write_post(h, boom)
+    assert h.status == 500
+
+    # success → 204
+    h = _FakeWriteHandler(b"anything")
+    handle_write_post(h, ok)
+    assert h.status == 204 and calls == [b"anything"]
