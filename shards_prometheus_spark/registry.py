@@ -28,6 +28,7 @@ from shards_prometheus_spark.operators import (
     pipeline,
     quality,
     range_functions,
+    relabel,
     rules,
     rollup,
     selectors,
@@ -53,6 +54,7 @@ _MODULES = [
     olap,
     pipeline,
     quality,
+    relabel,
     rules,
     promql_functions,
     promql_parser,
@@ -94,7 +96,11 @@ _PRIORITY = [
     "vector_binop_labels",
     "counter_increase",
     "counter_rate",
-    "agg_by_label",
+    # r12 admits scrape-time relabeling (the full action set compiled
+    # to column expressions) by demoting agg_by_label (driver-green
+    # r1–r11; its by-label collapse stays driver-exercised inside
+    # agg_by_labels and the judge-pass parity sweep).
+    "relabel_chain",
     "topk",
     "histogram_quantile_bucketed",
     "range_agg_tumbling",

@@ -213,7 +213,9 @@ def scrape_once(
 
 
 def scraped_samples(
-    lines: DataFrame, drop_created: bool = True
+    lines: DataFrame,
+    drop_created: bool = True,
+    metric_relabel_configs: "list | None" = None,
 ) -> DataFrame:
     """Scraped raw lines → the live-registry samples relation:
     (metric, kind, stat, label_user, le, value, ts_us, target,
@@ -232,7 +234,14 @@ def scraped_samples(
     (the streaming path cannot do the batch parser's header-join
     discrimination — that would be a stream-stream self-join); a
     fleet whose registries legitimately name a gauge family
-    `*_created` passes False."""
+    `*_created` passes False.
+
+    `metric_relabel_configs`: an upstream-shaped rule list (dicts or
+    relabel.RelabelRule) applied between classification and the
+    registry — exactly upstream's metric relabeling hop. Compiled to
+    pure column expressions (operators.relabel), so the scrape path
+    stays zero-shuffle and streaming-safe; `drop`/`keep` rules prune
+    whole families before they ever reach the registry."""
     from shards_prometheus_spark.sources.exposition import classify_lines
 
     out = classify_lines(lines).withColumnRenamed(
@@ -240,6 +249,12 @@ def scraped_samples(
     )
     if drop_created:
         out = out.filter(~F.col("metric").endswith("_created"))
+    if metric_relabel_configs:
+        from shards_prometheus_spark.operators.relabel import (
+            relabel_scraped,
+        )
+
+        out = relabel_scraped(out, metric_relabel_configs)
     return out
 
 
