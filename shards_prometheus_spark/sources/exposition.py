@@ -816,6 +816,7 @@ class MetricsExposer:
         query_timeout_s: float | None = None,
         exemplars_fn=None,
         remote_write: bool = False,
+        scrape_config: str | None = None,
     ):
         """`lines_fn` (optional): zero-arg callable returning the line
         DataFrame — lets the exposer serve a LIVE source (a streaming
@@ -950,6 +951,7 @@ class MetricsExposer:
         self._max_samples = max_samples
         self._query_timeout_s = query_timeout_s
         self._remote_write = remote_write
+        self._scrape_config = scrape_config
         # the push store is THE receiver implementation (one
         # ingest/render code path, not a re-implementation that can
         # drift), just without its own HTTP server — this exposer's
@@ -1050,6 +1052,7 @@ class MetricsExposer:
                 "instance": f"{self.host}:{self.port}",
                 "start_time": getattr(self, "_start_time", None),
             },
+            config_yaml=self._scrape_config,
         )
 
     def collect_text(self) -> str:

@@ -948,12 +948,19 @@ ALERTMANAGERS = {"activeAlertmanagers": [], "droppedAlertmanagers": []}
 
 
 def status_config_data(
-    target_info: dict | None, rule_file: str | None
+    target_info: dict | None,
+    rule_file: str | None,
+    config_yaml: str | None = None,
 ) -> dict:
     """`/api/v1/status/config`: the loaded configuration as one YAML
-    string (`{"yaml": …}`, the public shape). The engine has no config
-    file — the equivalent of its runtime state is a one-target scrape
-    config plus the user's rule file, rendered as literal YAML."""
+    string (`{"yaml": …}`, the public shape). When the server was
+    given an actual prometheus.yml (`config_yaml`, the verbatim text
+    a ScrapeConfig was loaded from), that file is echoed exactly —
+    upstream serves the file it loaded, not a re-rendering. Without
+    one, the equivalent of the engine's runtime state is synthesized:
+    a one-target scrape config plus the user's rule file."""
+    if config_yaml is not None:
+        return {"yaml": config_yaml}
     info = target_info or {}
     instance = info.get("instance", "localhost:0")
     lines = [
@@ -1000,6 +1007,7 @@ def handle_api_request(
     spark=None,
     exemplars_fn=None,
     target_info: dict | None = None,
+    config_yaml: str | None = None,
 ) -> tuple:
     """Dispatch one read-API request → (http_status, payload dict).
 
@@ -1214,7 +1222,7 @@ def handle_api_request(
         elif path == "/api/v1/alertmanagers":
             data = ALERTMANAGERS
         elif path == "/api/v1/status/config":
-            data = status_config_data(target_info, rule_file)
+            data = status_config_data(target_info, rule_file, config_yaml)
         elif path == "/api/v1/status/flags":
             data = status_flags_data(max_samples, timeout_s)
         elif path == "/api/v1/status/tsdb":

@@ -1,0 +1,265 @@
+"""`prometheus.yml` scrape_configs — the deployment file drives the loop.
+
+`operators.rules.load_rule_groups` parses the rule-file half of a real
+deployment's config; this module parses the OTHER half — the
+`scrape_configs:` list (job_name, static_configs, scrape_interval,
+metrics_path, scheme, relabel_configs, metric_relabel_configs) plus
+the `global:` defaults — and turns each job into the engine's scrape
+loop inputs, so a switching user's existing prometheus.yml drives
+`sources.scraper.scrape_stream` unchanged. The reference side of the
+pairing is its exposer's fixed 127.0.0.1:9090 default
+(prometheus.cpp:47): upstream's config file is exactly the document
+that tells a server to scrape such an exposer.
+
+Upstream semantics implemented:
+
+- **Target resolution**: each static target starts from the label set
+  {__address__, job, __metrics_path__, __scheme__} plus the
+  static_config's own `labels:`; `relabel_configs` (the TARGET hop,
+  not the metric hop) rewrites/keeps/drops that set; after the chain,
+  `instance` defaults to `__address__`, the scrape URL is rebuilt
+  from the possibly-rewritten __scheme__/__address__/__metrics_path__,
+  and `__`-internal labels are stripped. The chain is the SAME
+  compiled relabel implementation the metric hop uses
+  (operators.relabel.apply_relabel) run over a config-sized local
+  relation — one semantics, two hops; the collect is target-list
+  sized by construction.
+- **job/instance injection with honor_labels=false** (the default):
+  target labels win a conflict and the scraped label is renamed
+  `exported_<name>`; `honor_labels: true` flips the precedence. Both
+  compile to map higher-order expressions keyed by the row's target
+  URL through a config-sized literal map — no join, no shuffle.
+- **metric_relabel_configs**: applied by scraped_samples between
+  classification and the registry (operators.relabel.relabel_scraped).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: upstream's global default when neither global: nor the job sets one
+_DEF_INTERVAL = "1m"
+_DEF_METRICS_PATH = "/metrics"
+_DEF_SCHEME = "http"
+
+
+@dataclass
+class ResolvedTarget:
+    """One post-relabeling scrape target: final URL + the label set
+    injected into every sample scraped from it."""
+
+    url: str
+    labels: dict
+
+
+@dataclass
+class ScrapeJob:
+    """One normalized scrape_configs entry."""
+
+    job_name: str
+    interval_us: int
+    metrics_path: str = _DEF_METRICS_PATH
+    scheme: str = _DEF_SCHEME
+    honor_labels: bool = False
+    static_targets: list = field(default_factory=list)  # (addr, labels)
+    relabel_configs: list = field(default_factory=list)
+    metric_relabel_configs: list = field(default_factory=list)
+
+
+@dataclass
+class ScrapeConfig:
+    """The parsed deployment file: global defaults + jobs + the
+    VERBATIM yaml text (served on /api/v1/status/config, which echoes
+    the loaded file, not a re-rendering)."""
+
+    global_interval_us: int
+    jobs: list
+    yaml_text: str
+    rule_files: list = field(default_factory=list)
+    alertmanager_urls: list = field(default_factory=list)
+
+
+def load_scrape_configs(text: str) -> ScrapeConfig:
+    """Parse a prometheus.yml document (the public shape)."""
+    import yaml
+
+    from shards_prometheus_spark.functions.promql_parser import _dur_us
+
+    doc = yaml.safe_load(text) or {}
+    g = doc.get("global") or {}
+    g_interval = _dur_us(str(g.get("scrape_interval", _DEF_INTERVAL)))
+    jobs = []
+    for sc in doc.get("scrape_configs") or []:
+        statics = []
+        for st in sc.get("static_configs") or []:
+            lbls = {str(k): str(v) for k, v in (st.get("labels") or {}).items()}
+            for addr in st.get("targets") or []:
+                statics.append((str(addr), lbls))
+        jobs.append(
+            ScrapeJob(
+                job_name=str(sc["job_name"]),
+                interval_us=_dur_us(str(sc["scrape_interval"]))
+                if sc.get("scrape_interval")
+                else g_interval,
+                metrics_path=str(sc.get("metrics_path", _DEF_METRICS_PATH)),
+                scheme=str(sc.get("scheme", _DEF_SCHEME)),
+                honor_labels=bool(sc.get("honor_labels", False)),
+                static_targets=statics,
+                relabel_configs=list(sc.get("relabel_configs") or []),
+                metric_relabel_configs=list(
+                    sc.get("metric_relabel_configs") or []
+                ),
+            )
+        )
+    # alerting: alertmanagers: [static_configs: [targets: [...]]]
+    am_urls = []
+    for am in (doc.get("alerting") or {}).get("alertmanagers") or []:
+        scheme = str(am.get("scheme", _DEF_SCHEME))
+        path = str(am.get("path_prefix", "")).rstrip("/")
+        for st in am.get("static_configs") or []:
+            for addr in st.get("targets") or []:
+                am_urls.append(f"{scheme}://{addr}{path}")
+    return ScrapeConfig(
+        global_interval_us=g_interval,
+        jobs=jobs,
+        yaml_text=text,
+        rule_files=[str(p) for p in doc.get("rule_files") or []],
+        alertmanager_urls=am_urls,
+    )
+
+
+def resolve_targets(spark: SparkSession, job: ScrapeJob) -> list[ResolvedTarget]:
+    """The TARGET relabeling hop: static targets → final scrape URLs +
+    per-target label sets, through the same compiled relabel chain the
+    metric hop uses (one semantics definition). Runs on a local
+    config-sized relation; the collect IS the config."""
+    from shards_prometheus_spark.operators.relabel import apply_relabel
+
+    if not job.static_targets:
+        return []
+    rows = []
+    for addr, extra in job.static_targets:
+        labels = {
+            "__address__": addr,
+            "job": job.job_name,
+            "__metrics_path__": job.metrics_path,
+            "__scheme__": job.scheme,
+        }
+        labels.update(extra)
+        rows.append(("", labels))
+    df = spark.createDataFrame(
+        rows, "metric string, labels map<string,string>"
+    )
+    out = []
+    for r in apply_relabel(df, job.relabel_configs).collect():
+        labels = dict(r["labels"])
+        addr = labels.get("__address__", "")
+        scheme = labels.get("__scheme__", job.scheme)
+        path = labels.get("__metrics_path__", job.metrics_path)
+        if not addr:
+            continue  # relabeled away its address: not scrapeable
+        labels.setdefault("instance", addr)
+        public = {
+            k: v for k, v in labels.items() if not k.startswith("__")
+        }
+        out.append(ResolvedTarget(url=f"{scheme}://{addr}{path}", labels=public))
+    return out
+
+
+def attach_target_labels(
+    scraped: DataFrame,
+    targets: list[ResolvedTarget],
+    honor_labels: bool = False,
+) -> DataFrame:
+    """job/instance (and every other resolved target label) injection
+    onto scraped rows, keyed by the row's `target` URL through a
+    literal config-sized map — zero joins, zero shuffles, streaming-
+    safe.
+
+    honor_labels=false (upstream default): a target label beats a
+    scraped label of the same name, and the scraped one survives as
+    `exported_<name>`. honor_labels=true: scraped labels win and the
+    conflicting target labels are discarded."""
+    if not targets:
+        return scraped
+    entries = []
+    for t in targets:
+        entries.append(F.lit(t.url))
+        entries.append(
+            F.create_map(
+                *[F.lit(x) for kv in sorted(t.labels.items()) for x in kv]
+            )
+        )
+    tmap = F.element_at(F.create_map(*entries), F.col("target"))
+    sample = (
+        F.col("labels")
+        if "labels" in scraped.columns
+        else F.map_filter(
+            F.create_map(
+                F.lit("user"), F.col("label_user"), F.lit("le"), F.col("le")
+            ),
+            lambda _k, v: v.isNotNull(),
+        )
+    )
+    tkeys = F.map_keys(tmap)
+    if honor_labels:
+        merged = F.map_concat(
+            F.map_filter(
+                tmap, lambda k, _v: ~F.array_contains(F.map_keys(sample), k)
+            ),
+            sample,
+        )
+    else:
+        conflicts = F.map_filter(
+            sample, lambda k, _v: F.array_contains(tkeys, k)
+        )
+        merged = F.map_concat(
+            F.map_filter(
+                sample, lambda k, _v: ~F.array_contains(tkeys, k)
+            ),
+            F.transform_keys(
+                conflicts, lambda k, _v: F.concat(F.lit("exported_"), k)
+            ),
+            tmap,
+        )
+    out = scraped.withColumn("labels", merged)
+    # refresh the flattened pair from the merged map (a target label
+    # named user/le would now win under honor_labels=false)
+    return out.withColumns(
+        {
+            "label_user": F.element_at("labels", F.lit("user")),
+            "le": F.element_at("labels", F.lit("le")),
+        }
+    )
+
+
+def scrape_job_stream(
+    spark: SparkSession,
+    job: ScrapeJob,
+    targets: "list[ResolvedTarget] | None" = None,
+    max_ticks: int = 0,
+) -> DataFrame:
+    """One job's scrape loop, config-driven end-to-end: resolved
+    targets → the streaming scrape source → classification →
+    metric_relabel_configs → job/instance injection. The caller picks
+    the trigger (`processingTime=f"{job.interval_us/1e6} seconds"` is
+    upstream's cadence)."""
+    from shards_prometheus_spark.sources.scraper import (
+        scrape_stream,
+        scraped_samples,
+    )
+
+    if targets is None:
+        targets = resolve_targets(spark, job)
+    if not targets:
+        raise ValueError(f"job {job.job_name!r} resolved zero targets")
+    lines = scrape_stream(
+        spark, [t.url for t in targets], max_ticks=max_ticks
+    )
+    scraped = scraped_samples(
+        lines, metric_relabel_configs=job.metric_relabel_configs or None
+    )
+    return attach_target_labels(scraped, targets, job.honor_labels)

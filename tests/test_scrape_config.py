@@ -1,0 +1,251 @@
+"""prometheus.yml scrape_configs driving the scrape loop
+(sources/scrape_config.py) — the r11 VERDICT's #2 ask: a switching
+user's existing deployment file resolves targets (relabel hop
+included), injects job/instance labels per upstream, and is echoed
+verbatim on /api/v1/status/config.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+from tests.conftest import SF_SMOKE
+
+
+def test_load_scrape_configs_shapes():
+    from shards_prometheus_spark.sources.scrape_config import (
+        load_scrape_configs,
+    )
+
+    yml = """
+global:
+  scrape_interval: 30s
+rule_files:
+  - alerts.yml
+scrape_configs:
+  - job_name: web
+    static_configs:
+      - targets: ['a:1', 'b:2']
+        labels: {env: prod}
+  - job_name: api
+    scrape_interval: 5s
+    metrics_path: /m
+    scheme: https
+    honor_labels: true
+    static_configs:
+      - targets: ['c:3']
+alerting:
+  alertmanagers:
+    - static_configs:
+        - targets: ['am:9093']
+"""
+    cfg = load_scrape_configs(yml)
+    assert cfg.yaml_text == yml
+    assert cfg.global_interval_us == 30_000_000
+    assert cfg.rule_files == ["alerts.yml"]
+    assert cfg.alertmanager_urls == ["http://am:9093"]
+    web, api = cfg.jobs
+    assert web.job_name == "web" and web.interval_us == 30_000_000
+    assert web.static_targets == [
+        ("a:1", {"env": "prod"}),
+        ("b:2", {"env": "prod"}),
+    ]
+    assert api.interval_us == 5_000_000
+    assert (api.metrics_path, api.scheme, api.honor_labels) == (
+        "/m",
+        "https",
+        True,
+    )
+
+
+def test_resolve_targets_relabel_hop(spark):
+    """The TARGET relabeling hop: keep/drop filters the target list,
+    replace rewrites __address__ (the scrape URL follows), instance
+    defaults to the final __address__, `__`-internals are stripped."""
+    from shards_prometheus_spark.sources.scrape_config import (
+        ScrapeJob,
+        resolve_targets,
+    )
+
+    job = ScrapeJob(
+        job_name="web",
+        interval_us=15_000_000,
+        static_targets=[
+            ("keep-me:9100", {"dc": "eu"}),
+            ("drop-me:9100", {"dc": "us"}),
+        ],
+        relabel_configs=[
+            {"action": "keep", "source_labels": ["dc"], "regex": "eu"},
+            {
+                "action": "replace",
+                "source_labels": ["__address__"],
+                "regex": r"([a-z-]+):(\d+)",
+                "target_label": "__address__",
+                "replacement": "$1.internal:$2",
+            },
+            {
+                "action": "replace",
+                "source_labels": ["dc"],
+                "regex": "(.*)",
+                "target_label": "zone",
+                "replacement": "zone-$1",
+            },
+        ],
+    )
+    (t,) = resolve_targets(spark, job)
+    assert t.url == "http://keep-me.internal:9100/metrics"
+    assert t.labels == {
+        "job": "web",
+        "instance": "keep-me.internal:9100",
+        "dc": "eu",
+        "zone": "zone-eu",
+    }
+
+
+def test_two_job_config_end_to_end(spark):
+    """The Done-bar: a two-job config drives real scrape loops — every
+    scraped row carries its job's `job`/`instance` labels (upstream
+    injection, honor_labels=false: target labels win), the second
+    job's metric_relabel_configs drop a family, and an exposer given
+    the config serves it VERBATIM on /api/v1/status/config."""
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.sources import MetricsExposer
+    from shards_prometheus_spark.sources.scrape_config import (
+        load_scrape_configs,
+        resolve_targets,
+        scrape_job_stream,
+    )
+
+    a = MetricsExposer(spark, SF_SMOKE).start()
+    b = MetricsExposer(spark, SF_SMOKE).start()
+    queries = []
+    try:
+        yml = f"""
+global:
+  scrape_interval: 15s
+scrape_configs:
+  - job_name: web
+    static_configs:
+      - targets: ['{a.host}:{a.port}']
+        labels: {{env: prod}}
+  - job_name: api
+    scrape_interval: 5s
+    static_configs:
+      - targets: ['{b.host}:{b.port}']
+    metric_relabel_configs:
+      - action: drop
+        source_labels: [__name__]
+        regex: error
+"""
+        cfg = load_scrape_configs(yml)
+        for i, job in enumerate(cfg.jobs):
+            df = scrape_job_stream(spark, job, max_ticks=1)
+            queries.append(
+                df.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(f"cfg_scrape_{i}")
+                .trigger(processingTime="1 second")
+                .start()
+            )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if all(
+                spark.table(f"cfg_scrape_{i}").count() > 0
+                for i in range(len(cfg.jobs))
+            ):
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError("config-driven loops produced no rows")
+        for q in queries:
+            q.stop()
+        queries = []
+
+        web = spark.table("cfg_scrape_0")
+        api = spark.table("cfg_scrape_1")
+
+        def label_set(df, key):
+            return {
+                r["v"]
+                for r in df.select(
+                    F.element_at("labels", F.lit(key)).alias("v")
+                )
+                .distinct()
+                .collect()
+            }
+
+        # upstream job/instance injection, per job
+        assert label_set(web, "job") == {"web"}
+        assert label_set(web, "instance") == {f"{a.host}:{a.port}"}
+        assert label_set(web, "env") == {"prod"}
+        assert label_set(api, "job") == {"api"}
+        assert label_set(api, "instance") == {f"{b.host}:{b.port}"}
+        # the api job's metric_relabel_configs dropped the family;
+        # the web job (no rules) still has it
+        api_metrics = {
+            r["metric"] for r in api.select("metric").distinct().collect()
+        }
+        web_metrics = {
+            r["metric"] for r in web.select("metric").distinct().collect()
+        }
+        assert "error" not in api_metrics and api_metrics
+        assert "error" in web_metrics
+
+        # the config endpoint echoes the loaded YAML verbatim
+        ex = MetricsExposer(spark, SF_SMOKE, scrape_config=yml).start()
+        try:
+            with urllib.request.urlopen(
+                f"http://{ex.host}:{ex.port}/api/v1/status/config",
+                timeout=60,
+            ) as resp:
+                payload = json.loads(resp.read().decode())
+            assert payload["status"] == "success"
+            assert payload["data"]["yaml"] == yml
+        finally:
+            ex.stop()
+
+        # resolve_targets on the loaded jobs gives back the exposers
+        assert [
+            t.url for t in resolve_targets(spark, cfg.jobs[0])
+        ] == [f"http://{a.host}:{a.port}/metrics"]
+    finally:
+        for q in queries:
+            q.stop()
+        a.stop()
+        b.stop()
+
+
+def test_honor_labels_conflict_semantics(spark):
+    """honor_labels=false renames a conflicting scraped label to
+    exported_<name> and the target label wins; honor_labels=true keeps
+    the scraped label."""
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.sources.scrape_config import (
+        ResolvedTarget,
+        attach_target_labels,
+    )
+
+    scraped = spark.createDataFrame(
+        [("m", {"user": "42", "job": "inner"}, "http://t/metrics")],
+        "metric string, labels map<string,string>, target string",
+    )
+    t = ResolvedTarget(
+        url="http://t/metrics", labels={"job": "web", "instance": "t"}
+    )
+    (r,) = attach_target_labels(scraped, [t], honor_labels=False).collect()
+    assert dict(r["labels"]) == {
+        "user": "42",
+        "exported_job": "inner",
+        "job": "web",
+        "instance": "t",
+    }
+    (r,) = attach_target_labels(scraped, [t], honor_labels=True).collect()
+    assert dict(r["labels"]) == {
+        "user": "42",
+        "job": "inner",
+        "instance": "t",
+    }
