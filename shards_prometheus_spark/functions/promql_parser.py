@@ -1241,12 +1241,31 @@ class PromQLEvaluator:
         return cls(samples, eval_ts_us=t_max)
 
     # -- selectors -------------------------------------------------------
-    def _matched(self, sel: Selector) -> DataFrame:
+    def _matched(self, sel: Selector, keep_stale: bool = False) -> DataFrame:
         # Matcher semantics (missing label == "", anchored regexes)
         # live in functions.labelset, shared with MetricsRegistry.
-        return apply_matchers(
+        # Staleness markers (a `stale` boolean column, synthesized by
+        # the scrape loop's tick-over-tick diff) are EXCLUDED from
+        # every selection by default — upstream never returns StaleNaN
+        # in a range vector — except for the instant paths, which need
+        # the marker rows to cut the lookback (keep_stale=True, then a
+        # post-pick filter drops series whose newest sample is stale).
+        df = apply_matchers(
             self.samples.filter(F.col("metric") == sel.metric),
             sel.matchers,
+        )
+        if not keep_stale and "stale" in df.columns:
+            df = df.filter(~F.coalesce(F.col("stale"), F.lit(False)))
+        return df
+
+    @staticmethod
+    def _drop_stale_picks(picked: DataFrame) -> DataFrame:
+        """After a newest-row-per-series pick: omit series whose pick
+        is a stale marker (upstream's instant-selector StaleNaN cut)."""
+        if "stale" not in picked.columns:
+            return picked
+        return picked.filter(
+            ~F.coalesce(F.col("stale"), F.lit(False))
         )
 
     @staticmethod
@@ -1266,17 +1285,17 @@ class PromQLEvaluator:
         if sel.metric.endswith(_BUCKET_SUFFIX):
             return self._bucket_instant(sel)
         end = self._end(sel)
-        df = self._matched(sel).filter(
+        df = self._matched(sel, keep_stale=True).filter(
             (F.col("ts_us") <= end) & (F.col("ts_us") > end - LOOKBACK_US)
         )
         w = Window.partitionBy("series_id").orderBy(
             F.desc("ts_us"), F.desc("event_id")
         )
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("labels", F.col("value").cast("double").alias("value"))
-        )
+        return self._drop_stale_picks(
+            df.withColumn("rn", F.row_number().over(w)).filter(
+                F.col("rn") == 1
+            )
+        ).select("labels", F.col("value").cast("double").alias("value"))
 
     # -- synthetic histogram bucket series -------------------------------
     def _bounds_df(self) -> DataFrame:
@@ -2390,19 +2409,19 @@ class PromQLEvaluator:
         if sel.range_us is not None:
             raise PromQLSyntaxError("timestamp() needs an instant vector")
         end = self._end(sel)
-        df = self._matched(sel).filter(
+        df = self._matched(sel, keep_stale=True).filter(
             (F.col("ts_us") <= end) & (F.col("ts_us") > end - LOOKBACK_US)
         )
         w = Window.partitionBy("series_id").orderBy(
             F.desc("ts_us"), F.desc("event_id")
         )
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "labels",
-                (F.col("ts_us").cast("double") / F.lit(1e6)).alias("value"),
+        return self._drop_stale_picks(
+            df.withColumn("rn", F.row_number().over(w)).filter(
+                F.col("rn") == 1
             )
+        ).select(
+            "labels",
+            (F.col("ts_us").cast("double") / F.lit(1e6)).alias("value"),
         )
 
     def _label(self, node: LabelFn, ev=None) -> DataFrame:
@@ -2830,7 +2849,7 @@ class PromQLEvaluator:
         return base - F.lit(sel.offset_us)
 
     def _gwindow(
-        self, sel: Selector, irange: int | None
+        self, sel: Selector, irange: int | None, keep_stale: bool = False
     ) -> DataFrame:
         """One scan × broadcast grid join, windowed per grid instant:
         (win_end - irange, win_end], or cumulative-from-start when
@@ -2839,7 +2858,9 @@ class PromQLEvaluator:
         cond = F.col("ts_us") <= win_end
         if irange is not None:
             cond = cond & (F.col("ts_us") > win_end - F.lit(irange))
-        return self._matched(sel).join(F.broadcast(self._gridf), cond)
+        return self._matched(sel, keep_stale=keep_stale).join(
+            F.broadcast(self._gridf), cond
+        )
 
     def _gvector(self, node) -> DataFrame:
         """Grid-mode recursive evaluation → (_ets, labels, value):
@@ -2857,6 +2878,24 @@ class PromQLEvaluator:
                     self._bucket_cum(df, ("_ets",)), node
                 ).select(
                     "_ets", "labels", F.col("cum").alias("value")
+                )
+            if "stale" in self.samples.columns:
+                # stale-aware grid instant: pick the newest in-window
+                # row per (series, instant) INCLUDING markers, then
+                # drop instants whose pick is a marker — the grid twin
+                # of `_instant`'s StaleNaN lookback cut
+                df = self._gwindow(node, LOOKBACK_US, keep_stale=True)
+                w = Window.partitionBy("series_id", "_ets").orderBy(
+                    F.desc("ts_us"), F.desc("event_id")
+                )
+                return self._drop_stale_picks(
+                    df.withColumn("rn", F.row_number().over(w)).filter(
+                        F.col("rn") == 1
+                    )
+                ).select(
+                    "_ets",
+                    "labels",
+                    F.col("value").cast("double").alias("value"),
                 )
             df = self._gwindow(node, LOOKBACK_US)
             return self._range_fold(

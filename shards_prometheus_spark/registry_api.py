@@ -228,7 +228,15 @@ class MetricsRegistry:
         at_ts_us=None derives T = max(ts) from the data via a 1-row
         broadcast cross join (never a driver collect), so the same
         query text is meaningful at every scale factor; ``offset_us``
-        shifts T back (PromQL ``offset``)."""
+        shifts T back (PromQL ``offset``).
+
+        Staleness markers: if the samples relation carries a ``stale``
+        boolean column (the scrape loop's `scraped_with_staleness`),
+        the selector picks the newest in-lookback sample per series
+        INCLUDING markers, then drops series whose pick is a marker —
+        upstream's cut-lookback-at-StaleNaN rule (a dead series
+        disappears at the next scrape, not after the lookback)."""
+        has_stale = "stale" in self._samples.columns
         w = Window.partitionBy(*_SERIES_COLS).orderBy(
             F.desc("ts_us"), F.desc("event_id")
         )
@@ -242,14 +250,20 @@ class MetricsRegistry:
             s = s.withColumn(
                 "t_eval", F.lit(int(at_ts_us) - int(offset_us))
             )
-        return (
+        out = (
             s.filter(
                 (F.col("ts_us") <= F.col("t_eval"))
                 & (F.col("ts_us") > F.col("t_eval") - F.lit(lookback_us))
             )
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("metric", "labels", "label_user", "ts_us", "value")
+        )
+        if has_stale:
+            out = out.filter(
+                ~F.coalesce(F.col("stale"), F.lit(False))
+            )
+        return out.select(
+            "metric", "labels", "label_user", "ts_us", "value"
         )
 
     def top_k(self, k: int) -> DataFrame:

@@ -41,7 +41,7 @@ import time
 import urllib.request
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
@@ -258,6 +258,103 @@ def scraped_samples(
     return out
 
 
+#: Series identity within one target's scrape stream — what upstream
+#: diffs tick-over-tick to decide a series went away.
+_STALE_KEY = ["target", "metric", "kind", "stat", "label_user", "le"]
+_NULL_SENTINEL = "\x00"
+
+
+def stale_markers(scraped: DataFrame) -> DataFrame:
+    """Upstream staleness markers, synthesized from the scrape log.
+
+    Prometheus's scraper appends an explicit stale sample (StaleNaN)
+    at scrape time T for every series that was present at the
+    target's previous scrape but absent from this one; instant
+    selectors then drop the series IMMEDIATELY instead of serving the
+    dead sample for the rest of the 5m lookback. This is that
+    tick-over-tick presence diff as a relational transform:
+
+    - ``presence``: distinct (target, series, tick) — one shuffle
+      keyed by series, linear in the scrape log.
+    - ``timeline``: each target's tick → scrape timestamp (lead() over
+      a per-target window; tick-count-sized, tiny).
+    - a marker for every (series present at tick t) whose key is
+      absent at the target's NEXT tick t+1 (left_anti on the same
+      presence relation), stamped at tick t+1's scrape time.
+
+    Spark canonicalizes NaN payloads, so upstream's StaleNaN bit
+    pattern (0x7ff0000000000002) cannot ride in the value column —
+    the marker is an explicit ``stale`` BOOLEAN column instead (value
+    is plain NaN). Selectors key on the column, not the payload.
+    """
+    enc = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)).alias(c)
+        if c in ("label_user", "le")
+        else F.col(c)
+        for c in _STALE_KEY
+    ]
+    presence = scraped.select(*enc, "scrape_idx").distinct()
+    w = Window.partitionBy("target").orderBy("scrape_idx")
+    # explicit disambiguating aliases: presence/timeline/present_next
+    # are three readings of the SAME input plan, and an
+    # attribute-level self-join over a streaming-sink scan otherwise
+    # trips Catalyst's conflicting-reference resolution
+    timeline = (
+        scraped.groupBy("target", "scrape_idx")
+        .agg(F.max("ts_us").alias("_tick_ts"))
+        .select(
+            F.col("target").alias("_tl_target"),
+            F.col("scrape_idx").alias("_tl_idx"),
+            F.lead("scrape_idx").over(w).alias("_next_idx"),
+            F.lead("_tick_ts").over(w).alias("_next_ts"),
+        )
+        .filter(F.col("_next_idx").isNotNull())
+    )
+    cand = presence.join(
+        timeline,
+        (F.col("target") == F.col("_tl_target"))
+        & (F.col("scrape_idx") == F.col("_tl_idx")),
+    ).drop("_tl_target", "_tl_idx")
+    present_next = presence.select(
+        *[F.col(c).alias(f"_pn_{c}") for c in _STALE_KEY],
+        F.col("scrape_idx").alias("_pn_idx"),
+    )
+    gone = cand.join(
+        present_next,
+        [F.col(c) == F.col(f"_pn_{c}") for c in _STALE_KEY]
+        + [F.col("_next_idx") == F.col("_pn_idx")],
+        "left_anti",
+    )
+    return gone.select(
+        "target",
+        F.col("_next_idx").alias("scrape_idx"),
+        F.col("_next_ts").alias("ts_us"),
+        "metric",
+        "kind",
+        "stat",
+        F.nullif(F.col("label_user"), F.lit(_NULL_SENTINEL)).alias(
+            "label_user"
+        ),
+        F.nullif(F.col("le"), F.lit(_NULL_SENTINEL)).alias("le"),
+        F.lit(float("nan")).alias("value"),
+        F.lit(True).alias("stale"),
+    )
+
+
+def scraped_with_staleness(scraped: DataFrame) -> DataFrame:
+    """The scrape log plus its synthesized stale markers — the
+    relation upstream's TSDB actually stores. Real samples carry
+    ``stale = false``; every downstream selector
+    (`registry_from_scrapes`, `MetricsRegistry.instant`, the PromQL
+    evaluator's instant path) keys on the column when present."""
+    base = scraped
+    if "stale" not in base.columns:
+        base = base.withColumn("stale", F.lit(False))
+    return base.unionByName(
+        stale_markers(scraped), allowMissingColumns=True
+    )
+
+
 def registry_from_scrapes(scraped: DataFrame) -> DataFrame:
     """Latest-scrape state per series from an accumulated scrape log:
     (metric, kind, stat, label_user, le, value) at each series' most
@@ -267,8 +364,20 @@ def registry_from_scrapes(scraped: DataFrame) -> DataFrame:
     Exposition totals are cumulative, so "state" = the newest sample
     per (metric, stat, label_user, le, target): one window-free
     max-struct aggregate, shuffle keyed by series — registry-sized
-    state, unbounded scrape count."""
+    state, unbounded scrape count.
+
+    If the log carries a ``stale`` column (`scraped_with_staleness`),
+    a series whose NEWEST sample is a stale marker is dropped from
+    the registry — upstream's "the target stopped serving it, it is
+    gone now", not "serve the dead value until the lookback ages
+    out"."""
     key = ["target", "metric", "kind", "stat", "label_user", "le"]
+    has_stale = "stale" in scraped.columns
+    stale_field = (
+        [F.coalesce(F.col("stale"), F.lit(False)).alias("s")]
+        if has_stale
+        else []
+    )
     picked = (
         scraped.groupBy(
             *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")).alias(c)
@@ -281,6 +390,7 @@ def registry_from_scrapes(scraped: DataFrame) -> DataFrame:
                     F.col("ts_us").alias("t"),
                     F.col("scrape_idx").alias("i"),
                     F.col("value").alias("v"),
+                    *stale_field,
                 )
             ).alias("last")
         )
@@ -296,6 +406,9 @@ def registry_from_scrapes(scraped: DataFrame) -> DataFrame:
             F.col("last.v").alias("value"),
             F.col("last.t").alias("ts_us"),
             F.col("last.i").alias("scrape_idx"),
+            *([F.col("last.s").alias("_stale")] if has_stale else []),
         )
     )
+    if has_stale:
+        picked = picked.filter(~F.col("_stale")).drop("_stale")
     return picked
