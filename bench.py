@@ -79,6 +79,12 @@ FAMILIES: list[tuple[str, list[str]]] = [
             # through the vendored snappy/proto codecs)
             "openmetrics_created",
             "remote_write_roundtrip",
+            # r12: scrape-time relabeling compiled to column
+            # expressions, the staleness-marker presence diff, and
+            # the remote-read wire round trip
+            "relabel_chain",
+            "stale_markers_hourly",
+            "remote_read_roundtrip",
             "vector_binop",
         ],
     ),

@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from shards_prometheus_spark.functions import promql as promql_functions
 from shards_prometheus_spark.functions import promql_parser
-from shards_prometheus_spark.sources import exposition, remote_write
+from shards_prometheus_spark.sources import (
+    exposition,
+    remote_read,
+    remote_write,
+    scraper,
+)
 from shards_prometheus_spark.operators import (
     aggregations,
     asof,
@@ -61,6 +66,8 @@ _MODULES = [
     snapshot,
     exposition,
     remote_write,
+    remote_read,
+    scraper,
     dedup,
     similarity,
     text,
@@ -110,9 +117,8 @@ _PRIORITY = [
     # pruned text dump and the exemplar side relation — by demoting
     # offset_instant and absent (both driver-green since r2; offset
     # semantics stay driver-exercised inside the promql_range rows,
-    # absent inside the judge-pass parity sweep).
-    "federate",
-    "openmetrics_exemplars",
+    # absent inside the judge-pass parity sweep). (Both demoted again
+    # in r12 for the staleness/remote-read admissions below.)
     # r11 admits three new-surface rows — OM `_created` metadata, the
     # remote-write wire round trip, and the UTF-8 quoted-name selector
     # — by demoting counter_resets, count_values, and
@@ -122,6 +128,12 @@ _PRIORITY = [
     "openmetrics_created",
     "remote_write_roundtrip",
     "promql_utf8_name",
+    # r12 admits the staleness-marker diff and the remote-read wire
+    # round trip by demoting openmetrics_exemplars and federate (both
+    # driver-green r10–r11; exemplars stay exercised by the exposer
+    # test suite, federate inside the judge-pass parity sweep).
+    "stale_markers_hourly",
+    "remote_read_roundtrip",
     # Tier B — eval_range dashboard core + rule/subquery rows.
     # The 50-entry window is zero-sum; each round's VERDICT asks are
     # admitted by demoting rows that already earned driver-green in a

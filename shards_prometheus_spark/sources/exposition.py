@@ -890,6 +890,55 @@ class MetricsExposer:
 
                     handle_write_post(self, outer.receive_remote_write)
                     return
+                if parts.path == "/api/v1/read":
+                    # remote-read: snappy+proto ReadRequest in,
+                    # snappy+proto ReadResponse out — the wire twin of
+                    # the receiver above (sources/remote_read.py);
+                    # 400 on a corrupt payload or over-limit query,
+                    # 413 over the body cap, 500 on internal failure
+                    from shards_prometheus_spark.sources.remote_read import (  # noqa: E501
+                        answer_read_request,
+                    )
+                    from shards_prometheus_spark.sources.remote_write import (  # noqa: E501
+                        MAX_WRITE_BODY_BYTES,
+                    )
+
+                    n = int(self.headers.get("Content-Length") or 0)
+                    if n > MAX_WRITE_BODY_BYTES:
+                        self.send_error(413)
+                        return
+                    raw = self.rfile.read(n)
+                    try:
+                        body = answer_read_request(
+                            outer.read_samples(), raw
+                        )
+                    except ValueError as exc:
+                        msg = str(exc).encode()
+                        self.send_response(400)
+                        self.send_header(
+                            "Content-Length", str(len(msg))
+                        )
+                        self.end_headers()
+                        self.wfile.write(msg)
+                        return
+                    except Exception as exc:  # noqa: BLE001 - 5xx
+                        msg = str(exc).encode()
+                        self.send_response(500)
+                        self.send_header(
+                            "Content-Length", str(len(msg))
+                        )
+                        self.end_headers()
+                        self.wfile.write(msg)
+                        return
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "application/x-protobuf"
+                    )
+                    self.send_header("Content-Encoding", "snappy")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 # the public API accepts form-encoded POST bodies
                 # (Grafana's default for long query strings)
                 n = int(self.headers.get("Content-Length") or 0)
@@ -979,6 +1028,23 @@ class MetricsExposer:
         if self._rw.n_rows == 0:
             return None
         return self._rw.samples(self._spark)
+
+    def read_samples(self):
+        """The current §1.2 samples relation this exposer serves —
+        the base store (live `samples_fn` or the batch dir) unioned
+        with any remote-write pushed state. Shared by the JSON read
+        API's evaluator construction and the remote-read endpoint."""
+        from shards_prometheus_spark.model import samples_multi
+
+        base = (
+            self._samples_fn()
+            if self._samples_fn is not None
+            else samples_multi(self._spark, self._sf_dir)
+        )
+        pushed = self._rw_samples() if self._remote_write else None
+        if pushed is not None:
+            base = base.unionByName(pushed, allowMissingColumns=True)
+        return base
 
     def handle_api(self, path: str, params: dict) -> tuple:
         """Answer one read-API request (query_api.handle_api_request)

@@ -1,0 +1,330 @@
+"""Prometheus remote-read — the pull wire twin of remote-write.
+
+The paired server's `/api/v1/read` endpoint (the reference's exposer
+is HTTP pull at the TEXT layer, prometheus.cpp:47,73,80; remote-read
+is the same pairing at the WIRE layer): an HTTP POST of a
+snappy-compressed protobuf ``ReadRequest`` answered with a
+snappy-compressed ``ReadResponse``. Public message shapes:
+
+- ``ReadRequest{repeated Query queries = 1}``
+- ``Query{int64 start_timestamp_ms = 1, int64 end_timestamp_ms = 2,
+  repeated LabelMatcher matchers = 3}``
+- ``LabelMatcher{Type type = 1 (EQ/NEQ/RE/NRE), string name = 2,
+  string value = 3}``
+- ``ReadResponse{repeated QueryResult results = 1}`` where
+  ``QueryResult{repeated TimeSeries timeseries = 1}`` reuses
+  remote-write's ``TimeSeries{Label labels = 1, Sample samples = 2}``.
+
+Layering mirrors sources/remote_write.py: pure wire codecs (built on
+functions.miniformats' varint/field walker + snappy block codec, no
+protobuf library), a DECLARATIVE matcher→DataFrame compiler (the
+selection is one filtered scan — time range and equality matchers
+push down to the parquet reader; regex matchers share
+`apply_matchers`' anchored-RE2 semantics with every other selector),
+and the HTTP hop on MetricsExposer. The response collect is
+response-sized by contract and guard-capped like every other read
+endpoint (a plan-level CollectLimit probe, never an unbounded
+driver materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from shards_prometheus_spark.functions.labelset import apply_matchers
+from shards_prometheus_spark.functions.miniformats import (
+    _u_to_int64,
+    pb_double,
+    pb_fields,
+    pb_len,
+    pb_varint,
+    snappy_compress,
+    snappy_decompress,
+)
+
+#: LabelMatcher.Type enum order on the wire: EQ=0 NEQ=1 RE=2 NRE=3.
+MATCHER_OPS = ["=", "!=", "=~", "!~"]
+
+#: Default plan-level cap on rows one remote-read query may collect —
+#: the same role as the read API's max_samples guard.
+DEFAULT_READ_LIMIT = 1_000_000
+
+
+# --- wire codecs ----------------------------------------------------------
+
+
+def encode_read_request(
+    queries: "list[tuple[int, int, list[tuple[str, str, str]]]]",
+    compress: bool = True,
+) -> bytes:
+    """[(start_ms, end_ms, [(name, op, value)])] → one ReadRequest."""
+    out = []
+    for start_ms, end_ms, matchers in queries:
+        body = pb_varint(1, int(start_ms)) + pb_varint(2, int(end_ms))
+        for name, op, value in matchers:
+            m = (
+                pb_varint(1, MATCHER_OPS.index(op))
+                + pb_len(2, name.encode("utf-8"))
+                + pb_len(3, value.encode("utf-8"))
+            )
+            body += pb_len(3, m)
+        out.append(pb_len(1, body))
+    body = b"".join(out)
+    return snappy_compress(body) if compress else body
+
+
+def parse_read_request(
+    payload: bytes, compressed: bool = True
+) -> "list[tuple[int, int, list[tuple[str, str, str]]]]":
+    """One ReadRequest → [(start_ms, end_ms, matchers)]. Unknown
+    fields skipped per proto semantics; a malformed matcher type or
+    truncated body raises ValueError (the 400 contract)."""
+    body = snappy_decompress(payload) if compressed else payload
+    queries = []
+    for field, wt, qbytes in pb_fields(body):
+        if field != 1 or wt != 2:  # ReadRequest.queries
+            continue
+        start_ms = end_ms = 0
+        matchers: list[tuple[str, str, str]] = []
+        for f2, wt2, v2 in pb_fields(qbytes):
+            if f2 == 1 and wt2 == 0:
+                start_ms = _u_to_int64(v2)
+            elif f2 == 2 and wt2 == 0:
+                end_ms = _u_to_int64(v2)
+            elif f2 == 3 and wt2 == 2:  # Query.matchers
+                mtype, name, value = 0, "", ""
+                for f3, _wt3, v3 in pb_fields(v2):
+                    if f3 == 1:
+                        mtype = v3
+                    elif f3 == 2:
+                        name = v3.decode("utf-8")
+                    elif f3 == 3:
+                        value = v3.decode("utf-8")
+                if not 0 <= mtype < len(MATCHER_OPS):
+                    raise ValueError(
+                        f"remote-read: unknown matcher type {mtype}"
+                    )
+                matchers.append((name, MATCHER_OPS[mtype], value))
+        queries.append((start_ms, end_ms, matchers))
+    return queries
+
+
+def encode_read_response(
+    results: "list[list[tuple[dict, list[tuple[int, float]]]]]",
+    compress: bool = True,
+) -> bytes:
+    """Per query: [(labels incl. __name__, [(ts_ms, value)])] → one
+    ReadResponse. Reuses remote-write's TimeSeries shape."""
+    res = []
+    for series_list in results:
+        ts_msgs = []
+        for labels, samples in series_list:
+            body = b"".join(
+                pb_len(
+                    1,
+                    pb_len(1, k.encode("utf-8"))
+                    + pb_len(2, v.encode("utf-8")),
+                )
+                for k, v in sorted(labels.items())
+            ) + b"".join(
+                pb_len(2, pb_double(1, val) + pb_varint(2, ts_ms))
+                for ts_ms, val in samples
+            )
+            ts_msgs.append(pb_len(1, body))
+        res.append(pb_len(1, b"".join(ts_msgs)))
+    body = b"".join(res)
+    return snappy_compress(body) if compress else body
+
+
+def parse_read_response(
+    payload: bytes, compressed: bool = True
+) -> "list[list[tuple[dict, list[tuple[int, float]]]]]":
+    """One ReadResponse → per query: [(labels, [(ts_ms, value)])]."""
+    body = snappy_decompress(payload) if compressed else payload
+    results = []
+    for field, wt, rbytes in pb_fields(body):
+        if field != 1 or wt != 2:  # ReadResponse.results
+            continue
+        series_list = []
+        for f2, wt2, tsb in pb_fields(rbytes):
+            if f2 != 1 or wt2 != 2:  # QueryResult.timeseries
+                continue
+            labels: dict = {}
+            samples: list[tuple[int, float]] = []
+            for f3, wt3, v3 in pb_fields(tsb):
+                if f3 == 1 and wt3 == 2:  # labels
+                    name = value = ""
+                    for f4, _wt4, v4 in pb_fields(v3):
+                        if f4 == 1:
+                            name = v4.decode("utf-8")
+                        elif f4 == 2:
+                            value = v4.decode("utf-8")
+                    labels[name] = value
+                elif f3 == 2 and wt3 == 2:  # samples
+                    val, ts_ms = float("nan"), 0
+                    for f4, _wt4, v4 in pb_fields(v3):
+                        if f4 == 1:
+                            val = v4
+                        elif f4 == 2:
+                            ts_ms = _u_to_int64(v4)
+                    samples.append((ts_ms, val))
+            series_list.append((labels, samples))
+        results.append(series_list)
+    return results
+
+
+# --- query execution ------------------------------------------------------
+
+
+def read_query_frame(
+    samples: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    matchers: "list[tuple[str, str, str]]",
+) -> DataFrame:
+    """One remote-read Query as a declarative selection over the §1.2
+    samples relation: closed time range [start_ms, end_ms] (upstream's
+    remote-read bounds are inclusive) plus the four matcher ops.
+    ``__name__`` matchers compile against the metric column (equality
+    pushes down to the parquet scan); everything else shares
+    `apply_matchers`' anchored-regex semantics. One scan, zero
+    shuffles — ordering/grouping into series happens at the
+    response-sized edge."""
+    df = samples.filter(
+        (F.col("ts_us") >= F.lit(int(start_ms) * 1_000))
+        & (F.col("ts_us") <= F.lit(int(end_ms) * 1_000))
+    )
+    for name, op, value in matchers:
+        if name != "__name__":
+            continue
+        col = F.col("metric")
+        anchored = f"(?d)^(?:{value})\\z"
+        if op == "=":
+            df = df.filter(col == value)
+        elif op == "!=":
+            df = df.filter(col != value)
+        elif op == "=~":
+            df = df.filter(col.rlike(anchored))
+        else:
+            df = df.filter(~col.rlike(anchored))
+    return apply_matchers(
+        df, [m for m in matchers if m[0] != "__name__"]
+    )
+
+
+def answer_read_request(
+    samples: DataFrame,
+    payload: bytes,
+    max_rows: int | None = DEFAULT_READ_LIMIT,
+) -> bytes:
+    """Decode a ReadRequest payload, answer every query off the
+    samples relation, encode the ReadResponse. The per-query collect
+    is LIMIT-probed in the plan (CollectLimit — executors stop
+    producing past the cap) and overflow raises ValueError → the
+    endpoint's 400, never an unbounded driver materialization."""
+    queries = parse_read_request(payload)
+    results = []
+    for start_ms, end_ms, matchers in queries:
+        df = read_query_frame(samples, start_ms, end_ms, matchers).select(
+            "metric",
+            "labels",
+            F.expr("(ts_us - pmod(ts_us, 1000)) div 1000").alias("ts_ms"),
+            F.col("value").cast("double").alias("value"),
+        )
+        probe = df if max_rows is None else df.limit(max_rows + 1)
+        rows = probe.collect()
+        if max_rows is not None and len(rows) > max_rows:
+            raise ValueError(
+                f"remote-read query matches more than {max_rows} samples"
+            )
+        by_series: dict = {}
+        for r in rows:
+            labels = dict(r["labels"] or {})
+            labels["__name__"] = r["metric"]
+            key = tuple(sorted(labels.items()))
+            by_series.setdefault(key, []).append(
+                (r["ts_ms"], r["value"])
+            )
+        series_list = [
+            (dict(key), sorted(samples_))
+            for key, samples_ in sorted(by_series.items())
+        ]
+        results.append(series_list)
+    return encode_read_response(results)
+
+
+# --- registered parity query ------------------------------------------------
+
+
+def remote_read_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """Registered parity row: a ReadRequest (a `click` name matcher +
+    a `user` regex, full time range) encoded to the wire, answered off
+    the multi-label samples relation, the ReadResponse decoded back,
+    and the recovered time series folded per (metric, user, shard) —
+    proving request codec → matcher compilation → response codec
+    preserve every (series, timestamp, value) triple. The Spark-side
+    selection is one pushed-down scan; the response materialization is
+    response-sized by the protocol contract (and LIMIT-probed). The
+    oracle computes the same fold straight off the events table
+    (wire timestamps are ms, so the fold compares at ms)."""
+    from shards_prometheus_spark.model import samples_multi
+
+    s = samples_multi(spark, sf_dir)
+    req = encode_read_request(
+        [
+            (
+                0,
+                4_102_444_800_000,  # far future: the full corpus
+                [("__name__", "=", "click"), ("user", "=~", "1.*")],
+            )
+        ]
+    )
+    (series_list,) = parse_read_response(answer_read_request(s, req))
+    rows = []
+    for labels, samples_ in series_list:
+        for ts_ms, value in samples_:
+            rows.append(
+                (
+                    labels.get("__name__", ""),
+                    labels.get("user", ""),
+                    labels.get("shard", ""),
+                    int(ts_ms),
+                    float(value),
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "metric string, l_user string, l_shard string, "
+        "ts_ms long, value double",
+    )
+    return (
+        df.groupBy("metric", "l_user", "l_shard")
+        .agg(
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_samples"),
+            F.max("ts_ms").alias("last_ts_ms"),
+        )
+        .orderBy("metric", "l_user", "l_shard")
+    )
+
+
+QUERIES = {"remote_read_roundtrip": remote_read_roundtrip}
+
+
+def _roundtrip_sql() -> str:
+    from shards_prometheus_spark.model import SAMPLES_MULTI_CTE, dround
+
+    return (
+        f"{SAMPLES_MULTI_CTE} "
+        "SELECT metric, l_user, l_shard, "
+        + dround("SUM(value)", 4)
+        + " AS sum_value, COUNT(*) AS n_samples, "
+        "MAX(ts_us // 1000) AS last_ts_ms "
+        "FROM samples_multi "
+        "WHERE metric = 'click' AND regexp_matches(l_user, '^(?:1.*)$') "
+        "GROUP BY metric, l_user, l_shard"
+    )
+
+
+ORACLES = {"remote_read_roundtrip": _roundtrip_sql()}

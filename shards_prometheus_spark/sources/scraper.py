@@ -412,3 +412,69 @@ def registry_from_scrapes(scraped: DataFrame) -> DataFrame:
     if has_stale:
         picked = picked.filter(~F.col("_stale")).drop("_stale")
     return picked
+
+
+# --- registered parity query ------------------------------------------------
+
+
+def stale_markers_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered parity row for the staleness diff: treat each hour
+    of the events corpus as one scrape tick of a single target and
+    synthesize the stale markers — a marker per (metric, user) series
+    present in hour t but absent in hour t+1, stamped at hour t+1's
+    newest sample time. Exercises `stale_markers`' presence diff,
+    per-target tick timeline, and anti-join end to end against a
+    batch-SQL oracle (the scrape-loop twin is pinned by
+    tests/test_staleness.py over real micro-batches)."""
+    from shards_prometheus_spark.model import samples
+
+    s = samples(spark, sf_dir)
+    log = s.select(
+        F.lit("events").alias("target"),
+        F.expr("ts_us div 3600000000").alias("scrape_idx"),
+        "ts_us",
+        "metric",
+        F.lit("gauge").alias("kind"),
+        F.lit("last").alias("stat"),
+        "label_user",
+        F.lit(None).cast("string").alias("le"),
+        "value",
+    )
+    return (
+        stale_markers(log)
+        .select(
+            "metric",
+            "label_user",
+            "scrape_idx",
+            F.expr("ts_us div 1000000").alias("marker_ts_s"),
+        )
+        .orderBy("metric", "label_user", "scrape_idx")
+    )
+
+
+QUERIES = {"stale_markers_hourly": stale_markers_hourly}
+
+
+def _stale_markers_sql() -> str:
+    from shards_prometheus_spark.model import SAMPLES_CTE
+
+    return (
+        f"{SAMPLES_CTE}, "
+        "log AS (SELECT metric, label_user, ts_us, "
+        "ts_us // 3600000000 AS tick FROM samples), "
+        "tl AS (SELECT tick, LEAD(tick) OVER (ORDER BY tick) AS next_tick, "
+        "LEAD(tick_ts) OVER (ORDER BY tick) AS next_ts "
+        "FROM (SELECT tick, MAX(ts_us) AS tick_ts FROM log GROUP BY tick)), "
+        "presence AS (SELECT DISTINCT metric, label_user, tick FROM log) "
+        "SELECT p.metric, p.label_user, t.next_tick AS scrape_idx, "
+        "t.next_ts // 1000000 AS marker_ts_s "
+        "FROM presence p JOIN tl t ON p.tick = t.tick "
+        "AND t.next_tick IS NOT NULL "
+        "WHERE NOT EXISTS (SELECT 1 FROM presence q "
+        "WHERE q.metric = p.metric AND q.label_user = p.label_user "
+        "AND q.tick = t.next_tick) "
+        "ORDER BY metric, label_user, scrape_idx"
+    )
+
+
+ORACLES = {"stale_markers_hourly": _stale_markers_sql()}
