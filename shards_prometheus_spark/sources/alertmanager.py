@@ -1,0 +1,140 @@
+"""Alertmanager notification push — the last hop of the alerting
+pipeline.
+
+The paired server doesn't just EVALUATE alerting rules (operators/
+rules.py) and SERVE the firing set (`/api/v1/alerts`): after each rule
+group evaluation it POSTs the firing alerts to every configured
+Alertmanager as a JSON array on ``/api/v2/alerts`` (the public v2
+push shape: ``[{labels, annotations, startsAt, generatorURL}]``).
+This module is that hop:
+
+- ``firing_to_v2``: the `/api/v1/alerts` entries → v2 push objects —
+  one conversion, so what a webhook receives is label-for-label what
+  the API serves.
+- ``AlertmanagerNotifier``: a configured pool of base URLs; `notify`
+  fans a payload out to every pool member and reports per-URL
+  delivery status WITHOUT raising — a dead Alertmanager must never
+  crash rule evaluation (upstream queues and drops, it doesn't
+  fail the rule group).
+- ``notify_firing``: evaluate a rule file's firing set off the
+  engine's samples relation and push it — the "after each rule-group
+  evaluation" hook.
+- ``pool_data``: the configured pool in `/api/v1/alertmanagers`'
+  public shape (activeAlertmanagers with the full push URL).
+
+The evaluation itself stays fully distributed (eval_rule_file is the
+same Spark pass `/api/v1/alerts` uses); only the firing SET — alert-
+count-sized by definition — is serialized to JSON on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+from datetime import datetime, timezone
+
+#: Path the v2 push API lives on, appended to each configured base URL.
+PUSH_PATH = "/api/v2/alerts"
+
+
+def _rfc3339(ts_us: int) -> str:
+    """µs since epoch → RFC3339 UTC (what v2 startsAt expects)."""
+    return (
+        datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc)
+        .isoformat(timespec="milliseconds")
+        .replace("+00:00", "Z")
+    )
+
+
+def firing_to_v2(
+    alerts: "list[dict]",
+    starts_at_us: int,
+    generator_url: str | None = None,
+) -> "list[dict]":
+    """`/api/v1/alerts` entries ({labels, state, value[, annotations]})
+    → the v2 push array. Labels and annotations pass through verbatim
+    (they were already template-expanded by alerts_data); startsAt is
+    the evaluation time."""
+    out = []
+    for a in alerts:
+        entry = {
+            "labels": dict(a.get("labels") or {}),
+            "annotations": dict(a.get("annotations") or {}),
+            "startsAt": _rfc3339(starts_at_us),
+        }
+        if generator_url:
+            entry["generatorURL"] = generator_url
+        out.append(entry)
+    return out
+
+
+class AlertmanagerNotifier:
+    """A configured Alertmanager pool. `notify` POSTs one JSON array
+    to every member's ``/api/v2/alerts`` and returns
+    ``{push_url: http_status}`` (-1 for a connection failure) —
+    delivery problems are reported, never raised."""
+
+    def __init__(self, urls: "list[str]", timeout_s: float = 10.0):
+        self.urls = [u.rstrip("/") for u in urls]
+        self.timeout_s = timeout_s
+
+    @property
+    def push_urls(self) -> "list[str]":
+        return [u + PUSH_PATH for u in self.urls]
+
+    def notify(self, v2_alerts: "list[dict]") -> "dict[str, int]":
+        body = json.dumps(v2_alerts).encode("utf-8")
+        statuses: dict[str, int] = {}
+        for url in self.push_urls:
+            req = urllib.request.Request(
+                url,
+                data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(
+                    req, timeout=self.timeout_s
+                ) as resp:
+                    statuses[url] = resp.status
+            except urllib.error.HTTPError as exc:
+                statuses[url] = exc.code
+            except Exception:  # noqa: BLE001 - delivery must not raise
+                statuses[url] = -1
+        return statuses
+
+
+def notify_firing(
+    evaluator,
+    rule_file: str,
+    notifier: AlertmanagerNotifier,
+    generator_url: str | None = None,
+) -> "tuple[list[dict], dict[str, int]]":
+    """Evaluate `rule_file`'s firing set (the SAME eval_rule_file pass
+    `/api/v1/alerts` serves — labels/annotations identical by
+    construction) and push it to the pool. Returns (the v2 payload,
+    per-URL delivery statuses). An empty firing set still posts the
+    empty array — upstream keeps notifying resolved state; a receiver
+    distinguishes by content."""
+    from shards_prometheus_spark.sources.query_api import alerts_data
+
+    alerts = alerts_data(evaluator, rule_file)["alerts"]
+    payload = firing_to_v2(
+        alerts, evaluator.eval_time_us(), generator_url
+    )
+    return payload, notifier.notify(payload)
+
+
+def pool_data(urls: "list[str] | None") -> dict:
+    """`/api/v1/alertmanagers`: the configured pool in the public
+    shape — each active member listed by its full push URL; servers
+    with no pool serve two empty lists."""
+    if not urls:
+        return {"activeAlertmanagers": [], "droppedAlertmanagers": []}
+    return {
+        "activeAlertmanagers": [
+            {"url": u.rstrip("/") + PUSH_PATH} for u in urls
+        ],
+        "droppedAlertmanagers": [],
+    }

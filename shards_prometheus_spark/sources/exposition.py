@@ -103,30 +103,39 @@ def _classic_lines(
             .select("kind", "metric")
         )
     headers = header_src.distinct().select(
-        F.concat(F.lit("# TYPE "), F.col("metric"), F.lit(" "), F.col("kind"))
-        .alias("line")
+        F.concat(
+            F.lit("# TYPE "),
+            header_name(F.col("metric")),
+            F.lit(" "),
+            F.col("kind"),
+        ).alias("line")
+    )
+    user_pair = F.concat(
+        F.lit('user="'), esc_label(F.col("label_user")), F.lit('"')
     )
     counters = snap.filter(F.col("kind") == "counter").select(
         F.concat(
-            F.col("metric"),
-            F.lit('_total{user="'),
-            esc_label(F.col("label_user")),
-            F.lit('"} '),
+            series_ref(
+                F.concat(F.col("metric"), F.lit("_total")), user_pair
+            ),
+            F.lit(" "),
             _dec("value"),
         ).alias("line")
     )
     gauges = snap.filter(F.col("kind") == "gauge").select(
         F.concat(
-            F.col("metric"),
-            F.lit('{user="'),
-            esc_label(F.col("label_user")),
-            F.lit('"} '),
+            series_ref(F.col("metric"), user_pair),
+            F.lit(" "),
             _dec("value"),
         ).alias("line")
     )
     hist_scalar = snap.filter(F.col("kind") == "histogram").select(
         F.concat(
-            F.col("metric"), F.lit("_"), F.col("stat"), F.lit(" "), _dec("value")
+            series_ref(
+                F.concat(F.col("metric"), F.lit("_"), F.col("stat"))
+            ),
+            F.lit(" "),
+            _dec("value"),
         ).alias("line")
     )
     # FINITE bounds only: on a corpus with values above the top bound,
@@ -150,10 +159,11 @@ def _classic_lines(
         .filter(F.col("le_idx") < len(BOUNDS))
         .select(
             F.concat(
-                F.col("metric"),
-                F.lit('_bucket{le="'),
-                F.col("le"),
-                F.lit('"} '),
+                series_ref(
+                    F.concat(F.col("metric"), F.lit("_bucket")),
+                    F.concat(F.lit('le="'), F.col("le"), F.lit('"')),
+                ),
+                F.lit(" "),
                 F.col("cum_count").cast("string"),
             ).alias("line")
         )
@@ -186,8 +196,11 @@ def _classic_lines(
         )
     inf_bucket = inf_src.select(
         F.concat(
-            F.col("metric"),
-            F.lit('_bucket{le="+Inf"} '),
+            series_ref(
+                F.concat(F.col("metric"), F.lit("_bucket")),
+                F.lit('le="+Inf"'),
+            ),
+            F.lit(" "),
             F.col("value").cast("long").cast("string"),
         ).alias("line")
     )
@@ -228,17 +241,108 @@ def exposition_lines_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return totals.select(
         F.concat(
-            F.col("metric"),
-            F.lit("_total{"),
-            F.array_join(pairs, ","),
-            F.lit("} "),
+            series_ref(
+                F.concat(F.col("metric"), F.lit("_total")),
+                F.array_join(pairs, ","),
+            ),
+            F.lit(" "),
             _dec("value"),
         ).alias("line")
     )
 
 
+def snapshot_lines(snap: DataFrame) -> DataFrame:
+    """Classic exposition payload from an ARBITRARY registry snapshot
+    relation ((kind, metric, label_user, value), e.g. a
+    MetricsRegistry.snapshot() projection or a live store) — the
+    store-agnostic writer twin of `exposition_lines` for counter and
+    gauge families. Routes through the same `series_ref`/`header_name`
+    helpers as the batch-dir writers, so an OTel-style dotted family
+    (`web.click`) serializes in the 3.x quoted-name form and
+    round-trips exposer → scrape loop → registry."""
+    headers = (
+        snap.filter(F.col("kind").isin("counter", "gauge"))
+        .select("kind", "metric")
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("# TYPE "),
+                header_name(F.col("metric")),
+                F.lit(" "),
+                F.col("kind"),
+            ).alias("line")
+        )
+    )
+    user_pair = F.concat(
+        F.lit('user="'), esc_label(F.col("label_user")), F.lit('"')
+    )
+    counters = snap.filter(F.col("kind") == "counter").select(
+        F.concat(
+            series_ref(
+                F.concat(F.col("metric"), F.lit("_total")), user_pair
+            ),
+            F.lit(" "),
+            _dec("value"),
+        ).alias("line")
+    )
+    gauges = snap.filter(F.col("kind") == "gauge").select(
+        F.concat(
+            series_ref(F.col("metric"), user_pair),
+            F.lit(" "),
+            _dec("value"),
+        ).alias("line")
+    )
+    return headers.unionByName(counters).unionByName(gauges)
+
+
 #: Prometheus metric-name regex (public exposition-format grammar).
 _NAME_RE = "^([A-Za-z_:][A-Za-z0-9_:]*)"
+
+#: Fully-anchored classic (pre-3.x) name charset — names outside it
+#: serialize in the 3.x quoted form on every writer below.
+_CLASSIC_FULL_RE = "^[A-Za-z_:][A-Za-z0-9_:]*$"
+
+#: Quoted-name capture at the start of a sample line (`{"name"…`).
+_QNAME_RE = r'^\{"((?:[^"\\]|\\.)*)"'
+
+
+def quote_name(c: Column) -> Column:
+    """A name in the 3.x quoted form (same escaping as label values —
+    the public 3.x grammar reuses it)."""
+    return F.concat(F.lit('"'), esc_label(c), F.lit('"'))
+
+
+def header_name(c: Column) -> Column:
+    """Metric family name as written in `# TYPE`/`# HELP`/`# UNIT`
+    headers: bare when classic, quoted otherwise (3.x UTF-8 names)."""
+    return F.when(c.rlike(_CLASSIC_FULL_RE), c).otherwise(quote_name(c))
+
+
+def series_ref(name: Column, pairs: "Column | None" = None) -> Column:
+    """A sample-line series reference: classic ``name{pairs}`` /
+    ``name`` when the (suffixed) sample name fits the legacy charset,
+    the 3.x quoted form ``{"name",pairs}`` / ``{"name"}`` otherwise —
+    the OTel-style dotted-name (`web.click`) serialization. One
+    expression, pure codegen; every writer leg routes through it so
+    the two dialects cannot drift."""
+    classic = name.rlike(_CLASSIC_FULL_RE)
+    bare = F.when(classic, name).otherwise(
+        F.concat(F.lit("{"), quote_name(name), F.lit("}"))
+    )
+    if pairs is None:
+        return bare
+    with_pairs = F.when(
+        classic, F.concat(name, F.lit("{"), pairs, F.lit("}"))
+    ).otherwise(
+        F.concat(
+            F.lit("{"), quote_name(name), F.lit(","), pairs, F.lit("}")
+        )
+    )
+    # an empty label set renders the bare form (`{"name",}` would be
+    # ungrammatical in the quoted dialect)
+    return F.when(
+        F.coalesce(pairs, F.lit("")) == "", bare
+    ).otherwise(with_pairs)
 
 #: OpenMetrics HELP text — one deterministic docstring per family
 #: (prometheus-cpp families carry a help string; the engine's registry
@@ -290,9 +394,9 @@ def openmetrics_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = _snap_persisted(spark, sf_dir)
     body = _classic_lines(spark, sf_dir, snap)
     helps = snap.select("metric").distinct().select(
-        F.concat(F.lit("# HELP "), F.col("metric"), F.lit(_OM_HELP)).alias(
-            "line"
-        )
+        F.concat(
+            F.lit("# HELP "), header_name(F.col("metric")), F.lit(_OM_HELP)
+        ).alias("line")
     )
     unit_expr = F.element_at(
         F.create_map(
@@ -302,7 +406,10 @@ def openmetrics_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     units = snap.select("metric", "kind").distinct().select(
         F.concat(
-            F.lit("# UNIT "), F.col("metric"), F.lit(" "), unit_expr
+            F.lit("# UNIT "),
+            header_name(F.col("metric")),
+            F.lit(" "),
+            unit_expr,
         ).alias("line")
     )
     eof = spark.range(1).select(F.lit("# EOF").alias("line"))
@@ -332,10 +439,15 @@ def _created_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(created_s)
         .select(
             F.concat(
-                F.col("metric"),
-                F.lit('_created{user="'),
-                esc_label(F.col("label_user")),
-                F.lit('"} '),
+                series_ref(
+                    F.concat(F.col("metric"), F.lit("_created")),
+                    F.concat(
+                        F.lit('user="'),
+                        esc_label(F.col("label_user")),
+                        F.lit('"'),
+                    ),
+                ),
+                F.lit(" "),
                 _dec("cs"),
             ).alias("line")
         )
@@ -345,7 +457,9 @@ def _created_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(created_s)
         .select(
             F.concat(
-                F.col("metric"), F.lit("_created "), _dec("cs")
+                series_ref(F.concat(F.col("metric"), F.lit("_created"))),
+                F.lit(" "),
+                _dec("cs"),
             ).alias("line")
         )
     )
@@ -358,6 +472,17 @@ def openmetrics_text(lines: DataFrame) -> str:
     samples, families sorted by name), `# EOF` as the final line."""
     import re as _re
 
+    def _unq(s: str) -> str:
+        # driver-side twin of unesc_label (NUL-sentinel backslashes)
+        return (
+            s.replace("\\\\", "\x00")
+            .replace('\\"', '"')
+            .replace("\\n", "\n")
+            .replace("\x00", "\\")
+        )
+
+    _QUOTED = r'"((?:[^"\\]|\\.)*)"'
+
     def key(line: str):
         if line == "# EOF":
             return (2, "", 0, "", -1.0, "")
@@ -367,10 +492,18 @@ def openmetrics_text(lines: DataFrame) -> str:
             (2, "# UNIT "),
         ):
             if line.startswith(prefix):
-                fam = line[len(prefix):].split(" ", 1)[0]
+                rest = line[len(prefix):]
+                qm = _re.match(_QUOTED, rest)
+                fam = (
+                    _unq(qm.group(1)) if qm else rest.split(" ", 1)[0]
+                )
                 return (1, fam, rank, "", -1.0, line)
-        m = _re.match(_NAME_RE, line)
-        name = m.group(1) if m else line
+        qm = _re.match(r"^\{" + _QUOTED, line)
+        if qm:
+            name = _unq(qm.group(1))
+        else:
+            m = _re.match(_NAME_RE, line)
+            name = m.group(1) if m else line
         # sample names carry _total/_bucket/_sum/_count/_created
         # suffixes; group them with their family. `_created` child
         # samples serialize AFTER the family's value samples (rank 4)
@@ -417,14 +550,29 @@ def classify_lines(lines: DataFrame) -> DataFrame:
     label_user, le, value) plus any NON-`line` input columns carried
     through (the scrape loop threads target/scrape stamps)."""
     extra = [c for c in lines.columns if c != "line"]
-    raw = F.regexp_extract("line", _NAME_RE, 1)
+    # 3.x quoted-name lines (`{"web.click_total",user="x"} 5`) carry
+    # the (suffixed) sample name as the braces' first element; classic
+    # lines as a bare prefix. Both parse with pure regexp codegen —
+    # the quoted label key anchors on the `,key="` separator so the
+    # escaped name body can never shadow it.
+    quoted = F.col("line").startswith('{"')
+    raw = F.when(
+        quoted, unesc_label(F.regexp_extract("line", _QNAME_RE, 1))
+    ).otherwise(F.regexp_extract("line", _NAME_RE, 1))
+    lkey = F.when(
+        quoted, F.regexp_extract("line", r',(\w+)="', 1)
+    ).otherwise(F.regexp_extract("line", r'\{(\w+)="', 1))
+    lval = F.when(
+        quoted,
+        F.regexp_extract("line", r',\w+="((?:[^"\\]|\\.)*)"', 1),
+    ).otherwise(
+        F.regexp_extract("line", r'="((?:[^"\\]|\\.)*)"', 1)
+    )
     parsed = lines.filter(~F.col("line").startswith("#")).select(
         *extra,
         raw.alias("raw"),
-        F.regexp_extract("line", r'\{(\w+)="', 1).alias("lkey"),
-        unesc_label(
-            F.regexp_extract("line", r'="((?:[^"\\]|\\.)*)"', 1)
-        ).alias("lval"),
+        lkey.alias("lkey"),
+        unesc_label(lval).alias("lval"),
         # try_cast, not cast: under ANSI the optimizer constant-folds
         # this expression over literal comment rows (`# EOF`) BEFORE
         # the comment filter prunes them — a plan-time crash; malformed
@@ -473,11 +621,21 @@ def _parse_payload(lines: DataFrame) -> DataFrame:
     through silently. Output: (metric, kind, stat, label_user, le,
     value)."""
     hdr_re = r"^# TYPE (\S+) (\S+)$"
+    # 3.x quoted header names: `# TYPE "web.click" counter`
+    qhdr_re = r'^# TYPE "((?:[^"\\]|\\.)*)" (\S+)$'
+    qhdr = F.col("line").startswith('# TYPE "')
     headers = (
         lines.filter(F.col("line").startswith("# TYPE "))
         .select(
-            F.regexp_extract("line", hdr_re, 1).alias("metric"),
-            F.regexp_extract("line", hdr_re, 2).alias("kind"),
+            F.when(
+                qhdr,
+                unesc_label(F.regexp_extract("line", qhdr_re, 1)),
+            )
+            .otherwise(F.regexp_extract("line", hdr_re, 1))
+            .alias("metric"),
+            F.when(qhdr, F.regexp_extract("line", qhdr_re, 2))
+            .otherwise(F.regexp_extract("line", hdr_re, 2))
+            .alias("kind"),
         )
         .distinct()
     )
@@ -817,6 +975,7 @@ class MetricsExposer:
         exemplars_fn=None,
         remote_write: bool = False,
         scrape_config: str | None = None,
+        alertmanagers: "list[str] | None" = None,
     ):
         """`lines_fn` (optional): zero-arg callable returning the line
         DataFrame — lets the exposer serve a LIVE source (a streaming
@@ -1001,6 +1160,18 @@ class MetricsExposer:
         self._query_timeout_s = query_timeout_s
         self._remote_write = remote_write
         self._scrape_config = scrape_config
+        # the Alertmanager pool: explicit list, else the loaded
+        # prometheus.yml's alerting section (upstream: one config file
+        # declares both scrape targets and the notification pool)
+        if alertmanagers is None and scrape_config is not None:
+            from shards_prometheus_spark.sources.scrape_config import (
+                load_scrape_configs,
+            )
+
+            alertmanagers = load_scrape_configs(
+                scrape_config
+            ).alertmanager_urls
+        self._alertmanagers = list(alertmanagers or [])
         # the push store is THE receiver implementation (one
         # ingest/render code path, not a re-implementation that can
         # drift), just without its own HTTP server — this exposer's
@@ -1119,6 +1290,31 @@ class MetricsExposer:
                 "start_time": getattr(self, "_start_time", None),
             },
             config_yaml=self._scrape_config,
+            alertmanagers=self._alertmanagers,
+        )
+
+    def push_alerts(self) -> "tuple[list[dict], dict[str, int]]":
+        """The notification hop (sources/alertmanager.py): evaluate
+        this exposer's rule file's firing set — the SAME pass
+        `/api/v1/alerts` serves — and POST it to the configured
+        Alertmanager pool. Returns (v2 payload, per-URL statuses);
+        call after rule-relevant state changes (a push, a new scrape
+        tick) — upstream's post-rule-group-evaluation hook."""
+        from shards_prometheus_spark.functions.promql_parser import (
+            PromQLEvaluator,
+        )
+        from shards_prometheus_spark.sources.alertmanager import (
+            AlertmanagerNotifier,
+            notify_firing,
+        )
+
+        if self._rule_file is None or not self._alertmanagers:
+            return [], {}
+        return notify_firing(
+            PromQLEvaluator(self.read_samples()),
+            self._rule_file,
+            AlertmanagerNotifier(self._alertmanagers),
+            generator_url=f"http://{self.host}:{self.port}/graph",
         )
 
     def collect_text(self) -> str:

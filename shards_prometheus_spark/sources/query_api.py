@@ -941,10 +941,9 @@ def targets_metadata_data(
     return out
 
 
-#: `/api/v1/alertmanagers`: this engine evaluates its rules itself
-#: and pushes to no Alertmanager — both pools are empty, the public
-#: shape for a server with none configured.
-ALERTMANAGERS = {"activeAlertmanagers": [], "droppedAlertmanagers": []}
+# `/api/v1/alertmanagers` is served by alertmanager.pool_data: the
+# configured pool when the server has one, the two-empty-lists shape
+# otherwise.
 
 
 def status_config_data(
@@ -1008,6 +1007,7 @@ def handle_api_request(
     exemplars_fn=None,
     target_info: dict | None = None,
     config_yaml: str | None = None,
+    alertmanagers: "list[str] | None" = None,
 ) -> tuple:
     """Dispatch one read-API request → (http_status, payload dict).
 
@@ -1220,7 +1220,11 @@ def handle_api_request(
                 make_evaluator(None), target_info, p
             )
         elif path == "/api/v1/alertmanagers":
-            data = ALERTMANAGERS
+            from shards_prometheus_spark.sources.alertmanager import (
+                pool_data,
+            )
+
+            data = pool_data(alertmanagers)
         elif path == "/api/v1/status/config":
             data = status_config_data(target_info, rule_file, config_yaml)
         elif path == "/api/v1/status/flags":

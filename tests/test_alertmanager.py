@@ -1,0 +1,209 @@
+"""Alertmanager notification push (sources/alertmanager.py): firing
+alerts POSTed to the configured pool as the v2 JSON array, the pool
+reflected on /api/v1/alertmanagers, delivery failures reported but
+never raised.
+"""
+
+from __future__ import annotations
+
+import http.server
+import json
+import re
+import threading
+import urllib.request
+
+from tests.conftest import SF_SMOKE
+
+FIRING_RULE_FILE = """
+groups:
+  - name: paging
+    interval: 1d
+    rules:
+      - alert: AnyClicks
+        expr: sum by (user) (increase(click[720h])) > 0
+        labels:
+          severity: page
+        annotations:
+          summary: "user {{ $labels.user }} clicked {{ $value }}"
+"""
+
+
+class _Sink:
+    """Capturing HTTP sink: records (path, body) per POST; responds
+    with `status` (default 200)."""
+
+    def __init__(self, status: int = 200):
+        self.received: list[tuple[str, bytes]] = []
+        outer = self
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802
+                n = int(self.headers.get("Content-Length") or 0)
+                outer.received.append((self.path, self.rfile.read(n)))
+                self.send_response(status)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        self._srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.url = f"http://127.0.0.1:{self._srv.server_port}"
+        threading.Thread(
+            target=self._srv.serve_forever, daemon=True
+        ).start()
+
+    def stop(self):
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+def test_notify_firing_matches_alerts_api(spark):
+    """The webhook receives label-for-label what /api/v1/alerts
+    serves, as the v2 push array with an RFC3339 startsAt."""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+    from shards_prometheus_spark.model import samples_multi
+    from shards_prometheus_spark.sources.alertmanager import (
+        AlertmanagerNotifier,
+        notify_firing,
+    )
+    from shards_prometheus_spark.sources.query_api import alerts_data
+
+    ev = PromQLEvaluator(samples_multi(spark, SF_SMOKE))
+    sink = _Sink()
+    try:
+        payload, statuses = notify_firing(
+            ev, FIRING_RULE_FILE, AlertmanagerNotifier([sink.url])
+        )
+        assert statuses == {f"{sink.url}/api/v2/alerts": 200}
+        assert len(sink.received) == 1
+        path, body = sink.received[0]
+        assert path == "/api/v2/alerts"
+        delivered = json.loads(body)
+        assert delivered == payload and len(delivered) > 0
+
+        served = alerts_data(ev, FIRING_RULE_FILE)["alerts"]
+        assert [a["labels"] for a in delivered] == [
+            a["labels"] for a in served
+        ]
+        assert [a["annotations"] for a in delivered] == [
+            a["annotations"] for a in served
+        ]
+        for a in delivered:
+            assert a["labels"]["alertname"] == "AnyClicks"
+            assert a["labels"]["severity"] == "page"
+            assert re.fullmatch(
+                r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z",
+                a["startsAt"],
+            )
+    finally:
+        sink.stop()
+
+
+def test_exposer_pool_and_push(spark):
+    """The exposer reflects its configured pool on
+    /api/v1/alertmanagers and push_alerts() delivers the firing set."""
+    from shards_prometheus_spark.sources import MetricsExposer
+
+    sink = _Sink()
+    exposer = MetricsExposer(
+        spark,
+        SF_SMOKE,
+        rule_file=FIRING_RULE_FILE,
+        alertmanagers=[sink.url],
+    ).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://{exposer.host}:{exposer.port}/api/v1/alertmanagers",
+            timeout=60,
+        ) as resp:
+            pool = json.loads(resp.read())["data"]
+        assert pool == {
+            "activeAlertmanagers": [
+                {"url": f"{sink.url}/api/v2/alerts"}
+            ],
+            "droppedAlertmanagers": [],
+        }
+        payload, statuses = exposer.push_alerts()
+        assert statuses == {f"{sink.url}/api/v2/alerts": 200}
+        assert len(payload) > 0
+        delivered = json.loads(sink.received[-1][1])
+        assert delivered == payload
+        assert all(
+            a["generatorURL"]
+            == f"http://{exposer.host}:{exposer.port}/graph"
+            for a in delivered
+        )
+    finally:
+        exposer.stop()
+        sink.stop()
+
+
+def test_exposer_without_pool_serves_empty(spark):
+    from shards_prometheus_spark.sources import MetricsExposer
+
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://{exposer.host}:{exposer.port}/api/v1/alertmanagers",
+            timeout=60,
+        ) as resp:
+            pool = json.loads(resp.read())["data"]
+        assert pool == {
+            "activeAlertmanagers": [],
+            "droppedAlertmanagers": [],
+        }
+        assert exposer.push_alerts() == ([], {})
+    finally:
+        exposer.stop()
+
+
+def test_notifier_reports_failures_without_raising():
+    from shards_prometheus_spark.sources.alertmanager import (
+        AlertmanagerNotifier,
+    )
+
+    sink = _Sink(status=500)
+    try:
+        notifier = AlertmanagerNotifier(
+            [sink.url, "http://127.0.0.1:1/unreachable"],
+            timeout_s=2.0,
+        )
+        statuses = notifier.notify([{"labels": {"alertname": "x"}}])
+        assert statuses[f"{sink.url}/api/v2/alerts"] == 500
+        assert (
+            statuses["http://127.0.0.1:1/unreachable/api/v2/alerts"] == -1
+        )
+    finally:
+        sink.stop()
+
+
+def test_pool_from_scrape_config(spark):
+    """A prometheus.yml alerting section configures the pool — one
+    config file drives scraping AND notification, per upstream."""
+    from shards_prometheus_spark.sources import MetricsExposer
+
+    cfg = """
+scrape_configs:
+  - job_name: self
+    static_configs:
+      - targets: ['127.0.0.1:9999']
+alerting:
+  alertmanagers:
+    - static_configs:
+        - targets: ['am.example:9093']
+"""
+    exposer = MetricsExposer(spark, SF_SMOKE, scrape_config=cfg).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://{exposer.host}:{exposer.port}/api/v1/alertmanagers",
+            timeout=60,
+        ) as resp:
+            pool = json.loads(resp.read())["data"]
+        assert pool["activeAlertmanagers"] == [
+            {"url": "http://am.example:9093/api/v2/alerts"}
+        ]
+    finally:
+        exposer.stop()
