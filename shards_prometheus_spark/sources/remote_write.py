@@ -246,6 +246,125 @@ def encode_write_requests(samples: DataFrame) -> DataFrame:
     return cols.mapInPandas(kernel, "payload binary")
 
 
+def push_write_requests(
+    payloads: DataFrame,
+    url: str,
+    timeout_s: float = 30.0,
+    retries: int = 2,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """The SEND half of the pairing: POST each WriteRequest payload
+    to a remote-write endpoint from the EXECUTORS — one HTTP POST per
+    payload inside an Arrow-batched kernel, so a 1000-partition
+    relation pushes with the scan's parallelism and the driver never
+    touches a byte. Returns (status, n_bytes, attempts) per payload.
+
+    Retry semantics follow upstream's sender: 5xx and 429 retry with
+    capped exponential backoff (`retries` additional attempts), other
+    4xx are permanent (a malformed payload will not become well-formed
+    by retrying) and connection failures report status -1. Delivery
+    problems are DATA in the result relation, never task failures —
+    a dead receiver must not fail a 100 TB export job."""
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import time as _time
+        import urllib.error
+        import urllib.request
+
+        rows = []
+        for pdf in batches:
+            for raw in pdf[payload_col]:
+                if raw is None:
+                    continue
+                body = bytes(raw)
+                status, attempts = -1, 0
+                for attempt in range(retries + 1):
+                    attempts = attempt + 1
+                    try:
+                        req = urllib.request.Request(
+                            url,
+                            data=body,
+                            headers={
+                                "Content-Type": "application/x-protobuf",
+                                "Content-Encoding": "snappy",
+                                "X-Prometheus-Remote-Write-Version": (
+                                    "0.1.0"
+                                ),
+                            },
+                            method="POST",
+                        )
+                        with urllib.request.urlopen(
+                            req, timeout=timeout_s
+                        ) as resp:
+                            status = resp.status
+                    except urllib.error.HTTPError as exc:
+                        status = exc.code
+                    except Exception:  # noqa: BLE001 - report, not raise
+                        status = -1
+                    retryable = status == -1 or status == 429 or (
+                        500 <= status < 600
+                    )
+                    if not retryable:
+                        break
+                    if attempt < retries:
+                        _time.sleep(min(0.1 * (2**attempt), 1.0))
+                rows.append((status, len(body), attempts))
+        yield pd.DataFrame(
+            rows, columns=["status", "n_bytes", "attempts"]
+        )
+
+    return payloads.mapInPandas(
+        kernel, "status int, n_bytes long, attempts int"
+    )
+
+
+def push_samples(
+    samples: DataFrame,
+    url: str,
+    timeout_s: float = 30.0,
+    retries: int = 2,
+) -> DataFrame:
+    """Encode the samples relation into one WriteRequest per partition
+    and push every payload executor-side — the engine as a
+    remote-write SENDER (repartition first to control payload
+    sizing). Returns the per-payload delivery relation."""
+    return push_write_requests(
+        encode_write_requests(samples), url, timeout_s, retries
+    )
+
+
+def remote_write_sink(
+    samples_stream: DataFrame,
+    url: str,
+    timeout_s: float = 30.0,
+    retries: int = 2,
+):
+    """Streaming remote-write sender: a `foreachBatch` sink that
+    encodes each micro-batch per partition and POSTs the payloads
+    from the executors — the continuous push loop a paired server
+    runs (scrape tick in, remote-write out). Returns a
+    DataStreamWriter; call .option("checkpointLocation", …).start().
+
+    The per-batch collect is payload-count-sized (one status row per
+    partition), used only to surface delivery failures in the driver
+    log — the payload bytes never leave the executors."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        statuses = push_samples(
+            batch_df, url, timeout_s, retries
+        ).collect()
+        failed = [r for r in statuses if not 200 <= r["status"] < 300]
+        if failed:
+            print(
+                f"remote_write_sink batch {batch_id}: "
+                f"{len(failed)}/{len(statuses)} payloads failed "
+                f"(statuses {sorted({r['status'] for r in failed})})"
+            )
+
+    return samples_stream.writeStream.foreachBatch(handle)
+
+
 class RemoteWriteReceiver:
     """POST `/api/v1/write` endpoint: the push half of the paired
     server. Parsed rows accumulate in a driver-side store (payloads

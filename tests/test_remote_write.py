@@ -424,3 +424,150 @@ def test_write_post_contract_413_400_500():
     h = _FakeWriteHandler(b"anything")
     handle_write_post(h, ok)
     assert h.status == 204 and calls == [b"anything"]
+
+
+# --- the SEND half (r12): engine as remote-write sender ------------------
+
+
+def test_push_samples_delivers_to_receiver(spark):
+    """Distributed push: one POST per payload from the executors; the
+    receiver's store recovers every (series, ts-ms, value) triple."""
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.model import samples
+    from shards_prometheus_spark.sources.remote_write import (
+        RemoteWriteReceiver,
+        push_samples,
+    )
+
+    rx = RemoteWriteReceiver().start()
+    try:
+        url = f"http://{rx.host}:{rx.port}/api/v1/write"
+        s = samples(spark, SF_SMOKE).repartition(4, "metric")
+        statuses = push_samples(s, url).collect()
+        # one payload per NON-EMPTY partition (5 metrics hashed into
+        # 4 partitions can leave one empty)
+        assert 1 <= len(statuses) <= 4
+        assert all(r["status"] == 204 for r in statuses)
+        assert all(r["attempts"] == 1 for r in statuses)
+        assert rx.n_rows == s.count()
+
+        # value-level: per-series sums agree (wire is lossless for
+        # doubles; timestamps compare on the ms grid)
+        want = {
+            (r["metric"], r["label_user"]): (
+                round(r["sv"], 6),
+                r["mt"],
+            )
+            for r in s.groupBy("metric", "label_user")
+            .agg(
+                F.sum("value").alias("sv"),
+                F.max(F.expr("ts_us div 1000")).alias("mt"),
+            )
+            .collect()
+        }
+        got = {
+            (r["metric"], r["label_user"]): (round(r["sv"], 6), r["mt"])
+            for r in rx.samples(spark)
+            .groupBy("metric", "label_user")
+            .agg(
+                F.sum("value").alias("sv"),
+                F.max(F.expr("ts_us div 1000")).alias("mt"),
+            )
+            .collect()
+        }
+        assert got == want
+    finally:
+        rx.stop()
+
+
+def test_push_retry_semantics(spark):
+    """Upstream sender semantics: 5xx retries (capped backoff), other
+    4xx is permanent, connection failure reports -1 — all as DATA,
+    never task failures."""
+    import http.server
+    import threading
+
+    from shards_prometheus_spark.sources.remote_write import (
+        push_write_requests,
+    )
+
+    class H(http.server.BaseHTTPRequestHandler):
+        code = 500
+
+        def do_POST(self):  # noqa: N802
+            self.rfile.read(
+                int(self.headers.get("Content-Length") or 0)
+            )
+            self.send_response(type(self).code)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_port}/api/v1/write"
+    payloads = spark.createDataFrame([(b"x",)], "payload binary")
+    try:
+        (row,) = push_write_requests(payloads, url, retries=2).collect()
+        assert (row["status"], row["attempts"]) == (500, 3)  # retried
+        H.code = 400
+        (row,) = push_write_requests(payloads, url, retries=2).collect()
+        assert (row["status"], row["attempts"]) == (400, 1)  # permanent
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    # connection failure: no listener
+    (row,) = push_write_requests(
+        payloads, "http://127.0.0.1:1/api/v1/write", retries=1
+    ).collect()
+    assert (row["status"], row["attempts"]) == (-1, 2)
+
+
+def test_remote_write_sink_streams_micro_batches(spark):
+    """The continuous push loop: a samples stream exported through
+    the foreachBatch sink lands in the receiver, batch by batch."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.sources.remote_write import (
+        RemoteWriteReceiver,
+        remote_write_sink,
+    )
+    from shards_prometheus_spark.streaming.ingest import (
+        samples_stream,
+        stream_events,
+    )
+
+    rx = RemoteWriteReceiver().start()
+    query = None
+    try:
+        url = f"http://{rx.host}:{rx.port}/api/v1/write"
+        stream = samples_stream(stream_events(spark, SF_SMOKE)).select(
+            "metric",
+            F.create_map(F.lit("user"), F.col("label_user")).alias(
+                "labels"
+            ),
+            "ts_us",
+            "value",
+        )
+        query = (
+            remote_write_sink(stream, url)
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = time.time() + 120
+        while query.isActive and time.time() < deadline:
+            time.sleep(0.5)
+        assert not query.isActive, "sink never drained"
+        query = None
+        from shards_prometheus_spark.model import samples
+
+        assert rx.n_rows == samples(spark, SF_SMOKE).count()
+    finally:
+        if query is not None:
+            query.stop()
+        rx.stop()

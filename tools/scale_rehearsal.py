@@ -105,6 +105,13 @@ FAMILIES: list[tuple[str, list[str]]] = [
             # at 10× data instead of inferred
             "rules_chained",
             "http_query_range",
+            # r12: the wire round trips, scrape-time relabeling, and
+            # the staleness diff (second-decade legs run separately
+            # via --sf3-wire)
+            "remote_write_roundtrip",
+            "remote_read_roundtrip",
+            "relabel_chain",
+            "stale_markers_hourly",
         ],
     ),
     (
@@ -337,6 +344,45 @@ def _http_query_range_probe(spark, sf_dir):
     assert n_points > 0
     return spark.createDataFrame([(n_points,)], "points bigint")
 
+
+def _scrape_batch_probe(spark, sf_dir):
+    """One full batch scrape round through the `prometheus_scrape`
+    DataSource against an exposer serving `sf_dir`: the exposer
+    re-collects its registry per GET, the GET runs executor-side, and
+    `scraped_samples` classifies the payload — the whole pull hop
+    priced end to end. The payload is registry-sized (grows with
+    series cardinality, the events axis the generator scales)."""
+    from shards_prometheus_spark.sources.exposition import MetricsExposer
+    from shards_prometheus_spark.sources.scraper import (
+        scrape_once,
+        scraped_samples,
+    )
+
+    exposer = _EXPOSERS.get(sf_dir)
+    if exposer is None:
+        exposer = MetricsExposer(spark, sf_dir).start()
+        _EXPOSERS[sf_dir] = exposer
+    url = f"http://{exposer.host}:{exposer.port}/metrics"
+    return scraped_samples(scrape_once(spark, url, timeout_s=600))
+
+
+#: r12 wire family: the remote-write/read round trips and the batch
+#: scrape reader, measured on the scaled events axis (sf1.0 -> sf3.0,
+#: `--sf3-wire`) so the new wire operators get the same decade
+#: coverage as their peers; rows MERGE into BENCH_sf3.json.
+WIRE_FAMILIES: list[tuple[str, list[str]]] = [
+    (
+        "wire",
+        [
+            "remote_write_roundtrip",
+            "remote_read_roundtrip",
+            "relabel_chain",
+            "stale_markers_hourly",
+            "scrape_batch",
+        ],
+    ),
+]
+
 #: third-decade leg (sf3.0 -> sf12.0, 4× step): sized to push the
 #: MinHash signature relation PAST dedup_near's 2 M-row broadcast
 #: limit so the broadcast->shuffled-hash handoff itself is measured,
@@ -505,6 +551,50 @@ def main() -> None:
                 }
             },
         )
+        return
+    if "--sf3-wire" in sys.argv:
+        # r12: second-decade legs for the wire family only; the
+        # standing sf3 pairwise rows are expensive and unchanged, so
+        # the new rows MERGE into the existing BENCH_sf3.json instead
+        # of re-measuring everything
+        if not os.path.exists(f"{OUT}/events.parquet"):
+            print("generating", OUT, "(events)", flush=True)
+            generate(spark, OUT, FACTOR, tables=("events",))
+        if not os.path.exists(f"{OUT3}/events.parquet"):
+            print("generating", OUT3, "(events)", flush=True)
+            generate(spark, OUT3, FACTOR3, tables=("events",))
+        if "--gen-only" in sys.argv:
+            return
+        results = _measure(
+            spark,
+            {**all_queries(), "scrape_batch": _scrape_batch_probe},
+            WIRE_FAMILIES,
+            [(OUT, "sf1.0"), (OUT3, "sf3.0")],
+        )
+        for r in results.values():
+            r["ratio"] = round(r["sf3.0"] / max(r["sf1.0"], 1e-9), 2)
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_sf3.json",
+        )
+        with open(path) as f:
+            artifact = json.load(f)
+        artifact["queries"].update(results)
+        artifact["flagged"] = sorted(
+            set(artifact.get("flagged", []))
+            | {
+                n
+                for n, r in results.items()
+                if r["ratio"] > SF3_FLAG_RATIO
+                and (
+                    r["sf1.0"] >= FLOOR_SEC
+                    or r["sf3.0"] > FLOOR_SEC * SF3_FLAG_RATIO
+                )
+            }
+        )
+        with open(path, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(json.dumps({"flagged": artifact["flagged"], "written": path}))
         return
     if "--sf3" in sys.argv:
         # pairwise family only: needs documents+embeddings at sf1.0
