@@ -73,11 +73,50 @@ class AlertmanagerNotifier:
     """A configured Alertmanager pool. `notify` POSTs one JSON array
     to every member's ``/api/v2/alerts`` and returns
     ``{push_url: http_status}`` (-1 for a connection failure) —
-    delivery problems are reported, never raised."""
+    delivery problems are reported, never raised.
 
-    def __init__(self, urls: "list[str]", timeout_s: float = 10.0):
+    With ``send_resolved`` (upstream's default) the notifier
+    remembers the previous push's firing label sets and appends a
+    RESOLVED entry (``endsAt`` = this evaluation time, original
+    ``startsAt``) for every alert that stopped firing since — the
+    notification Alertmanager needs to close the incident. Sent once
+    per resolution (upstream re-sends for resolve_timeout; a single
+    engine evaluation pass has no re-send loop to hang it on)."""
+
+    def __init__(
+        self,
+        urls: "list[str]",
+        timeout_s: float = 10.0,
+        send_resolved: bool = True,
+    ):
         self.urls = [u.rstrip("/") for u in urls]
         self.timeout_s = timeout_s
+        self.send_resolved = send_resolved
+        #: label-set key → the v2 entry as last pushed (for startsAt)
+        self._active: "dict[tuple, dict]" = {}
+
+    def push_state(
+        self, firing_v2: "list[dict]", now_us: int
+    ) -> "tuple[list[dict], dict[str, int]]":
+        """Diff the firing set against the previous push, append
+        resolved entries, POST, and update the remembered state.
+        Returns (the full payload incl. resolved, per-URL statuses)."""
+
+        def key(entry: dict) -> tuple:
+            return tuple(sorted((entry.get("labels") or {}).items()))
+
+        current = {key(e): e for e in firing_v2}
+        payload = list(firing_v2)
+        if self.send_resolved:
+            for k, prev in self._active.items():
+                if k in current:
+                    continue
+                resolved = dict(prev)
+                resolved["endsAt"] = _rfc3339(now_us)
+                payload.append(resolved)
+        statuses = self.notify(payload)
+        self._active = current
+        return payload, statuses
 
     @property
     def push_urls(self) -> "list[str]":
@@ -113,17 +152,19 @@ def notify_firing(
 ) -> "tuple[list[dict], dict[str, int]]":
     """Evaluate `rule_file`'s firing set (the SAME eval_rule_file pass
     `/api/v1/alerts` serves — labels/annotations identical by
-    construction) and push it to the pool. Returns (the v2 payload,
-    per-URL delivery statuses). An empty firing set still posts the
-    empty array — upstream keeps notifying resolved state; a receiver
-    distinguishes by content."""
+    construction) and push it to the pool via `push_state` — firing
+    entries plus an `endsAt`-stamped resolved entry for every alert
+    that stopped firing since the notifier's previous push. Returns
+    (the full v2 payload, per-URL delivery statuses). An empty firing
+    set still posts (possibly just resolved entries, possibly the
+    empty array)."""
     from shards_prometheus_spark.sources.query_api import alerts_data
 
+    now_us = evaluator.eval_time_us()
     alerts = alerts_data(evaluator, rule_file)["alerts"]
-    payload = firing_to_v2(
-        alerts, evaluator.eval_time_us(), generator_url
+    return notifier.push_state(
+        firing_to_v2(alerts, now_us, generator_url), now_us
     )
-    return payload, notifier.notify(payload)
 
 
 def pool_data(urls: "list[str] | None") -> dict:

@@ -1310,10 +1310,15 @@ class MetricsExposer:
 
         if self._rule_file is None or not self._alertmanagers:
             return [], {}
+        # ONE notifier per exposer: it remembers the previous push's
+        # firing set, so the next push carries endsAt-stamped resolved
+        # entries for alerts that stopped firing in between
+        if not hasattr(self, "_notifier"):
+            self._notifier = AlertmanagerNotifier(self._alertmanagers)
         return notify_firing(
             PromQLEvaluator(self.read_samples()),
             self._rule_file,
-            AlertmanagerNotifier(self._alertmanagers),
+            self._notifier,
             generator_url=f"http://{self.host}:{self.port}/graph",
         )
 

@@ -67,6 +67,10 @@ class ScrapeJob:
     static_targets: list = field(default_factory=list)  # (addr, labels)
     relabel_configs: list = field(default_factory=list)
     metric_relabel_configs: list = field(default_factory=list)
+    #: file_sd_configs: file paths/globs (JSON or YAML target lists),
+    #: re-read on every resolve_targets call — upstream's file-based
+    #: service discovery, where the file IS the mutable target source
+    file_sd_files: list = field(default_factory=list)
 
 
 @dataclass
@@ -112,6 +116,11 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
                 metric_relabel_configs=list(
                     sc.get("metric_relabel_configs") or []
                 ),
+                file_sd_files=[
+                    str(p)
+                    for fsd in sc.get("file_sd_configs") or []
+                    for p in fsd.get("files") or []
+                ],
             )
         )
     # alerting: alertmanagers: [static_configs: [targets: [...]]]
@@ -131,17 +140,54 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
     )
 
 
+def _file_sd_targets(job: ScrapeJob) -> "list[tuple[str, dict]]":
+    """Read the job's file_sd_configs target files (the public shape:
+    a JSON or YAML list of `{targets: [...], labels: {...}}` groups;
+    paths may be globs). Read fresh on EVERY call — upstream watches
+    these files for changes, and here each target resolution re-reads
+    them, so editing the file and re-resolving (or restarting the
+    stream) picks up the new fleet. An unreadable or malformed file
+    contributes no targets rather than failing the job (upstream logs
+    and keeps the previous set)."""
+    import glob as _glob
+    import json as _json
+
+    out: list[tuple[str, dict]] = []
+    for pattern in job.file_sd_files:
+        for path in sorted(_glob.glob(pattern)):
+            try:
+                with open(path) as f:
+                    text = f.read()
+                if path.endswith((".yml", ".yaml")):
+                    import yaml
+
+                    groups = yaml.safe_load(text) or []
+                else:
+                    groups = _json.loads(text)
+                for st in groups:
+                    lbls = {
+                        str(k): str(v)
+                        for k, v in (st.get("labels") or {}).items()
+                    }
+                    for addr in st.get("targets") or []:
+                        out.append((str(addr), lbls))
+            except Exception:  # noqa: BLE001 - a bad SD file skips
+                continue
+    return out
+
+
 def resolve_targets(spark: SparkSession, job: ScrapeJob) -> list[ResolvedTarget]:
-    """The TARGET relabeling hop: static targets → final scrape URLs +
-    per-target label sets, through the same compiled relabel chain the
-    metric hop uses (one semantics definition). Runs on a local
-    config-sized relation; the collect IS the config."""
+    """The TARGET relabeling hop: static + file-SD targets → final
+    scrape URLs + per-target label sets, through the same compiled
+    relabel chain the metric hop uses (one semantics definition). Runs
+    on a local config-sized relation; the collect IS the config."""
     from shards_prometheus_spark.operators.relabel import apply_relabel
 
-    if not job.static_targets:
+    all_targets = list(job.static_targets) + _file_sd_targets(job)
+    if not all_targets:
         return []
     rows = []
-    for addr, extra in job.static_targets:
+    for addr, extra in all_targets:
         labels = {
             "__address__": addr,
             "job": job.job_name,

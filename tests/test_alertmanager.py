@@ -207,3 +207,46 @@ alerting:
         ]
     finally:
         exposer.stop()
+
+
+def test_resolved_alerts_carry_endsAt():
+    """An alert that stops firing between pushes is re-sent ONCE as a
+    resolved entry: original startsAt, endsAt = the later evaluation
+    time — the notification Alertmanager closes the incident on."""
+    import re as _re
+
+    from shards_prometheus_spark.sources.alertmanager import (
+        AlertmanagerNotifier,
+        firing_to_v2,
+    )
+
+    sink = _Sink()
+    try:
+        notifier = AlertmanagerNotifier([sink.url])
+        t1, t2, t3 = 10_000_000, 20_000_000, 30_000_000
+        a = {"labels": {"alertname": "A", "user": "1"}, "value": "1"}
+        b = {"labels": {"alertname": "B"}, "annotations": {"s": "x"}}
+        p1, _ = notifier.push_state(firing_to_v2([a, b], t1), t1)
+        assert len(p1) == 2 and not any("endsAt" in e for e in p1)
+
+        p2, _ = notifier.push_state(firing_to_v2([a], t2), t2)
+        assert [e["labels"] for e in p2] == [
+            {"alertname": "A", "user": "1"},
+            {"alertname": "B"},
+        ]
+        resolved = p2[1]
+        assert resolved["annotations"] == {"s": "x"}  # carried over
+        assert resolved["startsAt"] == p1[1]["startsAt"]
+        assert _re.fullmatch(
+            r"1970-01-01T00:00:20\.000Z", resolved["endsAt"]
+        )
+        assert "endsAt" not in p2[0]  # still firing
+
+        # resolution is sent once, not re-sent forever
+        p3, _ = notifier.push_state(firing_to_v2([a], t3), t3)
+        assert [e["labels"] for e in p3] == [
+            {"alertname": "A", "user": "1"}
+        ]
+        assert len(sink.received) == 3
+    finally:
+        sink.stop()

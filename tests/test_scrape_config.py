@@ -249,3 +249,72 @@ def test_honor_labels_conflict_semantics(spark):
         "job": "inner",
         "instance": "t",
     }
+
+
+def test_file_sd_targets_merge_and_reload(spark, tmp_path):
+    """file_sd_configs: JSON and YAML target files merge with
+    static_configs through the same relabel hop; the files re-read on
+    every resolution (edit + re-resolve picks up the new fleet);
+    malformed files contribute nothing instead of failing the job."""
+    from shards_prometheus_spark.sources.scrape_config import (
+        load_scrape_configs,
+        resolve_targets,
+    )
+
+    sd_json = tmp_path / "fleet.json"
+    sd_json.write_text(
+        json.dumps(
+            [
+                {
+                    "targets": ["10.0.0.1:9100", "10.0.0.2:9100"],
+                    "labels": {"dc": "east"},
+                }
+            ]
+        )
+    )
+    sd_yaml = tmp_path / "extra.yml"
+    sd_yaml.write_text(
+        "- targets: ['10.0.1.1:9100']\n  labels: {dc: west}\n"
+    )
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    cfg = load_scrape_configs(
+        f"""
+scrape_configs:
+  - job_name: nodes
+    static_configs:
+      - targets: ['10.0.9.9:9100']
+        labels: {{dc: static}}
+    file_sd_configs:
+      - files: ['{tmp_path}/*.json', '{sd_yaml}']
+"""
+    )
+    (job,) = cfg.jobs
+    assert sorted(job.file_sd_files) == [
+        f"{tmp_path}/*.json",
+        str(sd_yaml),
+    ]
+    got = {
+        t.url: t.labels["dc"] for t in resolve_targets(spark, job)
+    }
+    assert got == {
+        "http://10.0.9.9:9100/metrics": "static",
+        "http://10.0.0.1:9100/metrics": "east",
+        "http://10.0.0.2:9100/metrics": "east",
+        "http://10.0.1.1:9100/metrics": "west",
+    }
+    # job/instance defaults injected like static targets
+    t = next(
+        t for t in resolve_targets(spark, job)
+        if t.url.endswith("10.0.0.1:9100/metrics")
+    )
+    assert t.labels["job"] == "nodes"
+    assert t.labels["instance"] == "10.0.0.1:9100"
+
+    # the file IS the mutable fleet: edit + re-resolve
+    sd_json.write_text(
+        json.dumps([{"targets": ["10.0.0.3:9100"], "labels": {}}])
+    )
+    got2 = {t.url for t in resolve_targets(spark, job)}
+    assert "http://10.0.0.3:9100/metrics" in got2
+    assert "http://10.0.0.1:9100/metrics" not in got2
