@@ -89,3 +89,28 @@ def apply_matchers(
         else:  # pragma: no cover - parser only emits the four ops
             raise ValueError(f"unknown matcher op: {op}")
     return df
+
+
+def matcher_condition(
+    metric: str, matchers: Iterable[tuple[str, str, str]]
+) -> Column:
+    """The same matcher semantics as `apply_matchers`, as ONE boolean
+    Column (metric equality ∧ every matcher) — for callers that need
+    the NEGATION (tombstone masking: `df.filter(~cond)`), which a
+    sequence of `.filter` calls cannot express."""
+    cond = F.col("metric") == metric
+    for label, op, val in matchers:
+        col = label_col(label)
+        anchored = f"(?d)^(?:{val})\\z"
+        if op == "=":
+            c = col == val
+        elif op == "!=":
+            c = col != val
+        elif op == "=~":
+            c = col.rlike(anchored)
+        elif op == "!~":
+            c = ~col.rlike(anchored)
+        else:  # pragma: no cover - parser only emits the four ops
+            raise ValueError(f"unknown matcher op: {op}")
+        cond = cond & c
+    return cond

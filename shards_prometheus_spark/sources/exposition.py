@@ -976,6 +976,8 @@ class MetricsExposer:
         remote_write: bool = False,
         scrape_config: str | None = None,
         alertmanagers: "list[str] | None" = None,
+        admin_api: bool = False,
+        snapshot_dir: str | None = None,
     ):
         """`lines_fn` (optional): zero-arg callable returning the line
         DataFrame — lets the exposer serve a LIVE source (a streaming
@@ -1020,6 +1022,12 @@ class MetricsExposer:
                 for k, v in (extra_params or {}).items():
                     params.setdefault(k, []).extend(v)
                 status, payload = outer.handle_api(parts.path, params)
+                if status == 204:
+                    # admin success contract: no content
+                    self.send_response(204)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return True
                 body = json.dumps(payload).encode()
                 self.send_response(status)
                 # the public API serves CORS-open JSON (upstream's
@@ -1172,6 +1180,13 @@ class MetricsExposer:
                 scrape_config
             ).alertmanager_urls
         self._alertmanagers = list(alertmanagers or [])
+        # TSDB admin API state (upstream --web.enable-admin-api):
+        # tombstones are (metric, matchers, start_us, end_us) masks
+        # over the read path — deletion over an immutable parquet
+        # store is a filter, not a rewrite
+        self._admin_api = admin_api
+        self._snapshot_dir = snapshot_dir
+        self._tombstones: list = []
         # the push store is THE receiver implementation (one
         # ingest/render code path, not a re-implementation that can
         # drift), just without its own HTTP server — this exposer's
@@ -1203,8 +1218,14 @@ class MetricsExposer:
     def read_samples(self):
         """The current §1.2 samples relation this exposer serves —
         the base store (live `samples_fn` or the batch dir) unioned
-        with any remote-write pushed state. Shared by the JSON read
-        API's evaluator construction and the remote-read endpoint."""
+        with any remote-write pushed state, minus any admin-API
+        tombstones (each compiled to ONE negated matcher∧time-range
+        condition — a pushable filter, never a rewrite). Shared by
+        the JSON read API's evaluator construction, the remote-read
+        endpoint, and TSDB snapshots."""
+        from shards_prometheus_spark.functions.labelset import (
+            matcher_condition,
+        )
         from shards_prometheus_spark.model import samples_multi
 
         base = (
@@ -1215,7 +1236,76 @@ class MetricsExposer:
         pushed = self._rw_samples() if self._remote_write else None
         if pushed is not None:
             base = base.unionByName(pushed, allowMissingColumns=True)
+        for metric, matchers, s_us, e_us in list(self._tombstones):
+            cond = matcher_condition(metric, matchers)
+            if s_us is not None:
+                cond = cond & (F.col("ts_us") >= F.lit(int(s_us)))
+            if e_us is not None:
+                cond = cond & (F.col("ts_us") <= F.lit(int(e_us)))
+            base = base.filter(~cond)
         return base
+
+    # -- TSDB admin API (upstream --web.enable-admin-api) ---------------
+    def delete_series(
+        self,
+        matches: "list[str]",
+        start_us: "int | None" = None,
+        end_us: "int | None" = None,
+    ) -> None:
+        """`/api/v1/admin/tsdb/delete_series`: record one tombstone
+        per match[] selector; every subsequent read (query API,
+        remote-read, snapshots) masks the matched samples in the
+        optional [start, end] range. Raises ValueError (→ 400) on a
+        non-instant selector, before any state changes."""
+        from shards_prometheus_spark.functions.promql_parser import (
+            Selector,
+            parse,
+        )
+
+        parsed = []
+        for m in matches:
+            node = parse(m)
+            if not isinstance(node, Selector) or node.range_us is not None:
+                raise ValueError(f"invalid series selector {m!r}")
+            parsed.append((node.metric, node.matchers))
+        for metric, matchers in parsed:
+            self._tombstones.append((metric, matchers, start_us, end_us))
+
+    def clean_tombstones(self) -> None:
+        """`/api/v1/admin/tsdb/clean_tombstones`: upstream compacts
+        deleted blocks away; over an immutable parquet store the
+        tombstone filters ARE the deletion (no blocks to rewrite), so
+        this is a successful no-op — the masks stay in force."""
+
+    def tsdb_snapshot(self, skip_head: bool = False) -> str:
+        """`/api/v1/admin/tsdb/snapshot`: write the CURRENT masked
+        samples relation (pushed state included, tombstones applied)
+        as a parquet snapshot — a distributed write, named like
+        upstream's `<utc-stamp>-<hex>` snapshot dirs. Returns the
+        name; the directory lives under `snapshot_dir` (constructor)
+        or `<tmp>/tsdb_snapshots`. `skip_head` is accepted for wire
+        compatibility (no head/block distinction here)."""
+        import os
+        import secrets
+        import time as _time
+
+        name = (
+            _time.strftime("%Y%m%dT%H%M%SZ", _time.gmtime())
+            + "-"
+            + secrets.token_hex(4)
+        )
+        root = self._snapshot_dir
+        if root is None:
+            import tempfile
+
+            root = os.path.join(
+                tempfile.gettempdir(), "tsdb_snapshots"
+            )
+        out = os.path.join(root, name)
+        self.read_samples().write.parquet(
+            os.path.join(out, "samples.parquet")
+        )
+        return name
 
     def handle_api(self, path: str, params: dict) -> tuple:
         """Answer one read-API request (query_api.handle_api_request)
@@ -1229,6 +1319,13 @@ class MetricsExposer:
         )
 
         def make_evaluator(eval_ts_us):
+            if self._tombstones:
+                # admin deletions in force: every read evaluates over
+                # the masked relation (t_max re-derived per request —
+                # a deletion can move it)
+                return PromQLEvaluator(
+                    self.read_samples(), eval_ts_us=eval_ts_us
+                )
             pushed = self._rw_samples() if self._remote_write else None
             if pushed is not None:
                 # pushed state changes t_max between requests — build
@@ -1291,6 +1388,7 @@ class MetricsExposer:
             },
             config_yaml=self._scrape_config,
             alertmanagers=self._alertmanagers,
+            admin=self if self._admin_api else None,
         )
 
     def push_alerts(self) -> "tuple[list[dict], dict[str, int]]":

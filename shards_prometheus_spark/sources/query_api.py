@@ -1008,6 +1008,7 @@ def handle_api_request(
     target_info: dict | None = None,
     config_yaml: str | None = None,
     alertmanagers: "list[str] | None" = None,
+    admin=None,
 ) -> tuple:
     """Dispatch one read-API request → (http_status, payload dict).
 
@@ -1225,6 +1226,49 @@ def handle_api_request(
             )
 
             data = pool_data(alertmanagers)
+        elif path.startswith("/api/v1/admin/tsdb/"):
+            # the TSDB admin API (upstream: --web.enable-admin-api;
+            # disabled endpoints answer the public `unavailable`
+            # envelope). `admin` is the store-state owner (the
+            # exposer): delete_series appends selector+range
+            # tombstones that mask every subsequent read,
+            # clean_tombstones is a no-op over immutable parquet (the
+            # tombstones ARE the deletion), snapshot writes the
+            # current masked relation out as a parquet snapshot.
+            if admin is None:
+                return 503, {
+                    "status": "error",
+                    "errorType": "unavailable",
+                    "error": "admin APIs disabled",
+                }
+            if path == "/api/v1/admin/tsdb/delete_series":
+                matches = params.get("match[]") or []
+                if not matches:
+                    return bad("no match[] parameter provided")
+                start_us = (
+                    parse_time_param(p("start")) if p("start") else None
+                )
+                end_us = (
+                    parse_time_param(p("end")) if p("end") else None
+                )
+                admin.delete_series(matches, start_us, end_us)
+                return 204, {}
+            if path == "/api/v1/admin/tsdb/clean_tombstones":
+                admin.clean_tombstones()
+                return 204, {}
+            if path == "/api/v1/admin/tsdb/snapshot":
+                name = admin.tsdb_snapshot(
+                    skip_head=p("skip_head") in ("true", "1")
+                )
+                return 200, {
+                    "status": "success",
+                    "data": {"name": name},
+                }
+            return 404, {
+                "status": "error",
+                "errorType": "bad_data",
+                "error": f"unknown admin endpoint {path}",
+            }
         elif path == "/api/v1/status/config":
             data = status_config_data(target_info, rule_file, config_yaml)
         elif path == "/api/v1/status/flags":
