@@ -530,7 +530,9 @@ def openmetrics_text(lines: DataFrame) -> str:
     )
 
 
-def classify_lines(lines: DataFrame) -> DataFrame:
+def classify_lines(
+    lines: DataFrame, with_timestamps: bool = False
+) -> DataFrame:
     """Per-row exposition classifier: text lines → typed relation,
     kind recovered from the line SHAPE (`_total` → counter,
     `_bucket`/`_sum`/`_count` → histogram, bare name → gauge).
@@ -568,18 +570,42 @@ def classify_lines(lines: DataFrame) -> DataFrame:
     ).otherwise(
         F.regexp_extract("line", r'="((?:[^"\\]|\\.)*)"', 1)
     )
+    # try_cast, not cast: under ANSI the optimizer constant-folds
+    # these expressions over literal comment rows (`# EOF`) BEFORE
+    # the comment filter prunes them — a plan-time crash; malformed
+    # values must degrade to NULL, never fail the scrape
+    if with_timestamps:
+        # the classic grammar allows `… value [timestamp]` — without
+        # this split a timestamped third-party payload would parse
+        # the TIMESTAMP as the value. Structural tail: everything
+        # after the LAST `}` (label values may contain `}` only
+        # inside quotes, i.e. before the structural closer), or after
+        # the bare name for label-less lines.
+        tail = F.when(
+            F.col("line").contains("}"),
+            F.substring_index(F.col("line"), "}", -1),
+        ).otherwise(F.regexp_replace("line", r"^\S+", ""))
+        toks = F.split(F.ltrim(tail), " ")
+        value_cols = [
+            F.element_at(toks, 1).try_cast("double").alias("value"),
+            F.when(
+                F.size(toks) >= 2,
+                F.element_at(toks, 2).try_cast("double"),
+            ).alias("exposed_ts"),
+        ]
+        extra = ["exposed_ts", *extra]  # carried through below
+    else:
+        value_cols = [
+            F.regexp_extract("line", r" ([^ ]+)$", 1)
+            .try_cast("double")
+            .alias("value")
+        ]
     parsed = lines.filter(~F.col("line").startswith("#")).select(
-        *extra,
+        *[c for c in extra if c != "exposed_ts"],
         raw.alias("raw"),
         lkey.alias("lkey"),
         unesc_label(lval).alias("lval"),
-        # try_cast, not cast: under ANSI the optimizer constant-folds
-        # this expression over literal comment rows (`# EOF`) BEFORE
-        # the comment filter prunes them — a plan-time crash; malformed
-        # values must degrade to NULL, never fail the scrape
-        F.regexp_extract("line", r" ([^ ]+)$", 1)
-        .try_cast("double")
-        .alias("value"),
+        *value_cols,
     )
 
     def strip(n: int) -> Column:

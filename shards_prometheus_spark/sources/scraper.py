@@ -216,6 +216,8 @@ def scraped_samples(
     lines: DataFrame,
     drop_created: bool = True,
     metric_relabel_configs: "list | None" = None,
+    honor_timestamps: bool = True,
+    timestamp_unit: str = "ms",
 ) -> DataFrame:
     """Scraped raw lines → the live-registry samples relation:
     (metric, kind, stat, label_user, le, value, ts_us, target,
@@ -241,12 +243,37 @@ def scraped_samples(
     registry — exactly upstream's metric relabeling hop. Compiled to
     pure column expressions (operators.relabel), so the scrape path
     stays zero-shuffle and streaming-safe; `drop`/`keep` rules prune
-    whole families before they ever reach the registry."""
-    from shards_prometheus_spark.sources.exposition import classify_lines
+    whole families before they ever reach the registry.
 
-    out = classify_lines(lines).withColumnRenamed(
+    `honor_timestamps` (upstream's default true): a sample line
+    carrying the grammar's OPTIONAL trailing timestamp keeps it as
+    the sample time; lines without one — and the False setting, the
+    config knob for misbehaving targets — stamp at scrape time.
+    `timestamp_unit`: "ms" (the classic text format) or "s"
+    (OpenMetrics serves epoch seconds). Exemplar suffixes are
+    stripped before classification (an OM target's `… # {trace_id=…}`
+    annotations must never reach the value parse)."""
+    from shards_prometheus_spark.sources.exposition import (
+        _EXEMPLAR_RE,
+        classify_lines,
+    )
+
+    lines = lines.withColumn(
+        "line", F.regexp_replace("line", _EXEMPLAR_RE, "$1")
+    )
+    out = classify_lines(lines, with_timestamps=True).withColumnRenamed(
         "scrape_ts_us", "ts_us"
     )
+    if honor_timestamps:
+        scale = {"ms": 1_000, "s": 1_000_000}[timestamp_unit]
+        out = out.withColumn(
+            "ts_us",
+            F.coalesce(
+                (F.col("exposed_ts") * F.lit(scale)).cast("long"),
+                F.col("ts_us"),
+            ),
+        )
+    out = out.drop("exposed_ts")
     if drop_created:
         out = out.filter(~F.col("metric").endswith("_created"))
     if metric_relabel_configs:
@@ -310,8 +337,11 @@ def stale_markers(scraped: DataFrame) -> DataFrame:
         )
         .filter(F.col("_next_idx").isNotNull())
     )
+    # the timeline is (targets × ticks)-sized — config-sized, never
+    # corpus-sized — so its join against the series-sized presence
+    # relation is always broadcastable
     cand = presence.join(
-        timeline,
+        F.broadcast(timeline),
         (F.col("target") == F.col("_tl_target"))
         & (F.col("scrape_idx") == F.col("_tl_idx")),
     ).drop("_tl_target", "_tl_idx")

@@ -191,3 +191,57 @@ def test_scrape_fleet_one_partition_per_target(spark):
     finally:
         a.stop()
         b.stop()
+
+
+def test_scraped_samples_honor_timestamps(spark):
+    """The classic grammar's optional trailing timestamp: honored by
+    default (upstream honor_timestamps=true), scrape-time-stamped when
+    disabled; OpenMetrics epoch-seconds via timestamp_unit='s';
+    exemplar suffixes stripped before the value parse."""
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.sources.scraper import scraped_samples
+
+    scrape_us = 9_999_000_000
+    rows = [
+        ("t", 0, scrape_us, 'up{user="a"} 1.5 1700000000123'),
+        ("t", 0, scrape_us, 'up{user="b"} 2.5'),           # no ts
+        ("t", 0, scrape_us, "up_sum 7 1700000000456"),     # label-less
+        ("t", 0, scrape_us, 'up{user="a b"} 3 1700000000789'),
+        (
+            "t", 0, scrape_us,
+            'req_total{user="c"} 4 1700000000111 # {trace_id="x"} 4 17',
+        ),
+    ]
+    lines = spark.createDataFrame(
+        rows,
+        "target string, scrape_idx long, scrape_ts_us long, line string",
+    )
+    got = {
+        (r["metric"], r["stat"], r["label_user"]): (
+            r["value"], r["ts_us"]
+        )
+        for r in scraped_samples(lines, drop_created=False).collect()
+    }
+    assert got[("up", "value", "a")] == (1.5, 1_700_000_000_123_000)
+    assert got[("up", "value", "b")] == (2.5, scrape_us)
+    assert got[("up", "sum", None)] == (7.0, 1_700_000_000_456_000)
+    assert got[("up", "value", "a b")] == (3.0, 1_700_000_000_789_000)
+    # the exemplar never contaminates value or timestamp
+    assert got[("req", "total", "c")] == (4.0, 1_700_000_000_111_000)
+
+    # honor_timestamps=False: everything stamps at scrape time
+    off = scraped_samples(
+        lines, drop_created=False, honor_timestamps=False
+    )
+    assert {r["ts_us"] for r in off.collect()} == {scrape_us}
+
+    # OpenMetrics serves SECONDS (possibly fractional)
+    om = spark.createDataFrame(
+        [("t", 0, scrape_us, 'up{user="a"} 1 1700000000.25')],
+        "target string, scrape_idx long, scrape_ts_us long, line string",
+    )
+    (r,) = scraped_samples(
+        om, drop_created=False, timestamp_unit="s"
+    ).collect()
+    assert (r["value"], r["ts_us"]) == (1.0, 1_700_000_000_250_000)
