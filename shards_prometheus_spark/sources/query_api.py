@@ -1113,18 +1113,57 @@ def handle_api_request(
 
     lv = _LABEL_VALUES_RE.match(path)
     try:
+        def _attach_stats(resp: tuple, t0: float) -> tuple:
+            """The public `stats` parameter (Grafana's query
+            inspector): attach `data.stats` with honest numbers —
+            timings are this request's measured wall clock (one
+            engine, no separate queue/sort phases to report), sample
+            counts are the RESULT's sample count (the driver-side
+            materialization this server performs; scanned-row
+            accounting lives in the Spark UI, not the API)."""
+            status, payload = resp
+            data = payload.get("data") if status == 200 else None
+            if not isinstance(data, dict):
+                return resp
+            result = data.get("result")
+            n = 0
+            if isinstance(result, list):
+                for s in result:
+                    if isinstance(s, dict):
+                        n += len(s.get("values") or ()) or (
+                            1 if "value" in s else 0
+                        )
+            elif result is not None:
+                n = 1
+            wall = time.perf_counter() - t0
+            data["stats"] = {
+                "timings": {
+                    "evalTotalTime": wall,
+                    "execTotalTime": wall,
+                    "execQueueTime": 0.0,
+                    "resultSortTime": 0.0,
+                },
+                "samples": {
+                    "totalQueryableSamples": n,
+                    "peakSamples": n,
+                },
+            }
+            return resp
+
         if path == "/api/v1/query":
             query = p("query")
             if query is None:
                 return bad("missing required parameter: query")
             t = p("time")
             time_us = parse_time_param(t) if t is not None else None
+            t0 = time.perf_counter()
             ev = make_evaluator(time_us)
             if time_us is None:
                 time_us = ev.eval_time_us()
-            return _apply_series_limit(
+            resp = _apply_series_limit(
                 instant_data(ev, query, time_us, max_samples)
             )
+            return _attach_stats(resp, t0) if p("stats") else resp
         elif path == "/api/v1/query_range":
             query = p("query")
             if query is None:
@@ -1148,7 +1187,8 @@ def handle_api_request(
                 return bad(
                     "exceeded maximum resolution of 11,000 points"
                 )
-            return _apply_series_limit(
+            t0 = time.perf_counter()
+            resp = _apply_series_limit(
                 range_data(
                     make_evaluator(end_us),
                     query,
@@ -1158,6 +1198,7 @@ def handle_api_request(
                     max_samples,
                 )
             )
+            return _attach_stats(resp, t0) if p("stats") else resp
         elif path in ("/api/v1/series", "/api/v1/labels") or lv:
             matches = params.get("match[]") or []
             if path == "/api/v1/series" and not matches:

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 #: upstream's global default when neither global: nor the job sets one
 _DEF_INTERVAL = "1m"
+_DEF_TIMEOUT = "10s"
 _DEF_METRICS_PATH = "/metrics"
 _DEF_SCHEME = "http"
 
@@ -61,6 +62,8 @@ class ScrapeJob:
 
     job_name: str
     interval_us: int
+    #: upstream scrape_timeout (default 10s; capped at the interval)
+    timeout_us: int = 10_000_000
     metrics_path: str = _DEF_METRICS_PATH
     scheme: str = _DEF_SCHEME
     honor_labels: bool = False
@@ -95,6 +98,7 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
     doc = yaml.safe_load(text) or {}
     g = doc.get("global") or {}
     g_interval = _dur_us(str(g.get("scrape_interval", _DEF_INTERVAL)))
+    g_timeout = _dur_us(str(g.get("scrape_timeout", _DEF_TIMEOUT)))
     jobs = []
     for sc in doc.get("scrape_configs") or []:
         statics = []
@@ -108,6 +112,16 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
                 interval_us=_dur_us(str(sc["scrape_interval"]))
                 if sc.get("scrape_interval")
                 else g_interval,
+                # upstream: a timeout above the interval is clamped
+                # to it (a scrape must finish before the next tick)
+                timeout_us=min(
+                    _dur_us(str(sc["scrape_timeout"]))
+                    if sc.get("scrape_timeout")
+                    else g_timeout,
+                    _dur_us(str(sc["scrape_interval"]))
+                    if sc.get("scrape_interval")
+                    else g_interval,
+                ),
                 metrics_path=str(sc.get("metrics_path", _DEF_METRICS_PATH)),
                 scheme=str(sc.get("scheme", _DEF_SCHEME)),
                 honor_labels=bool(sc.get("honor_labels", False)),
@@ -303,7 +317,10 @@ def scrape_job_stream(
     if not targets:
         raise ValueError(f"job {job.job_name!r} resolved zero targets")
     lines = scrape_stream(
-        spark, [t.url for t in targets], max_ticks=max_ticks
+        spark,
+        [t.url for t in targets],
+        timeout_s=job.timeout_us / 1e6,
+        max_ticks=max_ticks,
     )
     scraped = scraped_samples(
         lines, metric_relabel_configs=job.metric_relabel_configs or None

@@ -2143,3 +2143,41 @@ def test_api_targets_metadata_bad_regex_is_bad_data(spark):
         assert status == 400 and payload["errorType"] == "bad_data"
     finally:
         exposer.stop()
+
+
+def test_query_stats_parameter(spark):
+    """`stats=…` on query/query_range attaches data.stats (timings +
+    sample counts, Grafana's query inspector); absent without it."""
+    from shards_prometheus_spark.sources import MetricsExposer
+
+    from urllib.parse import quote
+
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    try:
+        q = "sum by (user) (increase(click[720h]))"
+        status, payload = _api_get(
+            exposer, f"/api/v1/query?query={quote(q)}&stats=all"
+        )
+        assert status == 200
+        stats = payload["data"]["stats"]
+        n_series = len(payload["data"]["result"])
+        assert stats["samples"]["totalQueryableSamples"] == n_series
+        assert stats["timings"]["evalTotalTime"] > 0
+        status, payload = _api_get(
+            exposer, f"/api/v1/query?query={quote(q)}"
+        )
+        assert "stats" not in payload["data"]
+
+        status, payload = _api_get(
+            exposer,
+            f"/api/v1/query_range?query={quote(q)}"
+            "&start=0&end=864000&step=86400&stats=1",
+        )
+        assert status == 200
+        stats = payload["data"]["stats"]
+        n_points = sum(
+            len(s["values"]) for s in payload["data"]["result"]
+        )
+        assert stats["samples"]["totalQueryableSamples"] == n_points
+    finally:
+        exposer.stop()

@@ -318,3 +318,34 @@ scrape_configs:
     got2 = {t.url for t in resolve_targets(spark, job)}
     assert "http://10.0.0.3:9100/metrics" in got2
     assert "http://10.0.0.1:9100/metrics" not in got2
+
+
+def test_scrape_timeout_parsed_and_clamped():
+    """scrape_timeout: job > global > 10s default, clamped to the
+    scrape interval per upstream (a scrape must finish before the
+    next tick)."""
+    from shards_prometheus_spark.sources.scrape_config import (
+        load_scrape_configs,
+    )
+
+    cfg = load_scrape_configs(
+        """
+global:
+  scrape_interval: 30s
+  scrape_timeout: 8s
+scrape_configs:
+  - job_name: inherits
+    static_configs: [{targets: ['a:1']}]
+  - job_name: own
+    scrape_timeout: 3s
+    static_configs: [{targets: ['b:1']}]
+  - job_name: clamped
+    scrape_interval: 5s
+    scrape_timeout: 1m
+    static_configs: [{targets: ['c:1']}]
+"""
+    )
+    by = {j.job_name: j for j in cfg.jobs}
+    assert by["inherits"].timeout_us == 8_000_000
+    assert by["own"].timeout_us == 3_000_000
+    assert by["clamped"].timeout_us == 5_000_000  # clamped to interval
