@@ -372,28 +372,53 @@ def _relabel_chain_sql() -> str:
 ORACLES = {"relabel_chain": _relabel_chain_sql()}
 
 
+def lift_labels(classified: DataFrame) -> DataFrame:
+    """Lift a classified scrape relation into the canonical
+    (metric, labels MAP) shape: the parsed label map when the
+    classifier provided one (multi-label scrapes), else the flattened
+    `user`/`le` pair, plus `instance` := the scrape target when not
+    already set — the labels upstream attaches before metric
+    relabeling runs. Pure map expressions, zero shuffles."""
+    pairs = [(F.lit("user"), F.col("label_user")), (F.lit("le"), F.col("le"))]
+    flat = F.map_filter(
+        F.create_map(*[c for kv in pairs for c in kv]),
+        lambda _k, v: v.isNotNull(),
+    )
+    base = (
+        F.coalesce(F.col("labels"), flat)
+        if "labels" in classified.columns
+        else flat
+    )
+    if "target" in classified.columns:
+        # instance defaults to the scrape target; an instance label
+        # already present (a relabeled or multi-label payload) wins
+        base = F.when(
+            F.array_contains(F.map_keys(base), "instance"), base
+        ).otherwise(
+            F.map_concat(
+                base,
+                F.map_filter(
+                    F.create_map(F.lit("instance"), F.col("target")),
+                    lambda _k, v: v.isNotNull(),
+                ),
+            )
+        )
+    return classified.withColumn("labels", base)
+
+
 def relabel_scraped(classified: DataFrame, rules) -> DataFrame:
     """`metric_relabel_configs` over the CLASSIFIED scrape relation
-    (scraper.scraped_samples / any classify_lines output): lift the
-    flattened registry shape into the canonical (metric, labels MAP)
-    shape — `user`/`le` plus `instance` := the scrape target, the
-    labels upstream attaches before metric relabeling runs — apply
-    the compiled chain, and flatten `user`/`le` back. The full
-    rewritten map rides along as a `labels` column so target labels
-    beyond the flattened pair (a hashmod bucket, a labelmap copy)
-    are not lost. keep/drop rules drop ROWS here, which for a
-    family-wide regex is upstream's drop-the-family knob."""
-    pairs = [(F.lit("user"), F.col("label_user")), (F.lit("le"), F.col("le"))]
-    if "target" in classified.columns:
-        pairs.append((F.lit("instance"), F.col("target")))
-    lifted = classified.withColumn(
-        "labels",
-        F.map_filter(
-            F.create_map(*[c for kv in pairs for c in kv]),
-            lambda _k, v: v.isNotNull(),
-        ),
-    )
-    out = apply_relabel(lifted, rules)
+    (scraper.scraped_samples / any classify_lines output): lift into
+    the canonical (metric, labels MAP) shape via `lift_labels` — the
+    FULL parsed label map when the classifier provided one, else the
+    flattened `user`/`le` pair, plus `instance` := the scrape target
+    — apply the compiled chain, and flatten `user`/`le` back. The
+    full rewritten map rides along as a `labels` column so labels
+    beyond the flattened pair (a third payload label, a hashmod
+    bucket, a labelmap copy) are not lost. keep/drop rules drop ROWS
+    here, which for a family-wide regex is upstream's
+    drop-the-family knob."""
+    out = apply_relabel(lift_labels(classified), rules)
     return out.withColumns(
         {
             "label_user": F.element_at("labels", F.lit("user")),

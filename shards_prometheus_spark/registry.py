@@ -112,7 +112,13 @@ _PRIORITY = [
     "histogram_quantile_bucketed",
     "range_agg_tumbling",
     "rollup_hourly",
-    "exposition_parse",
+    # r13 admits the synthetic scrape-report family (`up` 1/0 +
+    # scrape_samples_scraped over the target×tick grid — the r12
+    # verdict's weak-component ask) by demoting exposition_parse
+    # (driver-green r2–r12; the full parse path stays
+    # driver-exercised inside scrape_snapshot/openmetrics_created and
+    # the judge-pass parity sweep).
+    "scrape_up_family",
     # r10 admits the two new read-path rows — /federate's selector-
     # pruned text dump and the exemplar side relation — by demoting
     # offset_instant and absent (both driver-green since r2; offset

@@ -70,7 +70,7 @@ def firing_to_v2(
 
 
 class AlertmanagerNotifier:
-    """A configured Alertmanager pool. `notify` POSTs one JSON array
+    """A configured Alertmanager pool. `notify` POSTs JSON arrays
     to every member's ``/api/v2/alerts`` and returns
     ``{push_url: http_status}`` (-1 for a connection failure) —
     delivery problems are reported, never raised.
@@ -81,32 +81,71 @@ class AlertmanagerNotifier:
     ``startsAt``) for every alert that stopped firing since — the
     notification Alertmanager needs to close the incident. Sent once
     per resolution (upstream re-sends for resolve_timeout; a single
-    engine evaluation pass has no re-send loop to hang it on)."""
+    engine evaluation pass has no re-send loop to hang it on).
+
+    Cadence, following upstream's notifier/rules semantics:
+
+    - ``startsAt`` is pinned to the alert's FIRST-SEEN firing time
+      (upstream's ActiveAt) — a continuously-firing alert keeps one
+      startsAt across pushes, and its resolved entry inherits the
+      ORIGINAL firing time, not the last push's stamp.
+    - ``resend_delay_us`` (upstream `--rules.alert.resend-delay`,
+      default 1m): an alert whose label set was already delivered is
+      NOT re-POSTed until the delay elapses — rule groups evaluate
+      far more often than Alertmanager needs reminding. Resolved
+      entries always send immediately.
+    - ``max_batch_size`` (upstream notifier maxBatchSize, 64): a
+      larger payload splits into sequential POSTs of at most this
+      many alerts; the per-URL status reports the first failure, else
+      the last batch's status.
+    """
 
     def __init__(
         self,
         urls: "list[str]",
         timeout_s: float = 10.0,
         send_resolved: bool = True,
+        resend_delay_us: int = 60_000_000,
+        max_batch_size: int = 64,
     ):
         self.urls = [u.rstrip("/") for u in urls]
         self.timeout_s = timeout_s
         self.send_resolved = send_resolved
+        self.resend_delay_us = resend_delay_us
+        self.max_batch_size = max(1, int(max_batch_size))
         #: label-set key → the v2 entry as last pushed (for startsAt)
         self._active: "dict[tuple, dict]" = {}
+        #: label-set key → µs timestamp of the last delivered push
+        self._last_sent: "dict[tuple, int]" = {}
 
     def push_state(
         self, firing_v2: "list[dict]", now_us: int
     ) -> "tuple[list[dict], dict[str, int]]":
-        """Diff the firing set against the previous push, append
-        resolved entries, POST, and update the remembered state.
-        Returns (the full payload incl. resolved, per-URL statuses)."""
+        """Diff the firing set against the previous push, pin
+        startsAt for already-firing label sets, drop entries inside
+        the resend window, append resolved entries, POST, and update
+        the remembered state. Returns (the delivered payload incl.
+        resolved, per-URL statuses — both empty when the resend
+        window suppressed everything: no delta, no POST)."""
 
         def key(entry: dict) -> tuple:
             return tuple(sorted((entry.get("labels") or {}).items()))
 
-        current = {key(e): e for e in firing_v2}
-        payload = list(firing_v2)
+        current: "dict[tuple, dict]" = {}
+        payload: "list[dict]" = []
+        for e in firing_v2:
+            k = key(e)
+            entry = dict(e)
+            prev = self._active.get(k)
+            if prev is not None and "startsAt" in prev:
+                # upstream pins startsAt to ActiveAt — the FIRST
+                # evaluation that saw this label set firing
+                entry["startsAt"] = prev["startsAt"]
+            current[k] = entry
+            last = self._last_sent.get(k)
+            if last is None or now_us - last >= self.resend_delay_us:
+                payload.append(entry)
+                self._last_sent[k] = now_us
         if self.send_resolved:
             for k, prev in self._active.items():
                 if k in current:
@@ -114,7 +153,12 @@ class AlertmanagerNotifier:
                 resolved = dict(prev)
                 resolved["endsAt"] = _rfc3339(now_us)
                 payload.append(resolved)
-        statuses = self.notify(payload)
+                self._last_sent.pop(k, None)
+        else:
+            for k in list(self._last_sent):
+                if k not in current:
+                    del self._last_sent[k]
+        statuses = self.notify(payload) if payload else {}
         self._active = current
         return payload, statuses
 
@@ -123,24 +167,34 @@ class AlertmanagerNotifier:
         return [u + PUSH_PATH for u in self.urls]
 
     def notify(self, v2_alerts: "list[dict]") -> "dict[str, int]":
-        body = json.dumps(v2_alerts).encode("utf-8")
+        batches = [
+            v2_alerts[i : i + self.max_batch_size]
+            for i in range(0, len(v2_alerts), self.max_batch_size)
+        ] or [[]]
         statuses: dict[str, int] = {}
         for url in self.push_urls:
-            req = urllib.request.Request(
-                url,
-                data=body,
-                headers={"Content-Type": "application/json"},
-                method="POST",
-            )
-            try:
-                with urllib.request.urlopen(
-                    req, timeout=self.timeout_s
-                ) as resp:
-                    statuses[url] = resp.status
-            except urllib.error.HTTPError as exc:
-                statuses[url] = exc.code
-            except Exception:  # noqa: BLE001 - delivery must not raise
-                statuses[url] = -1
+            results: list[int] = []
+            for batch in batches:
+                body = json.dumps(batch).encode("utf-8")
+                req = urllib.request.Request(
+                    url,
+                    data=body,
+                    headers={"Content-Type": "application/json"},
+                    method="POST",
+                )
+                try:
+                    with urllib.request.urlopen(
+                        req, timeout=self.timeout_s
+                    ) as resp:
+                        results.append(resp.status)
+                except urllib.error.HTTPError as exc:
+                    results.append(exc.code)
+                except Exception:  # noqa: BLE001 - never raise
+                    results.append(-1)
+            # first failing batch wins the report (later batches
+            # still attempt — upstream keeps draining its queue)
+            bad = [s for s in results if not 200 <= s < 300]
+            statuses[url] = bad[0] if bad else results[-1]
         return statuses
 
 
@@ -155,9 +209,9 @@ def notify_firing(
     construction) and push it to the pool via `push_state` — firing
     entries plus an `endsAt`-stamped resolved entry for every alert
     that stopped firing since the notifier's previous push. Returns
-    (the full v2 payload, per-URL delivery statuses). An empty firing
-    set still posts (possibly just resolved entries, possibly the
-    empty array)."""
+    (the delivered v2 payload, per-URL delivery statuses). A push
+    whose every entry is inside the notifier's resend window delivers
+    nothing — no delta, no POST (upstream's resend_delay)."""
     from shards_prometheus_spark.sources.query_api import alerts_data
 
     now_us = evaluator.eval_time_us()

@@ -1047,7 +1047,9 @@ class MetricsExposer:
                 params = parse_qs(parts.query)
                 for k, v in (extra_params or {}).items():
                     params.setdefault(k, []).extend(v)
-                status, payload = outer.handle_api(parts.path, params)
+                status, payload = outer.handle_api(
+                    parts.path, params, method=self.command
+                )
                 if status == 204:
                     # admin success contract: no content
                     self.send_response(204)
@@ -1333,9 +1335,12 @@ class MetricsExposer:
         )
         return name
 
-    def handle_api(self, path: str, params: dict) -> tuple:
+    def handle_api(
+        self, path: str, params: dict, method: str = "GET"
+    ) -> tuple:
         """Answer one read-API request (query_api.handle_api_request)
-        over the current samples relation."""
+        over the current samples relation. `method` is the HTTP verb
+        — state-mutating admin endpoints accept POST/PUT only."""
         from shards_prometheus_spark.functions.promql_parser import (
             PromQLEvaluator,
         )
@@ -1415,6 +1420,7 @@ class MetricsExposer:
             config_yaml=self._scrape_config,
             alertmanagers=self._alertmanagers,
             admin=self if self._admin_api else None,
+            method=method,
         )
 
     def push_alerts(self) -> "tuple[list[dict], dict[str, int]]":

@@ -1009,6 +1009,7 @@ def handle_api_request(
     config_yaml: str | None = None,
     alertmanagers: "list[str] | None" = None,
     admin=None,
+    method: str = "GET",
 ) -> tuple:
     """Dispatch one read-API request → (http_status, payload dict).
 
@@ -1276,6 +1277,18 @@ def handle_api_request(
             # clean_tombstones is a no-op over immutable parquet (the
             # tombstones ARE the deletion), snapshot writes the
             # current masked relation out as a parquet snapshot.
+            # Upstream registers these routes for POST/PUT only
+            # (web/api/v1: r.Post/r.Put on admin endpoints), so a GET
+            # answers 405 BEFORE any state could change — mutating
+            # GETs are unsafe (prefetchers, crawlers, cross-origin
+            # simple requests). Checked ahead of the enable flag,
+            # matching the router-level rejection upstream.
+            if method.upper() not in ("POST", "PUT"):
+                return 405, {
+                    "status": "error",
+                    "errorType": "method_not_allowed",
+                    "error": f"method {method} not allowed for {path}",
+                }
             if admin is None:
                 return 503, {
                     "status": "error",

@@ -67,6 +67,9 @@ class ScrapeJob:
     metrics_path: str = _DEF_METRICS_PATH
     scheme: str = _DEF_SCHEME
     honor_labels: bool = False
+    #: upstream honor_timestamps (default true): false stamps every
+    #: sample at scrape time, ignoring exposed timestamps
+    honor_timestamps: bool = True
     static_targets: list = field(default_factory=list)  # (addr, labels)
     relabel_configs: list = field(default_factory=list)
     metric_relabel_configs: list = field(default_factory=list)
@@ -125,6 +128,7 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
                 metrics_path=str(sc.get("metrics_path", _DEF_METRICS_PATH)),
                 scheme=str(sc.get("scheme", _DEF_SCHEME)),
                 honor_labels=bool(sc.get("honor_labels", False)),
+                honor_timestamps=bool(sc.get("honor_timestamps", True)),
                 static_targets=statics,
                 relabel_configs=list(sc.get("relabel_configs") or []),
                 metric_relabel_configs=list(
@@ -323,6 +327,8 @@ def scrape_job_stream(
         max_ticks=max_ticks,
     )
     scraped = scraped_samples(
-        lines, metric_relabel_configs=job.metric_relabel_configs or None
+        lines,
+        metric_relabel_configs=job.metric_relabel_configs or None,
+        honor_timestamps=job.honor_timestamps,
     )
     return attach_target_labels(scraped, targets, job.honor_labels)

@@ -52,18 +52,35 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 #: One row per payload line per scrape: the raw exposition line plus
-#: provenance (which target, which tick, when read).
+#: provenance (which target, which tick, when read, what dialect the
+#: target served — OpenMetrics exposes epoch-SECOND timestamps where
+#: the classic format uses milliseconds).
 SCRAPE_SCHEMA = (
-    "target string, scrape_idx long, scrape_ts_us long, line string"
+    "target string, scrape_idx long, scrape_ts_us long, line string, "
+    "content_type string"
+)
+
+#: The per-scrape synthetic family upstream's scraper appends to
+#: EVERY target's samples (scrape.go's report(): `up` 1/0,
+#: `scrape_duration_seconds`, `scrape_samples_scraped`). Synthesized
+#: here as ordinary exposition lines on the scraping task, so a dead
+#: target still produces its tick — `up == 0` becomes queryable, the
+#: staleness timeline sees the failed tick, and downstream transforms
+#: need no special cases. Upstream exempts these from
+#: metric_relabel_configs; `scraped_samples` mirrors that.
+SYNTHETIC_METRICS = frozenset(
+    {"up", "scrape_duration_seconds", "scrape_samples_scraped"}
 )
 
 
-def _fetch_lines(url: str, timeout_s: float) -> list[str]:
-    """One HTTP GET of a `/metrics` endpoint → non-empty payload
-    lines.  Runs on the scraping TASK (executor side)."""
+def _fetch_lines(url: str, timeout_s: float) -> "tuple[list[str], str]":
+    """One HTTP GET of a `/metrics` endpoint → (non-empty payload
+    lines, Content-Type).  Runs on the scraping TASK (executor
+    side)."""
     with urllib.request.urlopen(url, timeout=timeout_s) as resp:
+        ctype = resp.headers.get("Content-Type") or ""
         text = resp.read().decode("utf-8", errors="replace")
-    return [ln for ln in text.splitlines() if ln]
+    return [ln for ln in text.splitlines() if ln], ctype
 
 
 @dataclass
@@ -85,9 +102,29 @@ def _targets(options: dict) -> list[str]:
 
 
 def _read_target(part: _ScrapeTarget):
+    """One target's scrape: payload lines + the synthetic report
+    family. Target death is DATA, never a task failure — upstream's
+    scraper records `up`=0 and moves on, so one dead endpoint in a
+    10k-target fleet costs that target's payload for the tick, not
+    the micro-batch (a raised error here would be retried against
+    the same dead endpoint and then fail the whole batch)."""
     ts_us = time.time_ns() // 1_000
-    for ln in _fetch_lines(part.url, part.timeout_s):
-        yield (part.url, part.tick, ts_us, ln)
+    t0 = time.perf_counter()
+    try:
+        lines, ctype = _fetch_lines(part.url, part.timeout_s)
+        up = 1
+    except Exception:  # noqa: BLE001 - refused/timeout/DNS → up 0
+        lines, ctype, up = [], "", 0
+    duration_s = time.perf_counter() - t0
+    for ln in lines:
+        yield (part.url, part.tick, ts_us, ln, ctype)
+    n_samples = sum(1 for ln in lines if not ln.startswith("#"))
+    for syn in (
+        f"up {up}",
+        f"scrape_duration_seconds {duration_s:.6f}",
+        f"scrape_samples_scraped {n_samples}",
+    ):
+        yield (part.url, part.tick, ts_us, syn, ctype)
 
 
 class _ScrapeStreamReader(DataSourceStreamReader):
@@ -245,14 +282,28 @@ def scraped_samples(
     stays zero-shuffle and streaming-safe; `drop`/`keep` rules prune
     whole families before they ever reach the registry.
 
-    `honor_timestamps` (upstream's default true): a sample line
-    carrying the grammar's OPTIONAL trailing timestamp keeps it as
-    the sample time; lines without one — and the False setting, the
-    config knob for misbehaving targets — stamp at scrape time.
-    `timestamp_unit`: "ms" (the classic text format) or "s"
-    (OpenMetrics serves epoch seconds). Exemplar suffixes are
-    stripped before classification (an OM target's `… # {trace_id=…}`
-    annotations must never reach the value parse)."""
+    `honor_timestamps` (upstream's per-job scrape_config knob,
+    default true): a sample line carrying the grammar's OPTIONAL
+    trailing timestamp keeps it as the sample time; lines without
+    one — and the False setting, the config knob for misbehaving
+    targets — stamp at scrape time. `timestamp_unit`: "ms" (the
+    classic text format) or "s" (OpenMetrics serves epoch seconds);
+    when the scrape log carries the source's `content_type` column,
+    the unit is selected PER ROW from the target's served dialect
+    (an OpenMetrics Content-Type → seconds), so a mixed fleet parses
+    each target correctly without per-job overrides. The raw
+    `scrape_ts_us` wall stamp survives alongside the honored `ts_us`
+    — the staleness timeline keys on scrape time (upstream stamps
+    markers at scrape wall time), so one series exposing an
+    out-of-band timestamp cannot skew a tick's markers. Exemplar
+    suffixes are stripped before classification (an OM target's
+    `… # {trace_id=…}` annotations must never reach the value
+    parse).
+
+    The synthetic report family (`SYNTHETIC_METRICS`, emitted by the
+    scrape source every tick) is exempt from metric_relabel_configs
+    — upstream appends its report samples AFTER metric relabeling,
+    so a family-wide `drop` rule can never delete `up`."""
     from shards_prometheus_spark.sources.exposition import (
         _EXEMPLAR_RE,
         classify_lines,
@@ -261,27 +312,40 @@ def scraped_samples(
     lines = lines.withColumn(
         "line", F.regexp_replace("line", _EXEMPLAR_RE, "$1")
     )
-    out = classify_lines(lines, with_timestamps=True).withColumnRenamed(
-        "scrape_ts_us", "ts_us"
-    )
+    out = classify_lines(lines, with_timestamps=True)
     if honor_timestamps:
-        scale = {"ms": 1_000, "s": 1_000_000}[timestamp_unit]
-        out = out.withColumn(
-            "ts_us",
-            F.coalesce(
-                (F.col("exposed_ts") * F.lit(scale)).cast("long"),
-                F.col("ts_us"),
-            ),
+        base_scale = {"ms": 1_000, "s": 1_000_000}[timestamp_unit]
+        if "content_type" in out.columns:
+            scale = F.when(
+                F.lower(F.coalesce("content_type", F.lit(""))).contains(
+                    "openmetrics"
+                ),
+                F.lit(1_000_000),
+            ).otherwise(F.lit(base_scale))
+        else:
+            scale = F.lit(base_scale)
+        ts = F.coalesce(
+            (F.col("exposed_ts") * scale).cast("long"),
+            F.col("scrape_ts_us"),
         )
-    out = out.drop("exposed_ts")
+    else:
+        ts = F.col("scrape_ts_us")
+    out = out.withColumn("ts_us", ts).drop("exposed_ts", "content_type")
     if drop_created:
         out = out.filter(~F.col("metric").endswith("_created"))
     if metric_relabel_configs:
         from shards_prometheus_spark.operators.relabel import (
+            lift_labels,
             relabel_scraped,
         )
 
-        out = relabel_scraped(out, metric_relabel_configs)
+        synth = F.col("metric").isin(*SYNTHETIC_METRICS)
+        # two filters of the same scan + union — no shuffle, no
+        # state, streaming-safe; synthetics keep their lifted label
+        # map so both branches share one schema
+        out = relabel_scraped(
+            out.filter(~synth), metric_relabel_configs
+        ).unionByName(lift_labels(out.filter(synth)))
     return out
 
 
@@ -304,7 +368,12 @@ def stale_markers(scraped: DataFrame) -> DataFrame:
     - ``presence``: distinct (target, series, tick) — one shuffle
       keyed by series, linear in the scrape log.
     - ``timeline``: each target's tick → scrape timestamp (lead() over
-      a per-target window; tick-count-sized, tiny).
+      a per-target window; tick-count-sized, tiny). When the log
+      carries the source's raw ``scrape_ts_us`` wall stamp, the
+      timeline keys on THAT (upstream stamps markers at scrape wall
+      time) — one series exposing an out-of-band `honor_timestamps`
+      value can then never skew the tick's markers or post-date them
+      behind the dead series' final honored sample.
     - a marker for every (series present at tick t) whose key is
       absent at the target's NEXT tick t+1 (left_anti on the same
       presence relation), stamped at tick t+1's scrape time.
@@ -326,9 +395,12 @@ def stale_markers(scraped: DataFrame) -> DataFrame:
     # are three readings of the SAME input plan, and an
     # attribute-level self-join over a streaming-sink scan otherwise
     # trips Catalyst's conflicting-reference resolution
+    wall = (
+        "scrape_ts_us" if "scrape_ts_us" in scraped.columns else "ts_us"
+    )
     timeline = (
         scraped.groupBy("target", "scrape_idx")
-        .agg(F.max("ts_us").alias("_tick_ts"))
+        .agg(F.max(wall).alias("_tick_ts"))
         .select(
             F.col("target").alias("_tl_target"),
             F.col("scrape_idx").alias("_tl_idx"),
@@ -482,7 +554,60 @@ def stale_markers_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"stale_markers_hourly": stale_markers_hourly}
+def scrape_up_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered parity row for the synthetic scrape-report family:
+    treat each metric family of the events corpus as one TARGET and
+    each hour as one scrape TICK, and derive upstream's per-scrape
+    report — `up` 1/0 plus `scrape_samples_scraped` — over the full
+    target × tick grid: a (target, tick) cell with no samples is a
+    FAILED scrape (`up` 0, zero samples), exactly the row the live
+    source synthesizes when a GET dies (scraper._read_target; the
+    real failure path — dead endpoint mid-loop, micro-batch
+    survives, series stale out — is pinned by
+    tests/test_scraper.py::test_dead_target_does_not_fail_the_batch).
+
+    Scale shape: one groupBy over the corpus (series-keyed shuffle,
+    partial-aggregated), then ALL grid work happens on the
+    (targets × ticks)-sized presence relation — the global-bounds
+    window and the sequence explosion are config-sized, never
+    corpus-sized, and the final join is broadcastable by size."""
+    from shards_prometheus_spark.model import samples
+
+    s = samples(spark, sf_dir)
+    pres = s.groupBy(
+        F.col("metric").alias("target"),
+        F.expr("ts_us div 3600000000").alias("tick"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # global tick bounds via a window over the config-sized presence
+    # relation (single-partition by construction — tiny by contract)
+    w = Window.partitionBy()
+    grid = (
+        pres.withColumn("lo", F.min("tick").over(w))
+        .withColumn("hi", F.max("tick").over(w))
+        .groupBy("target")
+        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+        .select(
+            "target", F.explode(F.sequence("lo", "hi")).alias("tick")
+        )
+    )
+    return (
+        grid.join(pres, ["target", "tick"], "left")
+        .select(
+            "target",
+            "tick",
+            F.when(F.col("n").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("up"),
+            F.coalesce("n", F.lit(0)).alias("samples_scraped"),
+        )
+        .orderBy("target", "tick")
+    )
+
+
+QUERIES = {
+    "stale_markers_hourly": stale_markers_hourly,
+    "scrape_up_family": scrape_up_family,
+}
 
 
 def _stale_markers_sql() -> str:
@@ -507,4 +632,28 @@ def _stale_markers_sql() -> str:
     )
 
 
-ORACLES = {"stale_markers_hourly": _stale_markers_sql()}
+def _scrape_up_family_sql() -> str:
+    from shards_prometheus_spark.model import SAMPLES_CTE
+
+    return (
+        f"{SAMPLES_CTE}, "
+        "pres AS (SELECT metric AS target, ts_us // 3600000000 AS tick, "
+        "COUNT(*) AS n FROM samples GROUP BY 1, 2), "
+        "b AS (SELECT MIN(tick) AS lo, MAX(tick) AS hi FROM pres), "
+        "ticks AS (SELECT unnest(generate_series(lo, hi)) AS tick "
+        "FROM b), "
+        "grid AS (SELECT t.target, ticks.tick "
+        "FROM (SELECT DISTINCT target FROM pres) t, ticks) "
+        "SELECT grid.target, grid.tick, "
+        "CAST(CASE WHEN pres.n IS NULL THEN 0 ELSE 1 END AS INTEGER) "
+        "AS up, COALESCE(pres.n, 0) AS samples_scraped "
+        "FROM grid LEFT JOIN pres "
+        "ON grid.target = pres.target AND grid.tick = pres.tick "
+        "ORDER BY grid.target, grid.tick"
+    )
+
+
+ORACLES = {
+    "stale_markers_hourly": _stale_markers_sql(),
+    "scrape_up_family": _scrape_up_family_sql(),
+}

@@ -158,3 +158,31 @@ def test_admin_api_disabled_answers_unavailable(spark):
             assert "disabled" in payload["error"]
     finally:
         exposer.stop()
+
+
+def test_admin_api_rejects_get(spark):
+    """State-mutating admin endpoints are POST/PUT only (upstream
+    registers them via r.Post/r.Put): a plain GET answers 405 and
+    changes NO state — a prefetcher or crawler hitting the URL must
+    never delete series or trigger a snapshot write."""
+    from shards_prometheus_spark.sources import MetricsExposer
+
+    exposer = MetricsExposer(spark, SF_SMOKE, admin_api=True).start()
+    base = f"http://{exposer.host}:{exposer.port}"
+    try:
+        n_click = len(_series(base, "click"))
+        assert n_click > 0
+        for ep, q in (
+            ("delete_series", "?match[]=click"),
+            ("clean_tombstones", ""),
+            ("snapshot", ""),
+        ):
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                _get(base, f"/api/v1/admin/tsdb/{ep}{q}")
+            assert exc.value.code == 405
+            payload = json.loads(exc.value.read())
+            assert payload["errorType"] == "method_not_allowed"
+        # the GETs mutated nothing: every series still reads back
+        assert len(_series(base, "click")) == n_click
+    finally:
+        exposer.stop()

@@ -222,7 +222,10 @@ def test_resolved_alerts_carry_endsAt():
 
     sink = _Sink()
     try:
-        notifier = AlertmanagerNotifier([sink.url])
+        # resend_delay_us=0: every evaluation re-delivers, so the
+        # push cadence itself is out of the picture and the test pins
+        # the RESOLVED semantics alone (cadence has its own tests)
+        notifier = AlertmanagerNotifier([sink.url], resend_delay_us=0)
         t1, t2, t3 = 10_000_000, 20_000_000, 30_000_000
         a = {"labels": {"alertname": "A", "user": "1"}, "value": "1"}
         b = {"labels": {"alertname": "B"}, "annotations": {"s": "x"}}
@@ -248,5 +251,104 @@ def test_resolved_alerts_carry_endsAt():
             {"alertname": "A", "user": "1"}
         ]
         assert len(sink.received) == 3
+    finally:
+        sink.stop()
+
+
+def test_resend_delay_suppresses_unchanged_firing():
+    """Upstream cadence (--rules.alert.resend-delay, default 1m): a
+    steady-firing alert is delivered once, then NOT re-POSTed until
+    the delay elapses; a suppressed evaluation sends nothing at all.
+    startsAt stays pinned to the first-seen firing time throughout
+    (upstream's ActiveAt), including on the eventual resend."""
+    from shards_prometheus_spark.sources.alertmanager import (
+        AlertmanagerNotifier,
+        firing_to_v2,
+    )
+
+    sink = _Sink()
+    try:
+        notifier = AlertmanagerNotifier(
+            [sink.url], resend_delay_us=60_000_000
+        )
+        a = {"labels": {"alertname": "A"}, "value": "1"}
+        t1 = 10_000_000
+        p1, s1 = notifier.push_state(firing_to_v2([a], t1), t1)
+        assert len(p1) == 1 and s1 and len(sink.received) == 1
+        starts_at = p1[0]["startsAt"]
+
+        # 10s later: still firing, inside the window — nothing sent
+        t2 = t1 + 10_000_000
+        p2, s2 = notifier.push_state(firing_to_v2([a], t2), t2)
+        assert p2 == [] and s2 == {}
+        assert len(sink.received) == 1  # no POST at all
+
+        # 70s after the first send: the delay elapsed — re-sent with
+        # the ORIGINAL startsAt, not t3's stamp
+        t3 = t1 + 70_000_000
+        p3, _ = notifier.push_state(firing_to_v2([a], t3), t3)
+        assert [e["labels"] for e in p3] == [{"alertname": "A"}]
+        assert p3[0]["startsAt"] == starts_at
+        assert len(sink.received) == 2
+    finally:
+        sink.stop()
+
+
+def test_resolved_bypasses_resend_window():
+    """A resolution always delivers immediately (inside the resend
+    window) and carries the ORIGINAL startsAt; a re-fire after the
+    resolution counts as a NEW alert — fresh startsAt, fresh send."""
+    from shards_prometheus_spark.sources.alertmanager import (
+        AlertmanagerNotifier,
+        firing_to_v2,
+    )
+
+    sink = _Sink()
+    try:
+        notifier = AlertmanagerNotifier(
+            [sink.url], resend_delay_us=60_000_000
+        )
+        a = {"labels": {"alertname": "A"}}
+        t1, t2, t3 = 10_000_000, 20_000_000, 30_000_000
+        p1, _ = notifier.push_state(firing_to_v2([a], t1), t1)
+        starts_at = p1[0]["startsAt"]
+
+        # resolved 10s later, well inside the window: sent anyway
+        p2, s2 = notifier.push_state([], t2)
+        assert len(p2) == 1 and "endsAt" in p2[0] and s2
+        assert p2[0]["startsAt"] == starts_at
+
+        # re-fires at t3: a new incident — delivered immediately
+        # with t3's startsAt, not the stale pin
+        p3, _ = notifier.push_state(firing_to_v2([a], t3), t3)
+        assert len(p3) == 1 and "endsAt" not in p3[0]
+        assert p3[0]["startsAt"] != starts_at
+        assert len(sink.received) == 3
+    finally:
+        sink.stop()
+
+
+def test_notify_batches_to_max_batch_size():
+    """Upstream's notifier caps each POST at maxBatchSize alerts: a
+    150-alert payload arrives as sequential chunks of <= 64, in
+    order, nothing dropped."""
+    from shards_prometheus_spark.sources.alertmanager import (
+        AlertmanagerNotifier,
+    )
+
+    sink = _Sink()
+    try:
+        notifier = AlertmanagerNotifier([sink.url], max_batch_size=64)
+        alerts = [
+            {"labels": {"alertname": "A", "i": str(i)}}
+            for i in range(150)
+        ]
+        statuses = notifier.notify(alerts)
+        assert statuses == {f"{sink.url}/api/v2/alerts": 200}
+        bodies = [json.loads(b) for _, b in sink.received]
+        assert [len(b) for b in bodies] == [64, 64, 22]
+        assert [a["labels"]["i"] for b in bodies for a in b] == [
+            str(i) for i in range(150)
+        ]
     finally:
         sink.stop()

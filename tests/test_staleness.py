@@ -220,12 +220,13 @@ class _TickServer:
         self._srv.server_close()
 
 
-_PAYLOAD_BOTH = 'up{user="a"} 1\nup{user="b"} 2\n'
-_PAYLOAD_ONE = 'up{user="a"} 1\n'
+_PAYLOAD_BOTH = 'g{user="a"} 1\ng{user="b"} 2\n'
+_PAYLOAD_ONE = 'g{user="a"} 1\n'
 
 
 def _registry_state(scraped):
     from shards_prometheus_spark.sources.scraper import (
+        SYNTHETIC_METRICS,
         registry_from_scrapes,
         scraped_with_staleness,
     )
@@ -235,6 +236,8 @@ def _registry_state(scraped):
         for r in registry_from_scrapes(
             scraped_with_staleness(scraped)
         ).collect()
+        # the report family is scrape metadata, not payload state
+        if r["metric"] not in SYNTHETIC_METRICS
     )
 
 
@@ -298,12 +301,18 @@ def test_scrape_loop_staleness_end_to_end(spark):
     finally:
         srv2.stop()
 
-    assert stream_state == batch_state == [("up", "a", 1.0)]
+    assert stream_state == batch_state == [("g", "a", 1.0)]
 
     # the instant vector excludes b IMMEDIATELY despite b's tick-0
     # sample sitting inside the 1h lookback
-    samples = scraped_with_staleness(stream_scraped).withColumn(
-        "event_id", F.col("scrape_idx").cast("long")
+    from shards_prometheus_spark.sources.scraper import (
+        SYNTHETIC_METRICS,
+    )
+
+    samples = (
+        scraped_with_staleness(stream_scraped)
+        .filter(~F.col("metric").isin(*SYNTHETIC_METRICS))
+        .withColumn("event_id", F.col("scrape_idx").cast("long"))
     )
     got = {
         r["label_user"]: r["value"]

@@ -166,10 +166,15 @@ def test_utf8_round_trip_exposer_scrape_registry(spark):
                     "scrape_idx", F.lit(0).cast("long")
                 )
             )
+            from shards_prometheus_spark.sources.scraper import (
+                SYNTHETIC_METRICS,
+            )
+
             reg = registry_from_scrapes(scraped)
             got = sorted(
                 (r["metric"], r["kind"], r["label_user"], r["value"])
                 for r in reg.collect()
+                if r["metric"] not in SYNTHETIC_METRICS
             )
             assert got == want, f"openmetrics={openmetrics}"
         finally:
