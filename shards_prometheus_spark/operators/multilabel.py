@@ -142,11 +142,62 @@ def counter_sum_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scraped_multilabel_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered parity row for MULTI-LABEL scrape classification
+    (r12 VERDICT gap #2: `classify_lines` parsed exactly one pair):
+    render each click sample as a THREE-label exposition line
+    (shard, user, and a derived zone), parse the lines back through
+    `classify_lines(with_labels=True)` — the scrape loop's parser —
+    and fold by the two NON-user labels read off the parsed map.
+    Round-trip equality with the direct SQL fold proves the full
+    label set survives serialize → classify → map extraction (value
+    strings round-trip exactly: Spark's double→string is shortest-
+    repr). Zero extra shuffles beyond the fold itself — the render
+    and parse are per-row codegen over one scan."""
+    from shards_prometheus_spark.sources.exposition import (
+        classify_lines,
+        esc_label,
+    )
+
+    s = samples_multi(spark, sf_dir).filter(F.col("metric") == LHS_METRIC)
+    zone = F.concat(
+        F.lit("z"), F.length(_label("user")).cast("string")
+    )
+    lines = s.select(
+        F.concat(
+            F.col("metric"),
+            F.lit('_total{shard="'),
+            esc_label(_label("shard")),
+            F.lit('",user="'),
+            esc_label(_label("user")),
+            F.lit('",zone="'),
+            esc_label(zone),
+            F.lit('"} '),
+            F.col("value").cast("string"),
+        ).alias("line")
+    )
+    parsed = classify_lines(lines, with_labels=True)
+    return (
+        parsed.filter(
+            (F.col("metric") == LHS_METRIC) & (F.col("kind") == "counter")
+        )
+        .groupBy(
+            F.element_at("labels", F.lit("shard")).alias("shard"),
+            F.element_at("labels", F.lit("zone")).alias("zone"),
+        )
+        .agg(
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
 QUERIES = {
     "label_matchers_multi": label_matchers_multi,
     "agg_by_labels": agg_by_labels,
     "vector_binop_labels": vector_binop_labels,
     "counter_sum_multi": counter_sum_multi,
+    "scraped_multilabel_fold": scraped_multilabel_fold,
 }
 
 ORACLES = {
@@ -185,5 +236,13 @@ ORACLES = {
         "SELECT metric, l_user, l_shard, "
         "ROUND(SUM(value), 4) AS sum_value FROM samples_multi "
         "WHERE value >= 0 GROUP BY metric, l_user, l_shard"
+    ),
+    "scraped_multilabel_fold": (
+        f"{SAMPLES_MULTI_CTE} "
+        "SELECT l_shard AS shard, "
+        "'z' || CAST(LENGTH(l_user) AS VARCHAR) AS zone, "
+        "ROUND(SUM(value), 4) AS sum_value, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM samples_multi "
+        f"WHERE metric = '{LHS_METRIC}' GROUP BY 1, 2"
     ),
 }

@@ -131,7 +131,13 @@ _PRIORITY = [
     # promql_range_scalar (all driver-green for 2+ rounds; resets stay
     # exercised inside the increase family, count_values inside the
     # judge-pass sweep, scalar grids inside promql_scalar_expr).
-    "openmetrics_created",
+    # r13 admits the multi-label scrape classification round trip
+    # (three-label exposition → classify_lines map parse → fold by
+    # two non-user labels — VERDICT r12 gap #2) by demoting
+    # openmetrics_created (driver-green r11–r12; the `_created`
+    # discrimination stays pinned by the exposer/OM test suite and
+    # the judge-pass parity sweep).
+    "scraped_multilabel_fold",
     "remote_write_roundtrip",
     "promql_utf8_name",
     # r12 admits the staleness-marker diff and the remote-read wire

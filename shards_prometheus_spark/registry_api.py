@@ -70,6 +70,29 @@ class MetricsRegistry:
                     F.coalesce(F.col("label_user"), F.lit("")),
                 ),
             )
+        elif "label_user" in cols:
+            # a labels-bearing relation may carry NULL-map rows (the
+            # scrape loop's stale markers ride flattened): normalize
+            # them to their user/le pair map so series identity stays
+            # one spine
+            samples = samples.withColumn(
+                "labels",
+                F.coalesce(
+                    F.col("labels"),
+                    F.map_filter(
+                        F.create_map(
+                            F.lit("user"),
+                            F.col("label_user"),
+                            *(
+                                [F.lit("le"), F.col("le")]
+                                if "le" in cols
+                                else []
+                            ),
+                        ),
+                        lambda _k, v: v.isNotNull(),
+                    ),
+                ),
+            )
         if "label_user" not in cols:
             samples = samples.withColumn("label_user", label_col("user"))
         self._samples = samples
@@ -79,10 +102,14 @@ class MetricsRegistry:
         return self._samples
 
     def _series(self) -> DataFrame:
-        """Samples plus the canonical series-identity string."""
-        return self._samples.withColumn(
-            "_series", label_str(F.col("labels"))
-        )
+        """Samples plus the canonical series-identity string. A row
+        carrying a `_series_str` column (a stale marker for a
+        multi-label series — the marker's flattened pair cannot
+        reconstruct the full map) keeps its carried key."""
+        series = label_str(F.col("labels"))
+        if "_series_str" in self._samples.columns:
+            series = F.coalesce(F.col("_series_str"), series)
+        return self._samples.withColumn("_series", series)
 
     def ingest(self, more: DataFrame) -> "MetricsRegistry":
         """Append a batch (the activate path, prometheus.cpp:212)."""

@@ -530,12 +530,66 @@ def openmetrics_text(lines: DataFrame) -> str:
     )
 
 
+#: One `key="value"` pair inside an exposition brace body: a classic
+#: bare label name or a 3.x quoted (UTF-8) one, value always quoted
+#: with the text-format escapes. The quoted-name FIRST element of a
+#: 3.x line (`{"web.click_total",user="x"}`) can never match — it is
+#: not followed by `="` — so pair extraction skips it structurally.
+_PAIR_RE = r'(?:[A-Za-z_][A-Za-z0-9_]*|"(?:[^"\\]|\\.)*")="(?:[^"\\]|\\.)*"'
+
+
+def _labels_map_expr() -> Column:
+    """The FULL label set of one exposition line as a
+    MAP<STRING,STRING>: every `k="v"` pair in the brace body (classic
+    and quoted-name/quoted-key dialects), keys and values unescaped.
+    Pure regexp/higher-order expressions — codegen, zero shuffles,
+    streaming-safe. A (malformed) duplicate key keeps its first
+    occurrence rather than failing the scrape; a label-less line
+    yields the empty map."""
+    body = F.when(
+        F.col("line").contains("{"),
+        F.regexp_extract("line", r"\{(.*)\}", 1),
+    ).otherwise(F.lit(""))
+    pairs = F.regexp_extract_all(body, F.lit(_PAIR_RE), 0)
+
+    def entry(p: Column) -> Column:
+        key = F.when(
+            p.startswith('"'),
+            unesc_label(
+                F.regexp_extract(p, r'^"((?:[^"\\]|\\.)*)"', 1)
+            ),
+        ).otherwise(
+            F.regexp_extract(p, r"^([A-Za-z_][A-Za-z0-9_]*)", 1)
+        )
+        return F.struct(
+            key.alias("key"),
+            unesc_label(
+                F.regexp_extract(p, r'="((?:[^"\\]|\\.)*)"$', 1)
+            ).alias("value"),
+        )
+
+    entries = F.transform(pairs, entry)
+    first_only = F.filter(
+        entries,
+        lambda e, i: ~F.array_contains(
+            F.transform(
+                F.slice(entries, F.lit(1), i), lambda x: x["key"]
+            ),
+            e["key"],
+        ),
+    )
+    return F.map_from_entries(first_only)
+
+
 def classify_lines(
-    lines: DataFrame, with_timestamps: bool = False
+    lines: DataFrame,
+    with_timestamps: bool = False,
+    with_labels: bool = False,
 ) -> DataFrame:
     """Per-row exposition classifier: text lines → typed relation,
     kind recovered from the line SHAPE (`_total` → counter,
-    `_bucket`/`_sum`/`_count` → histogram, bare name → gauge).
+    `_bucket`/`_sum`/`_count` → histogram, quantile-labelled bare
+    name → summary, other bare names → gauge).
 
     Pure regexp expressions (JVM-side, codegen), zero shuffles — which
     also makes it STREAMING-safe: the scrape-loop source maps each
@@ -550,26 +604,23 @@ def classify_lines(
     `click_created` metadata does not (the `openmetrics_created` side
     relation parses the metadata form). Output: (metric, kind, stat,
     label_user, le, value) plus any NON-`line` input columns carried
-    through (the scrape loop threads target/scrape stamps)."""
+    through (the scrape loop threads target/scrape stamps).
+
+    ALL `k="v"` pairs parse into a label map (`_labels_map_expr`);
+    `label_user`/`le` flatten FROM that map, so a multi-label payload
+    (a node_exporter-style exporter, the engine's own
+    `exposition_lines_multi` writer) keeps distinct series distinct
+    regardless of pair order or count. `with_labels=True` emits the
+    map itself as a `labels` column — the scrape loop's registry path
+    — while the default keeps the classic flattened schema."""
     extra = [c for c in lines.columns if c != "line"]
     # 3.x quoted-name lines (`{"web.click_total",user="x"} 5`) carry
     # the (suffixed) sample name as the braces' first element; classic
-    # lines as a bare prefix. Both parse with pure regexp codegen —
-    # the quoted label key anchors on the `,key="` separator so the
-    # escaped name body can never shadow it.
+    # lines as a bare prefix. Both parse with pure regexp codegen.
     quoted = F.col("line").startswith('{"')
     raw = F.when(
         quoted, unesc_label(F.regexp_extract("line", _QNAME_RE, 1))
     ).otherwise(F.regexp_extract("line", _NAME_RE, 1))
-    lkey = F.when(
-        quoted, F.regexp_extract("line", r',(\w+)="', 1)
-    ).otherwise(F.regexp_extract("line", r'\{(\w+)="', 1))
-    lval = F.when(
-        quoted,
-        F.regexp_extract("line", r',\w+="((?:[^"\\]|\\.)*)"', 1),
-    ).otherwise(
-        F.regexp_extract("line", r'="((?:[^"\\]|\\.)*)"', 1)
-    )
     # try_cast, not cast: under ANSI the optimizer constant-folds
     # these expressions over literal comment rows (`# EOF`) BEFORE
     # the comment filter prunes them — a plan-time crash; malformed
@@ -603,8 +654,7 @@ def classify_lines(
     parsed = lines.filter(~F.col("line").startswith("#")).select(
         *[c for c in extra if c != "exposed_ts"],
         raw.alias("raw"),
-        lkey.alias("lkey"),
-        unesc_label(lval).alias("lval"),
+        _labels_map_expr().alias("labels"),
         *value_cols,
     )
 
@@ -625,18 +675,58 @@ def classify_lines(
         .when(F.col("raw").endswith("_count"), F.lit("count"))
         .otherwise(F.lit("value"))
         .alias("stat"),
-        F.when(F.col("lkey") == "user", F.col("lval")).alias("label_user"),
-        F.when(F.col("lkey") == "le", F.col("lval")).alias("le"),
+        F.element_at("labels", F.lit("user")).alias("label_user"),
+        F.element_at("labels", F.lit("le")).alias("le"),
         "value",
+        "labels",
     ).withColumn(
         "kind",
         F.when(F.col("stat") == "total", F.lit("counter"))
+        # a quantile-labelled bare-name sample is a SUMMARY series
+        # (upstream: `x{quantile="0.5"}` + x_sum/x_count; the _sum/
+        # _count siblings get their family-level rewrite in
+        # classify_summary_families — per-row shape cannot see them)
+        .when(
+            (F.col("stat") == "value")
+            & F.array_contains(F.map_keys("labels"), "quantile"),
+            F.lit("summary"),
+        )
         .when(F.col("stat") == "value", F.lit("gauge"))
         .otherwise(F.lit("histogram")),
     )
-    return classified.select(
-        "metric", "kind", "stat", "label_user", "le", "value", *extra
+    keep = ["metric", "kind", "stat", "label_user", "le", "value"]
+    if with_labels:
+        keep.append("labels")
+    return classified.select(*keep, *extra)
+
+
+def classify_summary_families(classified: DataFrame) -> DataFrame:
+    """Family-level summary-kind completion (batch contexts): a
+    family whose bare-name samples carry a `quantile` label is a
+    SUMMARY, so its `x_sum`/`x_count` siblings — per-row shape says
+    histogram — rewrite to kind='summary' too (upstream's metadata
+    for a scraped summary family). One tiny distinct over family
+    names broadcast back; not applied on the zero-state streaming
+    path (a per-batch self-aggregate), where per-row classification
+    already keeps quantile series distinct and queryable."""
+    fams = (
+        classified.filter(F.col("kind") == "summary")
+        .select(F.col("metric").alias("_summary_fam"))
+        .distinct()
     )
+    out = classified.join(
+        F.broadcast(fams),
+        F.col("metric") == F.col("_summary_fam"),
+        "left",
+    )
+    return out.withColumn(
+        "kind",
+        F.when(
+            F.col("_summary_fam").isNotNull()
+            & F.col("stat").isin("sum", "count", "value"),
+            F.lit("summary"),
+        ).otherwise(F.col("kind")),
+    ).drop("_summary_fam")
 
 
 def _parse_payload(lines: DataFrame) -> DataFrame:

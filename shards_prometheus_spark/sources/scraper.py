@@ -312,7 +312,10 @@ def scraped_samples(
     lines = lines.withColumn(
         "line", F.regexp_replace("line", _EXEMPLAR_RE, "$1")
     )
-    out = classify_lines(lines, with_timestamps=True)
+    # with_labels: the FULL parsed label map rides along, so a
+    # multi-label target (its own exposition_lines_multi families,
+    # node_exporter-style exporters) keeps distinct series distinct
+    out = classify_lines(lines, with_timestamps=True, with_labels=True)
     if honor_timestamps:
         base_scale = {"ms": 1_000, "s": 1_000_000}[timestamp_unit]
         if "content_type" in out.columns:
@@ -355,6 +358,35 @@ _STALE_KEY = ["target", "metric", "kind", "stat", "label_user", "le"]
 _NULL_SENTINEL = "\x00"
 
 
+def _series_str_expr(df: DataFrame) -> "F.Column":
+    """Canonical series-identity string for one scraped row: the
+    injective `label_str` rendering of the FULL label map when the
+    relation carries one (a MAP column cannot itself key a groupBy /
+    join), falling back to the flattened `user`/`le` pair — which IS
+    `label_str` of that two-key map, so flat-only rows (stale
+    markers, legacy logs) land in the same group as their map-bearing
+    originals. A row already carrying a `_series_str` column (a
+    marker emitted by `stale_markers`) keeps it verbatim."""
+    from shards_prometheus_spark.functions.labelset import label_str
+
+    flat = F.map_filter(
+        F.create_map(
+            F.lit("user"),
+            F.col("label_user"),
+            F.lit("le"),
+            F.col("le"),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+    if "labels" in df.columns:
+        computed = label_str(F.coalesce(F.col("labels"), flat))
+    else:
+        computed = label_str(flat)
+    if "_series_str" in df.columns:
+        return F.coalesce(F.col("_series_str"), computed)
+    return computed
+
+
 def stale_markers(scraped: DataFrame) -> DataFrame:
     """Upstream staleness markers, synthesized from the scrape log.
 
@@ -389,6 +421,14 @@ def stale_markers(scraped: DataFrame) -> DataFrame:
         else F.col(c)
         for c in _STALE_KEY
     ]
+    # a labels-bearing log keys the diff on the canonical full-map
+    # rendering too, so series differing only in a third label die
+    # (and revive) independently; the marker carries the key out so
+    # the registry fold can land it in exactly the group it kills
+    key_names = list(_STALE_KEY)
+    if "labels" in scraped.columns:
+        enc.append(_series_str_expr(scraped).alias("_series_str"))
+        key_names.append("_series_str")
     presence = scraped.select(*enc, "scrape_idx").distinct()
     w = Window.partitionBy("target").orderBy("scrape_idx")
     # explicit disambiguating aliases: presence/timeline/present_next
@@ -418,12 +458,12 @@ def stale_markers(scraped: DataFrame) -> DataFrame:
         & (F.col("scrape_idx") == F.col("_tl_idx")),
     ).drop("_tl_target", "_tl_idx")
     present_next = presence.select(
-        *[F.col(c).alias(f"_pn_{c}") for c in _STALE_KEY],
+        *[F.col(c).alias(f"_pn_{c}") for c in key_names],
         F.col("scrape_idx").alias("_pn_idx"),
     )
     gone = cand.join(
         present_next,
-        [F.col(c) == F.col(f"_pn_{c}") for c in _STALE_KEY]
+        [F.col(c) == F.col(f"_pn_{c}") for c in key_names]
         + [F.col("_next_idx") == F.col("_pn_idx")],
         "left_anti",
     )
@@ -440,6 +480,11 @@ def stale_markers(scraped: DataFrame) -> DataFrame:
         F.nullif(F.col("le"), F.lit(_NULL_SENTINEL)).alias("le"),
         F.lit(float("nan")).alias("value"),
         F.lit(True).alias("stale"),
+        *(
+            [F.col("_series_str")]
+            if "_series_str" in key_names
+            else []
+        ),
     )
 
 
@@ -472,20 +517,39 @@ def registry_from_scrapes(scraped: DataFrame) -> DataFrame:
     a series whose NEWEST sample is a stale marker is dropped from
     the registry — upstream's "the target stopped serving it, it is
     gone now", not "serve the dead value until the lookback ages
-    out"."""
+    out".
+
+    A log carrying the full ``labels`` map keys series identity on
+    its canonical `label_str` rendering (injective, sorted — a MAP
+    column itself cannot be a grouping key), so series differing only
+    in a THIRD label stay distinct; the map rides through the fold
+    and out. Stale-marker rows (null map) fall back to the flattened
+    pair encoding — `stale_markers` emits the same `_series_str` key,
+    so a marker lands in exactly the series group it kills."""
     key = ["target", "metric", "kind", "stat", "label_user", "le"]
     has_stale = "stale" in scraped.columns
+    has_labels = "labels" in scraped.columns
     stale_field = (
         [F.coalesce(F.col("stale"), F.lit(False)).alias("s")]
         if has_stale
         else []
     )
+    key_cols = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")).alias(c)
+        if c in ("label_user", "le")
+        else F.col(c)
+        for c in key
+    ]
+    label_agg = []
+    if has_labels:
+        key_cols.append(_series_str_expr(scraped).alias("_series_str"))
+        # ignorenulls: a stale-marker row in the group carries a null
+        # map; the series' real rows all share one identical map
+        label_agg = [
+            F.first("labels", ignorenulls=True).alias("labels")
+        ]
     picked = (
-        scraped.groupBy(
-            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")).alias(c)
-              if c in ("label_user", "le") else F.col(c)
-              for c in key]
-        )
+        scraped.groupBy(*key_cols)
         .agg(
             F.max(
                 F.struct(
@@ -494,7 +558,8 @@ def registry_from_scrapes(scraped: DataFrame) -> DataFrame:
                     F.col("value").alias("v"),
                     *stale_field,
                 )
-            ).alias("last")
+            ).alias("last"),
+            *label_agg,
         )
         .select(
             "target",
@@ -508,6 +573,7 @@ def registry_from_scrapes(scraped: DataFrame) -> DataFrame:
             F.col("last.v").alias("value"),
             F.col("last.t").alias("ts_us"),
             F.col("last.i").alias("scrape_idx"),
+            *([F.col("labels")] if has_labels else []),
             *([F.col("last.s").alias("_stale")] if has_stale else []),
         )
     )
