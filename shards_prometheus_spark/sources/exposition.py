@@ -1091,9 +1091,11 @@ class MetricsExposer:
         exemplars_fn=None,
         remote_write: bool = False,
         scrape_config: str | None = None,
+        scrape_config_path: str | None = None,
         alertmanagers: "list[str] | None" = None,
         admin_api: bool = False,
         snapshot_dir: str | None = None,
+        enable_lifecycle: bool = False,
     ):
         """`lines_fn` (optional): zero-arg callable returning the line
         DataFrame — lets the exposer serve a LIVE source (a streaming
@@ -1159,6 +1161,8 @@ class MetricsExposer:
 
             def do_POST(self):  # noqa: N802 - stdlib contract
                 parts = urlsplit(self.path)
+                if self._lifecycle():
+                    return
                 if parts.path == "/api/v1/write":
                     # the remote-write RECEIVER (upstream's
                     # --web.enable-remote-write-receiver): raw
@@ -1231,8 +1235,58 @@ class MetricsExposer:
                 if not self._api(form):
                     self.send_error(404)
 
+            def _text(self, status: int, body: str) -> None:
+                raw = body.encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(raw)))
+                self.end_headers()
+                self.wfile.write(raw)
+
+            def _lifecycle(self) -> bool:
+                """`/-/healthy` `/-/ready` (always on, upstream) and
+                `/-/reload` (POST/PUT, gated behind enable_lifecycle
+                — upstream's --web.enable-lifecycle flag)."""
+                path = urlsplit(self.path).path.rstrip("/")
+                if path in ("/-/healthy", "/-/ready"):
+                    if self.command != "GET":
+                        self._text(405, "Method Not Allowed\n")
+                        return True
+                    word = (
+                        "Healthy" if path == "/-/healthy" else "Ready"
+                    )
+                    self._text(
+                        200, f"Prometheus Server is {word}.\n"
+                    )
+                    return True
+                if path == "/-/reload":
+                    if self.command not in ("POST", "PUT"):
+                        self._text(405, "Method Not Allowed\n")
+                        return True
+                    if not outer._enable_lifecycle:
+                        self._text(
+                            403, "Lifecycle API is not enabled.\n"
+                        )
+                        return True
+                    try:
+                        outer.reload_config()
+                    except Exception as exc:  # noqa: BLE001 - 500
+                        self._text(
+                            500, f"failed to reload config: {exc}\n"
+                        )
+                        return True
+                    self._text(200, "")
+                    return True
+                return False
+
+            def do_PUT(self):  # noqa: N802 - stdlib contract
+                if not self._lifecycle():
+                    self.send_error(404)
+
             def do_GET(self):  # noqa: N802 - stdlib contract
                 parts = urlsplit(self.path)
+                if self._lifecycle():
+                    return
                 if self._api():
                     return
                 if parts.path == "/federate":
@@ -1286,17 +1340,25 @@ class MetricsExposer:
         self._query_timeout_s = query_timeout_s
         self._remote_write = remote_write
         self._scrape_config = scrape_config
+        self._scrape_config_path = scrape_config_path
+        self._enable_lifecycle = enable_lifecycle
+        self._explicit_alertmanagers = alertmanagers is not None
+        self._explicit_rule_file = rule_file is not None
+        if scrape_config_path is not None and scrape_config is None:
+            with open(scrape_config_path) as f:
+                self._scrape_config = f.read()
         # the Alertmanager pool: explicit list, else the loaded
         # prometheus.yml's alerting section (upstream: one config file
         # declares both scrape targets and the notification pool)
-        if alertmanagers is None and scrape_config is not None:
+        if alertmanagers is None and self._scrape_config is not None:
             from shards_prometheus_spark.sources.scrape_config import (
                 load_scrape_configs,
             )
 
-            alertmanagers = load_scrape_configs(
-                scrape_config
-            ).alertmanager_urls
+            cfg = load_scrape_configs(self._scrape_config)
+            alertmanagers = cfg.alertmanager_urls
+            if rule_file is None and cfg.rule_files:
+                self._rule_file = self._read_rule_files(cfg.rule_files)
         self._alertmanagers = list(alertmanagers or [])
         # TSDB admin API state (upstream --web.enable-admin-api):
         # tombstones are (metric, matchers, start_us, end_us) masks
@@ -1320,12 +1382,15 @@ class MetricsExposer:
             target=self._server.serve_forever, daemon=True
         )
 
-    def receive_remote_write(self, payload: bytes) -> int:
+    def receive_remote_write(
+        self, payload: bytes, content_type: "str | None" = None
+    ) -> int:
         """Ingest one remote-write WriteRequest body (the push half of
         the pairing, on the SAME server as /metrics and the read API —
-        upstream's remote-write-receiver flag). Delegates to the
-        shared RemoteWriteReceiver store; returns rows appended."""
-        return self._rw.receive(payload)
+        upstream's remote-write-receiver flag; 1.0 or the 2.0 wire by
+        Content-Type). Delegates to the shared RemoteWriteReceiver
+        store; returns rows appended."""
+        return self._rw.receive(payload, content_type)
 
     def _rw_samples(self):
         """The pushed store as a samples relation (None when empty)."""
@@ -1424,6 +1489,67 @@ class MetricsExposer:
             os.path.join(out, "samples.parquet")
         )
         return name
+
+    # -- lifecycle (upstream /-/healthy /-/ready /-/reload) -------------
+    def _read_rule_files(self, patterns: "list[str]") -> str | None:
+        """Read + merge the config's `rule_files:` entries (paths or
+        globs, resolved against the config file's directory — the
+        upstream convention) into ONE rules document: the groups
+        concatenate in file order. Returns None when nothing
+        resolves."""
+        import glob as _glob
+        import os
+
+        import yaml
+
+        base = (
+            os.path.dirname(os.path.abspath(self._scrape_config_path))
+            if self._scrape_config_path
+            else "."
+        )
+        groups: list = []
+        for pat in patterns:
+            p = pat if os.path.isabs(pat) else os.path.join(base, pat)
+            for path in sorted(_glob.glob(p)):
+                with open(path) as f:
+                    doc = yaml.safe_load(f.read()) or {}
+                groups.extend(doc.get("groups") or [])
+        return yaml.safe_dump({"groups": groups}) if groups else None
+
+    def reload_config(self) -> None:
+        """`POST /-/reload` (upstream --web.enable-lifecycle):
+        re-read the prometheus.yml this exposer was constructed from
+        and swap in the new scrape config, Alertmanager pool, and
+        rule files — `/api/v1/status/config` serves the NEW document
+        from the next request on. A parse failure raises (→ 500) and
+        leaves the previous configuration in force, exactly
+        upstream's failed-reload semantics. A no-path exposer (inline
+        YAML text) re-derives pool + rules from the held text — a
+        successful no-op."""
+        from shards_prometheus_spark.sources.scrape_config import (
+            load_scrape_configs,
+        )
+
+        text = self._scrape_config
+        if self._scrape_config_path is not None:
+            with open(self._scrape_config_path) as f:
+                text = f.read()
+        if text is None:
+            return
+        cfg = load_scrape_configs(text)  # raises → keep old config
+        new_rules = (
+            self._rule_file
+            if self._explicit_rule_file
+            else (
+                self._read_rule_files(cfg.rule_files)
+                if cfg.rule_files
+                else None
+            )
+        )
+        self._scrape_config = text
+        if not self._explicit_alertmanagers:
+            self._alertmanagers = list(cfg.alertmanager_urls)
+        self._rule_file = new_rules
 
     def handle_api(
         self, path: str, params: dict, method: str = "GET"

@@ -37,6 +37,8 @@ from pyspark.sql import functions as F
 
 from shards_prometheus_spark.functions.miniformats import (
     _u_to_int64,
+    _uvarint_decode,
+    _uvarint_encode,
     pb_double,
     pb_fields,
     pb_len,
@@ -66,10 +68,17 @@ def handle_write_post(handler, receive) -> None:
     failure (the codecs raise ValueError on corrupt snappy/protobuf)
     → the public 400 contract; any OTHER exception is an internal
     failure → 500, never misreported as a client error; success →
-    204 (the 1.0 spec's code)."""
+    204 (both specs' code). The request's Content-Type negotiates the
+    protocol (`proto=io.prometheus.write.v2.Request` → the 2.0
+    decode), and a 2.0 success carries the spec's
+    `X-Prometheus-Remote-Write-Samples-Written` response header."""
 
-    def _respond(code: int, body: bytes = b"") -> None:
+    def _respond(
+        code: int, body: bytes = b"", extra: "dict | None" = None
+    ) -> None:
         handler.send_response(code)
+        for k, v in (extra or {}).items():
+            handler.send_header(k, v)
         handler.send_header("Content-Length", str(len(body)))
         handler.end_headers()
         if body:
@@ -84,14 +93,24 @@ def handle_write_post(handler, receive) -> None:
         )
         return
     raw = handler.rfile.read(n)
+    ctype = handler.headers.get("Content-Type")
     try:
-        receive(raw)
+        written = receive(raw, ctype)
     except ValueError as exc:
         _respond(400, str(exc).encode())
     except Exception as exc:  # noqa: BLE001 - the 5xx contract
         _respond(500, str(exc).encode())
     else:
-        _respond(204)
+        extra = None
+        if is_v2_content_type(ctype):
+            extra = {
+                "X-Prometheus-Remote-Write-Samples-Written": str(
+                    written or 0
+                ),
+                "X-Prometheus-Remote-Write-Histograms-Written": "0",
+                "X-Prometheus-Remote-Write-Exemplars-Written": "0",
+            }
+        _respond(204, extra=extra)
 
 
 def parse_write_request(
@@ -160,6 +179,127 @@ def encode_write_request(
         cur_samples.append(pb_double(1, value) + pb_varint(2, ts_ms))
     flush()
     body = b"".join(series)
+    return snappy_compress(body) if compress else body
+
+
+#: The 2.0 protocol's content type (the 3.x wire): proto parameter
+#: selects the Request message; 1.0 senders omit it or send
+#: prometheus.WriteRequest.
+V2_CONTENT_TYPE = (
+    "application/x-protobuf;proto=io.prometheus.write.v2.Request"
+)
+
+
+def is_v2_content_type(content_type: "str | None") -> bool:
+    """Remote-write content negotiation (the 2.0 spec): the `proto=`
+    media-type parameter names the message; absent/1.0 values decode
+    as prometheus.WriteRequest."""
+    return bool(
+        content_type
+        and "io.prometheus.write.v2.request"
+        in content_type.replace(" ", "").lower()
+    )
+
+
+def parse_write_request_v2(
+    payload: bytes, compressed: bool = True
+) -> "list[tuple[dict, int, float]]":
+    """One `io.prometheus.write.v2.Request` → [(labels incl.
+    __name__, ts_ms, value)] — the 2.0 wire (public spec): one
+    interned `symbols` string table (field 4, symbols[0] = ""),
+    TimeSeries (field 5) carrying PACKED uint32 `labels_refs` pairs
+    (name-ref, value-ref) instead of inline Label messages, samples
+    unchanged (value double=1, timestamp int64 ms=2). Metadata /
+    exemplars / native-histogram fields are skipped per proto
+    semantics. Raises ValueError on odd or out-of-range refs — the
+    receiver's public 400 contract."""
+    body = snappy_decompress(payload) if compressed else payload
+    symbols: list[str] = []
+    series_bufs: list[bytes] = []
+    for field, wt, v in pb_fields(body):
+        if field == 4 and wt == 2:  # Request.symbols
+            symbols.append(v.decode("utf-8"))
+        elif field == 5 and wt == 2:  # Request.timeseries
+            series_bufs.append(v)
+    out: list[tuple[dict, int, float]] = []
+    for ts_bytes in series_bufs:
+        refs: list[int] = []
+        samples: list[tuple[int, float]] = []
+        for f2, wt2, v2 in pb_fields(ts_bytes):
+            if f2 == 1 and wt2 == 2:  # packed labels_refs
+                pos = 0
+                while pos < len(v2):
+                    n, pos = _uvarint_decode(v2, pos)
+                    refs.append(n)
+            elif f2 == 1 and wt2 == 0:  # unpacked (legal proto3)
+                refs.append(v2)
+            elif f2 == 2 and wt2 == 2:  # TimeSeries.samples
+                val, ts_ms = float("nan"), 0
+                for f3, _wt3, v3 in pb_fields(v2):
+                    if f3 == 1:
+                        val = v3
+                    elif f3 == 2:
+                        ts_ms = _u_to_int64(v3)
+                samples.append((ts_ms, val))
+        if len(refs) % 2:
+            raise ValueError(
+                "remote-write v2: odd labels_refs length"
+            )
+        labels: dict = {}
+        for i in range(0, len(refs), 2):
+            try:
+                labels[symbols[refs[i]]] = symbols[refs[i + 1]]
+            except IndexError:
+                raise ValueError(
+                    "remote-write v2: labels_ref outside the symbol "
+                    "table"
+                ) from None
+        for ts_ms, val in samples:
+            out.append((labels, ts_ms, val))
+    return out
+
+
+def encode_write_request_v2(
+    rows: "list[tuple[dict, int, float]]", compress: bool = True
+) -> bytes:
+    """[(labels incl. __name__, ts_ms, value)] → one 2.0 Request:
+    strings interned once in `symbols` (symbols[0] = "" per spec),
+    consecutive same-label rows sharing a TimeSeries — the sender
+    twin the round-trip tests drive the receiver with."""
+    symbols: list[str] = [""]
+    index: dict[str, int] = {"": 0}
+
+    def ref(s: str) -> int:
+        if s not in index:
+            index[s] = len(symbols)
+            symbols.append(s)
+        return index[s]
+
+    series: list[bytes] = []
+    cur_labels: dict | None = None
+    cur_samples: list[bytes] = []
+
+    def flush() -> None:
+        if cur_labels is None:
+            return
+        packed = b"".join(
+            _uvarint_encode(ref(k)) + _uvarint_encode(ref(v))
+            for k, v in sorted(cur_labels.items())
+        )
+        series.append(
+            pb_len(1, packed)
+            + b"".join(pb_len(2, s) for s in cur_samples)
+        )
+
+    for labels, ts_ms, value in rows:
+        if labels != cur_labels:
+            flush()
+            cur_labels, cur_samples = dict(labels), []
+        cur_samples.append(pb_double(1, value) + pb_varint(2, ts_ms))
+    flush()
+    body = b"".join(
+        pb_len(4, s.encode("utf-8")) for s in symbols
+    ) + b"".join(pb_len(5, ts) for ts in series)
     return snappy_compress(body) if compress else body
 
 
@@ -381,9 +521,18 @@ class RemoteWriteReceiver:
         self._thread = None
 
     # -- ingest ----------------------------------------------------------
-    def receive(self, payload: bytes) -> int:
-        """Ingest one WriteRequest body; returns rows appended."""
-        rows = parse_write_request(payload)
+    def receive(
+        self, payload: bytes, content_type: "str | None" = None
+    ) -> int:
+        """Ingest one WriteRequest body — 1.0 or, when the request's
+        Content-Type names `io.prometheus.write.v2.Request`, the 2.0
+        interned-symbols wire. Returns rows appended."""
+        parse = (
+            parse_write_request_v2
+            if is_v2_content_type(content_type)
+            else parse_write_request
+        )
+        rows = parse(payload)
         with self._lock:
             self._rows.extend(rows)
         return len(rows)

@@ -393,7 +393,7 @@ def test_write_post_contract_413_400_500():
 
     calls = []
 
-    def ok(raw):
+    def ok(raw, ctype=None):
         calls.append(raw)
 
     # over-cap: rejected by the CLAIMED length, body never ingested
@@ -403,7 +403,7 @@ def test_write_post_contract_413_400_500():
 
     # corrupt payload → ValueError from the codecs → 400
     h = _FakeWriteHandler(b"\x99not-snappy")
-    def decode(raw):
+    def decode(raw, ctype=None):
         from shards_prometheus_spark.sources.remote_write import (
             parse_write_request,
         )
@@ -412,7 +412,7 @@ def test_write_post_contract_413_400_500():
     assert h.status == 400
 
     # internal failure → 500, not 400
-    def boom(raw):
+    def boom(raw, ctype=None):
         raise RuntimeError("executor lost")
     h = _FakeWriteHandler(
         encode_write_request([({"__name__": "m"}, 0, 1.0)])
@@ -571,3 +571,142 @@ def test_remote_write_sink_streams_micro_batches(spark):
         if query is not None:
             query.stop()
         rx.stop()
+
+
+# --- remote-write 2.0 (io.prometheus.write.v2.Request) -------------------
+
+
+def test_v2_roundtrip_equals_v1_twin():
+    """The 2.0 wire (interned symbol table, packed labels_refs)
+    decodes to exactly the rows the 1.0 twin carries."""
+    from shards_prometheus_spark.sources.remote_write import (
+        encode_write_request,
+        encode_write_request_v2,
+        parse_write_request,
+        parse_write_request_v2,
+    )
+
+    rows = [
+        ({"__name__": "m", "user": "a", "zone": "z1"}, 1_000, 1.5),
+        ({"__name__": "m", "user": "a", "zone": "z1"}, 2_000, 2.5),
+        ({"__name__": "m", "user": "b"}, -5_000, 3.25),  # pre-1970
+        ({"__name__": "n"}, 0, float("inf")),
+    ]
+    v2 = encode_write_request_v2(rows)
+    got = parse_write_request_v2(v2)
+    want = parse_write_request(encode_write_request(rows))
+    assert got == want
+    # interning actually dedups: the v2 body is smaller than 1.0's
+    # for a repeated-label payload
+    big = [
+        ({"__name__": "m", "user": "u", "shard": str(i % 2)}, i, 1.0)
+        for i in range(200)
+    ]
+    assert len(
+        encode_write_request_v2(big, compress=False)
+    ) < len(encode_write_request(big, compress=False))
+
+
+def test_v2_post_negotiated_by_content_type(spark):
+    """POSTing a 2.0 body with the spec's Content-Type ingests through
+    BOTH HTTP frontends; the response is 204 with the 2.0 written
+    headers, and the read API serves the pushed samples — equal to
+    the 1.0 push of the same rows."""
+    import urllib.request
+
+    from shards_prometheus_spark.sources.remote_write import (
+        V2_CONTENT_TYPE,
+        RemoteWriteReceiver,
+        encode_write_request,
+        encode_write_request_v2,
+    )
+
+    rows = [
+        ({"__name__": "pushed", "user": "a"}, 1_000, 1.5),
+        ({"__name__": "pushed", "user": "b"}, 2_000, 2.5),
+    ]
+
+    def post(url, body, ctype):
+        req = urllib.request.Request(
+            url,
+            data=body,
+            headers={
+                "Content-Type": ctype,
+                "Content-Encoding": "snappy",
+            },
+            method="POST",
+        )
+        return urllib.request.urlopen(req, timeout=60)
+
+    rx1 = RemoteWriteReceiver().start()
+    rx2 = RemoteWriteReceiver().start()
+    try:
+        with post(
+            f"http://127.0.0.1:{rx1.port}/api/v1/write",
+            encode_write_request_v2(rows),
+            V2_CONTENT_TYPE,
+        ) as resp:
+            assert resp.status == 204
+            assert (
+                resp.headers["X-Prometheus-Remote-Write-Samples-Written"]
+                == "2"
+            )
+        with post(
+            f"http://127.0.0.1:{rx2.port}/api/v1/write",
+            encode_write_request(rows),
+            "application/x-protobuf",
+        ) as resp:
+            assert resp.status == 204
+        def state(rx):
+            return sorted(
+                (
+                    r["metric"],
+                    tuple(sorted((r["labels"] or {}).items())),
+                    r["label_user"],
+                    r["ts_us"],
+                    r["value"],
+                    r["series_id"],
+                )
+                for r in rx.samples(spark).collect()
+            )
+
+        got, want = state(rx1), state(rx2)
+        assert got == want and len(got) == 2
+    finally:
+        rx1.stop()
+        rx2.stop()
+
+
+def test_v2_bad_refs_answer_400():
+    """Malformed 2.0 payloads (odd labels_refs, out-of-table ref) are
+    client errors: ValueError → the receiver's 400 contract."""
+    import pytest
+
+    from shards_prometheus_spark.functions.miniformats import (
+        _uvarint_encode,
+        pb_len,
+        snappy_compress,
+    )
+    from shards_prometheus_spark.sources.remote_write import (
+        parse_write_request_v2,
+    )
+
+    # symbols ["", "x"]; labels_refs [1] (odd)
+    body = (
+        pb_len(4, b"")
+        + pb_len(4, b"x")
+        + pb_len(5, pb_len(1, _uvarint_encode(1)))
+    )
+    with pytest.raises(ValueError, match="odd"):
+        parse_write_request_v2(snappy_compress(body))
+    # labels_refs [1, 9]: value ref outside the table
+    body = (
+        pb_len(4, b"")
+        + pb_len(4, b"x")
+        + pb_len(
+            5,
+            pb_len(1, _uvarint_encode(1) + _uvarint_encode(9)),
+        )
+    )
+    with pytest.raises(ValueError, match="symbol"):
+        parse_write_request_v2(snappy_compress(body))
