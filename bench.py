@@ -85,6 +85,11 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "relabel_chain",
             "stale_markers_hourly",
             "remote_read_roundtrip",
+            # r13: the synthetic scrape-report family over the
+            # target×tick grid and the multi-label classification
+            # round trip (render → classify map parse → 2-label fold)
+            "scrape_up_family",
+            "scraped_multilabel_fold",
             "vector_binop",
         ],
     ),

@@ -34,10 +34,13 @@ from shards_prometheus_spark.sources.remote_write import (  # noqa: F401
     encode_write_requests,
 )
 from shards_prometheus_spark.sources.scraper import (  # noqa: F401
+    SYNTHETIC_METRICS,
     registry_from_scrapes,
     scrape_once,
     scrape_stream,
     scraped_samples,
+    scraped_with_staleness,
+    stale_markers,
 )
 from shards_prometheus_spark.sources.storage import (  # noqa: F401
     read_samples_partitioned,

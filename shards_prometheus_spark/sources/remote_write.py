@@ -346,13 +346,22 @@ def decode_write_requests(
     return payloads.mapInPandas(kernel, DECODED_SCHEMA)
 
 
-def encode_write_requests(samples: DataFrame) -> DataFrame:
+def encode_write_requests(
+    samples: DataFrame, protocol: str = "1.0"
+) -> DataFrame:
     """Distributed encode: the samples relation → one WriteRequest
     payload PER PARTITION (payload count = partition count; a
     pre-`repartition(metric)` caller controls payload sizing). Rows
     are series-sorted inside the kernel so each series becomes one
-    TimeSeries message."""
+    TimeSeries message. `protocol="2.0"` emits the interned-symbols
+    `io.prometheus.write.v2.Request` wire instead."""
     import pandas as pd
+
+    encode = (
+        encode_write_request_v2
+        if str(protocol).startswith("2")
+        else encode_write_request
+    )
 
     # FLOOR µs→ms (not `div`, which truncates toward zero): a pre-1970
     # negative timestamp must round the same way the decoder's
@@ -379,9 +388,7 @@ def encode_write_requests(samples: DataFrame) -> DataFrame:
             yield pd.DataFrame({"payload": pd.Series([], dtype=object)})
             return
         rows.sort(key=lambda r: (sorted(r[0].items()), r[1]))
-        yield pd.DataFrame(
-            {"payload": [encode_write_request(rows)]}
-        )
+        yield pd.DataFrame({"payload": [encode(rows)]})
 
     return cols.mapInPandas(kernel, "payload binary")
 
@@ -392,6 +399,7 @@ def push_write_requests(
     timeout_s: float = 30.0,
     retries: int = 2,
     payload_col: str = "payload",
+    protocol: str = "1.0",
 ) -> DataFrame:
     """The SEND half of the pairing: POST each WriteRequest payload
     to a remote-write endpoint from the EXECUTORS — one HTTP POST per
@@ -404,8 +412,22 @@ def push_write_requests(
     4xx are permanent (a malformed payload will not become well-formed
     by retrying) and connection failures report status -1. Delivery
     problems are DATA in the result relation, never task failures —
-    a dead receiver must not fail a 100 TB export job."""
+    a dead receiver must not fail a 100 TB export job.
+
+    `protocol="2.0"` stamps the spec's 2.0 negotiation headers
+    (`Content-Type: …;proto=io.prometheus.write.v2.Request`,
+    `X-Prometheus-Remote-Write-Version: 2.0.0`) — pair with payloads
+    from `encode_write_requests(…, protocol="2.0")`."""
     import pandas as pd
+
+    v2 = str(protocol).startswith("2")
+    headers = {
+        "Content-Type": V2_CONTENT_TYPE
+        if v2
+        else "application/x-protobuf",
+        "Content-Encoding": "snappy",
+        "X-Prometheus-Remote-Write-Version": "2.0.0" if v2 else "0.1.0",
+    }
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import time as _time
@@ -425,13 +447,7 @@ def push_write_requests(
                         req = urllib.request.Request(
                             url,
                             data=body,
-                            headers={
-                                "Content-Type": "application/x-protobuf",
-                                "Content-Encoding": "snappy",
-                                "X-Prometheus-Remote-Write-Version": (
-                                    "0.1.0"
-                                ),
-                            },
+                            headers=dict(headers),
                             method="POST",
                         )
                         with urllib.request.urlopen(
@@ -464,13 +480,19 @@ def push_samples(
     url: str,
     timeout_s: float = 30.0,
     retries: int = 2,
+    protocol: str = "1.0",
 ) -> DataFrame:
     """Encode the samples relation into one WriteRequest per partition
     and push every payload executor-side — the engine as a
     remote-write SENDER (repartition first to control payload
-    sizing). Returns the per-payload delivery relation."""
+    sizing; `protocol="2.0"` sends the interned 2.0 wire). Returns
+    the per-payload delivery relation."""
     return push_write_requests(
-        encode_write_requests(samples), url, timeout_s, retries
+        encode_write_requests(samples, protocol=protocol),
+        url,
+        timeout_s,
+        retries,
+        protocol=protocol,
     )
 
 

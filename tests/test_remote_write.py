@@ -710,3 +710,47 @@ def test_v2_bad_refs_answer_400():
     )
     with pytest.raises(ValueError, match="symbol"):
         parse_write_request_v2(snappy_compress(body))
+
+
+def test_v2_send_half_roundtrip(spark):
+    """The SEND half speaks 2.0 too: push_samples(protocol='2.0')
+    negotiates the v2 Content-Type from the executors and the
+    receiver ingests rows identical to the 1.0 push."""
+    from shards_prometheus_spark.sources.remote_write import (
+        RemoteWriteReceiver,
+        push_samples,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("m", {"user": "a"}, 1_000_000, 1.5),
+            ("m", {"user": "b"}, 2_000_000, 2.5),
+        ],
+        "metric string, labels map<string,string>, ts_us long, "
+        "value double",
+    ).coalesce(1)
+
+    def pushed_state(protocol):
+        rx = RemoteWriteReceiver().start()
+        try:
+            statuses = push_samples(
+                df,
+                f"http://127.0.0.1:{rx.port}/api/v1/write",
+                protocol=protocol,
+            ).collect()
+            assert [r["status"] for r in statuses] == [204]
+            return sorted(
+                (
+                    r["metric"],
+                    tuple(sorted((r["labels"] or {}).items())),
+                    r["ts_us"],
+                    r["value"],
+                )
+                for r in rx.samples(spark).collect()
+            )
+        finally:
+            rx.stop()
+
+    got_v2 = pushed_state("2.0")
+    got_v1 = pushed_state("1.0")
+    assert got_v2 == got_v1 and len(got_v2) == 2

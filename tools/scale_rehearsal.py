@@ -112,6 +112,10 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "remote_read_roundtrip",
             "relabel_chain",
             "stale_markers_hourly",
+            # r13: the synthetic scrape-report grid and the
+            # multi-label classification round trip, both events-axis
+            "scrape_up_family",
+            "scraped_multilabel_fold",
         ],
     ),
     (
