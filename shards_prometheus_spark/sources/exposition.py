@@ -295,6 +295,91 @@ def snapshot_lines(snap: DataFrame) -> DataFrame:
     return headers.unionByName(counters).unionByName(gauges)
 
 
+#: Classic label-name charset (the public grammar; names outside it
+#: serialize quoted in the 3.x dialect).
+_CLASSIC_LABEL_RE = "^[A-Za-z_][A-Za-z0-9_]*$"
+
+
+def classified_lines(classified: DataFrame) -> DataFrame:
+    """Inverse of `classify_lines`: a classified relation — (metric,
+    kind, stat, value) plus the full `labels` map (or the flattened
+    `label_user`/`le` pair) — rendered back to classic exposition
+    text, EVERY kind included: counters re-suffix `_total`, histogram
+    children `_bucket`/`_sum`/`_count` with `le` intact, summaries as
+    quantile-labelled bare-name samples plus their `_sum`/`_count`
+    children, gauges bare. Labels render sorted with text-format
+    escaping; non-classic metric/label names take the 3.x quoted
+    form. Stale-marker rows (the staleness diff's synthetic NaNs) are
+    excluded — upstream never federates a marker.
+
+    This is the serving half of the scraped-registry loop: point an
+    exposer's ``lines_fn`` at ``classified_lines(
+    registry_from_scrapes(log))`` and the engine re-exposes exactly
+    what it scraped — multi-label series and summary families
+    included — for a downstream server to federate. Pure column
+    expressions over one scan; values render with Spark's
+    shortest-roundtrip double→string cast, so re-classifying the
+    payload reproduces every value bit-for-bit."""
+    snap = classified
+    if "stale" in snap.columns:
+        snap = snap.filter(~F.coalesce(F.col("stale"), F.lit(False)))
+    if "labels" not in snap.columns:
+        snap = snap.withColumn(
+            "labels",
+            F.map_filter(
+                F.create_map(
+                    F.lit("user"),
+                    F.col("label_user"),
+                    F.lit("le"),
+                    F.col("le"),
+                ),
+                lambda _k, v: v.isNotNull(),
+            ),
+        )
+    headers = (
+        snap.select("kind", "metric")
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("# TYPE "),
+                header_name(F.col("metric")),
+                F.lit(" "),
+                F.col("kind"),
+            ).alias("line")
+        )
+    )
+    suffix = (
+        F.when(F.col("stat") == "total", F.lit("_total"))
+        .when(F.col("stat") == "bucket", F.lit("_bucket"))
+        .when(F.col("stat") == "sum", F.lit("_sum"))
+        .when(F.col("stat") == "count", F.lit("_count"))
+        .otherwise(F.lit(""))
+    )
+    key_render = lambda k: F.when(  # noqa: E731
+        k.rlike(_CLASSIC_LABEL_RE), k
+    ).otherwise(quote_name(k))
+    pairs = F.transform(
+        F.array_sort(F.map_entries(F.coalesce("labels", F.create_map()))),
+        lambda e: F.concat(
+            key_render(e["key"]),
+            F.lit('="'),
+            esc_label(e["value"]),
+            F.lit('"'),
+        ),
+    )
+    name = F.concat(F.col("metric"), suffix)
+    body = F.array_join(pairs, ",")
+    ref = F.when(body != "", series_ref(name, body)).otherwise(
+        series_ref(name)
+    )
+    samples = snap.select(
+        F.concat(
+            ref, F.lit(" "), F.col("value").cast("string")
+        ).alias("line")
+    )
+    return headers.unionByName(samples)
+
+
 #: Prometheus metric-name regex (public exposition-format grammar).
 _NAME_RE = "^([A-Za-z_:][A-Za-z0-9_:]*)"
 

@@ -240,3 +240,86 @@ def test_relabel_scraped_uses_parsed_map(spark):
     assert labels["disk"] == "disk-sda"
     assert labels["user"] == "u"
     assert labels["instance"] == "t"
+
+
+def test_classified_lines_reexposes_scraped_state(spark):
+    """The serving half of the scraped-registry loop
+    (`classified_lines`, the inverse writer): scrape a multi-label +
+    summary payload, re-expose the scraped registry through a SECOND
+    exposer, scrape THAT, and get identical state — multi-label
+    series, summary quantiles, histogram les, and a label-less gauge
+    all surviving two full HTTP round trips. This is federation of
+    scraped state in effect."""
+    from shards_prometheus_spark.sources import MetricsExposer
+    from shards_prometheus_spark.sources.exposition import (
+        classified_lines,
+    )
+    from shards_prometheus_spark.sources.scraper import (
+        SYNTHETIC_METRICS,
+        registry_from_scrapes,
+        scrape_once,
+        scraped_samples,
+    )
+
+    payload = [
+        "# TYPE disk_io_total counter",
+        'disk_io_total{device="sda",mode="read",user="u1"} 5.25',
+        'disk_io_total{device="sdb",mode="read",user="u1"} 7.5',
+        "# TYPE lat summary",
+        'lat{quantile="0.5"} 0.00025',
+        "lat_sum 1.5",
+        "lat_count 300",
+        "# TYPE h histogram",
+        'h_bucket{le="0.5",user="u"} 2',
+        'h_bucket{le="+Inf",user="u"} 3',
+        "h_sum 4.5",
+        "h_count 3",
+        "# TYPE plain gauge",
+        "plain 42.5",
+    ]
+
+    def state(reg):
+        return sorted(
+            (
+                r["metric"],
+                r["kind"],
+                r["stat"],
+                tuple(sorted((r["labels"] or {}).items())),
+                r["value"],
+            )
+            for r in reg.collect()
+            if r["metric"] not in SYNTHETIC_METRICS
+        )
+
+    def scrape_state(exposer):
+        scraped = scraped_samples(
+            scrape_once(
+                spark, f"http://{exposer.host}:{exposer.port}/metrics"
+            ).withColumn("scrape_idx", F.lit(0).cast("long"))
+        )
+        return registry_from_scrapes(scraped)
+
+    first = MetricsExposer(
+        spark,
+        SF_SMOKE,
+        lines_fn=lambda: _lines_df(spark, payload),
+    ).start()
+    try:
+        reg1 = scrape_state(first).cache()
+        want = state(reg1)
+        assert len(want) == 10  # every payload sample survived
+        second = MetricsExposer(
+            spark,
+            SF_SMOKE,
+            lines_fn=lambda: classified_lines(
+                reg1.filter(~F.col("metric").isin(*SYNTHETIC_METRICS))
+            ),
+        ).start()
+        try:
+            got = state(scrape_state(second))
+            assert got == want
+        finally:
+            second.stop()
+        reg1.unpersist()
+    finally:
+        first.stop()
