@@ -582,6 +582,41 @@ def registry_from_scrapes(scraped: DataFrame) -> DataFrame:
     return picked
 
 
+def scraped_as_samples(scraped: DataFrame) -> DataFrame:
+    """The classified scrape log as the §1.2 samples relation the
+    PromQL evaluator consumes: (event_id, series_id, metric,
+    labels MAP, ts_us, value) plus the `stale` column when present
+    (the evaluator's instant/grid paths honor markers). Labels lift
+    through `relabel.lift_labels` — the full parsed map with
+    `instance` := the scrape target — and series_id is the canonical
+    `model.series_id_expr` hash every base relation uses, so scraped
+    series co-partition with any unioned store. event_id is the
+    scrape tick (unique per series per tick by construction — one
+    sample per series per scrape), keeping the LAG tiebreak in
+    increase/rate folds deterministic.
+
+    This is what makes `up == 0` — the single most common alert in
+    real deployments — a one-liner over the scrape log:
+    ``PromQLEvaluator(scraped_as_samples(scraped_with_staleness(log)))
+    .eval('up == 0')``."""
+    from shards_prometheus_spark.model import series_id_expr
+    from shards_prometheus_spark.operators.relabel import lift_labels
+
+    lifted = lift_labels(scraped)
+    keep = [
+        F.col("scrape_idx").alias("event_id"),
+        series_id_expr("metric", "labels").alias("series_id"),
+        "metric",
+        "labels",
+        "ts_us",
+        "value",
+    ]
+    for opt in ("stale", "_series_str"):
+        if opt in lifted.columns:
+            keep.append(opt)
+    return lifted.select(*keep)
+
+
 # --- registered parity query ------------------------------------------------
 
 

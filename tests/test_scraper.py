@@ -439,3 +439,61 @@ def test_dead_target_does_not_fail_the_batch(spark):
                 s.stop()
             except Exception:
                 pass
+
+
+def test_up_alert_over_scrape_log(spark):
+    """`up == 0` — upstream's most common alert — evaluates straight
+    off the scrape log through the PromQL evaluator via
+    `scraped_as_samples`: the dead target's instance is the one
+    returned, and after the target dies its REAL series leave `g`'s
+    instant vector (staleness honored by the evaluator)."""
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+    from shards_prometheus_spark.sources.query_api import parse_label_str
+    from shards_prometheus_spark.sources.scraper import (
+        scraped_as_samples,
+        scraped_samples,
+        scraped_with_staleness,
+    )
+
+    def tick(target, idx, ts, lines):
+        return [(target, idx, ts, ln, "") for ln in lines]
+
+    live, dead = "http://live:9100/metrics", "http://dead:9100/metrics"
+    rows = (
+        # tick 0: both targets healthy
+        tick(live, 0, 10_000_000, ['g{user="a"} 1', "up 1"])
+        + tick(dead, 0, 10_000_000, ['g{user="b"} 2', "up 1"])
+        # tick 1: the second target died — only synthetics, up 0
+        + tick(live, 1, 20_000_000, ['g{user="a"} 3', "up 1"])
+        + tick(dead, 1, 20_000_000, ["up 0"])
+    )
+    log = spark.createDataFrame(
+        rows,
+        "target string, scrape_idx long, scrape_ts_us long, "
+        "line string, content_type string",
+    )
+    samples = scraped_as_samples(
+        scraped_with_staleness(scraped_samples(log))
+    )
+    ev = PromQLEvaluator(samples)
+
+    down = ev.eval("up == 0").collect()
+    assert [parse_label_str(r["labels"])["instance"] for r in down] == [dead]
+    assert [r["value"] for r in down] == [0.0]
+
+    up_ok = {
+        parse_label_str(r["labels"])["instance"] for r in ev.eval("up == 1").collect()
+    }
+    assert up_ok == {live}
+
+    # the dead target's real series left the instant vector at its
+    # death tick, the live target's survives with its latest value
+    g = {
+        parse_label_str(r["labels"]).get("user"): r["value"]
+        for r in ev.eval("g").collect()
+    }
+    assert g == {"a": 3.0}
