@@ -332,3 +332,120 @@ def scrape_job_stream(
         honor_timestamps=job.honor_timestamps,
     )
     return attach_target_labels(scraped, targets, job.honor_labels)
+
+
+class ScrapingServer:
+    """A running engine from one prometheus.yml — the switching
+    user's whole deployment in one object (`serve_scraped_config`):
+    every scrape_configs job's loop started as a streaming query
+    (micro-batch per tick at the job's own scrape_interval), the
+    accumulated scrape logs unioned, staleness-synthesized, and
+    served through a full MetricsExposer — PromQL read API, rules
+    and alerts from the config's rule_files, Alertmanager pool from
+    its alerting section, `/metrics` re-exposing the scraped state
+    (multi-label and summary families included), `up` and the other
+    scrape synthetics queryable.
+
+    The demo/test sink is the in-memory table (driver-resident, log
+    grows per tick); a production deployment points the SAME
+    scrape_job_stream at a parquet/Kafka sink and passes that
+    relation as the exposer's `samples_fn` — nothing else changes."""
+
+    def __init__(self, spark: SparkSession, cfg: ScrapeConfig, exposer, streams):
+        self.spark = spark
+        self.config = cfg
+        self.exposer = exposer
+        self.streams = streams
+
+    def stop(self) -> None:
+        for q in self.streams:
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001 - stop the rest anyway
+                pass
+        self.exposer.stop()
+
+
+def serve_scraped_config(
+    spark: SparkSession,
+    config_text: str,
+    sf_dir: str,
+    max_ticks: int = 0,
+    trigger_seconds: "float | None" = None,
+    rule_file: "str | None" = None,
+) -> ScrapingServer:
+    """prometheus.yml in → running engine out. Parses the config,
+    starts one scrape loop per job (each at its own
+    `scrape_interval` unless `trigger_seconds` overrides — tests use
+    a fast trigger + `max_ticks`), and serves the read API over the
+    union of the accumulating scrape logs with staleness markers
+    applied, via `scraper.scraped_as_samples`. The exposer also
+    re-serves `/metrics` from the scraped registry
+    (`exposition.classified_lines`), so a downstream server can
+    federate this one."""
+    import re as _re
+
+    from shards_prometheus_spark.sources.exposition import (
+        MetricsExposer,
+        classified_lines,
+    )
+    from shards_prometheus_spark.sources.scraper import (
+        SYNTHETIC_METRICS,
+        registry_from_scrapes,
+        scraped_as_samples,
+        scraped_with_staleness,
+    )
+
+    cfg = load_scrape_configs(config_text)
+    if not cfg.jobs:
+        raise ValueError("config declares no scrape_configs jobs")
+    streams = []
+    tables = []
+    token = abs(hash(config_text)) % 100_000
+    for job in cfg.jobs:
+        name = "scrape_srv_{}_{}".format(
+            _re.sub(r"\W", "_", job.job_name), token
+        )
+        secs = (
+            trigger_seconds
+            if trigger_seconds is not None
+            else job.interval_us / 1e6
+        )
+        q = (
+            scrape_job_stream(spark, job, max_ticks=max_ticks)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(processingTime=f"{secs} seconds")
+            .start()
+        )
+        streams.append(q)
+        tables.append(name)
+
+    def samples_fn():
+        logs = [spark.table(n) for n in tables]
+        log = logs[0]
+        for more in logs[1:]:
+            log = log.unionByName(more, allowMissingColumns=True)
+        return scraped_as_samples(scraped_with_staleness(log))
+
+    def lines_fn():
+        log = spark.table(tables[0])
+        for n in tables[1:]:
+            log = log.unionByName(spark.table(n), allowMissingColumns=True)
+        reg = registry_from_scrapes(log)
+        from pyspark.sql import functions as _F
+
+        return classified_lines(
+            reg.filter(~_F.col("metric").isin(*SYNTHETIC_METRICS))
+        )
+
+    exposer = MetricsExposer(
+        spark,
+        sf_dir,
+        samples_fn=samples_fn,
+        lines_fn=lines_fn,
+        scrape_config=config_text,
+        rule_file=rule_file,
+    ).start()
+    return ScrapingServer(spark, cfg, exposer, streams)

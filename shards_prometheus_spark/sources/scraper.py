@@ -595,6 +595,13 @@ def scraped_as_samples(scraped: DataFrame) -> DataFrame:
     sample per series per scrape), keeping the LAG tiebreak in
     increase/rate folds deterministic.
 
+    Metric names reconstruct the EXPOSITION form — what upstream's
+    TSDB actually stores: a counter family `beat` queries as
+    `beat_total`, histogram children as `h_bucket{le=…}`/`h_sum`/
+    `h_count` — so the `_sum`/`_count` siblings of one family are
+    distinct series instead of colliding on identical (name, labels)
+    identity, and a Prometheus user's existing queries work verbatim.
+
     This is what makes `up == 0` — the single most common alert in
     real deployments — a one-liner over the scrape log:
     ``PromQLEvaluator(scraped_as_samples(scraped_with_staleness(log)))
@@ -603,6 +610,14 @@ def scraped_as_samples(scraped: DataFrame) -> DataFrame:
     from shards_prometheus_spark.operators.relabel import lift_labels
 
     lifted = lift_labels(scraped)
+    suffix = (
+        F.when(F.col("stat") == "total", F.lit("_total"))
+        .when(F.col("stat") == "bucket", F.lit("_bucket"))
+        .when(F.col("stat") == "sum", F.lit("_sum"))
+        .when(F.col("stat") == "count", F.lit("_count"))
+        .otherwise(F.lit(""))
+    )
+    lifted = lifted.withColumn("metric", F.concat("metric", suffix))
     keep = [
         F.col("scrape_idx").alias("event_id"),
         series_id_expr("metric", "labels").alias("series_id"),

@@ -349,3 +349,110 @@ scrape_configs:
     assert by["inherits"].timeout_us == 8_000_000
     assert by["own"].timeout_us == 3_000_000
     assert by["clamped"].timeout_us == 5_000_000  # clamped to interval
+
+
+def test_serve_scraped_config_end_to_end(spark):
+    """The switching user's whole deployment in one call
+    (`serve_scraped_config`): a prometheus.yml whose job scrapes two
+    live exposers → real micro-batch loops → the read API serves the
+    scraped state: `up` is 1 per instance, scraped families answer
+    PromQL with job/instance labels attached, and /metrics
+    re-exposes the scraped registry for a downstream federation
+    hop."""
+    import json
+    import time as _time
+    import urllib.request
+    from urllib.parse import quote
+
+    from shards_prometheus_spark.sources import MetricsExposer
+    from shards_prometheus_spark.sources.scrape_config import (
+        serve_scraped_config,
+    )
+
+    payload = [
+        "# TYPE beat_total counter",
+        'beat_total{user="u1"} 5',
+        "# TYPE temp gauge",
+        'temp{sensor="cpu",zone="z1"} 42.5',
+    ]
+
+    def lines_fn():
+        return spark.createDataFrame(
+            [(ln,) for ln in payload], "line string"
+        )
+
+    t1 = MetricsExposer(spark, SF_SMOKE, lines_fn=lines_fn).start()
+    t2 = MetricsExposer(spark, SF_SMOKE, lines_fn=lines_fn).start()
+    srv = None
+    try:
+        cfg = f"""
+global:
+  scrape_interval: 1s
+scrape_configs:
+  - job_name: demo
+    static_configs:
+      - targets:
+          - '{t1.host}:{t1.port}'
+          - '{t2.host}:{t2.port}'
+"""
+        srv = serve_scraped_config(
+            spark, cfg, SF_SMOKE, max_ticks=2, trigger_seconds=1.0
+        )
+        base = f"http://{srv.exposer.host}:{srv.exposer.port}"
+
+        def api(path):
+            with urllib.request.urlopen(base + path, timeout=120) as r:
+                return json.loads(r.read())
+
+        # wait until both targets' second tick landed (the store is
+        # empty until the first micro-batch commits — queries in that
+        # window may answer the 422 execution envelope)
+        import urllib.error
+
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            try:
+                res = api(f"/api/v1/query?query={quote('up')}")["data"][
+                    "result"
+                ]
+            except urllib.error.HTTPError as exc:
+                if exc.code != 422:
+                    raise
+                res = []
+            if len(res) == 2 and all(
+                float(r["value"][1]) == 1.0 for r in res
+            ):
+                break
+            _time.sleep(0.5)
+        else:
+            raise AssertionError("up never reached both instances")
+        instances = {r["metric"]["instance"] for r in res}
+        assert instances == {
+            f"{t1.host}:{t1.port}",
+            f"{t2.host}:{t2.port}",
+        }
+        assert {r["metric"]["job"] for r in res} == {"demo"}
+
+        # a scraped family answers PromQL with target labels attached
+        res = api(
+            f"/api/v1/query?query={quote('sum by (job) (beat_total)')}"
+        )["data"]["result"]
+        assert len(res) == 1 and float(res[0]["value"][1]) == 10.0
+        res = api(f"/api/v1/query?query={quote('temp')}")["data"]["result"]
+        assert {r["metric"]["sensor"] for r in res} == {"cpu"}
+        assert all(float(r["value"][1]) == 42.5 for r in res)
+
+        # /metrics federates the scraped registry back out
+        with urllib.request.urlopen(base + "/metrics", timeout=120) as r:
+            text = r.read().decode()
+        assert "# TYPE beat counter" in text
+        assert 'sensor="cpu"' in text and "42.5" in text
+
+        # the config echoes on /api/v1/status/config
+        served = api("/api/v1/status/config")["data"]["yaml"]
+        assert "job_name: demo" in served
+    finally:
+        if srv is not None:
+            srv.stop()
+        t1.stop()
+        t2.stop()
