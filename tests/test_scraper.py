@@ -497,3 +497,39 @@ def test_up_alert_over_scrape_log(spark):
         for r in ev.eval("g").collect()
     }
     assert g == {"a": 3.0}
+
+
+def test_timestamp_unit_from_content_type(spark):
+    """ADVICE r12: the timestamp unit follows the TARGET's served
+    dialect per row — an OpenMetrics target's epoch-second exposed
+    timestamps scale 1e6, a classic target's milliseconds 1e3, in
+    ONE mixed-fleet scrape log with no per-job override."""
+    from shards_prometheus_spark.sources.scraper import scraped_samples
+
+    om = "application/openmetrics-text; version=1.0.0; charset=utf-8"
+    classic = "text/plain; version=0.0.4; charset=utf-8"
+    rows = [
+        ("om", 0, 9_000_000, 'g{user="a"} 1 1700000000.25', om),
+        ("cl", 0, 9_000_000, 'g{user="b"} 2 1700000000250', classic),
+        ("cl", 0, 9_000_000, 'g{user="c"} 3', classic),  # no exposed ts
+    ]
+    log = spark.createDataFrame(
+        rows,
+        "target string, scrape_idx long, scrape_ts_us long, "
+        "line string, content_type string",
+    )
+    got = {
+        r["label_user"]: r["ts_us"]
+        for r in scraped_samples(log).filter("metric = 'g'").collect()
+    }
+    assert got == {
+        "a": 1_700_000_000_250_000,  # OM seconds × 1e6
+        "b": 1_700_000_000_250_000,  # classic ms × 1e3
+        "c": 9_000_000,              # no exposed ts → scrape stamp
+    }
+
+    # honor_timestamps=False overrides both dialects
+    off = scraped_samples(log, honor_timestamps=False).filter(
+        "metric = 'g'"
+    )
+    assert {r["ts_us"] for r in off.collect()} == {9_000_000}
