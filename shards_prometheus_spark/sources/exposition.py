@@ -1362,6 +1362,27 @@ class MetricsExposer:
                         return True
                     self._text(200, "")
                     return True
+                if path == "/-/quit":
+                    if self.command not in ("POST", "PUT"):
+                        self._text(405, "Method Not Allowed\n")
+                        return True
+                    if not outer._enable_lifecycle:
+                        self._text(
+                            403, "Lifecycle API is not enabled.\n"
+                        )
+                        return True
+                    # answer first, shut down OFF this handler thread
+                    # (shutdown() joins the serve loop — calling it
+                    # here would deadlock the request)
+                    self._text(
+                        200, "Requesting termination... Goodbye!\n"
+                    )
+                    import threading as _threading
+
+                    _threading.Thread(
+                        target=outer.stop, daemon=True
+                    ).start()
+                    return True
                 return False
 
             def do_PUT(self):  # noqa: N802 - stdlib contract
@@ -1782,7 +1803,60 @@ class MetricsExposer:
         self._thread.start()
         return self
 
+    def start_rule_loop(
+        self, interval_s: "float | None" = None
+    ) -> None:
+        """Upstream's rule-group evaluation loop: evaluate the rule
+        file and push the firing set to the Alertmanager pool every
+        `interval_s` (default: the loaded config's global
+        `evaluation_interval`, else upstream's 1m). The notifier's
+        resend_delay makes the loop quiet — a steady-firing alert
+        posts once per delay window, not once per evaluation; an
+        evaluation failure is logged by omission, never fatal
+        (upstream marks the group unhealthy and keeps going).
+        Idempotent; `stop()` ends the loop."""
+        import threading
+
+        if getattr(self, "_rule_loop_stop", None) is not None:
+            return
+        if interval_s is None:
+            interval_s = 60.0
+            if self._scrape_config is not None:
+                try:
+                    import yaml
+
+                    from shards_prometheus_spark.functions.promql_parser import (  # noqa: E501
+                        _dur_us,
+                    )
+
+                    g = (
+                        yaml.safe_load(self._scrape_config) or {}
+                    ).get("global") or {}
+                    if g.get("evaluation_interval"):
+                        interval_s = (
+                            _dur_us(str(g["evaluation_interval"])) / 1e6
+                        )
+                except Exception:  # noqa: BLE001 - default stands
+                    pass
+        stop_event = threading.Event()
+        self._rule_loop_stop = stop_event
+
+        def loop() -> None:
+            while not stop_event.wait(interval_s):
+                try:
+                    self.push_alerts()
+                except Exception:  # noqa: BLE001 - keep evaluating
+                    pass
+
+        self._rule_loop_thread = threading.Thread(
+            target=loop, daemon=True
+        )
+        self._rule_loop_thread.start()
+
     def stop(self) -> None:
+        if getattr(self, "_rule_loop_stop", None) is not None:
+            self._rule_loop_stop.set()
+            self._rule_loop_stop = None
         self._server.shutdown()
         self._server.server_close()
 

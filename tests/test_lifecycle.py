@@ -151,3 +151,91 @@ def test_reload_rereads_config_file(spark, tmp_path):
         assert exc.value.code == 405
     finally:
         exposer.stop()
+
+
+def test_quit_endpoint_shuts_the_server_down(spark):
+    """POST /-/quit (enable_lifecycle): answers upstream's goodbye
+    text, then the server stops serving; 403 when the flag is off,
+    405 on GET."""
+    import socket
+    import time as _time
+
+    from shards_prometheus_spark.sources import MetricsExposer
+
+    exposer = MetricsExposer(spark, SF_SMOKE).start()
+    base = f"http://{exposer.host}:{exposer.port}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(base, "/-/quit")
+        assert exc.value.code == 403
+    finally:
+        exposer.stop()
+
+    exposer = MetricsExposer(
+        spark, SF_SMOKE, enable_lifecycle=True
+    ).start()
+    base = f"http://{exposer.host}:{exposer.port}"
+    port = exposer.port
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get(base, "/-/quit")
+        assert exc.value.code == 405
+        status, body = _post(base, "/-/quit")
+        assert status == 200 and b"Goodbye" in body
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            s = socket.socket()
+            s.settimeout(1.0)
+            try:
+                s.connect(("127.0.0.1", port))
+                s.close()
+                _time.sleep(0.2)
+            except OSError:
+                break
+        else:
+            raise AssertionError("server still accepting after /-/quit")
+    finally:
+        try:
+            exposer.stop()
+        except Exception:
+            pass
+
+
+def test_rule_evaluation_loop_pushes_with_cadence(spark):
+    """start_rule_loop: the exposer evaluates its rule file on an
+    interval and pushes firing alerts to the pool — and the
+    notifier's resend_delay keeps a steady-firing alert from
+    re-posting every evaluation (several loop turns, ONE delivery)."""
+    import json
+    import time as _time
+
+    from tests.test_alertmanager import FIRING_RULE_FILE, _Sink
+
+    from shards_prometheus_spark.sources import MetricsExposer
+
+    sink = _Sink()
+    exposer = MetricsExposer(
+        spark,
+        SF_SMOKE,
+        rule_file=FIRING_RULE_FILE,
+        alertmanagers=[sink.url],
+    ).start()
+    try:
+        exposer.start_rule_loop(interval_s=0.5)
+        deadline = _time.time() + 60
+        while _time.time() < deadline and not sink.received:
+            _time.sleep(0.3)
+        assert sink.received, "the loop never pushed"
+        first = json.loads(sink.received[0][1])
+        assert first and all(
+            a["labels"]["alertname"] == "AnyClicks" for a in first
+        )
+        # let several more evaluations run: the firing set is
+        # unchanged and inside the 1m resend window, so NOTHING more
+        # is delivered (upstream's resend_delay)
+        n_after_first = len(sink.received)
+        _time.sleep(2.0)
+        assert len(sink.received) == n_after_first
+    finally:
+        exposer.stop()
+        sink.stop()
