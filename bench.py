@@ -86,10 +86,12 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "stale_markers_hourly",
             "remote_read_roundtrip",
             # r13: the synthetic scrape-report family over the
-            # target×tick grid and the multi-label classification
-            # round trip (render → classify map parse → 2-label fold)
+            # target×tick grid, the multi-label classification
+            # round trip (render → classify map parse → 2-label
+            # fold), and the OTLP wire round trip (the 3.x receiver)
             "scrape_up_family",
             "scraped_multilabel_fold",
+            "otlp_roundtrip",
             "vector_binop",
         ],
     ),

@@ -15,6 +15,7 @@ from shards_prometheus_spark.functions import promql as promql_functions
 from shards_prometheus_spark.functions import promql_parser
 from shards_prometheus_spark.sources import (
     exposition,
+    otlp,
     remote_read,
     remote_write,
     scraper,
@@ -67,6 +68,7 @@ _MODULES = [
     exposition,
     remote_write,
     remote_read,
+    otlp,
     scraper,
     dedup,
     similarity,

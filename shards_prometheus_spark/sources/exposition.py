@@ -1175,6 +1175,7 @@ class MetricsExposer:
         query_timeout_s: float | None = None,
         exemplars_fn=None,
         remote_write: bool = False,
+        otlp_receiver: bool = False,
         scrape_config: str | None = None,
         scrape_config_path: str | None = None,
         alertmanagers: "list[str] | None" = None,
@@ -1263,6 +1264,27 @@ class MetricsExposer:
                     )
 
                     handle_write_post(self, outer.receive_remote_write)
+                    return
+                if parts.path == "/api/v1/otlp/v1/metrics":
+                    # the 3.x OTLP receiver (upstream:
+                    # --web.enable-otlp-receiver): OTLP metrics
+                    # translate into the SAME pushed store the
+                    # remote-write receiver feeds, so the read API
+                    # serves them with no extra path (sources/otlp.py)
+                    if not outer._otlp_receiver:
+                        self.send_error(404)
+                        return
+                    from shards_prometheus_spark.sources.otlp import (
+                        handle_otlp_post,
+                        parse_otlp_request,
+                    )
+
+                    handle_otlp_post(
+                        self,
+                        lambda raw: outer._rw.ingest_rows(
+                            parse_otlp_request(raw)
+                        ),
+                    )
                     return
                 if parts.path == "/api/v1/read":
                     # remote-read: snappy+proto ReadRequest in,
@@ -1445,6 +1467,7 @@ class MetricsExposer:
         self._max_samples = max_samples
         self._query_timeout_s = query_timeout_s
         self._remote_write = remote_write
+        self._otlp_receiver = otlp_receiver
         self._scrape_config = scrape_config
         self._scrape_config_path = scrape_config_path
         self._enable_lifecycle = enable_lifecycle
@@ -1522,7 +1545,11 @@ class MetricsExposer:
             if self._samples_fn is not None
             else samples_multi(self._spark, self._sf_dir)
         )
-        pushed = self._rw_samples() if self._remote_write else None
+        pushed = (
+            self._rw_samples()
+            if (self._remote_write or self._otlp_receiver)
+            else None
+        )
         if pushed is not None:
             base = base.unionByName(pushed, allowMissingColumns=True)
         for metric, matchers, s_us, e_us in list(self._tombstones):
@@ -1679,7 +1706,11 @@ class MetricsExposer:
                 return PromQLEvaluator(
                     self.read_samples(), eval_ts_us=eval_ts_us
                 )
-            pushed = self._rw_samples() if self._remote_write else None
+            pushed = (
+            self._rw_samples()
+            if (self._remote_write or self._otlp_receiver)
+            else None
+        )
             if pushed is not None:
                 # pushed state changes t_max between requests — build
                 # over the union, live-registry style

@@ -555,6 +555,12 @@ class RemoteWriteReceiver:
             else parse_write_request
         )
         rows = parse(payload)
+        return self.ingest_rows(rows)
+
+    def ingest_rows(self, rows: "list[tuple[dict, int, float]]") -> int:
+        """Append already-parsed (labels, ts_ms, value) triples — the
+        shared store entry point for the OTHER ingestion wires (the
+        OTLP receiver decodes to the same triple shape)."""
         with self._lock:
             self._rows.extend(rows)
         return len(rows)

@@ -112,10 +112,12 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "remote_read_roundtrip",
             "relabel_chain",
             "stale_markers_hourly",
-            # r13: the synthetic scrape-report grid and the
-            # multi-label classification round trip, both events-axis
+            # r13: the synthetic scrape-report grid, the multi-label
+            # classification round trip, and the OTLP wire round
+            # trip — all events-axis
             "scrape_up_family",
             "scraped_multilabel_fold",
+            "otlp_roundtrip",
         ],
     ),
     (
