@@ -70,6 +70,9 @@ class ScrapeJob:
     #: upstream honor_timestamps (default true): false stamps every
     #: sample at scrape time, ignoring exposed timestamps
     honor_timestamps: bool = True
+    #: upstream sample_limit (0 = unlimited): an over-limit payload
+    #: FAILS its scrape — up 0, nothing ingested
+    sample_limit: int = 0
     static_targets: list = field(default_factory=list)  # (addr, labels)
     relabel_configs: list = field(default_factory=list)
     metric_relabel_configs: list = field(default_factory=list)
@@ -129,6 +132,7 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
                 scheme=str(sc.get("scheme", _DEF_SCHEME)),
                 honor_labels=bool(sc.get("honor_labels", False)),
                 honor_timestamps=bool(sc.get("honor_timestamps", True)),
+                sample_limit=int(sc.get("sample_limit", 0)),
                 static_targets=statics,
                 relabel_configs=list(sc.get("relabel_configs") or []),
                 metric_relabel_configs=list(
@@ -325,6 +329,7 @@ def scrape_job_stream(
         [t.url for t in targets],
         timeout_s=job.timeout_us / 1e6,
         max_ticks=max_ticks,
+        sample_limit=job.sample_limit,
     )
     scraped = scraped_samples(
         lines,

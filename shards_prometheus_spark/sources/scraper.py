@@ -88,6 +88,8 @@ class _ScrapeTarget(InputPartition):
     url: str
     tick: int
     timeout_s: float
+    #: upstream scrape_config sample_limit (0 = unlimited)
+    sample_limit: int = 0
 
 
 def _targets(options: dict) -> list[str]:
@@ -107,7 +109,13 @@ def _read_target(part: _ScrapeTarget):
     scraper records `up`=0 and moves on, so one dead endpoint in a
     10k-target fleet costs that target's payload for the tick, not
     the micro-batch (a raised error here would be retried against
-    the same dead endpoint and then fail the whole batch)."""
+    the same dead endpoint and then fail the whole batch).
+
+    `sample_limit` (upstream's per-job guard): a payload carrying
+    more samples than the limit FAILS the scrape — the whole payload
+    is dropped (never partially ingested), `up` reports 0, and
+    `scrape_samples_scraped` still reports the observed count,
+    exactly upstream's sample-limit semantics."""
     ts_us = time.time_ns() // 1_000
     t0 = time.perf_counter()
     try:
@@ -116,9 +124,11 @@ def _read_target(part: _ScrapeTarget):
     except Exception:  # noqa: BLE001 - refused/timeout/DNS → up 0
         lines, ctype, up = [], "", 0
     duration_s = time.perf_counter() - t0
+    n_samples = sum(1 for ln in lines if not ln.startswith("#"))
+    if part.sample_limit and n_samples > part.sample_limit:
+        lines, up = [], 0
     for ln in lines:
         yield (part.url, part.tick, ts_us, ln, ctype)
-    n_samples = sum(1 for ln in lines if not ln.startswith("#"))
     for syn in (
         f"up {up}",
         f"scrape_duration_seconds {duration_s:.6f}",
@@ -133,6 +143,7 @@ class _ScrapeStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self._urls = _targets(options)
         self._timeout_s = float(options.get("timeout_s", 30.0))
+        self._sample_limit = int(options.get("sample_limit", 0))
         # optional self-limit: after max_ticks scrapes by THIS reader
         # instance the offset stops advancing and the query idles
         # (tests; bounded rehearsals)
@@ -162,7 +173,9 @@ class _ScrapeStreamReader(DataSourceStreamReader):
         if end["tick"] <= start["tick"]:
             return []
         return [
-            _ScrapeTarget(u, end["tick"], self._timeout_s)
+            _ScrapeTarget(
+                u, end["tick"], self._timeout_s, self._sample_limit
+            )
             for u in self._urls
         ]
 
@@ -179,9 +192,13 @@ class _ScrapeBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self._urls = _targets(options)
         self._timeout_s = float(options.get("timeout_s", 30.0))
+        self._sample_limit = int(options.get("sample_limit", 0))
 
     def partitions(self):
-        return [_ScrapeTarget(u, 0, self._timeout_s) for u in self._urls]
+        return [
+            _ScrapeTarget(u, 0, self._timeout_s, self._sample_limit)
+            for u in self._urls
+        ]
 
     def read(self, partition: _ScrapeTarget):
         return _read_target(partition)
@@ -217,9 +234,12 @@ def scrape_stream(
     targets: "str | list[str]",
     timeout_s: float = 30.0,
     max_ticks: int = 0,
+    sample_limit: int = 0,
 ) -> DataFrame:
     """Streaming raw-lines relation over one or more `/metrics`
-    endpoints: one micro-batch per scrape tick, one task per target."""
+    endpoints: one micro-batch per scrape tick, one task per target.
+    `sample_limit` (upstream's guard): an over-limit payload fails
+    its scrape — up 0, payload dropped."""
     register(spark)
     if isinstance(targets, str):
         targets = [targets]
@@ -228,6 +248,7 @@ def scrape_stream(
         .option("targets", ",".join(targets))
         .option("timeout_s", str(timeout_s))
         .option("max_ticks", str(max_ticks))
+        .option("sample_limit", str(sample_limit))
         .load()
     )
 
@@ -236,6 +257,7 @@ def scrape_once(
     spark: SparkSession,
     targets: "str | list[str]",
     timeout_s: float = 30.0,
+    sample_limit: int = 0,
 ) -> DataFrame:
     """One scrape round as a batch relation (the ad-hoc twin)."""
     register(spark)
@@ -245,6 +267,7 @@ def scrape_once(
         spark.read.format("prometheus_scrape")
         .option("targets", ",".join(targets))
         .option("timeout_s", str(timeout_s))
+        .option("sample_limit", str(sample_limit))
         .load()
     )
 

@@ -150,7 +150,7 @@ scrape_configs:
                 .trigger(processingTime="1 second")
                 .start()
             )
-        deadline = time.time() + 120
+        deadline = time.time() + 240
         while time.time() < deadline:
             if all(
                 spark.table(f"cfg_scrape_{i}").count() > 0
@@ -409,7 +409,7 @@ scrape_configs:
         # window may answer the 422 execution envelope)
         import urllib.error
 
-        deadline = _time.time() + 120
+        deadline = _time.time() + 240
         while _time.time() < deadline:
             try:
                 res = api(f"/api/v1/query?query={quote('up')}")["data"][

@@ -533,3 +533,57 @@ def test_timestamp_unit_from_content_type(spark):
         "metric = 'g'"
     )
     assert {r["ts_us"] for r in off.collect()} == {9_000_000}
+
+
+def test_sample_limit_fails_the_scrape(spark):
+    """Upstream's sample_limit guard: an over-limit payload FAILS its
+    scrape — up 0, NOTHING ingested (never a partial payload), while
+    scrape_samples_scraped still reports the observed count; a target
+    under the limit ingests normally."""
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.sources import MetricsExposer
+    from shards_prometheus_spark.sources.scraper import (
+        SYNTHETIC_METRICS,
+        scrape_once,
+        scraped_samples,
+    )
+
+    payload = [f'g{{user="u{i}"}} {i}' for i in range(5)]
+
+    def lines_fn():
+        return spark.createDataFrame(
+            [(ln,) for ln in payload], "line string"
+        )
+
+    exposer = MetricsExposer(spark, SF_SMOKE, lines_fn=lines_fn).start()
+    try:
+        url = f"http://{exposer.host}:{exposer.port}/metrics"
+        over = scraped_samples(
+            scrape_once(spark, url, sample_limit=3).withColumn(
+                "scrape_idx", F.lit(0).cast("long")
+            )
+        ).collect()
+        synth = {
+            r["metric"]: r["value"]
+            for r in over
+            if r["metric"] in SYNTHETIC_METRICS
+        }
+        assert synth["up"] == 0.0
+        assert synth["scrape_samples_scraped"] == 5.0
+        assert [r for r in over if r["metric"] == "g"] == []
+
+        under = scraped_samples(
+            scrape_once(spark, url, sample_limit=10).withColumn(
+                "scrape_idx", F.lit(0).cast("long")
+            )
+        ).collect()
+        synth = {
+            r["metric"]: r["value"]
+            for r in under
+            if r["metric"] in SYNTHETIC_METRICS
+        }
+        assert synth["up"] == 1.0
+        assert len([r for r in under if r["metric"] == "g"]) == 5
+    finally:
+        exposer.stop()
