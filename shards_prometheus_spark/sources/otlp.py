@@ -403,21 +403,29 @@ def encode_otlp_request(
         name = pb_len(1, m["name"].encode())
         kind = m.get("kind", "gauge")
         if kind in ("gauge", "sum"):
-            dps = b""
+            # list-accumulate + one join: a `bytes +=` loop here is
+            # O(n^2) over a partition-sized point list (the sf3 wire
+            # leg caught exactly that — ratio 11 at 3x data)
+            dps: list = []
             for attrs, ts_ns, value in m["points"]:
                 dp = (
                     b"".join(_kv_at(7, k, v) for k, v in attrs.items())
                     + _fixed64(3, ts_ns)
                     + pb_double(4, float(value))
                 )
-                dps += pb_len(1, dp)
-            body = dps
+                dps.append(pb_len(1, dp))
             if kind == "sum":
-                body += pb_varint(2, 2)  # cumulative
-                body += pb_varint(3, 1 if m.get("monotonic", True) else 0)
-                metric_bufs.append(pb_len(2, name + pb_len(7, body)))
+                dps.append(pb_varint(2, 2))  # cumulative
+                dps.append(
+                    pb_varint(3, 1 if m.get("monotonic", True) else 0)
+                )
+                metric_bufs.append(
+                    pb_len(2, name + pb_len(7, b"".join(dps)))
+                )
             else:
-                metric_bufs.append(pb_len(2, name + pb_len(5, body)))
+                metric_bufs.append(
+                    pb_len(2, name + pb_len(5, b"".join(dps)))
+                )
         elif kind == "histogram":
             import struct
 
@@ -425,7 +433,7 @@ def encode_otlp_request(
                 _uvarint_encode,
             )
 
-            dps = b""
+            dps = []
             for attrs, ts_ns, bounds, counts, hsum, count in m["points"]:
                 dp = (
                     b"".join(_kv_at(9, k, v) for k, v in attrs.items())
@@ -441,12 +449,16 @@ def encode_otlp_request(
                         b"".join(struct.pack("<d", b) for b in bounds),
                     )
                 )
-                dps += pb_len(1, dp)
+                dps.append(pb_len(1, dp))
             metric_bufs.append(
-                pb_len(2, name + pb_len(9, dps + pb_varint(2, 2)))
+                pb_len(
+                    2,
+                    name
+                    + pb_len(9, b"".join(dps) + pb_varint(2, 2)),
+                )
             )
         elif kind == "summary":
-            dps = b""
+            dps = []
             for attrs, ts_ns, quantiles, ssum, count in m["points"]:
                 qbuf = b"".join(
                     pb_len(6, pb_double(1, q) + pb_double(2, v))
@@ -459,8 +471,10 @@ def encode_otlp_request(
                     + pb_double(5, float(ssum))
                     + qbuf
                 )
-                dps += pb_len(1, dp)
-            metric_bufs.append(pb_len(2, name + pb_len(11, dps)))
+                dps.append(pb_len(1, dp))
+            metric_bufs.append(
+                pb_len(2, name + pb_len(11, b"".join(dps)))
+            )
         else:  # pragma: no cover - encoder input contract
             raise ValueError(f"unknown kind {kind!r}")
     scope = pb_len(2, b"".join(metric_bufs))

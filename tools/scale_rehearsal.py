@@ -385,6 +385,11 @@ WIRE_FAMILIES: list[tuple[str, list[str]]] = [
             "relabel_chain",
             "stale_markers_hourly",
             "scrape_batch",
+            # r13: the new events-axis rows get the same measured
+            # second decade as their r12 peers
+            "scrape_up_family",
+            "scraped_multilabel_fold",
+            "otlp_roundtrip",
         ],
     ),
 ]
