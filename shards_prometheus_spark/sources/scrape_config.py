@@ -73,6 +73,9 @@ class ScrapeJob:
     #: upstream sample_limit (0 = unlimited): an over-limit payload
     #: FAILS its scrape — up 0, nothing ingested
     sample_limit: int = 0
+    #: upstream body_size_limit in BYTES (0 = unlimited; the YAML
+    #: accepts upstream's size units, e.g. "10MB")
+    body_limit: int = 0
     static_targets: list = field(default_factory=list)  # (addr, labels)
     relabel_configs: list = field(default_factory=list)
     metric_relabel_configs: list = field(default_factory=list)
@@ -133,6 +136,7 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
                 honor_labels=bool(sc.get("honor_labels", False)),
                 honor_timestamps=bool(sc.get("honor_timestamps", True)),
                 sample_limit=int(sc.get("sample_limit", 0)),
+                body_limit=_size_bytes(sc.get("body_size_limit", 0)),
                 static_targets=statics,
                 relabel_configs=list(sc.get("relabel_configs") or []),
                 metric_relabel_configs=list(
@@ -160,6 +164,22 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
         rule_files=[str(p) for p in doc.get("rule_files") or []],
         alertmanager_urls=am_urls,
     )
+
+
+def _size_bytes(v) -> int:
+    """Upstream's config size type: an int is bytes; strings accept
+    the public units (B, KB, MB, GB, KiB, MiB, GiB — upstream treats
+    the decimal names as base-1024 too)."""
+    if isinstance(v, (int, float)):
+        return int(v)
+    s = str(v).strip().upper()
+    for suffix, mult in (
+        ("GIB", 1 << 30), ("MIB", 1 << 20), ("KIB", 1 << 10),
+        ("GB", 1 << 30), ("MB", 1 << 20), ("KB", 1 << 10), ("B", 1),
+    ):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(float(s))
 
 
 def _file_sd_targets(job: ScrapeJob) -> "list[tuple[str, dict]]":
@@ -330,6 +350,7 @@ def scrape_job_stream(
         timeout_s=job.timeout_us / 1e6,
         max_ticks=max_ticks,
         sample_limit=job.sample_limit,
+        body_limit=job.body_limit,
     )
     scraped = scraped_samples(
         lines,

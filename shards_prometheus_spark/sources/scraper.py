@@ -73,13 +73,30 @@ SYNTHETIC_METRICS = frozenset(
 )
 
 
-def _fetch_lines(url: str, timeout_s: float) -> "tuple[list[str], str]":
+class BodyLimitExceeded(Exception):
+    """The target's payload overran body_size_limit — upstream fails
+    the scrape (up 0) rather than buffer an unbounded body."""
+
+
+def _fetch_lines(
+    url: str, timeout_s: float, body_limit: int = 0
+) -> "tuple[list[str], str]":
     """One HTTP GET of a `/metrics` endpoint → (non-empty payload
     lines, Content-Type).  Runs on the scraping TASK (executor
-    side)."""
+    side). `body_limit` (upstream body_size_limit, bytes, 0 =
+    unlimited) caps what is ever BUFFERED — the read stops at
+    limit+1, it does not download an oversized body to count it."""
     with urllib.request.urlopen(url, timeout=timeout_s) as resp:
         ctype = resp.headers.get("Content-Type") or ""
-        text = resp.read().decode("utf-8", errors="replace")
+        if body_limit:
+            raw = resp.read(body_limit + 1)
+            if len(raw) > body_limit:
+                raise BodyLimitExceeded(
+                    f"body exceeds {body_limit} bytes"
+                )
+        else:
+            raw = resp.read()
+        text = raw.decode("utf-8", errors="replace")
     return [ln for ln in text.splitlines() if ln], ctype
 
 
@@ -90,6 +107,8 @@ class _ScrapeTarget(InputPartition):
     timeout_s: float
     #: upstream scrape_config sample_limit (0 = unlimited)
     sample_limit: int = 0
+    #: upstream body_size_limit in bytes (0 = unlimited)
+    body_limit: int = 0
 
 
 def _targets(options: dict) -> list[str]:
@@ -119,9 +138,11 @@ def _read_target(part: _ScrapeTarget):
     ts_us = time.time_ns() // 1_000
     t0 = time.perf_counter()
     try:
-        lines, ctype = _fetch_lines(part.url, part.timeout_s)
+        lines, ctype = _fetch_lines(
+            part.url, part.timeout_s, part.body_limit
+        )
         up = 1
-    except Exception:  # noqa: BLE001 - refused/timeout/DNS → up 0
+    except Exception:  # noqa: BLE001 - refused/timeout/DNS/over-limit
         lines, ctype, up = [], "", 0
     duration_s = time.perf_counter() - t0
     n_samples = sum(1 for ln in lines if not ln.startswith("#"))
@@ -144,6 +165,7 @@ class _ScrapeStreamReader(DataSourceStreamReader):
         self._urls = _targets(options)
         self._timeout_s = float(options.get("timeout_s", 30.0))
         self._sample_limit = int(options.get("sample_limit", 0))
+        self._body_limit = int(options.get("body_limit", 0))
         # optional self-limit: after max_ticks scrapes by THIS reader
         # instance the offset stops advancing and the query idles
         # (tests; bounded rehearsals)
@@ -174,7 +196,11 @@ class _ScrapeStreamReader(DataSourceStreamReader):
             return []
         return [
             _ScrapeTarget(
-                u, end["tick"], self._timeout_s, self._sample_limit
+                u,
+                end["tick"],
+                self._timeout_s,
+                self._sample_limit,
+                self._body_limit,
             )
             for u in self._urls
         ]
@@ -193,10 +219,14 @@ class _ScrapeBatchReader(DataSourceReader):
         self._urls = _targets(options)
         self._timeout_s = float(options.get("timeout_s", 30.0))
         self._sample_limit = int(options.get("sample_limit", 0))
+        self._body_limit = int(options.get("body_limit", 0))
 
     def partitions(self):
         return [
-            _ScrapeTarget(u, 0, self._timeout_s, self._sample_limit)
+            _ScrapeTarget(
+                u, 0, self._timeout_s, self._sample_limit,
+                self._body_limit,
+            )
             for u in self._urls
         ]
 
@@ -235,11 +265,13 @@ def scrape_stream(
     timeout_s: float = 30.0,
     max_ticks: int = 0,
     sample_limit: int = 0,
+    body_limit: int = 0,
 ) -> DataFrame:
     """Streaming raw-lines relation over one or more `/metrics`
     endpoints: one micro-batch per scrape tick, one task per target.
-    `sample_limit` (upstream's guard): an over-limit payload fails
-    its scrape — up 0, payload dropped."""
+    `sample_limit` / `body_limit` (upstream's sample_limit and
+    body_size_limit guards): an over-limit payload fails its scrape —
+    up 0, payload dropped, never partially ingested."""
     register(spark)
     if isinstance(targets, str):
         targets = [targets]
@@ -249,6 +281,7 @@ def scrape_stream(
         .option("timeout_s", str(timeout_s))
         .option("max_ticks", str(max_ticks))
         .option("sample_limit", str(sample_limit))
+        .option("body_limit", str(body_limit))
         .load()
     )
 
@@ -258,6 +291,7 @@ def scrape_once(
     targets: "str | list[str]",
     timeout_s: float = 30.0,
     sample_limit: int = 0,
+    body_limit: int = 0,
 ) -> DataFrame:
     """One scrape round as a batch relation (the ad-hoc twin)."""
     register(spark)
@@ -268,6 +302,7 @@ def scrape_once(
         .option("targets", ",".join(targets))
         .option("timeout_s", str(timeout_s))
         .option("sample_limit", str(sample_limit))
+        .option("body_limit", str(body_limit))
         .load()
     )
 

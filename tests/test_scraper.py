@@ -587,3 +587,61 @@ def test_sample_limit_fails_the_scrape(spark):
         assert len([r for r in under if r["metric"] == "g"]) == 5
     finally:
         exposer.stop()
+
+
+def test_body_size_limit_fails_the_scrape(spark):
+    """Upstream's body_size_limit: an oversized payload fails its
+    scrape (up 0, nothing ingested) and the body is never buffered
+    past limit+1 bytes; a within-limit target scrapes normally. The
+    YAML accepts upstream's size units."""
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.sources import MetricsExposer
+    from shards_prometheus_spark.sources.scrape_config import (
+        load_scrape_configs,
+    )
+    from shards_prometheus_spark.sources.scraper import (
+        scrape_once,
+        scraped_samples,
+    )
+
+    cfg = load_scrape_configs(
+        """
+scrape_configs:
+  - job_name: a
+    body_size_limit: 1KB
+    static_configs:
+      - targets: ['x:1']
+"""
+    )
+    assert cfg.jobs[0].body_limit == 1024
+
+    payload = [f'g{{user="u{i}"}} {i}' for i in range(5)]
+
+    def lines_fn():
+        return spark.createDataFrame(
+            [(ln,) for ln in payload], "line string"
+        )
+
+    exposer = MetricsExposer(spark, SF_SMOKE, lines_fn=lines_fn).start()
+    try:
+        url = f"http://{exposer.host}:{exposer.port}/metrics"
+        over = scraped_samples(
+            scrape_once(spark, url, body_limit=16).withColumn(
+                "scrape_idx", F.lit(0).cast("long")
+            )
+        ).collect()
+        up = {r["metric"]: r["value"] for r in over}
+        assert up["up"] == 0.0
+        assert [r for r in over if r["metric"] == "g"] == []
+
+        under = scraped_samples(
+            scrape_once(spark, url, body_limit=1 << 20).withColumn(
+                "scrape_idx", F.lit(0).cast("long")
+            )
+        ).collect()
+        up = {r["metric"]: r["value"] for r in under if r["metric"] == "up"}
+        assert up["up"] == 1.0
+        assert len([r for r in under if r["metric"] == "g"]) == 5
+    finally:
+        exposer.stop()
