@@ -140,9 +140,16 @@ scrape_configs:
         source_labels: [__name__]
         regex: error
 """
+        from shards_prometheus_spark.sources.scraper import (
+            SYNTHETIC_METRICS,
+        )
+
         cfg = load_scrape_configs(yml)
         for i, job in enumerate(cfg.jobs):
-            df = scrape_job_stream(spark, job, max_ticks=1)
+            # several ticks: a single scrape may time out under load,
+            # which since r13 is DATA (up 0 + synthetics), not a
+            # retried task — the next tick is the retry
+            df = scrape_job_stream(spark, job, max_ticks=6)
             queries.append(
                 df.writeStream.outputMode("append")
                 .format("memory")
@@ -150,16 +157,25 @@ scrape_configs:
                 .trigger(processingTime="1 second")
                 .start()
             )
+
+        def has_payload(i: int) -> bool:
+            return (
+                spark.table(f"cfg_scrape_{i}")
+                .filter(~F.col("metric").isin(*SYNTHETIC_METRICS))
+                .limit(1)
+                .count()
+                > 0
+            )
+
         deadline = time.time() + 240
         while time.time() < deadline:
-            if all(
-                spark.table(f"cfg_scrape_{i}").count() > 0
-                for i in range(len(cfg.jobs))
-            ):
+            if all(has_payload(i) for i in range(len(cfg.jobs))):
                 break
             time.sleep(0.5)
         else:
-            raise AssertionError("config-driven loops produced no rows")
+            raise AssertionError(
+                "config-driven loops produced no payload rows"
+            )
         for q in queries:
             q.stop()
         queries = []
@@ -395,8 +411,10 @@ scrape_configs:
           - '{t1.host}:{t1.port}'
           - '{t2.host}:{t2.port}'
 """
+        # several ticks: a timed-out scrape under load is DATA (up 0)
+        # since r13, and the next tick is the retry
         srv = serve_scraped_config(
-            spark, cfg, SF_SMOKE, max_ticks=2, trigger_seconds=1.0
+            spark, cfg, SF_SMOKE, max_ticks=6, trigger_seconds=1.0
         )
         base = f"http://{srv.exposer.host}:{srv.exposer.port}"
 
