@@ -1276,15 +1276,19 @@ class MetricsExposer:
                         return
                     from shards_prometheus_spark.sources.otlp import (
                         handle_otlp_post,
-                        parse_otlp_request,
+                        parse_otlp_request_full,
                     )
 
-                    handle_otlp_post(
-                        self,
-                        lambda raw: outer._rw.ingest_rows(
-                            parse_otlp_request(raw)
-                        ),
-                    )
+                    def _otlp_receive(raw):
+                        rows, rejected, msgs = parse_otlp_request_full(
+                            raw
+                        )
+                        outer._rw.ingest_rows(rows)
+                        if rejected:
+                            return rejected, "; ".join(msgs)
+                        return None
+
+                    handle_otlp_post(self, _otlp_receive)
                     return
                 if parts.path == "/api/v1/read":
                     # remote-read: snappy+proto ReadRequest in,

@@ -36,7 +36,6 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 
 from shards_prometheus_spark.functions.miniformats import (
-    _uvarint_decode,
     pb_double,
     pb_fields,
     pb_len,
@@ -145,7 +144,16 @@ def _ts_ms(v: float) -> int:
 
 def parse_otlp_request(payload: bytes) -> "list[tuple[dict, int, float]]":
     """ExportMetricsServiceRequest → [(labels incl. __name__, ts_ms,
-    value)], Prometheus translation applied:
+    value)] (rows only; see parse_otlp_request_full for the
+    partial-success accounting twin)."""
+    return parse_otlp_request_full(payload)[0]
+
+
+def parse_otlp_request_full(
+    payload: bytes,
+) -> "tuple[list[tuple[dict, int, float]], int, list[str]]":
+    """ExportMetricsServiceRequest → (rows, rejected_data_points,
+    messages), Prometheus translation applied:
 
     - attributes → labels (names sanitized);
     - resource ``service.name`` → ``job``, ``service.instance.id`` →
@@ -154,10 +162,20 @@ def parse_otlp_request(payload: bytes) -> "list[tuple[dict, int, float]]":
       ``<name>``;
     - Histogram → cumulative ``_bucket{le=…}`` (+Inf included) +
       ``_sum`` + ``_count``;
-    - Summary → ``<name>{quantile=…}`` + ``_sum`` + ``_count``.
+    - Summary → ``<name>{quantile=…}`` + ``_sum`` + ``_count``;
+    - ExponentialHistogram (Metric field 10): NOT translated (the
+      engine has no native-histogram store, matching the reference's
+      prometheus-cpp 1.1.0 pin) — its data points are DROPPED and
+      counted into ``rejected_data_points`` with a message, so the
+      HTTP layer answers with an OTLP partial-success response
+      instead of a silently clean 200.
 
-    Raises ValueError on a structurally corrupt body (the 400
-    contract); unknown fields skip per proto semantics."""
+    Raises ValueError on a structurally corrupt body OR on a
+    non-cumulative (delta/unspecified) Sum/Histogram temporality —
+    upstream's OTLP receiver rejects non-cumulative temporality by
+    default (only converts behind ``otlp.convert_delta_to_cumulative``);
+    decoding delta increments as if they were running totals would
+    silently corrupt every rate()/increase() over the series."""
     import struct
 
     if payload[:2] == b"\x1f\x8b":  # gzip magic — spec-permitted
@@ -165,6 +183,8 @@ def parse_otlp_request(payload: bytes) -> "list[tuple[dict, int, float]]":
 
         payload = gzip.decompress(payload)
     out: list = []
+    rejected = [0]
+    messages: list = []
     try:
         for f, wt, rm in pb_fields(payload):
             if f != 1 or wt != 2:  # resource_metrics
@@ -192,16 +212,49 @@ def parse_otlp_request(payload: bytes) -> "list[tuple[dict, int, float]]":
                     if f2 != 2 or wt2 != 2:  # Metric
                         continue
                     out.extend(
-                        _parse_metric(metric, resource_labels)
+                        _parse_metric(
+                            metric, resource_labels, rejected, messages
+                        )
                     )
+    except OTLPTemporalityError:
+        raise  # semantic reject, not corruption — keep the message
     except (IndexError, ValueError, struct.error) as exc:
         raise ValueError(f"corrupt OTLP payload: {exc}") from exc
-    return out
+    return out, rejected[0], messages
 
 
-def _parse_metric(metric: bytes, resource_labels: dict) -> list:
+#: AggregationTemporality enum (public OTLP proto): 0 unspecified,
+#: 1 delta, 2 cumulative. Upstream Prometheus rejects non-cumulative
+#: by default; so do we (ValueError → the 400 contract).
+_TEMPORALITY_CUMULATIVE = 2
+_TEMPORALITY_NAMES = {0: "unspecified", 1: "delta", 2: "cumulative"}
+
+
+class OTLPTemporalityError(ValueError):
+    """Non-cumulative temporality — semantically rejected (400), not
+    a structurally corrupt payload."""
+
+
+def _check_cumulative(temporality: int, kind: str, name: str) -> None:
+    if temporality != _TEMPORALITY_CUMULATIVE:
+        raise OTLPTemporalityError(
+            f"{_TEMPORALITY_NAMES.get(temporality, temporality)}"
+            f"-temporality {kind} {name!r} rejected: only cumulative"
+            " temporality is supported (upstream default; delta points"
+            " stored as running totals would corrupt rate()/increase())"
+        )
+
+
+def _parse_metric(
+    metric: bytes,
+    resource_labels: dict,
+    rejected: "list[int] | None" = None,
+    messages: "list[str] | None" = None,
+) -> list:
+    import struct
+
     name = ""
-    gauge = sums = hist = summ = None
+    gauge = sums = hist = summ = expo = None
     monotonic = False
     for f, wt, v in pb_fields(metric):
         if f == 1 and wt == 2:
@@ -212,9 +265,28 @@ def _parse_metric(metric: bytes, resource_labels: dict) -> list:
             sums = v
         elif f == 9 and wt == 2:
             hist = v
+        elif f == 10 and wt == 2:
+            expo = v
         elif f == 11 and wt == 2:
             summ = v
     rows: list = []
+    if expo is not None:
+        # ExponentialHistogram (the default histogram aggregation of
+        # several OTel SDKs) translates to native histograms upstream;
+        # this engine's store is classic-bucket only (the reference's
+        # prometheus-cpp 1.1.0 pin has no native histograms either), so
+        # the points are rejected WITH ACCOUNTING — they surface in the
+        # OTLP partial-success response, never as silent data loss.
+        n_points = sum(
+            1 for f, wt, _ in pb_fields(expo) if f == 1 and wt == 2
+        )
+        if rejected is not None:
+            rejected[0] += n_points
+        if messages is not None:
+            messages.append(
+                f"exponential histogram {name!r} is not supported"
+                f" ({n_points} data points dropped)"
+            )
 
     def lbl(attrs: dict, **extra) -> dict:
         d = dict(resource_labels)
@@ -225,9 +297,13 @@ def _parse_metric(metric: bytes, resource_labels: dict) -> list:
     if gauge is not None or sums is not None:
         body = gauge if gauge is not None else sums
         if sums is not None:
+            temporality = 0
             for f, wt, v in pb_fields(sums):
-                if f == 3 and wt == 0:  # is_monotonic
+                if f == 2 and wt == 0:  # aggregation_temporality
+                    temporality = v
+                elif f == 3 and wt == 0:  # is_monotonic
                     monotonic = bool(v)
+            _check_cumulative(temporality, "sum", name)
         out_name = (
             name + "_total"
             if monotonic and not name.endswith("_total")
@@ -241,6 +317,11 @@ def _parse_metric(metric: bytes, resource_labels: dict) -> list:
                 (lbl(attrs, __name__=out_name), ts_ms, val)
             )
     if hist is not None:
+        temporality = 0
+        for f, wt, v in pb_fields(hist):
+            if f == 2 and wt == 0:  # aggregation_temporality
+                temporality = v
+        _check_cumulative(temporality, "histogram", name)
         for f, wt, dp in pb_fields(hist):
             if f != 1 or wt != 2:
                 continue
@@ -263,9 +344,19 @@ def _parse_metric(metric: bytes, resource_labels: dict) -> list:
                 elif f2 == 5 and wt2 == 1:
                     hsum = float(v2)
                 elif f2 == 6 and wt2 == 2:
-                    bucket_counts = [
-                        n for n, _ in _iter_uvarints(v2)
-                    ]
+                    # bucket_counts is `repeated fixed64` in the public
+                    # proto: packed = 8-byte little-endian words, NOT
+                    # uvarints (a uvarint read of a real SDK payload
+                    # with any count >= 128 or > 1 bucket decodes to
+                    # garbage cumulative _bucket values)
+                    bucket_counts = _packed_fixed64(v2)
+                elif f2 == 6 and wt2 == 1:
+                    # unpacked repeated fixed64 (also legal on the
+                    # wire); the walker yields wt=1 as a double —
+                    # recover the raw u64 bits
+                    bucket_counts.append(
+                        struct.unpack("<Q", struct.pack("<d", v2))[0]
+                    )
                 elif f2 == 7 and wt2 == 2:
                     bounds = _packed_double(v2)
             a = _attributes(attrs)
@@ -353,13 +444,6 @@ def _parse_metric(metric: bytes, resource_labels: dict) -> list:
     return rows
 
 
-def _iter_uvarints(data: bytes):
-    pos = 0
-    while pos < len(data):
-        n, pos = _uvarint_decode(data, pos)
-        yield n, pos
-
-
 def _fmt_bound(b: float) -> str:
     """Bucket bound / quantile rendering: integral values drop the
     trailing .0 (Prometheus's own formatting of le/quantile)."""
@@ -429,10 +513,6 @@ def encode_otlp_request(
         elif kind == "histogram":
             import struct
 
-            from shards_prometheus_spark.functions.miniformats import (
-                _uvarint_encode,
-            )
-
             dps = []
             for attrs, ts_ns, bounds, counts, hsum, count in m["points"]:
                 dp = (
@@ -442,7 +522,10 @@ def encode_otlp_request(
                     + pb_double(5, float(hsum))
                     + pb_len(
                         6,
-                        b"".join(_uvarint_encode(c) for c in counts),
+                        # packed repeated fixed64 per the public proto
+                        # (NOT varints — a real Prometheus misreads a
+                        # varint-packed payload)
+                        b"".join(struct.pack("<Q", c) for c in counts),
                     )
                     + pb_len(
                         7,
@@ -541,11 +624,23 @@ def decode_otlp_requests(
     return payloads.mapInPandas(kernel, DECODED_SCHEMA)
 
 
+def encode_partial_success(rejected: int, message: str) -> bytes:
+    """ExportMetricsServiceResponse with partial_success set (public
+    OTLP proto: field 1 = ExportMetricsPartialSuccess
+    {1: rejected_data_points int64, 2: error_message string})."""
+    body = pb_varint(1, rejected) + pb_len(2, message.encode())
+    return pb_len(1, body)
+
+
 def handle_otlp_post(handler, receive) -> None:
     """Shared POST body for the OTLP endpoint: size cap → 413,
-    corrupt payload → 400, internal → 500, success → 200 with the
-    empty ExportMetricsServiceResponse (the OTLP/HTTP contract; the
-    remote-write 204 does NOT apply here)."""
+    corrupt payload / non-cumulative temporality → 400, internal →
+    500, success → 200 with the ExportMetricsServiceResponse — empty
+    on full success, carrying ``partial_success`` (rejected point
+    count + message) when ``receive`` returns a non-None
+    ``(rejected_data_points, error_message)`` tuple (e.g. dropped
+    exponential-histogram points). The remote-write 204 does NOT
+    apply here."""
     from shards_prometheus_spark.sources.remote_write import (
         MAX_WRITE_BODY_BYTES,
     )
@@ -572,14 +667,22 @@ def handle_otlp_post(handler, receive) -> None:
             _respond(400, b"bad gzip body")
             return
     try:
-        receive(raw)
+        partial = receive(raw)
     except ValueError as exc:
         _respond(400, str(exc).encode())
     except Exception as exc:  # noqa: BLE001 - the 5xx contract
         _respond(500, str(exc).encode())
     else:
-        # an empty ExportMetricsServiceResponse is zero bytes
-        _respond(200, b"", OTLP_CONTENT_TYPE)
+        if partial:
+            rejected, message = partial
+            _respond(
+                200,
+                encode_partial_success(int(rejected), str(message)),
+                OTLP_CONTENT_TYPE,
+            )
+        else:
+            # an empty ExportMetricsServiceResponse is zero bytes
+            _respond(200, b"", OTLP_CONTENT_TYPE)
 
 
 def encode_otlp_requests(samples: DataFrame) -> DataFrame:

@@ -170,6 +170,50 @@ def test_otlp_endpoint_serves_through_read_api(spark):
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(bad, timeout=60)
         assert exc.value.code == 400
+
+        # delta-temporality sum → 400 AND no rows land
+        from shards_prometheus_spark.functions.miniformats import (
+            pb_double,
+            pb_fields,
+            pb_len,
+            pb_varint,
+        )
+        from shards_prometheus_spark.sources.otlp import _fixed64
+
+        dp = pb_len(1, _fixed64(3, _TS_NS) + pb_double(4, 9.0))
+        delta = _wrap_metric(
+            pb_len(1, b"delta.only")
+            + pb_len(7, dp + pb_varint(2, 1) + pb_varint(3, 1))
+        )
+        req = urllib.request.Request(
+            base + "/api/v1/otlp/v1/metrics", data=delta, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc.value.code == 400
+        assert b"temporality" in exc.value.read()
+        with urllib.request.urlopen(
+            base + "/api/v1/query?query=" + quote("delta_only_total"),
+            timeout=120,
+        ) as resp:
+            assert json.loads(resp.read())["data"]["result"] == []
+
+        # exponential histogram → 200 + partial_success accounting
+        expo = pb_len(1, _fixed64(3, _TS_NS))
+        req = urllib.request.Request(
+            base + "/api/v1/otlp/v1/metrics",
+            data=_wrap_metric(pb_len(1, b"exp.lat") + pb_len(10, expo)),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 200
+            body_ps = resp.read()
+        partial = next(
+            v for f, wt, v in pb_fields(body_ps) if f == 1 and wt == 2
+        )
+        fields = {f: v for f, _wt, v in pb_fields(partial)}
+        assert fields[1] == 1  # rejected_data_points
+        assert b"exp_lat" in fields[2]
     finally:
         exposer.stop()
 
@@ -186,6 +230,174 @@ def test_otlp_endpoint_serves_through_read_api(spark):
         assert exc.value.code == 404
     finally:
         exposer.stop()
+
+
+def _wrap_metric(metric: bytes) -> bytes:
+    """Metric bytes → ExportMetricsServiceRequest bytes (one resource,
+    one scope) — hand-built, independent of encode_otlp_request."""
+    from shards_prometheus_spark.functions.miniformats import pb_len
+
+    return pb_len(1, pb_len(2, pb_len(2, metric)))
+
+
+def test_histogram_bucket_counts_are_packed_fixed64():
+    """bucket_counts is `repeated fixed64` in the public OTLP proto —
+    packed 8-byte little-endian words. This vector is hand-built to
+    the proto spec (the shape a real OTel SDK exports), NOT produced
+    by our encoder, with a count >= 128 and multiple buckets: a
+    uvarint reading of these bytes decodes to garbage."""
+    import struct
+
+    from shards_prometheus_spark.functions.miniformats import (
+        pb_double,
+        pb_len,
+        pb_varint,
+    )
+    from shards_prometheus_spark.sources.otlp import (
+        _fixed64,
+        encode_otlp_request,
+        parse_otlp_request,
+    )
+
+    dp = (
+        _fixed64(3, _TS_NS)
+        + _fixed64(4, 531)  # count
+        + pb_double(5, 123.25)  # sum
+        + pb_len(6, struct.pack("<QQQ", 130, 1, 400))  # bucket_counts
+        + pb_len(7, struct.pack("<dd", 0.5, 1.0))  # explicit_bounds
+    )
+    hist = pb_len(1, dp) + pb_varint(2, 2)  # cumulative
+    metric = pb_len(1, b"lat") + pb_len(9, hist)
+    rows = parse_otlp_request(_wrap_metric(metric))
+    got = {
+        (r[0]["__name__"], r[0].get("le", "")): r[2] for r in rows
+    }
+    assert got[("lat_bucket", "0.5")] == 130.0
+    assert got[("lat_bucket", "1")] == 131.0  # cumulative
+    assert got[("lat_bucket", "+Inf")] == 531.0
+    assert got[("lat_sum", "")] == 123.25
+    assert got[("lat_count", "")] == 531.0
+
+    # the encoder twin emits the same packed-fixed64 wire form (a real
+    # Prometheus misreads varint-packed counts)
+    body = encode_otlp_request(
+        [
+            {
+                "name": "lat",
+                "kind": "histogram",
+                "points": [({}, _TS_NS, [0.5, 1.0], [130, 1, 400],
+                            123.25, 531)],
+            }
+        ]
+    )
+    assert struct.pack("<QQQ", 130, 1, 400) in body
+
+    # unpacked repeated fixed64 is also legal on the wire
+    unpacked = (
+        _fixed64(3, _TS_NS)
+        + _fixed64(4, 531)
+        + pb_double(5, 123.25)
+        + _fixed64(6, 130)
+        + _fixed64(6, 1)
+        + _fixed64(6, 400)
+        + pb_len(7, struct.pack("<dd", 0.5, 1.0))
+    )
+    hist2 = pb_len(1, unpacked) + pb_varint(2, 2)
+    rows2 = parse_otlp_request(
+        _wrap_metric(pb_len(1, b"lat") + pb_len(9, hist2))
+    )
+    assert {
+        (r[0]["__name__"], r[0].get("le", "")): r[2] for r in rows2
+    } == got
+
+    # roundtrip: encoder output decodes to the identical cumulative rows
+    assert {
+        (r[0]["__name__"], r[0].get("le", "")): r[2]
+        for r in parse_otlp_request(body)
+    } == got
+
+
+def test_delta_temporality_rejected():
+    """Upstream's OTLP receiver rejects non-cumulative temporality by
+    default — a delta sum/histogram stored as running totals silently
+    corrupts rate()/increase(). ValueError = the 400 contract."""
+    import struct
+
+    from shards_prometheus_spark.functions.miniformats import (
+        pb_double,
+        pb_len,
+        pb_varint,
+    )
+    from shards_prometheus_spark.sources.otlp import (
+        _fixed64,
+        parse_otlp_request,
+        parse_otlp_request_full,
+    )
+
+    dp = pb_len(1, _fixed64(3, _TS_NS) + pb_double(4, 5.0))
+    # delta (1) sum
+    delta_sum = dp + pb_varint(2, 1) + pb_varint(3, 1)
+    with pytest.raises(ValueError, match="delta.*temporality|temporality"):
+        parse_otlp_request(
+            _wrap_metric(pb_len(1, b"reqs") + pb_len(7, delta_sum))
+        )
+    # unspecified (0, the proto3 default when absent) also rejects
+    unspec_sum = dp + pb_varint(3, 1)
+    with pytest.raises(ValueError):
+        parse_otlp_request(
+            _wrap_metric(pb_len(1, b"reqs") + pb_len(7, unspec_sum))
+        )
+    # delta histogram
+    hdp = pb_len(
+        1,
+        _fixed64(3, _TS_NS)
+        + _fixed64(4, 3)
+        + pb_len(6, struct.pack("<QQ", 2, 1))
+        + pb_len(7, struct.pack("<d", 0.5)),
+    )
+    with pytest.raises(ValueError):
+        parse_otlp_request(
+            _wrap_metric(
+                pb_len(1, b"lat") + pb_len(9, hdp + pb_varint(2, 1))
+            )
+        )
+    # cumulative (2) passes and no points are rejected
+    ok_sum = dp + pb_varint(2, 2) + pb_varint(3, 1)
+    rows, rejected, msgs = parse_otlp_request_full(
+        _wrap_metric(pb_len(1, b"reqs") + pb_len(7, ok_sum))
+    )
+    assert [r[2] for r in rows] == [5.0] and rejected == 0 and not msgs
+
+
+def test_exponential_histogram_partial_success():
+    """Metric field 10 (ExponentialHistogram — the default histogram
+    aggregation of several OTel SDKs) has no classic-bucket store to
+    land in: its points are dropped WITH ACCOUNTING (rejected count +
+    message for the OTLP partial-success response), never silently."""
+    from shards_prometheus_spark.functions.miniformats import (
+        pb_double,
+        pb_len,
+    )
+    from shards_prometheus_spark.sources.otlp import (
+        _fixed64,
+        parse_otlp_request_full,
+    )
+
+    # two exponential-histogram data points (minimal: just timestamps)
+    expo = pb_len(1, _fixed64(3, _TS_NS)) + pb_len(
+        1, _fixed64(3, _TS_NS + 1)
+    )
+    gauge_dp = pb_len(1, _fixed64(3, _TS_NS) + pb_double(4, 7.5))
+    # one scope carrying both metrics: the rejected one and a live gauge
+    scope = pb_len(2, pb_len(1, b"exp_lat") + pb_len(10, expo)) + pb_len(
+        2, pb_len(1, b"depth") + pb_len(5, gauge_dp)
+    )
+    req = pb_len(1, pb_len(2, scope))
+    rows, rejected, msgs = parse_otlp_request_full(req)
+    # the gauge still lands; the exponential points are counted out
+    assert [(r[0]["__name__"], r[2]) for r in rows] == [("depth", 7.5)]
+    assert rejected == 2
+    assert any("exp_lat" in m and "2 data points" in m for m in msgs)
 
 
 def test_distributed_otlp_decode(spark):
