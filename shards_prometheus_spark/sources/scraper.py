@@ -484,10 +484,25 @@ def stale_markers(scraped: DataFrame) -> DataFrame:
     # (and revive) independently; the marker carries the key out so
     # the registry fold can land it in exactly the group it kills
     key_names = list(_STALE_KEY)
-    if "labels" in scraped.columns:
+    has_labels = "labels" in scraped.columns
+    if has_labels:
         enc.append(_series_str_expr(scraped).alias("_series_str"))
         key_names.append("_series_str")
-    presence = scraped.select(*enc, "scrape_idx").distinct()
+        # carry the FULL label map through the presence fold (groupBy
+        # + first == the same one series×tick-keyed shuffle a distinct
+        # costs; a MAP column cannot itself be a distinct/grouping
+        # key) so the marker row emits the true map: downstream
+        # lift_labels then reconstructs the dead series' exact
+        # identity and the marker's series_id hashes into the group
+        # it kills — NOT into an unrelated flat series sharing the
+        # user label
+        presence = (
+            scraped.select(*enc, "scrape_idx", "labels")
+            .groupBy(*key_names, "scrape_idx")
+            .agg(F.first("labels", ignorenulls=True).alias("labels"))
+        )
+    else:
+        presence = scraped.select(*enc, "scrape_idx").distinct()
     w = Window.partitionBy("target").orderBy("scrape_idx")
     # explicit disambiguating aliases: presence/timeline/present_next
     # are three readings of the SAME input plan, and an
@@ -539,8 +554,8 @@ def stale_markers(scraped: DataFrame) -> DataFrame:
         F.lit(float("nan")).alias("value"),
         F.lit(True).alias("stale"),
         *(
-            [F.col("_series_str")]
-            if "_series_str" in key_names
+            [F.col("labels"), F.col("_series_str")]
+            if has_labels
             else []
         ),
     )
@@ -601,8 +616,8 @@ def registry_from_scrapes(scraped: DataFrame) -> DataFrame:
     label_agg = []
     if has_labels:
         key_cols.append(_series_str_expr(scraped).alias("_series_str"))
-        # ignorenulls: a stale-marker row in the group carries a null
-        # map; the series' real rows all share one identical map
+        # ignorenulls: marker rows from legacy/flat logs carry a null
+        # map; all map-bearing rows of a series share one identical map
         label_agg = [
             F.first("labels", ignorenulls=True).alias("labels")
         ]

@@ -141,6 +141,59 @@ def _stale_samples_df(spark):
     )
 
 
+def test_multilabel_stale_marker_kills_its_own_series(spark):
+    """A multi-label series' marker must land in THAT series' group:
+    the marker now carries the full labels map out of stale_markers,
+    so lift_labels reconstructs the dead series' exact identity and
+    scraped_as_samples hashes the marker into the series_id it kills.
+    (Previously the marker's null map fell back to the flattened user
+    label: the dead multi-label series was never suppressed, and the
+    marker could instead wrongly suppress an unrelated flat series
+    sharing the user label.)"""
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+    from shards_prometheus_spark.sources.scraper import (
+        scraped_as_samples,
+        scraped_with_staleness,
+    )
+
+    # two ticks at 10s/20s; three series of metric m on one target:
+    #   m{user=u, zone=a}  tick 0 only → DIES (marker at 20s)
+    #   m{user=u, zone=b}  both ticks  → lives
+    #   m{user=u}          both ticks  → lives (flat twin of the
+    #                                    dead series' user label)
+    rows = [
+        (_T, 0, 10 * _US, "m", "gauge", "last", "u", None,
+         {"user": "u", "zone": "a"}, 1.0),
+        (_T, 0, 10 * _US, "m", "gauge", "last", "u", None,
+         {"user": "u", "zone": "b"}, 2.0),
+        (_T, 0, 10 * _US, "m", "gauge", "last", "u", None, None, 5.0),
+        (_T, 1, 20 * _US, "m", "gauge", "last", "u", None,
+         {"user": "u", "zone": "b"}, 2.0),
+        (_T, 1, 20 * _US, "m", "gauge", "last", "u", None, None, 5.0),
+    ]
+    log = spark.createDataFrame(
+        rows,
+        "target string, scrape_idx long, ts_us long, metric string, "
+        "kind string, stat string, label_user string, le string, "
+        "labels map<string,string>, value double",
+    )
+    with_stale = scraped_with_staleness(log)
+    # the marker row carries the dead series' full map
+    marker = with_stale.filter(F.col("stale")).collect()
+    assert len(marker) == 1
+    assert dict(marker[0]["labels"]) == {"user": "u", "zone": "a"}
+
+    ev = PromQLEvaluator(scraped_as_samples(with_stale))
+    got = {r["labels"]: r["value"] for r in ev.eval("m").collect()}
+    # zone=a is suppressed by its marker; zone=b and the flat series
+    # survive (the marker must NOT leak into the flat series' group)
+    assert not any("zone=a" in k for k in got)
+    assert [v for k, v in got.items() if "zone=b" in k] == [2.0]
+    assert [v for k, v in got.items() if "zone" not in k] == [5.0]
+
+
 def test_evaluator_instant_stale_cut(spark):
     from shards_prometheus_spark.functions.promql_parser import (
         PromQLEvaluator,
