@@ -31,6 +31,15 @@ Upstream semantics implemented:
   URL through a config-sized literal map — no join, no shuffle.
 - **metric_relabel_configs**: applied by scraped_samples between
   classification and the registry (operators.relabel.relabel_scraped).
+- **params**: per-job URL query parameters, surfaced to the relabel
+  hop as `__param_<name>` labels (first value) and rebuilt into the
+  final scrape URL — upstream's federation/blackbox-probe mechanics.
+- **basic_auth / authorization**: compiled to the `Authorization`
+  header every one of the job's GETs carries (`*_file` secrets read at
+  config load); a secured exporter scrapes instead of reading `up` 0
+  forever. The scraper also always sends upstream's negotiation pair —
+  `Accept` (OpenMetrics-preferred, driving the per-row timestamp-unit
+  logic) and `X-Prometheus-Scrape-Timeout-Seconds` (scraper.py).
 """
 
 from __future__ import annotations
@@ -83,6 +92,20 @@ class ScrapeJob:
     #: re-read on every resolve_targets call — upstream's file-based
     #: service discovery, where the file IS the mutable target source
     file_sd_files: list = field(default_factory=list)
+    #: upstream `params`: URL query parameters sent with every scrape
+    #: ({name: [values]}); surfaced to relabeling as `__param_<name>`
+    #: labels (first value), like upstream
+    params: dict = field(default_factory=dict)
+    #: the compiled `Authorization` header value from the job's
+    #: basic_auth / authorization section (None = unauthenticated).
+    #: *_file credentials are read at config-load time — re-load the
+    #: config to pick up a rotated secret.
+    auth_header: "str | None" = None
+
+    def request_headers(self) -> "dict | None":
+        """Extra per-GET headers this job's scrapes carry (on top of
+        the scraper's standard Accept + timeout-advisory pair)."""
+        return {"Authorization": self.auth_header} if self.auth_header else None
 
 
 @dataclass
@@ -147,6 +170,13 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
                     for fsd in sc.get("file_sd_configs") or []
                     for p in fsd.get("files") or []
                 ],
+                params={
+                    str(k): [str(x) for x in v]
+                    if isinstance(v, list)
+                    else [str(v)]
+                    for k, v in (sc.get("params") or {}).items()
+                },
+                auth_header=_auth_header(sc),
             )
         )
     # alerting: alertmanagers: [static_configs: [targets: [...]]]
@@ -164,6 +194,47 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
         rule_files=[str(p) for p in doc.get("rule_files") or []],
         alertmanager_urls=am_urls,
     )
+
+
+def _read_secret_file(path: str) -> str:
+    """A *_file credential: upstream reads the whole file and strips
+    trailing newlines."""
+    with open(path) as f:
+        return f.read().rstrip("\n")
+
+
+def _auth_header(sc: dict) -> "str | None":
+    """The job's `basic_auth:` / `authorization:` section → one
+    `Authorization` header value (upstream's http client config; the
+    two sections are mutually exclusive in upstream's validation —
+    basic_auth wins here if both appear).
+
+    - basic_auth: username + (password | password_file) → Basic b64.
+    - authorization: (type, default Bearer) + (credentials |
+      credentials_file) → `<type> <credentials>`.
+    """
+    import base64
+
+    ba = sc.get("basic_auth")
+    if ba:
+        user = str(ba.get("username", ""))
+        pw = (
+            _read_secret_file(str(ba["password_file"]))
+            if ba.get("password_file")
+            else str(ba.get("password", ""))
+        )
+        tok = base64.b64encode(f"{user}:{pw}".encode()).decode()
+        return f"Basic {tok}"
+    auth = sc.get("authorization")
+    if auth:
+        typ = str(auth.get("type", "Bearer"))
+        cred = (
+            _read_secret_file(str(auth["credentials_file"]))
+            if auth.get("credentials_file")
+            else str(auth.get("credentials", ""))
+        )
+        return f"{typ} {cred}" if cred else None
+    return None
 
 
 def _size_bytes(v) -> int:
@@ -225,6 +296,8 @@ def resolve_targets(spark: SparkSession, job: ScrapeJob) -> list[ResolvedTarget]
     on a local config-sized relation; the collect IS the config."""
     from shards_prometheus_spark.operators.relabel import apply_relabel
 
+    from urllib.parse import quote
+
     all_targets = list(job.static_targets) + _file_sd_targets(job)
     if not all_targets:
         return []
@@ -236,6 +309,12 @@ def resolve_targets(spark: SparkSession, job: ScrapeJob) -> list[ResolvedTarget]
             "__metrics_path__": job.metrics_path,
             "__scheme__": job.scheme,
         }
+        # upstream surfaces each `params` entry's FIRST value as a
+        # `__param_<name>` label relabeling may rewrite; extra values
+        # ride the URL unchanged
+        for k, vs in job.params.items():
+            if vs:
+                labels[f"__param_{k}"] = vs[0]
         labels.update(extra)
         rows.append(("", labels))
     df = spark.createDataFrame(
@@ -250,10 +329,26 @@ def resolve_targets(spark: SparkSession, job: ScrapeJob) -> list[ResolvedTarget]
         if not addr:
             continue  # relabeled away its address: not scrapeable
         labels.setdefault("instance", addr)
+        # rebuild the query string from the (possibly relabeled)
+        # __param_* labels, then the params' extra values
+        pairs = [
+            (k[len("__param_"):], v)
+            for k, v in sorted(labels.items())
+            if k.startswith("__param_")
+        ]
+        pairs += [
+            (k, v)
+            for k, vs in sorted(job.params.items())
+            for v in vs[1:]
+        ]
+        query = "&".join(
+            f"{quote(k, safe='')}={quote(v, safe='')}" for k, v in pairs
+        )
+        url = f"{scheme}://{addr}{path}" + (f"?{query}" if query else "")
         public = {
             k: v for k, v in labels.items() if not k.startswith("__")
         }
-        out.append(ResolvedTarget(url=f"{scheme}://{addr}{path}", labels=public))
+        out.append(ResolvedTarget(url=url, labels=public))
     return out
 
 
@@ -351,6 +446,7 @@ def scrape_job_stream(
         max_ticks=max_ticks,
         sample_limit=job.sample_limit,
         body_limit=job.body_limit,
+        headers=job.request_headers(),
     )
     scraped = scraped_samples(
         lines,

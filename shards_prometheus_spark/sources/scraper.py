@@ -78,15 +78,52 @@ class BodyLimitExceeded(Exception):
     the scrape (up 0) rather than buffer an unbounded body."""
 
 
+#: Upstream's scrape Accept header (content negotiation): OpenMetrics
+#: preferred, classic text accepted, anything tolerated — the q-graded
+#: list Prometheus sends with its default scrape_protocols
+#: (OpenMetricsText1.0.0 > OpenMetricsText0.0.1 > PrometheusText0.0.4).
+ACCEPT_HEADER = (
+    "application/openmetrics-text;version=1.0.0;q=0.6,"
+    "application/openmetrics-text;version=0.0.1;q=0.5,"
+    "text/plain;version=0.0.4;q=0.4,*/*;q=0.1"
+)
+
+
+def _scrape_headers(
+    timeout_s: float, extra: "dict | None" = None
+) -> dict:
+    """The standard per-scrape request headers upstream sends: content
+    negotiation (`Accept`) and the advisory
+    `X-Prometheus-Scrape-Timeout-Seconds` (a well-behaved exporter can
+    bound its own collection work by it), plus the job's auth/custom
+    headers."""
+    h = {
+        "Accept": ACCEPT_HEADER,
+        "X-Prometheus-Scrape-Timeout-Seconds": f"{timeout_s:g}",
+    }
+    if extra:
+        h.update(extra)
+    return h
+
+
 def _fetch_lines(
-    url: str, timeout_s: float, body_limit: int = 0
+    url: str,
+    timeout_s: float,
+    body_limit: int = 0,
+    headers: "dict | None" = None,
 ) -> "tuple[list[str], str]":
     """One HTTP GET of a `/metrics` endpoint → (non-empty payload
     lines, Content-Type).  Runs on the scraping TASK (executor
     side). `body_limit` (upstream body_size_limit, bytes, 0 =
     unlimited) caps what is ever BUFFERED — the read stops at
-    limit+1, it does not download an oversized body to count it."""
-    with urllib.request.urlopen(url, timeout=timeout_s) as resp:
+    limit+1, it does not download an oversized body to count it.
+    `headers` ride the GET verbatim (negotiation + auth — a secured
+    exporter answers 401 to a bare request, which the caller records
+    as a failed scrape, `up` 0)."""
+    req = urllib.request.Request(
+        url, headers=_scrape_headers(timeout_s, headers)
+    )
+    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
         ctype = resp.headers.get("Content-Type") or ""
         if body_limit:
             raw = resp.read(body_limit + 1)
@@ -109,6 +146,20 @@ class _ScrapeTarget(InputPartition):
     sample_limit: int = 0
     #: upstream body_size_limit in bytes (0 = unlimited)
     body_limit: int = 0
+    #: extra request headers (auth, custom) — serialized with the
+    #: partition so the GET on the executor carries them
+    headers: "dict | None" = None
+
+
+def _opt_headers(options: dict) -> "dict | None":
+    """The `headers` option: a JSON object of extra request headers
+    (the option channel is string-typed)."""
+    raw = options.get("headers")
+    if not raw:
+        return None
+    import json
+
+    return {str(k): str(v) for k, v in json.loads(raw).items()}
 
 
 def _targets(options: dict) -> list[str]:
@@ -139,7 +190,7 @@ def _read_target(part: _ScrapeTarget):
     t0 = time.perf_counter()
     try:
         lines, ctype = _fetch_lines(
-            part.url, part.timeout_s, part.body_limit
+            part.url, part.timeout_s, part.body_limit, part.headers
         )
         up = 1
     except Exception:  # noqa: BLE001 - refused/timeout/DNS/over-limit
@@ -166,6 +217,7 @@ class _ScrapeStreamReader(DataSourceStreamReader):
         self._timeout_s = float(options.get("timeout_s", 30.0))
         self._sample_limit = int(options.get("sample_limit", 0))
         self._body_limit = int(options.get("body_limit", 0))
+        self._headers = _opt_headers(options)
         # optional self-limit: after max_ticks scrapes by THIS reader
         # instance the offset stops advancing and the query idles
         # (tests; bounded rehearsals)
@@ -201,6 +253,7 @@ class _ScrapeStreamReader(DataSourceStreamReader):
                 self._timeout_s,
                 self._sample_limit,
                 self._body_limit,
+                self._headers,
             )
             for u in self._urls
         ]
@@ -220,12 +273,13 @@ class _ScrapeBatchReader(DataSourceReader):
         self._timeout_s = float(options.get("timeout_s", 30.0))
         self._sample_limit = int(options.get("sample_limit", 0))
         self._body_limit = int(options.get("body_limit", 0))
+        self._headers = _opt_headers(options)
 
     def partitions(self):
         return [
             _ScrapeTarget(
                 u, 0, self._timeout_s, self._sample_limit,
-                self._body_limit,
+                self._body_limit, self._headers,
             )
             for u in self._urls
         ]
@@ -266,24 +320,32 @@ def scrape_stream(
     max_ticks: int = 0,
     sample_limit: int = 0,
     body_limit: int = 0,
+    headers: "dict | None" = None,
 ) -> DataFrame:
     """Streaming raw-lines relation over one or more `/metrics`
     endpoints: one micro-batch per scrape tick, one task per target.
     `sample_limit` / `body_limit` (upstream's sample_limit and
     body_size_limit guards): an over-limit payload fails its scrape —
-    up 0, payload dropped, never partially ingested."""
+    up 0, payload dropped, never partially ingested. `headers`: extra
+    request headers (a job's basic_auth/authorization compile to one
+    Authorization entry here) sent with every GET, on top of the
+    standard Accept + X-Prometheus-Scrape-Timeout-Seconds pair."""
+    import json
+
     register(spark)
     if isinstance(targets, str):
         targets = [targets]
-    return (
+    reader = (
         spark.readStream.format("prometheus_scrape")
         .option("targets", ",".join(targets))
         .option("timeout_s", str(timeout_s))
         .option("max_ticks", str(max_ticks))
         .option("sample_limit", str(sample_limit))
         .option("body_limit", str(body_limit))
-        .load()
     )
+    if headers:
+        reader = reader.option("headers", json.dumps(headers))
+    return reader.load()
 
 
 def scrape_once(
@@ -292,19 +354,24 @@ def scrape_once(
     timeout_s: float = 30.0,
     sample_limit: int = 0,
     body_limit: int = 0,
+    headers: "dict | None" = None,
 ) -> DataFrame:
     """One scrape round as a batch relation (the ad-hoc twin)."""
+    import json
+
     register(spark)
     if isinstance(targets, str):
         targets = [targets]
-    return (
+    reader = (
         spark.read.format("prometheus_scrape")
         .option("targets", ",".join(targets))
         .option("timeout_s", str(timeout_s))
         .option("sample_limit", str(sample_limit))
         .option("body_limit", str(body_limit))
-        .load()
     )
+    if headers:
+        reader = reader.option("headers", json.dumps(headers))
+    return reader.load()
 
 
 def scraped_samples(

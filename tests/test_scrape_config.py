@@ -367,6 +367,194 @@ scrape_configs:
     assert by["clamped"].timeout_us == 5_000_000  # clamped to interval
 
 
+def test_params_and_param_labels(spark):
+    """Upstream `params`: query parameters ride every scrape URL; the
+    first value of each surfaces as a relabelable `__param_<name>`
+    label, and a relabel rewriting it changes the URL."""
+    from shards_prometheus_spark.sources.scrape_config import (
+        load_scrape_configs,
+        resolve_targets,
+    )
+
+    cfg = load_scrape_configs(
+        """
+scrape_configs:
+  - job_name: fed
+    metrics_path: /federate
+    params:
+      "match[]": ['{job="a"}', '{job="b"}']
+      module: [icmp]
+    static_configs: [{targets: ['h:1']}]
+  - job_name: rewritten
+    params:
+      module: [http_2xx]
+    relabel_configs:
+      - source_labels: [__param_module]
+        regex: http_2xx
+        target_label: __param_module
+        replacement: https_2xx
+    static_configs: [{targets: ['h:2']}]
+"""
+    )
+    fed, rew = cfg.jobs
+    assert fed.params == {"match[]": ['{job="a"}', '{job="b"}'],
+                          "module": ["icmp"]}
+    (t,) = resolve_targets(spark, fed)
+    # first values from __param_* labels (sorted), extras appended
+    assert t.url == (
+        "http://h:1/federate?match%5B%5D=%7Bjob%3D%22a%22%7D"
+        "&module=icmp&match%5B%5D=%7Bjob%3D%22b%22%7D"
+    )
+    (t2,) = resolve_targets(spark, rew)
+    assert t2.url == "http://h:2/metrics?module=https_2xx"
+
+
+def test_auth_headers_compile():
+    """basic_auth / authorization (incl. *_file secrets) compile to
+    the Authorization header the scrape GET carries."""
+    import base64
+    import tempfile
+
+    from shards_prometheus_spark.sources.scrape_config import (
+        load_scrape_configs,
+    )
+
+    with tempfile.NamedTemporaryFile("w", suffix=".secret",
+                                     delete=False) as f:
+        f.write("tok-from-file\n")
+        pwfile = f.name
+    cfg = load_scrape_configs(
+        f"""
+scrape_configs:
+  - job_name: basic
+    basic_auth: {{username: prom, password: s3cr3t}}
+    static_configs: [{{targets: ['a:1']}}]
+  - job_name: bearer
+    authorization: {{credentials: abc123}}
+    static_configs: [{{targets: ['b:1']}}]
+  - job_name: bearer_file
+    authorization: {{credentials_file: {pwfile}}}
+    static_configs: [{{targets: ['c:1']}}]
+  - job_name: open
+    static_configs: [{{targets: ['d:1']}}]
+"""
+    )
+    by = {j.job_name: j for j in cfg.jobs}
+    expect = base64.b64encode(b"prom:s3cr3t").decode()
+    assert by["basic"].auth_header == f"Basic {expect}"
+    assert by["basic"].request_headers() == {
+        "Authorization": f"Basic {expect}"
+    }
+    assert by["bearer"].auth_header == "Bearer abc123"
+    assert by["bearer_file"].auth_header == "Bearer tok-from-file"
+    assert by["open"].auth_header is None
+    assert by["open"].request_headers() is None
+
+
+def test_secured_target_scraped_with_credentials(spark):
+    """The VERDICT Done-bar: a target answering 401 without (and 200
+    with) Basic credentials, scraped through a loaded prometheus.yml —
+    payload rows land, the loop keeps running, and the exporter sees
+    the negotiation headers (Accept preferring OpenMetrics,
+    X-Prometheus-Scrape-Timeout-Seconds)."""
+    import base64
+    import http.server
+    import threading
+
+    from pyspark.sql import functions as F
+
+    expect = "Basic " + base64.b64encode(b"prom:pw").decode()
+    seen: dict = {}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            seen["accept"] = self.headers.get("Accept")
+            seen["timeout"] = self.headers.get(
+                "X-Prometheus-Scrape-Timeout-Seconds"
+            )
+            if self.headers.get("Authorization") != expect:
+                self.send_response(401)
+                self.send_header(
+                    "WWW-Authenticate", 'Basic realm="metrics"'
+                )
+                self.end_headers()
+                return
+            body = b"secured_gauge 42\n"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    addr = f"127.0.0.1:{srv.server_address[1]}"
+    q = None
+    try:
+        from shards_prometheus_spark.sources.scrape_config import (
+            load_scrape_configs,
+            scrape_job_stream,
+        )
+        from shards_prometheus_spark.sources.scraper import (
+            SYNTHETIC_METRICS,
+        )
+
+        yml = f"""
+scrape_configs:
+  - job_name: secured
+    scrape_timeout: 7s
+    scrape_interval: 10s
+    basic_auth: {{username: prom, password: pw}}
+    static_configs: [{{targets: ['{addr}']}}]
+"""
+        cfg = load_scrape_configs(yml)
+        df = scrape_job_stream(spark, cfg.jobs[0], max_ticks=6)
+        q = (
+            df.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("secured_scrape")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if (
+                spark.table("secured_scrape")
+                .filter(~F.col("metric").isin(*SYNTHETIC_METRICS))
+                .limit(1)
+                .count()
+                > 0
+            ):
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError("secured scrape produced no payload")
+        rows = (
+            spark.table("secured_scrape")
+            .filter(F.col("metric") == "secured_gauge")
+            .collect()
+        )
+        assert rows and all(r["value"] == 42.0 for r in rows)
+        # the loop authenticated (a bare GET reads up 0 forever)
+        ups = (
+            spark.table("secured_scrape")
+            .filter(F.col("metric") == "up")
+            .agg(F.max("value"))
+            .first()[0]
+        )
+        assert ups == 1.0
+        # negotiation headers reached the exporter
+        assert "application/openmetrics-text" in seen["accept"]
+        assert seen["timeout"] == "7"
+    finally:
+        if q is not None:
+            q.stop()
+        srv.shutdown()
+
+
 def test_serve_scraped_config_end_to_end(spark):
     """The switching user's whole deployment in one call
     (`serve_scraped_config`): a prometheus.yml whose job scrapes two
