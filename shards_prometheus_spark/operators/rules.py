@@ -380,9 +380,12 @@ def load_rule_groups(text: str) -> list[dict]:
     """Parse a Prometheus rule FILE (the public YAML shape a real
     deployment already has: `groups:` → name/interval/rules with
     `record:`/`alert:`, `expr`, `for`, `keep_firing_for`, `labels`,
-    `annotations`, and the group-level `limit:` series cap) into
-    normalized group dicts — durations in µs, upstream's 1m default
-    interval when unset, limit 0 (= none) when unset."""
+    `annotations`, the group-level `limit:` series cap, and the
+    group-level `query_offset:` — public ≥2.53: every rule in the
+    group evaluates that far behind the wall clock, the knob fleets
+    use to sit behind remote-write delay) into normalized group dicts
+    — durations in µs, upstream's 1m default interval when unset,
+    limit 0 (= none) and query_offset 0 when unset."""
     import yaml
 
     from shards_prometheus_spark.functions.promql_parser import _dur_us
@@ -427,6 +430,9 @@ def load_rule_groups(text: str) -> list[dict]:
                 if g.get("interval")
                 else 60_000_000,
                 "limit": limit,
+                "query_offset_us": _dur_us(str(g["query_offset"]))
+                if g.get("query_offset")
+                else 0,
                 "rules": rules,
             }
         )
@@ -480,6 +486,14 @@ def eval_rule_file(samples: DataFrame, text: str) -> DataFrame:
         gsamples = samples
         ev = PromQLEvaluator(gsamples)
         tick_us = ev.eval_time_us()
+        if g.get("query_offset_us"):
+            # upstream ≥2.53: the whole group evaluates at
+            # ts - query_offset — queries AND the recorded samples'
+            # timestamps shift (rules/group.go evaluates the vector
+            # at ts.Add(-queryOffset), and the result samples carry
+            # that shifted eval time)
+            tick_us -= g["query_offset_us"]
+            ev = PromQLEvaluator(gsamples, eval_ts_us=tick_us)
         step_us = g["interval_us"]
         for r in g["rules"]:
             gcol = F.lit(g["name"]).alias("grp")

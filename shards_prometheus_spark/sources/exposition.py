@@ -1761,6 +1761,19 @@ class MetricsExposer:
             exemplars_fn = lambda: openmetrics_exemplars(  # noqa: E731
                 self._spark, self._sf_dir
             )
+        # exemplars pushed over remote-write 2.0 serve alongside the
+        # base relation (same schema, plan-level union)
+        if (
+            self._remote_write or self._otlp_receiver
+        ) and self._rw.n_exemplars:
+            base_ex_fn = exemplars_fn
+
+            def exemplars_fn():  # noqa: F811 - deliberate wrap
+                pushed = self._rw.exemplars(self._spark)
+                if base_ex_fn is None:
+                    return pushed
+                return base_ex_fn().unionByName(pushed)
+
         return handle_api_request(
             make_evaluator,
             path,
@@ -1778,6 +1791,9 @@ class MetricsExposer:
             alertmanagers=self._alertmanagers,
             admin=self if self._admin_api else None,
             method=method,
+            push_metadata=self._rw.metadata()
+            if (self._remote_write or self._otlp_receiver)
+            else None,
         )
 
     def push_alerts(self) -> "tuple[list[dict], dict[str, int]]":

@@ -724,10 +724,13 @@ def rules_data(
     return {"groups": groups}
 
 
-def metadata_data(evaluator) -> dict:
+def metadata_data(evaluator, push_metadata: "dict | None" = None) -> dict:
     """`/api/v1/metadata`: per-family help/type/unit — the registry
     convention exposes each family through all three kinds, matching
-    the exposition dialect's HELP/TYPE/UNIT lines."""
+    the exposition dialect's HELP/TYPE/UNIT lines. `push_metadata`
+    ({metric: {type, help, unit}} from remote-write 2.0 pushes) takes
+    precedence for its families — the sender declared their real
+    metadata, the convention is only the default."""
     from shards_prometheus_spark.sources.exposition import (
         _OM_HELP,
         _OM_UNITS,
@@ -737,13 +740,22 @@ def metadata_data(evaluator) -> dict:
         r["metric"]
         for r in evaluator.samples.select("metric").distinct().collect()
     )
-    return {
+    out = {
         m: [
             {"type": kind, "help": _OM_HELP.strip(), "unit": unit}
             for kind, unit in sorted(_OM_UNITS.items())
         ]
         for m in metrics
     }
+    for m, meta in (push_metadata or {}).items():
+        out[m] = [
+            {
+                "type": meta.get("type", "unknown"),
+                "help": meta.get("help", ""),
+                "unit": meta.get("unit", ""),
+            }
+        ]
+    return out
 
 
 #: buildinfo is static — the version stamp a Grafana datasource health
@@ -1010,6 +1022,7 @@ def handle_api_request(
     alertmanagers: "list[str] | None" = None,
     admin=None,
     method: str = "GET",
+    push_metadata: "dict | None" = None,
 ) -> tuple:
     """Dispatch one read-API request → (http_status, payload dict).
 
@@ -1258,6 +1271,28 @@ def handle_api_request(
                 )
         elif path == "/api/v1/targets":
             data = targets_data(make_evaluator(None), target_info)
+        elif path == "/api/v1/scrape_pools":
+            # 3.x UI endpoint: the scrape-pool (job) names from the
+            # loaded config; without a config the engine itself is
+            # the single default pool (matching targets_data)
+            if config_yaml:
+                from shards_prometheus_spark.sources.scrape_config import (  # noqa: E501
+                    load_scrape_configs,
+                )
+
+                pools = sorted(
+                    j.job_name
+                    for j in load_scrape_configs(config_yaml).jobs
+                )
+            else:
+                pools = ["shards-prometheus-spark"]
+            data = {"scrapePools": pools}
+        elif path == "/api/v1/notifications":
+            # 3.x UI endpoint: active server notifications (config
+            # reload failures, startup warnings). The batch engine
+            # raises config errors at load time instead of limping —
+            # a running server has none, the healthy shape
+            data = []
         elif path == "/api/v1/targets/metadata":
             data = targets_metadata_data(
                 make_evaluator(None), target_info, p
@@ -1332,7 +1367,7 @@ def handle_api_request(
         elif path == "/api/v1/status/runtimeinfo":
             data = status_runtimeinfo_data(target_info)
         elif path == "/api/v1/metadata":
-            data = metadata_data(make_evaluator(None))
+            data = metadata_data(make_evaluator(None), push_metadata)
         elif path in ("/api/v1/format_query", "/api/v1/parse_query"):
             # the 3.x prettier/AST endpoints (Grafana's query builder
             # probes both) — served straight off the evaluator's own

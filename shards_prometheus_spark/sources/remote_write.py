@@ -103,12 +103,19 @@ def handle_write_post(handler, receive) -> None:
     else:
         extra = None
         if is_v2_content_type(ctype):
+            # receive may report (samples, exemplars) — the 2.0
+            # response headers carry both counts
+            samples_w, ex_w = (
+                written if isinstance(written, tuple) else (written, 0)
+            )
             extra = {
                 "X-Prometheus-Remote-Write-Samples-Written": str(
-                    written or 0
+                    samples_w or 0
                 ),
                 "X-Prometheus-Remote-Write-Histograms-Written": "0",
-                "X-Prometheus-Remote-Write-Exemplars-Written": "0",
+                "X-Prometheus-Remote-Write-Exemplars-Written": str(
+                    ex_w or 0
+                ),
             }
         _respond(204, extra=extra)
 
@@ -201,18 +208,83 @@ def is_v2_content_type(content_type: "str | None") -> bool:
     )
 
 
+#: v2 Metadata.MetricType enum → the /api/v1/metadata type strings
+#: (public proto; upstream serves the lowercase names).
+_V2_METRIC_TYPES = {
+    0: "unknown",
+    1: "counter",
+    2: "gauge",
+    3: "histogram",
+    4: "gaugehistogram",
+    5: "summary",
+    6: "info",
+    7: "stateset",
+    8: "unknown",
+}
+
+
+def _refs_to_labels(refs: "list[int]", symbols: "list[str]") -> dict:
+    """PACKED uint32 (name-ref, value-ref) pairs → labels dict;
+    ValueError on odd length / out-of-table refs (the 400 contract)."""
+    if len(refs) % 2:
+        raise ValueError("remote-write v2: odd labels_refs length")
+    labels: dict = {}
+    for i in range(0, len(refs), 2):
+        try:
+            labels[symbols[refs[i]]] = symbols[refs[i + 1]]
+        except IndexError:
+            raise ValueError(
+                "remote-write v2: labels_ref outside the symbol table"
+            ) from None
+    return labels
+
+
+def _packed_refs(v2, refs: "list[int]") -> None:
+    """Append one labels_refs field occurrence (packed bytes or one
+    unpacked varint — both legal proto3) to `refs`."""
+    if isinstance(v2, int):
+        refs.append(v2)
+        return
+    pos = 0
+    while pos < len(v2):
+        n, pos = _uvarint_decode(v2, pos)
+        refs.append(n)
+
+
 def parse_write_request_v2(
     payload: bytes, compressed: bool = True
 ) -> "list[tuple[dict, int, float]]":
     """One `io.prometheus.write.v2.Request` → [(labels incl.
-    __name__, ts_ms, value)] — the 2.0 wire (public spec): one
-    interned `symbols` string table (field 4, symbols[0] = ""),
-    TimeSeries (field 5) carrying PACKED uint32 `labels_refs` pairs
-    (name-ref, value-ref) instead of inline Label messages, samples
-    unchanged (value double=1, timestamp int64 ms=2). Metadata /
-    exemplars / native-histogram fields are skipped per proto
-    semantics. Raises ValueError on odd or out-of-range refs — the
-    receiver's public 400 contract."""
+    __name__, ts_ms, value)] (samples only; see
+    parse_write_request_v2_full for the side data)."""
+    return parse_write_request_v2_full(payload, compressed)[0]
+
+
+def parse_write_request_v2_full(
+    payload: bytes, compressed: bool = True
+) -> "tuple[list, list, dict, list]":
+    """One `io.prometheus.write.v2.Request` → (rows, exemplars,
+    metadata, created) — the 2.0 wire (public spec): one interned
+    `symbols` string table (field 4, symbols[0] = ""), TimeSeries
+    (field 5) carrying PACKED uint32 `labels_refs` pairs (name-ref,
+    value-ref) instead of inline Label messages, samples unchanged
+    (value double=1, timestamp int64 ms=2) — PLUS the spec's side
+    data, decoded into the engine's existing side-relation shapes:
+
+    - ``exemplars`` (TimeSeries field 4: labels_refs=1, value
+      double=2, timestamp int64 ms=3) → the `openmetrics_exemplars`
+      schema rows (metric, label_user, le, trace_id, ex_value,
+      ex_ts seconds) `/api/v1/query_exemplars` serves.
+    - ``metadata`` (TimeSeries field 5: type enum=1, help_ref=3,
+      unit_ref=4) → {metric: {"type", "help", "unit"}} for
+      `/api/v1/metadata`.
+    - ``created`` (TimeSeries field 6, int64 ms) → the
+      `openmetrics_created` schema rows (metric, kind, label_user,
+      created_s) — the `_created` side relation.
+
+    Native-histogram fields (TimeSeries field 3) are skipped per
+    proto semantics. Raises ValueError on odd or out-of-range refs —
+    the receiver's public 400 contract."""
     body = snappy_decompress(payload) if compressed else payload
     symbols: list[str] = []
     series_bufs: list[bytes] = []
@@ -222,17 +294,18 @@ def parse_write_request_v2(
         elif field == 5 and wt == 2:  # Request.timeseries
             series_bufs.append(v)
     out: list[tuple[dict, int, float]] = []
+    exemplars: list = []
+    metadata: dict = {}
+    created: list = []
     for ts_bytes in series_bufs:
         refs: list[int] = []
         samples: list[tuple[int, float]] = []
+        ex_bufs: list[bytes] = []
+        meta_buf: "bytes | None" = None
+        created_ms: "int | None" = None
         for f2, wt2, v2 in pb_fields(ts_bytes):
-            if f2 == 1 and wt2 == 2:  # packed labels_refs
-                pos = 0
-                while pos < len(v2):
-                    n, pos = _uvarint_decode(v2, pos)
-                    refs.append(n)
-            elif f2 == 1 and wt2 == 0:  # unpacked (legal proto3)
-                refs.append(v2)
+            if f2 == 1 and wt2 in (0, 2):  # labels_refs
+                _packed_refs(v2, refs)
             elif f2 == 2 and wt2 == 2:  # TimeSeries.samples
                 val, ts_ms = float("nan"), 0
                 for f3, _wt3, v3 in pb_fields(v2):
@@ -241,22 +314,68 @@ def parse_write_request_v2(
                     elif f3 == 2:
                         ts_ms = _u_to_int64(v3)
                 samples.append((ts_ms, val))
-        if len(refs) % 2:
-            raise ValueError(
-                "remote-write v2: odd labels_refs length"
-            )
-        labels: dict = {}
-        for i in range(0, len(refs), 2):
-            try:
-                labels[symbols[refs[i]]] = symbols[refs[i + 1]]
-            except IndexError:
-                raise ValueError(
-                    "remote-write v2: labels_ref outside the symbol "
-                    "table"
-                ) from None
+            elif f2 == 4 and wt2 == 2:  # TimeSeries.exemplars
+                ex_bufs.append(v2)
+            elif f2 == 5 and wt2 == 2:  # TimeSeries.metadata
+                meta_buf = v2
+            elif f2 == 6 and wt2 == 0:  # created_timestamp (ms)
+                created_ms = _u_to_int64(v2)
+        labels = _refs_to_labels(refs, symbols)
         for ts_ms, val in samples:
             out.append((labels, ts_ms, val))
-    return out
+        metric = labels.get("__name__", "")
+        if meta_buf is not None and metric:
+            mtype, help_ref, unit_ref = 0, 0, 0
+            for f3, wt3, v3 in pb_fields(meta_buf):
+                if f3 == 1 and wt3 == 0:
+                    mtype = v3
+                elif f3 == 3 and wt3 == 0:
+                    help_ref = v3
+                elif f3 == 4 and wt3 == 0:
+                    unit_ref = v3
+            try:
+                metadata[metric] = {
+                    "type": _V2_METRIC_TYPES.get(mtype, "unknown"),
+                    "help": symbols[help_ref],
+                    "unit": symbols[unit_ref],
+                }
+            except IndexError:
+                raise ValueError(
+                    "remote-write v2: metadata ref outside the "
+                    "symbol table"
+                ) from None
+        for ex in ex_bufs:
+            ex_refs: list[int] = []
+            ex_val, ex_ts_ms = float("nan"), 0
+            for f3, wt3, v3 in pb_fields(ex):
+                if f3 == 1 and wt3 in (0, 2):
+                    _packed_refs(v3, ex_refs)
+                elif f3 == 2 and wt3 == 1:
+                    ex_val = v3
+                elif f3 == 3 and wt3 == 0:
+                    ex_ts_ms = _u_to_int64(v3)
+            ex_labels = _refs_to_labels(ex_refs, symbols)
+            exemplars.append(
+                (
+                    metric,
+                    labels.get("user"),
+                    labels.get("le"),
+                    ex_labels.get("trace_id", ""),
+                    float(ex_val),
+                    ex_ts_ms / 1_000.0,
+                )
+            )
+        if created_ms is not None and metric:
+            kind = metadata.get(metric, {}).get("type", "counter")
+            created.append(
+                (
+                    metric,
+                    kind if kind != "unknown" else "counter",
+                    labels.get("user"),
+                    created_ms / 1_000.0,
+                )
+            )
+    return out, exemplars, metadata, created
 
 
 def encode_write_request_v2(
@@ -538,6 +657,12 @@ class RemoteWriteReceiver:
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
         self.host, self.port = host, port
         self._rows: list[tuple[dict, int, float]] = []
+        #: v2 side data (the 2.0 spec's metadata/exemplars/created
+        #: fields), landed in the engine's existing side-relation
+        #: shapes — see parse_write_request_v2_full
+        self._exemplars: list = []
+        self._metadata: dict = {}
+        self._created: list = []
         self._lock = threading.Lock()
         self._httpd = None
         self._thread = None
@@ -548,14 +673,20 @@ class RemoteWriteReceiver:
     ) -> int:
         """Ingest one WriteRequest body — 1.0 or, when the request's
         Content-Type names `io.prometheus.write.v2.Request`, the 2.0
-        interned-symbols wire. Returns rows appended."""
-        parse = (
-            parse_write_request_v2
-            if is_v2_content_type(content_type)
-            else parse_write_request
-        )
-        rows = parse(payload)
-        return self.ingest_rows(rows)
+        interned-symbols wire (side data — metadata, exemplars,
+        created timestamps — stored beside the samples). Returns rows
+        appended (v2: the (samples, exemplars) pair the 2.0 response
+        headers report)."""
+        if is_v2_content_type(content_type):
+            rows, exemplars, metadata, created = (
+                parse_write_request_v2_full(payload)
+            )
+            with self._lock:
+                self._exemplars.extend(exemplars)
+                self._metadata.update(metadata)
+                self._created.extend(created)
+            return self.ingest_rows(rows), len(exemplars)
+        return self.ingest_rows(parse_write_request(payload))
 
     def ingest_rows(self, rows: "list[tuple[dict, int, float]]") -> int:
         """Append already-parsed (labels, ts_ms, value) triples — the
@@ -569,6 +700,41 @@ class RemoteWriteReceiver:
     def n_rows(self) -> int:
         with self._lock:
             return len(self._rows)
+
+    @property
+    def n_exemplars(self) -> int:
+        with self._lock:
+            return len(self._exemplars)
+
+    def metadata(self) -> dict:
+        """Pushed 2.0 per-family metadata: {metric: {type, help,
+        unit}} — merged into `/api/v1/metadata` by the exposer."""
+        with self._lock:
+            return dict(self._metadata)
+
+    def exemplars(self, spark: SparkSession) -> DataFrame:
+        """Pushed 2.0 exemplars as the `openmetrics_exemplars` side
+        relation (metric, label_user, le, trace_id, ex_value, ex_ts
+        seconds) — what `/api/v1/query_exemplars` serves."""
+        with self._lock:
+            snapshot = list(self._exemplars)
+        return spark.createDataFrame(
+            snapshot,
+            "metric string, label_user string, le string, "
+            "trace_id string, ex_value double, ex_ts double",
+        )
+
+    def created(self, spark: SparkSession) -> DataFrame:
+        """Pushed 2.0 created timestamps as the
+        `openmetrics_created` side relation (metric, kind,
+        label_user, created_s)."""
+        with self._lock:
+            snapshot = list(self._created)
+        return spark.createDataFrame(
+            snapshot,
+            "metric string, kind string, label_user string, "
+            "created_s double",
+        )
 
     def samples(self, spark: SparkSession) -> DataFrame:
         """The pushed store as the §1.2 samples relation.

@@ -677,6 +677,138 @@ def test_v2_post_negotiated_by_content_type(spark):
         rx2.stop()
 
 
+def _v2_side_data_payload():
+    """Hand-built spec-shaped 2.0 Request (independent of our
+    encoder): one counter series with a sample, an exemplar
+    (labels_refs/value/timestamp), Metadata (type/help_ref/unit_ref)
+    and created_timestamp."""
+    from shards_prometheus_spark.functions.miniformats import (
+        _uvarint_encode,
+        pb_double,
+        pb_len,
+        pb_varint,
+        snappy_compress,
+    )
+
+    symbols = [
+        "", "__name__", "reqs_total", "user", "a",
+        "trace_id", "abc123", "HTTP requests served", "requests",
+    ]
+    packed = b"".join(_uvarint_encode(i) for i in (1, 2, 3, 4))
+    sample = pb_double(1, 7.0) + pb_varint(2, 1_000)
+    ex = (
+        pb_len(1, b"".join(_uvarint_encode(i) for i in (5, 6)))
+        + pb_double(2, 1.25)
+        + pb_varint(3, 1_500)
+    )
+    meta = pb_varint(1, 1) + pb_varint(3, 7) + pb_varint(4, 8)
+    ts = (
+        pb_len(1, packed)
+        + pb_len(2, sample)
+        + pb_len(4, ex)
+        + pb_len(5, meta)
+        + pb_varint(6, 500)  # created_timestamp ms
+    )
+    body = b"".join(
+        pb_len(4, s.encode()) for s in symbols
+    ) + pb_len(5, ts)
+    return snappy_compress(body)
+
+
+def test_v2_side_data_decodes():
+    """The 2.0 spec's metadata / exemplars / created_timestamp fields
+    decode into the engine's existing side-relation shapes instead of
+    being skipped."""
+    from shards_prometheus_spark.sources.remote_write import (
+        parse_write_request_v2_full,
+    )
+
+    rows, exemplars, metadata, created = parse_write_request_v2_full(
+        _v2_side_data_payload()
+    )
+    assert rows == [
+        ({"__name__": "reqs_total", "user": "a"}, 1_000, 7.0)
+    ]
+    assert exemplars == [
+        ("reqs_total", "a", None, "abc123", 1.25, 1.5)
+    ]
+    assert metadata == {
+        "reqs_total": {
+            "type": "counter",
+            "help": "HTTP requests served",
+            "unit": "requests",
+        }
+    }
+    assert created == [("reqs_total", "counter", "a", 0.5)]
+
+
+def test_v2_push_serves_exemplars_and_metadata(spark):
+    """The VERDICT Done-bar: a 2.0 push with exemplars →
+    /api/v1/query_exemplars returns them; /api/v1/metadata serves the
+    pushed help/type/unit; the 204's 2.0 headers count both."""
+    import json
+    import urllib.request
+    from urllib.parse import quote
+
+    from shards_prometheus_spark.sources import MetricsExposer
+    from shards_prometheus_spark.sources.remote_write import (
+        V2_CONTENT_TYPE,
+    )
+
+    exposer = MetricsExposer(spark, SF_SMOKE, remote_write=True).start()
+    base = f"http://{exposer.host}:{exposer.port}"
+    try:
+        req = urllib.request.Request(
+            base + "/api/v1/write",
+            data=_v2_side_data_payload(),
+            headers={
+                "Content-Type": V2_CONTENT_TYPE,
+                "Content-Encoding": "snappy",
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 204
+            h = resp.headers
+            assert h["X-Prometheus-Remote-Write-Samples-Written"] == "1"
+            assert h["X-Prometheus-Remote-Write-Exemplars-Written"] == "1"
+
+        with urllib.request.urlopen(
+            base
+            + "/api/v1/query_exemplars?query="
+            + quote("reqs_total")
+            + "&start=0&end=10",
+            timeout=120,
+        ) as resp:
+            data = json.loads(resp.read())["data"]
+        assert data == [
+            {
+                "seriesLabels": {"__name__": "reqs_total", "user": "a"},
+                "exemplars": [
+                    {
+                        "labels": {"trace_id": "abc123"},
+                        "value": "1.25",
+                        "timestamp": 1.5,
+                    }
+                ],
+            }
+        ]
+
+        with urllib.request.urlopen(
+            base + "/api/v1/metadata", timeout=120
+        ) as resp:
+            meta = json.loads(resp.read())["data"]
+        assert meta["reqs_total"] == [
+            {
+                "type": "counter",
+                "help": "HTTP requests served",
+                "unit": "requests",
+            }
+        ]
+    finally:
+        exposer.stop()
+
+
 def test_v2_bad_refs_answer_400():
     """Malformed 2.0 payloads (odd labels_refs, out-of-table ref) are
     client errors: ValueError → the receiver's 400 contract."""

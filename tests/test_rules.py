@@ -17,6 +17,47 @@ from shards_prometheus_spark.operators.rules import (
 from tests.conftest import SF_SMOKE
 
 
+def test_group_query_offset_shifts_evaluation(spark):
+    """`query_offset:` (public group knob, ≥2.53): every rule in the
+    group evaluates that far behind the store's now — the recorded
+    value AND its timestamp shift by the offset, while an offset-free
+    group on the same file still reads the newest sample."""
+    from shards_prometheus_spark.operators.rules import (
+        eval_rule_file,
+        load_rule_groups,
+    )
+
+    _US = 1_000_000
+    rows = [
+        (1, 10, "g", {"user": "u"}, 100 * _US, 1.0),
+        (2, 10, "g", {"user": "u"}, 200 * _US, 2.0),
+    ]
+    samples = spark.createDataFrame(
+        rows,
+        "event_id long, series_id long, metric string, "
+        "labels map<string,string>, ts_us long, value double",
+    )
+    yml = """
+groups:
+  - name: now
+    rules:
+      - record: "g:rec"
+        expr: g
+  - name: behind
+    query_offset: 100s
+    rules:
+      - record: "g:rec:off"
+        expr: g
+"""
+    assert load_rule_groups(yml)[1]["query_offset_us"] == 100 * _US
+    got = {
+        r["rule"]: r["value"] for r in eval_rule_file(samples, yml).collect()
+    }
+    # now-group reads the 200s sample; the offset group evaluates at
+    # 200s - 100s and reads the 100s sample
+    assert got == {"g:rec": 2.0, "g:rec:off": 1.0}
+
+
 def test_chained_layer_needs_the_chain(spark):
     """A record selector against the RAW store is empty — the layered
     expression only resolves because eval_rule_group_chained writes

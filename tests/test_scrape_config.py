@@ -657,6 +657,14 @@ scrape_configs:
         # the config echoes on /api/v1/status/config
         served = api("/api/v1/status/config")["data"]["yaml"]
         assert "job_name: demo" in served
+
+        # 3.x UI endpoints: pool names from the loaded config; a
+        # healthy server has no active notifications
+        assert api("/api/v1/scrape_pools")["data"] == {
+            "scrapePools": ["demo"]
+        }
+        notif = api("/api/v1/notifications")
+        assert notif["status"] == "success" and notif["data"] == []
     finally:
         if srv is not None:
             srv.stop()
