@@ -133,6 +133,7 @@ class AlertmanagerNotifier:
 
         current: "dict[tuple, dict]" = {}
         payload: "list[dict]" = []
+        stamped: "list[tuple[tuple, int | None]]" = []
         for e in firing_v2:
             k = key(e)
             entry = dict(e)
@@ -145,6 +146,7 @@ class AlertmanagerNotifier:
             last = self._last_sent.get(k)
             if last is None or now_us - last >= self.resend_delay_us:
                 payload.append(entry)
+                stamped.append((k, last))
                 self._last_sent[k] = now_us
         if self.send_resolved:
             for k, prev in self._active.items():
@@ -159,6 +161,19 @@ class AlertmanagerNotifier:
                 if k not in current:
                     del self._last_sent[k]
         statuses = self.notify(payload) if payload else {}
+        if payload and statuses and not any(
+            200 <= s < 300 for s in statuses.values()
+        ):
+            # a FULLY-failed delivery (every member -1/4xx/5xx) rolls
+            # the resend stamps back so the next evaluation retries —
+            # upstream's notifier queue retries failed sends; stamping
+            # before the POST would otherwise suppress the alert for
+            # the whole resend window with nothing delivered
+            for k, prev_ts in stamped:
+                if prev_ts is None:
+                    self._last_sent.pop(k, None)
+                else:
+                    self._last_sent[k] = prev_ts
         self._active = current
         return payload, statuses
 
@@ -198,11 +213,50 @@ class AlertmanagerNotifier:
         return statuses
 
 
+def relabel_alerts(
+    alerts: "list[dict]", rules: "list[dict]", spark
+) -> "list[dict]":
+    """Upstream's top-level `alerting.alert_relabel_configs`: the
+    relabel chain applied to every alert's LABEL SET between rule
+    evaluation and the notifier — a `drop` rule removes the alert
+    from the push entirely, rewrites change what Alertmanager
+    receives (the served `/api/v1/alerts` state is NOT relabeled,
+    exactly upstream's split). Runs the SAME compiled chain the
+    target and metric hops use, over an alert-count-sized relation —
+    the collect is the firing set."""
+    from shards_prometheus_spark.operators.relabel import apply_relabel
+
+    if not alerts or not rules:
+        return list(alerts)
+    df = spark.createDataFrame(
+        [
+            (i, "", dict(a.get("labels") or {}))
+            for i, a in enumerate(alerts)
+        ],
+        "idx long, metric string, labels map<string,string>",
+    )
+    kept = {
+        r["idx"]: dict(r["labels"])
+        for r in apply_relabel(df, rules)
+        .select("idx", "labels")
+        .collect()
+    }
+    out = []
+    for i, a in enumerate(alerts):
+        if i not in kept:
+            continue  # dropped before the POST
+        e = dict(a)
+        e["labels"] = kept[i]
+        out.append(e)
+    return out
+
+
 def notify_firing(
     evaluator,
     rule_file: str,
     notifier: AlertmanagerNotifier,
     generator_url: str | None = None,
+    alert_relabel_configs: "list[dict] | None" = None,
 ) -> "tuple[list[dict], dict[str, int]]":
     """Evaluate `rule_file`'s firing set (the SAME eval_rule_file pass
     `/api/v1/alerts` serves — labels/annotations identical by
@@ -211,11 +265,17 @@ def notify_firing(
     that stopped firing since the notifier's previous push. Returns
     (the delivered v2 payload, per-URL delivery statuses). A push
     whose every entry is inside the notifier's resend window delivers
-    nothing — no delta, no POST (upstream's resend_delay)."""
+    nothing — no delta, no POST (upstream's resend_delay).
+    `alert_relabel_configs` (the config's top-level alerting hop) is
+    applied to the firing set before the diff/push."""
     from shards_prometheus_spark.sources.query_api import alerts_data
 
     now_us = evaluator.eval_time_us()
     alerts = alerts_data(evaluator, rule_file)["alerts"]
+    if alert_relabel_configs:
+        alerts = relabel_alerts(
+            alerts, alert_relabel_configs, evaluator.samples.sparkSession
+        )
     return notifier.push_state(
         firing_to_v2(alerts, now_us, generator_url), now_us
     )

@@ -1483,13 +1483,18 @@ class MetricsExposer:
         # the Alertmanager pool: explicit list, else the loaded
         # prometheus.yml's alerting section (upstream: one config file
         # declares both scrape targets and the notification pool)
+        self._alert_relabel: list = []
         if alertmanagers is None and self._scrape_config is not None:
             from shards_prometheus_spark.sources.scrape_config import (
                 load_scrape_configs,
+                resolve_alertmanagers,
             )
 
             cfg = load_scrape_configs(self._scrape_config)
-            alertmanagers = cfg.alertmanager_urls
+            # the discovery relabel hop: alertmanagers[].relabel_configs
+            # rewrites/drops pool members before any push
+            alertmanagers = resolve_alertmanagers(self._spark, cfg)
+            self._alert_relabel = cfg.alert_relabel_configs
             if rule_file is None and cfg.rule_files:
                 self._rule_file = self._read_rule_files(cfg.rule_files)
         self._alertmanagers = list(alertmanagers or [])
@@ -1665,6 +1670,7 @@ class MetricsExposer:
         successful no-op."""
         from shards_prometheus_spark.sources.scrape_config import (
             load_scrape_configs,
+            resolve_alertmanagers,
         )
 
         text = self._scrape_config
@@ -1685,7 +1691,10 @@ class MetricsExposer:
         )
         self._scrape_config = text
         if not self._explicit_alertmanagers:
-            self._alertmanagers = list(cfg.alertmanager_urls)
+            self._alertmanagers = resolve_alertmanagers(
+                self._spark, cfg
+            )
+            self._alert_relabel = cfg.alert_relabel_configs
         self._rule_file = new_rules
 
     def handle_api(
@@ -1823,6 +1832,7 @@ class MetricsExposer:
             self._rule_file,
             self._notifier,
             generator_url=f"http://{self.host}:{self.port}/graph",
+            alert_relabel_configs=self._alert_relabel or None,
         )
 
     def collect_text(self) -> str:

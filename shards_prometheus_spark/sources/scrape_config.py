@@ -119,6 +119,13 @@ class ScrapeConfig:
     yaml_text: str
     rule_files: list = field(default_factory=list)
     alertmanager_urls: list = field(default_factory=list)
+    #: raw `alerting.alertmanagers` entries — resolve_alertmanagers
+    #: routes their relabel_configs through the compiled chain
+    alertmanager_configs: list = field(default_factory=list)
+    #: top-level `alerting.alert_relabel_configs` — applied to every
+    #: alert's labels before notification (the hop upstream runs
+    #: between rule evaluation and the notifier queue)
+    alert_relabel_configs: list = field(default_factory=list)
 
 
 def load_scrape_configs(text: str) -> ScrapeConfig:
@@ -180,8 +187,10 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
             )
         )
     # alerting: alertmanagers: [static_configs: [targets: [...]]]
+    alerting = doc.get("alerting") or {}
+    am_entries = list(alerting.get("alertmanagers") or [])
     am_urls = []
-    for am in (doc.get("alerting") or {}).get("alertmanagers") or []:
+    for am in am_entries:
         scheme = str(am.get("scheme", _DEF_SCHEME))
         path = str(am.get("path_prefix", "")).rstrip("/")
         for st in am.get("static_configs") or []:
@@ -193,7 +202,53 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
         yaml_text=text,
         rule_files=[str(p) for p in doc.get("rule_files") or []],
         alertmanager_urls=am_urls,
+        alertmanager_configs=am_entries,
+        alert_relabel_configs=list(
+            alerting.get("alert_relabel_configs") or []
+        ),
     )
+
+
+def resolve_alertmanagers(spark: SparkSession, cfg: ScrapeConfig) -> list:
+    """`alerting.alertmanagers[].relabel_configs` — upstream routes
+    Alertmanager discovery through the SAME relabel machinery as
+    scrape targets (a rewritten `__address__` changes the push URL, a
+    dropped row removes the pool member). Entries without rules pass
+    through statically; the per-entry relation is pool-sized, the
+    collect IS the config."""
+    from shards_prometheus_spark.operators.relabel import apply_relabel
+
+    out = []
+    for am in cfg.alertmanager_configs:
+        scheme = str(am.get("scheme", _DEF_SCHEME))
+        path = str(am.get("path_prefix", "")).rstrip("/")
+        addrs = [
+            str(a)
+            for st in am.get("static_configs") or []
+            for a in st.get("targets") or []
+        ]
+        rules = list(am.get("relabel_configs") or [])
+        if not rules:
+            out.extend(f"{scheme}://{a}{path}" for a in addrs)
+            continue
+        if not addrs:
+            continue
+        df = spark.createDataFrame(
+            [
+                ("", {"__address__": a, "__scheme__": scheme})
+                for a in addrs
+            ],
+            "metric string, labels map<string,string>",
+        )
+        for r in apply_relabel(df, rules).collect():
+            labels = dict(r["labels"])
+            addr = labels.get("__address__", "")
+            if not addr:
+                continue  # relabeled away: dropped pool member
+            out.append(
+                f"{labels.get('__scheme__', scheme)}://{addr}{path}"
+            )
+    return out
 
 
 def _read_secret_file(path: str) -> str:
@@ -510,6 +565,7 @@ def serve_scraped_config(
     from shards_prometheus_spark.sources.exposition import (
         MetricsExposer,
         classified_lines,
+        classify_summary_families,
     )
     from shards_prometheus_spark.sources.scraper import (
         SYNTHETIC_METRICS,
@@ -558,6 +614,13 @@ def serve_scraped_config(
         reg = registry_from_scrapes(log)
         from pyspark.sql import functions as _F
 
+        # family-level summary completion (batch context — this IS
+        # the documented place): without it a scraped summary family
+        # re-exposes with CONFLICTING headers — '# TYPE x summary'
+        # for its quantile rows plus '# TYPE x histogram' for the
+        # per-row-classified _sum/_count siblings — and a federating
+        # Prometheus rejects the payload on duplicate TYPE metadata
+        reg = classify_summary_families(reg)
         return classified_lines(
             reg.filter(~_F.col("metric").isin(*SYNTHETIC_METRICS))
         )

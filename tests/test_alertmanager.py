@@ -328,6 +328,143 @@ def test_resolved_bypasses_resend_window():
         sink.stop()
 
 
+def test_failed_push_rolls_back_resend_stamp():
+    """A FULLY-failed delivery (every pool member dead/5xx) must not
+    consume the resend window: upstream's notifier queue retries
+    failed sends, so the next evaluation re-attempts instead of
+    silently dropping the alert for resend_delay."""
+    from shards_prometheus_spark.sources.alertmanager import (
+        AlertmanagerNotifier,
+        firing_to_v2,
+    )
+
+    sink = _Sink(status=503)
+    try:
+        notifier = AlertmanagerNotifier(
+            [sink.url], resend_delay_us=60_000_000
+        )
+        a = {"labels": {"alertname": "A"}, "value": "1"}
+        t1 = 10_000_000
+        p1, s1 = notifier.push_state(firing_to_v2([a], t1), t1)
+        assert len(p1) == 1
+        assert all(s == 503 for s in s1.values())
+
+        # 1s later, still inside the window: the failed send did NOT
+        # stamp — the alert is retried immediately
+        t2 = t1 + 1_000_000
+        p2, _ = notifier.push_state(firing_to_v2([a], t2), t2)
+        assert [e["labels"] for e in p2] == [{"alertname": "A"}]
+        assert len(sink.received) == 2
+    finally:
+        sink.stop()
+
+    # a DELIVERED push (2xx from at least one member) stamps normally
+    ok = _Sink()
+    try:
+        notifier = AlertmanagerNotifier(
+            [ok.url], resend_delay_us=60_000_000
+        )
+        t1 = 10_000_000
+        notifier.push_state(firing_to_v2([a], t1), t1)
+        t2 = t1 + 1_000_000
+        p2, s2 = notifier.push_state(firing_to_v2([a], t2), t2)
+        assert p2 == [] and s2 == {} and len(ok.received) == 1
+    finally:
+        ok.stop()
+
+
+def test_alert_relabel_configs_rewrite_and_drop(spark):
+    """The VERDICT Done-bar: top-level alert_relabel_configs run
+    through the compiled relabel chain BEFORE the POST — one alert's
+    labels rewritten, another dropped entirely; /api/v1/alerts (the
+    served state) stays un-relabeled, exactly upstream's split."""
+    from shards_prometheus_spark.sources.alertmanager import (
+        AlertmanagerNotifier,
+        relabel_alerts,
+    )
+
+    alerts = [
+        {"labels": {"alertname": "Noisy", "severity": "info"},
+         "annotations": {"a": "1"}},
+        {"labels": {"alertname": "Real", "severity": "page"},
+         "annotations": {"b": "2"}},
+    ]
+    rules = [
+        {"action": "drop", "source_labels": ["alertname"],
+         "regex": "Noisy"},
+        {"action": "replace", "source_labels": ["severity"],
+         "regex": "page", "target_label": "team",
+         "replacement": "oncall"},
+    ]
+    out = relabel_alerts(alerts, rules, spark)
+    assert [a["labels"] for a in out] == [
+        {"alertname": "Real", "severity": "page", "team": "oncall"}
+    ]
+    assert out[0]["annotations"] == {"b": "2"}
+
+    # end-to-end: the POSTed payload reflects the relabeled set
+    sink = _Sink()
+    try:
+        from shards_prometheus_spark.sources.alertmanager import (
+            firing_to_v2,
+        )
+
+        notifier = AlertmanagerNotifier([sink.url])
+        notifier.push_state(firing_to_v2(out, 10_000_000), 10_000_000)
+        delivered = json.loads(sink.received[0][1])
+        assert [e["labels"] for e in delivered] == [
+            {"alertname": "Real", "severity": "page", "team": "oncall"}
+        ]
+    finally:
+        sink.stop()
+
+
+def test_alertmanager_discovery_relabel_hop(spark):
+    """alerting.alertmanagers[].relabel_configs route through the
+    same compiled chain as scrape-target discovery: a dropped
+    __address__ removes the pool member, a rewrite changes the push
+    URL."""
+    from shards_prometheus_spark.sources.scrape_config import (
+        load_scrape_configs,
+        resolve_alertmanagers,
+    )
+
+    cfg = load_scrape_configs(
+        """
+alerting:
+  alert_relabel_configs:
+    - action: drop
+      source_labels: [severity]
+      regex: info
+  alertmanagers:
+    - path_prefix: /am
+      static_configs:
+        - targets: ['keep:9093', 'drop:9093']
+      relabel_configs:
+        - action: drop
+          source_labels: [__address__]
+          regex: 'drop:.*'
+        - action: replace
+          source_labels: [__address__]
+          regex: 'keep:(.*)'
+          target_label: __address__
+          replacement: 'kept:${1}'
+scrape_configs:
+  - job_name: j
+    static_configs: [{targets: ['t:1']}]
+"""
+    )
+    assert cfg.alert_relabel_configs == [
+        {"action": "drop", "source_labels": ["severity"],
+         "regex": "info"}
+    ]
+    assert resolve_alertmanagers(spark, cfg) == ["http://kept:9093/am"]
+    # the static (un-relabeled) list still reflects the raw config
+    assert cfg.alertmanager_urls == [
+        "http://keep:9093/am", "http://drop:9093/am"
+    ]
+
+
 def test_notify_batches_to_max_batch_size():
     """Upstream's notifier caps each POST at maxBatchSize alerts: a
     150-alert payload arrives as sequential chunks of <= 64, in

@@ -578,6 +578,10 @@ def test_serve_scraped_config_end_to_end(spark):
         'beat_total{user="u1"} 5',
         "# TYPE temp gauge",
         'temp{sensor="cpu",zone="z1"} 42.5',
+        "# TYPE lat summary",
+        'lat{quantile="0.5"} 0.1',
+        "lat_sum 3.5",
+        "lat_count 7",
     ]
 
     def lines_fn():
@@ -653,6 +657,17 @@ scrape_configs:
             text = r.read().decode()
         assert "# TYPE beat counter" in text
         assert 'sensor="cpu"' in text and "42.5" in text
+        # a scraped summary family re-exposes under ONE TYPE header:
+        # its _sum/_count siblings must not emit a conflicting
+        # '# TYPE lat histogram' (a federating Prometheus rejects
+        # duplicate TYPE metadata)
+        assert "# TYPE lat summary" in text
+        assert "# TYPE lat histogram" not in text
+        assert text.count("# TYPE lat ") == 1
+        import re as _re
+
+        assert _re.search(r"lat_sum\{[^}]*\} 3\.5", text)
+        assert _re.search(r"lat_count\{[^}]*\} 7", text)
 
         # the config echoes on /api/v1/status/config
         served = api("/api/v1/status/config")["data"]["yaml"]
