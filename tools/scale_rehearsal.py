@@ -591,8 +591,12 @@ def main() -> None:
         with open(path) as f:
             artifact = json.load(f)
         artifact["queries"].update(results)
+        # a re-measured query's verdict REPLACES its old one: drop
+        # re-measured names from the carried flag set first, so a
+        # clean quiet-window run actually clears a stale flag instead
+        # of unioning it forever (r13's window-inflated wire flags)
         artifact["flagged"] = sorted(
-            set(artifact.get("flagged", []))
+            (set(artifact.get("flagged", [])) - set(results))
             | {
                 n
                 for n, r in results.items()
