@@ -378,13 +378,41 @@ def parse_write_request_v2_full(
     return out, exemplars, metadata, created
 
 
+#: inverse of _V2_METRIC_TYPES for the encoder twin
+_V2_TYPE_ENUM = {
+    "counter": 1,
+    "gauge": 2,
+    "histogram": 3,
+    "gaugehistogram": 4,
+    "summary": 5,
+    "info": 6,
+    "stateset": 7,
+    "unknown": 8,
+}
+
+
 def encode_write_request_v2(
-    rows: "list[tuple[dict, int, float]]", compress: bool = True
+    rows: "list[tuple[dict, int, float]]",
+    compress: bool = True,
+    metadata: "dict | None" = None,
+    exemplars: "dict | None" = None,
+    created: "dict | None" = None,
 ) -> bytes:
     """[(labels incl. __name__, ts_ms, value)] → one 2.0 Request:
     strings interned once in `symbols` (symbols[0] = "" per spec),
     consecutive same-label rows sharing a TimeSeries — the sender
-    twin the round-trip tests drive the receiver with."""
+    twin the round-trip tests drive the receiver with.
+
+    Optional side data (the spec's remaining TimeSeries fields, the
+    symmetric half of parse_write_request_v2_full):
+
+    - ``metadata``: {metric: {"type", "help", "unit"}} — attached to
+      every TimeSeries of that metric (field 5).
+    - ``exemplars``: {sorted-label-items tuple: [(ex_labels dict,
+      value, ts_ms), …]} per series (field 4).
+    - ``created``: {sorted-label-items tuple: created_ms} per series
+      (field 6).
+    """
     symbols: list[str] = [""]
     index: dict[str, int] = {"": 0}
 
@@ -405,10 +433,42 @@ def encode_write_request_v2(
             _uvarint_encode(ref(k)) + _uvarint_encode(ref(v))
             for k, v in sorted(cur_labels.items())
         )
-        series.append(
-            pb_len(1, packed)
-            + b"".join(pb_len(2, s) for s in cur_samples)
-        )
+        parts = [
+            pb_len(1, packed),
+            b"".join(pb_len(2, s) for s in cur_samples),
+        ]
+        k = tuple(sorted(cur_labels.items()))
+        for ex_labels, ex_val, ex_ts in (exemplars or {}).get(k, []):
+            ex_packed = b"".join(
+                _uvarint_encode(ref(n)) + _uvarint_encode(ref(v))
+                for n, v in sorted(ex_labels.items())
+            )
+            parts.append(
+                pb_len(
+                    4,
+                    pb_len(1, ex_packed)
+                    + pb_double(2, float(ex_val))
+                    + pb_varint(3, int(ex_ts)),
+                )
+            )
+        meta = (metadata or {}).get(cur_labels.get("__name__", ""))
+        if meta:
+            parts.append(
+                pb_len(
+                    5,
+                    pb_varint(
+                        1,
+                        _V2_TYPE_ENUM.get(
+                            str(meta.get("type", "unknown")), 8
+                        ),
+                    )
+                    + pb_varint(3, ref(str(meta.get("help", ""))))
+                    + pb_varint(4, ref(str(meta.get("unit", "")))),
+                )
+            )
+        if created and k in created:
+            parts.append(pb_varint(6, int(created[k])))
+        series.append(b"".join(parts))
 
     for labels, ts_ms, value in rows:
         if labels != cur_labels:

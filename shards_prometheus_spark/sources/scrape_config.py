@@ -101,6 +101,11 @@ class ScrapeJob:
     #: *_file credentials are read at config-load time — re-load the
     #: config to pick up a rotated secret.
     auth_header: "str | None" = None
+    #: upstream `tls_config` for https targets: ca_file (trust root
+    #: for self-signed exporter fleets), cert_file/key_file (client
+    #: pair, mTLS), insecure_skip_verify. Applied per GET on the
+    #: executors (scraper._tls_context).
+    tls: dict = field(default_factory=dict)
 
     def request_headers(self) -> "dict | None":
         """Extra per-GET headers this job's scrapes carry (on top of
@@ -184,6 +189,7 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
                     for k, v in (sc.get("params") or {}).items()
                 },
                 auth_header=_auth_header(sc),
+                tls=_tls_config(sc),
             )
         )
     # alerting: alertmanagers: [static_configs: [targets: [...]]]
@@ -290,6 +296,20 @@ def _auth_header(sc: dict) -> "str | None":
         )
         return f"{typ} {cred}" if cred else None
     return None
+
+
+def _tls_config(sc: dict) -> dict:
+    """The job's `tls_config:` section, normalized to the knobs the
+    scraper's SSL context builder consumes (unknown keys dropped per
+    the be-liberal parse convention)."""
+    raw = sc.get("tls_config") or {}
+    out: dict = {}
+    for k in ("ca_file", "cert_file", "key_file"):
+        if raw.get(k):
+            out[k] = str(raw[k])
+    if raw.get("insecure_skip_verify"):
+        out["insecure_skip_verify"] = True
+    return out
 
 
 def _size_bytes(v) -> int:
@@ -502,6 +522,7 @@ def scrape_job_stream(
         sample_limit=job.sample_limit,
         body_limit=job.body_limit,
         headers=job.request_headers(),
+        tls=job.tls or None,
     )
     scraped = scraped_samples(
         lines,

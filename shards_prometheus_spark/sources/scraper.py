@@ -106,11 +106,36 @@ def _scrape_headers(
     return h
 
 
+def _tls_context(url: str, tls: "dict | None"):
+    """The job's `tls_config` → an ssl.SSLContext for an https
+    target (None for plain http): `ca_file` pins the trust root
+    (self-signed exporter fleets), `cert_file`/`key_file` present the
+    client pair (mTLS), `insecure_skip_verify` disables verification
+    — upstream's knobs. A verification failure surfaces as a failed
+    GET → `up` 0, like any other target death."""
+    if not url.startswith("https"):
+        return None
+    import ssl
+
+    if tls and tls.get("insecure_skip_verify"):
+        ctx = ssl._create_unverified_context()
+    else:
+        ctx = ssl.create_default_context(
+            cafile=(tls or {}).get("ca_file") or None
+        )
+    if tls and tls.get("cert_file"):
+        ctx.load_cert_chain(
+            tls["cert_file"], tls.get("key_file") or None
+        )
+    return ctx
+
+
 def _fetch_lines(
     url: str,
     timeout_s: float,
     body_limit: int = 0,
     headers: "dict | None" = None,
+    tls: "dict | None" = None,
 ) -> "tuple[list[str], str]":
     """One HTTP GET of a `/metrics` endpoint → (non-empty payload
     lines, Content-Type).  Runs on the scraping TASK (executor
@@ -119,11 +144,14 @@ def _fetch_lines(
     limit+1, it does not download an oversized body to count it.
     `headers` ride the GET verbatim (negotiation + auth — a secured
     exporter answers 401 to a bare request, which the caller records
-    as a failed scrape, `up` 0)."""
+    as a failed scrape, `up` 0); `tls` is the job's tls_config for
+    https targets."""
     req = urllib.request.Request(
         url, headers=_scrape_headers(timeout_s, headers)
     )
-    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+    with urllib.request.urlopen(
+        req, timeout=timeout_s, context=_tls_context(url, tls)
+    ) as resp:
         ctype = resp.headers.get("Content-Type") or ""
         if body_limit:
             raw = resp.read(body_limit + 1)
@@ -149,6 +177,9 @@ class _ScrapeTarget(InputPartition):
     #: extra request headers (auth, custom) — serialized with the
     #: partition so the GET on the executor carries them
     headers: "dict | None" = None
+    #: the job's tls_config (ca_file / cert_file / key_file /
+    #: insecure_skip_verify) for https targets
+    tls: "dict | None" = None
 
 
 def _opt_headers(options: dict) -> "dict | None":
@@ -160,6 +191,16 @@ def _opt_headers(options: dict) -> "dict | None":
     import json
 
     return {str(k): str(v) for k, v in json.loads(raw).items()}
+
+
+def _opt_tls(options: dict) -> "dict | None":
+    """The `tls` option: a JSON object of tls_config knobs."""
+    raw = options.get("tls")
+    if not raw:
+        return None
+    import json
+
+    return dict(json.loads(raw))
 
 
 def _targets(options: dict) -> list[str]:
@@ -190,7 +231,11 @@ def _read_target(part: _ScrapeTarget):
     t0 = time.perf_counter()
     try:
         lines, ctype = _fetch_lines(
-            part.url, part.timeout_s, part.body_limit, part.headers
+            part.url,
+            part.timeout_s,
+            part.body_limit,
+            part.headers,
+            part.tls,
         )
         up = 1
     except Exception:  # noqa: BLE001 - refused/timeout/DNS/over-limit
@@ -218,6 +263,7 @@ class _ScrapeStreamReader(DataSourceStreamReader):
         self._sample_limit = int(options.get("sample_limit", 0))
         self._body_limit = int(options.get("body_limit", 0))
         self._headers = _opt_headers(options)
+        self._tls = _opt_tls(options)
         # optional self-limit: after max_ticks scrapes by THIS reader
         # instance the offset stops advancing and the query idles
         # (tests; bounded rehearsals)
@@ -254,6 +300,7 @@ class _ScrapeStreamReader(DataSourceStreamReader):
                 self._sample_limit,
                 self._body_limit,
                 self._headers,
+                self._tls,
             )
             for u in self._urls
         ]
@@ -274,12 +321,13 @@ class _ScrapeBatchReader(DataSourceReader):
         self._sample_limit = int(options.get("sample_limit", 0))
         self._body_limit = int(options.get("body_limit", 0))
         self._headers = _opt_headers(options)
+        self._tls = _opt_tls(options)
 
     def partitions(self):
         return [
             _ScrapeTarget(
                 u, 0, self._timeout_s, self._sample_limit,
-                self._body_limit, self._headers,
+                self._body_limit, self._headers, self._tls,
             )
             for u in self._urls
         ]
@@ -321,6 +369,7 @@ def scrape_stream(
     sample_limit: int = 0,
     body_limit: int = 0,
     headers: "dict | None" = None,
+    tls: "dict | None" = None,
 ) -> DataFrame:
     """Streaming raw-lines relation over one or more `/metrics`
     endpoints: one micro-batch per scrape tick, one task per target.
@@ -329,7 +378,8 @@ def scrape_stream(
     up 0, payload dropped, never partially ingested. `headers`: extra
     request headers (a job's basic_auth/authorization compile to one
     Authorization entry here) sent with every GET, on top of the
-    standard Accept + X-Prometheus-Scrape-Timeout-Seconds pair."""
+    standard Accept + X-Prometheus-Scrape-Timeout-Seconds pair.
+    `tls`: the job's tls_config for https targets."""
     import json
 
     register(spark)
@@ -345,6 +395,8 @@ def scrape_stream(
     )
     if headers:
         reader = reader.option("headers", json.dumps(headers))
+    if tls:
+        reader = reader.option("tls", json.dumps(tls))
     return reader.load()
 
 
@@ -355,6 +407,7 @@ def scrape_once(
     sample_limit: int = 0,
     body_limit: int = 0,
     headers: "dict | None" = None,
+    tls: "dict | None" = None,
 ) -> DataFrame:
     """One scrape round as a batch relation (the ad-hoc twin)."""
     import json
@@ -371,6 +424,8 @@ def scrape_once(
     )
     if headers:
         reader = reader.option("headers", json.dumps(headers))
+    if tls:
+        reader = reader.option("tls", json.dumps(tls))
     return reader.load()
 
 

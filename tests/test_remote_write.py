@@ -742,6 +742,46 @@ def test_v2_side_data_decodes():
     assert created == [("reqs_total", "counter", "a", 0.5)]
 
 
+def test_v2_sender_side_data_round_trips():
+    """The sender twin emits the spec's side fields symmetrically:
+    encode_write_request_v2(metadata/exemplars/created) →
+    parse_write_request_v2_full recovers them exactly."""
+    from shards_prometheus_spark.sources.remote_write import (
+        encode_write_request_v2,
+        parse_write_request_v2_full,
+    )
+
+    labels = {"__name__": "reqs_total", "user": "a"}
+    k = tuple(sorted(labels.items()))
+    body = encode_write_request_v2(
+        [(labels, 1_000, 7.0)],
+        metadata={
+            "reqs_total": {
+                "type": "counter",
+                "help": "HTTP requests served",
+                "unit": "requests",
+            }
+        },
+        exemplars={k: [({"trace_id": "abc123"}, 1.25, 1_500)]},
+        created={k: 500},
+    )
+    rows, exemplars, metadata, created = parse_write_request_v2_full(
+        body
+    )
+    assert rows == [(labels, 1_000, 7.0)]
+    assert exemplars == [
+        ("reqs_total", "a", None, "abc123", 1.25, 1.5)
+    ]
+    assert metadata == {
+        "reqs_total": {
+            "type": "counter",
+            "help": "HTTP requests served",
+            "unit": "requests",
+        }
+    }
+    assert created == [("reqs_total", "counter", "a", 0.5)]
+
+
 def test_v2_push_serves_exemplars_and_metadata(spark):
     """The VERDICT Done-bar: a 2.0 push with exemplars →
     /api/v1/query_exemplars returns them; /api/v1/metadata serves the

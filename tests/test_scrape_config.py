@@ -555,6 +555,135 @@ scrape_configs:
         srv.shutdown()
 
 
+def _self_signed_cert(tmp_path):
+    """Mint a self-signed cert for 127.0.0.1 (SAN IP) — requires the
+    cryptography lib (present in this container; the FEATURE under
+    test uses only stdlib ssl)."""
+    import datetime
+    import ipaddress
+
+    import pytest as _pytest
+
+    crypto = _pytest.importorskip("cryptography")  # noqa: F841
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name(
+        [x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")]
+    )
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(minutes=5))
+        .not_valid_after(now + datetime.timedelta(hours=1))
+        .add_extension(
+            x509.SubjectAlternativeName(
+                [x509.IPAddress(ipaddress.ip_address("127.0.0.1"))]
+            ),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    cert_path = tmp_path / "srv.crt"
+    key_path = tmp_path / "srv.key"
+    cert_path.write_bytes(
+        cert.public_bytes(serialization.Encoding.PEM)
+    )
+    key_path.write_bytes(
+        key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption(),
+        )
+    )
+    return str(cert_path), str(key_path)
+
+
+def test_tls_config_scrapes_https_targets(spark, tmp_path):
+    """upstream tls_config: an https exporter with a self-signed cert
+    scrapes with `ca_file` pinning the trust root (verification ON)
+    and with `insecure_skip_verify`; a bare https scrape (no
+    tls_config) fails verification and reads as a dead target
+    (`up` 0) without failing the batch."""
+    import http.server
+    import ssl
+    import threading
+
+    from pyspark.sql import functions as F
+
+    cert_path, key_path = _self_signed_cert(tmp_path)
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            body = b"tls_gauge 7\n"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(cert_path, key_path)
+    srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"https://127.0.0.1:{srv.server_address[1]}/metrics"
+    try:
+        from shards_prometheus_spark.sources.scrape_config import (
+            load_scrape_configs,
+        )
+        from shards_prometheus_spark.sources.scraper import (
+            scrape_once,
+            scraped_samples,
+        )
+
+        cfg = load_scrape_configs(
+            f"""
+scrape_configs:
+  - job_name: pinned
+    scheme: https
+    tls_config: {{ca_file: {cert_path}}}
+    static_configs: [{{targets: ['x:1']}}]
+  - job_name: insecure
+    scheme: https
+    tls_config: {{insecure_skip_verify: true}}
+    static_configs: [{{targets: ['x:1']}}]
+"""
+        )
+        assert cfg.jobs[0].tls == {"ca_file": cert_path}
+        assert cfg.jobs[1].tls == {"insecure_skip_verify": True}
+
+        def gauge_value(tls):
+            df = scraped_samples(
+                scrape_once(spark, url, timeout_s=60, tls=tls)
+            )
+            row = df.filter(F.col("metric") == "tls_gauge").first()
+            return None if row is None else row["value"]
+
+        # ca_file pins the self-signed root: verification ON, scrape OK
+        assert gauge_value(cfg.jobs[0].tls) == 7.0
+        # insecure_skip_verify also reads it
+        assert gauge_value(cfg.jobs[1].tls) == 7.0
+        # a bare https GET fails verification → dead target (up 0),
+        # batch survives
+        bare = scraped_samples(scrape_once(spark, url, timeout_s=60))
+        up = bare.filter(F.col("metric") == "up").first()
+        assert up["value"] == 0.0
+        assert bare.filter(F.col("metric") == "tls_gauge").first() is None
+    finally:
+        srv.shutdown()
+
+
 def test_serve_scraped_config_end_to_end(spark):
     """The switching user's whole deployment in one call
     (`serve_scraped_config`): a prometheus.yml whose job scrapes two
