@@ -1419,6 +1419,18 @@ class MetricsExposer:
                 parts = urlsplit(self.path)
                 if self._lifecycle():
                     return
+                # write-side endpoints are POST-only (upstream's mux
+                # answers 405 Method Not Allowed, not 404, when the
+                # receiver is enabled)
+                if (
+                    parts.path == "/api/v1/write"
+                    and outer._remote_write
+                ) or (
+                    parts.path == "/api/v1/otlp/v1/metrics"
+                    and outer._otlp_receiver
+                ):
+                    self.send_error(405)
+                    return
                 if self._api():
                     return
                 if parts.path == "/federate":

@@ -1366,6 +1366,11 @@ def handle_api_request(
             data = status_tsdb_data(make_evaluator(None))
         elif path == "/api/v1/status/runtimeinfo":
             data = status_runtimeinfo_data(target_info)
+        elif path == "/api/v1/status/walreplay":
+            # public startup-progress endpoint (the 3.x UI polls it
+            # while a real server replays its WAL); a parquet-backed
+            # engine has no WAL — the honest already-done shape
+            data = {"min": 0, "max": 0, "current": 0}
         elif path == "/api/v1/metadata":
             data = metadata_data(make_evaluator(None), push_metadata)
         elif path in ("/api/v1/format_query", "/api/v1/parse_query"):

@@ -1596,6 +1596,32 @@ def test_api_status_runtimeinfo(spark):
     assert data["lastConfigTime"] == data["startTime"]
 
 
+def test_api_walreplay_and_write_method_guards(spark):
+    """/api/v1/status/walreplay serves the public already-done shape
+    (a parquet engine has no WAL); GETs to the write-side endpoints
+    answer 405 Method Not Allowed when the receiver is on (upstream's
+    mux), 404 envelope when off."""
+    import urllib.error
+    import urllib.request
+
+    exposer = MetricsExposer(
+        spark, SF_SMOKE, remote_write=True, otlp_receiver=True
+    ).start()
+    base = f"http://{exposer.host}:{exposer.port}"
+    try:
+        status, payload = _api_get(exposer, "/api/v1/status/walreplay")
+        assert status == 200
+        assert payload["data"] == {"min": 0, "max": 0, "current": 0}
+        for p in ("/api/v1/write", "/api/v1/otlp/v1/metrics"):
+            try:
+                urllib.request.urlopen(base + p, timeout=60)
+                raise AssertionError(f"GET {p} did not error")
+            except urllib.error.HTTPError as exc:
+                assert exc.code == 405, p
+    finally:
+        exposer.stop()
+
+
 def test_api_per_request_timeout_param(spark):
     """The public per-request `timeout` parameter: a microscopic
     timeout on a real query answers 503/`timeout` even on a server
