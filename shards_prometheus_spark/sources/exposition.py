@@ -1176,6 +1176,7 @@ class MetricsExposer:
         exemplars_fn=None,
         remote_write: bool = False,
         otlp_receiver: bool = False,
+        otlp_convert_delta: bool = False,
         scrape_config: str | None = None,
         scrape_config_path: str | None = None,
         alertmanagers: "list[str] | None" = None,
@@ -1280,9 +1281,16 @@ class MetricsExposer:
                     )
 
                     def _otlp_receive(raw):
-                        rows, rejected, msgs = parse_otlp_request_full(
-                            raw
+                        rows, rejected, msgs, delta_keys = (
+                            parse_otlp_request_full(
+                                raw,
+                                convert_delta=outer._otlp_convert_delta,
+                            )
                         )
+                        if delta_keys:
+                            rows = outer._accumulate_otlp_deltas(
+                                rows, delta_keys
+                            )
                         outer._rw.ingest_rows(rows)
                         if rejected:
                             return rejected, "; ".join(msgs)
@@ -1484,6 +1492,13 @@ class MetricsExposer:
         self._query_timeout_s = query_timeout_s
         self._remote_write = remote_write
         self._otlp_receiver = otlp_receiver
+        self._otlp_convert_delta = otlp_convert_delta
+        #: running totals per series for the opt-in OTLP
+        #: delta-to-cumulative conversion (upstream's
+        #: otlp.convert_delta_to_cumulative): series-sized driver
+        #: state, same posture as the pushed-store rows themselves
+        self._otlp_running: dict = {}
+        self._otlp_running_lock = threading.Lock()
         self._scrape_config = scrape_config
         self._scrape_config_path = scrape_config_path
         self._enable_lifecycle = enable_lifecycle
@@ -1531,6 +1546,35 @@ class MetricsExposer:
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True
         )
+
+    def _accumulate_otlp_deltas(
+        self, rows: list, delta_keys: set
+    ) -> list:
+        """The conversion half of upstream's opt-in
+        ``otlp.convert_delta_to_cumulative``: delta points of the
+        flagged series accumulate onto per-series running totals held
+        across requests (within one request, in timestamp order), so
+        the stored samples are the cumulative values every
+        rate()/increase() expects. Rows of cumulative series pass
+        through untouched."""
+        out = []
+        by_key: dict = {}
+        for labels, ts_ms, value in rows:
+            k = tuple(sorted(labels.items()))
+            if k in delta_keys:
+                by_key.setdefault(k, []).append((ts_ms, value, labels))
+            else:
+                out.append((labels, ts_ms, value))
+        with self._otlp_running_lock:
+            for k, pts in by_key.items():
+                running = self._otlp_running.get(k, 0.0)
+                for ts_ms, value, labels in sorted(
+                    pts, key=lambda p: p[0]
+                ):
+                    running += value
+                    out.append((labels, ts_ms, running))
+                self._otlp_running[k] = running
+        return out
 
     def receive_remote_write(
         self, payload: bytes, content_type: "str | None" = None

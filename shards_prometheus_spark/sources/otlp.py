@@ -150,8 +150,8 @@ def parse_otlp_request(payload: bytes) -> "list[tuple[dict, int, float]]":
 
 
 def parse_otlp_request_full(
-    payload: bytes,
-) -> "tuple[list[tuple[dict, int, float]], int, list[str]]":
+    payload: bytes, convert_delta: bool = False
+) -> "tuple[list[tuple[dict, int, float]], int, list[str], set]":
     """ExportMetricsServiceRequest → (rows, rejected_data_points,
     messages), Prometheus translation applied:
 
@@ -170,12 +170,24 @@ def parse_otlp_request_full(
       HTTP layer answers with an OTLP partial-success response
       instead of a silently clean 200.
 
+    Returns (rows, rejected_data_points, messages, delta_series):
+    with ``convert_delta`` (the receiver's twin of upstream's opt-in
+    ``otlp.convert_delta_to_cumulative`` feature flag) DELTA Sums and
+    Histograms parse instead of raising, their per-interval values
+    pass through UNCONVERTED, and ``delta_series`` holds the affected
+    series' sorted-label-items keys — the CALLER owns the running
+    accumulation (it needs cross-request state; see
+    MetricsExposer's ``otlp_convert_delta``). Without the flag,
+    ``delta_series`` is always empty.
+
     Raises ValueError on a structurally corrupt body OR on a
     non-cumulative (delta/unspecified) Sum/Histogram temporality —
     upstream's OTLP receiver rejects non-cumulative temporality by
     default (only converts behind ``otlp.convert_delta_to_cumulative``);
     decoding delta increments as if they were running totals would
-    silently corrupt every rate()/increase() over the series."""
+    silently corrupt every rate()/increase() over the series.
+    UNSPECIFIED temporality rejects even with the flag (an invalid
+    metric, per the proto)."""
     import struct
 
     if payload[:2] == b"\x1f\x8b":  # gzip magic — spec-permitted
@@ -185,6 +197,7 @@ def parse_otlp_request_full(
     out: list = []
     rejected = [0]
     messages: list = []
+    delta_series: set = set()
     try:
         for f, wt, rm in pb_fields(payload):
             if f != 1 or wt != 2:  # resource_metrics
@@ -213,14 +226,19 @@ def parse_otlp_request_full(
                         continue
                     out.extend(
                         _parse_metric(
-                            metric, resource_labels, rejected, messages
+                            metric,
+                            resource_labels,
+                            rejected,
+                            messages,
+                            convert_delta,
+                            delta_series,
                         )
                     )
     except OTLPTemporalityError:
         raise  # semantic reject, not corruption — keep the message
     except (IndexError, ValueError, struct.error) as exc:
         raise ValueError(f"corrupt OTLP payload: {exc}") from exc
-    return out, rejected[0], messages
+    return out, rejected[0], messages, delta_series
 
 
 #: AggregationTemporality enum (public OTLP proto): 0 unspecified,
@@ -235,14 +253,23 @@ class OTLPTemporalityError(ValueError):
     a structurally corrupt payload."""
 
 
-def _check_cumulative(temporality: int, kind: str, name: str) -> None:
-    if temporality != _TEMPORALITY_CUMULATIVE:
-        raise OTLPTemporalityError(
-            f"{_TEMPORALITY_NAMES.get(temporality, temporality)}"
-            f"-temporality {kind} {name!r} rejected: only cumulative"
-            " temporality is supported (upstream default; delta points"
-            " stored as running totals would corrupt rate()/increase())"
-        )
+def _check_cumulative(
+    temporality: int, kind: str, name: str, allow_delta: bool = False
+) -> bool:
+    """Returns True when the metric's points are DELTA and the caller
+    opted into conversion (upstream's
+    ``otlp.convert_delta_to_cumulative`` feature flag); raises for
+    any non-cumulative temporality otherwise."""
+    if temporality == _TEMPORALITY_CUMULATIVE:
+        return False
+    if allow_delta and temporality == 1:  # DELTA, conversion opted in
+        return True
+    raise OTLPTemporalityError(
+        f"{_TEMPORALITY_NAMES.get(temporality, temporality)}"
+        f"-temporality {kind} {name!r} rejected: only cumulative"
+        " temporality is supported (upstream default; delta points"
+        " stored as running totals would corrupt rate()/increase())"
+    )
 
 
 def _parse_metric(
@@ -250,6 +277,8 @@ def _parse_metric(
     resource_labels: dict,
     rejected: "list[int] | None" = None,
     messages: "list[str] | None" = None,
+    convert_delta: bool = False,
+    delta_series: "set | None" = None,
 ) -> list:
     import struct
 
@@ -294,6 +323,7 @@ def _parse_metric(
         d.update(extra)
         return d
 
+    is_delta = False
     if gauge is not None or sums is not None:
         body = gauge if gauge is not None else sums
         if sums is not None:
@@ -303,7 +333,9 @@ def _parse_metric(
                     temporality = v
                 elif f == 3 and wt == 0:  # is_monotonic
                     monotonic = bool(v)
-            _check_cumulative(temporality, "sum", name)
+            is_delta = _check_cumulative(
+                temporality, "sum", name, convert_delta
+            )
         out_name = (
             name + "_total"
             if monotonic and not name.endswith("_total")
@@ -313,15 +345,19 @@ def _parse_metric(
             if f != 1 or wt != 2:
                 continue
             attrs, ts_ms, val = _number_point(dp)
-            rows.append(
-                (lbl(attrs, __name__=out_name), ts_ms, val)
-            )
+            full = lbl(attrs, __name__=out_name)
+            rows.append((full, ts_ms, val))
+            if is_delta and delta_series is not None:
+                delta_series.add(tuple(sorted(full.items())))
     if hist is not None:
         temporality = 0
         for f, wt, v in pb_fields(hist):
             if f == 2 and wt == 0:  # aggregation_temporality
                 temporality = v
-        _check_cumulative(temporality, "histogram", name)
+        hist_delta = _check_cumulative(
+            temporality, "histogram", name, convert_delta
+        )
+        hist_start = len(rows)
         for f, wt, dp in pb_fields(hist):
             if f != 1 or wt != 2:
                 continue
@@ -391,6 +427,12 @@ def _parse_metric(
                     float(count),
                 )
             )
+        if hist_delta and delta_series is not None:
+            # every exploded child series (_bucket/_sum/_count)
+            # accumulates independently — delta-to-cumulative over
+            # the exploded relation is per-series running addition
+            for labels, _ts, _v in rows[hist_start:]:
+                delta_series.add(tuple(sorted(labels.items())))
     if summ is not None:
         for f, wt, dp in pb_fields(summ):
             if f != 1 or wt != 2:

@@ -363,10 +363,92 @@ def test_delta_temporality_rejected():
         )
     # cumulative (2) passes and no points are rejected
     ok_sum = dp + pb_varint(2, 2) + pb_varint(3, 1)
-    rows, rejected, msgs = parse_otlp_request_full(
+    rows, rejected, msgs, deltas = parse_otlp_request_full(
         _wrap_metric(pb_len(1, b"reqs") + pb_len(7, ok_sum))
     )
     assert [r[2] for r in rows] == [5.0] and rejected == 0 and not msgs
+    assert deltas == set()
+
+
+def _delta_sum_request(name: bytes, points):
+    """Hand-built DELTA-temporality monotonic Sum request:
+    points = [(ts_ns, value)]."""
+    from shards_prometheus_spark.functions.miniformats import (
+        pb_double,
+        pb_len,
+        pb_varint,
+    )
+    from shards_prometheus_spark.sources.otlp import _fixed64
+
+    dps = b"".join(
+        pb_len(1, _fixed64(3, ts) + pb_double(4, v))
+        for ts, v in points
+    )
+    body = dps + pb_varint(2, 1) + pb_varint(3, 1)  # delta, monotonic
+    return _wrap_metric(pb_len(1, name) + pb_len(7, body))
+
+
+def test_convert_delta_flag_accumulates(spark):
+    """Upstream's opt-in `otlp.convert_delta_to_cumulative`: with the
+    exposer's otlp_convert_delta flag, delta sums parse and accumulate
+    onto per-series running totals ACROSS requests (in timestamp
+    order within one), so the stored samples are cumulative; the
+    default exposer still answers 400."""
+    import json
+    import urllib.request
+    from urllib.parse import quote
+
+    from shards_prometheus_spark.sources import MetricsExposer
+    from shards_prometheus_spark.sources.otlp import (
+        parse_otlp_request_full,
+    )
+
+    # unit: the parser surfaces the delta series instead of raising
+    req1 = _delta_sum_request(
+        b"d.reqs", [(_TS_NS, 5.0), (_TS_NS + 1_000_000_000, 3.0)]
+    )
+    rows, rejected, msgs, deltas = parse_otlp_request_full(
+        req1, convert_delta=True
+    )
+    assert [r[2] for r in rows] == [5.0, 3.0] and rejected == 0
+    assert len(deltas) == 1
+
+    exposer = MetricsExposer(
+        spark, SF_SMOKE, otlp_receiver=True, otlp_convert_delta=True
+    ).start()
+    base = f"http://{exposer.host}:{exposer.port}"
+    try:
+        def post(body):
+            r = urllib.request.Request(
+                base + "/api/v1/otlp/v1/metrics",
+                data=body,
+                headers={"Content-Type": "application/x-protobuf"},
+                method="POST",
+            )
+            with urllib.request.urlopen(r, timeout=60) as resp:
+                assert resp.status == 200
+
+        post(req1)
+        # second request: another +2 on the same series
+        post(
+            _delta_sum_request(
+                b"d.reqs", [(_TS_NS + 2_000_000_000, 2.0)]
+            )
+        )
+        # the stored series is cumulative: 5, 8, 10
+        q = quote(
+            "d_reqs_total[1h] @ %d" % (_TS_NS // 1_000_000_000 + 2)
+        )
+        with urllib.request.urlopen(
+            base + f"/api/v1/query?query={q}", timeout=120
+        ) as resp:
+            res = json.loads(resp.read())["data"]["result"]
+        assert len(res) == 1
+        assert [float(v) for _t, v in res[0]["values"]] == [
+            5.0, 8.0, 10.0
+        ]
+    finally:
+        exposer.stop()
 
 
 def test_exponential_histogram_partial_success():
@@ -393,7 +475,7 @@ def test_exponential_histogram_partial_success():
         2, pb_len(1, b"depth") + pb_len(5, gauge_dp)
     )
     req = pb_len(1, pb_len(2, scope))
-    rows, rejected, msgs = parse_otlp_request_full(req)
+    rows, rejected, msgs, _deltas = parse_otlp_request_full(req)
     # the gauge still lands; the exponential points are counted out
     assert [(r[0]["__name__"], r[2]) for r in rows] == [("depth", 7.5)]
     assert rejected == 2
