@@ -148,6 +148,7 @@ class AlertmanagerNotifier:
                 payload.append(entry)
                 stamped.append((k, last))
                 self._last_sent[k] = now_us
+        resolved_keys: "list[tuple[tuple, dict, int | None]]" = []
         if self.send_resolved:
             for k, prev in self._active.items():
                 if k in current:
@@ -155,7 +156,7 @@ class AlertmanagerNotifier:
                 resolved = dict(prev)
                 resolved["endsAt"] = _rfc3339(now_us)
                 payload.append(resolved)
-                self._last_sent.pop(k, None)
+                resolved_keys.append((k, prev, self._last_sent.pop(k, None)))
         else:
             for k in list(self._last_sent):
                 if k not in current:
@@ -173,6 +174,16 @@ class AlertmanagerNotifier:
                 if prev_ts is None:
                     self._last_sent.pop(k, None)
                 else:
+                    self._last_sent[k] = prev_ts
+            # ... and the resolved delta must be retried too: re-arm
+            # each undelivered resolved entry as still-active (and
+            # restore its resend stamp) so the NEXT evaluation
+            # regenerates its endsAt notification instead of dropping
+            # the resolution permanently — upstream retries resolved
+            # sends exactly like firing ones
+            for k, prev, prev_ts in resolved_keys:
+                current[k] = prev
+                if prev_ts is not None:
                     self._last_sent[k] = prev_ts
         self._active = current
         return payload, statuses

@@ -1556,7 +1556,19 @@ class MetricsExposer:
         across requests (within one request, in timestamp order), so
         the stored samples are the cumulative values every
         rate()/increase() expects. Rows of cumulative series pass
-        through untouched."""
+        through untouched.
+
+        Cross-request ordering: the accumulator tracks the LAST
+        timestamp it folded per series, and a point at-or-before that
+        stamp is DROPPED (not accumulated, not stored) — an
+        out-of-order collector replay would otherwise silently
+        corrupt the running total. Within one request points sort by
+        timestamp first, so only genuinely late arrivals (relative to
+        an earlier request) are rejected. This mirrors upstream's
+        deltatocumulative processor, which tracks per-series start
+        timestamps and drops older-than-state points. The
+        ``_otlp_running`` map is series-sized driver state (the same
+        posture as the pushed store itself)."""
         out = []
         by_key: dict = {}
         for labels, ts_ms, value in rows:
@@ -1567,23 +1579,30 @@ class MetricsExposer:
                 out.append((labels, ts_ms, value))
         with self._otlp_running_lock:
             for k, pts in by_key.items():
-                running = self._otlp_running.get(k, 0.0)
+                running, last_ts = self._otlp_running.get(
+                    k, (0.0, None)
+                )
                 for ts_ms, value, labels in sorted(
                     pts, key=lambda p: p[0]
                 ):
+                    if last_ts is not None and ts_ms <= last_ts:
+                        continue  # late replay: reject, don't corrupt
                     running += value
+                    last_ts = ts_ms
                     out.append((labels, ts_ms, running))
-                self._otlp_running[k] = running
+                self._otlp_running[k] = (running, last_ts)
         return out
 
     def receive_remote_write(
         self, payload: bytes, content_type: "str | None" = None
-    ) -> int:
+    ) -> "int | tuple[int, int]":
         """Ingest one remote-write WriteRequest body (the push half of
         the pairing, on the SAME server as /metrics and the read API —
         upstream's remote-write-receiver flag; 1.0 or the 2.0 wire by
         Content-Type). Delegates to the shared RemoteWriteReceiver
-        store; returns rows appended."""
+        store; returns rows appended — an int for a 1.0 body, the
+        (samples, exemplars) pair for a 2.0 one (see
+        RemoteWriteReceiver.receive)."""
         return self._rw.receive(payload, content_type)
 
     def _rw_samples(self):

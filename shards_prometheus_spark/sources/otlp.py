@@ -384,8 +384,12 @@ def _parse_metric(
                     # proto: packed = 8-byte little-endian words, NOT
                     # uvarints (a uvarint read of a real SDK payload
                     # with any count >= 128 or > 1 bucket decodes to
-                    # garbage cumulative _bucket values)
-                    bucket_counts = _packed_fixed64(v2)
+                    # garbage cumulative _bucket values). extend, not
+                    # assign: proto3 requires CONCATENATING every
+                    # occurrence of a repeated field, so a packed list
+                    # split across chunks (or mixed with unpacked
+                    # wt=1 entries) must accumulate
+                    bucket_counts.extend(_packed_fixed64(v2))
                 elif f2 == 6 and wt2 == 1:
                     # unpacked repeated fixed64 (also legal on the
                     # wire); the walker yields wt=1 as a double —
@@ -394,7 +398,11 @@ def _parse_metric(
                         struct.unpack("<Q", struct.pack("<d", v2))[0]
                     )
                 elif f2 == 7 and wt2 == 2:
-                    bounds = _packed_double(v2)
+                    # concatenate split packed chunks (proto3 repeated
+                    # semantics), mirroring bucket_counts above
+                    bounds.extend(_packed_double(v2))
+                elif f2 == 7 and wt2 == 1:
+                    bounds.append(float(v2))
             a = _attributes(attrs)
             base = lbl(a)
             cum = 0

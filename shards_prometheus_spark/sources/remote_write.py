@@ -730,13 +730,18 @@ class RemoteWriteReceiver:
     # -- ingest ----------------------------------------------------------
     def receive(
         self, payload: bytes, content_type: "str | None" = None
-    ) -> int:
+    ) -> "int | tuple[int, int]":
         """Ingest one WriteRequest body — 1.0 or, when the request's
         Content-Type names `io.prometheus.write.v2.Request`, the 2.0
         interned-symbols wire (side data — metadata, exemplars,
-        created timestamps — stored beside the samples). Returns rows
-        appended (v2: the (samples, exemplars) pair the 2.0 response
-        headers report)."""
+        created timestamps — stored beside the samples).
+
+        Return shape is CONTENT-TYPE DEPENDENT: a 1.0 body returns
+        the plain sample count (int); a 2.0 body returns the
+        ``(samples, exemplars)`` pair the 2.0 response headers
+        (X-Prometheus-Remote-Write-Samples/Exemplars-Written) report.
+        Callers that only want a count should branch on
+        ``isinstance(n, tuple)`` or use ``ingest_rows`` directly."""
         if is_v2_content_type(content_type):
             rows, exemplars, metadata, created = (
                 parse_write_request_v2_full(payload)

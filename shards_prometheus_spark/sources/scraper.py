@@ -118,7 +118,11 @@ def _tls_context(url: str, tls: "dict | None"):
     import ssl
 
     if tls and tls.get("insecure_skip_verify"):
-        ctx = ssl._create_unverified_context()
+        # the stable public spelling of "no verification" (the
+        # private ssl._create_unverified_context does the same)
+        ctx = ssl.create_default_context()
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
     else:
         ctx = ssl.create_default_context(
             cafile=(tls or {}).get("ca_file") or None
@@ -182,14 +186,64 @@ class _ScrapeTarget(InputPartition):
     tls: "dict | None" = None
 
 
+#: secret stash files created by _stash_headers, removed at exit
+_SECRET_FILES: "list[str]" = []
+
+
+def _stash_headers(headers: dict) -> str:
+    """Write a request-header dict (typically carrying an
+    `Authorization` credential) to a 0600 driver-local file and
+    return its path — the OUT-OF-BAND channel for scrape credentials.
+
+    DataSource option VALUES surface in the Spark UI, `.explain()`
+    output, and event logs, so a credential passed inline via the
+    `headers` option would leak into logs (upstream masks every
+    secret as `<secret>`). The `headers_file` option instead carries
+    only this path; the stream/batch reader — constructed on the
+    DRIVER — reads the file in `__init__` and ships the values to
+    executors inside the pickled partition objects, which are never
+    rendered into plans or logs. The file lives for the process (a
+    checkpoint-restarted query re-creates its reader from the same
+    options) and is deleted at interpreter exit."""
+    import atexit
+    import json
+    import os
+    import tempfile
+
+    fd, path = tempfile.mkstemp(prefix="scrape_hdrs_", suffix=".json")
+    try:
+        os.fchmod(fd, 0o600)
+        with os.fdopen(fd, "w") as f:
+            json.dump(headers, f)
+    except BaseException:
+        os.close(fd)
+        raise
+    if not _SECRET_FILES:
+        atexit.register(
+            lambda: [
+                os.path.exists(p) and os.unlink(p)
+                for p in _SECRET_FILES
+            ]
+        )
+    _SECRET_FILES.append(path)
+    return path
+
+
 def _opt_headers(options: dict) -> "dict | None":
-    """The `headers` option: a JSON object of extra request headers
-    (the option channel is string-typed)."""
+    """Extra request headers: `headers_file` (the secure out-of-band
+    channel — a driver-readable JSON file path, see _stash_headers)
+    preferred; the inline `headers` JSON option remains accepted for
+    non-secret headers but its value is VISIBLE in Spark UI/plan/log
+    output, so credentials must use the file channel."""
+    import json
+
+    path = options.get("headers_file")
+    if path:
+        with open(path) as f:
+            return {str(k): str(v) for k, v in json.load(f).items()}
     raw = options.get("headers")
     if not raw:
         return None
-    import json
-
     return {str(k): str(v) for k, v in json.loads(raw).items()}
 
 
@@ -379,7 +433,9 @@ def scrape_stream(
     request headers (a job's basic_auth/authorization compile to one
     Authorization entry here) sent with every GET, on top of the
     standard Accept + X-Prometheus-Scrape-Timeout-Seconds pair.
-    `tls`: the job's tls_config for https targets."""
+    `tls`: the job's tls_config for https targets. Headers travel
+    via the `headers_file` secret stash (never the logged options
+    channel — see _stash_headers)."""
     import json
 
     register(spark)
@@ -394,7 +450,7 @@ def scrape_stream(
         .option("body_limit", str(body_limit))
     )
     if headers:
-        reader = reader.option("headers", json.dumps(headers))
+        reader = reader.option("headers_file", _stash_headers(headers))
     if tls:
         reader = reader.option("tls", json.dumps(tls))
     return reader.load()
@@ -409,7 +465,9 @@ def scrape_once(
     headers: "dict | None" = None,
     tls: "dict | None" = None,
 ) -> DataFrame:
-    """One scrape round as a batch relation (the ad-hoc twin)."""
+    """One scrape round as a batch relation (the ad-hoc twin).
+    Headers travel via the `headers_file` secret stash (never the
+    logged options channel — see _stash_headers)."""
     import json
 
     register(spark)
@@ -423,7 +481,7 @@ def scrape_once(
         .option("body_limit", str(body_limit))
     )
     if headers:
-        reader = reader.option("headers", json.dumps(headers))
+        reader = reader.option("headers_file", _stash_headers(headers))
     if tls:
         reader = reader.option("tls", json.dumps(tls))
     return reader.load()

@@ -34,13 +34,14 @@ class _Sink:
 
     def __init__(self, status: int = 200):
         self.received: list[tuple[str, bytes]] = []
+        self.status = status  # mutable: tests flip mid-scenario
         outer = self
 
         class H(http.server.BaseHTTPRequestHandler):
             def do_POST(self):  # noqa: N802
                 n = int(self.headers.get("Content-Length") or 0)
                 outer.received.append((self.path, self.rfile.read(n)))
-                self.send_response(status)
+                self.send_response(outer.status)
                 self.send_header("Content-Length", "0")
                 self.end_headers()
 
@@ -371,6 +372,53 @@ def test_failed_push_rolls_back_resend_stamp():
         assert p2 == [] and s2 == {} and len(ok.received) == 1
     finally:
         ok.stop()
+
+
+def test_failed_push_retries_resolved_entries():
+    """A resolved notification whose delivery FULLY fails must be
+    regenerated on the next evaluation (upstream retries resolved
+    sends exactly like firing ones) — not dropped permanently the
+    moment the diff was computed."""
+    from shards_prometheus_spark.sources.alertmanager import (
+        AlertmanagerNotifier,
+        firing_to_v2,
+    )
+
+    sink = _Sink()
+    try:
+        notifier = AlertmanagerNotifier([sink.url], resend_delay_us=0)
+        a = {"labels": {"alertname": "A"}, "value": "1"}
+        t1, t2, t3, t4 = (
+            10_000_000, 20_000_000, 30_000_000, 40_000_000,
+        )
+        p1, s1 = notifier.push_state(firing_to_v2([a], t1), t1)
+        assert len(p1) == 1 and all(
+            200 <= s < 300 for s in s1.values()
+        )
+
+        # the alert resolves while the pool is down: the resolved
+        # entry is attempted but every member fails
+        sink.status = 503
+        p2, s2 = notifier.push_state([], t2)
+        assert [e for e in p2 if "endsAt" in e] == p2 and len(p2) == 1
+        assert all(s == 503 for s in s2.values())
+
+        # pool back up: the NEXT evaluation regenerates the resolved
+        # delta (fresh endsAt, original startsAt) and delivers it
+        sink.status = 200
+        p3, s3 = notifier.push_state([], t3)
+        resolved = [e for e in p3 if "endsAt" in e]
+        assert len(resolved) == 1
+        assert resolved[0]["labels"] == {"alertname": "A"}
+        assert resolved[0]["startsAt"] == p1[0]["startsAt"]
+        assert resolved[0]["endsAt"].startswith("1970-01-01T00:00:30")
+        assert all(200 <= s < 300 for s in s3.values())
+
+        # delivered once: the resolution is not re-sent forever
+        p4, s4 = notifier.push_state([], t4)
+        assert p4 == [] and s4 == {}
+    finally:
+        sink.stop()
 
 
 def test_alert_relabel_configs_rewrite_and_drop(spark):

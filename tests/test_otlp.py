@@ -317,6 +317,77 @@ def test_histogram_bucket_counts_are_packed_fixed64():
     } == got
 
 
+def test_packed_repeated_chunks_concatenate():
+    """proto3: EVERY occurrence of a repeated field concatenates — a
+    packed list split across several length-delimited chunks (or
+    mixed with unpacked wt=1 entries) is legal on the wire and must
+    decode identically to the single-chunk form. Hand-built vectors;
+    an assigning (rather than extending) decoder keeps only the last
+    chunk."""
+    import struct
+
+    from shards_prometheus_spark.functions.miniformats import (
+        pb_double,
+        pb_len,
+        pb_varint,
+    )
+    from shards_prometheus_spark.sources.otlp import (
+        _fixed64,
+        parse_otlp_request,
+    )
+
+    def decode(dp: bytes) -> dict:
+        hist = pb_len(1, dp) + pb_varint(2, 2)  # cumulative
+        metric = pb_len(1, b"lat") + pb_len(9, hist)
+        rows = parse_otlp_request(_wrap_metric(metric))
+        return {
+            (r[0]["__name__"], r[0].get("le", "")): r[2] for r in rows
+        }
+
+    single = decode(
+        _fixed64(3, _TS_NS)
+        + _fixed64(4, 531)
+        + pb_double(5, 123.25)
+        + pb_len(6, struct.pack("<QQQ", 130, 1, 400))
+        + pb_len(7, struct.pack("<dd", 0.5, 1.0))
+    )
+    assert single[("lat_bucket", "1")] == 131.0  # sanity: cumulative
+
+    # bucket_counts split into two packed chunks; bounds likewise
+    split = decode(
+        _fixed64(3, _TS_NS)
+        + _fixed64(4, 531)
+        + pb_double(5, 123.25)
+        + pb_len(6, struct.pack("<QQ", 130, 1))
+        + pb_len(6, struct.pack("<Q", 400))
+        + pb_len(7, struct.pack("<d", 0.5))
+        + pb_len(7, struct.pack("<d", 1.0))
+    )
+    assert split == single
+
+    # mixed: an unpacked wt=1 entry BEFORE a packed chunk must not be
+    # discarded by it (and an unpacked bound appends too)
+    mixed = decode(
+        _fixed64(3, _TS_NS)
+        + _fixed64(4, 531)
+        + pb_double(5, 123.25)
+        + _fixed64(6, 130)
+        + pb_len(6, struct.pack("<QQ", 1, 400))
+        + pb_len(7, struct.pack("<d", 0.5))
+        + _fixed64_double(7, 1.0)
+    )
+    assert mixed == single
+
+
+def _fixed64_double(field: int, v: float) -> bytes:
+    """An unpacked wt=1 occurrence of a double-typed repeated field
+    (explicit_bounds), built to the spec for the mixed-encoding test:
+    the tag byte (field << 3 | wiretype 1) then 8 LE payload bytes."""
+    import struct
+
+    return bytes([(field << 3) | 1]) + struct.pack("<d", v)
+
+
 def test_delta_temporality_rejected():
     """Upstream's OTLP receiver rejects non-cumulative temporality by
     default — a delta sum/histogram stored as running totals silently
@@ -449,6 +520,43 @@ def test_convert_delta_flag_accumulates(spark):
         ]
     finally:
         exposer.stop()
+
+
+def test_delta_accumulation_rejects_out_of_order(spark):
+    """Cross-request ordering guard on the opt-in delta conversion: a
+    replayed/late delta point (timestamp at-or-before the series'
+    last accumulated stamp) is DROPPED, never folded — an
+    out-of-order collector replay must not corrupt the running
+    cumulative total (upstream's deltatocumulative start-timestamp
+    tracking)."""
+    from shards_prometheus_spark.sources import MetricsExposer
+
+    ex = MetricsExposer(
+        spark, SF_SMOKE, otlp_receiver=True, otlp_convert_delta=True
+    )
+    try:
+        labels = {"__name__": "d_total"}
+        k = tuple(sorted(labels.items()))
+        out1 = ex._accumulate_otlp_deltas(
+            [(labels, 1000, 5.0), (labels, 2000, 3.0)], {k}
+        )
+        assert [(t, v) for _l, t, v in out1] == [
+            (1000, 5.0), (2000, 8.0),
+        ]
+        # second request replays ts=1500 (late) alongside a fresh
+        # point: the late one is rejected, the fresh one accumulates
+        # onto the UNCORRUPTED total
+        out2 = ex._accumulate_otlp_deltas(
+            [(labels, 1500, 7.0), (labels, 3000, 2.0)], {k}
+        )
+        assert [(t, v) for _l, t, v in out2] == [(3000, 10.0)]
+        # non-delta series pass through untouched regardless of order
+        out3 = ex._accumulate_otlp_deltas(
+            [(labels, 100, 1.0)], set()
+        )
+        assert [(t, v) for _l, t, v in out3] == [(100, 1.0)]
+    finally:
+        ex._server.server_close()  # never start()ed: close the socket
 
 
 def test_exponential_histogram_partial_success():
