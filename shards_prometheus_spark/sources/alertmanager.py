@@ -224,6 +224,28 @@ class AlertmanagerNotifier:
         return statuses
 
 
+def attach_external_labels(
+    alerts: "list[dict]", external_labels: "dict | None"
+) -> "list[dict]":
+    """`global.external_labels` on the notification boundary:
+    upstream attaches them to every alert BEFORE
+    alert_relabel_configs runs (rules/alerting.go sends through the
+    external-label hop first), so an HA pair pushing to one
+    Alertmanager carries its cluster/replica identity and the
+    relabel chain can act on it. An alert's OWN label wins a name
+    conflict — external labels never overwrite rule labels."""
+    if not external_labels:
+        return list(alerts)
+    out = []
+    for a in alerts:
+        labels = dict(external_labels)
+        labels.update(a.get("labels") or {})
+        e = dict(a)
+        e["labels"] = labels
+        out.append(e)
+    return out
+
+
 def relabel_alerts(
     alerts: "list[dict]", rules: "list[dict]", spark
 ) -> "list[dict]":
@@ -268,6 +290,7 @@ def notify_firing(
     notifier: AlertmanagerNotifier,
     generator_url: str | None = None,
     alert_relabel_configs: "list[dict] | None" = None,
+    external_labels: "dict | None" = None,
 ) -> "tuple[list[dict], dict[str, int]]":
     """Evaluate `rule_file`'s firing set (the SAME eval_rule_file pass
     `/api/v1/alerts` serves — labels/annotations identical by
@@ -277,12 +300,15 @@ def notify_firing(
     (the delivered v2 payload, per-URL delivery statuses). A push
     whose every entry is inside the notifier's resend window delivers
     nothing — no delta, no POST (upstream's resend_delay).
-    `alert_relabel_configs` (the config's top-level alerting hop) is
-    applied to the firing set before the diff/push."""
+    `external_labels` (the config's `global.external_labels`) attach
+    to every alert FIRST, then `alert_relabel_configs` (the config's
+    top-level alerting hop) runs over the result — upstream's
+    ordering, so relabel rules can match on cluster/replica."""
     from shards_prometheus_spark.sources.query_api import alerts_data
 
     now_us = evaluator.eval_time_us()
     alerts = alerts_data(evaluator, rule_file)["alerts"]
+    alerts = attach_external_labels(alerts, external_labels)
     if alert_relabel_configs:
         alerts = relabel_alerts(
             alerts, alert_relabel_configs, evaluator.samples.sparkSession

@@ -1135,6 +1135,121 @@ def federate_lines(
     )
 
 
+def _esc_label_py(v: str) -> str:
+    """Driver-side twin of esc_label (the public format's three
+    escapes, backslash first)."""
+    return (
+        v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+    )
+
+
+def _scan_label_names(inner: str) -> "set[str]":
+    """Label NAMES present in one rendered label-brace interior —
+    top-level comma split respecting quoted values (and quoted 3.x
+    keys / the quoted-metric-name first element, which has no `=`).
+    Escapes inside quotes (\\" etc.) are honored."""
+    names: set[str] = set()
+    i, n = 0, len(inner)
+    start = 0
+    in_q = False
+    esc = False
+    eq = -1
+    while i <= n:
+        ch = inner[i] if i < n else ","  # virtual trailing comma
+        if in_q:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_q = False
+        elif ch == '"':
+            in_q = True
+        elif ch == "=" and eq < 0:
+            eq = i
+        elif ch == ",":
+            if eq > start:
+                key = inner[start:eq].strip()
+                if key.startswith('"') and key.endswith('"'):
+                    key = key[1:-1]
+                if key:
+                    names.add(key)
+            start, eq = i + 1, -1
+        i += 1
+    return names
+
+
+def inject_external_labels(
+    lines: "list[str]", external_labels: "dict | None"
+) -> "list[str]":
+    """`global.external_labels` on the /federate boundary: upstream
+    attaches them to every federated sample whose series does not
+    already carry the label (federation output identifies WHICH
+    server the series came from), leaving `# TYPE` headers alone.
+    Text-level merge over the collected payload — the payload is
+    already boundary-sized by contract (it IS the HTTP response),
+    so this adds no Spark work. Handles all four rendered series
+    shapes: ``name v``, ``name{pairs} v``, ``{"utf8.name"} v``,
+    ``{"utf8.name",pairs} v``."""
+    if not external_labels:
+        return list(lines)
+    ext = sorted(external_labels.items())
+    out = []
+    for ln in lines:
+        if not ln or ln.startswith("#"):
+            out.append(ln)
+            continue
+        # locate the label braces (or the name/value split)
+        if ln.startswith("{"):
+            open_i = 0
+        else:
+            sp = ln.find(" ")
+            br = ln.find("{")
+            if br < 0 or (0 <= sp < br):  # bare name, no braces
+                name, rest = ln[:sp], ln[sp:]
+                missing = [
+                    f'{k}="{_esc_label_py(v)}"' for k, v in ext
+                ]
+                out.append(name + "{" + ",".join(missing) + "}" + rest)
+                continue
+            open_i = br
+        # find the MATCHING close brace (quotes/escapes honored)
+        j, in_q, esc2 = open_i + 1, False, False
+        while j < len(ln):
+            ch = ln[j]
+            if in_q:
+                if esc2:
+                    esc2 = False
+                elif ch == "\\":
+                    esc2 = True
+                elif ch == '"':
+                    in_q = False
+            elif ch == '"':
+                in_q = True
+            elif ch == "}":
+                break
+            j += 1
+        inner = ln[open_i + 1 : j]
+        present = _scan_label_names(inner)
+        missing = [
+            f'{k}="{_esc_label_py(v)}"'
+            for k, v in ext
+            if k not in present
+        ]
+        if not missing:
+            out.append(ln)
+            continue
+        joiner = "," if inner.strip() else ""
+        out.append(
+            ln[: open_i + 1]
+            + inner
+            + joiner
+            + ",".join(missing)
+            + ln[j:]
+        )
+    return out
+
+
 #: the registered federate demo: one regex-matcher selector (whose
 #: matchers REJECT the empty label set, so click's label-less
 #: histogram series is pruned) and one bare-family selector (view —
@@ -1183,6 +1298,7 @@ class MetricsExposer:
         admin_api: bool = False,
         snapshot_dir: str | None = None,
         enable_lifecycle: bool = False,
+        external_labels: "dict | None" = None,
     ):
         """`lines_fn` (optional): zero-arg callable returning the line
         DataFrame — lets the exposer serve a LIVE source (a streaming
@@ -1511,6 +1627,13 @@ class MetricsExposer:
         # prometheus.yml's alerting section (upstream: one config file
         # declares both scrape targets and the notification pool)
         self._alert_relabel: list = []
+        # global.external_labels: attached at every OUTBOUND boundary
+        # (alert push, /federate, remote-write send) — never stored
+        # in the local relations, exactly upstream's split. Explicit
+        # ctor arg wins (and survives /-/reload); else the loaded
+        # config's global section.
+        self._external_labels: dict = dict(external_labels or {})
+        self._explicit_external_labels = external_labels is not None
         if alertmanagers is None and self._scrape_config is not None:
             from shards_prometheus_spark.sources.scrape_config import (
                 load_scrape_configs,
@@ -1522,8 +1645,20 @@ class MetricsExposer:
             # rewrites/drops pool members before any push
             alertmanagers = resolve_alertmanagers(self._spark, cfg)
             self._alert_relabel = cfg.alert_relabel_configs
+            if external_labels is None:
+                self._external_labels = dict(cfg.external_labels)
             if rule_file is None and cfg.rule_files:
                 self._rule_file = self._read_rule_files(cfg.rule_files)
+        elif external_labels is None and self._scrape_config is not None:
+            # explicit pool + config file: the global section still
+            # defines the engine's outbound identity
+            from shards_prometheus_spark.sources.scrape_config import (
+                load_scrape_configs,
+            )
+
+            self._external_labels = dict(
+                load_scrape_configs(self._scrape_config).external_labels
+            )
         self._alertmanagers = list(alertmanagers or [])
         # TSDB admin API state (upstream --web.enable-admin-api):
         # tombstones are (metric, matchers, start_us, end_us) masks
@@ -1770,6 +1905,8 @@ class MetricsExposer:
                 self._spark, cfg
             )
             self._alert_relabel = cfg.alert_relabel_configs
+        if not self._explicit_external_labels:
+            self._external_labels = dict(cfg.external_labels)
         self._rule_file = new_rules
 
     def handle_api(
@@ -1908,6 +2045,7 @@ class MetricsExposer:
             self._notifier,
             generator_url=f"http://{self.host}:{self.port}/graph",
             alert_relabel_configs=self._alert_relabel or None,
+            external_labels=self._external_labels or None,
         )
 
     def collect_text(self) -> str:
@@ -1928,9 +2066,16 @@ class MetricsExposer:
         """`/federate` payload over the batch dir: the classic-format
         dump pruned by the `match[]` selectors (federation always
         serves the classic dialect, as upstream). Collect-on-scrape,
-        sorted like collect_text so the payload is deterministic."""
+        sorted like collect_text so the payload is deterministic.
+        `global.external_labels` are merged into every sample line
+        whose series lacks the label (upstream's federation
+        semantics — the downstream server learns WHICH engine the
+        series came from)."""
         lines = federate_lines(self._spark, self._sf_dir, matches).collect()
-        return "\n".join(sorted(r["line"] for r in lines)) + "\n"
+        rendered = inject_external_labels(
+            [r["line"] for r in lines], self._external_labels
+        )
+        return "\n".join(sorted(rendered)) + "\n"
 
     def start(self) -> "MetricsExposer":
         import time as _time

@@ -526,14 +526,22 @@ def decode_write_requests(
 
 
 def encode_write_requests(
-    samples: DataFrame, protocol: str = "1.0"
+    samples: DataFrame,
+    protocol: str = "1.0",
+    external_labels: "dict | None" = None,
 ) -> DataFrame:
     """Distributed encode: the samples relation → one WriteRequest
     payload PER PARTITION (payload count = partition count; a
     pre-`repartition(metric)` caller controls payload sizing). Rows
     are series-sorted inside the kernel so each series becomes one
     TimeSeries message. `protocol="2.0"` emits the interned-symbols
-    `io.prometheus.write.v2.Request` wire instead."""
+    `io.prometheus.write.v2.Request` wire instead.
+
+    `external_labels` (the config's `global.external_labels`):
+    upstream's remote-write sender attaches them to every outgoing
+    series whose label set lacks the name (a series' own label wins
+    the conflict) — pure map expressions on the scan, no shuffle,
+    the stored relation untouched."""
     import pandas as pd
 
     encode = (
@@ -542,6 +550,25 @@ def encode_write_requests(
         else encode_write_request
     )
 
+    labels_col = F.col("labels")
+    if external_labels:
+        ext = F.create_map(
+            *[
+                F.lit(x)
+                for kv in sorted(external_labels.items())
+                for x in kv
+            ]
+        )
+        labels_col = F.map_concat(
+            F.map_filter(
+                ext,
+                lambda k, _v: ~F.array_contains(
+                    F.map_keys(F.col("labels")), k
+                ),
+            ),
+            F.col("labels"),
+        )
+
     # FLOOR µs→ms (not `div`, which truncates toward zero): a pre-1970
     # negative timestamp must round the same way the decoder's
     # ms→µs*1000 expects, or the round trip shifts it by 1 ms.
@@ -549,7 +576,7 @@ def encode_write_requests(
     # `div` IS the floor — no double-precision detour.
     cols = samples.select(
         "metric",
-        "labels",
+        labels_col.alias("labels"),
         F.expr("(ts_us - pmod(ts_us, 1000)) div 1000").alias("ts_ms"),
         "value",
     )
@@ -660,14 +687,19 @@ def push_samples(
     timeout_s: float = 30.0,
     retries: int = 2,
     protocol: str = "1.0",
+    external_labels: "dict | None" = None,
 ) -> DataFrame:
     """Encode the samples relation into one WriteRequest per partition
     and push every payload executor-side — the engine as a
     remote-write SENDER (repartition first to control payload
-    sizing; `protocol="2.0"` sends the interned 2.0 wire). Returns
-    the per-payload delivery relation."""
+    sizing; `protocol="2.0"` sends the interned 2.0 wire;
+    `external_labels` attach to every outgoing series lacking the
+    name, upstream's `global.external_labels` boundary semantics).
+    Returns the per-payload delivery relation."""
     return push_write_requests(
-        encode_write_requests(samples, protocol=protocol),
+        encode_write_requests(
+            samples, protocol=protocol, external_labels=external_labels
+        ),
         url,
         timeout_s,
         retries,
@@ -680,6 +712,7 @@ def remote_write_sink(
     url: str,
     timeout_s: float = 30.0,
     retries: int = 2,
+    external_labels: "dict | None" = None,
 ):
     """Streaming remote-write sender: a `foreachBatch` sink that
     encodes each micro-batch per partition and POSTs the payloads
@@ -693,7 +726,8 @@ def remote_write_sink(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         statuses = push_samples(
-            batch_df, url, timeout_s, retries
+            batch_df, url, timeout_s, retries,
+            external_labels=external_labels,
         ).collect()
         failed = [r for r in statuses if not 200 <= r["status"] < 300]
         if failed:

@@ -131,6 +131,13 @@ class ScrapeConfig:
     #: alert's labels before notification (the hop upstream runs
     #: between rule evaluation and the notifier queue)
     alert_relabel_configs: list = field(default_factory=list)
+    #: `global.external_labels` — the identity labels upstream
+    #: attaches at every OUTBOUND boundary (alerts pushed to
+    #: Alertmanager, /federate output, remote-write sends) but never
+    #: stores in its own TSDB; the knob an HA pair sets
+    #: (cluster:/replica:) on day one so one Alertmanager can dedup
+    #: their notifications
+    external_labels: dict = field(default_factory=dict)
 
 
 def load_scrape_configs(text: str) -> ScrapeConfig:
@@ -212,6 +219,10 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
         alert_relabel_configs=list(
             alerting.get("alert_relabel_configs") or []
         ),
+        external_labels={
+            str(k): str(v)
+            for k, v in (g.get("external_labels") or {}).items()
+        },
     )
 
 
