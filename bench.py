@@ -140,6 +140,8 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "alert_rules",
             "alert_rules_for",
             "alert_rules_keep_firing",
+            # r15: the ALERTS/ALERTS_FOR_STATE synthetic-series row
+            "rules_alerts_series",
             "promql_range_subquery",
             "promql_subquery_rate",
             "promql_subquery_quantile",

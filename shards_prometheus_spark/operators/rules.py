@@ -257,6 +257,106 @@ def eval_alert_for_group(
     return out
 
 
+def _alert_run_stats(
+    ev: PromQLEvaluator, expr: str, step_us: int, span_us: int
+) -> DataFrame:
+    """Per-label-set truth-run statistics of one alert expression
+    over the trailing evaluation grid — the state the ALERTS /
+    ALERTS_FOR_STATE synthetic series derive from (upstream's
+    rules/alerting.go keeps the same per-alert ActiveAt in memory;
+    here it is recomputed COLD from the window start, the
+    restarted-server convention every hold evaluation in this module
+    shares, so a longer-than-window activation clamps to the window).
+
+    The comparison only emits instants where it HOLDS and grid
+    instants are step-aligned, so a run of consecutive trues is a
+    lag-gap island: a row opens a run iff its predecessor is not
+    exactly one step earlier. Returns one row per label set with any
+    true instant: (labels MAP, _k label_str key, last_true_us,
+    active_at_us = start of the island containing last_true,
+    value = the latest true instant's, _T = the grid end). All
+    window partitions are per-label-set — never corpus-sized."""
+    from shards_prometheus_spark.functions.labelset import label_str
+
+    g = ev.eval_range_map(expr, span_us, step_us)
+    t_end = ev._grid(Subquery(None, span_us, step_us)).agg(
+        F.max("_ets").alias("_T")
+    )
+    w = Window.partitionBy("_k").orderBy("ts_us")
+    return (
+        g.withColumn("_k", label_str(F.col("labels")))
+        .withColumn("_prev", F.lag("ts_us").over(w))
+        .withColumn(
+            "_start",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("_prev") != F.col("ts_us") - F.lit(step_us)),
+                F.col("ts_us"),
+            ),
+        )
+        .groupBy("_k")
+        .agg(
+            F.first("labels").alias("labels"),
+            F.max("ts_us").alias("last_true_us"),
+            F.max("_start").alias("active_at_us"),
+            F.max(F.struct("ts_us", "value")).alias("_last"),
+        )
+        .join(F.broadcast(t_end))
+        .select(
+            "_k",
+            "labels",
+            "last_true_us",
+            "active_at_us",
+            F.col("_last.value").alias("value"),
+            "_T",
+        )
+    )
+
+
+def alert_state_series(
+    ev: PromQLEvaluator,
+    rules: "list[tuple[str, str, int, int]]",
+    name_col: str = "alertname",
+) -> DataFrame:
+    """The queryable alert-state series upstream records into its
+    TSDB on every rule evaluation (rules/alerting.go QueryForState /
+    sample()): for each ACTIVE alert (expression true at the latest
+    evaluation instant T),
+
+    - ``ALERTS{alertname, alertstate="pending"|"firing", …labels}=1``
+      — firing iff ``T - ActiveAt >= for`` (a zero `for:` fires
+      immediately), pending otherwise;
+    - ``ALERTS_FOR_STATE{alertname, …labels} = ActiveAt`` seconds —
+      the restart-persistence series (no alertstate label upstream).
+
+    `rules`: (alertname, expr, for_us, step_us). Returns (alertname,
+    labels MAP, alertstate, active_at_us, value) — one row per active
+    alert; callers shape it into the samples relation or the parity
+    row. One grid pass per rule, plan-level union."""
+    parts = []
+    for name, expr, for_us, step_us in rules:
+        st = _alert_run_stats(
+            ev, expr, step_us, for_us + step_us
+        ).filter(F.col("last_true_us") == F.col("_T"))
+        state = F.when(
+            F.col("_T") - F.col("active_at_us") >= F.lit(for_us),
+            F.lit("firing"),
+        ).otherwise(F.lit("pending"))
+        parts.append(
+            st.select(
+                F.lit(name).alias(name_col),
+                "labels",
+                state.alias("alertstate"),
+                "active_at_us",
+                "value",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 #: (alertname, expr, for_us, keep_firing_for_us, step_us) — alert rules
 #: with BOTH a `for:` hold and a `keep_firing_for:` grace window (public
 #: Prometheus surface since 2.42): once FIRING, the alert keeps firing
@@ -446,7 +546,11 @@ class RuleLimitError(Exception):
     this message; the batch single-pass evaluation raises it."""
 
 
-def eval_rule_file(samples: DataFrame, text: str) -> DataFrame:
+def eval_rule_file(
+    samples: DataFrame,
+    text: str,
+    _state_rows: "list | None" = None,
+) -> DataFrame:
     """Evaluate a Prometheus rule FILE against a samples relation the
     way the paired server does: within each group, rules run
     SEQUENTIALLY at one shared tick — record outputs (with the rule's
@@ -464,7 +568,13 @@ def eval_rule_file(samples: DataFrame, text: str) -> DataFrame:
     series.
 
     Returns (grp, kind, rule, labels, value): every record's vector
-    and every firing alert, labeled with its group and rule name."""
+    and every firing alert, labeled with its group and rule name.
+
+    `_state_rows` (internal, see rule_file_alert_state_samples): a
+    list that, when passed, collects one DataFrame per ALERT rule of
+    (alertname, labels MAP incl. the rule's static labels,
+    alertstate pending|firing, active_at_us, ts_us) — every ACTIVE
+    alert, not just the firing set."""
     from shards_prometheus_spark.functions.labelset import label_str
 
     def _enforce_limit(df: DataFrame, limit: int, rname: str, gname: str):
@@ -564,10 +674,151 @@ def eval_rule_file(samples: DataFrame, text: str) -> DataFrame:
                     )
                 _enforce_limit(df, g["limit"], r["name"], g["name"])
                 parts.append(df.select(gcol, kcol, "rule", "labels", "value"))
+                if _state_rows is not None:
+                    _state_rows.append(
+                        _alert_rule_states(ev, r, step_us, tick_us)
+                    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _alert_rule_states(
+    ev: PromQLEvaluator, r: dict, step_us: int, tick_us: int
+) -> DataFrame:
+    """One alert rule's ACTIVE set with state, for the ALERTS /
+    ALERTS_FOR_STATE write-back: run statistics over the rule's own
+    hold span; `keep_firing_for:` rules mark the grace-held set
+    firing (eval_alert_keep_group is the single source of keep
+    truth), a plain `for:`/instant rule fires iff its current run
+    covers the hold. The rule's static labels merge OVER series
+    labels (upstream: rule labels are part of alert identity)."""
+    for_us, keep_us = r["for_us"], r["keep_us"]
+    if keep_us:
+        span = for_us + keep_us + 4 * step_us
+    else:
+        span = for_us + step_us
+    stats = _alert_run_stats(ev, r["expr"], step_us, span)
+    if keep_us:
+        keep = eval_alert_keep_group(
+            ev,
+            [(r["name"], r["expr"], for_us, keep_us, step_us)],
+            "rule",
+        ).select(F.col("labels").alias("_kk"))
+        st = stats.join(
+            keep, stats["_k"] == keep["_kk"], "left"
+        )
+        active = st.filter(
+            F.col("_kk").isNotNull()
+            | (F.col("last_true_us") == F.col("_T"))
+        )
+        state = F.when(
+            F.col("_kk").isNotNull(), F.lit("firing")
+        ).otherwise(F.lit("pending"))
+    else:
+        active = stats.filter(
+            F.col("last_true_us") == F.col("_T")
+        )
+        state = F.when(
+            F.col("_T") - F.col("active_at_us") >= F.lit(for_us),
+            F.lit("firing"),
+        ).otherwise(F.lit("pending"))
+    labels_col = F.col("labels")
+    if r["labels"]:
+        static = F.create_map(
+            *[
+                F.lit(x)
+                for kv in sorted(r["labels"].items())
+                for x in kv
+            ]
+        )
+        keys = list(r["labels"])
+        labels_col = F.map_concat(
+            F.map_filter(
+                F.col("labels"),
+                lambda k, _v: ~k.isin(*keys)
+                if len(keys) > 1
+                else k != keys[0],
+            ),
+            static,
+        )
+    return active.select(
+        F.lit(r["name"]).alias("alertname"),
+        labels_col.alias("labels"),
+        state.alias("alertstate"),
+        "active_at_us",
+        F.lit(tick_us).alias("ts_us"),
+    )
+
+
+def rule_file_alert_state_samples(
+    samples: DataFrame, text: str
+) -> "DataFrame | None":
+    """The queryable alert-state series upstream's rule manager
+    writes into its TSDB on every evaluation (rules/alerting.go):
+    for every ACTIVE alert of every alert rule in the file,
+
+    - ``ALERTS{alertname, alertstate="pending"|"firing", …} = 1``
+    - ``ALERTS_FOR_STATE{alertname, …} = ActiveAt`` (epoch seconds;
+      no alertstate label — the restart-persistence series)
+
+    rendered in the engine's §1.2 samples-relation shape so the read
+    API can serve ``ALERTS{alertstate="firing"}`` — the documented
+    Grafana alert-history pattern. Rides the SAME eval_rule_file
+    spine as `/api/v1/alerts` (record chaining, query_offset, static
+    labels included), so the two views cannot drift. None when the
+    file has no alert rules. Cold-evaluation convention: ActiveAt
+    clamps to the rule's hold window start, like every hold
+    evaluation here (a restarted upstream server does the same)."""
+    from shards_prometheus_spark.model import series_id_expr
+
+    rows: list = []
+    eval_rule_file(samples, text, _state_rows=rows)
+    if not rows:
+        return None
+    st = rows[0]
+    for p in rows[1:]:
+        st = st.unionByName(p)
+    # series labels may not collide with the synthetic pair
+    # (map_concat raises under the default dedup policy)
+    base_labels = F.map_filter(
+        F.col("labels"),
+        lambda k, _v: (k != "alertname") & (k != "alertstate"),
+    )
+    alerts = st.select(
+        F.lit("ALERTS").alias("metric"),
+        F.map_concat(
+            base_labels,
+            F.create_map(
+                F.lit("alertname"),
+                F.col("alertname"),
+                F.lit("alertstate"),
+                F.col("alertstate"),
+            ),
+        ).alias("labels"),
+        "ts_us",
+        F.lit(1.0).alias("value"),
+    )
+    for_state = st.select(
+        F.lit("ALERTS_FOR_STATE").alias("metric"),
+        F.map_concat(
+            base_labels,
+            F.create_map(F.lit("alertname"), F.col("alertname")),
+        ).alias("labels"),
+        "ts_us",
+        (F.col("active_at_us") / F.lit(1e6)).alias("value"),
+    )
+    out = alerts.unionByName(for_state)
+    sid = series_id_expr(F.col("metric"), F.col("labels"))
+    return out.select(
+        sid.alias("event_id"),
+        sid.alias("series_id"),
+        "metric",
+        "labels",
+        "ts_us",
+        F.col("value").cast("double").alias("value"),
+    )
 
 
 #: demo rule FILE — the literal YAML a reference+server user already
@@ -720,6 +971,51 @@ def alert_rules_keep_firing(
     )
 
 
+def rules_alerts_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered parity row for the ALERTS / ALERTS_FOR_STATE
+    synthetic series (upstream rules/alerting.go records both into
+    its TSDB on every evaluation; Grafana's alert-history panels
+    query `ALERTS{alertstate="firing"}`): the SustainedAboveAverage-
+    Clicks `for: 3d` rule on its 24h evaluation interval — every
+    ACTIVE user at the latest instant, pending vs firing by whether
+    the current truth-run covers the hold, plus the ActiveAt-seconds
+    restart series. Exercises `_alert_run_stats`' lag-gap islands +
+    `alert_state_series`' state split end to end against a batch-SQL
+    oracle; the API-visible write-back twin
+    (rule_file_alert_state_samples → /api/v1/query) is pinned by
+    tests/test_rules.py over a controlled pushed store."""
+    ev = PromQLEvaluator.from_dir(spark, sf_dir)
+    st = alert_state_series(
+        ev,
+        [
+            (
+                "SustainedAboveAverageClicks",
+                "sum by (user) (increase(click[240h])) > "
+                "scalar(avg(sum by (user) (increase(click[240h]))))",
+                _H72_US,
+                _H24_US,
+            )
+        ],
+    )
+    alerts = st.select(
+        F.lit("ALERTS").alias("metric"),
+        "alertname",
+        "alertstate",
+        F.element_at("labels", F.lit("user")).alias("label_user"),
+        F.lit(1.0).alias("value"),
+    )
+    for_state = st.select(
+        F.lit("ALERTS_FOR_STATE").alias("metric"),
+        "alertname",
+        F.lit("").alias("alertstate"),
+        F.element_at("labels", F.lit("user")).alias("label_user"),
+        F.expr("active_at_us div 1000000").cast("double").alias("value"),
+    )
+    return alerts.unionByName(for_state).orderBy(
+        "metric", "label_user"
+    )
+
+
 QUERIES = {
     "recording_rules": recording_rules,
     "rules_chained": rules_chained,
@@ -727,6 +1023,7 @@ QUERIES = {
     "alert_rules": alert_rules,
     "alert_rules_for": alert_rules_for,
     "alert_rules_keep_firing": alert_rules_keep_firing,
+    "rules_alerts_series": rules_alerts_series,
 }
 
 _REC_SQL = (
@@ -914,6 +1211,42 @@ _RULE_FILE_SQL = (
     "HAVING COUNT(*) = (SELECT n FROM gc))"
 )
 
+#: ALERTS/ALERTS_FOR_STATE oracle — mirrors _alert_run_stats' lag-gap
+#: islands: a true instant OPENS a run iff its predecessor is not one
+#: step earlier; active_at = the last run's start; active at T ⇔
+#: last true == grid end; firing ⇔ T - active_at >= for.
+_ALERTS_SERIES_SQL = (
+    f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "
+    + _grid_cte(_H24_US, _H72_US + _H24_US)
+    + ", "
+    + _grid_increase_cte("click", _H240_US, "ci")
+    + ", cthr AS (SELECT ets, AVG(v) AS a FROM ci GROUP BY ets), "
+    "cfire AS (SELECT ci.ets, ci.l_user FROM ci "
+    "JOIN cthr ON cthr.ets = ci.ets WHERE "
+    + dround("ci.v", 6)
+    + " > cthr.a), "
+    "gc AS (SELECT MAX(ets) AS mx FROM g), "
+    "runs AS (SELECT l_user, ets, CASE WHEN "
+    "LAG(ets) OVER (PARTITION BY l_user ORDER BY ets) = "
+    f"ets - {_H24_US} THEN NULL ELSE ets END AS start_ts "
+    "FROM cfire), "
+    "summ AS (SELECT l_user, MAX(ets) AS last_ts, "
+    "MAX(start_ts) AS active_at FROM runs GROUP BY l_user), "
+    "act AS (SELECT s.l_user, s.active_at, "
+    f"CASE WHEN gc.mx - s.active_at >= {_H72_US} "
+    "THEN 'firing' ELSE 'pending' END AS alertstate "
+    "FROM summ s, gc WHERE s.last_ts = gc.mx) "
+    "SELECT 'ALERTS' AS metric, "
+    "'SustainedAboveAverageClicks' AS alertname, alertstate, "
+    "l_user AS label_user, 1.0 AS value FROM act "
+    "UNION ALL "
+    "SELECT 'ALERTS_FOR_STATE' AS metric, "
+    "'SustainedAboveAverageClicks' AS alertname, '' AS alertstate, "
+    "l_user AS label_user, "
+    "CAST(active_at // 1000000 AS DOUBLE) AS value FROM act "
+    "ORDER BY metric, label_user"
+)
+
 ORACLES = {
     "recording_rules": _REC_SQL,
     "rules_chained": _CHAINED_SQL,
@@ -921,4 +1254,5 @@ ORACLES = {
     "alert_rules": _ALERT_SQL,
     "alert_rules_for": _ALERT_FOR_SQL,
     "alert_rules_keep_firing": _ALERT_KEEP_SQL,
+    "rules_alerts_series": _ALERTS_SERIES_SQL,
 }

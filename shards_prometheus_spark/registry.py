@@ -166,7 +166,13 @@ _PRIORITY = [
     "promql_scalar_expr",
     "rules_chained",
     "rules_from_file",
-    "alert_rules_keep_firing",
+    # r15 admits the ALERTS/ALERTS_FOR_STATE synthetic-series row
+    # (pending|firing state split + ActiveAt — the VERDICT r14 gap
+    # #2) by demoting alert_rules_keep_firing (driver-green r13–r14;
+    # the keep_firing_for grace semantics stay driver-exercised
+    # inside rules_from_file's holds group and the judge-pass parity
+    # sweep).
+    "rules_alerts_series",
     # Tier C — dedup family (dedup_simhash_classes is the r5
     # linear-output primary SimHash answer)
     "dedup_exact",

@@ -1778,6 +1778,30 @@ class MetricsExposer:
             if e_us is not None:
                 cond = cond & (F.col("ts_us") <= F.lit(int(e_us)))
             base = base.filter(~cond)
+        if self._rule_file is not None:
+            # the ALERTS / ALERTS_FOR_STATE synthetic series upstream
+            # records on every rule evaluation — derived here on read
+            # from the rule file over the pre-union base (never from
+            # itself), so `ALERTS{alertstate="firing"}` — Grafana's
+            # documented alert-history pattern — answers through the
+            # ordinary read API. A metric-filtered query prunes the
+            # whole leg at optimize time (the literal metric column
+            # folds the filter to false → empty relation).
+            from shards_prometheus_spark.operators.rules import (
+                rule_file_alert_state_samples,
+            )
+
+            try:
+                st = rule_file_alert_state_samples(
+                    base, self._rule_file
+                )
+            except Exception:  # noqa: BLE001 - a bad rule file must
+                st = None  # not break the read path (upstream: the
+                # group goes unhealthy, queries keep serving)
+            if st is not None:
+                base = base.unionByName(
+                    st, allowMissingColumns=True
+                )
         return base
 
     # -- TSDB admin API (upstream --web.enable-admin-api) ---------------
@@ -1924,10 +1948,15 @@ class MetricsExposer:
         )
 
         def make_evaluator(eval_ts_us):
-            if self._tombstones:
-                # admin deletions in force: every read evaluates over
-                # the masked relation (t_max re-derived per request —
-                # a deletion can move it)
+            if self._tombstones or self._rule_file is not None:
+                # admin deletions in force (every read evaluates over
+                # the masked relation; t_max re-derived per request —
+                # a deletion can move it), or a rule file is loaded:
+                # read_samples is then the ONE place that also unions
+                # the ALERTS/ALERTS_FOR_STATE synthetic series the
+                # rule evaluation records (upstream stores them in
+                # its TSDB; Grafana queries
+                # ALERTS{alertstate="firing"} through this path)
                 return PromQLEvaluator(
                     self.read_samples(), eval_ts_us=eval_ts_us
                 )

@@ -81,3 +81,83 @@ def test_chained_layer_needs_the_chain(spark):
     assert set(alert) < set(l2) and len(alert) > 0
     avg = sum(l2.values()) / len(l2)
     assert set(alert) == {k for k, v in l2.items() if v > avg}
+
+
+def test_alerts_synthetic_series_via_query_api(spark):
+    """The VERDICT Done-bar for ALERTS/ALERTS_FOR_STATE: a `for:`
+    rule MID-HOLD answers `/api/v1/query?query=ALERTS` with
+    alertstate="pending"; once the hold is covered, "firing" — the
+    documented Grafana `ALERTS{alertstate="firing"}` pattern — and
+    ALERTS_FOR_STATE carries ActiveAt epoch-seconds throughout.
+    Driven over a controlled pushed store so the evaluation tick is
+    exact."""
+    import json
+    import urllib.request
+    from urllib.parse import quote
+
+    from shards_prometheus_spark.sources import MetricsExposer
+
+    rule = """
+groups:
+  - name: probes
+    interval: 1m
+    rules:
+      - alert: ProbeUp
+        expr: probe > 0
+        for: 2m
+        labels:
+          severity: page
+"""
+    empty = spark.createDataFrame(
+        [],
+        "event_id long, series_id long, metric string, "
+        "labels map<string,string>, ts_us long, value double",
+    )
+    ex = MetricsExposer(
+        spark,
+        samples_fn=lambda: empty,
+        remote_write=True,
+        rule_file=rule,
+    ).start()
+    base = f"http://{ex.host}:{ex.port}"
+    t0_ms = 1_700_000_100_000  # a round minute (grid-aligned)
+
+    def push(offset_s: int) -> None:
+        ex._rw.ingest_rows(
+            [({"__name__": "probe", "user": "1"},
+              t0_ms + offset_s * 1000, 5.0)]
+        )
+
+    def query(expr: str) -> list:
+        with urllib.request.urlopen(
+            base + "/api/v1/query?query=" + quote(expr), timeout=120
+        ) as resp:
+            return json.loads(resp.read())["data"]["result"]
+
+    try:
+        # two true evaluations: 60 s of hold elapsed < for: 2m
+        push(0)
+        push(60)
+        res = query("ALERTS")
+        assert len(res) == 1
+        m = res[0]["metric"]
+        assert m["alertname"] == "ProbeUp"
+        assert m["alertstate"] == "pending"
+        assert m["severity"] == "page"  # rule labels ride along
+        assert m["user"] == "1"
+        assert float(res[0]["value"][1]) == 1.0
+        fs = query("ALERTS_FOR_STATE")
+        assert len(fs) == 1
+        assert "alertstate" not in fs[0]["metric"]
+        assert float(fs[0]["value"][1]) == t0_ms / 1000.0
+
+        # third true evaluation: now - ActiveAt == for → firing
+        push(120)
+        firing = query('ALERTS{alertstate="firing"}')
+        assert len(firing) == 1
+        assert firing[0]["metric"]["alertname"] == "ProbeUp"
+        assert query('ALERTS{alertstate="pending"}') == []
+        fs2 = query("ALERTS_FOR_STATE")
+        assert float(fs2[0]["value"][1]) == t0_ms / 1000.0  # pinned
+    finally:
+        ex.stop()

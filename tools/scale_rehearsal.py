@@ -118,6 +118,9 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "scrape_up_family",
             "scraped_multilabel_fold",
             "otlp_roundtrip",
+            # r15: the ALERTS/ALERTS_FOR_STATE synthetic-series
+            # derivation (grid run-islands + state split, events-axis)
+            "rules_alerts_series",
         ],
     ),
     (
@@ -390,6 +393,8 @@ WIRE_FAMILIES: list[tuple[str, list[str]]] = [
             "scrape_up_family",
             "scraped_multilabel_fold",
             "otlp_roundtrip",
+            # r15: same second-decade coverage for the new row
+            "rules_alerts_series",
         ],
     ),
 ]
