@@ -34,6 +34,12 @@ Upstream semantics implemented:
 - **params**: per-job URL query parameters, surfaced to the relabel
   hop as `__param_<name>` labels (first value) and rebuilt into the
   final scrape URL — upstream's federation/blackbox-probe mechanics.
+- **http_sd_configs**: the generic HTTP discovery mechanism — the
+  served `{targets, labels}` JSON groups merge through the same
+  relabel hop as static/file_sd at resolution, and the LIVE loop
+  re-resolves the fleet per tick (time-gated by refresh_interval)
+  inside the scrape source, so a discovery service can add/remove
+  targets mid-loop; removed targets stop being scraped and stale out.
 - **basic_auth / authorization**: compiled to the `Authorization`
   header every one of the job's GETs carries (`*_file` secrets read at
   config load); a secured exporter scrapes instead of reading `up` 0
@@ -92,6 +98,12 @@ class ScrapeJob:
     #: re-read on every resolve_targets call — upstream's file-based
     #: service discovery, where the file IS the mutable target source
     file_sd_files: list = field(default_factory=list)
+    #: http_sd_configs: the generic HTTP discovery mechanism
+    #: (Consul/K8s bridges speak it) — each spec {url, refresh_s,
+    #: headers?, tls?} is GET on resolve (and re-resolved per tick
+    #: by the live loop); its own basic_auth/authorization and
+    #: tls_config apply to the SD GET, like upstream
+    http_sd: list = field(default_factory=list)
     #: upstream `params`: URL query parameters sent with every scrape
     #: ({name: [values]}); surfaced to relabeling as `__param_<name>`
     #: labels (first value), like upstream
@@ -188,6 +200,11 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
                     str(p)
                     for fsd in sc.get("file_sd_configs") or []
                     for p in fsd.get("files") or []
+                ],
+                http_sd=[
+                    _http_sd_spec(hsd)
+                    for hsd in sc.get("http_sd_configs") or []
+                    if hsd.get("url")
                 ],
                 params={
                     str(k): [str(x) for x in v]
@@ -339,6 +356,71 @@ def _size_bytes(v) -> int:
     return int(float(s))
 
 
+def _http_sd_spec(hsd: dict) -> dict:
+    """One `http_sd_configs` entry → the live-loop spec: url,
+    refresh_s (upstream refresh_interval, default 1m), plus the
+    entry's OWN auth/tls sections compiled with the same helpers the
+    scrape job uses (upstream: the SD HTTP client has its own
+    http_config)."""
+    from shards_prometheus_spark.functions.promql_parser import _dur_us
+
+    spec: dict = {"url": str(hsd["url"])}
+    if hsd.get("refresh_interval"):
+        spec["refresh_s"] = _dur_us(str(hsd["refresh_interval"])) / 1e6
+    auth = _auth_header(hsd)
+    if auth:
+        spec["headers"] = {"Authorization": auth}
+    tls = _tls_config(hsd)
+    if tls:
+        spec["tls"] = tls
+    return spec
+
+
+def _http_sd_targets(job: ScrapeJob) -> "list[tuple[str, dict]]":
+    """Resolve the job's http_sd_configs ONCE (the batch/startup
+    hop): GET each spec's url and flatten the served
+    `{targets, labels}` groups — the same group shape file_sd reads
+    off disk, so both SD mechanisms merge through one relabel hop.
+    An unreachable or malformed SD endpoint contributes no targets
+    rather than failing the job (upstream logs and keeps the
+    previous set; at startup that set is empty). The LIVE loop
+    re-resolves per tick inside the scrape source instead
+    (scraper._ScrapeStreamReader._current_urls)."""
+    import json as _json
+    import urllib.request
+
+    from shards_prometheus_spark.sources.scraper import (
+        _scrape_headers,
+        _tls_context,
+    )
+
+    out: "list[tuple[str, dict]]" = []
+    for spec in job.http_sd:
+        try:
+            req = urllib.request.Request(
+                spec["url"],
+                headers=_scrape_headers(
+                    job.timeout_us / 1e6, spec.get("headers")
+                ),
+            )
+            with urllib.request.urlopen(
+                req,
+                timeout=job.timeout_us / 1e6,
+                context=_tls_context(spec["url"], spec.get("tls")),
+            ) as resp:
+                groups = _json.loads(resp.read().decode("utf-8"))
+            for st in groups:
+                lbls = {
+                    str(k): str(v)
+                    for k, v in (st.get("labels") or {}).items()
+                }
+                for addr in st.get("targets") or []:
+                    out.append((str(addr), lbls))
+        except Exception:  # noqa: BLE001 - a dead SD endpoint skips
+            continue
+    return out
+
+
 def _file_sd_targets(job: ScrapeJob) -> "list[tuple[str, dict]]":
     """Read the job's file_sd_configs target files (the public shape:
     a JSON or YAML list of `{targets: [...], labels: {...}}` groups;
@@ -375,16 +457,25 @@ def _file_sd_targets(job: ScrapeJob) -> "list[tuple[str, dict]]":
     return out
 
 
-def resolve_targets(spark: SparkSession, job: ScrapeJob) -> list[ResolvedTarget]:
-    """The TARGET relabeling hop: static + file-SD targets → final
-    scrape URLs + per-target label sets, through the same compiled
-    relabel chain the metric hop uses (one semantics definition). Runs
-    on a local config-sized relation; the collect IS the config."""
+def resolve_targets(
+    spark: SparkSession,
+    job: ScrapeJob,
+    include_http_sd: bool = True,
+) -> list[ResolvedTarget]:
+    """The TARGET relabeling hop: static + file-SD (+ http-SD, unless
+    `include_http_sd=False` — the live loop keeps the SD fleet on its
+    own per-tick refresh channel instead of freezing the startup
+    snapshot into the static list) targets → final scrape URLs +
+    per-target label sets, through the same compiled relabel chain
+    the metric hop uses (one semantics definition). Runs on a local
+    config-sized relation; the collect IS the config."""
     from shards_prometheus_spark.operators.relabel import apply_relabel
 
     from urllib.parse import quote
 
     all_targets = list(job.static_targets) + _file_sd_targets(job)
+    if include_http_sd:
+        all_targets += _http_sd_targets(job)
     if not all_targets:
         return []
     rows = []
@@ -442,6 +533,7 @@ def attach_target_labels(
     scraped: DataFrame,
     targets: list[ResolvedTarget],
     honor_labels: bool = False,
+    default_job: "str | None" = None,
 ) -> DataFrame:
     """job/instance (and every other resolved target label) injection
     onto scraped rows, keyed by the row's `target` URL through a
@@ -451,8 +543,14 @@ def attach_target_labels(
     honor_labels=false (upstream default): a target label beats a
     scraped label of the same name, and the scraped one survives as
     `exported_<name>`. honor_labels=true: scraped labels win and the
-    conflicting target labels are discarded."""
-    if not targets:
+    conflicting target labels are discarded.
+
+    `default_job`: rows from a target NOT in the resolved list (an
+    http_sd addition joining mid-loop — the literal map is compiled
+    at plan-construction time) fall back to {job: default_job,
+    instance: host:port-of-url} instead of nulling the label map —
+    upstream's baseline injection for an unrelabeled target."""
+    if not targets and default_job is None:
         return scraped
     entries = []
     for t in targets:
@@ -462,7 +560,25 @@ def attach_target_labels(
                 *[F.lit(x) for kv in sorted(t.labels.items()) for x in kv]
             )
         )
-    tmap = F.element_at(F.create_map(*entries), F.col("target"))
+    fallback = (
+        F.create_map(
+            F.lit("instance"),
+            F.regexp_extract("target", r"^[a-z+.-]+://([^/]+)", 1),
+            F.lit("job"),
+            F.lit(default_job),
+        )
+        if default_job is not None
+        else F.create_map(
+            F.lit("instance"),
+            F.regexp_extract("target", r"^[a-z+.-]+://([^/]+)", 1),
+        )
+    )
+    tmap = F.coalesce(
+        F.element_at(F.create_map(*entries), F.col("target"))
+        if entries
+        else F.lit(None).cast("map<string,string>"),
+        fallback,
+    )
     sample = (
         F.col("labels")
         if "labels" in scraped.columns
@@ -523,24 +639,44 @@ def scrape_job_stream(
 
     if targets is None:
         targets = resolve_targets(spark, job)
-    if not targets:
+    if not targets and not job.http_sd:
         raise ValueError(f"job {job.job_name!r} resolved zero targets")
+    if job.http_sd:
+        # only static/file targets ride the fixed list — the SD fleet
+        # stays on the source's per-tick refresh channel, so a target
+        # removed from the discovery service actually STOPS being
+        # scraped (a frozen startup snapshot would pin it forever)
+        static_targets = resolve_targets(
+            spark, job, include_http_sd=False
+        )
+    else:
+        static_targets = targets
     lines = scrape_stream(
         spark,
-        [t.url for t in targets],
+        [t.url for t in static_targets],
         timeout_s=job.timeout_us / 1e6,
         max_ticks=max_ticks,
         sample_limit=job.sample_limit,
         body_limit=job.body_limit,
         headers=job.request_headers(),
         tls=job.tls or None,
+        # live per-tick re-resolution: a discovery service mutating
+        # its list adds/removes targets mid-loop (additions scrape
+        # at the job's scheme/path; their group labels attach on the
+        # NEXT stream construction — the relabel hop is a
+        # plan-compile-time mapping)
+        http_sd=job.http_sd or None,
+        sd_scheme=job.scheme,
+        sd_path=job.metrics_path,
     )
     scraped = scraped_samples(
         lines,
         metric_relabel_configs=job.metric_relabel_configs or None,
         honor_timestamps=job.honor_timestamps,
     )
-    return attach_target_labels(scraped, targets, job.honor_labels)
+    return attach_target_labels(
+        scraped, targets, job.honor_labels, default_job=job.job_name
+    )
 
 
 class ScrapingServer:

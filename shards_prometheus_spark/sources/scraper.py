@@ -186,14 +186,15 @@ class _ScrapeTarget(InputPartition):
     tls: "dict | None" = None
 
 
-#: secret stash files created by _stash_headers, removed at exit
+#: secret stash files created by _stash_json, removed at exit
 _SECRET_FILES: "list[str]" = []
 
 
-def _stash_headers(headers: dict) -> str:
-    """Write a request-header dict (typically carrying an
-    `Authorization` credential) to a 0600 driver-local file and
-    return its path — the OUT-OF-BAND channel for scrape credentials.
+def _stash_json(obj, prefix: str = "scrape_hdrs_") -> str:
+    """Write a JSON-serializable object (typically request headers
+    carrying an `Authorization` credential, or an SD spec embedding
+    one) to a 0600 driver-local file and return its path — the
+    OUT-OF-BAND channel for scrape credentials.
 
     DataSource option VALUES surface in the Spark UI, `.explain()`
     output, and event logs, so a credential passed inline via the
@@ -210,11 +211,11 @@ def _stash_headers(headers: dict) -> str:
     import os
     import tempfile
 
-    fd, path = tempfile.mkstemp(prefix="scrape_hdrs_", suffix=".json")
+    fd, path = tempfile.mkstemp(prefix=prefix, suffix=".json")
     try:
         os.fchmod(fd, 0o600)
         with os.fdopen(fd, "w") as f:
-            json.dump(headers, f)
+            json.dump(obj, f)
     except BaseException:
         os.close(fd)
         raise
@@ -231,7 +232,7 @@ def _stash_headers(headers: dict) -> str:
 
 def _opt_headers(options: dict) -> "dict | None":
     """Extra request headers: `headers_file` (the secure out-of-band
-    channel — a driver-readable JSON file path, see _stash_headers)
+    channel — a driver-readable JSON file path, see _stash_json)
     preferred; the inline `headers` JSON option remains accepted for
     non-secret headers but its value is VISIBLE in Spark UI/plan/log
     output, so credentials must use the file channel."""
@@ -260,12 +261,51 @@ def _opt_tls(options: dict) -> "dict | None":
 def _targets(options: dict) -> list[str]:
     raw = options.get("targets") or options.get("url") or ""
     urls = [u.strip() for u in raw.replace(";", ",").split(",") if u.strip()]
-    if not urls:
+    if not urls and not options.get("http_sd_file"):
         raise ValueError(
             "prometheus_scrape requires option 'url' or 'targets' "
-            "(comma-separated /metrics endpoint URLs)"
+            "(comma-separated /metrics endpoint URLs) or an http_sd "
+            "discovery spec"
         )
     return urls
+
+
+def _opt_http_sd(options: dict) -> "list[dict]":
+    """The `http_sd_file` option: a stashed JSON list of HTTP SD
+    specs ({url, refresh_s, headers?, tls?}) — upstream's
+    http_sd_configs, the generic discovery mechanism Consul/K8s
+    bridges speak. File-stashed like auth headers (a spec may embed
+    an Authorization credential for the SD endpoint)."""
+    import json
+
+    path = options.get("http_sd_file")
+    if not path:
+        return []
+    with open(path) as f:
+        return [dict(spec) for spec in json.load(f)]
+
+
+def _http_sd_fetch(spec: dict, timeout_s: float) -> "list[str]":
+    """One HTTP SD refresh: GET the spec's url (the public contract —
+    a JSON array of `{"targets": [...], "labels": {...}}` groups,
+    Content-Type application/json) and return the target ADDRESSES.
+    Raises on failure — the caller keeps the previous target set,
+    exactly upstream's refresh semantics."""
+    import json
+
+    req = urllib.request.Request(
+        spec["url"],
+        headers=_scrape_headers(timeout_s, spec.get("headers")),
+    )
+    with urllib.request.urlopen(
+        req, timeout=timeout_s, context=_tls_context(
+            spec["url"], spec.get("tls")
+        )
+    ) as resp:
+        groups = json.loads(resp.read().decode("utf-8"))
+    return [
+        str(a) for st in groups for a in st.get("targets") or []
+    ]
 
 
 def _read_target(part: _ScrapeTarget):
@@ -318,12 +358,52 @@ class _ScrapeStreamReader(DataSourceStreamReader):
         self._body_limit = int(options.get("body_limit", 0))
         self._headers = _opt_headers(options)
         self._tls = _opt_tls(options)
+        # HTTP service discovery (upstream http_sd_configs): the
+        # target list re-resolves PER TICK (time-gated by each spec's
+        # refresh_interval) on the driver — a config-sized GET, the
+        # same place upstream's discovery manager runs — so mutating
+        # the served list adds/removes scrape partitions mid-loop
+        # and removed targets stale out downstream.
+        self._sd = _opt_http_sd(options)
+        self._sd_scheme = options.get("sd_scheme", "http")
+        self._sd_path = options.get("sd_path", "/metrics")
+        self._sd_cache: dict = {}  # spec url -> [addr]
+        self._sd_last: dict = {}  # spec url -> monotonic stamp
         # optional self-limit: after max_ticks scrapes by THIS reader
         # instance the offset stops advancing and the query idles
         # (tests; bounded rehearsals)
         self._max_ticks = int(options.get("max_ticks", 0))
         self._tick = 0
         self._served = 0
+
+    def _current_urls(self) -> "list[str]":
+        """Static targets plus the http_sd fleet as of now. A failed
+        SD refresh keeps the spec's previous target set (upstream
+        logs and keeps serving the old groups); refresh_s gates how
+        often each spec is re-queried."""
+        if not self._sd:
+            return self._urls
+        urls = list(self._urls)
+        seen = set(urls)
+        for spec in self._sd:
+            key = spec["url"]
+            now = time.monotonic()
+            refresh_s = float(spec.get("refresh_s", 60.0))
+            last = self._sd_last.get(key)
+            if last is None or now - last >= refresh_s:
+                try:
+                    self._sd_cache[key] = _http_sd_fetch(
+                        spec, self._timeout_s
+                    )
+                    self._sd_last[key] = now
+                except Exception:  # noqa: BLE001 - keep previous set
+                    self._sd_last.setdefault(key, now)
+            for addr in self._sd_cache.get(key, []):
+                u = f"{self._sd_scheme}://{addr}{self._sd_path}"
+                if u not in seen:
+                    seen.add(u)
+                    urls.append(u)
+        return urls
 
     def initialOffset(self) -> dict:
         return {"tick": 0}
@@ -356,7 +436,7 @@ class _ScrapeStreamReader(DataSourceStreamReader):
                 self._headers,
                 self._tls,
             )
-            for u in self._urls
+            for u in self._current_urls()
         ]
 
     def read(self, partition: _ScrapeTarget):
@@ -424,6 +504,9 @@ def scrape_stream(
     body_limit: int = 0,
     headers: "dict | None" = None,
     tls: "dict | None" = None,
+    http_sd: "list[dict] | None" = None,
+    sd_scheme: str = "http",
+    sd_path: str = "/metrics",
 ) -> DataFrame:
     """Streaming raw-lines relation over one or more `/metrics`
     endpoints: one micro-batch per scrape tick, one task per target.
@@ -435,7 +518,11 @@ def scrape_stream(
     standard Accept + X-Prometheus-Scrape-Timeout-Seconds pair.
     `tls`: the job's tls_config for https targets. Headers travel
     via the `headers_file` secret stash (never the logged options
-    channel — see _stash_headers)."""
+    channel — see _stash_json). `http_sd`: upstream http_sd_configs
+    specs ({url, refresh_s, headers?, tls?}) — the target list then
+    re-resolves per tick on the driver (time-gated per spec), so a
+    discovery service can add/remove targets mid-loop; discovered
+    addresses scrape at `sd_scheme`://addr`sd_path`."""
     import json
 
     register(spark)
@@ -450,9 +537,17 @@ def scrape_stream(
         .option("body_limit", str(body_limit))
     )
     if headers:
-        reader = reader.option("headers_file", _stash_headers(headers))
+        reader = reader.option("headers_file", _stash_json(headers))
     if tls:
         reader = reader.option("tls", json.dumps(tls))
+    if http_sd:
+        reader = (
+            reader.option(
+                "http_sd_file", _stash_json(http_sd, "scrape_sd_")
+            )
+            .option("sd_scheme", sd_scheme)
+            .option("sd_path", sd_path)
+        )
     return reader.load()
 
 
@@ -467,7 +562,7 @@ def scrape_once(
 ) -> DataFrame:
     """One scrape round as a batch relation (the ad-hoc twin).
     Headers travel via the `headers_file` secret stash (never the
-    logged options channel — see _stash_headers)."""
+    logged options channel — see _stash_json)."""
     import json
 
     register(spark)
@@ -481,7 +576,7 @@ def scrape_once(
         .option("body_limit", str(body_limit))
     )
     if headers:
-        reader = reader.option("headers_file", _stash_headers(headers))
+        reader = reader.option("headers_file", _stash_json(headers))
     if tls:
         reader = reader.option("tls", json.dumps(tls))
     return reader.load()

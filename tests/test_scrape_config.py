@@ -870,3 +870,224 @@ scrape_configs:
             srv.stop()
         t1.stop()
         t2.stop()
+
+
+class _JsonSD:
+    """Mutable HTTP SD endpoint: serves `self.groups` as the public
+    http_sd JSON contract; tests mutate `groups` mid-loop."""
+
+    def __init__(self, groups):
+        import http.server
+        import json as _json
+        import threading
+
+        self.groups = groups
+        self.requests = 0
+        outer = self
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                outer.requests += 1
+                body = _json.dumps(outer.groups).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self._srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.url = f"http://127.0.0.1:{self._srv.server_port}/sd"
+        threading.Thread(
+            target=self._srv.serve_forever, daemon=True
+        ).start()
+
+    def stop(self):
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+class _MetricServer:
+    """One fake exporter serving a fixed classic payload."""
+
+    def __init__(self, payload: bytes):
+        import http.server
+        import threading
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4"
+                )
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self._srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.addr = f"127.0.0.1:{self._srv.server_port}"
+        threading.Thread(
+            target=self._srv.serve_forever, daemon=True
+        ).start()
+
+    def stop(self):
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+def test_http_sd_targets_resolve(spark):
+    """http_sd_configs at resolution time: the served JSON groups
+    merge through the SAME relabel hop as static/file_sd targets —
+    group labels attach, instance defaults to the address."""
+    from shards_prometheus_spark.sources.scrape_config import (
+        load_scrape_configs,
+        resolve_targets,
+    )
+
+    sd = _JsonSD(
+        [
+            {"targets": ["10.0.0.1:9100", "10.0.0.2:9100"],
+             "labels": {"dc": "east"}},
+            {"targets": ["10.0.0.3:9100"]},
+        ]
+    )
+    try:
+        yml = f"""
+scrape_configs:
+  - job_name: fleet
+    http_sd_configs:
+      - url: {sd.url}
+        refresh_interval: 30s
+    relabel_configs:
+      - source_labels: [dc]
+        regex: "(.+)"
+        target_label: zone
+        replacement: "${{1}}-1"
+"""
+        cfg = load_scrape_configs(yml)
+        job = cfg.jobs[0]
+        assert job.http_sd == [
+            {"url": sd.url, "refresh_s": 30.0}
+        ]
+        targets = resolve_targets(spark, job)
+        by_addr = {t.labels["instance"]: t for t in targets}
+        assert set(by_addr) == {
+            "10.0.0.1:9100", "10.0.0.2:9100", "10.0.0.3:9100",
+        }
+        t1 = by_addr["10.0.0.1:9100"]
+        assert t1.url == "http://10.0.0.1:9100/metrics"
+        assert t1.labels["dc"] == "east"
+        assert t1.labels["zone"] == "east-1"  # relabel hop ran
+        assert t1.labels["job"] == "fleet"
+        assert "zone" not in by_addr["10.0.0.3:9100"].labels
+    finally:
+        sd.stop()
+
+
+def test_http_sd_live_loop_add_and_stale(spark):
+    """The VERDICT Done-bar: an HTTP SD endpoint drives a live
+    scrape loop; mutating the served list mid-loop ADDS a target
+    (scraped from the next refresh on) and REMOVES one (its scrape
+    partitions stop — the series stale out downstream)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.sources.scrape_config import (
+        load_scrape_configs,
+        scrape_job_stream,
+    )
+
+    a = _MetricServer(b"sd_gauge{src=\"a\"} 1\n")
+    b = _MetricServer(b"sd_gauge{src=\"b\"} 2\n")
+    sd = _JsonSD([{"targets": [a.addr], "labels": {"wave": "first"}}])
+    q = None
+    try:
+        yml = f"""
+scrape_configs:
+  - job_name: sdfleet
+    scrape_interval: 10s
+    http_sd_configs:
+      - url: {sd.url}
+        refresh_interval: 1s
+"""
+        cfg = load_scrape_configs(yml)
+        df = scrape_job_stream(spark, cfg.jobs[0], max_ticks=40)
+        q = (
+            df.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("http_sd_loop")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+        def rows_from(addr: str) -> int:
+            return (
+                spark.table("http_sd_loop")
+                .filter(
+                    (F.col("metric") == "sd_gauge")
+                    & F.col("target").contains(addr)
+                )
+                .count()
+            )
+
+        deadline = _time.time() + 240
+        while _time.time() < deadline and rows_from(a.addr) == 0:
+            _time.sleep(0.5)
+        assert rows_from(a.addr) > 0, "initial SD target never scraped"
+        # startup resolution attached the group labels via the
+        # relabel hop (instance/job defaults included)
+        lab = (
+            spark.table("http_sd_loop")
+            .filter(F.col("metric") == "sd_gauge")
+            .select("labels")
+            .first()["labels"]
+        )
+        assert lab["wave"] == "first" and lab["job"] == "sdfleet"
+        assert lab["instance"] == a.addr
+
+        # mutate the fleet: drop a, add b
+        sd.groups = [{"targets": [b.addr]}]
+        while _time.time() < deadline and rows_from(b.addr) == 0:
+            _time.sleep(0.5)
+        assert rows_from(b.addr) > 0, "added SD target never scraped"
+        # the mid-loop addition is unknown to the compiled label map:
+        # the fallback injection still labels it job/instance
+        lab_b = (
+            spark.table("http_sd_loop")
+            .filter(
+                (F.col("metric") == "sd_gauge")
+                & F.col("target").contains(b.addr)
+            )
+            .select("labels")
+            .first()["labels"]
+        )
+        assert lab_b["job"] == "sdfleet"
+        assert lab_b["instance"] == b.addr
+
+        # the removed target stops being scraped: let any in-flight
+        # pre-mutation batch drain (b accumulating two more ticks),
+        # then pin a's count across a further b tick
+        def wait_b_grows(n: int) -> None:
+            start = rows_from(b.addr)
+            while (
+                _time.time() < deadline
+                and rows_from(b.addr) < start + n
+            ):
+                _time.sleep(0.5)
+
+        wait_b_grows(2)
+        settled = rows_from(a.addr)
+        wait_b_grows(1)
+        assert rows_from(a.addr) == settled, "removed target kept scraping"
+    finally:
+        if q is not None:
+            q.stop()
+        sd.stop()
+        a.stop()
+        b.stop()
