@@ -1263,6 +1263,32 @@ def federate_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return federate_lines(spark, sf_dir, FEDERATE_MATCHES)
 
 
+def _resolve_dropped_targets(spark, cfg) -> "list[dict]":
+    """Targets the loaded config's relabel hop ELIMINATES, as their
+    pre-relabel discovered label sets — what `/api/v1/targets` serves
+    in `droppedTargets`. Resolved once per config load/reload (the
+    same cadence upstream's scrape manager recomputes its pools);
+    jobs without relabel rules cannot drop and are skipped, so a
+    plain config costs nothing here."""
+    from shards_prometheus_spark.sources.scrape_config import (
+        resolve_targets_full,
+    )
+
+    out: list = []
+    for job in cfg.jobs:
+        if not job.relabel_configs:
+            continue
+        try:
+            _active, dropped = resolve_targets_full(spark, job)
+        except Exception:  # noqa: BLE001 - a dead SD endpoint etc.
+            continue  # must not fail exposer construction
+        out.extend(
+            {"discoveredLabels": d, "scrapePool": job.job_name}
+            for d in dropped
+        )
+    return out
+
+
 class MetricsExposer:
     """HTTP pull endpoint serving the exposition payload — the literal
     analog of the reference's Exposer (HTTP server started at
@@ -1292,6 +1318,7 @@ class MetricsExposer:
         remote_write: bool = False,
         otlp_receiver: bool = False,
         otlp_convert_delta: bool = False,
+        otlp_promote_resource_attributes: "list[str] | None" = None,
         scrape_config: str | None = None,
         scrape_config_path: str | None = None,
         alertmanagers: "list[str] | None" = None,
@@ -1401,6 +1428,9 @@ class MetricsExposer:
                             parse_otlp_request_full(
                                 raw,
                                 convert_delta=outer._otlp_convert_delta,
+                                promote_resource_attributes=(
+                                    outer._otlp_promote or None
+                                ),
                             )
                         )
                         if delta_keys:
@@ -1609,6 +1639,12 @@ class MetricsExposer:
         self._remote_write = remote_write
         self._otlp_receiver = otlp_receiver
         self._otlp_convert_delta = otlp_convert_delta
+        #: upstream otlp.promote_resource_attributes: the listed
+        #: resource attributes promote to labels on ingest (all
+        #: others drop, the default); data-point labels win conflicts
+        self._otlp_promote = list(
+            otlp_promote_resource_attributes or []
+        )
         #: running totals per series for the opt-in OTLP
         #: delta-to-cumulative conversion (upstream's
         #: otlp.convert_delta_to_cumulative): series-sized driver
@@ -1634,30 +1670,33 @@ class MetricsExposer:
         # config's global section.
         self._external_labels: dict = dict(external_labels or {})
         self._explicit_external_labels = external_labels is not None
-        if alertmanagers is None and self._scrape_config is not None:
+        #: relabel-dropped scrape targets (pre-relabel discovered
+        #: label sets) + the global keep_dropped_targets cap, served
+        #: on /api/v1/targets — resolved at config load and reload
+        self._dropped_targets: list = []
+        self._keep_dropped_targets = 0
+        if self._scrape_config is not None:
             from shards_prometheus_spark.sources.scrape_config import (
                 load_scrape_configs,
                 resolve_alertmanagers,
             )
 
             cfg = load_scrape_configs(self._scrape_config)
-            # the discovery relabel hop: alertmanagers[].relabel_configs
-            # rewrites/drops pool members before any push
-            alertmanagers = resolve_alertmanagers(self._spark, cfg)
-            self._alert_relabel = cfg.alert_relabel_configs
+            if alertmanagers is None:
+                # the discovery relabel hop:
+                # alertmanagers[].relabel_configs rewrites/drops pool
+                # members before any push
+                alertmanagers = resolve_alertmanagers(self._spark, cfg)
+                self._alert_relabel = cfg.alert_relabel_configs
+                if rule_file is None and cfg.rule_files:
+                    self._rule_file = self._read_rule_files(
+                        cfg.rule_files
+                    )
             if external_labels is None:
                 self._external_labels = dict(cfg.external_labels)
-            if rule_file is None and cfg.rule_files:
-                self._rule_file = self._read_rule_files(cfg.rule_files)
-        elif external_labels is None and self._scrape_config is not None:
-            # explicit pool + config file: the global section still
-            # defines the engine's outbound identity
-            from shards_prometheus_spark.sources.scrape_config import (
-                load_scrape_configs,
-            )
-
-            self._external_labels = dict(
-                load_scrape_configs(self._scrape_config).external_labels
+            self._keep_dropped_targets = cfg.keep_dropped_targets
+            self._dropped_targets = _resolve_dropped_targets(
+                self._spark, cfg
             )
         self._alertmanagers = list(alertmanagers or [])
         # TSDB admin API state (upstream --web.enable-admin-api):
@@ -1931,6 +1970,10 @@ class MetricsExposer:
             self._alert_relabel = cfg.alert_relabel_configs
         if not self._explicit_external_labels:
             self._external_labels = dict(cfg.external_labels)
+        self._keep_dropped_targets = cfg.keep_dropped_targets
+        self._dropped_targets = _resolve_dropped_targets(
+            self._spark, cfg
+        )
         self._rule_file = new_rules
 
     def handle_api(
@@ -2036,6 +2079,8 @@ class MetricsExposer:
             target_info={
                 "instance": f"{self.host}:{self.port}",
                 "start_time": getattr(self, "_start_time", None),
+                "dropped_targets": self._dropped_targets,
+                "keep_dropped_targets": self._keep_dropped_targets,
             },
             config_yaml=self._scrape_config,
             alertmanagers=self._alertmanagers,

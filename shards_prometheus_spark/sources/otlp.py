@@ -142,15 +142,23 @@ def _ts_ms(v: float) -> int:
     return struct.unpack("<Q", struct.pack("<d", v))[0] // 1_000_000
 
 
-def parse_otlp_request(payload: bytes) -> "list[tuple[dict, int, float]]":
+def parse_otlp_request(
+    payload: bytes,
+    promote_resource_attributes: "list[str] | None" = None,
+) -> "list[tuple[dict, int, float]]":
     """ExportMetricsServiceRequest → [(labels incl. __name__, ts_ms,
     value)] (rows only; see parse_otlp_request_full for the
     partial-success accounting twin)."""
-    return parse_otlp_request_full(payload)[0]
+    return parse_otlp_request_full(
+        payload,
+        promote_resource_attributes=promote_resource_attributes,
+    )[0]
 
 
 def parse_otlp_request_full(
-    payload: bytes, convert_delta: bool = False
+    payload: bytes,
+    convert_delta: bool = False,
+    promote_resource_attributes: "list[str] | None" = None,
 ) -> "tuple[list[tuple[dict, int, float]], int, list[str], set]":
     """ExportMetricsServiceRequest → (rows, rejected_data_points,
     messages), Prometheus translation applied:
@@ -158,6 +166,14 @@ def parse_otlp_request_full(
     - attributes → labels (names sanitized);
     - resource ``service.name`` → ``job``, ``service.instance.id`` →
       ``instance`` (the public promotion rules);
+    - ``promote_resource_attributes`` (upstream's
+      ``otlp.promote_resource_attributes`` config knob): the LISTED
+      resource attributes additionally promote to labels (names
+      sanitized — ``k8s.pod.name`` lands as ``k8s_pod_name``); every
+      other resource attribute is dropped, upstream's default. A
+      data point's OWN attribute of the same name wins the conflict
+      (target_info-style label-wins resolution), and the job/instance
+      promotions are never overridden;
     - monotonic Sum → ``<name>_total``; Gauge/non-monotonic Sum →
       ``<name>``;
     - Histogram → cumulative ``_bucket{le=…}`` (+Inf included) +
@@ -198,6 +214,9 @@ def parse_otlp_request_full(
     rejected = [0]
     messages: list = []
     delta_series: set = set()
+    promote = {
+        _sanitize(str(a)) for a in promote_resource_attributes or []
+    }
     try:
         for f, wt, rm in pb_fields(payload):
             if f != 1 or wt != 2:  # resource_metrics
@@ -218,6 +237,12 @@ def parse_otlp_request_full(
                         resource_labels["instance"] = raw[
                             "service_instance_id"
                         ]
+                    for want in sorted(promote):
+                        # the job/instance promotions above are never
+                        # overridden; data-point attributes still win
+                        # over any promoted resource attr (lbl())
+                        if want in raw and want not in resource_labels:
+                            resource_labels[want] = raw[want]
                 elif f2 == 2 and wt2 == 2:  # ScopeMetrics
                     scope_bufs.append(v2)
             for sm in scope_bufs:

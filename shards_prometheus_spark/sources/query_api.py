@@ -848,42 +848,68 @@ def status_tsdb_data(evaluator) -> dict:
     }
 
 
-def targets_data(evaluator, target_info: dict | None) -> dict:
+def targets_data(
+    evaluator, target_info: dict | None, params_get=None
+) -> dict:
     """`/api/v1/targets`: the scrape-pool view. This engine IS the
     single scrape target its paired server would pull (the reference
     registers one Exposer endpoint), so the active-targets list is
     the exposer's own /metrics URL, healthy, with `lastScrape` pinned
     at the data's max timestamp (the batch analog of "the last time
-    the store ingested")."""
+    the store ingested").
+
+    `droppedTargets` (upstream parity): targets eliminated by the
+    loaded config's relabel hop, each as its pre-relabel
+    `discoveredLabels` (the exposer resolves them at config
+    load/reload — target_info["dropped_targets"]). The public
+    `state=active|dropped|any` parameter filters the two lists, and
+    `keep_dropped_targets` (the config's global limit, 0=unlimited)
+    caps how many dropped entries are remembered, like upstream."""
     info = target_info or {}
     instance = info.get("instance", "localhost:0")
     url = f"http://{instance}/metrics"
     last = datetime.fromtimestamp(
         evaluator.eval_time_us() / 1e6, tz=timezone.utc
     ).isoformat().replace("+00:00", "Z")
+    state = (params_get("state") if params_get else None) or "any"
+    if state not in ("active", "dropped", "any"):
+        raise ValueError(f"invalid state parameter {state!r}")
+    active = [
+        {
+            "discoveredLabels": {
+                "__address__": instance,
+                "__metrics_path__": "/metrics",
+                "__scheme__": "http",
+                "job": "shards-prometheus-spark",
+            },
+            "labels": {
+                "instance": instance,
+                "job": "shards-prometheus-spark",
+            },
+            "scrapePool": "shards-prometheus-spark",
+            "scrapeUrl": url,
+            "globalUrl": url,
+            "lastError": "",
+            "lastScrape": last,
+            "lastScrapeDuration": 0.0,
+            "health": "up",
+        }
+    ]
+    dropped = [
+        {
+            "discoveredLabels": dict(d.get("discoveredLabels") or d),
+            "scrapePool": d.get("scrapePool", ""),
+        }
+        for d in info.get("dropped_targets") or []
+    ]
+    cap = int(info.get("keep_dropped_targets") or 0)
+    if cap:
+        dropped = dropped[:cap]
     return {
-        "activeTargets": [
-            {
-                "discoveredLabels": {
-                    "__address__": instance,
-                    "__metrics_path__": "/metrics",
-                    "__scheme__": "http",
-                    "job": "shards-prometheus-spark",
-                },
-                "labels": {
-                    "instance": instance,
-                    "job": "shards-prometheus-spark",
-                },
-                "scrapePool": "shards-prometheus-spark",
-                "scrapeUrl": url,
-                "globalUrl": url,
-                "lastError": "",
-                "lastScrape": last,
-                "lastScrapeDuration": 0.0,
-                "health": "up",
-            }
-        ],
-        "droppedTargets": [],
+        "activeTargets": active if state in ("active", "any") else [],
+        "droppedTargets": dropped
+        if state in ("dropped", "any")
+        else [],
     }
 
 
@@ -1270,7 +1296,7 @@ def handle_api_request(
                     exemplars_fn(), query, start_us, end_us, max_samples
                 )
         elif path == "/api/v1/targets":
-            data = targets_data(make_evaluator(None), target_info)
+            data = targets_data(make_evaluator(None), target_info, p)
         elif path == "/api/v1/scrape_pools":
             # 3.x UI endpoint: the scrape-pool (job) names from the
             # loaded config; without a config the engine itself is

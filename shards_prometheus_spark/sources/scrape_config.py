@@ -118,11 +118,24 @@ class ScrapeJob:
     #: pair, mTLS), insecure_skip_verify. Applied per GET on the
     #: executors (scraper._tls_context).
     tls: dict = field(default_factory=dict)
+    #: upstream per-job `scrape_protocols`: the ordered negotiation
+    #: list compiled to the job's Accept header — e.g. a classic-only
+    #: `[PrometheusText0.0.4]` pins `text/plain;version=0.0.4` for an
+    #: exporter that mis-serves OpenMetrics (empty = upstream's
+    #: default OM-preferred list, scraper.ACCEPT_HEADER)
+    scrape_protocols: list = field(default_factory=list)
 
     def request_headers(self) -> "dict | None":
         """Extra per-GET headers this job's scrapes carry (on top of
-        the scraper's standard Accept + timeout-advisory pair)."""
-        return {"Authorization": self.auth_header} if self.auth_header else None
+        the scraper's standard Accept + timeout-advisory pair; a
+        non-default scrape_protocols list OVERRIDES the standard
+        Accept — extra headers win the merge in _scrape_headers)."""
+        h: dict = {}
+        if self.auth_header:
+            h["Authorization"] = self.auth_header
+        if self.scrape_protocols:
+            h["Accept"] = _accept_header(self.scrape_protocols)
+        return h or None
 
 
 @dataclass
@@ -143,6 +156,9 @@ class ScrapeConfig:
     #: alert's labels before notification (the hop upstream runs
     #: between rule evaluation and the notifier queue)
     alert_relabel_configs: list = field(default_factory=list)
+    #: upstream `global.keep_dropped_targets` (0 = unlimited): caps
+    #: how many relabel-dropped targets /api/v1/targets remembers
+    keep_dropped_targets: int = 0
     #: `global.external_labels` — the identity labels upstream
     #: attaches at every OUTBOUND boundary (alerts pushed to
     #: Alertmanager, /federate output, remote-write sends) but never
@@ -214,6 +230,9 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
                 },
                 auth_header=_auth_header(sc),
                 tls=_tls_config(sc),
+                scrape_protocols=[
+                    str(x) for x in sc.get("scrape_protocols") or []
+                ],
             )
         )
     # alerting: alertmanagers: [static_configs: [targets: [...]]]
@@ -240,6 +259,7 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
             str(k): str(v)
             for k, v in (g.get("external_labels") or {}).items()
         },
+        keep_dropped_targets=int(g.get("keep_dropped_targets") or 0),
     )
 
 
@@ -338,6 +358,40 @@ def _tls_config(sc: dict) -> dict:
     if raw.get("insecure_skip_verify"):
         out["insecure_skip_verify"] = True
     return out
+
+
+#: upstream's public scrape_protocols names → the Accept media types
+#: they negotiate (Prometheus config.ScrapeProtocolsHeaders)
+_PROTOCOL_TYPES = {
+    "PrometheusProto": (
+        "application/vnd.google.protobuf;"
+        "proto=io.prometheus.client.MetricFamily;encoding=delimited"
+    ),
+    "PrometheusText0.0.4": "text/plain;version=0.0.4",
+    "PrometheusText1.0.0": "text/plain;version=1.0.0;escaping=allow-utf-8",
+    "OpenMetricsText0.0.1": "application/openmetrics-text;version=0.0.1",
+    "OpenMetricsText1.0.0": "application/openmetrics-text;version=1.0.0",
+}
+
+
+def _accept_header(protocols: "list[str]") -> str:
+    """A job's `scrape_protocols` list → the q-graded Accept header,
+    upstream's scheme: earlier entries get higher q (the default
+    3-entry list renders q=0.6/0.5/0.4), `*/*;q=0.1` always last so
+    a misconfigured exporter still answers SOMETHING the classifier
+    can reject. Unknown protocol names are skipped (be-liberal parse
+    convention); an all-unknown list falls back to the default."""
+    from shards_prometheus_spark.sources.scraper import ACCEPT_HEADER
+
+    known = [p for p in protocols if p in _PROTOCOL_TYPES]
+    if not known:
+        return ACCEPT_HEADER
+    n = len(known)
+    parts = [
+        f"{_PROTOCOL_TYPES[p]};q={min(0.3 + 0.1 * (n - i), 0.9):.1f}"
+        for i, p in enumerate(known)
+    ]
+    return ",".join(parts) + ",*/*;q=0.1"
 
 
 def _size_bytes(v) -> int:
@@ -469,6 +523,23 @@ def resolve_targets(
     per-target label sets, through the same compiled relabel chain
     the metric hop uses (one semantics definition). Runs on a local
     config-sized relation; the collect IS the config."""
+    active, _dropped = resolve_targets_full(
+        spark, job, include_http_sd
+    )
+    return active
+
+
+def resolve_targets_full(
+    spark: SparkSession,
+    job: ScrapeJob,
+    include_http_sd: bool = True,
+) -> "tuple[list[ResolvedTarget], list[dict]]":
+    """resolve_targets plus the DROPPED side: targets eliminated by
+    the relabel hop (a `drop`/failed-`keep` rule, or a relabeled-away
+    `__address__`) are returned as their PRE-relabel discovered label
+    sets — what upstream serves in `/api/v1/targets`'
+    `droppedTargets` (each entry carries only `discoveredLabels`;
+    active entries show the post-relabel set)."""
     from shards_prometheus_spark.operators.relabel import apply_relabel
 
     from urllib.parse import quote
@@ -477,9 +548,10 @@ def resolve_targets(
     if include_http_sd:
         all_targets += _http_sd_targets(job)
     if not all_targets:
-        return []
+        return [], []
     rows = []
-    for addr, extra in all_targets:
+    discovered: "list[dict]" = []
+    for idx, (addr, extra) in enumerate(all_targets):
         labels = {
             "__address__": addr,
             "job": job.job_name,
@@ -493,11 +565,13 @@ def resolve_targets(
             if vs:
                 labels[f"__param_{k}"] = vs[0]
         labels.update(extra)
-        rows.append(("", labels))
+        discovered.append(dict(labels))
+        rows.append((idx, "", labels))
     df = spark.createDataFrame(
-        rows, "metric string, labels map<string,string>"
+        rows, "idx long, metric string, labels map<string,string>"
     )
     out = []
+    kept_idx: set = set()
     for r in apply_relabel(df, job.relabel_configs).collect():
         labels = dict(r["labels"])
         addr = labels.get("__address__", "")
@@ -505,6 +579,7 @@ def resolve_targets(
         path = labels.get("__metrics_path__", job.metrics_path)
         if not addr:
             continue  # relabeled away its address: not scrapeable
+        kept_idx.add(r["idx"])
         labels.setdefault("instance", addr)
         # rebuild the query string from the (possibly relabeled)
         # __param_* labels, then the params' extra values
@@ -526,7 +601,12 @@ def resolve_targets(
             k: v for k, v in labels.items() if not k.startswith("__")
         }
         out.append(ResolvedTarget(url=url, labels=public))
-    return out
+    dropped = [
+        lbls
+        for i, lbls in enumerate(discovered)
+        if i not in kept_idx
+    ]
+    return out, dropped
 
 
 def attach_target_labels(

@@ -627,3 +627,98 @@ def test_distributed_otlp_decode(spark):
     # the label map carries the attribute
     row = decode_otlp_requests(df).filter(F.col("label_user") == "2").first()
     assert dict(row["labels"]) == {"user": "2"}
+
+
+def test_promote_resource_attributes(spark):
+    """Upstream's `otlp.promote_resource_attributes` config knob:
+    LISTED resource attributes promote to (sanitized) labels; every
+    other resource attribute is still dropped; a data point's own
+    attribute of the same name wins the conflict (target_info-style
+    label-wins); the job/instance promotions are never overridden.
+    Pinned at the parser AND through the exposer's HTTP receiver +
+    read API."""
+    import json
+    import urllib.request
+    from urllib.parse import quote
+
+    from shards_prometheus_spark.functions.miniformats import (
+        pb_double,
+        pb_len,
+    )
+    from shards_prometheus_spark.sources import MetricsExposer
+    from shards_prometheus_spark.sources.otlp import (
+        _fixed64,
+        parse_otlp_request,
+    )
+
+    def kv(key: bytes, val: bytes) -> bytes:
+        return pb_len(1, key) + pb_len(2, pb_len(1, val))
+
+    # Resource{repeated KeyValue attributes=1}: one field-1 entry
+    # PER KeyValue (concatenating them into one would be malformed)
+    resource = pb_len(
+        1,
+        pb_len(1, kv(b"service.name", b"checkout"))
+        + pb_len(1, kv(b"k8s.pod.name", b"pod-7"))
+        + pb_len(1, kv(b"deployment.environment", b"prod"))
+        + pb_len(1, kv(b"drop.me", b"x")),
+    )
+    # two gauge points: one bare, one carrying its OWN k8s_pod_name
+    dp_bare = pb_len(
+        1, _fixed64(3, _TS_NS) + pb_double(4, 1.0)
+    )
+    dp_own = pb_len(
+        1,
+        _fixed64(3, _TS_NS)
+        + pb_double(4, 2.0)
+        + pb_len(7, kv(b"k8s_pod_name", b"point-wins")),
+    )
+    metric = pb_len(1, b"promo.gauge") + pb_len(5, dp_bare + dp_own)
+    body = pb_len(1, resource + pb_len(2, pb_len(2, metric)))
+
+    # parser level
+    rows = parse_otlp_request(
+        body,
+        promote_resource_attributes=[
+            "k8s.pod.name", "deployment.environment",
+        ],
+    )
+    by_val = {r[2]: r[0] for r in rows}
+    assert by_val[1.0]["k8s_pod_name"] == "pod-7"
+    assert by_val[1.0]["deployment_environment"] == "prod"
+    assert by_val[1.0]["job"] == "checkout"
+    assert "drop_me" not in by_val[1.0]  # unlisted attrs still drop
+    assert by_val[2.0]["k8s_pod_name"] == "point-wins"  # label-wins
+
+    # without the knob: only job/instance promote (upstream default)
+    bare = parse_otlp_request(body)
+    assert "k8s_pod_name" not in bare[0][0]
+
+    # end to end: the exposer flag → queryable labels
+    ex = MetricsExposer(
+        spark,
+        SF_SMOKE,
+        otlp_receiver=True,
+        otlp_promote_resource_attributes=["k8s.pod.name"],
+    ).start()
+    base = f"http://{ex.host}:{ex.port}"
+    try:
+        req = urllib.request.Request(
+            base + "/api/v1/otlp/v1/metrics",
+            data=body,
+            headers={"Content-Type": "application/x-protobuf"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 200
+        q = quote('promo_gauge{k8s_pod_name="pod-7"}')
+        ts = _TS_NS // 1_000_000_000
+        with urllib.request.urlopen(
+            base + f"/api/v1/query?query={q}&time={ts}", timeout=120
+        ) as resp:
+            res = json.loads(resp.read())["data"]["result"]
+        assert len(res) == 1
+        assert res[0]["metric"]["k8s_pod_name"] == "pod-7"
+        assert float(res[0]["value"][1]) == 1.0
+    finally:
+        ex.stop()

@@ -1091,3 +1091,180 @@ scrape_configs:
         sd.stop()
         a.stop()
         b.stop()
+
+
+def test_scrape_protocols_pin_classic_dialect(spark):
+    """Per-job `scrape_protocols`: a classic-only job
+    ([PrometheusText0.0.4]) scrapes an OM-capable twin-dialect
+    exporter in the CLASSIC dialect — the exporter sees text/plain
+    preferred, serves ms-timestamped classic text, and the
+    classifier applies the ms unit; a default job against the same
+    exporter negotiates OpenMetrics (epoch seconds). The knob that
+    unblocks an exporter mis-serving OM, without code."""
+    import http.server
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from shards_prometheus_spark.sources.scrape_config import (
+        _accept_header,
+        load_scrape_configs,
+        scrape_job_stream,
+    )
+
+    # compiled Accept shapes (upstream's q-grading)
+    assert _accept_header(["PrometheusText0.0.4"]) == (
+        "text/plain;version=0.0.4;q=0.4,*/*;q=0.1"
+    )
+    assert _accept_header(
+        ["OpenMetricsText1.0.0", "PrometheusText0.0.4"]
+    ) == (
+        "application/openmetrics-text;version=1.0.0;q=0.5,"
+        "text/plain;version=0.0.4;q=0.4,*/*;q=0.1"
+    )
+    assert _accept_header(["NoSuchProtocol"]).startswith(
+        "application/openmetrics-text;version=1.0.0;q=0.6,"
+    )  # unknown-only falls back to the default list
+
+    ts_ms = 1_700_000_000_123  # ms stamp; naive-seconds reads 1000x off
+    om = (
+        "# TYPE twin gauge\n"
+        f"twin 7 {ts_ms / 1000:.3f}\n"
+        "# EOF\n"
+    ).encode()
+    classic = f"twin 7 {ts_ms}\n".encode()
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            accept = self.headers.get("Accept") or ""
+            import re as _re
+
+            def q_of(mtype: str) -> float:
+                m = _re.search(
+                    _re.escape(mtype) + r"[^,]*?;q=([0-9.]+)", accept
+                )
+                return float(m.group(1)) if m else 0.0
+
+            if q_of("application/openmetrics-text") > q_of(
+                "text/plain"
+            ):
+                body, ctype = om, (
+                    "application/openmetrics-text; version=1.0.0"
+                )
+            else:
+                body, ctype = classic, "text/plain; version=0.0.4"
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    addr = f"127.0.0.1:{srv.server_address[1]}"
+    queries = []
+    try:
+        yml = f"""
+scrape_configs:
+  - job_name: pinned
+    scrape_interval: 5s
+    scrape_protocols: [PrometheusText0.0.4]
+    static_configs: [{{targets: ['{addr}']}}]
+  - job_name: negotiated
+    scrape_interval: 5s
+    static_configs: [{{targets: ['{addr}']}}]
+"""
+        cfg = load_scrape_configs(yml)
+        assert cfg.jobs[0].scrape_protocols == ["PrometheusText0.0.4"]
+        assert cfg.jobs[0].request_headers() == {
+            "Accept": "text/plain;version=0.0.4;q=0.4,*/*;q=0.1"
+        }
+        for i, job in enumerate(cfg.jobs):
+            df = scrape_job_stream(spark, job, max_ticks=6)
+            queries.append(
+                df.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(f"proto_scrape_{i}")
+                .trigger(processingTime="1 second")
+                .start()
+            )
+
+        def twin_rows(i: int):
+            return (
+                spark.table(f"proto_scrape_{i}")
+                .filter(F.col("metric") == "twin")
+                .select("ts_us")
+                .collect()
+            )
+
+        deadline = time.time() + 240
+        while time.time() < deadline and not (
+            twin_rows(0) and twin_rows(1)
+        ):
+            time.sleep(0.5)
+        assert twin_rows(0) and twin_rows(1), "loops produced no rows"
+        # classic-only job: ms-unit classification of the exposed
+        # timestamp — exactly the wire value in µs
+        assert {r["ts_us"] for r in twin_rows(0)} == {ts_ms * 1000}
+        # default job negotiated OM: epoch-seconds unit
+        assert {r["ts_us"] for r in twin_rows(1)} == {
+            int(ts_ms / 1000 * 1_000_000)
+        }
+    finally:
+        for q in queries:
+            q.stop()
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_dropped_targets_reported(spark):
+    """`/api/v1/targets` reports relabel-dropped targets: each as its
+    PRE-relabel discoveredLabels, with the public `state` parameter
+    filtering the two lists and `keep_dropped_targets` capping the
+    remembered set."""
+    from shards_prometheus_spark.sources import MetricsExposer
+
+    yml = """
+global:
+  keep_dropped_targets: 1
+scrape_configs:
+  - job_name: fleet
+    static_configs:
+      - targets: ['keep:9100']
+        labels: {dc: eu}
+      - targets: ['drop1:9100', 'drop2:9100']
+        labels: {dc: us}
+    relabel_configs:
+      - action: drop
+        source_labels: [dc]
+        regex: us
+"""
+    ex = MetricsExposer(spark, SF_SMOKE, scrape_config=yml).start()
+    base = f"http://{ex.host}:{ex.port}/api/v1/targets"
+    try:
+        def get(url: str) -> dict:
+            with urllib.request.urlopen(url, timeout=120) as resp:
+                return json.loads(resp.read())["data"]
+
+        data = get(base)
+        assert data["activeTargets"]  # the exposer's own entry
+        # cap: two dropped by the rule, keep_dropped_targets: 1
+        assert len(data["droppedTargets"]) == 1
+        d = data["droppedTargets"][0]
+        assert d["scrapePool"] == "fleet"
+        # pre-relabel discovered set, __-internals included
+        assert d["discoveredLabels"]["__address__"] == "drop1:9100"
+        assert d["discoveredLabels"]["dc"] == "us"
+        assert d["discoveredLabels"]["job"] == "fleet"
+        assert d["discoveredLabels"]["__scheme__"] == "http"
+
+        # the public state parameter
+        assert get(base + "?state=active")["droppedTargets"] == []
+        only_dropped = get(base + "?state=dropped")
+        assert only_dropped["activeTargets"] == []
+        assert len(only_dropped["droppedTargets"]) == 1
+    finally:
+        ex.stop()
