@@ -1042,14 +1042,17 @@ def scrape_up_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("metric").alias("target"),
         F.expr("ts_us div 3600000000").alias("tick"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    # global tick bounds via a window over the config-sized presence
-    # relation (single-partition by construction — tiny by contract)
-    w = Window.partitionBy()
+    # global tick bounds as a 1-row aggregate broadcast-joined onto
+    # the distinct-target relation — no single-partition window
+    # anywhere in the plan (the r14 nit): the agg's partial/final
+    # fold is the canonical global-min/max shape at any scale
+    bounds = pres.agg(
+        F.min("tick").alias("lo"), F.max("tick").alias("hi")
+    )
     grid = (
-        pres.withColumn("lo", F.min("tick").over(w))
-        .withColumn("hi", F.max("tick").over(w))
-        .groupBy("target")
-        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+        pres.select("target")
+        .distinct()
+        .join(F.broadcast(bounds))
         .select(
             "target", F.explode(F.sequence("lo", "hi")).alias("tick")
         )
