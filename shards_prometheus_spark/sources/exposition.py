@@ -1445,13 +1445,25 @@ class MetricsExposer:
                     handle_otlp_post(self, _otlp_receive)
                     return
                 if parts.path == "/api/v1/read":
-                    # remote-read: snappy+proto ReadRequest in,
-                    # snappy+proto ReadResponse out — the wire twin of
-                    # the receiver above (sources/remote_read.py);
-                    # 400 on a corrupt payload or over-limit query,
-                    # 413 over the body cap, 500 on internal failure
+                    # remote-read: snappy+proto ReadRequest in; the
+                    # response type is NEGOTIATED via the request's
+                    # accepted_response_types (prompb field 2) — the
+                    # default snappy+proto ReadResponse (SAMPLES), or
+                    # the uvarint+CRC32C-framed ChunkedReadResponse
+                    # stream of Gorilla XOR chunks
+                    # (STREAMED_XOR_CHUNKS, sources/chunkenc.py) when
+                    # the client accepts it, exactly upstream's
+                    # first-supported-type pick. 400 on a corrupt
+                    # payload or over-limit query, 413 over the body
+                    # cap, 500 on internal failure
+                    from shards_prometheus_spark.sources.chunkenc import (  # noqa: E501
+                        RESPONSE_TYPE_STREAMED_XOR_CHUNKS,
+                        STREAMED_CONTENT_TYPE,
+                    )
                     from shards_prometheus_spark.sources.remote_read import (  # noqa: E501
                         answer_read_request,
+                        answer_read_request_chunked,
+                        parse_read_request_full,
                     )
                     from shards_prometheus_spark.sources.remote_write import (  # noqa: E501
                         MAX_WRITE_BODY_BYTES,
@@ -1463,9 +1475,18 @@ class MetricsExposer:
                         return
                     raw = self.rfile.read(n)
                     try:
-                        body = answer_read_request(
-                            outer.read_samples(), raw
+                        _qs, accepted = parse_read_request_full(raw)
+                        streamed = (
+                            RESPONSE_TYPE_STREAMED_XOR_CHUNKS in accepted
                         )
+                        if streamed:
+                            body = answer_read_request_chunked(
+                                outer.read_samples(), raw
+                            )
+                        else:
+                            body = answer_read_request(
+                                outer.read_samples(), raw
+                            )
                     except ValueError as exc:
                         msg = str(exc).encode()
                         self.send_response(400)
@@ -1485,10 +1506,17 @@ class MetricsExposer:
                         self.wfile.write(msg)
                         return
                     self.send_response(200)
-                    self.send_header(
-                        "Content-Type", "application/x-protobuf"
-                    )
-                    self.send_header("Content-Encoding", "snappy")
+                    if streamed:
+                        # framed chunk stream: no outer snappy (the
+                        # chunks are already compressed)
+                        self.send_header(
+                            "Content-Type", STREAMED_CONTENT_TYPE
+                        )
+                    else:
+                        self.send_header(
+                            "Content-Type", "application/x-protobuf"
+                        )
+                        self.send_header("Content-Encoding", "snappy")
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
                     self.wfile.write(body)

@@ -50,6 +50,10 @@ MATCHER_OPS = ["=", "!=", "=~", "!~"]
 #: the same role as the read API's max_samples guard.
 DEFAULT_READ_LIMIT = 1_000_000
 
+#: Per-frame byte budget for the streamed response (upstream's
+#: --storage.remote.read-max-bytes-in-frame default, 1 MiB).
+DEFAULT_MAX_BYTES_IN_FRAME = 1_048_576
+
 
 # --- wire codecs ----------------------------------------------------------
 
@@ -57,8 +61,13 @@ DEFAULT_READ_LIMIT = 1_000_000
 def encode_read_request(
     queries: "list[tuple[int, int, list[tuple[str, str, str]]]]",
     compress: bool = True,
+    accepted_response_types: "list[int] | None" = None,
 ) -> bytes:
-    """[(start_ms, end_ms, [(name, op, value)])] → one ReadRequest."""
+    """[(start_ms, end_ms, [(name, op, value)])] → one ReadRequest.
+    ``accepted_response_types`` (ReadRequest field 2, packed enum) is
+    the client's preference order — [STREAMED_XOR_CHUNKS] asks for the
+    chunked-frame stream; absent/empty means SAMPLES per the proto3
+    default."""
     out = []
     for start_ms, end_ms, matchers in queries:
         body = pb_varint(1, int(start_ms)) + pb_varint(2, int(end_ms))
@@ -71,6 +80,15 @@ def encode_read_request(
             body += pb_len(3, m)
         out.append(pb_len(1, body))
     body = b"".join(out)
+    if accepted_response_types:
+        from shards_prometheus_spark.functions.miniformats import (
+            _uvarint_encode,
+        )
+
+        body += pb_len(
+            2,
+            b"".join(_uvarint_encode(t) for t in accepted_response_types),
+        )
     return snappy_compress(body) if compress else body
 
 
@@ -80,9 +98,34 @@ def parse_read_request(
     """One ReadRequest → [(start_ms, end_ms, matchers)]. Unknown
     fields skipped per proto semantics; a malformed matcher type or
     truncated body raises ValueError (the 400 contract)."""
+    return parse_read_request_full(payload, compressed)[0]
+
+
+def parse_read_request_full(
+    payload: bytes, compressed: bool = True
+) -> "tuple[list[tuple[int, int, list[tuple[str, str, str]]]], list[int]]":
+    """One ReadRequest → ([(start_ms, end_ms, matchers)],
+    accepted_response_types). Field 2 is a repeated packed enum;
+    both packed and unpacked spellings are accepted per proto3
+    (mirroring the r14 packed-fixed64 lesson: concatenate every
+    occurrence, never overwrite)."""
     body = snappy_decompress(payload) if compressed else payload
     queries = []
+    accepted: "list[int]" = []
     for field, wt, qbytes in pb_fields(body):
+        if field == 2:  # ReadRequest.accepted_response_types
+            if wt == 0:
+                accepted.append(int(qbytes))
+            elif wt == 2:
+                from shards_prometheus_spark.functions.miniformats import (
+                    _uvarint_decode,
+                )
+
+                pos = 0
+                while pos < len(qbytes):
+                    v, pos = _uvarint_decode(qbytes, pos)
+                    accepted.append(v)
+            continue
         if field != 1 or wt != 2:  # ReadRequest.queries
             continue
         start_ms = end_ms = 0
@@ -107,7 +150,7 @@ def parse_read_request(
                     )
                 matchers.append((name, MATCHER_OPS[mtype], value))
         queries.append((start_ms, end_ms, matchers))
-    return queries
+    return queries, accepted
 
 
 def encode_read_response(
@@ -254,6 +297,196 @@ def answer_read_request(
     return encode_read_response(results)
 
 
+# --- streamed XOR-chunk response (negotiated response type 2) ---------------
+
+
+def _xor_chunk_rows(df: DataFrame) -> DataFrame:
+    """Per-series Gorilla XOR chunk encode as an Arrow-batched grouped
+    kernel (chunkenc.py is the pure codec): one group per series,
+    ≤120 samples per chunk (the TSDB head-chunk bound the streamed
+    read re-serves). The bit-packing runs EXECUTOR-side with the scan's
+    parallelism; the driver later collects only chunk-sized rows
+    (≈ samples/120 plus one per series), never raw samples — the same
+    wire-sized-collect posture as every other endpoint.
+
+    Input: metric/labels/ts_ms/value. Output: one row per chunk with
+    the full label set (incl. ``__name__``) as JSON."""
+    from shards_prometheus_spark.functions.labelset import label_str
+
+    keyed = df.select(
+        F.concat_ws(
+            "\x00", F.col("metric"), label_str(F.col("labels"))
+        ).alias("series_key"),
+        F.to_json(
+            F.map_concat(
+                F.create_map(F.lit("__name__"), F.col("metric")),
+                F.col("labels"),
+            )
+        ).alias("labels_json"),
+        "ts_ms",
+        F.col("value").cast("double").alias("value"),
+    )
+
+    def encode_series(pdf):
+        import pandas as pd
+
+        from shards_prometheus_spark.sources.chunkenc import (
+            SAMPLES_PER_CHUNK,
+            encode_xor_chunk,
+        )
+
+        pdf = pdf.sort_values("ts_ms")
+        key = pdf["series_key"].iloc[0]
+        lj = pdf["labels_json"].iloc[0]
+        ts = pdf["ts_ms"].tolist()
+        vals = pdf["value"].tolist()
+        rows = []
+        for i in range(0, len(ts), SAMPLES_PER_CHUNK):
+            seg = list(zip(ts[i : i + SAMPLES_PER_CHUNK],
+                           vals[i : i + SAMPLES_PER_CHUNK]))
+            rows.append(
+                (
+                    key,
+                    lj,
+                    int(seg[0][0]),
+                    int(seg[-1][0]),
+                    len(seg),
+                    encode_xor_chunk(seg),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "series_key",
+                "labels_json",
+                "min_ms",
+                "max_ms",
+                "n",
+                "data",
+            ],
+        )
+
+    return keyed.groupBy("series_key").applyInPandas(
+        encode_series,
+        schema=(
+            "series_key string, labels_json string, min_ms long, "
+            "max_ms long, n long, data binary"
+        ),
+    )
+
+
+def answer_read_request_chunked(
+    samples: DataFrame,
+    payload: bytes,
+    max_rows: "int | None" = DEFAULT_READ_LIMIT,
+    max_frame_bytes: int = DEFAULT_MAX_BYTES_IN_FRAME,
+) -> bytes:
+    """Answer a ReadRequest with the STREAMED_XOR_CHUNKS body: a
+    sequence of uvarint+CRC32C-framed ChunkedReadResponse messages,
+    each ≤~max_frame_bytes (upstream's read-max-bytes-in-frame), in
+    query order with ``query_index`` stamped per frame. The sample
+    guard is the SAMPLES path's contract transposed to chunks: the
+    collect is LIMIT-probed at max_rows+1 chunk rows (each chunk holds
+    ≥1 sample, so the probe bounds the driver materialization by the
+    same constant) and the decoded sample total is re-checked against
+    max_rows → ValueError → the endpoint's 400."""
+    import json
+
+    from shards_prometheus_spark.sources.chunkenc import (
+        encode_chunked_read_response,
+        write_frames,
+    )
+
+    queries = parse_read_request(payload)
+    frames: "list[bytes]" = []
+    for qi, (start_ms, end_ms, matchers) in enumerate(queries):
+        df = read_query_frame(samples, start_ms, end_ms, matchers).select(
+            "metric",
+            "labels",
+            F.expr("(ts_us - pmod(ts_us, 1000)) div 1000").alias("ts_ms"),
+            "value",
+        )
+        chunks_df = _xor_chunk_rows(df)
+        probe = (
+            chunks_df if max_rows is None else chunks_df.limit(max_rows + 1)
+        )
+        rows = probe.collect()
+        if max_rows is not None and (
+            len(rows) > max_rows
+            or sum(r["n"] for r in rows) > max_rows
+        ):
+            raise ValueError(
+                f"remote-read query matches more than {max_rows} samples"
+            )
+        rows.sort(key=lambda r: (r["series_key"], r["min_ms"]))
+        # greedy frame packing: adjacent chunks of one series share a
+        # ChunkedSeries entry; a series too big for one frame splits
+        # across frames with its labels repeated (upstream framing)
+        cur: "list[tuple[dict, list[tuple[int, int, bytes]]]]" = []
+        cur_bytes = 0
+        for r in rows:
+            labels = json.loads(r["labels_json"])
+            est = (
+                len(r["data"])
+                + sum(len(k) + len(v) + 4 for k, v in labels.items())
+                + 32
+            )
+            if cur and cur_bytes + est > max_frame_bytes:
+                frames.append(encode_chunked_read_response(cur, qi))
+                cur, cur_bytes = [], 0
+            chunk = (int(r["min_ms"]), int(r["max_ms"]), bytes(r["data"]))
+            if cur and cur[-1][0] == labels:
+                cur[-1][1].append(chunk)
+            else:
+                cur.append((labels, [chunk]))
+            cur_bytes += est
+        if cur or not rows:
+            # an empty result still answers one (empty) frame so the
+            # client sees the query_index
+            frames.append(encode_chunked_read_response(cur, qi))
+    return write_frames(frames)
+
+
+def parse_chunked_read_stream(
+    stream: bytes, n_queries: "int | None" = None
+) -> "list[list[tuple[dict, list[tuple[int, float]]]]]":
+    """Client half: a framed STREAMED_XOR_CHUNKS body → per query
+    (by ``query_index``): [(labels, [(ts_ms, value)])], chunks decoded
+    and merged per label set in time order — the same return shape as
+    ``parse_read_response`` so callers can treat both response types
+    uniformly."""
+    from shards_prometheus_spark.sources.chunkenc import (
+        CHUNK_ENCODING_XOR,
+        decode_xor_chunk,
+        parse_chunked_read_response,
+        read_frames,
+    )
+
+    per_query: "dict[int, dict[tuple, list]]" = {}
+    for msg in read_frames(stream):
+        series, qi = parse_chunked_read_response(msg)
+        bucket = per_query.setdefault(qi, {})
+        for labels, chunks in series:
+            key = tuple(sorted(labels.items()))
+            samples_ = bucket.setdefault(key, [])
+            for _min_ms, _max_ms, enc, data in chunks:
+                if enc != CHUNK_ENCODING_XOR:
+                    raise ValueError(
+                        f"chunked stream: unsupported encoding {enc}"
+                    )
+                samples_.extend(decode_xor_chunk(data))
+    n = n_queries if n_queries is not None else (
+        max(per_query) + 1 if per_query else 0
+    )
+    return [
+        [
+            (dict(key), sorted(samples_))
+            for key, samples_ in sorted(per_query.get(qi, {}).items())
+        ]
+        for qi in range(n)
+    ]
+
+
 # --- registered parity query ------------------------------------------------
 
 
@@ -309,7 +542,66 @@ def remote_read_roundtrip(spark, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"remote_read_roundtrip": remote_read_roundtrip}
+def remote_read_streamed_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """Registered parity row for the NEGOTIATED response type 2: the
+    same request codec, answered as a STREAMED_XOR_CHUNKS body — the
+    per-series Gorilla XOR chunk encode runs in an Arrow-batched
+    grouped kernel (executor-side; the driver collects chunk-sized
+    rows, ~1/120th of the sample count), the frames are CRC32C-checked
+    and the chunks decoded back client-side — proving the whole
+    chunked pairing (request → chunk encode → framing → decode)
+    preserves every (series, timestamp, value) triple. A `view` name
+    matcher + a `shard` regex keeps the selection disjoint from the
+    SAMPLES-path row. Oracle: the identical fold straight off the
+    events table at ms resolution."""
+    from shards_prometheus_spark.model import samples_multi
+
+    s = samples_multi(spark, sf_dir)
+    req = encode_read_request(
+        [
+            (
+                0,
+                4_102_444_800_000,  # far future: the full corpus
+                [("__name__", "=", "view"), ("shard", "=~", "[0-3]")],
+            )
+        ],
+        accepted_response_types=[1],  # STREAMED_XOR_CHUNKS
+    )
+    (series_list,) = parse_chunked_read_stream(
+        answer_read_request_chunked(s, req), n_queries=1
+    )
+    rows = []
+    for labels, samples_ in series_list:
+        for ts_ms, value in samples_:
+            rows.append(
+                (
+                    labels.get("__name__", ""),
+                    labels.get("user", ""),
+                    labels.get("shard", ""),
+                    int(ts_ms),
+                    float(value),
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "metric string, l_user string, l_shard string, "
+        "ts_ms long, value double",
+    )
+    return (
+        df.groupBy("metric", "l_user", "l_shard")
+        .agg(
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_samples"),
+            F.max("ts_ms").alias("last_ts_ms"),
+        )
+        .orderBy("metric", "l_user", "l_shard")
+    )
+
+
+QUERIES = {
+    "remote_read_roundtrip": remote_read_roundtrip,
+    "remote_read_streamed_roundtrip": remote_read_streamed_roundtrip,
+}
 
 
 def _roundtrip_sql() -> str:
@@ -327,4 +619,22 @@ def _roundtrip_sql() -> str:
     )
 
 
-ORACLES = {"remote_read_roundtrip": _roundtrip_sql()}
+def _streamed_roundtrip_sql() -> str:
+    from shards_prometheus_spark.model import SAMPLES_MULTI_CTE, dround
+
+    return (
+        f"{SAMPLES_MULTI_CTE} "
+        "SELECT metric, l_user, l_shard, "
+        + dround("SUM(value)", 4)
+        + " AS sum_value, COUNT(*) AS n_samples, "
+        "MAX(ts_us // 1000) AS last_ts_ms "
+        "FROM samples_multi "
+        "WHERE metric = 'view' AND regexp_matches(l_shard, '^(?:[0-3])$') "
+        "GROUP BY metric, l_user, l_shard"
+    )
+
+
+ORACLES = {
+    "remote_read_roundtrip": _roundtrip_sql(),
+    "remote_read_streamed_roundtrip": _streamed_roundtrip_sql(),
+}
