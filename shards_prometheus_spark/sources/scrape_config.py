@@ -91,6 +91,24 @@ class ScrapeJob:
     #: upstream body_size_limit in BYTES (0 = unlimited; the YAML
     #: accepts upstream's size units, e.g. "10MB")
     body_limit: int = 0
+    #: upstream label_limit (0 = unlimited): max exposed label pairs
+    #: per sample — a violating payload FAILS its scrape like
+    #: sample_limit
+    label_limit: int = 0
+    #: upstream label_name_length_limit / label_value_length_limit
+    #: (0 = unlimited): per-label length guards, same failure mode
+    label_name_length_limit: int = 0
+    label_value_length_limit: int = 0
+    #: upstream target_limit (0 = unlimited): if MORE targets than
+    #: this resolve after relabeling, every target of the job is
+    #: marked failed (up 0) WITHOUT being scraped
+    target_limit: int = 0
+    #: upstream enable_compression (default true): advertise
+    #: Accept-Encoding: gzip and inflate a gzip payload
+    enable_compression: bool = True
+    #: upstream follow_redirects (default true): false fails the
+    #: scrape on any 3xx answer
+    follow_redirects: bool = True
     static_targets: list = field(default_factory=list)  # (addr, labels)
     relabel_configs: list = field(default_factory=list)
     metric_relabel_configs: list = field(default_factory=list)
@@ -136,6 +154,27 @@ class ScrapeJob:
         if self.scrape_protocols:
             h["Accept"] = _accept_header(self.scrape_protocols)
         return h or None
+
+    def guard_limits(self) -> "dict | None":
+        """The job's non-secret guard knobs as the scraper's `limits`
+        map (scraper._ScrapeTarget.limits) — only non-default values
+        travel; None when everything is at its default."""
+        lim: dict = {}
+        if self.label_limit:
+            lim["label_limit"] = self.label_limit
+        if self.label_name_length_limit:
+            lim["label_name_length_limit"] = self.label_name_length_limit
+        if self.label_value_length_limit:
+            lim["label_value_length_limit"] = (
+                self.label_value_length_limit
+            )
+        if self.target_limit:
+            lim["target_limit"] = self.target_limit
+        if not self.enable_compression:
+            lim["compression"] = False
+        if not self.follow_redirects:
+            lim["follow_redirects"] = False
+        return lim or None
 
 
 @dataclass
@@ -207,6 +246,18 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
                 honor_timestamps=bool(sc.get("honor_timestamps", True)),
                 sample_limit=int(sc.get("sample_limit", 0)),
                 body_limit=_size_bytes(sc.get("body_size_limit", 0)),
+                label_limit=int(sc.get("label_limit", 0)),
+                label_name_length_limit=int(
+                    sc.get("label_name_length_limit", 0)
+                ),
+                label_value_length_limit=int(
+                    sc.get("label_value_length_limit", 0)
+                ),
+                target_limit=int(sc.get("target_limit", 0)),
+                enable_compression=bool(
+                    sc.get("enable_compression", True)
+                ),
+                follow_redirects=bool(sc.get("follow_redirects", True)),
                 static_targets=statics,
                 relabel_configs=list(sc.get("relabel_configs") or []),
                 metric_relabel_configs=list(
@@ -748,6 +799,11 @@ def scrape_job_stream(
         http_sd=job.http_sd or None,
         sd_scheme=job.scheme,
         sd_path=job.metrics_path,
+        # target_limit rides the limits map and is enforced at
+        # partition construction each tick (so an http_sd fleet that
+        # grows past the cap flips the whole pool to up 0 mid-loop,
+        # upstream's mark-failed-without-scraping semantics)
+        limits=job.guard_limits(),
     )
     scraped = scraped_samples(
         lines,

@@ -90,15 +90,19 @@ ACCEPT_HEADER = (
 
 
 def _scrape_headers(
-    timeout_s: float, extra: "dict | None" = None
+    timeout_s: float,
+    extra: "dict | None" = None,
+    compression: bool = True,
 ) -> dict:
     """The standard per-scrape request headers upstream sends: content
-    negotiation (`Accept`) and the advisory
+    negotiation (`Accept`), the advisory
     `X-Prometheus-Scrape-Timeout-Seconds` (a well-behaved exporter can
-    bound its own collection work by it), plus the job's auth/custom
-    headers."""
+    bound its own collection work by it), and — unless the job sets
+    `enable_compression: false` — `Accept-Encoding: gzip`, plus the
+    job's auth/custom headers."""
     h = {
         "Accept": ACCEPT_HEADER,
+        "Accept-Encoding": "gzip" if compression else "identity",
         "X-Prometheus-Scrape-Timeout-Seconds": f"{timeout_s:g}",
     }
     if extra:
@@ -134,29 +138,57 @@ def _tls_context(url: str, tls: "dict | None"):
     return ctx
 
 
+class _NoRedirect(urllib.request.HTTPRedirectHandler):
+    """`follow_redirects: false` — upstream refuses to chase a 3xx
+    answer; surfacing it as an HTTPError fails the scrape (`up` 0)."""
+
+    def redirect_request(self, req, fp, code, msg, headers, newurl):
+        return None
+
+
 def _fetch_lines(
     url: str,
     timeout_s: float,
     body_limit: int = 0,
     headers: "dict | None" = None,
     tls: "dict | None" = None,
+    compression: bool = True,
+    follow_redirects: bool = True,
 ) -> "tuple[list[str], str]":
     """One HTTP GET of a `/metrics` endpoint → (non-empty payload
     lines, Content-Type).  Runs on the scraping TASK (executor
     side). `body_limit` (upstream body_size_limit, bytes, 0 =
     unlimited) caps what is ever BUFFERED — the read stops at
-    limit+1, it does not download an oversized body to count it.
-    `headers` ride the GET verbatim (negotiation + auth — a secured
-    exporter answers 401 to a bare request, which the caller records
-    as a failed scrape, `up` 0); `tls` is the job's tls_config for
-    https targets."""
+    limit+1, it does not download an oversized body to count it; a
+    gzip payload is capped at the same limit COMPRESSED and again
+    UNCOMPRESSED after inflating (upstream bounds the decompressed
+    body). `headers` ride the GET verbatim (negotiation + auth — a
+    secured exporter answers 401 to a bare request, which the caller
+    records as a failed scrape, `up` 0); `tls` is the job's
+    tls_config for https targets. `compression` (upstream
+    enable_compression, default true) advertises gzip and inflates a
+    gzip answer; `follow_redirects` false turns any 3xx into a failed
+    scrape."""
     req = urllib.request.Request(
-        url, headers=_scrape_headers(timeout_s, headers)
+        url, headers=_scrape_headers(timeout_s, headers, compression)
     )
-    with urllib.request.urlopen(
-        req, timeout=timeout_s, context=_tls_context(url, tls)
-    ) as resp:
+    ctx = _tls_context(url, tls)
+    if follow_redirects:
+        opener = urllib.request.build_opener(
+            urllib.request.HTTPSHandler(context=ctx)
+            if ctx
+            else urllib.request.HTTPHandler()
+        )
+    else:
+        opener = urllib.request.build_opener(
+            _NoRedirect(),
+            urllib.request.HTTPSHandler(context=ctx)
+            if ctx
+            else urllib.request.HTTPHandler(),
+        )
+    with opener.open(req, timeout=timeout_s) as resp:
         ctype = resp.headers.get("Content-Type") or ""
+        cenc = (resp.headers.get("Content-Encoding") or "").lower()
         if body_limit:
             raw = resp.read(body_limit + 1)
             if len(raw) > body_limit:
@@ -165,8 +197,74 @@ def _fetch_lines(
                 )
         else:
             raw = resp.read()
+        if cenc == "gzip":
+            import gzip as _gzip
+
+            raw = _gzip.decompress(raw)
+            if body_limit and len(raw) > body_limit:
+                raise BodyLimitExceeded(
+                    f"decompressed body exceeds {body_limit} bytes"
+                )
         text = raw.decode("utf-8", errors="replace")
     return [ln for ln in text.splitlines() if ln], ctype
+
+
+def _line_label_violation(
+    line: str,
+    label_limit: int,
+    name_len_limit: int,
+    value_len_limit: int,
+) -> bool:
+    """True if one exposition sample line violates an enabled label
+    guard — the payload-level transposition of upstream's
+    verify-label-limits step (which counts the sample's final label
+    set; here the EXPOSED pairs are counted, the engine-added
+    __name__/job/instance are not). `label_limit` bounds the pair
+    count; the length limits bound each exposed label name / each
+    exposed (unescaped) label value, with the metric name checked as
+    __name__'s value like upstream."""
+    if line.startswith("#"):
+        return False
+    brace = line.find("{")
+    metric = line.split("{", 1)[0].split(" ", 1)[0] if brace != -1 else (
+        line.split(" ", 1)[0]
+    )
+    if value_len_limit and len(metric) > value_len_limit:
+        return True
+    if brace == -1:
+        return False
+    n_pairs = 0
+    i = brace + 1
+    n = len(line)
+    while i < n and line[i] != "}":
+        j = i
+        while j < n and line[j] not in '="}':
+            j += 1
+        name = line[i:j].strip().rstrip("=")
+        q = line.find('"', j)
+        if q == -1:
+            break
+        k = q + 1
+        val_len = 0
+        while k < n:
+            c = line[k]
+            if c == "\\" and k + 1 < n:
+                k += 2
+                val_len += 1
+                continue
+            if c == '"':
+                break
+            k += 1
+            val_len += 1
+        n_pairs += 1
+        if name_len_limit and len(name) > name_len_limit:
+            return True
+        if value_len_limit and val_len > value_len_limit:
+            return True
+        i = k + 1
+        if i < n and line[i] == ",":
+            i += 1
+    return bool(label_limit) and n_pairs > label_limit
 
 
 @dataclass
@@ -184,6 +282,15 @@ class _ScrapeTarget(InputPartition):
     #: the job's tls_config (ca_file / cert_file / key_file /
     #: insecure_skip_verify) for https targets
     tls: "dict | None" = None
+    #: the job's remaining guard knobs in one non-secret map:
+    #: label_limit / label_name_length_limit /
+    #: label_value_length_limit (0 = unlimited; a violating payload
+    #: fails its scrape like sample_limit), compression (false =
+    #: no Accept-Encoding: gzip), follow_redirects (false = a 3xx
+    #: answer fails the scrape), pool_failed (true = the job's
+    #: target_limit was exceeded — report `up` 0 WITHOUT fetching,
+    #: upstream's mark-failed-without-scraping semantics)
+    limits: "dict | None" = None
 
 
 #: secret stash files created by _stash_json, removed at exit
@@ -258,6 +365,18 @@ def _opt_tls(options: dict) -> "dict | None":
     return dict(json.loads(raw))
 
 
+def _opt_limits(options: dict) -> "dict | None":
+    """The `limits` option: a JSON object of the non-secret guard
+    knobs (label limits, compression, follow_redirects, pool_failed)
+    — safe on the logged options channel, unlike credentials."""
+    raw = options.get("limits")
+    if not raw:
+        return None
+    import json
+
+    return dict(json.loads(raw))
+
+
 def _targets(options: dict) -> list[str]:
     raw = options.get("targets") or options.get("url") or ""
     urls = [u.strip() for u in raw.replace(";", ",").split(",") if u.strip()]
@@ -320,8 +439,21 @@ def _read_target(part: _ScrapeTarget):
     more samples than the limit FAILS the scrape — the whole payload
     is dropped (never partially ingested), `up` reports 0, and
     `scrape_samples_scraped` still reports the observed count,
-    exactly upstream's sample-limit semantics."""
+    exactly upstream's sample-limit semantics. The label guards
+    (label_limit / label_name_length_limit /
+    label_value_length_limit, via `part.limits`) fail the scrape the
+    same way; a pool whose target_limit was exceeded reports `up` 0
+    for every member WITHOUT fetching (`pool_failed`)."""
+    lim = part.limits or {}
     ts_us = time.time_ns() // 1_000
+    if lim.get("pool_failed"):
+        for syn in (
+            "up 0",
+            "scrape_duration_seconds 0.000000",
+            "scrape_samples_scraped 0",
+        ):
+            yield (part.url, part.tick, ts_us, syn, "")
+        return
     t0 = time.perf_counter()
     try:
         lines, ctype = _fetch_lines(
@@ -330,6 +462,8 @@ def _read_target(part: _ScrapeTarget):
             part.body_limit,
             part.headers,
             part.tls,
+            compression=bool(lim.get("compression", True)),
+            follow_redirects=bool(lim.get("follow_redirects", True)),
         )
         up = 1
     except Exception:  # noqa: BLE001 - refused/timeout/DNS/over-limit
@@ -337,6 +471,13 @@ def _read_target(part: _ScrapeTarget):
     duration_s = time.perf_counter() - t0
     n_samples = sum(1 for ln in lines if not ln.startswith("#"))
     if part.sample_limit and n_samples > part.sample_limit:
+        lines, up = [], 0
+    ll = int(lim.get("label_limit") or 0)
+    lnl = int(lim.get("label_name_length_limit") or 0)
+    lvl = int(lim.get("label_value_length_limit") or 0)
+    if (ll or lnl or lvl) and any(
+        _line_label_violation(ln, ll, lnl, lvl) for ln in lines
+    ):
         lines, up = [], 0
     for ln in lines:
         yield (part.url, part.tick, ts_us, ln, ctype)
@@ -358,6 +499,7 @@ class _ScrapeStreamReader(DataSourceStreamReader):
         self._body_limit = int(options.get("body_limit", 0))
         self._headers = _opt_headers(options)
         self._tls = _opt_tls(options)
+        self._limits = _opt_limits(options)
         # HTTP service discovery (upstream http_sd_configs): the
         # target list re-resolves PER TICK (time-gated by each spec's
         # refresh_interval) on the driver — a config-sized GET, the
@@ -426,6 +568,16 @@ class _ScrapeStreamReader(DataSourceStreamReader):
         # missed scrapes rather than replaying them
         if end["tick"] <= start["tick"]:
             return []
+        urls = self._current_urls()
+        lim = self._limits
+        # upstream target_limit: a pool that resolves MORE targets
+        # than the cap is marked failed without scraping — checked
+        # per tick so a discovery service growing past the cap flips
+        # (and shrinking back restores) the pool mid-loop
+        if lim and lim.get("target_limit") and len(urls) > int(
+            lim["target_limit"]
+        ):
+            lim = {**lim, "pool_failed": True}
         return [
             _ScrapeTarget(
                 u,
@@ -435,8 +587,9 @@ class _ScrapeStreamReader(DataSourceStreamReader):
                 self._body_limit,
                 self._headers,
                 self._tls,
+                lim,
             )
-            for u in self._current_urls()
+            for u in urls
         ]
 
     def read(self, partition: _ScrapeTarget):
@@ -456,12 +609,18 @@ class _ScrapeBatchReader(DataSourceReader):
         self._body_limit = int(options.get("body_limit", 0))
         self._headers = _opt_headers(options)
         self._tls = _opt_tls(options)
+        self._limits = _opt_limits(options)
 
     def partitions(self):
+        lim = self._limits
+        if lim and lim.get("target_limit") and len(self._urls) > int(
+            lim["target_limit"]
+        ):
+            lim = {**lim, "pool_failed": True}
         return [
             _ScrapeTarget(
                 u, 0, self._timeout_s, self._sample_limit,
-                self._body_limit, self._headers, self._tls,
+                self._body_limit, self._headers, self._tls, lim,
             )
             for u in self._urls
         ]
@@ -507,6 +666,7 @@ def scrape_stream(
     http_sd: "list[dict] | None" = None,
     sd_scheme: str = "http",
     sd_path: str = "/metrics",
+    limits: "dict | None" = None,
 ) -> DataFrame:
     """Streaming raw-lines relation over one or more `/metrics`
     endpoints: one micro-batch per scrape tick, one task per target.
@@ -522,7 +682,10 @@ def scrape_stream(
     specs ({url, refresh_s, headers?, tls?}) — the target list then
     re-resolves per tick on the driver (time-gated per spec), so a
     discovery service can add/remove targets mid-loop; discovered
-    addresses scrape at `sd_scheme`://addr`sd_path`."""
+    addresses scrape at `sd_scheme`://addr`sd_path`. `limits`: the
+    non-secret guard map (label_limit / label_name_length_limit /
+    label_value_length_limit / compression / follow_redirects /
+    pool_failed — see _ScrapeTarget.limits)."""
     import json
 
     register(spark)
@@ -540,6 +703,8 @@ def scrape_stream(
         reader = reader.option("headers_file", _stash_json(headers))
     if tls:
         reader = reader.option("tls", json.dumps(tls))
+    if limits:
+        reader = reader.option("limits", json.dumps(limits))
     if http_sd:
         reader = (
             reader.option(
@@ -559,6 +724,7 @@ def scrape_once(
     body_limit: int = 0,
     headers: "dict | None" = None,
     tls: "dict | None" = None,
+    limits: "dict | None" = None,
 ) -> DataFrame:
     """One scrape round as a batch relation (the ad-hoc twin).
     Headers travel via the `headers_file` secret stash (never the
@@ -579,6 +745,8 @@ def scrape_once(
         reader = reader.option("headers_file", _stash_json(headers))
     if tls:
         reader = reader.option("tls", json.dumps(tls))
+    if limits:
+        reader = reader.option("limits", json.dumps(limits))
     return reader.load()
 
 
