@@ -35,6 +35,7 @@ from shards_prometheus_spark.functions.promql_parser import (
     BinOp,
     HistFraction,
     HistQuantile,
+    InfoFn,
     LabelFn,
     MathFn,
     RangeFn,
@@ -233,6 +234,18 @@ def format_expr(node) -> str:
         args = ", ".join(_quote(a) for a in node.args)
         return (
             f"{fn}({format_expr(node.expr)}, {_quote(node.dst)}, {args})"
+        )
+    if isinstance(node, InfoFn):
+        if not node.matchers:
+            return "info(" + format_expr(node.expr) + ")"
+        entries = ",".join(
+            (lbl if _CLASSIC_LABEL.fullmatch(lbl) else _quote(lbl))
+            + op
+            + _quote(val)
+            for lbl, op, val in node.matchers
+        )
+        return (
+            "info(" + format_expr(node.expr) + ", {" + entries + "})"
         )
     if isinstance(node, Agg):
         if node.op in _SORT_FNS:
@@ -438,6 +451,11 @@ def ast_json(node) -> dict:
             for s in [node.dst, *node.args]
         ]
         return call(fn, args)
+    if isinstance(node, InfoFn):
+        args = [ast_json(node.expr)]
+        if node.matchers:
+            args.append(ast_json(Selector("", list(node.matchers))))
+        return call("info", args)
     if isinstance(node, Agg):  # sort/sort_by_label presentation forms
         args = [ast_json(node.expr)] + [
             {"type": "stringLiteral", "val": b} for b in node.by

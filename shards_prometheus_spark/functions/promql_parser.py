@@ -288,6 +288,20 @@ class LabelFn:
 
 
 @dataclass
+class InfoFn:
+    """info(v[, {data-label matchers}]) — the 3.x experimental info
+    function: extend every series of v with the DATA labels of the
+    info series (default metric `target_info`) sharing its
+    identifying labels (instance, job); values untouched. The
+    optional selector restricts which info series match AND which
+    data labels are copied (a `__name__` equality picks a different
+    info metric)."""
+
+    expr: object
+    matchers: list = field(default_factory=list)
+
+
+@dataclass
 class Agg:
     op: str
     expr: object
@@ -820,6 +834,28 @@ class _Parser:
             return ScalarFn(e)
         if tok in {"label_replace", "label_join"}:
             return self._label_fn()
+        if tok == "info":
+            self.next()
+            self.expect("(")
+            e = self.or_expr()
+            ms: list = []
+            if self.peek() == ",":
+                self.next()
+                if self.peek() != "{":
+                    raise PromQLSyntaxError(
+                        "info() second argument must be a "
+                        "{label-matcher} selector"
+                    )
+                self.next()
+                sel = Selector("")
+                self._brace_body(sel)
+                if sel.metric:
+                    # a quoted name inside the braces is the
+                    # __name__ equality spelling
+                    ms.append(("__name__", "=", sel.metric))
+                ms.extend(sel.matchers)
+            self.expect(")")
+            return InfoFn(e, ms)
         if tok == "absent":
             self.next()
             self.expect("(")
@@ -2458,6 +2494,94 @@ class PromQLEvaluator:
             )
         return vec.withColumn("labels", out)
 
+    def _info(self, node: "InfoFn", keys: tuple = ()) -> DataFrame:
+        """info(v[, ls]): join the matching info series' DATA labels
+        (everything but the identifying pair instance/job) onto v's
+        series by identity; v's values pass through, series with no
+        matching info series pass through unchanged. `ls` matchers
+        filter which info series qualify (standard matcher
+        semantics) and restrict the copied data labels to the
+        matcher-named keys; a `__name__` equality picks the info
+        metric (default `target_info`, upstream's v1 scope). Data
+        labels never overwrite labels v already has. Identity
+        conflicts (two info series, same instance/job, different
+        data labels) resolve to the lexically-greatest data-label
+        set — deterministic where upstream raises a many-to-many
+        error (documented divergence: the declarative plan has no
+        per-row error channel). The info side is fleet-sized
+        (one series per target), so the join broadcasts — no
+        shuffle lands on v."""
+        ev = self._gvector if keys else self._vector
+        vec = ev(node.expr)
+        name_ms = [m for m in node.matchers if m[0] == "__name__"]
+        data_ms = [m for m in node.matchers if m[0] != "__name__"]
+        metric = "target_info"
+        if name_ms:
+            if len(name_ms) > 1 or name_ms[0][1] != "=":
+                raise PromQLSyntaxError(
+                    "info(): __name__ must be a single equality matcher"
+                )
+            metric = name_ms[0][2]
+        info = ev(Selector(metric, list(data_ms)))
+        data_map = F.map_filter(
+            F.col("labels"),
+            lambda k, _v: ~k.isin("instance", "job"),
+        )
+        if data_ms:
+            names = sorted({m[0] for m in data_ms})
+            data_map = F.map_filter(
+                data_map, lambda k, _v: k.isin(*names)
+            )
+        ident = [
+            F.coalesce(
+                F.element_at("labels", F.lit(il)), F.lit("")
+            ).alias(f"_i_{il}")
+            for il in ("instance", "job")
+        ]
+        infod = info.select(
+            *keys, *ident, data_map.alias("_data")
+        ).withColumn("_dstr", _label_str(F.col("_data")))
+        w = Window.partitionBy(
+            *keys, "_i_instance", "_i_job"
+        ).orderBy(F.col("_dstr").desc())
+        infod = (
+            infod.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_dstr")
+        )
+        cond = (
+            F.coalesce(
+                F.element_at(vec["labels"], F.lit("instance")),
+                F.lit(""),
+            )
+            == infod["_i_instance"]
+        ) & (
+            F.coalesce(
+                F.element_at(vec["labels"], F.lit("job")), F.lit("")
+            )
+            == infod["_i_job"]
+        )
+        for k in keys:
+            cond = cond & (vec[k] == infod[k])
+        joined = vec.join(
+            F.broadcast(infod), cond, "left"
+        )
+        base = vec["labels"]
+        merged = F.when(
+            F.col("_data").isNotNull(),
+            F.map_concat(
+                base,
+                F.map_filter(
+                    F.col("_data"),
+                    lambda k, _v: ~F.map_contains_key(base, k),
+                ),
+            ),
+        ).otherwise(base)
+        out_cols = [vec[k] for k in keys] if keys else []
+        return joined.select(
+            *out_cols, merged.alias("labels"), vec["value"]
+        )
+
     @staticmethod
     def _absent_labels(sel: Selector) -> Column:
         """absent()'s output label set: the selector's equality
@@ -2521,6 +2645,8 @@ class PromQLEvaluator:
             return self._math(node)
         if isinstance(node, LabelFn):
             return self._label(node)
+        if isinstance(node, InfoFn):
+            return self._info(node)
         if isinstance(node, VectorFn):
             return self._vector_fn(node)
         if isinstance(node, VectorExpr):
@@ -2951,6 +3077,8 @@ class PromQLEvaluator:
             return self._math(node, ev=self._gvector)
         if isinstance(node, LabelFn):
             return self._label(node, ev=self._gvector)
+        if isinstance(node, InfoFn):
+            return self._info(node, keys=("_ets",))
         if isinstance(node, VectorFn):
             return self._gridf.select(
                 "_ets",
@@ -3653,6 +3781,79 @@ def promql_hist_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return promql_eval(spark, sf_dir, PROMQL_HIST_FRACTION)
 
 
+PROMQL_INFO = 'info(count_over_time(click[3650d]), {cluster=~".+"})'
+
+
+def promql_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """info() — the 3.x experimental function joining info-metric
+    DATA labels onto a vector by the identifying pair (instance,
+    job). The relation under test: the click series re-keyed to
+    (instance=user, job=shard-<k>) plus ONE `target_info` series per
+    identity carrying TWO data labels (cluster, dc), stamped at
+    t_max so every identity is inside the instant lookback. The
+    `{cluster=~".+"}` selector must copy ONLY the cluster label —
+    one expression pins the identity join, the data-label
+    restriction, and the no-overwrite rule. The info side is
+    fleet-sized, so the join broadcasts (no shuffle lands on the
+    vector). Reference pairing: the paired server's PromQL surface
+    (README.md:2); prometheus.cpp:105-110 generalized labels."""
+    from shards_prometheus_spark.model import samples_multi, series_id_expr
+
+    s = samples_multi(spark, sf_dir).filter(F.col("metric") == "click")
+    user = F.element_at("labels", F.lit("user"))
+    shard = F.element_at("labels", F.lit("shard"))
+    ident = F.create_map(
+        F.lit("instance"), user,
+        F.lit("job"), F.concat(F.lit("shard-"), shard),
+    )
+    base = s.select(
+        "event_id",
+        series_id_expr(F.lit("click"), ident).alias("series_id"),
+        F.lit("click").alias("metric"),
+        ident.alias("labels"),
+        "ts_us",
+        "value",
+    )
+    tmax = s.agg(F.max("ts_us").alias("_tm"))
+    info_labels = F.map_concat(
+        F.create_map(
+            F.lit("instance"), F.col("u"),
+            F.lit("job"), F.concat(F.lit("shard-"), F.col("sh")),
+        ),
+        F.create_map(
+            F.lit("cluster"),
+            F.concat(
+                F.lit("c"),
+                (F.col("u").cast("long") % 3).cast("string"),
+            ),
+            F.lit("dc"),
+            F.concat(
+                F.lit("dc"),
+                (F.col("sh").cast("long") % 2).cast("string"),
+            ),
+        ),
+    )
+    info = (
+        s.select(user.alias("u"), shard.alias("sh"))
+        .distinct()
+        .join(F.broadcast(tmax))
+        .select(
+            F.xxhash64("u", "sh").alias("event_id"),
+            series_id_expr(F.lit("target_info"), info_labels).alias(
+                "series_id"
+            ),
+            F.lit("target_info").alias("metric"),
+            info_labels.alias("labels"),
+            F.col("_tm").alias("ts_us"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    ev = PromQLEvaluator(base.unionByName(info))
+    return ev.eval(PROMQL_INFO).select(
+        "labels", F.col("value").cast("long").alias("n_samples")
+    )
+
+
 def promql_range_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query_range shape: sum by (user) (rate(click[24h])) on a
     24h-step grid over the trailing 240h — one scan, grid joined
@@ -4093,6 +4294,7 @@ QUERIES = {
     "promql_predict": promql_predict,
     "promql_label_replace": promql_label_replace,
     "promql_label_join": promql_label_join,
+    "promql_info": promql_info,
     "promql_stddev": promql_stddev,
     "promql_holt_winters": promql_holt_winters,
     "promql_idelta": promql_idelta,
@@ -4404,6 +4606,17 @@ ORACLES = {
         "AS labels, "
         + dround("v", 4)
         + " AS value FROM s"
+    ),
+    "promql_info": (
+        # count_over_time(click[3650d]) covers the corpus, so the
+        # per-identity count is COUNT(*); info() adds ONLY cluster
+        # (the dc data label is outside the {cluster=~".+"} selector)
+        f"{SAMPLES_MULTI_CTE} "
+        "SELECT 'cluster=c' || (CAST(l_user AS BIGINT) % 3) "
+        "|| ',instance=' || l_user || ',job=shard-' || l_shard "
+        "AS labels, COUNT(*) AS n_samples "
+        "FROM samples_multi WHERE metric = 'click' "
+        "GROUP BY l_user, l_shard"
     ),
     "promql_stddev": (
         f"{SAMPLES_MULTI_CTE}, {_T_CTE}, "

@@ -2164,3 +2164,141 @@ def test_format_subquery_over_binop_and_nonfinite_numbers():
     assert "Inf" in format_query(
         "histogram_fraction(0, Inf, view_bucket)"
     )
+
+
+# --- info() (r15: the 3.x experimental info function) -----------------------
+
+
+def _info_fixture(spark):
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLEvaluator,
+    )
+
+    h = 3_600_000_000
+    rows = [
+        # vector side: three identities + one carrying its OWN
+        # cluster label (the no-overwrite case)
+        (1, 1, "m", {"instance": "i1", "job": "web"}, 10 * h, 5.0),
+        (2, 2, "m", {"instance": "i2", "job": "web"}, 10 * h, 7.0),
+        (3, 3, "m", {"instance": "i3", "job": "api"}, 10 * h, 9.0),
+        (4, 4, "m",
+         {"instance": "i4", "job": "web", "cluster": "keep"},
+         10 * h, 1.0),
+        # target_info side: i3 has NO info series; i2 has TWO
+        # (identity conflict -> deterministic lexically-greatest pick)
+        (5, 11, "target_info",
+         {"instance": "i1", "job": "web", "cluster": "us", "dc": "d1"},
+         10 * h, 1.0),
+        (6, 12, "target_info",
+         {"instance": "i2", "job": "web", "cluster": "eu", "dc": "d2"},
+         10 * h, 1.0),
+        (7, 13, "target_info",
+         {"instance": "i4", "job": "web", "cluster": "other",
+          "dc": "d4"},
+         10 * h, 1.0),
+        (8, 14, "target_info",
+         {"instance": "i2", "job": "web", "cluster": "zz", "dc": "d9"},
+         10 * h, 1.0),
+        # a second info metric for the __name__ matcher form
+        (9, 15, "build_info",
+         {"instance": "i1", "job": "web", "version": "2.1"},
+         10 * h, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, series_id long, metric string, "
+        "labels map<string,string>, ts_us long, value double",
+    )
+    return PromQLEvaluator(df)
+
+
+def test_info_joins_data_labels(spark):
+    """info(m): data labels join by (instance, job); a series with no
+    matching info series passes through unchanged; an existing label
+    of v is never overwritten; an identity conflict resolves to the
+    lexically-greatest data-label set (documented divergence from
+    upstream's many-to-many error)."""
+    ev = _info_fixture(spark)
+    got = {
+        (r["labels"], r["value"]) for r in ev.eval("info(m)").collect()
+    }
+    assert got == {
+        ("cluster=us,dc=d1,instance=i1,job=web", 5.0),
+        ("cluster=zz,dc=d9,instance=i2,job=web", 7.0),
+        ("instance=i3,job=api", 9.0),
+        ("cluster=keep,dc=d4,instance=i4,job=web", 1.0),
+    }
+
+
+def test_info_data_label_selector(spark):
+    """The selector restricts BOTH which info series qualify and
+    which data labels are copied."""
+    ev = _info_fixture(spark)
+    got = {
+        (r["labels"], r["value"])
+        for r in ev.eval('info(m, {cluster=~".+"})').collect()
+    }
+    assert got == {
+        ("cluster=us,instance=i1,job=web", 5.0),
+        ("cluster=zz,instance=i2,job=web", 7.0),
+        ("instance=i3,job=api", 9.0),
+        ("cluster=keep,instance=i4,job=web", 1.0),
+    }
+    # a value-filtering matcher: only i1's info series carries dc=d1,
+    # every other series passes through without data labels
+    got = {
+        (r["labels"], r["value"])
+        for r in ev.eval('info(m, {dc="d1"})').collect()
+    }
+    assert got == {
+        ("dc=d1,instance=i1,job=web", 5.0),
+        ("instance=i2,job=web", 7.0),
+        ("instance=i3,job=api", 9.0),
+        ("cluster=keep,instance=i4,job=web", 1.0),
+    }
+
+
+def test_info_name_matcher_picks_info_metric(spark):
+    """A quoted __name__ inside the selector switches the info metric
+    (default target_info)."""
+    ev = _info_fixture(spark)
+    got = {
+        (r["labels"], r["value"])
+        for r in ev.eval('info(m, {"build_info"})').collect()
+    }
+    assert ("instance=i1,job=web,version=2.1", 5.0) in got
+    assert ("instance=i2,job=web", 7.0) in got
+
+
+def test_info_on_the_range_grid(spark):
+    """info() composes with eval_range: the data-label join runs per
+    grid instant."""
+    ev = _info_fixture(spark)
+    h = 3_600_000_000
+    rows = ev.eval_range('info(m, {cluster=~".+"})', h, h).collect()
+    labels = {r["labels"] for r in rows}
+    assert "cluster=us,instance=i1,job=web" in labels
+
+
+def test_info_syntax_and_format(spark):
+    from shards_prometheus_spark.functions.promql_format import (
+        format_query,
+        parse_query_json,
+    )
+    from shards_prometheus_spark.functions.promql_parser import (
+        PromQLSyntaxError,
+        parse,
+    )
+
+    assert format_query("info(rate(m[5m]))") == "info(rate(m[5m]))"
+    assert (
+        format_query('info(m, {cluster=~"us-.*"})')
+        == 'info(m, {cluster=~"us-.*"})'
+    )
+    j = parse_query_json('info(m, {cluster="a"})')
+    assert j["func"]["name"] == "info" and len(j["args"]) == 2
+    with pytest.raises(PromQLSyntaxError):
+        parse('info(m, "not-a-selector")')
+    ev = _info_fixture(spark)
+    with pytest.raises(PromQLSyntaxError):
+        ev.eval('info(m, {__name__=~"target.*"})')
