@@ -147,7 +147,14 @@ _PRIORITY = [
     # driver-green r10–r11; exemplars stay exercised by the exposer
     # test suite, federate inside the judge-pass parity sweep).
     "stale_markers_hourly",
-    "remote_read_roundtrip",
+    # r15 admits the negotiated STREAMED_XOR_CHUNKS remote-read round
+    # trip (Gorilla XOR chunk codec + CRC32C framing, executor-side
+    # chunk encode) by demoting remote_read_roundtrip (driver-green
+    # r12–r14; the SAMPLES response path stays pinned by
+    # tests/test_remote_read.py, the endpoint-negotiation pytest
+    # compares both bodies, and the row stays in the judge-pass
+    # parity sweep).
+    "remote_read_streamed_roundtrip",
     # Tier B — eval_range dashboard core + rule/subquery rows.
     # The 50-entry window is zero-sum; each round's VERDICT asks are
     # admitted by demoting rows that already earned driver-green in a
