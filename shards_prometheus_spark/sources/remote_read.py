@@ -487,6 +487,121 @@ def parse_chunked_read_stream(
     ]
 
 
+# --- client half (the `remote_read:` config section) -------------------------
+
+
+def fetch_remote_samples(
+    spark,
+    url: str,
+    start_ms: int,
+    end_ms: int,
+    matchers: "list[tuple[str, str, str]]",
+    timeout_s: float = 60.0,
+    headers: "dict | None" = None,
+) -> DataFrame:
+    """The CLIENT half of remote-read: POST one ReadRequest to a
+    paired server's `/api/v1/read` and return the decoded series as a
+    §1.2 samples relation (event_id, series_id, metric, labels,
+    ts_us, value) — pluggable anywhere the local relations are
+    (union into an evaluator, register, re-expose). The HTTP hop is
+    driver-side and response-sized by the remote's own LIMIT
+    contract, exactly like upstream's remote-read client
+    materializing a QueryResult; series identity re-hashes through
+    the canonical `series_id_expr` so remote series join local
+    window partitions."""
+    import urllib.request
+
+    from shards_prometheus_spark.model import series_id_expr
+
+    req = urllib.request.Request(
+        url,
+        data=encode_read_request([(start_ms, end_ms, matchers)]),
+        headers={
+            "Content-Type": "application/x-protobuf",
+            "Content-Encoding": "snappy",
+            "X-Prometheus-Remote-Read-Version": "0.1.0",
+            **(headers or {}),
+        },
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+        body = resp.read()
+    (series_list,) = parse_read_response(body) or ([],)
+    rows = []
+    for i, (labels, samples_) in enumerate(series_list):
+        metric = labels.get("__name__", "")
+        rest = {k: v for k, v in labels.items() if k != "__name__"}
+        for j, (ts_ms, value) in enumerate(samples_):
+            # negative-namespaced synthetic event_ids, the pushed-row
+            # convention (deterministic LAG tiebreak, no collision
+            # with parquet ids)
+            rows.append(
+                (
+                    -(i * 1_000_000 + j + 1),
+                    metric,
+                    rest,
+                    int(ts_ms) * 1_000,
+                    float(value),
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, metric string, labels map<string,string>, "
+        "ts_us long, value double",
+    )
+    return df.select(
+        "event_id",
+        series_id_expr(F.col("metric"), F.col("labels")).alias(
+            "series_id"
+        ),
+        "metric",
+        "labels",
+        "ts_us",
+        "value",
+    )
+
+
+def remote_samples_for_config(
+    spark,
+    cfg,
+    start_ms: int = 0,
+    end_ms: int = 4_102_444_800_000,
+    matchers: "list[tuple[str, str, str]] | None" = None,
+) -> "DataFrame | None":
+    """Fetch every `remote_read:` endpoint of a loaded ScrapeConfig
+    and union the results — the read-federation relation a query
+    layer unions with local samples. Each entry's
+    `required_matchers` gate the fan-out (upstream: an entry only
+    serves selectors carrying them) and are ADDED to its
+    ReadRequest as equality matchers; None when no endpoint
+    qualifies."""
+    out = None
+    for entry in getattr(cfg, "remote_read", None) or []:
+        ms = list(matchers or [])
+        given = {m[0]: m for m in ms}
+        skip = False
+        for k, v in (entry.required_matchers or {}).items():
+            m = given.get(k)
+            if m is None:
+                ms.append((k, "=", v))
+            elif not (m[1] == "=" and m[2] == v):
+                skip = True  # selector contradicts the gate
+                break
+        if skip:
+            continue
+        df = fetch_remote_samples(
+            spark,
+            entry.url,
+            start_ms,
+            end_ms,
+            ms,
+            timeout_s=entry.timeout_s,
+            headers=entry.request_headers(),
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 # --- registered parity query ------------------------------------------------
 
 

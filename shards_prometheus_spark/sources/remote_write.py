@@ -606,6 +606,7 @@ def push_write_requests(
     retries: int = 2,
     payload_col: str = "payload",
     protocol: str = "1.0",
+    extra_headers: "dict | None" = None,
 ) -> DataFrame:
     """The SEND half of the pairing: POST each WriteRequest payload
     to a remote-write endpoint from the EXECUTORS — one HTTP POST per
@@ -634,6 +635,11 @@ def push_write_requests(
         "Content-Encoding": "snappy",
         "X-Prometheus-Remote-Write-Version": "2.0.0" if v2 else "0.1.0",
     }
+    if extra_headers:
+        # a config entry's Authorization / custom headers ride every
+        # executor-side POST (they serialize with the closure, never
+        # through a logged plan option)
+        headers.update(extra_headers)
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import time as _time
@@ -688,14 +694,16 @@ def push_samples(
     retries: int = 2,
     protocol: str = "1.0",
     external_labels: "dict | None" = None,
+    extra_headers: "dict | None" = None,
 ) -> DataFrame:
     """Encode the samples relation into one WriteRequest per partition
     and push every payload executor-side — the engine as a
     remote-write SENDER (repartition first to control payload
     sizing; `protocol="2.0"` sends the interned 2.0 wire;
     `external_labels` attach to every outgoing series lacking the
-    name, upstream's `global.external_labels` boundary semantics).
-    Returns the per-payload delivery relation."""
+    name, upstream's `global.external_labels` boundary semantics;
+    `extra_headers` carry a config entry's Authorization/custom
+    headers). Returns the per-payload delivery relation."""
     return push_write_requests(
         encode_write_requests(
             samples, protocol=protocol, external_labels=external_labels
@@ -704,6 +712,7 @@ def push_samples(
         timeout_s,
         retries,
         protocol=protocol,
+        extra_headers=extra_headers,
     )
 
 
@@ -738,6 +747,71 @@ def remote_write_sink(
             )
 
     return samples_stream.writeStream.foreachBatch(handle)
+
+
+def apply_write_policy(
+    samples: DataFrame,
+    entry,
+    external_labels: "dict | None" = None,
+) -> DataFrame:
+    """One `remote_write:` entry's outgoing-sample policy, upstream's
+    ordering: `global.external_labels` attach FIRST (a series' own
+    label wins), THEN the entry's `write_relabel_configs` run through
+    the same compiled chain as scrape relabeling — so the hop can
+    rewrite or drop the external labels, and a keep/drop rule becomes
+    a pushable plan filter. Pure column expressions on the scan, no
+    shuffle."""
+    df = samples
+    if external_labels:
+        ext = F.create_map(
+            *[
+                F.lit(x)
+                for kv in sorted(external_labels.items())
+                for x in kv
+            ]
+        )
+        df = df.withColumn(
+            "labels",
+            F.map_concat(
+                F.map_filter(
+                    ext,
+                    lambda k, _v: ~F.array_contains(
+                        F.map_keys(F.col("labels")), k
+                    ),
+                ),
+                F.col("labels"),
+            ),
+        )
+    rules = getattr(entry, "write_relabel_configs", None) or []
+    if rules:
+        from shards_prometheus_spark.operators.relabel import (
+            apply_relabel,
+        )
+
+        df = apply_relabel(df, rules)
+    return df
+
+
+def push_samples_for_config(samples: DataFrame, cfg) -> "dict[str, DataFrame]":
+    """The config-driven send: one push per `remote_write:` entry of
+    a loaded ScrapeConfig, each through its own write policy
+    (external_labels + write_relabel_configs), protocol
+    (protobuf_message → 1.0/2.0 wire), timeout, and auth headers.
+    Returns {entry name or url: per-payload delivery relation} —
+    delivery problems stay DATA, per the sender contract."""
+    out: "dict[str, DataFrame]" = {}
+    for entry in getattr(cfg, "remote_write", None) or []:
+        shaped = apply_write_policy(
+            samples, entry, getattr(cfg, "external_labels", None)
+        )
+        out[entry.name or entry.url] = push_samples(
+            shaped,
+            entry.url,
+            timeout_s=entry.timeout_s,
+            protocol=entry.protocol,
+            extra_headers=entry.request_headers(),
+        )
+    return out
 
 
 class RemoteWriteReceiver:

@@ -205,10 +205,75 @@ class ScrapeConfig:
     #: (cluster:/replica:) on day one so one Alertmanager can dedup
     #: their notifications
     external_labels: dict = field(default_factory=dict)
+    #: `remote_write:` entries — the config-driven continuous push
+    #: every real fleet shipping to Mimir/Thanos/Cortex sets
+    remote_write: list = field(default_factory=list)
+    #: `remote_read:` entries — the read-federation twin
+    remote_read: list = field(default_factory=list)
 
 
-def load_scrape_configs(text: str) -> ScrapeConfig:
-    """Parse a prometheus.yml document (the public shape)."""
+@dataclass
+class RemoteWriteEntry:
+    """One `remote_write:` endpoint (upstream's public shape): where
+    scraped samples are continuously pushed. `protocol` compiles from
+    `protobuf_message` (io.prometheus.write.v2.Request → "2.0");
+    `write_relabel_configs` run through the SAME compiled chain as
+    scrape relabeling, applied to each outgoing sample AFTER
+    external_labels attach (upstream's ordering — the hop can drop
+    or rewrite them); `auth_header` from basic_auth/authorization
+    like a scrape job."""
+
+    url: str
+    name: str = ""
+    protocol: str = "1.0"
+    write_relabel_configs: list = field(default_factory=list)
+    auth_header: "str | None" = None
+    timeout_s: float = 30.0
+    headers: dict = field(default_factory=dict)
+
+    def request_headers(self) -> "dict | None":
+        h = dict(self.headers)
+        if self.auth_header:
+            h["Authorization"] = self.auth_header
+        return h or None
+
+
+@dataclass
+class RemoteReadEntry:
+    """One `remote_read:` endpoint: a paired server whose
+    /api/v1/read answers this engine's queries.
+    `required_matchers` (upstream semantics) gate WHICH selectors may
+    fan out to the endpoint AND are added to every outgoing
+    ReadRequest as equality matchers. `read_recent` is parsed for
+    config fidelity; this engine's store is an immutable batch
+    relation with no local-retention boundary, so remote reads always
+    span the queried range (the read_recent=false skip-what's-local
+    optimization has nothing to skip against)."""
+
+    url: str
+    name: str = ""
+    required_matchers: dict = field(default_factory=dict)
+    read_recent: bool = False
+    auth_header: "str | None" = None
+    timeout_s: float = 30.0
+    headers: dict = field(default_factory=dict)
+
+    def request_headers(self) -> "dict | None":
+        h = dict(self.headers)
+        if self.auth_header:
+            h["Authorization"] = self.auth_header
+        return h or None
+
+
+def load_scrape_configs(
+    text: str, base_dir: "str | None" = None
+) -> ScrapeConfig:
+    """Parse a prometheus.yml document (the public shape).
+    `base_dir` anchors `scrape_config_files` globs (upstream resolves
+    them relative to the loading config's directory; default cwd)."""
+    import glob as _glob
+    import os as _os
+
     import yaml
 
     from shards_prometheus_spark.functions.promql_parser import _dur_us
@@ -217,8 +282,25 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
     g = doc.get("global") or {}
     g_interval = _dur_us(str(g.get("scrape_interval", _DEF_INTERVAL)))
     g_timeout = _dur_us(str(g.get("scrape_timeout", _DEF_TIMEOUT)))
+    # upstream `scrape_config_files`: glob-included files each holding
+    # their own `scrape_configs:` list (a bare top-level list is also
+    # accepted), merged after the inline jobs in glob order; a
+    # malformed include raises like a malformed main document (the
+    # reload path keeps the old config on failure)
+    scrape_entries = list(doc.get("scrape_configs") or [])
+    for pattern in doc.get("scrape_config_files") or []:
+        pat = str(pattern)
+        if base_dir and not _os.path.isabs(pat):
+            pat = _os.path.join(base_dir, pat)
+        for path in sorted(_glob.glob(pat)):
+            with open(path) as f:
+                sub = yaml.safe_load(f.read()) or {}
+            scrape_entries.extend(
+                sub if isinstance(sub, list)
+                else sub.get("scrape_configs") or []
+            )
     jobs = []
-    for sc in doc.get("scrape_configs") or []:
+    for sc in scrape_entries:
         statics = []
         for st in sc.get("static_configs") or []:
             lbls = {str(k): str(v) for k, v in (st.get("labels") or {}).items()}
@@ -311,6 +393,50 @@ def load_scrape_configs(text: str) -> ScrapeConfig:
             for k, v in (g.get("external_labels") or {}).items()
         },
         keep_dropped_targets=int(g.get("keep_dropped_targets") or 0),
+        remote_write=[
+            RemoteWriteEntry(
+                url=str(rw["url"]),
+                name=str(rw.get("name", "")),
+                protocol=(
+                    "2.0"
+                    if "write.v2.Request"
+                    in str(rw.get("protobuf_message", ""))
+                    else "1.0"
+                ),
+                write_relabel_configs=list(
+                    rw.get("write_relabel_configs") or []
+                ),
+                auth_header=_auth_header(rw),
+                timeout_s=_dur_us(str(rw.get("remote_timeout", "30s")))
+                / 1e6,
+                headers={
+                    str(k): str(v)
+                    for k, v in (rw.get("headers") or {}).items()
+                },
+            )
+            for rw in doc.get("remote_write") or []
+            if rw.get("url")
+        ],
+        remote_read=[
+            RemoteReadEntry(
+                url=str(rr["url"]),
+                name=str(rr.get("name", "")),
+                required_matchers={
+                    str(k): str(v)
+                    for k, v in (rr.get("required_matchers") or {}).items()
+                },
+                read_recent=bool(rr.get("read_recent", False)),
+                auth_header=_auth_header(rr),
+                timeout_s=_dur_us(str(rr.get("remote_timeout", "1m")))
+                / 1e6,
+                headers={
+                    str(k): str(v)
+                    for k, v in (rr.get("headers") or {}).items()
+                },
+            )
+            for rr in doc.get("remote_read") or []
+            if rr.get("url")
+        ],
     )
 
 
@@ -832,11 +958,89 @@ class ScrapingServer:
     scrape_job_stream at a parquet/Kafka sink and passes that
     relation as the exposer's `samples_fn` — nothing else changes."""
 
-    def __init__(self, spark: SparkSession, cfg: ScrapeConfig, exposer, streams):
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: ScrapeConfig,
+        exposer,
+        streams,
+        tables: "list[str] | None" = None,
+    ):
         self.spark = spark
         self.config = cfg
         self.exposer = exposer
         self.streams = streams
+        self.tables = tables or []
+        #: per-remote-write-entry high-water mark (max pushed ts_us):
+        #: push_remote_writes sends only samples newer than it, so a
+        #: cadence caller pushes each scrape's delta exactly once —
+        #: the driver-held twin of upstream's WAL read position
+        self._rw_watermarks: "dict[str, int]" = {}
+
+    def scraped_samples_now(self):
+        """The CURRENT accumulated scrape state as the §1.2 samples
+        relation (the same derivation the exposer's read API
+        serves)."""
+        from shards_prometheus_spark.sources.scraper import (
+            scraped_as_samples,
+            scraped_with_staleness,
+        )
+
+        log = self.spark.table(self.tables[0])
+        for n in self.tables[1:]:
+            log = log.unionByName(
+                self.spark.table(n), allowMissingColumns=True
+            )
+        return scraped_as_samples(scraped_with_staleness(log))
+
+    def push_remote_writes(self) -> "dict[str, list]":
+        """Push the scrape log's NEW samples (per-entry watermark on
+        ts_us) through every configured `remote_write:` entry — the
+        config-driven continuous-push loop, driven at the caller's
+        cadence (tests/the rule loop; a production deployment points
+        `remote_write_sink` at the same scrape_job_stream with a
+        real checkpoint instead). Each entry applies its write
+        policy (external_labels then write_relabel_configs),
+        protocol, timeout, and auth headers; returns {entry: status
+        rows} — delivery problems are data, and a fully-failed push
+        leaves the watermark unmoved so the next call retries."""
+        from pyspark.sql import functions as _F
+
+        from shards_prometheus_spark.sources.remote_write import (
+            apply_write_policy,
+            push_samples,
+        )
+
+        if not self.config.remote_write or not self.tables:
+            return {}
+        samples = self.scraped_samples_now()
+        if "stale" in samples.columns:
+            samples = samples.filter(
+                ~_F.coalesce(_F.col("stale"), _F.lit(False))
+            )
+        results: "dict[str, list]" = {}
+        for entry in self.config.remote_write:
+            key = entry.name or entry.url
+            wm = self._rw_watermarks.get(key, -(2**62))
+            fresh = samples.filter(_F.col("ts_us") > wm)
+            hi = fresh.agg(_F.max("ts_us").alias("hi")).first()["hi"]
+            if hi is None:
+                results[key] = []
+                continue
+            shaped = apply_write_policy(
+                fresh, entry, self.config.external_labels
+            )
+            statuses = push_samples(
+                shaped,
+                entry.url,
+                timeout_s=entry.timeout_s,
+                protocol=entry.protocol,
+                extra_headers=entry.request_headers(),
+            ).collect()
+            if any(200 <= r["status"] < 300 for r in statuses) or not statuses:
+                self._rw_watermarks[key] = hi
+            results[key] = statuses
+        return results
 
     def stop(self) -> None:
         for q in self.streams:
@@ -937,4 +1141,4 @@ def serve_scraped_config(
         scrape_config=config_text,
         rule_file=rule_file,
     ).start()
-    return ScrapingServer(spark, cfg, exposer, streams)
+    return ScrapingServer(spark, cfg, exposer, streams, tables)
