@@ -1319,6 +1319,7 @@ class MetricsExposer:
         otlp_receiver: bool = False,
         otlp_convert_delta: bool = False,
         otlp_promote_resource_attributes: "list[str] | None" = None,
+        otlp_promote_scope_metadata: bool = False,
         scrape_config: str | None = None,
         scrape_config_path: str | None = None,
         alertmanagers: "list[str] | None" = None,
@@ -1430,6 +1431,9 @@ class MetricsExposer:
                                 convert_delta=outer._otlp_convert_delta,
                                 promote_resource_attributes=(
                                     outer._otlp_promote or None
+                                ),
+                                promote_scope_metadata=(
+                                    outer._otlp_promote_scope
                                 ),
                             )
                         )
@@ -1673,6 +1677,10 @@ class MetricsExposer:
         self._otlp_promote = list(
             otlp_promote_resource_attributes or []
         )
+        #: upstream otlp.promote_scope_metadata (3.x): scope
+        #: name/version/schema_url + attributes land as otel_scope_*
+        #: labels on every sample of the scope
+        self._otlp_promote_scope = bool(otlp_promote_scope_metadata)
         #: running totals per series for the opt-in OTLP
         #: delta-to-cumulative conversion (upstream's
         #: otlp.convert_delta_to_cumulative): series-sized driver

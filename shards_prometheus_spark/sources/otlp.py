@@ -145,6 +145,7 @@ def _ts_ms(v: float) -> int:
 def parse_otlp_request(
     payload: bytes,
     promote_resource_attributes: "list[str] | None" = None,
+    promote_scope_metadata: bool = False,
 ) -> "list[tuple[dict, int, float]]":
     """ExportMetricsServiceRequest → [(labels incl. __name__, ts_ms,
     value)] (rows only; see parse_otlp_request_full for the
@@ -152,6 +153,7 @@ def parse_otlp_request(
     return parse_otlp_request_full(
         payload,
         promote_resource_attributes=promote_resource_attributes,
+        promote_scope_metadata=promote_scope_metadata,
     )[0]
 
 
@@ -159,6 +161,7 @@ def parse_otlp_request_full(
     payload: bytes,
     convert_delta: bool = False,
     promote_resource_attributes: "list[str] | None" = None,
+    promote_scope_metadata: bool = False,
 ) -> "tuple[list[tuple[dict, int, float]], int, list[str], set]":
     """ExportMetricsServiceRequest → (rows, rejected_data_points,
     messages), Prometheus translation applied:
@@ -246,13 +249,48 @@ def parse_otlp_request_full(
                 elif f2 == 2 and wt2 == 2:  # ScopeMetrics
                     scope_bufs.append(v2)
             for sm in scope_bufs:
+                base_labels = resource_labels
+                if promote_scope_metadata:
+                    # upstream's `otlp.promote_scope_metadata` (3.x):
+                    # the InstrumentationScope's name/version/
+                    # schema_url and attributes land on every sample
+                    # of the scope as otel_scope_* labels
+                    # (data-point attributes still win — lbl())
+                    scope_labels: dict = {}
+                    for f2, wt2, v2 in pb_fields(sm):
+                        if f2 == 1 and wt2 == 2:  # InstrumentationScope
+                            for f3, wt3, v3 in pb_fields(v2):
+                                if f3 == 1 and wt3 == 2:
+                                    scope_labels["otel_scope_name"] = (
+                                        v3.decode("utf-8")
+                                    )
+                                elif f3 == 2 and wt3 == 2:
+                                    scope_labels[
+                                        "otel_scope_version"
+                                    ] = v3.decode("utf-8")
+                                elif f3 == 3 and wt3 == 2:
+                                    for k, v in _attributes(
+                                        [v3]
+                                    ).items():
+                                        scope_labels[
+                                            f"otel_scope_{k}"
+                                        ] = v
+                        elif f2 == 3 and wt2 == 2:  # schema_url
+                            scope_labels[
+                                "otel_scope_schema_url"
+                            ] = v2.decode("utf-8")
+                    if scope_labels:
+                        base_labels = {
+                            **resource_labels,
+                            **scope_labels,
+                        }
                 for f2, wt2, metric in pb_fields(sm):
                     if f2 != 2 or wt2 != 2:  # Metric
                         continue
                     out.extend(
                         _parse_metric(
                             metric,
-                            resource_labels,
+                            base_labels,
                             rejected,
                             messages,
                             convert_delta,

@@ -722,3 +722,57 @@ def test_promote_resource_attributes(spark):
         assert float(res[0]["value"][1]) == 1.0
     finally:
         ex.stop()
+
+
+def test_promote_scope_metadata():
+    """Upstream's `otlp.promote_scope_metadata` (3.x): the
+    InstrumentationScope's name/version/schema_url and attributes
+    land as otel_scope_* labels on every sample of that scope; off
+    by default; a second scope in the same resource keeps its own
+    labels."""
+    from shards_prometheus_spark.functions.miniformats import (
+        pb_double,
+        pb_len,
+    )
+    from shards_prometheus_spark.sources.otlp import (
+        _fixed64,
+        parse_otlp_request,
+    )
+
+    def kv(key: bytes, val: bytes) -> bytes:
+        return pb_len(1, key) + pb_len(2, pb_len(1, val))
+
+    resource = pb_len(1, pb_len(1, kv(b"service.name", b"checkout")))
+    dp = pb_len(1, _fixed64(3, _TS_NS) + pb_double(4, 1.0))
+    metric_a = pb_len(1, b"scoped.gauge") + pb_len(5, dp)
+    dp_b = pb_len(1, _fixed64(3, _TS_NS) + pb_double(4, 2.0))
+    metric_b = pb_len(1, b"other.gauge") + pb_len(5, dp_b)
+    scope = (
+        pb_len(1, b"my.instrumentation.lib")
+        + pb_len(2, b"1.2.3")
+        + pb_len(3, kv(b"feature.flag", b"on"))
+    )
+    sm_a = (
+        pb_len(1, scope)
+        + pb_len(2, metric_a)
+        + pb_len(3, b"https://example/schema")
+    )
+    sm_b = pb_len(2, metric_b)  # scope-less ScopeMetrics
+    body = pb_len(1, resource + pb_len(2, sm_a) + pb_len(2, sm_b))
+
+    rows = parse_otlp_request(body, promote_scope_metadata=True)
+    by_val = {r[2]: r[0] for r in rows}
+    a = by_val[1.0]
+    assert a["otel_scope_name"] == "my.instrumentation.lib"
+    assert a["otel_scope_version"] == "1.2.3"
+    assert a["otel_scope_schema_url"] == "https://example/schema"
+    assert a["otel_scope_feature_flag"] == "on"
+    assert a["job"] == "checkout"  # resource promotion unaffected
+    b = by_val[2.0]
+    assert not any(k.startswith("otel_scope") for k in b)
+
+    # off by default
+    rows = parse_otlp_request(body)
+    assert not any(
+        k.startswith("otel_scope") for r in rows for k in r[0]
+    )
