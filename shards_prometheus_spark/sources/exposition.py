@@ -1717,7 +1717,16 @@ class MetricsExposer:
                 resolve_alertmanagers,
             )
 
-            cfg = load_scrape_configs(self._scrape_config)
+            import os as _os
+
+            cfg = load_scrape_configs(
+                self._scrape_config,
+                base_dir=(
+                    _os.path.dirname(_os.path.abspath(scrape_config_path))
+                    if scrape_config_path
+                    else None
+                ),
+            )
             if alertmanagers is None:
                 # the discovery relabel hop:
                 # alertmanagers[].relabel_configs rewrites/drops pool
@@ -1988,7 +1997,18 @@ class MetricsExposer:
                 text = f.read()
         if text is None:
             return
-        cfg = load_scrape_configs(text)  # raises → keep old config
+        import os as _os
+
+        cfg = load_scrape_configs(  # raises → keep old config
+            text,
+            base_dir=(
+                _os.path.dirname(
+                    _os.path.abspath(self._scrape_config_path)
+                )
+                if self._scrape_config_path
+                else None
+            ),
+        )
         new_rules = (
             self._rule_file
             if self._explicit_rule_file

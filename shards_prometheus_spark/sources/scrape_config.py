@@ -109,6 +109,9 @@ class ScrapeJob:
     #: upstream follow_redirects (default true): false fails the
     #: scrape on any 3xx answer
     follow_redirects: bool = True
+    #: upstream proxy_url: route every scrape GET through this HTTP
+    #: proxy ("" = direct)
+    proxy_url: str = ""
     static_targets: list = field(default_factory=list)  # (addr, labels)
     relabel_configs: list = field(default_factory=list)
     metric_relabel_configs: list = field(default_factory=list)
@@ -174,6 +177,8 @@ class ScrapeJob:
             lim["compression"] = False
         if not self.follow_redirects:
             lim["follow_redirects"] = False
+        if self.proxy_url:
+            lim["proxy_url"] = self.proxy_url
         return lim or None
 
 
@@ -340,6 +345,7 @@ def load_scrape_configs(
                     sc.get("enable_compression", True)
                 ),
                 follow_redirects=bool(sc.get("follow_redirects", True)),
+                proxy_url=str(sc.get("proxy_url") or ""),
                 static_targets=statics,
                 relabel_configs=list(sc.get("relabel_configs") or []),
                 metric_relabel_configs=list(

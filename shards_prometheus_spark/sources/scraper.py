@@ -154,6 +154,7 @@ def _fetch_lines(
     tls: "dict | None" = None,
     compression: bool = True,
     follow_redirects: bool = True,
+    proxy_url: "str | None" = None,
 ) -> "tuple[list[str], str]":
     """One HTTP GET of a `/metrics` endpoint → (non-empty payload
     lines, Content-Type).  Runs on the scraping TASK (executor
@@ -173,19 +174,23 @@ def _fetch_lines(
         url, headers=_scrape_headers(timeout_s, headers, compression)
     )
     ctx = _tls_context(url, tls)
-    if follow_redirects:
-        opener = urllib.request.build_opener(
-            urllib.request.HTTPSHandler(context=ctx)
-            if ctx
-            else urllib.request.HTTPHandler()
+    handlers: list = [
+        urllib.request.HTTPSHandler(context=ctx)
+        if ctx
+        else urllib.request.HTTPHandler()
+    ]
+    if not follow_redirects:
+        handlers.insert(0, _NoRedirect())
+    if proxy_url:
+        # upstream `proxy_url`: route the GET through an HTTP proxy
+        # (both schemes map to it, upstream's http client behavior)
+        handlers.insert(
+            0,
+            urllib.request.ProxyHandler(
+                {"http": proxy_url, "https": proxy_url}
+            ),
         )
-    else:
-        opener = urllib.request.build_opener(
-            _NoRedirect(),
-            urllib.request.HTTPSHandler(context=ctx)
-            if ctx
-            else urllib.request.HTTPHandler(),
-        )
+    opener = urllib.request.build_opener(*handlers)
     with opener.open(req, timeout=timeout_s) as resp:
         ctype = resp.headers.get("Content-Type") or ""
         cenc = (resp.headers.get("Content-Encoding") or "").lower()
@@ -464,6 +469,7 @@ def _read_target(part: _ScrapeTarget):
             part.tls,
             compression=bool(lim.get("compression", True)),
             follow_redirects=bool(lim.get("follow_redirects", True)),
+            proxy_url=lim.get("proxy_url") or None,
         )
         up = 1
     except Exception:  # noqa: BLE001 - refused/timeout/DNS/over-limit

@@ -244,3 +244,63 @@ def test_smoke_default_scrape_unaffected(spark):
         assert len(rows) > 10
     finally:
         exposer.stop()
+
+
+def test_proxy_url_routes_the_scrape(spark):
+    """`proxy_url`: the GET goes to the proxy with the absolute
+    target URI (the HTTP proxy protocol); the target itself is never
+    contacted directly."""
+    import http.server
+    import threading
+
+    target = _Srv("g 9\n")  # never hit directly
+    seen: "list[str]" = []
+
+    class ProxyH(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            seen.append(self.path)
+            body = b"g 9\n"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    proxy = http.server.ThreadingHTTPServer(("127.0.0.1", 0), ProxyH)
+    threading.Thread(target=proxy.serve_forever, daemon=True).start()
+    try:
+        rows = _scrape(
+            spark,
+            target.url,
+            {"proxy_url": f"http://127.0.0.1:{proxy.server_port}"},
+        )
+        assert _synth(rows)["up"] == 1.0
+        assert [r["value"] for r in rows if r["metric"] == "g"] == [9.0]
+        assert seen and seen[-1] == target.url  # absolute-URI proxy GET
+        assert target.hits == 0
+    finally:
+        proxy.shutdown()
+        proxy.server_close()
+        target.stop()
+
+
+def test_proxy_url_parses_from_yaml():
+    from shards_prometheus_spark.sources.scrape_config import (
+        load_scrape_configs,
+    )
+
+    cfg = load_scrape_configs(
+        """
+scrape_configs:
+  - job_name: proxied
+    proxy_url: http://127.0.0.1:3128
+    static_configs:
+      - targets: ['127.0.0.1:9100']
+"""
+    )
+    (j,) = cfg.jobs
+    assert j.proxy_url == "http://127.0.0.1:3128"
+    assert j.guard_limits() == {"proxy_url": "http://127.0.0.1:3128"}
