@@ -1320,6 +1320,7 @@ class MetricsExposer:
         otlp_convert_delta: bool = False,
         otlp_promote_resource_attributes: "list[str] | None" = None,
         otlp_promote_scope_metadata: bool = False,
+        otlp_keep_identifying_resource_attributes: bool = False,
         scrape_config: str | None = None,
         scrape_config_path: str | None = None,
         alertmanagers: "list[str] | None" = None,
@@ -1434,6 +1435,9 @@ class MetricsExposer:
                                 ),
                                 promote_scope_metadata=(
                                     outer._otlp_promote_scope
+                                ),
+                                keep_identifying_resource_attributes=(
+                                    outer._otlp_keep_identifying
                                 ),
                             )
                         )
@@ -1681,6 +1685,11 @@ class MetricsExposer:
         #: name/version/schema_url + attributes land as otel_scope_*
         #: labels on every sample of the scope
         self._otlp_promote_scope = bool(otlp_promote_scope_metadata)
+        #: upstream otlp.keep_identifying_resource_attributes: also
+        #: copy service.name/namespace/instance.id into target_info
+        self._otlp_keep_identifying = bool(
+            otlp_keep_identifying_resource_attributes
+        )
         #: running totals per series for the opt-in OTLP
         #: delta-to-cumulative conversion (upstream's
         #: otlp.convert_delta_to_cumulative): series-sized driver

@@ -146,6 +146,7 @@ def parse_otlp_request(
     payload: bytes,
     promote_resource_attributes: "list[str] | None" = None,
     promote_scope_metadata: bool = False,
+    keep_identifying_resource_attributes: bool = False,
 ) -> "list[tuple[dict, int, float]]":
     """ExportMetricsServiceRequest → [(labels incl. __name__, ts_ms,
     value)] (rows only; see parse_otlp_request_full for the
@@ -154,6 +155,9 @@ def parse_otlp_request(
         payload,
         promote_resource_attributes=promote_resource_attributes,
         promote_scope_metadata=promote_scope_metadata,
+        keep_identifying_resource_attributes=(
+            keep_identifying_resource_attributes
+        ),
     )[0]
 
 
@@ -162,6 +166,7 @@ def parse_otlp_request_full(
     convert_delta: bool = False,
     promote_resource_attributes: "list[str] | None" = None,
     promote_scope_metadata: bool = False,
+    keep_identifying_resource_attributes: bool = False,
 ) -> "tuple[list[tuple[dict, int, float]], int, list[str], set]":
     """ExportMetricsServiceRequest → (rows, rejected_data_points,
     messages), Prometheus translation applied:
@@ -226,6 +231,7 @@ def parse_otlp_request_full(
                 continue
             resource_labels: dict = {}
             scope_bufs: list = []
+            raw: dict = {}
             for f2, wt2, v2 in pb_fields(rm):
                 if f2 == 1 and wt2 == 2:  # Resource
                     attrs = [
@@ -248,6 +254,7 @@ def parse_otlp_request_full(
                             resource_labels[want] = raw[want]
                 elif f2 == 2 and wt2 == 2:  # ScopeMetrics
                     scope_bufs.append(v2)
+            n_before = len(out)
             for sm in scope_bufs:
                 base_labels = resource_labels
                 if promote_scope_metadata:
@@ -297,6 +304,43 @@ def parse_otlp_request_full(
                             delta_series,
                         )
                     )
+            # upstream's OTLP translation writes ONE `target_info`
+            # series per resource carrying the NON-identifying
+            # resource attributes as (sanitized) labels — the info
+            # metric the 3.x info() function joins; emitted only when
+            # the resource has data labels to carry (upstream's
+            # condition) and samples landed, stamped at the
+            # resource's newest data-point timestamp.
+            # `keep_identifying_resource_attributes` (the public 3.x
+            # knob) ALSO copies service.name/service.namespace/
+            # service.instance.id into target_info's label set.
+            identifying = {
+                "service_name",
+                "service_namespace",
+                "service_instance_id",
+            }
+            data_attrs = {
+                k: v
+                for k, v in raw.items()
+                if keep_identifying_resource_attributes
+                or k not in identifying
+            }
+            has_nonident = any(
+                k not in identifying for k in raw
+            )
+            if has_nonident and len(out) > n_before:
+                info_labels = {"__name__": "target_info"}
+                if "job" in resource_labels:
+                    info_labels["job"] = resource_labels["job"]
+                if "instance" in resource_labels:
+                    info_labels["instance"] = resource_labels[
+                        "instance"
+                    ]
+                for k in sorted(data_attrs):
+                    if k not in ("__name__", "job", "instance"):
+                        info_labels.setdefault(k, data_attrs[k])
+                ts_ms = max(r[1] for r in out[n_before:])
+                out.append((info_labels, ts_ms, 1.0))
     except OTLPTemporalityError:
         raise  # semantic reject, not corruption — keep the message
     except (IndexError, ValueError, struct.error) as exc:

@@ -683,7 +683,11 @@ def test_promote_resource_attributes(spark):
             "k8s.pod.name", "deployment.environment",
         ],
     )
-    by_val = {r[2]: r[0] for r in rows}
+    by_val = {
+        r[2]: r[0]
+        for r in rows
+        if r[0].get("__name__") != "target_info"  # r15: emitted too
+    }
     assert by_val[1.0]["k8s_pod_name"] == "pod-7"
     assert by_val[1.0]["deployment_environment"] == "prod"
     assert by_val[1.0]["job"] == "checkout"
@@ -775,4 +779,70 @@ def test_promote_scope_metadata():
     rows = parse_otlp_request(body)
     assert not any(
         k.startswith("otel_scope") for r in rows for k in r[0]
+    )
+
+
+def test_target_info_emitted_from_resource_attributes():
+    """Upstream's OTLP translation writes ONE `target_info` series
+    per resource carrying the non-identifying resource attributes —
+    the info metric info() joins. Emitted only when the resource has
+    non-identifying attributes; stamped at the resource's newest
+    data-point timestamp; `keep_identifying_resource_attributes`
+    also copies the service.* identity into its label set."""
+    from shards_prometheus_spark.functions.miniformats import (
+        pb_double,
+        pb_len,
+    )
+    from shards_prometheus_spark.sources.otlp import (
+        _fixed64,
+        parse_otlp_request,
+    )
+
+    def kv(key: bytes, val: bytes) -> bytes:
+        return pb_len(1, key) + pb_len(2, pb_len(1, val))
+
+    resource = pb_len(
+        1,
+        pb_len(1, kv(b"service.name", b"checkout"))
+        + pb_len(1, kv(b"service.instance.id", b"pod-1"))
+        + pb_len(1, kv(b"k8s.cluster.name", b"east"))
+        + pb_len(1, kv(b"deployment.environment", b"prod")),
+    )
+    dp1 = pb_len(1, _fixed64(3, _TS_NS) + pb_double(4, 1.0))
+    dp2 = pb_len(
+        1, _fixed64(3, _TS_NS + 60_000_000_000) + pb_double(4, 2.0)
+    )
+    metric = pb_len(1, b"g") + pb_len(5, dp1 + dp2)
+    body = pb_len(1, resource + pb_len(2, pb_len(2, metric)))
+
+    rows = parse_otlp_request(body)
+    infos = [r for r in rows if r[0].get("__name__") == "target_info"]
+    assert len(infos) == 1
+    labels, ts_ms, value = infos[0]
+    assert value == 1.0
+    assert ts_ms == (_TS_NS + 60_000_000_000) // 1_000_000  # newest dp
+    assert labels == {
+        "__name__": "target_info",
+        "job": "checkout",
+        "instance": "pod-1",
+        "k8s_cluster_name": "east",
+        "deployment_environment": "prod",
+    }
+
+    # keep_identifying: the service.* identity ALSO lands in the set
+    rows = parse_otlp_request(
+        body, keep_identifying_resource_attributes=True
+    )
+    (info,) = [
+        r for r in rows if r[0].get("__name__") == "target_info"
+    ]
+    assert info[0]["service_name"] == "checkout"
+    assert info[0]["service_instance_id"] == "pod-1"
+
+    # a resource with ONLY identifying attributes emits no target_info
+    resource2 = pb_len(1, pb_len(1, kv(b"service.name", b"bare")))
+    body2 = pb_len(1, resource2 + pb_len(2, pb_len(2, metric)))
+    rows = parse_otlp_request(body2)
+    assert not any(
+        r[0].get("__name__") == "target_info" for r in rows
     )
