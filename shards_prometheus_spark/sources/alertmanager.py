@@ -107,8 +107,16 @@ class AlertmanagerNotifier:
         send_resolved: bool = True,
         resend_delay_us: int = 60_000_000,
         max_batch_size: int = 64,
+        headers_by_url: "dict[str, dict] | None" = None,
     ):
         self.urls = [u.rstrip("/") for u in urls]
+        #: per-BASE-URL extra request headers (a secured pool member's
+        #: Authorization from its alertmanagers[] entry auth section)
+        self.headers_by_url = {
+            u.rstrip("/"): dict(h)
+            for u, h in (headers_by_url or {}).items()
+            if h
+        }
         self.timeout_s = timeout_s
         self.send_resolved = send_resolved
         self.resend_delay_us = resend_delay_us
@@ -198,14 +206,18 @@ class AlertmanagerNotifier:
             for i in range(0, len(v2_alerts), self.max_batch_size)
         ] or [[]]
         statuses: dict[str, int] = {}
-        for url in self.push_urls:
+        for base, url in zip(self.urls, self.push_urls):
+            extra = self.headers_by_url.get(base) or {}
             results: list[int] = []
             for batch in batches:
                 body = json.dumps(batch).encode("utf-8")
                 req = urllib.request.Request(
                     url,
                     data=body,
-                    headers={"Content-Type": "application/json"},
+                    headers={
+                        "Content-Type": "application/json",
+                        **extra,
+                    },
                     method="POST",
                 )
                 try:

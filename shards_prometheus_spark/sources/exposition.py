@@ -1740,7 +1740,15 @@ class MetricsExposer:
                 # the discovery relabel hop:
                 # alertmanagers[].relabel_configs rewrites/drops pool
                 # members before any push
-                alertmanagers = resolve_alertmanagers(self._spark, cfg)
+                from shards_prometheus_spark.sources.scrape_config import (  # noqa: E501
+                    resolve_alertmanagers_full,
+                )
+
+                resolved = resolve_alertmanagers_full(self._spark, cfg)
+                alertmanagers = [u for u, _h in resolved]
+                self._am_headers = {
+                    u: h for u, h in resolved if h
+                }
                 self._alert_relabel = cfg.alert_relabel_configs
                 if rule_file is None and cfg.rule_files:
                     self._rule_file = self._read_rule_files(
@@ -1753,6 +1761,10 @@ class MetricsExposer:
                 self._spark, cfg
             )
         self._alertmanagers = list(alertmanagers or [])
+        if not hasattr(self, "_am_headers"):
+            #: per-URL auth headers from the config's alertmanagers[]
+            #: entries (empty for an explicit URL list)
+            self._am_headers = {}
         # TSDB admin API state (upstream --web.enable-admin-api):
         # tombstones are (metric, matchers, start_us, end_us) masks
         # over the read path — deletion over an immutable parquet
@@ -2029,10 +2041,25 @@ class MetricsExposer:
         )
         self._scrape_config = text
         if not self._explicit_alertmanagers:
-            self._alertmanagers = resolve_alertmanagers(
-                self._spark, cfg
+            from shards_prometheus_spark.sources.scrape_config import (
+                resolve_alertmanagers_full,
             )
+
+            resolved = resolve_alertmanagers_full(self._spark, cfg)
+            self._alertmanagers = [u for u, _h in resolved]
+            self._am_headers = {u: h for u, h in resolved if h}
             self._alert_relabel = cfg.alert_relabel_configs
+            if hasattr(self, "_notifier"):
+                # keep the notifier's firing-state memory across the
+                # reload, swap the pool + auth in place (upstream's
+                # reload keeps the notification queue)
+                self._notifier.urls = [
+                    u.rstrip("/") for u in self._alertmanagers
+                ]
+                self._notifier.headers_by_url = {
+                    u.rstrip("/"): dict(h)
+                    for u, h in self._am_headers.items()
+                }
         if not self._explicit_external_labels:
             self._external_labels = dict(cfg.external_labels)
         self._keep_dropped_targets = cfg.keep_dropped_targets
@@ -2177,7 +2204,10 @@ class MetricsExposer:
         # firing set, so the next push carries endsAt-stamped resolved
         # entries for alerts that stopped firing in between
         if not hasattr(self, "_notifier"):
-            self._notifier = AlertmanagerNotifier(self._alertmanagers)
+            self._notifier = AlertmanagerNotifier(
+                self._alertmanagers,
+                headers_by_url=self._am_headers or None,
+            )
         return notify_firing(
             PromQLEvaluator(self.read_samples()),
             self._rule_file,

@@ -447,18 +447,32 @@ def load_scrape_configs(
 
 
 def resolve_alertmanagers(spark: SparkSession, cfg: ScrapeConfig) -> list:
-    """`alerting.alertmanagers[].relabel_configs` — upstream routes
-    Alertmanager discovery through the SAME relabel machinery as
-    scrape targets (a rewritten `__address__` changes the push URL, a
-    dropped row removes the pool member). Entries without rules pass
-    through statically; the per-entry relation is pool-sized, the
-    collect IS the config."""
+    """The push-URL projection of `resolve_alertmanagers_full` (the
+    public shape most callers want)."""
+    return [u for u, _h in resolve_alertmanagers_full(spark, cfg)]
+
+
+def resolve_alertmanagers_full(
+    spark: SparkSession, cfg: ScrapeConfig
+) -> "list[tuple[str, dict | None]]":
+    """`alerting.alertmanagers[]` resolution: [(push base URL,
+    request headers)]. `relabel_configs` route through the SAME
+    relabel machinery as scrape targets (a rewritten `__address__`
+    changes the push URL, a dropped row removes the pool member);
+    entries without rules pass through statically — the per-entry
+    relation is pool-sized, the collect IS the config. Each entry's
+    `basic_auth`/`authorization` compiles to an Authorization header
+    every push to that entry's members carries (a secured
+    Alertmanager answers 401 to a bare POST, which the notifier
+    reports as that member's delivery status)."""
     from shards_prometheus_spark.operators.relabel import apply_relabel
 
-    out = []
+    out: "list[tuple[str, dict | None]]" = []
     for am in cfg.alertmanager_configs:
         scheme = str(am.get("scheme", _DEF_SCHEME))
         path = str(am.get("path_prefix", "")).rstrip("/")
+        auth = _auth_header(am)
+        headers = {"Authorization": auth} if auth else None
         addrs = [
             str(a)
             for st in am.get("static_configs") or []
@@ -466,7 +480,9 @@ def resolve_alertmanagers(spark: SparkSession, cfg: ScrapeConfig) -> list:
         ]
         rules = list(am.get("relabel_configs") or [])
         if not rules:
-            out.extend(f"{scheme}://{a}{path}" for a in addrs)
+            out.extend(
+                (f"{scheme}://{a}{path}", headers) for a in addrs
+            )
             continue
         if not addrs:
             continue
@@ -483,7 +499,10 @@ def resolve_alertmanagers(spark: SparkSession, cfg: ScrapeConfig) -> list:
             if not addr:
                 continue  # relabeled away: dropped pool member
             out.append(
-                f"{labels.get('__scheme__', scheme)}://{addr}{path}"
+                (
+                    f"{labels.get('__scheme__', scheme)}://{addr}{path}",
+                    headers,
+                )
             )
     return out
 

@@ -537,3 +537,74 @@ def test_notify_batches_to_max_batch_size():
         ]
     finally:
         sink.stop()
+
+
+def test_alertmanager_pool_auth(spark):
+    """`alerting.alertmanagers[].basic_auth`: the compiled
+    Authorization header rides every push to that entry's members —
+    a secured Alertmanager answers 401 to a bare POST (reported as
+    delivery status, never raised) and 200 with credentials."""
+    import base64
+    import http.server
+    import threading
+
+    from shards_prometheus_spark.sources.alertmanager import (
+        AlertmanagerNotifier,
+    )
+    from shards_prometheus_spark.sources.scrape_config import (
+        load_scrape_configs,
+        resolve_alertmanagers_full,
+    )
+
+    want = "Basic " + base64.b64encode(b"am:pw").decode()
+    got_headers: "list[str]" = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            auth = self.headers.get("Authorization") or ""
+            got_headers.append(auth)
+            n = int(self.headers.get("Content-Length") or 0)
+            self.rfile.read(n)
+            self.send_response(200 if auth == want else 401)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cfg = load_scrape_configs(
+            f"""
+alerting:
+  alertmanagers:
+    - basic_auth:
+        username: am
+        password: pw
+      static_configs:
+        - targets: ['127.0.0.1:{srv.server_port}']
+scrape_configs: []
+"""
+        )
+        resolved = resolve_alertmanagers_full(spark, cfg)
+        ((url, headers),) = resolved
+        assert headers == {"Authorization": want}
+
+        notifier = AlertmanagerNotifier(
+            [url], headers_by_url={url: headers}
+        )
+        statuses = notifier.notify(
+            [{"labels": {"alertname": "x"}, "annotations": {}}]
+        )
+        assert list(statuses.values()) == [200]
+        assert got_headers[-1] == want
+
+        bare = AlertmanagerNotifier([url])
+        statuses = bare.notify(
+            [{"labels": {"alertname": "x"}, "annotations": {}}]
+        )
+        assert list(statuses.values()) == [401]  # reported, not raised
+    finally:
+        srv.shutdown()
+        srv.server_close()
