@@ -846,3 +846,60 @@ def test_target_info_emitted_from_resource_attributes():
     assert not any(
         r[0].get("__name__") == "target_info" for r in rows
     )
+
+
+def test_otlp_target_info_feeds_promql_info(spark):
+    """The round-trip the 3.x pairing exists for: an OTLP payload
+    with resource attributes lands target_info in the pushed store,
+    and a PromQL `info()` query through the READ API joins those
+    data labels onto the pushed metric."""
+    import json
+    import urllib.request
+    from urllib.parse import quote
+
+    from shards_prometheus_spark.functions.miniformats import (
+        pb_double,
+        pb_len,
+    )
+    from shards_prometheus_spark.sources import MetricsExposer
+    from shards_prometheus_spark.sources.otlp import _fixed64
+
+    def kv(key: bytes, val: bytes) -> bytes:
+        return pb_len(1, key) + pb_len(2, pb_len(1, val))
+
+    resource = pb_len(
+        1,
+        pb_len(1, kv(b"service.name", b"checkout"))
+        + pb_len(1, kv(b"service.instance.id", b"pod-1"))
+        + pb_len(1, kv(b"k8s.cluster.name", b"east")),
+    )
+    dp = pb_len(1, _fixed64(3, _TS_NS) + pb_double(4, 7.5))
+    metric = pb_len(1, b"queue.depth") + pb_len(5, dp)
+    body = pb_len(1, resource + pb_len(2, pb_len(2, metric)))
+
+    exposer = MetricsExposer(spark, SF_SMOKE, otlp_receiver=True).start()
+    base = f"http://{exposer.host}:{exposer.port}"
+    try:
+        req = urllib.request.Request(
+            base + "/api/v1/otlp/v1/metrics",
+            data=body,
+            headers={"Content-Type": "application/x-protobuf"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 200
+
+        q = quote("info(queue_depth)")
+        t = _TS_NS // 1_000_000_000  # pin eval time to the push
+        with urllib.request.urlopen(
+            base + f"/api/v1/query?query={q}&time={t}", timeout=120
+        ) as resp:
+            doc = json.loads(resp.read())
+        assert doc["status"] == "success"
+        (r,) = doc["data"]["result"]
+        assert float(r["value"][1]) == 7.5
+        assert r["metric"]["job"] == "checkout"
+        assert r["metric"]["instance"] == "pod-1"
+        assert r["metric"]["k8s_cluster_name"] == "east"  # joined
+    finally:
+        exposer.stop()
