@@ -119,8 +119,11 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "scraped_multilabel_fold",
             "otlp_roundtrip",
             # r15: the ALERTS/ALERTS_FOR_STATE synthetic-series
-            # derivation (grid run-islands + state split, events-axis)
+            # derivation (grid run-islands + state split, events-axis),
+            # the streamed-chunk remote-read round trip, and info()
             "rules_alerts_series",
+            "remote_read_streamed_roundtrip",
+            "promql_info",
         ],
     ),
     (
@@ -393,8 +396,10 @@ WIRE_FAMILIES: list[tuple[str, list[str]]] = [
             "scrape_up_family",
             "scraped_multilabel_fold",
             "otlp_roundtrip",
-            # r15: same second-decade coverage for the new row
+            # r15: same second-decade coverage for the new rows
             "rules_alerts_series",
+            "remote_read_streamed_roundtrip",
+            "promql_info",
         ],
     ),
 ]
