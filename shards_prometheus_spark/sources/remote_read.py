@@ -310,24 +310,38 @@ def _xor_chunk_rows(df: DataFrame) -> DataFrame:
     wire-sized-collect posture as every other endpoint.
 
     Input: metric/labels/ts_ms/value. Output: one row per chunk with
-    the full label set (incl. ``__name__``) as JSON."""
+    the full label set (incl. ``__name__``) as JSON.
+
+    Shape note (measured, sf1 wire leg): a metric corpus has MANY
+    short series — per-GROUP applyInPandas paid ~2 ms of pandas
+    per-group overhead on ~2-sample groups (84 s for 44 k series).
+    The kernel is therefore mapInPandas over partitions REPARTITIONED
+    BY series AND SORTED by (series, ts): consecutive-key grouping in
+    plain Python costs ~1 µs/row, one pandas frame per ARROW BATCH
+    instead of per series, and an incomplete tail group carries
+    across batch boundaries (safe — the repartition pins a series to
+    one partition)."""
     from shards_prometheus_spark.functions.labelset import label_str
 
-    keyed = df.select(
-        F.concat_ws(
-            "\x00", F.col("metric"), label_str(F.col("labels"))
-        ).alias("series_key"),
-        F.to_json(
-            F.map_concat(
-                F.create_map(F.lit("__name__"), F.col("metric")),
-                F.col("labels"),
-            )
-        ).alias("labels_json"),
-        "ts_ms",
-        F.col("value").cast("double").alias("value"),
+    keyed = (
+        df.select(
+            F.concat_ws(
+                "\x00", F.col("metric"), label_str(F.col("labels"))
+            ).alias("series_key"),
+            F.to_json(
+                F.map_concat(
+                    F.create_map(F.lit("__name__"), F.col("metric")),
+                    F.col("labels"),
+                )
+            ).alias("labels_json"),
+            "ts_ms",
+            F.col("value").cast("double").alias("value"),
+        )
+        .repartition("series_key")
+        .sortWithinPartitions("series_key", "ts_ms")
     )
 
-    def encode_series(pdf):
+    def encode_partition(batches):
         import pandas as pd
 
         from shards_prometheus_spark.sources.chunkenc import (
@@ -335,39 +349,52 @@ def _xor_chunk_rows(df: DataFrame) -> DataFrame:
             encode_xor_chunk,
         )
 
-        pdf = pdf.sort_values("ts_ms")
-        key = pdf["series_key"].iloc[0]
-        lj = pdf["labels_json"].iloc[0]
-        ts = pdf["ts_ms"].tolist()
-        vals = pdf["value"].tolist()
-        rows = []
-        for i in range(0, len(ts), SAMPLES_PER_CHUNK):
-            seg = list(zip(ts[i : i + SAMPLES_PER_CHUNK],
-                           vals[i : i + SAMPLES_PER_CHUNK]))
-            rows.append(
-                (
-                    key,
-                    lj,
-                    int(seg[0][0]),
-                    int(seg[-1][0]),
-                    len(seg),
-                    encode_xor_chunk(seg),
-                )
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "series_key",
-                "labels_json",
-                "min_ms",
-                "max_ms",
-                "n",
-                "data",
-            ],
-        )
+        cols = [
+            "series_key",
+            "labels_json",
+            "min_ms",
+            "max_ms",
+            "n",
+            "data",
+        ]
+        pend_key = pend_lj = None
+        pend: "list[tuple[int, float]]" = []
 
-    return keyed.groupBy("series_key").applyInPandas(
-        encode_series,
+        def flush(rows):
+            for i in range(0, len(pend), SAMPLES_PER_CHUNK):
+                seg = pend[i : i + SAMPLES_PER_CHUNK]
+                rows.append(
+                    (
+                        pend_key,
+                        pend_lj,
+                        int(seg[0][0]),
+                        int(seg[-1][0]),
+                        len(seg),
+                        encode_xor_chunk(seg),
+                    )
+                )
+
+        for pdf in batches:
+            rows: list = []
+            for key, lj, ts, val in zip(
+                pdf["series_key"], pdf["labels_json"],
+                pdf["ts_ms"], pdf["value"],
+            ):
+                if key != pend_key:
+                    if pend:
+                        flush(rows)
+                    pend_key, pend_lj = key, lj
+                    pend = []
+                pend.append((int(ts), float(val)))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        if pend:
+            rows = []
+            flush(rows)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return keyed.mapInPandas(
+        encode_partition,
         schema=(
             "series_key string, labels_json string, min_ms long, "
             "max_ms long, n long, data binary"
