@@ -112,6 +112,9 @@ class ScrapeJob:
     #: upstream proxy_url: route every scrape GET through this HTTP
     #: proxy ("" = direct)
     proxy_url: str = ""
+    #: upstream 3.x fallback_scrape_protocol: the dialect assumed for
+    #: a target that omits Content-Type ("" = classic text)
+    fallback_scrape_protocol: str = ""
     static_targets: list = field(default_factory=list)  # (addr, labels)
     relabel_configs: list = field(default_factory=list)
     metric_relabel_configs: list = field(default_factory=list)
@@ -346,6 +349,9 @@ def load_scrape_configs(
                 ),
                 follow_redirects=bool(sc.get("follow_redirects", True)),
                 proxy_url=str(sc.get("proxy_url") or ""),
+                fallback_scrape_protocol=str(
+                    sc.get("fallback_scrape_protocol") or ""
+                ),
                 static_targets=statics,
                 relabel_configs=list(sc.get("relabel_configs") or []),
                 metric_relabel_configs=list(
@@ -960,6 +966,7 @@ def scrape_job_stream(
         lines,
         metric_relabel_configs=job.metric_relabel_configs or None,
         honor_timestamps=job.honor_timestamps,
+        fallback_protocol=job.fallback_scrape_protocol,
     )
     return attach_target_labels(
         scraped, targets, job.honor_labels, default_job=job.job_name

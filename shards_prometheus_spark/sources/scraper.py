@@ -762,6 +762,7 @@ def scraped_samples(
     metric_relabel_configs: "list | None" = None,
     honor_timestamps: bool = True,
     timestamp_unit: str = "ms",
+    fallback_protocol: str = "",
 ) -> DataFrame:
     """Scraped raw lines → the live-registry samples relation:
     (metric, kind, stat, label_user, le, value, ts_us, target,
@@ -825,13 +826,27 @@ def scraped_samples(
     out = classify_lines(lines, with_timestamps=True, with_labels=True)
     if honor_timestamps:
         base_scale = {"ms": 1_000, "s": 1_000_000}[timestamp_unit]
+        # `fallback_scrape_protocol` (public 3.x knob): the dialect
+        # ASSUMED for a target that omits/mangles Content-Type — an
+        # OpenMetrics fallback parses its blank-typed exposed
+        # timestamps as epoch seconds (this engine stays lenient
+        # where 3.x would fail the scrape without the knob; the
+        # fallback picks WHICH dialect the lenient parse assumes,
+        # default classic/ms)
+        blank_scale = (
+            1_000_000
+            if "openmetrics" in fallback_protocol.lower()
+            else base_scale
+        )
         if "content_type" in out.columns:
-            scale = F.when(
-                F.lower(F.coalesce("content_type", F.lit(""))).contains(
-                    "openmetrics"
-                ),
-                F.lit(1_000_000),
-            ).otherwise(F.lit(base_scale))
+            ctype = F.lower(F.coalesce("content_type", F.lit("")))
+            scale = (
+                F.when(
+                    ctype.contains("openmetrics"), F.lit(1_000_000)
+                )
+                .when(ctype == "", F.lit(blank_scale))
+                .otherwise(F.lit(base_scale))
+            )
         else:
             scale = F.lit(base_scale)
         ts = F.coalesce(

@@ -304,3 +304,56 @@ scrape_configs:
     (j,) = cfg.jobs
     assert j.proxy_url == "http://127.0.0.1:3128"
     assert j.guard_limits() == {"proxy_url": "http://127.0.0.1:3128"}
+
+
+def test_fallback_scrape_protocol_picks_blank_type_dialect(spark):
+    """3.x `fallback_scrape_protocol`: a target omitting Content-Type
+    parses exposed timestamps under the ASSUMED dialect — classic ms
+    by default, epoch seconds with an OpenMetrics fallback; a target
+    that DOES serve a Content-Type is unaffected."""
+    from shards_prometheus_spark.sources.scraper import scraped_samples
+
+    ts_s = 1_700_000_000
+    rows = [
+        ("t1", 0, 99_000_000, f"g 5 {ts_s}", ""),  # blank content type
+        ("t2", 0, 99_000_000, f"g 6 {ts_s}",
+         "application/openmetrics-text; version=1.0.0"),
+    ]
+    lines = spark.createDataFrame(
+        rows,
+        "target string, scrape_idx long, scrape_ts_us long, "
+        "line string, content_type string",
+    )
+
+    default = {
+        r["target"]: r["ts_us"]
+        for r in scraped_samples(lines).collect()
+    }
+    assert default["t1"] == ts_s * 1_000  # classic: ms grid
+    assert default["t2"] == ts_s * 1_000_000  # typed OM unaffected
+
+    om = {
+        r["target"]: r["ts_us"]
+        for r in scraped_samples(
+            lines, fallback_protocol="OpenMetricsText1.0.0"
+        ).collect()
+    }
+    assert om["t1"] == ts_s * 1_000_000  # fallback picks seconds
+    assert om["t2"] == ts_s * 1_000_000
+
+
+def test_fallback_scrape_protocol_parses_from_yaml():
+    from shards_prometheus_spark.sources.scrape_config import (
+        load_scrape_configs,
+    )
+
+    cfg = load_scrape_configs(
+        """
+scrape_configs:
+  - job_name: om_fallback
+    fallback_scrape_protocol: OpenMetricsText1.0.0
+    static_configs:
+      - targets: ['127.0.0.1:9100']
+"""
+    )
+    assert cfg.jobs[0].fallback_scrape_protocol == "OpenMetricsText1.0.0"
