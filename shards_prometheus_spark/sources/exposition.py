@@ -1736,6 +1736,23 @@ class MetricsExposer:
                     else None
                 ),
             )
+            o = getattr(cfg, "otlp", None) or {}
+            # config-section OTLP knobs: adopted when the constructor
+            # flags were left at their defaults (an explicit flag wins)
+            if not self._otlp_promote and o.get(
+                "promote_resource_attributes"
+            ):
+                self._otlp_promote = list(
+                    o["promote_resource_attributes"]
+                )
+            if not self._otlp_promote_scope:
+                self._otlp_promote_scope = bool(
+                    o.get("promote_scope_metadata")
+                )
+            if not self._otlp_keep_identifying:
+                self._otlp_keep_identifying = bool(
+                    o.get("keep_identifying_resource_attributes")
+                )
             if alertmanagers is None:
                 # the discovery relabel hop:
                 # alertmanagers[].relabel_configs rewrites/drops pool

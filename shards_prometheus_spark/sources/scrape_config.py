@@ -218,6 +218,11 @@ class ScrapeConfig:
     remote_write: list = field(default_factory=list)
     #: `remote_read:` entries — the read-federation twin
     remote_read: list = field(default_factory=list)
+    #: the top-level `otlp:` section (public 3.x shape):
+    #: promote_resource_attributes, keep_identifying_resource_
+    #: attributes, promote_scope_metadata — adopted by the exposer's
+    #: OTLP receiver unless overridden by explicit constructor flags
+    otlp: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -429,6 +434,25 @@ def load_scrape_configs(
             for rw in doc.get("remote_write") or []
             if rw.get("url")
         ],
+        otlp={
+            "promote_resource_attributes": [
+                str(a)
+                for a in (doc.get("otlp") or {}).get(
+                    "promote_resource_attributes"
+                )
+                or []
+            ],
+            "keep_identifying_resource_attributes": bool(
+                (doc.get("otlp") or {}).get(
+                    "keep_identifying_resource_attributes"
+                )
+            ),
+            "promote_scope_metadata": bool(
+                (doc.get("otlp") or {}).get("promote_scope_metadata")
+            ),
+        }
+        if doc.get("otlp")
+        else {},
         remote_read=[
             RemoteReadEntry(
                 url=str(rr["url"]),

@@ -903,3 +903,46 @@ def test_otlp_target_info_feeds_promql_info(spark):
         assert r["metric"]["k8s_cluster_name"] == "east"  # joined
     finally:
         exposer.stop()
+
+
+def test_otlp_config_section_adopted(spark):
+    """The prometheus.yml top-level `otlp:` section drives the
+    receiver's translation knobs; an explicit constructor flag wins."""
+    from shards_prometheus_spark.sources import MetricsExposer
+    from shards_prometheus_spark.sources.scrape_config import (
+        load_scrape_configs,
+    )
+
+    yml = """
+otlp:
+  promote_resource_attributes: [k8s.pod.name]
+  keep_identifying_resource_attributes: true
+  promote_scope_metadata: true
+scrape_configs: []
+"""
+    cfg = load_scrape_configs(yml)
+    assert cfg.otlp == {
+        "promote_resource_attributes": ["k8s.pod.name"],
+        "keep_identifying_resource_attributes": True,
+        "promote_scope_metadata": True,
+    }
+    exposer = MetricsExposer(
+        spark, SF_SMOKE, otlp_receiver=True, scrape_config=yml
+    )
+    assert exposer._otlp_promote == ["k8s.pod.name"]
+    assert exposer._otlp_promote_scope is True
+    assert exposer._otlp_keep_identifying is True
+
+    # explicit constructor flag wins over the config section
+    exposer = MetricsExposer(
+        spark,
+        SF_SMOKE,
+        otlp_receiver=True,
+        scrape_config=yml,
+        otlp_promote_resource_attributes=["deployment.environment"],
+    )
+    assert exposer._otlp_promote == ["deployment.environment"]
+
+    # no otlp section -> everything stays off
+    cfg = load_scrape_configs("scrape_configs: []")
+    assert cfg.otlp == {}
