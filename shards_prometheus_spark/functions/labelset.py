@@ -48,9 +48,23 @@ def _esc(s: Column) -> Column:
     return F.replace(out, F.lit("="), F.lit("\\="))
 
 
-def label_str(labels: Column) -> Column:
+#: Cached rendering Columns per source-column NAME: the higher-order
+#: transform costs ~20 ms of py4j gateway setup per construction, and
+#: nearly every call site renders the same `labels` column — Column
+#: objects are immutable expression trees, safe to reuse across plans.
+_LABEL_STR_CACHE: dict[str, Column] = {}
+
+
+def label_str(labels: "Column | str") -> Column:
     """Canonical label-set rendering: sorted, escaped `k=v` pairs,
-    comma-joined (separator chars inside keys/values are escaped)."""
+    comma-joined (separator chars inside keys/values are escaped).
+    Accepts a column NAME for the cached fast path."""
+    if isinstance(labels, str):
+        cached = _LABEL_STR_CACHE.get(labels)
+        if cached is None:
+            cached = label_str(F.col(labels))
+            _LABEL_STR_CACHE[labels] = cached
+        return cached
     return F.array_join(
         F.transform(
             F.array_sort(F.map_entries(labels)),

@@ -1196,7 +1196,7 @@ def _topk_gkey(node: "Agg") -> Column:
     semantics), never the global group."""
     if node.mode == "without":
         if not node.by:
-            return _label_str(F.col("labels"))
+            return _label_str("labels")
         return _label_str(
             F.map_filter(F.col("labels"), lambda k, _v: ~k.isin(*node.by))
         )
@@ -1243,6 +1243,7 @@ class PromQLEvaluator:
         if eval_ts_us is None:
             row = samples.agg(F.max("ts_us").alias("t_max")).collect()[0]
             eval_ts_us = row["t_max"]
+        self._tmax_us = int(eval_ts_us)
         self._tmax = samples.sparkSession.createDataFrame(
             [(eval_ts_us,)], "t_max bigint"
         )
@@ -1250,8 +1251,9 @@ class PromQLEvaluator:
 
     def eval_time_us(self) -> int:
         """The pinned evaluation time — instant-vector responses stamp
-        every sample with it (a 1-row literal relation, free to read)."""
-        return self._tmax.first()["t_max"]
+        every sample with it (held as a driver int at construction, so
+        reading it back costs no Spark job)."""
+        return self._tmax_us
 
     @classmethod
     def from_dir(cls, spark: SparkSession, sf_dir: str) -> "PromQLEvaluator":
@@ -1796,7 +1798,7 @@ class PromQLEvaluator:
             else:
                 self._gridf, self._gspan = saved
         pts = pts.withColumn("value", F.round("value", 6))
-        key = _label_str(F.col("labels"))
+        key = _label_str("labels")
         if node.fn in _SUBQ_LAG_FNS or node.fn in _SUBQ_FOLD_FNS or node.fn in _TS_OF_FNS:
             d = pts.select(
                 key.alias("_k"),
@@ -1843,7 +1845,7 @@ class PromQLEvaluator:
             # not flip on cross-engine accumulation noise)
             pinned = F.round(F.col("value"), 6)
             order = F.desc(pinned) if node.op == "sort_desc" else F.asc(pinned)
-            return child.orderBy(order, F.asc(_label_str(F.col("labels"))))
+            return child.orderBy(order, F.asc(_label_str("labels")))
         if node.op in _SORT_BY_LABEL_FNS:
             # presentation sort on label VALUES (missing ⇒ ""), full
             # canonical string as the tiebreak
@@ -1852,14 +1854,14 @@ class PromQLEvaluator:
                     F.element_at("labels", F.lit(b)), F.lit("")
                 )
                 for b in node.by
-            ] or [_label_str(F.col("labels"))]
+            ] or [_label_str("labels")]
             desc = node.op.endswith("_desc")
             order = [(F.desc(k) if desc else F.asc(k)) for k in keys]
             return child.orderBy(
-                *order, F.asc(_label_str(F.col("labels")))
+                *order, F.asc(_label_str("labels"))
             )
         if node.op in _LIMIT_OPS:
-            key = _label_str(F.col("labels"))
+            key = _label_str("labels")
             if node.op == "limitk":
                 # first k by canonical label string —
                 # TakeOrderedAndProject, same shape as topk
@@ -1895,7 +1897,7 @@ class PromQLEvaluator:
                 # topk by()/without(): rank inside each group's window
                 # partition — partitions are group-sized
                 w = Window.partitionBy(_topk_gkey(node)).orderBy(
-                    order, F.asc(_label_str(F.col("labels")))
+                    order, F.asc(_label_str("labels"))
                 )
                 return (
                     child.withColumn("_rk", F.row_number().over(w))
@@ -1903,7 +1905,7 @@ class PromQLEvaluator:
                     .drop("_rk")
                 )
             return child.orderBy(
-                order, F.asc(_label_str(F.col("labels")))
+                order, F.asc(_label_str("labels"))
             ).limit(node.k)
         if node.mode == "without":
             new_labels = F.map_filter(
@@ -1926,7 +1928,7 @@ class PromQLEvaluator:
             )
             return (
                 child.withColumn("labels", labeled)
-                .groupBy(_label_str(F.col("labels")).alias("_k"))
+                .groupBy(_label_str("labels").alias("_k"))
                 .agg(
                     F.first("labels").alias("labels"),
                     F.count(F.lit(1)).cast("double").alias("value"),
@@ -1954,7 +1956,7 @@ class PromQLEvaluator:
             "stdvar": F.var_pop(F.round(F.col("value"), 6)),
         }[node.op]
         grouped = child.withColumn("labels", new_labels).groupBy(
-            _label_str(F.col("labels")).alias("_k")
+            _label_str("labels").alias("_k")
         )
         return (
             grouped.agg(
@@ -1986,7 +1988,7 @@ class PromQLEvaluator:
             .otherwise(le.cast("double"))
             .alias("_le"),
             F.col("value").alias("_v"),
-        ).withColumn("_g", _label_str(F.col("labels")))
+        ).withColumn("_g", _label_str("labels"))
         part = ["_g", *keys]
         wg = Window.partitionBy(*part)
         wo = Window.partitionBy(*part).orderBy("_le")
@@ -2042,7 +2044,7 @@ class PromQLEvaluator:
             .otherwise(le.cast("double"))
             .alias("_le"),
             F.col("value").alias("_v"),
-        ).withColumn("_g", _label_str(F.col("labels")))
+        ).withColumn("_g", _label_str("labels"))
         part = ["_g", *keys]
         wo = Window.partitionBy(*part).orderBy("_le")
         d = base.select(
@@ -2788,7 +2790,7 @@ class PromQLEvaluator:
             )
         vec = self._vector(node)
         return vec.select(
-            _label_str(F.col("labels")).alias("labels"),
+            _label_str("labels").alias("labels"),
             F.round("value", 4).alias("value"),
         )
 
@@ -2956,7 +2958,7 @@ class PromQLEvaluator:
             del self._gspan, self._gridf
         return out.select(
             F.col("_ets").alias("ts_us"),
-            _label_str(F.col("labels")).alias("labels"),
+            _label_str("labels").alias("labels"),
             F.round("value", 4).alias("value"),
         )
 
@@ -3231,7 +3233,7 @@ class PromQLEvaluator:
             .withColumn("value", F.round("value", 6))
             .join(F.broadcast(cg), "_iets")
         )
-        key = _label_str(F.col("labels"))
+        key = _label_str("labels")
         if node.fn in _SUBQ_LAG_FNS or node.fn in _SUBQ_FOLD_FNS or node.fn in _TS_OF_FNS:
             d = pts.select(
                 "_ets",
@@ -3287,7 +3289,7 @@ class PromQLEvaluator:
             pinned = F.round(F.col("value"), 6)
             order = F.desc(pinned) if node.op == "topk" else F.asc(pinned)
             w = Window.partitionBy(F.col("_ets"), gkey).orderBy(
-                order, F.asc(_label_str(F.col("labels")))
+                order, F.asc(_label_str("labels"))
             )
             return (
                 pts.withColumn("_rk", F.row_number().over(w))
@@ -3296,7 +3298,7 @@ class PromQLEvaluator:
             )
         if node.op in _LIMIT_OPS:
             pts = self._gvector(node.expr)
-            key = _label_str(F.col("labels"))
+            key = _label_str("labels")
             if node.op == "limitk":
                 # first k by canonical label string PER grid instant
                 w = Window.partitionBy("_ets").orderBy(F.asc(key))
@@ -3360,7 +3362,7 @@ class PromQLEvaluator:
             )
             return (
                 pts.withColumn("labels", labeled)
-                .groupBy("_ets", _label_str(F.col("labels")).alias("_k"))
+                .groupBy("_ets", _label_str("labels").alias("_k"))
                 .agg(
                     F.first("labels").alias("labels"),
                     F.count(F.lit(1)).cast("double").alias("value"),
@@ -3386,7 +3388,7 @@ class PromQLEvaluator:
         }[node.op]
         return (
             pts.withColumn("labels", new_labels)
-            .groupBy("_ets", _label_str(F.col("labels")).alias("_k"))
+            .groupBy("_ets", _label_str("labels").alias("_k"))
             .agg(F.first("labels").alias("labels"), fold.alias("value"))
             .drop("_k")
         )

@@ -53,10 +53,69 @@ MICROS_PER_SECOND = 1_000_000
 MICROS_PER_HOUR = 3_600 * MICROS_PER_SECOND
 
 
+#: Memoized LAZY DataFrames per (appId, sf_dir, kind). These are plan
+#: objects only — no data is pinned and every action over them still
+#: computes from the parquet inputs. The memo removes the repeated
+#: driver-side cost every query build paid per table reference:
+#: `spark.read.parquet` is ~84 ms of py4j + JVM file listing + footer
+#: schema read, and the derived samples views rebuild deep expression
+#: trees (xxhash64 over the sorted-label rendering) through dozens of
+#: py4j round trips (guide §7.3 — planning is single-threaded driver
+#: work). Keys are immutable data dirs (the Tier C memo convention);
+#: `tierc_common.clear_caches` releases this map with every other memo,
+#: so the rewrite-a-dir-in-place escape hatch stays `clear_caches()`.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memo_plan(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    df = _PLAN_CACHE.get(key)
+    if df is None:
+        df = build()
+        _PLAN_CACHE[key] = df
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver parquet table."""
     prepare_session(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _memo_plan(
+        spark,
+        sf_dir,
+        f"scan:{name}",
+        lambda: spark.read.parquet(f"{sf_dir}/{name}.parquet"),
+    )
+
+
+def parallelism_floor(
+    spark: SparkSession, sf_dir: str, df: DataFrame, table: str = "events"
+) -> DataFrame:
+    """Parallelism floor for CPU-dense per-row kernels over a SMALL
+    scan. The bench parquet files are single row groups, so a scan is
+    ONE input split and everything fused onto it (exposition render,
+    regex parse, relabel map rewrites) serializes on one core while 31
+    idle. When the backing file is small enough that the scan cannot
+    reach defaultParallelism splits, round-robin repartition to the
+    core count — the shuffled volume is bounded by the threshold
+    itself. At scale the condition is false (a 100 TB table yields
+    thousands of splits) and the plan is unchanged: this is a floor,
+    not a repartition hint (guide §2.5 input-layout skew; §6 split
+    sizing — `minPartitionNum` cannot split a single row group, so the
+    floor must be an exchange).
+    """
+    import os
+
+    sc = spark.sparkContext
+    try:
+        size = os.path.getsize(f"{sf_dir}/{table}.parquet")
+    except OSError:
+        return df
+    # one split per ~128 MB (the maxPartitionBytes default): if the
+    # file cannot produce cores/2 splits, the kernel is effectively
+    # serial — apply the floor
+    if size >= 64 * 1024 * 1024 * max(2, sc.defaultParallelism):
+        return df
+    return df.repartition(sc.defaultParallelism)
 
 
 def series_id_expr(metric, labels) -> F.Column:
@@ -107,18 +166,22 @@ def samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mapping (FIXTURES.md §B): metric := event_type,
     labels := map('user', user_id), value := value.
     """
-    ev = load_table(spark, sf_dir, "events")
-    label_user = F.col("user_id").cast("string")
-    labels = F.create_map(F.lit("user"), label_user)
-    return ev.select(
-        F.col("event_id"),
-        series_id_expr(F.col("event_type"), labels).alias("series_id"),
-        F.col("event_type").alias("metric"),
-        labels.alias("labels"),
-        label_user.alias("label_user"),
-        _ts_us(ev).alias("ts_us"),
-        F.col("value"),
-    )
+
+    def build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        label_user = F.col("user_id").cast("string")
+        labels = F.create_map(F.lit("user"), label_user)
+        return ev.select(
+            F.col("event_id"),
+            series_id_expr(F.col("event_type"), labels).alias("series_id"),
+            F.col("event_type").alias("metric"),
+            labels.alias("labels"),
+            label_user.alias("label_user"),
+            _ts_us(ev).alias("ts_us"),
+            F.col("value"),
+        )
+
+    return _memo_plan(spark, sf_dir, "samples", build)
 
 
 def dround(expr: str, k: int) -> str:
@@ -161,21 +224,24 @@ def samples_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels via element_at(labels, key), never a flattened column, so
     they exercise the general map path.
     """
-    ev = load_table(spark, sf_dir, "events")
-    label_user = F.col("user_id").cast("string")
-    k = F.get_json_object("props", "$.k").cast("long")
-    shard = (k % 10).cast("string")
-    labels = F.create_map(
-        F.lit("user"), label_user, F.lit("shard"), shard
-    )
-    return ev.filter(k.isNotNull()).select(
-        F.col("event_id"),
-        series_id_expr(F.col("event_type"), labels).alias("series_id"),
-        F.col("event_type").alias("metric"),
-        labels.alias("labels"),
-        _ts_us(ev).alias("ts_us"),
-        F.col("value"),
-    )
+    def build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        label_user = F.col("user_id").cast("string")
+        k = F.get_json_object("props", "$.k").cast("long")
+        shard = (k % 10).cast("string")
+        labels = F.create_map(
+            F.lit("user"), label_user, F.lit("shard"), shard
+        )
+        return ev.filter(k.isNotNull()).select(
+            F.col("event_id"),
+            series_id_expr(F.col("event_type"), labels).alias("series_id"),
+            F.col("event_type").alias("metric"),
+            labels.alias("labels"),
+            _ts_us(ev).alias("ts_us"),
+            F.col("value"),
+        )
+
+    return _memo_plan(spark, sf_dir, "samples_multi", build)
 
 
 #: DuckDB CTE mirroring `samples_multi()` — labels exposed as columns

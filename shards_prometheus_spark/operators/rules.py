@@ -106,6 +106,7 @@ def eval_rule_group_chained(
     samples: DataFrame,
     rules: list[tuple[str, str, str]],
     memo_key: str | None = None,
+    eval_ts_us: int | None = None,
 ) -> DataFrame:
     """Sequential (layered) rule-group evaluation — the upstream
     semantics `eval_rule_group` lacked (VERDICT r8 missing #2): rules
@@ -135,7 +136,7 @@ def eval_rule_group_chained(
     (released by clear_caches, one copy per (app, key, rule))."""
     from shards_prometheus_spark.functions.labelset import label_str
 
-    ev = PromQLEvaluator(samples)
+    ev = PromQLEvaluator(samples, eval_ts_us=eval_ts_us)
     tick_us = ev.eval_time_us()
     parts = []
     for kind, name, expr in rules:
@@ -154,12 +155,12 @@ def eval_rule_group_chained(
         parts.append(
             vec.select(
                 F.lit(name).alias("rule"),
-                label_str(F.col("labels")).alias("labels"),
+                label_str("labels").alias("labels"),
                 "value",
             )
         )
         if kind == "record":
-            sid = F.xxhash64(F.lit(name), label_str(F.col("labels")))
+            sid = F.xxhash64(F.lit(name), label_str("labels"))
             rec = vec.select(
                 sid.alias("event_id"),
                 sid.alias("series_id"),
@@ -284,7 +285,7 @@ def _alert_run_stats(
     )
     w = Window.partitionBy("_k").orderBy("ts_us")
     return (
-        g.withColumn("_k", label_str(F.col("labels")))
+        g.withColumn("_k", label_str("labels"))
         .withColumn("_prev", F.lag("ts_us").over(w))
         .withColumn(
             "_start",
@@ -637,12 +638,12 @@ def eval_rule_file(
                         gcol,
                         kcol,
                         F.lit(r["name"]).alias("rule"),
-                        label_str(F.col("labels")).alias("labels"),
+                        label_str("labels").alias("labels"),
                         "value",
                     )
                 )
                 sid = F.xxhash64(
-                    F.lit(r["name"]), label_str(F.col("labels"))
+                    F.lit(r["name"]), label_str("labels")
                 )
                 rec = vec.select(
                     sid.alias("event_id"),
@@ -943,8 +944,14 @@ def rules_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     series, all at one shared evaluation tick."""
     from shards_prometheus_spark.model import samples_multi
 
+    # from_dir memoizes t_max per (app, sf_dir); constructing the first
+    # chain evaluator from it avoids a full-scan max(ts_us) job per call
+    ev = PromQLEvaluator.from_dir(spark, sf_dir)
     return eval_rule_group_chained(
-        samples_multi(spark, sf_dir), CHAINED_RULE_GROUP, memo_key=sf_dir
+        samples_multi(spark, sf_dir),
+        CHAINED_RULE_GROUP,
+        memo_key=sf_dir,
+        eval_ts_us=ev.eval_time_us(),
     )
 
 

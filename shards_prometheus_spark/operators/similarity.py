@@ -448,37 +448,101 @@ def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     in BOTH engines so assignment decisions are identical; ties break
     on cent_id. Output: per final centroid, member count and norm.
     """
-    dims = _dims(spark, sf_dir).persist()
-    cents = (
-        dims.filter(F.col("vec_id").isin(IVF_CENTROID_IDS))
+    from shards_prometheus_spark.operators.tierc_common import _memo_persist
+
+    # hash-partitioned by vec_id ONCE into the memoized persist: every
+    # iteration's per-vector aggregate then runs exchange-free on the
+    # cached partitioning (3 shuffles of the exploded corpus → 1; at
+    # cluster scale this is the persisted feature-table layout)
+    dims = _memo_persist(
+        spark,
+        sf_dir,
+        "kmeans_dims",
+        lambda: _dims(spark, sf_dir).repartition("vec_id"),
+    )
+    cent_ids = sorted(IVF_CENTROID_IDS)
+    k = len(cent_ids)
+    # Initial model collected once (k·dim rows — model-sized). The loop
+    # then keeps the model DRIVER-side between iterations (the MLlib
+    # idiom the old code already used) but ships it back as a WIDE
+    # per-dimension relation (d, c0..ck-1): assignment becomes ONE
+    # broadcast join + ONE hash aggregate per iteration with the argmin
+    # folded into the same aggregate row (a least()/when() chain over k
+    # columns, ties to the smallest cent_id — exactly the old window's
+    # orderBy(dist2, cent_id) pick), where the tall layout needed a
+    # (vec_id, cent_id) aggregate PLUS a window repartitioned by vec_id
+    # (guide §2.4: two exchanges and a sort removed per iteration).
+    init = (
+        dims.filter(F.col("vec_id").isin(cent_ids))
         .select(
             F.col("vec_id").alias("cent_id"), "d", F.round("v", 6).alias("c")
         )
+        .collect()
     )
-    assign = None
+    model = {(r["cent_id"], r["d"]): r["c"] for r in init}
+    members: dict[int, int] = {}
+    wide_schema = "d int, " + ", ".join(f"c{i} double" for i in range(k))
     for _ in range(KMEANS_ITERS):
-        diff = F.col("v") - F.col("c")
-        dist = (
-            dims.join(F.broadcast(cents), "d")
-            .groupBy("vec_id", "cent_id")
-            .agg(F.round(F.sum(diff * diff), 6).alias("dist2"))
+        dvals = sorted({d for (_c, d) in model})
+        wide = spark.createDataFrame(
+            [
+                tuple([d] + [model[(c, d)] for c in cent_ids])
+                for d in dvals
+            ],
+            wide_schema,
         )
-        w = Window.partitionBy("vec_id").orderBy("dist2", "cent_id")
-        assign = (
-            dist.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "cent_id")
+        # per-centroid dist² as k accumulator columns of one aggregate;
+        # round(…, 6) pins the accumulation exactly like the tall form
+        dists = [
+            F.round(
+                F.sum(
+                    (F.col("v") - F.col(f"c{i}"))
+                    * (F.col("v") - F.col(f"c{i}"))
+                ),
+                6,
+            ).alias(f"d{i}")
+            for i in range(k)
+        ]
+        # assignment + update fused into ONE pass: the per-vector
+        # aggregate carries the (d, v) pairs through as an array, the
+        # argmin picks the centroid in the same row, and the explode
+        # feeds the (cent_id, d) mean directly — no assignment join,
+        # no second scan (guide §2.4/§2.3: the old shape shuffled the
+        # corpus for the assignment agg, again for the window, and a
+        # third time for the update join; this shape pays exactly one
+        # exchange per iteration, on the k·dim partial aggregate).
+        # Member counts ride the same aggregate, so one distributed
+        # action per iteration yields model AND counts.
+        sums = dims.join(F.broadcast(wide), "d").groupBy("vec_id").agg(
+            *dists, F.collect_list(F.struct("d", "v")).alias("_dv")
         )
-        model = (
-            assign.join(dims, "vec_id")
-            .groupBy("cent_id", "d")
-            .agg(F.round(F.avg("v"), 6).alias("c"))
+        best = F.least(*[F.col(f"d{i}") for i in range(k)])
+        pick = F.when(F.col("d0") == best, F.lit(cent_ids[0]))
+        for i in range(1, k):
+            pick = pick.when(F.col(f"d{i}") == best, F.lit(cent_ids[i]))
+        model_rows = (
+            sums.select(
+                pick.cast("long").alias("cent_id"),
+                F.explode("_dv").alias("e"),
+            )
+            .groupBy("cent_id", F.col("e.d").alias("d"))
+            .agg(
+                F.round(F.avg("e.v"), 6).alias("c"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
         )
-        cents = spark.createDataFrame(
-            model.collect(), "cent_id long, d int, c double"
-        )
-    counts = assign.groupBy("cent_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members")
+        model = {(r["cent_id"], r["d"]): r["c"] for r in model_rows}
+        d0 = min(r["d"] for r in model_rows)
+        members = {
+            r["cent_id"]: r["n"] for r in model_rows if r["d"] == d0
+        }
+    cents = spark.createDataFrame(
+        [(c, d, v) for (c, d), v in model.items()],
+        "cent_id long, d int, c double",
+    )
+    counts = spark.createDataFrame(
+        sorted(members.items()), "cent_id long, n_members long"
     )
     norms = cents.groupBy("cent_id").agg(
         F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 4).alias(

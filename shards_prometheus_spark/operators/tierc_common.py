@@ -88,6 +88,8 @@ def clear_caches(spark: SparkSession | None = None) -> int:
     so a long-lived driver doesn't accumulate corpus-sized persisted
     relations indefinitely. Returns the number of relations released.
     """
+    from shards_prometheus_spark import model
+
     n = 0
     for df in _TOKEN_CACHE.values():
         try:
@@ -97,6 +99,9 @@ def clear_caches(spark: SparkSession | None = None) -> int:
             pass
     _TOKEN_CACHE.clear()
     _COUNT_CACHE.clear()
+    # lazy plan memos (no pinned data, but released on the same signal
+    # so rewrite-a-dir-in-place keeps its one escape hatch)
+    model._PLAN_CACHE.clear()
     return n
 
 

@@ -106,7 +106,7 @@ class MetricsRegistry:
         carrying a `_series_str` column (a stale marker for a
         multi-label series — the marker's flattened pair cannot
         reconstruct the full map) keeps its carried key."""
-        series = label_str(F.col("labels"))
+        series = label_str("labels")
         if "_series_str" in self._samples.columns:
             series = F.coalesce(F.col("_series_str"), series)
         return self._samples.withColumn("_series", series)
@@ -297,7 +297,7 @@ class MetricsRegistry:
         """PromQL ``topk(k, sum by (series)(…))``."""
         totals = self.counter_total()
         w = Window.orderBy(
-            F.desc("total"), F.col("metric"), label_str(F.col("labels"))
+            F.desc("total"), F.col("metric"), label_str("labels")
         )
         return (
             totals.withColumn("rk", F.row_number().over(w))

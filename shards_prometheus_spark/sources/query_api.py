@@ -310,7 +310,7 @@ def series_data(evaluator, matches, start_us, end_us) -> list:
     # MAP columns), keeping one map per series
     rows = (
         _matched_samples(evaluator, matches, start_us, end_us)
-        .groupBy("metric", label_str(F.col("labels")).alias("_k"))
+        .groupBy("metric", label_str("labels").alias("_k"))
         .agg(F.first("labels").alias("labels"))
         .collect()
     )

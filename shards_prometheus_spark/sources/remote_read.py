@@ -326,7 +326,7 @@ def _xor_chunk_rows(df: DataFrame) -> DataFrame:
     keyed = (
         df.select(
             F.concat_ws(
-                "\x00", F.col("metric"), label_str(F.col("labels"))
+                "\x00", F.col("metric"), label_str("labels")
             ).alias("series_key"),
             F.to_json(
                 F.map_concat(
