@@ -1247,7 +1247,11 @@ class PromQLEvaluator:
         self._tmax = samples.sparkSession.createDataFrame(
             [(eval_ts_us,)], "t_max bigint"
         )
-        self.samples = samples.join(F.broadcast(self._tmax))
+        # t_max as a LITERAL column: the pinned int is driver state,
+        # so attaching it via a 1-row broadcast join cost one
+        # BroadcastNestedLoopJoin + BroadcastExchange per selector
+        # leaf of every query (guide §2.4: remove exchanges outright)
+        self.samples = samples.withColumn("t_max", F.lit(self._tmax_us))
 
     def eval_time_us(self) -> int:
         """The pinned evaluation time — instant-vector responses stamp
@@ -1700,6 +1704,28 @@ class PromQLEvaluator:
             .select("_ets")
         )
 
+    def grid_points_py(self, sub: Subquery) -> list[int]:
+        """Driver-side twin of `_grid`: the exact step-aligned instant
+        list as Python ints (t_max is pinned driver state, so the
+        epoch-aligned grid is pure integer arithmetic — consumers that
+        only need the grid SIZE or MAX no longer pay a per-rule
+        aggregate + broadcast join for it). Descending, like `_grid`'s
+        k-order; SQL `div` and Python `//` agree on the positive
+        microsecond axis."""
+        n = int(sub.range_us // sub.step_us) + 1
+        t_ref = (
+            self._tmax_us
+            if sub.at_us is None or sub.at_us < 0
+            else sub.at_us
+        )
+        e0 = ((t_ref - sub.offset_us) // sub.step_us) * sub.step_us
+        lo = t_ref - (sub.offset_us + sub.range_us)
+        return [
+            e0 - k * sub.step_us
+            for k in range(n + 1)
+            if e0 - k * sub.step_us > lo
+        ]
+
     def _subquery(self, node: RangeFn) -> DataFrame:
         sub: Subquery = node.sel
         inner = sub.expr
@@ -1751,9 +1777,7 @@ class PromQLEvaluator:
             )
             if node.fn in {"deriv", "predict_linear"}:
                 # regression x-ref: the (instant) query's eval time
-                d = d.join(F.broadcast(self._tmax)).withColumn(
-                    "_xref", F.col("t_max")
-                )
+                d = d.withColumn("_xref", F.lit(self._tmax_us))
             return self._range_fold(
                 d, ["series_id"], node.fn, sub.range_us,
                 param=node.param, param2=node.param2,
@@ -1808,9 +1832,7 @@ class PromQLEvaluator:
                 "value",
             )
             if node.fn in {"deriv", "predict_linear"}:
-                d = d.join(F.broadcast(self._tmax)).withColumn(
-                    "_xref", F.col("t_max")
-                )
+                d = d.withColumn("_xref", F.lit(self._tmax_us))
             return self._range_fold(
                 d, ["_k"], node.fn, sub.range_us,
                 param=node.param, param2=node.param2,
@@ -2181,7 +2203,7 @@ class PromQLEvaluator:
                     sc = F.col("_ets").cast("double") / F.lit(1e6)
                 else:
                     # time(): the broadcast t_max, in seconds
-                    vec = vec.join(F.broadcast(self._tmax))
+                    vec = vec.withColumn("t_max", F.lit(self._tmax_us))
                     sc = F.col("t_max").cast("double") / F.lit(1e6)
             elif isinstance(other, ScalarFn):
                 # scalar(v): 1-row aggregate of the inner vector,
@@ -2670,10 +2692,9 @@ class PromQLEvaluator:
             # per series of the computed vector
             return (
                 self._vector(node.expr)
-                .join(F.broadcast(self._tmax))
                 .select(
                     "labels",
-                    (F.col("t_max").cast("double") / F.lit(1e6)).alias(
+                    (F.lit(self._tmax_us).cast("double") / F.lit(1e6)).alias(
                         "value"
                     ),
                 )
@@ -3192,7 +3213,7 @@ class PromQLEvaluator:
         gridf = self._gridf
         if sub.at_us is not None and "t_max" not in gridf.columns:
             # a nested subquery's synthetic grid carries only _ets
-            gridf = gridf.join(F.broadcast(self._tmax))
+            gridf = gridf.withColumn("t_max", F.lit(self._tmax_us))
         if sub.at_us is None:
             ref = "_ets"
         elif sub.at_us == _AT_END:

@@ -233,19 +233,19 @@ def eval_alert_for_group(
     for name, expr, for_us, step_us in rules:
         span_us = for_us + step_us
         g = ev.eval_range(expr, span_us, step_us)
-        # true grid size as a broadcast 1-row relation (NOT a count of
-        # surviving instants — an all-failing instant must disqualify)
-        ng = ev._grid(Subquery(None, span_us, step_us)).agg(
-            F.count(F.lit(1)).alias("_gn")
-        )
+        # true grid size (NOT a count of surviving instants — an
+        # all-failing instant must disqualify); the epoch-aligned grid
+        # is driver-side integer arithmetic off the pinned t_max, so
+        # the old per-rule count aggregate + broadcast join is a
+        # literal (guide §2.4)
+        ng = len(ev.grid_points_py(Subquery(None, span_us, step_us)))
         parts.append(
             g.groupBy("labels")
             .agg(
                 F.count(F.lit(1)).alias("_n"),
                 F.max(F.struct("ts_us", "value")).alias("_last"),
             )
-            .join(F.broadcast(ng))
-            .filter(F.col("_n") == F.col("_gn"))
+            .filter(F.col("_n") == F.lit(ng))
             .select(
                 F.lit(name).alias(name_col),
                 "labels",
@@ -280,9 +280,9 @@ def _alert_run_stats(
     from shards_prometheus_spark.functions.labelset import label_str
 
     g = ev.eval_range_map(expr, span_us, step_us)
-    t_end = ev._grid(Subquery(None, span_us, step_us)).agg(
-        F.max("_ets").alias("_T")
-    )
+    # grid end as a literal — driver-side integer arithmetic off the
+    # pinned t_max (was a per-rule max aggregate + broadcast join)
+    t_end = max(ev.grid_points_py(Subquery(None, span_us, step_us)))
     w = Window.partitionBy("_k").orderBy("ts_us")
     return (
         g.withColumn("_k", label_str("labels"))
@@ -302,14 +302,13 @@ def _alert_run_stats(
             F.max("_start").alias("active_at_us"),
             F.max(F.struct("ts_us", "value")).alias("_last"),
         )
-        .join(F.broadcast(t_end))
         .select(
             "_k",
             "labels",
             "last_true_us",
             "active_at_us",
             F.col("_last.value").alias("value"),
-            "_T",
+            F.lit(t_end).alias("_T"),
         )
     )
 
@@ -418,14 +417,14 @@ def eval_alert_keep_group(
         span_us = for_us + keep_us + 4 * step_us
         need = for_us // step_us + 1
         g = ev.eval_range(expr, span_us, step_us)
-        t_end = ev._grid(Subquery(None, span_us, step_us)).agg(
-            F.max("_ets").alias("_T")
-        )
+        # grid end as a literal (driver-side arithmetic off t_max —
+        # was a per-rule max aggregate + broadcast join)
+        t_end = max(ev.grid_points_py(Subquery(None, span_us, step_us)))
         w = Window.partitionBy("labels").orderBy("ts_us")
         st = (
             g.withColumn("_lagk", F.lag("ts_us", need - 1).over(w))
             .withColumn("_next", F.lead("ts_us").over(w))
-            .join(F.broadcast(t_end))
+            .withColumn("_T", F.lit(t_end))
         )
         fraw = F.col("_lagk") == F.col("ts_us") - F.lit(
             (need - 1) * step_us

@@ -856,12 +856,19 @@ def exposition_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     and without the cache each scan would re-run the whole
     serialization tree. Memoized per (app, sf_dir), released by
     clear_caches() — not a per-call persist."""
+    # repartitioned at persist: the payload is a UNION of a dozen
+    # render legs whose cached partitions otherwise concatenate into
+    # 50+ fragments — every downstream parse scan then pays one tiny
+    # task per fragment (guide §2.2/§6 small-partition overhead). One
+    # core-count-wide layout parallelizes the regex parse exactly.
     return _parse_payload(
         _memo_persist(
             spark,
             sf_dir,
             "expo_payload",
-            lambda: exposition_lines(spark, sf_dir),
+            lambda: exposition_lines(spark, sf_dir).repartition(
+                spark.sparkContext.defaultParallelism
+            ),
         )
     )
 
@@ -915,11 +922,15 @@ def _om_payload_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoized per (app, sf_dir) — shared by the parse round trip (which
     strips the suffixes) and the exemplar side relation (which keeps
     them), released by clear_caches()."""
+    # repartitioned at persist — same fragment-coalescing rationale as
+    # the classic payload memo in exposition_parse
     return _memo_persist(
         spark,
         sf_dir,
         "om_payload",
-        lambda: _with_exemplars(openmetrics_lines(spark, sf_dir)),
+        lambda: _with_exemplars(
+            openmetrics_lines(spark, sf_dir)
+        ).repartition(spark.sparkContext.defaultParallelism),
     )
 
 
