@@ -102,24 +102,35 @@ def _buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plane coefficient for (plane j, dim d):
     ((a_j·(d+1) + b_j) mod 1009) − 504 — portable integer arithmetic.
+    Memo-persisted: every LSH query references it twice (query bucket +
+    candidate side), and recall eval re-probes it.
     """
-    params = spark.createDataFrame(LSH_PARAMS, "j int, a long, b long, w long")
-    dims = _dims(spark, sf_dir)
-    coef = (
-        (F.col("a") * (F.col("d") + 1) + F.col("b")) % F.lit(PLANE_MOD)
-        - F.lit(PLANE_SHIFT)
-    ).cast("double")
-    return (
-        dims.crossJoin(F.broadcast(params))
-        .groupBy("vec_id", "j", "w")
-        .agg(F.sum(F.col("v") * coef).alias("proj"))
-        .groupBy("vec_id")
-        .agg(
-            F.sum(F.when(F.col("proj") > 0, F.col("w")).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("bucket")
+    from shards_prometheus_spark.operators.tierc_common import _memo_persist
+
+    def build() -> DataFrame:
+        params = spark.createDataFrame(
+            LSH_PARAMS, "j int, a long, b long, w long"
         )
-    )
+        dims = _dims(spark, sf_dir)
+        coef = (
+            (F.col("a") * (F.col("d") + 1) + F.col("b")) % F.lit(PLANE_MOD)
+            - F.lit(PLANE_SHIFT)
+        ).cast("double")
+        return (
+            dims.crossJoin(F.broadcast(params))
+            .groupBy("vec_id", "j", "w")
+            .agg(F.sum(F.col("v") * coef).alias("proj"))
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("proj") > 0, F.col("w")).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("bucket")
+            )
+        )
+
+    return _memo_persist(spark, sf_dir, "lsh_buckets", build)
 
 
 def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,19 +175,29 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus with a JVM-side dot product per (vector, centroid) — the
     inverted-file build step. At 100 TB the cell id becomes the
     partition/bucket key the file is physically clustered by.
+    Memo-persisted: IVF queries reference it twice (cells + the query's
+    probe set) and semantic dedup blocks on it.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
-    )
-    cos = _dot_expr("embedding", "cent_emb") / (
-        _norm_expr("embedding") * _norm_expr("cent_emb")
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cent_id", F.round(cos, 6).alias("c6")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c6"), F.asc("cent_id"))
-    return scored.withColumn("rk", F.row_number().over(w))
+    from shards_prometheus_spark.operators.tierc_common import _memo_persist
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+        )
+        cos = _dot_expr("embedding", "cent_emb") / (
+            _norm_expr("embedding") * _norm_expr("cent_emb")
+        )
+        scored = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cent_id", F.round(cos, 6).alias("c6")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("c6"), F.asc("cent_id")
+        )
+        return scored.withColumn("rk", F.row_number().over(w))
+
+    return _memo_persist(spark, sf_dir, "ivf_assign", build)
 
 
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -39,14 +39,15 @@ HASH_P = 2_147_483_647
 #: correct failure mode, silent recompute is not).
 _TOKEN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
-#: Eight distinct relation kinds exist per sf_dir (ids, sets, minhash
-#: / simhash signatures, shingles, shingles_flagged, near-dup edges +
-#: adjacency) plus three registry-sized exposition relations
-#: (snapshot, classic payload, OpenMetrics payload — memoized here so
-#: a long-running exposer's per-scrape rebuilds stop accumulating
-#: unreleased persists); 14 leaves headroom for one sf_dir plus
+#: Relation kinds per sf_dir: the token lineage (ids, sets, minhash /
+#: simhash signatures, shingles_flagged, near-dup edges + adjacency,
+#: token masks), the embedding lineage (kmeans dims, LSH buckets, IVF
+#: assignment) and three registry-sized exposition relations (snapshot,
+#: classic payload, OpenMetrics payload — memoized here so a
+#: long-running exposer's per-scrape rebuilds stop accumulating
+#: unreleased persists); 20 leaves headroom for one sf_dir plus
 #: stragglers from a previous one.
-_CACHE_MAX = 14
+_CACHE_MAX = 20
 
 
 #: Memoized row counts of the persisted relations (e.g. the signature
@@ -62,6 +63,17 @@ def memo_count(spark: SparkSession, sf_dir: str, kind: str, df: DataFrame) -> in
         n = df.count()
         _COUNT_CACHE[key] = n
     return n
+
+
+def memo_value(spark: SparkSession, sf_dir: str, kind: str, compute):
+    """Memoized model-sized driver value per (app, sf_dir, kind) —
+    same store and release discipline as memo_count (clear_caches),
+    for collected relations that are BOUNDED regardless of corpus size
+    (e.g. the ≤2^16-row simhash class list)."""
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = compute()
+    return _COUNT_CACHE[key]
 
 
 def _memo_persist(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
