@@ -265,20 +265,31 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab_size",
         lambda: dset.agg(F.max("token_id")).first()[0] or 0,
     )
-    # distinct BEFORE verification, both branches: besides deduping
-    # band collisions, the hash exchange on (doc_a, doc_b) breaks the
-    # band-bucket-aligned task layout — a hot LSH bucket otherwise
-    # lands its whole n² candidate burst in ONE verify task, whose
-    # allocation spike is what made large-scale wall time GC-bound
-    # (observed as a 5× spread across identical reps). Uniform
-    # pair-keyed partitions bound per-task payload at any scale.
-    candidates = candidates.distinct()
     if vocab_size <= MASK_VOCAB_LIMIT:
+        # Mask verification is O(1) row-local work behind broadcast
+        # joins, so band-collision duplicates (≤ n_bands per pair) are
+        # cheapest verified REDUNDANTLY and deduped AFTER the ≥0.9
+        # threshold cut: the one pair-keyed exchange then shuffles only
+        # surviving near-dup rows instead of the full candidate burst
+        # (guide §2.3 — aggregate/filter before you shuffle; the
+        # duplicate verify is three bit-ops per extra copy). Duplicate
+        # copies produce bit-identical jaccard values, so the distinct
+        # over the rounded output is exactly the per-pair relation.
         verified = _mask_jaccard(candidates, dset, sf_dir)
-    else:
-        verified = pair_jaccard(candidates, dset)
-    # candidates are distinct and verification is per-pair, so the
-    # output needs no second distinct pass
+        return (
+            verified.filter(F.col("jaccard_raw") >= NEAR_DUP_JACCARD)
+            .select(
+                "doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard")
+            )
+            .distinct()
+        )
+    # Token-join verification is O(set size) per pair and its explode
+    # must not inherit the band-bucket task layout (a hot LSH bucket
+    # would land its whole n² burst in ONE verify task — the GC-bound
+    # 5× rep spread), so here the distinct stays BEFORE verification:
+    # the pair-keyed exchange both dedups band collisions and
+    # re-partitions the burst uniformly.
+    verified = pair_jaccard(candidates.distinct(), dset)
     return verified.filter(F.col("jaccard_raw") >= NEAR_DUP_JACCARD).select(
         "doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard")
     )
