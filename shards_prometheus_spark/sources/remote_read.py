@@ -668,8 +668,15 @@ def remote_read_roundtrip(spark, sf_dir: str) -> DataFrame:
                     float(value),
                 )
             )
+    # pandas → Arrow path: createDataFrame over a plain row list
+    # pickles row-at-a-time (guide §6 — Arrow for driver transfers)
+    import pandas as pd
+
     df = spark.createDataFrame(
-        rows,
+        pd.DataFrame(
+            rows,
+            columns=["metric", "l_user", "l_shard", "ts_ms", "value"],
+        ),
         "metric string, l_user string, l_shard string, "
         "ts_ms long, value double",
     )
@@ -724,8 +731,15 @@ def remote_read_streamed_roundtrip(spark, sf_dir: str) -> DataFrame:
                     float(value),
                 )
             )
+    # pandas → Arrow path: createDataFrame over a plain row list
+    # pickles row-at-a-time (guide §6 — Arrow for driver transfers)
+    import pandas as pd
+
     df = spark.createDataFrame(
-        rows,
+        pd.DataFrame(
+            rows,
+            columns=["metric", "l_user", "l_shard", "ts_ms", "value"],
+        ),
         "metric string, l_user string, l_shard string, "
         "ts_ms long, value double",
     )
