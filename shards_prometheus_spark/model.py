@@ -102,6 +102,15 @@ def parallelism_floor(
     not a repartition hint (guide §2.5 input-layout skew; §6 split
     sizing — `minPartitionNum` cannot split a single row group, so the
     floor must be an exchange).
+
+    Currently UNUSED by registered queries: r15 bench probes showed
+    the floored relabel/render kernels develop an intermittent
+    multi-second tail under contended windows (5.7–6.9 s spikes the
+    serial forms never exhibited) while the median gain was ~0.2 s —
+    the extra exchange plus 32 near-empty tasks amplifies scheduler
+    jitter more than the 1-core kernel costs at bench row counts. Keep
+    it for kernels whose serial cost genuinely dominates (none in the
+    current bench set).
     """
     import os
 

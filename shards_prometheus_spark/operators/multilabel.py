@@ -159,16 +159,7 @@ def scraped_multilabel_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         esc_label,
     )
 
-    from shards_prometheus_spark.model import parallelism_floor
-
-    # render → classify is a regex-dense scan-fused kernel: floor the
-    # parallelism so a single-split file doesn't serialize it on one
-    # core (no-op at scale)
-    s = parallelism_floor(
-        spark,
-        sf_dir,
-        samples_multi(spark, sf_dir).filter(F.col("metric") == LHS_METRIC),
-    )
+    s = samples_multi(spark, sf_dir).filter(F.col("metric") == LHS_METRIC)
     zone = F.concat(
         F.lit("z"), F.length(_label("user")).cast("string")
     )

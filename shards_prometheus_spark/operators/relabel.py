@@ -323,15 +323,9 @@ def relabel_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     the check covers the full chain: keep/drop filtering, replace's
     group expansion, hashmod's exact md5 arithmetic, labelmap's
     copy, and labeldrop's removal (x_ard survives, shard must not)."""
-    from shards_prometheus_spark.model import parallelism_floor, samples_multi
+    from shards_prometheus_spark.model import samples_multi
 
-    # the chain's map rewrites (md5 hashmod, group expansion) are a
-    # CPU-dense scan-fused kernel; floor the parallelism so a single-
-    # split file doesn't serialize it (no-op at scale)
-    s = apply_relabel(
-        parallelism_floor(spark, sf_dir, samples_multi(spark, sf_dir)),
-        DEMO_RULES,
-    )
+    s = apply_relabel(samples_multi(spark, sf_dir), DEMO_RULES)
     lbl = lambda k: F.coalesce(  # noqa: E731
         F.element_at("labels", F.lit(k)), F.lit("")
     )
