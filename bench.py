@@ -448,6 +448,30 @@ def main() -> None:
             }
         )
     )
+    # Tail-capture-proof PER-QUERY line (r16, additions-only): the
+    # full artifact line above is ~3.4 KB and the driver's fixed-size
+    # tail capture (~3 KB) cuts its HEAD, so PERF_r15's per_query map
+    # and the whole scaling block came back empty even though the
+    # bench exited 0. Repeat the complete queries map — the SAME
+    # medians, byte-identical values — in one minified line whose
+    # size (~2.1 KB) plus the summary fits inside the capture, so the
+    # per-query artifact contract is recoverable from the final bytes
+    # of stdout. The full line above is unchanged; historical
+    # artifacts stay comparable.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "queries": timings,
+                "env_flagged": env_flagged,
+                "compact_of": "full_artifact_line",
+            },
+            separators=(",", ":"),
+        )
+    )
     # Tail-capture-proof summary LAST: BENCH_r09.json lost its own
     # headline total because the driver's fixed-size tail capture cut
     # the long JSON line's head ("value" leads the object). The totals

@@ -188,6 +188,18 @@ DEFAULT_EVAL_INTERVAL_US = 60_000_000
 _SUBQ_LAG_FNS = {
     "rate", "increase", "delta", "irate", "idelta", "resets", "changes",
 }
+#: folds that need each sample's PREDECESSOR (the lag spine). On the
+#: grid paths the lag is precomputed per series over the UNMULTIPLIED
+#: scan (before the broadcast grid join) — the windows are contiguous
+#: time intervals, so consecutive-in-window pairs are exactly the
+#: consecutive-global pairs whose predecessor timestamp lies inside
+#: the window (`_pts > _wlo`), and the per-(series, instant) fold
+#: becomes a hash aggregate with map-side partials: the w×-multiplied
+#: rows are consumed before any exchange instead of being shuffled
+#: and sorted per instant (guide §2.3 — aggregate before you shuffle).
+_LAG_SPINE_FNS = {
+    "rate", "increase", "irate", "idelta", "resets", "changes",
+}
 #: range fns routed through _range_fold over subquery points with the
 #: subquery instants as the sample axis (r8): the regression pair
 #: (deriv/predict_linear, x-ref = the outer evaluation instant) and the
@@ -1243,6 +1255,13 @@ class PromQLEvaluator:
         if eval_ts_us is None:
             row = samples.agg(F.max("ts_us").alias("t_max")).collect()[0]
             eval_ts_us = row["t_max"]
+            if eval_ts_us is None:
+                # max(ts_us) of an EMPTY relation collects NULL; pin
+                # t_max to 0 so every selector window is simply empty
+                # (queries return no rows), matching the pre-literal
+                # behavior where the null t_max flowed through the
+                # broadcast join — instead of int(None) raising.
+                eval_ts_us = 0
         self._tmax_us = int(eval_ts_us)
         self._tmax = samples.sparkSession.createDataFrame(
             [(eval_ts_us,)], "t_max bigint"
@@ -1330,14 +1349,27 @@ class PromQLEvaluator:
         df = self._matched(sel, keep_stale=True).filter(
             (F.col("ts_us") <= end) & (F.col("ts_us") > end - LOOKBACK_US)
         )
-        w = Window.partitionBy("series_id").orderBy(
-            F.desc("ts_us"), F.desc("event_id")
-        )
-        return self._drop_stale_picks(
-            df.withColumn("rn", F.row_number().over(w)).filter(
-                F.col("rn") == 1
+        # newest-in-lookback pick per series as ONE hash aggregate
+        # (max over the (ts, event_id[, stale], value) struct == the
+        # desc row_number pick; event_id unique): no per-series sort,
+        # map-side partials at scale (guide §2.3)
+        has_stale = "stale" in df.columns
+        fields = [
+            F.col("ts_us").alias("t"),
+            F.col("event_id").alias("e"),
+        ]
+        if has_stale:
+            fields.append(
+                F.coalesce(F.col("stale"), F.lit(False)).alias("s")
             )
-        ).select("labels", F.col("value").cast("double").alias("value"))
+        fields.append(F.col("value").cast("double").alias("v"))
+        picked = df.groupBy("series_id").agg(
+            F.first("labels").alias("labels"),
+            F.max(F.struct(*fields)).alias("_m"),
+        )
+        if has_stale:
+            picked = picked.filter(~F.col("_m.s"))
+        return picked.select("labels", F.col("_m.v").alias("value"))
 
     # -- synthetic histogram bucket series -------------------------------
     def _bucket_base(self, sel: Selector) -> Selector:
@@ -1444,6 +1476,11 @@ class PromQLEvaluator:
         df = self._matched(sel).filter(
             (F.col("ts_us") <= end) & (F.col("ts_us") > end - sel.range_us)
         )
+        if fn in _LAG_SPINE_FNS:
+            # lag over the already-window-filtered rows (== the old
+            # windowed lag; no `_wlo` needed), folded as a hash
+            # aggregate — one sort instead of the lag+rn pair
+            df = self._lagged(df)
         if fn in {"deriv", "predict_linear"}:
             # regression x-axis: seconds relative to the UNSHIFTED
             # evaluation time (Prometheus regresses against the query
@@ -1596,18 +1633,120 @@ class PromQLEvaluator:
                 F.max(F.lit(1.0)).alias("value"),
             )
         if fn == "last_over_time":
-            w = Window.partitionBy(*keys).orderBy(
-                F.desc("ts_us"), F.desc("event_id")
-            )
-            return (
-                df.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select(
-                    *keys, "labels",
-                    F.col("value").cast("double").alias("value"),
+            # newest sample per key as ONE hash aggregate: max over
+            # the (ts_us, event_id, value) struct IS the desc
+            # row_number pick (event_id is unique, so the comparison
+            # never reaches value) — no per-key sort, and on the grid
+            # paths the w×-multiplied rows fold map-side instead of
+            # being shuffled for a window (guide §2.3)
+            mx = F.max(
+                F.struct(
+                    F.col("ts_us").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("value").cast("double").alias("v"),
                 )
             )
-        # order-dependent fns share the lag spine
+            return (
+                df.groupBy(*keys)
+                .agg(F.first("labels").alias("labels"), mx.alias("_m"))
+                .select(*keys, "labels", F.col("_m.v").alias("value"))
+            )
+        if fn == "delta":
+            # newest minus oldest sample — two extremum structs of one
+            # hash aggregate (same pick as the rn_d/rn_a windows; the
+            # unique event_id keeps the struct order total)
+            sample = F.struct(
+                F.col("ts_us").alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("value").alias("v"),
+            )
+            return df.groupBy(*keys).agg(
+                F.first("labels").alias("labels"),
+                (F.max(sample)["v"] - F.min(sample)["v"]).alias("value"),
+            )
+        if fn in _LAG_SPINE_FNS and "_pts" in df.columns:
+            # predecessors were precomputed per series on the
+            # UNMULTIPLIED scan (`_lagged`): a pair counts iff the
+            # predecessor also lies inside this key's window
+            # (`_pts > _wlo`; the in-window rows are a contiguous run
+            # of the global (ts_us, event_id) order, so those pairs
+            # are exactly the windowed-lag pairs). Each fold is then
+            # one hash aggregate with map-side partials — the w×
+            # row multiplication never crosses an exchange.
+            ok = F.col("_pts").isNotNull()
+            if "_wlo" in df.columns:
+                ok = ok & (F.col("_pts") > F.col("_wlo"))
+            clamped = F.when(
+                F.col("value") < F.col("_pv"), F.col("value")
+            ).otherwise(F.col("value") - F.col("_pv"))
+            if fn in {"increase", "rate"}:
+                out = (
+                    df.groupBy(*keys)
+                    .agg(
+                        F.first("labels").alias("labels"),
+                        F.sum(F.when(ok, clamped)).alias("value"),
+                        F.max(ok.cast("int")).alias("_any"),
+                    )
+                    .filter(F.col("_any") == 1)
+                    .select(*keys, "labels", "value")
+                )
+                if fn == "rate":
+                    out = out.withColumn(
+                        "value", F.col("value") / F.lit(range_us / 1e6)
+                    )
+                return out
+            if fn in {"irate", "idelta"}:
+                mx = F.max(
+                    F.struct(
+                        F.col("ts_us").alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col("value").alias("v"),
+                        F.col("_pv").alias("pv"),
+                        F.col("_pts").alias("pts"),
+                    )
+                )
+                extra = (
+                    [F.max("_wlo").alias("_wl")]
+                    if "_wlo" in df.columns
+                    else []
+                )
+                g = df.groupBy(*keys).agg(
+                    F.first("labels").alias("labels"),
+                    mx.alias("_m"),
+                    *extra,
+                )
+                valid = F.col("_m.pts").isNotNull()
+                if extra:
+                    valid = valid & (F.col("_m.pts") > F.col("_wl"))
+                iv = F.col("_m.v") - F.col("_m.pv")
+                if fn == "irate":
+                    iv = F.when(
+                        F.col("_m.v") < F.col("_m.pv"), F.col("_m.v")
+                    ).otherwise(iv)
+                return g.filter(valid).select(
+                    *keys, "labels", iv.alias("value")
+                )
+            # resets / changes
+            flag = (
+                (F.col("value") < F.col("_pv"))
+                if fn == "resets"
+                else (F.col("value") != F.col("_pv"))
+            )
+            return (
+                df.groupBy(*keys)
+                .agg(
+                    F.first("labels").alias("labels"),
+                    F.sum(F.when(ok & flag, 1).otherwise(0))
+                    .cast("double")
+                    .alias("value"),
+                    F.max(ok.cast("int")).alias("_any"),
+                )
+                .filter(F.col("_any") == 1)
+                .select(*keys, "labels", "value")
+            )
+        # order-dependent fns over point relations without a
+        # precomputed lag (the subquery OUTER folds — grid-sized
+        # groups) share the windowed lag spine
         w = Window.partitionBy(*keys).orderBy("ts_us", "event_id")
         d = df.withColumn("prev", F.lag("value").over(w)).withColumn(
             "rn_d",
@@ -1644,19 +1783,6 @@ class PromQLEvaluator:
                     *keys,
                     "labels",
                     (F.col("value") - F.col("prev")).alias("value"),
-                )
-            )
-        if fn == "delta":
-            first_w = Window.partitionBy(*keys).orderBy("ts_us", "event_id")
-            return (
-                d.withColumn("rn_a", F.row_number().over(first_w))
-                .groupBy(*keys)
-                .agg(
-                    F.first("labels").alias("labels"),
-                    (
-                        F.max(F.when(F.col("rn_d") == 1, F.col("value")))
-                        - F.max(F.when(F.col("rn_a") == 1, F.col("value")))
-                    ).alias("value"),
                 )
             )
         if fn in {"resets", "changes"}:
@@ -1764,11 +1890,25 @@ class PromQLEvaluator:
             isel, ifn = inner, "last_over_time"
             irange = LOOKBACK_US
         win_end = F.col("_ets") - F.lit(isel.offset_us)
-        df = self._matched(isel).join(
+        base = self._matched(isel)
+        # span pre-filter from the driver-known grid endpoints (scan
+        # pushdown; rows outside join no instant — see _gwindow)
+        gp = self.grid_points_py(sub)
+        if gp:
+            hi = max(gp) - isel.offset_us
+            base = base.filter(
+                (F.col("ts_us") <= F.lit(hi))
+                & (F.col("ts_us") > F.lit(min(gp) - isel.offset_us - irange))
+            )
+        if ifn in _LAG_SPINE_FNS:
+            base = self._lagged(base)
+        df = base.join(
             F.broadcast(self._grid(sub)),
             (F.col("ts_us") <= win_end)
             & (F.col("ts_us") > win_end - F.lit(irange)),
         )
+        if ifn in _LAG_SPINE_FNS:
+            df = df.withColumn("_wlo", win_end - F.lit(irange))
         # inner points pinned at 6dp so the outer fold's discrete
         # decisions (max/min) can't flip on cross-engine noise
         pts = self._range_fold(df, ["series_id", "_ets"], ifn, irange)
@@ -1793,11 +1933,17 @@ class PromQLEvaluator:
                 param=node.param, param2=node.param2,
             ).select("labels", "value")
         if node.fn == "last_over_time":
-            w = Window.partitionBy("series_id").orderBy(F.desc("_ets"))
+            # newest inner point per series — max-struct hash
+            # aggregate (one point per (series, _ets) ⇒ unique key)
+            mx = F.max(
+                F.struct(
+                    F.col("_ets").alias("t"), F.col("value").alias("v")
+                )
+            )
             return (
-                pts.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("labels", "value")
+                pts.groupBy("series_id")
+                .agg(F.first("labels").alias("labels"), mx.alias("_m"))
+                .select("labels", F.col("_m.v").alias("value"))
             )
         outer = _subq_outer(node.fn, node.param)
         if outer is None:
@@ -1821,16 +1967,22 @@ class PromQLEvaluator:
         (0, step) so `@ start()`/`@ end()` inside the inner both
         resolve to t_max — an instant query's range is a point."""
         sub: Subquery = node.sel
-        saved = (getattr(self, "_gridf", None), getattr(self, "_gspan", None))
+        saved = (
+            getattr(self, "_gridf", None),
+            getattr(self, "_gspan", None),
+            getattr(self, "_gbounds", None),
+        )
         self._gridf = self._grid(sub)
         self._gspan = (0, sub.step_us)
+        gp = self.grid_points_py(sub)
+        self._gbounds = (min(gp), max(gp)) if gp else None
         try:
             pts = self._gvector(sub.expr)
         finally:
             if saved[0] is None:
-                del self._gridf, self._gspan
+                del self._gridf, self._gspan, self._gbounds
             else:
-                self._gridf, self._gspan = saved
+                self._gridf, self._gspan, self._gbounds = saved
         pts = pts.withColumn("value", F.round("value", 6))
         key = _label_str("labels")
         if node.fn in _SUBQ_LAG_FNS or node.fn in _SUBQ_FOLD_FNS or node.fn in _TS_OF_FNS:
@@ -1848,11 +2000,15 @@ class PromQLEvaluator:
                 param=node.param, param2=node.param2,
             ).select("labels", "value")
         if node.fn == "last_over_time":
-            w = Window.partitionBy(key).orderBy(F.desc("_ets"))
+            mx = F.max(
+                F.struct(
+                    F.col("_ets").alias("t"), F.col("value").alias("v")
+                )
+            )
             return (
-                pts.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("labels", "value")
+                pts.groupBy(key.alias("_k"))
+                .agg(F.first("labels").alias("labels"), mx.alias("_m"))
+                .select("labels", F.col("_m.v").alias("value"))
             )
         outer = _subq_outer(node.fn, node.param)
         if outer is None:
@@ -2904,6 +3060,8 @@ class PromQLEvaluator:
         node = parse(expr)
         self._gspan = (end_us - start_us, step_us)
         self._gridf = self._grid_abs(start_us, end_us, step_us)
+        # conservative driver-known instant bounds for scan pushdown
+        self._gbounds = (start_us, end_us)
         try:
             if is_scalar_expr(node):
                 return self._scalar_rel(node, grid=True).select(
@@ -2915,7 +3073,7 @@ class PromQLEvaluator:
                 )
             out = self._gvector(node)
         finally:
-            del self._gspan, self._gridf
+            del self._gspan, self._gridf, self._gbounds
         return out.select(
             F.col("_ets").alias("ts_us"),
             "labels",
@@ -2929,7 +3087,10 @@ class PromQLEvaluator:
         HTTP JSON layer's matrix rendering."""
         node = parse(expr)
         self._gspan = (span_us, step_us)
-        self._gridf = self._grid(Subquery(None, span_us, step_us))
+        sub = Subquery(None, span_us, step_us)
+        self._gridf = self._grid(sub)
+        gp = self.grid_points_py(sub)
+        self._gbounds = (min(gp), max(gp)) if gp else None
         try:
             if is_scalar_expr(node):
                 return self._scalar_rel(node, grid=True).select(
@@ -2941,7 +3102,7 @@ class PromQLEvaluator:
                 )
             out = self._gvector(node)
         finally:
-            del self._gspan, self._gridf
+            del self._gspan, self._gridf, self._gbounds
         return out.select(
             F.col("_ets").alias("ts_us"),
             "labels",
@@ -2974,7 +3135,10 @@ class PromQLEvaluator:
         """
         node = parse(expr)
         self._gspan = (span_us, step_us)
-        self._gridf = self._grid(Subquery(None, span_us, step_us))
+        sub = Subquery(None, span_us, step_us)
+        self._gridf = self._grid(sub)
+        gp = self.grid_points_py(sub)
+        self._gbounds = (min(gp), max(gp)) if gp else None
         try:
             if is_scalar_expr(node):
                 # PromQL broadcasts a scalar across the grid: one
@@ -2986,7 +3150,7 @@ class PromQLEvaluator:
                 )
             out = self._gvector(node)
         finally:
-            del self._gspan, self._gridf
+            del self._gspan, self._gridf, self._gbounds
         return out.select(
             F.col("_ets").alias("ts_us"),
             _label_str("labels").alias("labels"),
@@ -3007,19 +3171,81 @@ class PromQLEvaluator:
             base = F.lit(sel.at_us)
         return base - F.lit(sel.offset_us)
 
+    @staticmethod
+    def _lagged(df: DataFrame) -> DataFrame:
+        """Per-series predecessor columns (`_pv`, `_pts`) via ONE lag
+        window ordered like every fold spine (ts_us, event_id). On the
+        grid paths this runs over the unmultiplied scan BEFORE the
+        broadcast grid join; hash-partitioning by series_id also
+        satisfies the downstream (series_id, _ets) aggregate's
+        clustering, so the whole leaf costs exactly one exchange of
+        n samples — never n×instants (guide §2.3)."""
+        w = Window.partitionBy("series_id").orderBy("ts_us", "event_id")
+        return df.withColumn("_pv", F.lag("value").over(w)).withColumn(
+            "_pts", F.lag("ts_us").over(w)
+        )
+
+    def _leaf_ts_bounds(
+        self, sel: Selector, irange: int | None
+    ) -> "tuple[int | None, int] | None":
+        """Driver-computable (lo_exclusive, hi_inclusive) sample-time
+        bounds of a grid leaf — the union of every instant's window.
+        The grid endpoints are pinned driver ints (`_gbounds`), so the
+        span restriction is a LITERAL predicate the parquet scan can
+        push down (guide §6: at scale this is ts_us row-group pruning
+        instead of scanning the whole retention for a 240h panel).
+        None when the active grid's bounds are not driver-known."""
+        b = getattr(self, "_gbounds", None)
+        if b is None:
+            return None
+        if sel.at_us is None:
+            we_lo, we_hi = b[0] - sel.offset_us, b[1] - sel.offset_us
+        elif sel.at_us == _AT_END:
+            we_lo = we_hi = self._tmax_us - sel.offset_us
+        elif sel.at_us == _AT_START:
+            we_lo = we_hi = (
+                self._tmax_us - self._gspan[0] - sel.offset_us
+            )
+        else:
+            we_lo = we_hi = sel.at_us - sel.offset_us
+        lo = we_lo - irange if irange is not None else None
+        return lo, we_hi
+
     def _gwindow(
-        self, sel: Selector, irange: int | None, keep_stale: bool = False
+        self,
+        sel: Selector,
+        irange: int | None,
+        keep_stale: bool = False,
+        lag: bool = False,
     ) -> DataFrame:
         """One scan × broadcast grid join, windowed per grid instant:
         (win_end - irange, win_end], or cumulative-from-start when
-        `irange` is None (the `_bucket` instant-selector semantics)."""
+        `irange` is None (the `_bucket` instant-selector semantics).
+        `lag=True` precomputes the per-series predecessor columns on
+        the UNMULTIPLIED scan and attaches the per-instant window
+        start `_wlo`, for the lag-spine hash-aggregate folds.
+
+        The scan is pre-filtered to the grid's driver-computable time
+        span: rows outside it can join no instant, and a predecessor
+        dropped by the pre-filter is below every `_wlo`, so lag pairs
+        are unchanged."""
         win_end = self._gend(sel)
+        base = self._matched(sel, keep_stale=keep_stale)
+        bounds = self._leaf_ts_bounds(sel, irange)
+        if bounds is not None:
+            lo, hi = bounds
+            base = base.filter(F.col("ts_us") <= F.lit(hi))
+            if lo is not None:
+                base = base.filter(F.col("ts_us") > F.lit(lo))
+        if lag:
+            base = self._lagged(base)
         cond = F.col("ts_us") <= win_end
         if irange is not None:
             cond = cond & (F.col("ts_us") > win_end - F.lit(irange))
-        return self._matched(sel, keep_stale=keep_stale).join(
-            F.broadcast(self._gridf), cond
-        )
+        out = base.join(F.broadcast(self._gridf), cond)
+        if lag and irange is not None:
+            out = out.withColumn("_wlo", win_end - F.lit(irange))
+        return out
 
     def _gvector(self, node) -> DataFrame:
         """Grid-mode recursive evaluation → (_ets, labels, value):
@@ -3042,19 +3268,33 @@ class PromQLEvaluator:
                 # stale-aware grid instant: pick the newest in-window
                 # row per (series, instant) INCLUDING markers, then
                 # drop instants whose pick is a marker — the grid twin
-                # of `_instant`'s StaleNaN lookback cut
+                # of `_instant`'s StaleNaN lookback cut. The pick is a
+                # max-struct hash aggregate (event_id unique ⇒ same
+                # row as the desc row_number window, no per-instant
+                # sort of the multiplied rows — guide §2.3)
                 df = self._gwindow(node, LOOKBACK_US, keep_stale=True)
-                w = Window.partitionBy("series_id", "_ets").orderBy(
-                    F.desc("ts_us"), F.desc("event_id")
-                )
-                return self._drop_stale_picks(
-                    df.withColumn("rn", F.row_number().over(w)).filter(
-                        F.col("rn") == 1
+                mx = F.max(
+                    F.struct(
+                        F.col("ts_us").alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.coalesce(F.col("stale"), F.lit(False)).alias(
+                            "s"
+                        ),
+                        F.col("value").cast("double").alias("v"),
                     )
-                ).select(
-                    "_ets",
-                    "labels",
-                    F.col("value").cast("double").alias("value"),
+                )
+                return (
+                    df.groupBy("series_id", "_ets")
+                    .agg(
+                        F.first("labels").alias("labels"),
+                        mx.alias("_m"),
+                    )
+                    .filter(~F.col("_m.s"))
+                    .select(
+                        "_ets",
+                        "labels",
+                        F.col("_m.v").alias("value"),
+                    )
                 )
             df = self._gwindow(node, LOOKBACK_US)
             return self._range_fold(
@@ -3084,7 +3324,9 @@ class PromQLEvaluator:
                 ).select(
                     "_ets", "labels", value.alias("value")
                 )
-            df = self._gwindow(sel, sel.range_us)
+            df = self._gwindow(
+                sel, sel.range_us, lag=fn in _LAG_SPINE_FNS
+            )
             if fn in {"deriv", "predict_linear"}:
                 # x-axis: the unshifted per-instant evaluation time
                 df = df.withColumn(
@@ -3186,16 +3428,18 @@ class PromQLEvaluator:
         if sel.range_us is not None:
             raise PromQLSyntaxError("timestamp() needs an instant vector")
         df = self._gwindow(sel, LOOKBACK_US)
-        w = Window.partitionBy("series_id", "_ets").orderBy(
-            F.desc("ts_us"), F.desc("event_id")
-        )
+        # newest-in-window pick as one hash aggregate (only the ts is
+        # needed — max(ts_us) IS the pick, no sort of multiplied rows)
         return (
-            df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            df.groupBy("series_id", "_ets")
+            .agg(
+                F.first("labels").alias("labels"),
+                F.max("ts_us").alias("_t"),
+            )
             .select(
                 "_ets",
                 "labels",
-                (F.col("ts_us").cast("double") / F.lit(1e6)).alias("value"),
+                (F.col("_t").cast("double") / F.lit(1e6)).alias("value"),
             )
         )
 
@@ -3253,12 +3497,34 @@ class PromQLEvaluator:
             )
             .select("_ets", "_iets")
         )
-        saved = self._gridf
+        saved = (self._gridf, getattr(self, "_gbounds", None))
         self._gridf = cg.select(F.col("_iets").alias("_ets")).distinct()
+        # conservative driver bounds of the composed inner instants,
+        # derived from the outer grid's pinned endpoints: the anchors
+        # are floors of (ref - off), so hi = ref_hi - off bounds every
+        # _iets from above and lo = ref_lo - off - range from below
+        ob = saved[1]
+        if sub.at_us is None:
+            refb = ob
+        elif sub.at_us == _AT_END:
+            refb = (self._tmax_us, self._tmax_us)
+        elif sub.at_us == _AT_START:
+            t = self._tmax_us - self._gspan[0]
+            refb = (t, t)
+        else:
+            refb = (sub.at_us, sub.at_us)
+        self._gbounds = (
+            (
+                refb[0] - sub.offset_us - sub.range_us,
+                refb[1] - sub.offset_us,
+            )
+            if refb is not None
+            else None
+        )
         try:
             inner = self._gvector(sub.expr)
         finally:
-            self._gridf = saved
+            self._gridf, self._gbounds = saved
         pts = (
             inner.withColumnRenamed("_ets", "_iets")
             .withColumn("value", F.round("value", 6))
@@ -3282,11 +3548,15 @@ class PromQLEvaluator:
                 param=node.param, param2=node.param2,
             ).select("_ets", "labels", "value")
         if node.fn == "last_over_time":
-            w = Window.partitionBy("_ets", key).orderBy(F.desc("_iets"))
+            mx = F.max(
+                F.struct(
+                    F.col("_iets").alias("t"), F.col("value").alias("v")
+                )
+            )
             return (
-                pts.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("_ets", "labels", "value")
+                pts.groupBy("_ets", key.alias("_k"))
+                .agg(F.first("labels").alias("labels"), mx.alias("_m"))
+                .select("_ets", "labels", F.col("_m.v").alias("value"))
             )
         outer = _subq_outer(node.fn, node.param)
         if outer is None:

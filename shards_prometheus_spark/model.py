@@ -87,30 +87,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
+#: Below this input size the serial kernel is cheaper than the floor's
+#: exchange: r15 measured the floored relabel/render kernels ~0.2 s
+#: faster at the median but with intermittent 2.8–6.9 s tails at bench
+#: row counts (32 near-empty tasks amplify scheduler jitter), while a
+#: ≥32 MB single-split regex/map kernel costs ≳1 s of one-core work —
+#: an order of magnitude above the exchange's fixed cost.
+_FLOOR_MIN_BYTES = 32 * 1024 * 1024
+
+
 def parallelism_floor(
     spark: SparkSession, sf_dir: str, df: DataFrame, table: str = "events"
 ) -> DataFrame:
-    """Parallelism floor for CPU-dense per-row kernels over a SMALL
-    scan. The bench parquet files are single row groups, so a scan is
-    ONE input split and everything fused onto it (exposition render,
-    regex parse, relabel map rewrites) serializes on one core while 31
-    idle. When the backing file is small enough that the scan cannot
-    reach defaultParallelism splits, round-robin repartition to the
-    core count — the shuffled volume is bounded by the threshold
-    itself. At scale the condition is false (a 100 TB table yields
-    thousands of splits) and the plan is unchanged: this is a floor,
-    not a repartition hint (guide §2.5 input-layout skew; §6 split
-    sizing — `minPartitionNum` cannot split a single row group, so the
-    floor must be an exchange).
+    """Parallelism floor for CPU-dense per-row kernels over a scan
+    that cannot reach the core count. Single-row-group parquet gives
+    ONE input split, so everything fused onto the scan (exposition
+    render, regex parse, relabel map rewrites) serializes on one core
+    while the rest idle; `minPartitionNum` cannot split a row group,
+    so the floor must be an exchange (guide §2.5 input-layout skew,
+    §6 split sizing).
 
-    Currently UNUSED by registered queries: r15 bench probes showed
-    the floored relabel/render kernels develop an intermittent
-    multi-second tail under contended windows (5.7–6.9 s spikes the
-    serial forms never exhibited) while the median gain was ~0.2 s —
-    the extra exchange plus 32 near-empty tasks amplifies scheduler
-    jitter more than the 1-core kernel costs at bench row counts. Keep
-    it for kernels whose serial cost genuinely dominates (none in the
-    current bench set).
+    Byte-gated BOTH ways (r15 finding + r16 VERDICT item 7):
+
+    - below `_FLOOR_MIN_BYTES` the kernel's one-core cost is smaller
+      than the exchange's jitter amplification — plan unchanged (the
+      r15 revert: 5.7–6.9 s tails at sf0.1 row counts for a ~0.2 s
+      median win). The bench SFs stay on the serial plan,
+      byte-identical.
+    - above one split's worth per core the scan already parallelizes
+      — plan unchanged (a 100 TB table yields thousands of splits).
+
+    In between — a single-digit-GB single-file table, the sf3-scale
+    rehearsal shape — round-robin repartition to the core count; the
+    shuffled volume is bounded by the upper threshold itself.
     """
     import os
 
@@ -118,6 +127,8 @@ def parallelism_floor(
     try:
         size = os.path.getsize(f"{sf_dir}/{table}.parquet")
     except OSError:
+        return df
+    if size < _FLOOR_MIN_BYTES:
         return df
     # one split per ~128 MB (the maxPartitionBytes default): if the
     # file cannot produce cores/2 splits, the kernel is effectively

@@ -158,8 +158,17 @@ def scraped_multilabel_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         classify_lines,
         esc_label,
     )
+    from shards_prometheus_spark.model import parallelism_floor
 
-    s = samples_multi(spark, sf_dir).filter(F.col("metric") == LHS_METRIC)
+    # byte-gated parallelism floor (no-op below 32 MB — every bench
+    # SF keeps the serial scan-fused plan; see model.parallelism_floor)
+    s = parallelism_floor(
+        spark,
+        sf_dir,
+        samples_multi(spark, sf_dir).filter(
+            F.col("metric") == LHS_METRIC
+        ),
+    )
     zone = F.concat(
         F.lit("z"), F.length(_label("user")).cast("string")
     )

@@ -323,9 +323,19 @@ def relabel_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     the check covers the full chain: keep/drop filtering, replace's
     group expansion, hashmod's exact md5 arithmetic, labelmap's
     copy, and labeldrop's removal (x_ard survives, shard must not)."""
-    from shards_prometheus_spark.model import samples_multi
+    from shards_prometheus_spark.model import (
+        parallelism_floor,
+        samples_multi,
+    )
 
-    s = apply_relabel(samples_multi(spark, sf_dir), DEMO_RULES)
+    # byte-gated parallelism floor: a no-op below 32 MB (every bench
+    # SF — plan byte-identical to the serial form), an exchange to
+    # core width when a big single-row-group file would otherwise run
+    # the regex/map chain on one core (model.parallelism_floor)
+    s = apply_relabel(
+        parallelism_floor(spark, sf_dir, samples_multi(spark, sf_dir)),
+        DEMO_RULES,
+    )
     lbl = lambda k: F.coalesce(  # noqa: E731
         F.element_at("labels", F.lit(k)), F.lit("")
     )

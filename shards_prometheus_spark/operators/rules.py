@@ -37,12 +37,19 @@ from shards_prometheus_spark.functions.promql_parser import (
     _H240_US,
     _H720_US,
     _T_CTE,
+    Agg,
+    BinOp,
     PromQLEvaluator,
+    RangeFn,
+    ScalarFn,
+    Selector,
     Subquery,
     _grid_cte,
     _grid_increase_cte,
     _increase_cte,
+    parse,
 )
+from shards_prometheus_spark.functions.labelset import label_str
 from shards_prometheus_spark.model import dround
 
 #: (record_name, expr) — the Prometheus `record:` rule group.
@@ -212,6 +219,162 @@ ALERT_FOR_RULES: list[tuple[str, str, int, int]] = [
 ]
 
 
+def _threshold_rule_shape(expr: str):
+    """Parse-level pattern probe for the canonical vectorizable alert
+    rule ``sum by (K) (rate|increase(metric[R])) CMP
+    scalar(avg(<same LHS>))`` — no matchers, offset, @, or bool.
+    Returns (metric, cmp_op, by-tuple, fold_fn, range_us) or None.
+    Rules of this shape differing ONLY in metric and comparison
+    direction evaluate over ONE shared windowed scan with metric as a
+    grouping dimension (guide §2.4: the per-rule plans were N
+    identical trees over N disjoint metric slices of the same scan)."""
+    try:
+        n = parse(expr)
+    except Exception:
+        return None
+    if (
+        not isinstance(n, BinOp)
+        or n.op not in {">", "<", ">=", "<="}
+        or n.bool_mode
+        or n.match is not None
+        or n.group is not None
+    ):
+        return None
+    lhs, rhs = n.lhs, n.rhs
+    if not (isinstance(rhs, ScalarFn) and isinstance(rhs.expr, Agg)):
+        return None
+    ra = rhs.expr
+    if (
+        ra.op != "avg"
+        or ra.by
+        or ra.mode != "by"
+        or ra.k is not None
+        or ra.param is not None
+        or ra.expr != lhs
+    ):
+        return None
+    if not (
+        isinstance(lhs, Agg)
+        and lhs.op == "sum"
+        and lhs.mode == "by"
+        and lhs.by
+        and lhs.k is None
+        and lhs.param is None
+    ):
+        return None
+    rf = lhs.expr
+    if not (
+        isinstance(rf, RangeFn)
+        and rf.fn in {"rate", "increase"}
+        and rf.param is None
+        and isinstance(rf.sel, Selector)
+    ):
+        return None
+    sel = rf.sel
+    if (
+        sel.matchers
+        or sel.offset_us
+        or sel.at_us is not None
+        or sel.range_us is None
+        or sel.metric.endswith("_bucket")
+    ):
+        return None
+    return sel.metric, n.op, tuple(lhs.by), rf.fn, sel.range_us
+
+
+def _eval_threshold_batch(
+    ev: PromQLEvaluator,
+    batch: "list[tuple[str, str, str]]",
+    by: "tuple[str, ...]",
+    fn: str,
+    range_us: int,
+    span_us: int,
+    step_us: int,
+    name_col: str,
+) -> DataFrame:
+    """Vectorized evaluation of a batch of same-shape threshold alert
+    rules (see `_threshold_rule_shape`) over ONE shared scan: metric
+    rides as a grouping dimension through the same pipeline the
+    evaluator runs per rule — identical window, fold, pins (6dp
+    compare, 4dp output) and per-instant avg threshold, so each
+    metric slice of the result equals the per-rule plan's rows
+    exactly. `batch` is (alertname, metric, cmp_op) triples."""
+    sub = Subquery(None, span_us, step_us)
+    gp = ev.grid_points_py(sub)
+    ng = len(gp)
+    metrics = [m for (_n, m, _o) in batch]
+    base = ev.samples.filter(F.col("metric").isin(metrics))
+    if "stale" in base.columns:
+        base = base.filter(~F.coalesce(F.col("stale"), F.lit(False)))
+    if gp:
+        # driver-known span pre-filter (scan pushdown; rows outside
+        # join no instant — the _gwindow convention)
+        base = base.filter(
+            (F.col("ts_us") <= F.lit(max(gp)))
+            & (F.col("ts_us") > F.lit(min(gp) - range_us))
+        )
+    base = ev._lagged(base)
+    win_end = F.col("_ets")
+    df = base.join(
+        F.broadcast(ev._grid(sub)),
+        (F.col("ts_us") <= win_end)
+        & (F.col("ts_us") > win_end - F.lit(range_us)),
+    ).withColumn("_wlo", win_end - F.lit(range_us))
+    # per-(metric, series, instant) rate/increase — metric joins the
+    # keys only to survive the fold (it is functionally dependent on
+    # series_id, so the groups are unchanged)
+    pts = ev._range_fold(
+        df, ["metric", "series_id", "_ets"], fn, range_us
+    )
+    # sum by (K) per metric — the _gagg by-mode fold
+    new_labels = F.map_from_arrays(
+        F.array(*[F.lit(b) for b in by]),
+        F.array(*[F.element_at("labels", F.lit(b)) for b in by]),
+    )
+    agg = (
+        pts.withColumn("labels", new_labels)
+        .groupBy("metric", "_ets", label_str("labels").alias("_k"))
+        .agg(F.first("labels").alias("labels"), F.sum("value").alias("value"))
+        .drop("_k")
+    )
+    # `v ⋄ scalar(avg(v))`: the threshold as a window over the same
+    # rows, per (metric, instant) — the _binop windowable-agg path
+    w = Window.partitionBy("metric", "_ets")
+    vec = agg.withColumn("_sc_v", F.avg("value").over(w))
+    v6 = F.round(F.col("value"), 6)
+    cmp = {
+        ">": v6 > F.col("_sc_v"),
+        ">=": v6 >= F.col("_sc_v"),
+        "<": v6 < F.col("_sc_v"),
+        "<=": v6 <= F.col("_sc_v"),
+    }
+    cond = F.lit(False)
+    for _name, m, op in batch:
+        cond = cond | ((F.col("metric") == m) & cmp[op])
+    g = vec.filter(cond).select(
+        "metric",
+        F.col("_ets").alias("ts_us"),
+        label_str("labels").alias("labels"),
+        F.round("value", 4).alias("value"),
+    )
+    name = F.when(F.lit(False), F.lit(""))
+    for rname, m, _op in batch:
+        name = name.when(F.col("metric") == m, F.lit(rname))
+    return (
+        g.groupBy("metric", "labels")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max(F.struct("ts_us", "value")).alias("_last"),
+        )
+        .filter(F.col("_n") == F.lit(ng))
+        .select(
+            name.alias(name_col),
+            "labels",
+            F.col("_last.value").alias("value"),
+        )
+    )
+
+
 def eval_alert_for_group(
     ev: PromQLEvaluator,
     rules: list[tuple[str, str, int, int]],
@@ -224,13 +387,46 @@ def eval_alert_for_group(
     most recent instant's. Plan-level union across rules, one grid
     pass per rule — no driver loop over collected results.
 
+    Rules of the canonical threshold shape sharing (by, fold, range,
+    for, step) fuse into ONE shared-scan evaluation with metric as a
+    dimension (`_eval_threshold_batch`, guide §2.4) — the r15 plans
+    compiled N identical trees over N disjoint slices of the same
+    scan. Everything else keeps the per-rule eval_range path.
+
     Prometheus fires when `now - ActiveAt >= for`, where ActiveAt is
     the first TRUE evaluation — that needs `for/step + 1` consecutive
     true evaluations (the activation tick plus for/step more). The
     grid span is therefore `for + step`, which yields exactly
     `for/step + 1` instants in (t - for - step, t]."""
-    parts = []
+    batches: dict[tuple, list[tuple[str, str, str]]] = {}
+    singles: list[tuple[str, str, int, int]] = []
     for name, expr, for_us, step_us in rules:
+        shape = _threshold_rule_shape(expr)
+        if shape is None:
+            singles.append((name, expr, for_us, step_us))
+            continue
+        metric, op, by, fn, range_us = shape
+        batches.setdefault(
+            (by, fn, range_us, for_us, step_us), []
+        ).append((name, metric, op))
+    parts = []
+    for (by, fn, range_us, for_us, step_us), batch in batches.items():
+        if len(batch) < 2:
+            # a lone rule gains nothing from the fused path — keep the
+            # evaluator plan (identical output either way)
+            n0, m0, _o = batch[0]
+            for name, expr, f_us, s_us in rules:
+                if name == n0 and (f_us, s_us) == (for_us, step_us):
+                    singles.append((name, expr, f_us, s_us))
+                    break
+            continue
+        parts.append(
+            _eval_threshold_batch(
+                ev, batch, by, fn, range_us,
+                for_us + step_us, step_us, name_col,
+            )
+        )
+    for name, expr, for_us, step_us in singles:
         span_us = for_us + step_us
         g = ev.eval_range(expr, span_us, step_us)
         # true grid size (NOT a count of surviving instants — an

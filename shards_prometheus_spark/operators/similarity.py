@@ -507,6 +507,13 @@ def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # posexplode yields contiguous 0-based dims, which the 1-based
         # element_at below relies on
         assert dvals == list(range(len(dvals)))
+        # a centroid that lost every member in the previous iteration
+        # has no rows in `model` — drop it from the live list exactly
+        # as the old cents/counts relations implicitly did (otherwise
+        # model[(c, d)] raises KeyError); it stays dropped for the
+        # remaining iterations, matching the relational fixpoint
+        live = [c for c in cent_ids if (c, dvals[0]) in model]
+        k = len(live)
         # the model ships back as LITERAL per-centroid coefficient
         # arrays indexed by d — the k·dim model is driver state, so
         # even the broadcast join of the wide relation is unnecessary
@@ -518,7 +525,7 @@ def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.col("d") + 1,
             )
-            for c in cent_ids
+            for c in live
         ]
         # per-centroid dist² as k accumulator columns of one aggregate;
         # round(…, 6) pins the accumulation exactly like the tall form
@@ -543,9 +550,9 @@ def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             *dists, F.collect_list(F.struct("d", "v")).alias("_dv")
         )
         best = F.least(*[F.col(f"d{i}") for i in range(k)])
-        pick = F.when(F.col("d0") == best, F.lit(cent_ids[0]))
+        pick = F.when(F.col("d0") == best, F.lit(live[0]))
         for i in range(1, k):
-            pick = pick.when(F.col(f"d{i}") == best, F.lit(cent_ids[i]))
+            pick = pick.when(F.col(f"d{i}") == best, F.lit(live[i]))
         model_rows = (
             sums.select(
                 pick.cast("long").alias("cent_id"),

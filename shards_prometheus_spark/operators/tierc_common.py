@@ -17,6 +17,8 @@ vocabulary*, not the corpus.
 
 from __future__ import annotations
 
+from typing import Any
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -50,10 +52,14 @@ _TOKEN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _CACHE_MAX = 20
 
 
-#: Memoized row counts of the persisted relations (e.g. the signature
-#: count that sizes dedup_near's band-join width) — one job per
-#: (app, sf_dir, kind) instead of one per query call.
-_COUNT_CACHE: dict[tuple[str, str, str], int] = {}
+#: Memoized model-sized DRIVER VALUES per (app, sf_dir, kind): row
+#: counts (memo_count — e.g. the signature count that sizes
+#: dedup_near's band-join width), bounded collected Row lists
+#: (memo_value — e.g. the ≤2^16-row simhash class list) and pinned
+#: scalars (the PromQL t_max) — one job per key instead of one per
+#: query call. Everything here must be bounded regardless of corpus
+#: size; corpus-sized state belongs in _TOKEN_CACHE.
+_COUNT_CACHE: dict[tuple[str, str, str], Any] = {}
 
 
 def memo_count(spark: SparkSession, sf_dir: str, kind: str, df: DataFrame) -> int:
@@ -114,6 +120,12 @@ def clear_caches(spark: SparkSession | None = None) -> int:
     # lazy plan memos (no pinned data, but released on the same signal
     # so rewrite-a-dir-in-place keeps its one escape hatch)
     model._PLAN_CACHE.clear()
+    # cached label_str rendering Columns hold py4j refs into the
+    # active gateway — release them here too so a stopped-and-
+    # restarted JVM gateway in one process cannot serve dead refs
+    from shards_prometheus_spark.functions import labelset
+
+    labelset._LABEL_STR_CACHE.clear()
     return n
 
 

@@ -55,7 +55,13 @@ _PREPARED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def prepare_session(spark: SparkSession) -> SparkSession:
-    """Apply required runtime confs to an existing session (idempotent)."""
+    """Apply required runtime confs to an existing session (idempotent).
+
+    Once a session object has been prepared the confs are NOT
+    re-asserted: a caller that mutates one of `_RUNTIME_CONFS` on a
+    prepared session between queries keeps its mutation (the memo is
+    a py4j-round-trip saver for the defensive per-query call, not a
+    conf enforcement mechanism)."""
     if spark in _PREPARED:
         return spark
     for k, v in _RUNTIME_CONFS.items():

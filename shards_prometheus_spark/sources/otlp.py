@@ -879,6 +879,61 @@ def encode_otlp_requests(samples: DataFrame) -> DataFrame:
     ).mapInPandas(kernel, "payload binary")
 
 
+def roundtrip_otlp_requests(samples: DataFrame) -> DataFrame:
+    """Fused encode→decode OTLP round trip: each partition's rows
+    become ONE ExportMetricsServiceRequest and are immediately parsed
+    back through the Prometheus translation inside the SAME kernel —
+    the identical byte path as
+    `decode_otlp_requests(encode_otlp_requests(s))` with ONE
+    JVM↔Python crossing per task instead of two (guide §4.2)."""
+    import pandas as pd
+
+    from shards_prometheus_spark.sources.remote_write import (
+        DECODED_SCHEMA,
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        by_metric: dict = {}
+        for pdf in batches:
+            for metric, user, ts_us, value in zip(
+                pdf["metric"], pdf["label_user"], pdf["ts_us"], pdf["value"]
+            ):
+                by_metric.setdefault(metric, []).append(
+                    (
+                        {"user": user} if user is not None else {},
+                        int(ts_us) * 1_000,
+                        float(value),
+                    )
+                )
+        out = []
+        if by_metric:
+            metrics = [
+                {"name": m, "kind": "gauge", "points": pts}
+                for m, pts in sorted(by_metric.items())
+            ]
+            payload = encode_otlp_request(metrics)
+            for labels, ts_ms, value in parse_otlp_request(payload):
+                lbls = dict(labels)
+                metric = lbls.pop("__name__", "")
+                out.append(
+                    (
+                        metric,
+                        lbls,
+                        lbls.get("user"),
+                        ts_ms * 1_000,
+                        value,
+                    )
+                )
+        yield pd.DataFrame(
+            out,
+            columns=["metric", "labels", "label_user", "ts_us", "value"],
+        )
+
+    return samples.select(
+        "metric", "label_user", "ts_us", "value"
+    ).mapInPandas(kernel, DECODED_SCHEMA)
+
+
 def otlp_roundtrip(spark, sf_dir: str) -> DataFrame:
     """Registered parity query: the samples relation encoded into
     OTLP export payloads (one per partition, DISTRIBUTED) and decoded
@@ -886,13 +941,15 @@ def otlp_roundtrip(spark, sf_dir: str) -> DataFrame:
     the OTLP twin of `remote_write_roundtrip`, proving the vendored
     OTLP codec preserves every (series, timestamp, value) triple
     (timestamps truncate to ms on the wire, so the fold compares at
-    ms)."""
+    ms). Encode and decode run FUSED in one kernel
+    (`roundtrip_otlp_requests` — same bytes, one Python worker round
+    trip per task instead of two)."""
     from pyspark.sql import functions as F
 
     from shards_prometheus_spark.model import samples
 
     s = samples(spark, sf_dir).repartition(8, "metric", "label_user")
-    decoded = decode_otlp_requests(encode_otlp_requests(s))
+    decoded = roundtrip_otlp_requests(s)
     return (
         decoded.groupBy("metric", "label_user")
         .agg(

@@ -981,18 +981,71 @@ class RemoteWriteReceiver:
             self._httpd = None
 
 
+def roundtrip_write_requests(samples: DataFrame) -> DataFrame:
+    """Fused encode→decode wire round trip: each partition's rows are
+    encoded into ONE WriteRequest payload and immediately parsed back
+    inside the SAME Arrow-batched kernel — the identical byte path as
+    `decode_write_requests(encode_write_requests(s))` (same encoder,
+    same parser, same per-partition payload framing) with ONE
+    JVM↔Python worker crossing per task instead of two (guide §4.2:
+    keep the work per batch, halve the boundary crossings). The
+    intermediate payload bytes exist only inside the kernel."""
+    import pandas as pd
+
+    cols = samples.select(
+        "metric",
+        "labels",
+        F.expr("(ts_us - pmod(ts_us, 1000)) div 1000").alias("ts_ms"),
+        "value",
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        rows = []
+        for pdf in batches:
+            for metric, labels, ts_ms, value in zip(
+                pdf["metric"], pdf["labels"], pdf["ts_ms"], pdf["value"]
+            ):
+                lbls = dict(labels)
+                lbls["__name__"] = metric
+                rows.append((lbls, int(ts_ms), float(value)))
+        out = []
+        if rows:
+            rows.sort(key=lambda r: (sorted(r[0].items()), r[1]))
+            payload = encode_write_request(rows)
+            for labels, ts_ms, value in parse_write_request(payload):
+                lbls = dict(labels)
+                metric = lbls.pop("__name__", "")
+                out.append(
+                    (
+                        metric,
+                        lbls,
+                        lbls.get("user"),
+                        ts_ms * 1_000,
+                        value,
+                    )
+                )
+        yield pd.DataFrame(
+            out,
+            columns=["metric", "labels", "label_user", "ts_us", "value"],
+        )
+
+    return cols.mapInPandas(kernel, DECODED_SCHEMA)
+
+
 def remote_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered parity query: the samples relation encoded into
     remote-write payloads (one per partition, DISTRIBUTED) and decoded
     back (DISTRIBUTED), then folded to per-series counter state —
-    proving the wire codecs and both mapInPandas kernels preserve
-    every (series, timestamp, value) triple. The oracle computes the
-    same fold straight off the events table (timestamps truncate to
-    ms on the wire, so the fold compares at ms)."""
+    proving the wire codecs preserve every (series, timestamp, value)
+    triple. Encode and decode run FUSED in one kernel
+    (`roundtrip_write_requests` — same bytes, one Python worker round
+    trip per task instead of two). The oracle computes the same fold
+    straight off the events table (timestamps truncate to ms on the
+    wire, so the fold compares at ms)."""
     from shards_prometheus_spark.model import samples
 
     s = samples(spark, sf_dir).repartition(8, "metric", "label_user")
-    decoded = decode_write_requests(encode_write_requests(s))
+    decoded = roundtrip_write_requests(s)
     return (
         decoded.groupBy("metric", "label_user")
         .agg(

@@ -1,7 +1,8 @@
-"""Dump `.explain("formatted")` for named queries to plans/r15/.
+"""Dump `.explain("formatted")` for named queries to plans/<round>/.
 
 Usage: python tools/dump_plans.py <suffix> query [query ...]
-Writes plans/r15/<query>_<suffix>.txt for each.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt for each
+(round defaults to r16).
 """
 
 from __future__ import annotations
@@ -20,13 +21,14 @@ def main() -> None:
     from shards_prometheus_spark.registry import all_queries
     from shards_prometheus_spark.session import get_spark
 
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16")
     spark = get_spark("dump-plans")
     queries = all_queries()
-    os.makedirs("plans/r15", exist_ok=True)
+    os.makedirs(f"plans/{rnd}", exist_ok=True)
     for name in names:
         df = queries[name](spark, sf_dir)
         txt = formatted_plan(df)
-        path = f"plans/r15/{name}_{suffix}.txt"
+        path = f"plans/{rnd}/{name}_{suffix}.txt"
         with open(path, "w") as fh:
             fh.write(txt)
         print(f"wrote {path} ({len(txt.splitlines())} lines)")
