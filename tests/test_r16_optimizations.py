@@ -160,6 +160,37 @@ def test_fused_otlp_roundtrip_matches_chained(spark):
     assert got == want and len(want) > 0
 
 
+def test_kmeans_empty_centroid_drops_out(spark, tmp_path):
+    """ADVICE r15 (medium): two identical seed vectors tie every
+    assignment to the smaller cent_id, emptying the other — the lazy
+    relational chain must drop the empty centroid (NULL wide
+    coefficients → NULL dist² → skipped by least/when), not crash."""
+    import shards_prometheus_spark.operators.similarity as sim
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [1.0, 0.0], "a"),   # identical to seed 1 → centroid 2 empties
+        (3, [0.0, 1.0], "b"),
+        (4, [-1.0, 0.0], "c"),
+        (5, [0.9, 0.1], "a"),
+        (6, [0.1, 0.9], "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    d = str(tmp_path / "kmeans_empty")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+    out = {
+        r["cent_id"]: r["n_members"]
+        for r in sim.similarity_kmeans(spark, d).collect()
+    }
+    assert 2 not in out            # the emptied centroid dropped out
+    assert sum(out.values()) == 6  # every vector still assigned
+
+
 def test_parallelism_floor_byte_gate(spark, monkeypatch):
     import os as _os
 
