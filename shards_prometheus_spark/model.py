@@ -124,8 +124,22 @@ def parallelism_floor(
     import os
 
     sc = spark.sparkContext
+    path = f"{sf_dir}/{table}.parquet"
     try:
-        size = os.path.getsize(f"{sf_dir}/{table}.parquet")
+        if os.path.isdir(path):
+            # multi-file table (e.g. the rehearsal dirs): the scan
+            # splits per file already; size the gate on the LARGEST
+            # part, the serial unit a single-split kernel binds on
+            size = max(
+                (
+                    os.path.getsize(os.path.join(path, f))
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                ),
+                default=0,
+            )
+        else:
+            size = os.path.getsize(path)
     except OSError:
         return df
     if size < _FLOOR_MIN_BYTES:
