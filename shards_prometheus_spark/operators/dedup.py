@@ -143,6 +143,76 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Bitmask fast path applies while token ids fit a 64-bit set.
 MASK_VOCAB_LIMIT = 62
 
+#: Multi-word bitmask path (r16): vocabularies past one word but small
+#: enough that a per-doc ARRAY<BIGINT> fingerprint stays a few hundred
+#: bytes — intersection is a handful of AND+bit_count word ops, still
+#: O(1)-ish per pair with no explode. 4096 bits = 64 words = 512 B/doc;
+#: past this (real Heaps-law corpora) the token-set join is the scale
+#: path. The sf1 rehearsal corpus (vocab 310 → 5 words) sat in the
+#: token-join regime before this: a 227 M-row candidate burst went
+#: through a pair-keyed DISTINCT exchange plus two array-attach joins
+#: and an array_intersect per pair (74 s) — the words path verifies
+#: the burst redundantly row-locally and shuffles survivors only.
+MASK_VOCAB_WORDS_LIMIT = 4096
+
+
+def _mask_words_jaccard(
+    candidates: DataFrame, dset: DataFrame, sf_dir: str, vocab_size: int
+) -> DataFrame:
+    """Exact Jaccard via multi-word set fingerprints: per document one
+    ARRAY<BIGINT> of ⌈(vocab+1)/64⌉ words plus the set size;
+    intersection = Σ_w bit_count(a[w] & b[w]). Same exact semantics as
+    pair_jaccard / _mask_jaccard; same never-hinted-broadcast policy
+    as the single-word mask relation (AQE broadcasts while it fits,
+    shuffled-hash on doc ids past that)."""
+    spark = dset.sparkSession
+    nwords = vocab_size // 64 + 1
+
+    def build() -> DataFrame:
+        word_cols = [
+            F.expr(
+                f"bit_or(IF(token_id div 64 = {w}, "
+                "shiftleft(1L, cast(token_id % 64 AS int)), 0L))"
+            ).alias(f"_w{w}")
+            for w in range(nwords)
+        ]
+        return dset.groupBy("doc_id").agg(
+            *word_cols, F.count(F.lit(1)).cast("long").alias("n")
+        ).select(
+            "doc_id",
+            F.array(*[F.col(f"_w{w}") for w in range(nwords)]).alias(
+                "mask"
+            ),
+            "n",
+        )
+
+    masks = _memo_persist(spark, sf_dir, f"token_masks_w{nwords}", build)
+    ma = masks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("mask").alias("mask_a"),
+        F.col("n").alias("na"),
+    )
+    mb = masks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("mask").alias("mask_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.expr(
+        "aggregate(zip_with(mask_a, mask_b, (x, y) -> bit_count(x & y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    return (
+        candidates.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter / (F.col("na") + F.col("nb") - inter)).alias(
+                "jaccard_raw"
+            ),
+        )
+    )
+
 
 def _mask_jaccard(
     candidates: DataFrame, dset: DataFrame, sf_dir: str
@@ -283,6 +353,19 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
+    if vocab_size <= MASK_VOCAB_WORDS_LIMIT:
+        # multi-word fingerprints: same redundant-verify-then-distinct
+        # shape as the single-word branch (a few AND+bit_count word
+        # ops per extra band-collision copy; the pair exchange carries
+        # survivors only — guide §2.3)
+        verified = _mask_words_jaccard(candidates, dset, sf_dir, vocab_size)
+        return (
+            verified.filter(F.col("jaccard_raw") >= NEAR_DUP_JACCARD)
+            .select(
+                "doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard")
+            )
+            .distinct()
+        )
     # Token-join verification is O(set size) per pair and its explode
     # must not inherit the band-bucket task layout (a hot LSH bucket
     # would land its whole n² burst in ONE verify task — the GC-bound
@@ -407,11 +490,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across salt partitions — no corpus-sized broadcast anywhere.
     salt_n = max(2, min(spark.sparkContext.defaultParallelism, 16))
     salts = F.array(*[F.lit(i) for i in range(salt_n)])
+    # The expansion joins OUTPUT ~pairs rows from doc-sized inputs —
+    # a generator join. Under the broadcast plan the stream side's
+    # partitioning is whatever the persisted sigs cache kept (AQE
+    # coalesces the persist by its INPUT bytes, ~1-2 partitions at
+    # sf1), so the 625 M-row generation serialized on 1-2 cores
+    # (r16 rehearsal: 35 s at sf1, 2× the r10 recording). Round-robin
+    # repartition the exploded side to core width: one tiny exchange
+    # of the doc-sized relation buys generation parallelism no AQE
+    # size heuristic can infer (output size ≫ input size — §2.5
+    # input-layout skew, same family as parallelism_floor).
+    gen_par = max(salt_n, spark.sparkContext.defaultParallelism * 2)
     # cross-class pairs: (da from class sig_a) × (db from class sig_b)
     left = (
         sigs.select(F.col("sig").alias("sig_a"), F.col("doc_id").alias("da"))
         .join(F.broadcast(close), "sig_a")
         .withColumn("salt", F.explode(salts))
+        .repartition(gen_par)
     )
     right = sigs.select(
         F.col("sig").alias("sig_b"),
@@ -424,9 +519,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hamming",
     )
     # within-class pairs (hamming 0): salted self-join on sig
-    rep = sigs.select(
-        "sig", F.col("doc_id").alias("da")
-    ).withColumn("salt", F.explode(salts))
+    rep = (
+        sigs.select("sig", F.col("doc_id").alias("da"))
+        .withColumn("salt", F.explode(salts))
+        .repartition(gen_par)
+    )
     sal = sigs.select(
         "sig",
         F.col("doc_id").alias("db"),

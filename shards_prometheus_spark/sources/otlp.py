@@ -948,7 +948,12 @@ def otlp_roundtrip(spark, sf_dir: str) -> DataFrame:
 
     from shards_prometheus_spark.model import samples
 
-    s = samples(spark, sf_dir).repartition(8, "metric", "label_user")
+    # payload framing scales with the core count (see
+    # remote_write_roundtrip) — the decoded fold is framing-invariant
+    n_payloads = max(8, spark.sparkContext.defaultParallelism)
+    s = samples(spark, sf_dir).repartition(
+        n_payloads, "metric", "label_user"
+    )
     decoded = roundtrip_otlp_requests(s)
     return (
         decoded.groupBy("metric", "label_user")

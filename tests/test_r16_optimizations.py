@@ -191,6 +191,51 @@ def test_kmeans_empty_centroid_drops_out(spark, tmp_path):
     assert sum(out.values()) == 6  # every vector still assigned
 
 
+def test_mask_words_jaccard_matches_pair_jaccard(spark):
+    """The multi-word bitmask verify (vocab > 62, the sf1+ regime the
+    oracle SFs never reach) must produce the exact pair_jaccard values
+    — same sets, different encoding."""
+    from shards_prometheus_spark.operators.dedup import (
+        _mask_words_jaccard,
+    )
+    from shards_prometheus_spark.operators.tierc_common import (
+        clear_caches,
+        pair_jaccard,
+    )
+
+    # token ids spanning several 64-bit words (vocab ~ 300)
+    docs = {
+        1: [1, 64, 65, 130, 200, 299],
+        2: [1, 64, 65, 130, 200],        # subset of 1
+        3: [2, 63, 127, 128, 256, 300],
+        4: [1, 64, 65, 130, 200, 299],   # identical to 1
+        5: [299, 300],
+    }
+    dset = spark.createDataFrame(
+        [(d, t) for d, ts in docs.items() for t in ts],
+        "doc_id long, token_id long",
+    )
+    cands = spark.createDataFrame(
+        [(a, b) for a in docs for b in docs if a < b],
+        "doc_a long, doc_b long",
+    )
+    import uuid
+
+    key = f"/nonexistent/maskwords-{uuid.uuid4()}"  # memo key only
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard_raw"], 9)
+        for r in _mask_words_jaccard(cands, dset, key, 300).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard_raw"], 9)
+        for r in pair_jaccard(cands, dset).collect()
+    }
+    clear_caches(spark)
+    assert got == want and got[(1, 4)] == 1.0 and got[(1, 2)] == round(
+        5 / 6, 9
+    )
+
+
 def test_parallelism_floor_byte_gate(spark, monkeypatch):
     import os as _os
 
