@@ -704,6 +704,11 @@ def remote_read_streamed_roundtrip(spark, sf_dir: str) -> DataFrame:
     SAMPLES-path row. Oracle: the identical fold straight off the
     events table at ms resolution."""
     from shards_prometheus_spark.model import samples_multi
+    from shards_prometheus_spark.sources.chunkenc import (
+        CHUNK_ENCODING_XOR,
+        parse_chunked_read_response,
+        read_frames,
+    )
 
     s = samples_multi(spark, sf_dir)
     req = encode_read_request(
@@ -716,30 +721,56 @@ def remote_read_streamed_roundtrip(spark, sf_dir: str) -> DataFrame:
         ],
         accepted_response_types=[1],  # STREAMED_XOR_CHUNKS
     )
-    (series_list,) = parse_chunked_read_stream(
-        answer_read_request_chunked(s, req), n_queries=1
-    )
-    rows = []
-    for labels, samples_ in series_list:
-        for ts_ms, value in samples_:
-            rows.append(
-                (
-                    labels.get("__name__", ""),
-                    labels.get("user", ""),
-                    labels.get("shard", ""),
-                    int(ts_ms),
-                    float(value),
-                )
-            )
-    # pandas → Arrow path: createDataFrame over a plain row list
-    # pickles row-at-a-time (guide §6 — Arrow for driver transfers)
+    stream = answer_read_request_chunked(s, req)
+    # Client framing + CRC32C checks stay driver-side (read_frames —
+    # frame-sized work); the per-SAMPLE XOR chunk decode distributes:
+    # the driver handles ~samples/120 chunk rows and the executors run
+    # the same vendored decode_xor_chunk per chunk inside one
+    # Arrow-batched kernel (guide §5: the driver does no data work;
+    # §4.2: batch Python work executor-side — the r16 sf1 rehearsal
+    # measured the driver loop at 10.2 s for ~400 k samples).
+    chunk_rows = []
+    for msg in read_frames(stream):
+        series, _qi = parse_chunked_read_response(msg)
+        for labels, chunks in series:
+            m = labels.get("__name__", "")
+            u = labels.get("user", "")
+            sh = labels.get("shard", "")
+            for _min_ms, _max_ms, enc, data in chunks:
+                if enc != CHUNK_ENCODING_XOR:
+                    raise ValueError(
+                        f"chunked stream: unsupported encoding {enc}"
+                    )
+                chunk_rows.append((m, u, sh, bytes(data)))
     import pandas as pd
 
-    df = spark.createDataFrame(
+    chunks_df = spark.createDataFrame(
         pd.DataFrame(
-            rows,
-            columns=["metric", "l_user", "l_shard", "ts_ms", "value"],
+            chunk_rows, columns=["metric", "l_user", "l_shard", "data"]
         ),
+        "metric string, l_user string, l_shard string, data binary",
+    )
+
+    def kernel(batches):
+        from shards_prometheus_spark.sources.chunkenc import (
+            decode_xor_chunk,
+        )
+
+        for pdf in batches:
+            out = []
+            for m, u, sh, data in zip(
+                pdf["metric"], pdf["l_user"], pdf["l_shard"], pdf["data"]
+            ):
+                for ts_ms, value in decode_xor_chunk(bytes(data)):
+                    out.append((m, u, sh, int(ts_ms), float(value)))
+            yield pd.DataFrame(
+                out,
+                columns=["metric", "l_user", "l_shard", "ts_ms", "value"],
+            )
+
+    n_par = max(8, spark.sparkContext.defaultParallelism)
+    df = chunks_df.repartition(n_par).mapInPandas(
+        kernel,
         "metric string, l_user string, l_shard string, "
         "ts_ms long, value double",
     )
