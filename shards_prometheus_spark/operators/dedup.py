@@ -419,6 +419,10 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: generator and their union has full recall (classic SimHash blocking).
 _SIMHASH_CHUNKS = [(0, 6), (6, 5), (11, 5)]
 
+#: Pair-generation rows one task absorbs cheaply (~1 s of codegen
+#: row construction); the expansion spreads only past 2× this.
+_PAIRS_PER_GEN_TASK = 10_000_000
+
 
 def _close_pairs_py(sig_values: "list[int]") -> "list[tuple[int, int, int]]":
     """(sig_a, sig_b, hamming) pairs within Hamming distance ≤ 2 over
@@ -495,18 +499,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioning is whatever the persisted sigs cache kept (AQE
     # coalesces the persist by its INPUT bytes, ~1-2 partitions at
     # sf1), so the 625 M-row generation serialized on 1-2 cores
-    # (r16 rehearsal: 35 s at sf1, 2× the r10 recording). Round-robin
-    # repartition the exploded side to core width: one tiny exchange
-    # of the doc-sized relation buys generation parallelism no AQE
-    # size heuristic can infer (output size ≫ input size — §2.5
-    # input-layout skew, same family as parallelism_floor).
-    gen_par = max(salt_n, spark.sparkContext.defaultParallelism * 2)
+    # (r16 rehearsal: 35 s at sf1, 2× the r10 recording). When the
+    # expected pair count — exact driver arithmetic over the memoized
+    # class counts — dwarfs per-task generation throughput, round-
+    # robin repartition the exploded side: one tiny exchange of the
+    # doc-sized relation buys generation parallelism no AQE size
+    # heuristic can infer (output ≫ input — §2.5 input-layout skew).
+    # Below the threshold (every bench SF) the plan is unchanged —
+    # the same both-ways gate as parallelism_floor.
+    cnts = {r["sig"]: r["cnt"] for r in cls_rows}
+    exp_pairs = sum(c * (c - 1) // 2 for c in cnts.values()) + sum(
+        cnts[a] * cnts[b] for a, b, _h in close_rows
+    )
+    par = spark.sparkContext.defaultParallelism
+    gen_par = (
+        min(max(par, exp_pairs // _PAIRS_PER_GEN_TASK), 4 * par)
+        if exp_pairs > 2 * _PAIRS_PER_GEN_TASK
+        else None
+    )
+
+    def _spread(df: DataFrame) -> DataFrame:
+        return df.repartition(gen_par) if gen_par else df
+
     # cross-class pairs: (da from class sig_a) × (db from class sig_b)
-    left = (
+    left = _spread(
         sigs.select(F.col("sig").alias("sig_a"), F.col("doc_id").alias("da"))
         .join(F.broadcast(close), "sig_a")
         .withColumn("salt", F.explode(salts))
-        .repartition(gen_par)
     )
     right = sigs.select(
         F.col("sig").alias("sig_b"),
@@ -519,10 +538,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hamming",
     )
     # within-class pairs (hamming 0): salted self-join on sig
-    rep = (
+    rep = _spread(
         sigs.select("sig", F.col("doc_id").alias("da"))
         .withColumn("salt", F.explode(salts))
-        .repartition(gen_par)
     )
     sal = sigs.select(
         "sig",
